@@ -1,13 +1,156 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Distance, Fknn, Knn, Metrics}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a DuckDB twin in `oracleSql` (same column
+  * names, same rounding, same tie-breaks — SURVEY §7.4 determinism rules).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Fknn.classifyEmbeddings(spark, "/root/testdata/sf0.001", k = 5)
+
+  // ---- shared builders -----------------------------------------------
+
+  /** embeddings with vector cast to ARRAY<DOUBLE> (SURVEY §7.4 rule #1). */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+
+  private def embQueries(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(col("vec_id") % 10 === 0)
+  private def embTrain(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(col("vec_id") % 10 =!= 0)
+
+  private val K = 5
+  private val NClasses = 10
+
+  // ---- DuckDB SQL fragments (shared across oracle twins) ---------------
+
+  /** Euclidean distance between two DOUBLE[] columns in DuckDB SQL.
+    * Same sequential fold order as Distance.l2; float literals use e-notation
+    * so DuckDB types them DOUBLE (bare 0.49 would be DECIMAL).
+    */
+  private def distSql(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))))"
+
+  private val embCte =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings), " +
+      "qs AS (SELECT * FROM e WHERE vec_id % 10 = 0), " +
+      "tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0)"
+
+  /** Stage-1 membership CTE chain (over `tr`), long form, k=5, 10 classes. */
+  private val memCte =
+    s"tp AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, ${distSql("a.v", "b.v")} AS dist " +
+      "FROM tr a CROSS JOIN tr b WHERE a.vec_id <> b.vec_id), " +
+      "tk AS (SELECT q_id, t_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM tp), " +
+      "nb AS (SELECT tk.q_id, t2.label AS class FROM tk JOIN tr t2 ON t2.vec_id = tk.t_id WHERE tk.rn <= 5), " +
+      "cnts AS (SELECT q_id, class, count(*) AS n FROM nb GROUP BY 1, 2), " +
+      "cls AS (SELECT unnest(range(10))::INT AS class), " +
+      "mem AS (SELECT t.vec_id AS t_id, c.class, " +
+      "0.49e0 * coalesce(n.n, 0) / 5e0 + CASE WHEN c.class = t.label THEN 0.51e0 ELSE 0e0 END AS membership " +
+      "FROM tr t CROSS JOIN cls c LEFT JOIN cnts n ON n.q_id = t.vec_id AND n.class = c.class)"
+
+  /** Stage-2 classify CTE chain → rk (argmax-ready). */
+  private val classifyCte =
+    s"$embCte, $memCte, " +
+      s"qp AS (SELECT q.vec_id AS q_id, b.vec_id AS t_id, ${distSql("q.v", "b.v")} AS dist " +
+      "FROM qs q CROSS JOIN tr b), " +
+      "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp), " +
+      "wts AS (SELECT q_id, t_id, 1e0/(greatest(dist, 1e-12)*greatest(dist, 1e-12)) AS w FROM qk WHERE rn <= 5), " +
+      "sc AS (SELECT w.q_id, m.class, sum(m.membership * w.w)/sum(w.w) AS u " +
+      "FROM wts w JOIN mem m ON m.t_id = w.t_id GROUP BY 1, 2), " +
+      "rk AS (SELECT q_id, class, row_number() OVER (PARTITION BY q_id ORDER BY u DESC, class) AS rn FROM sc)"
+
+  private val classifySql =
+    s"WITH $classifyCte SELECT q_id, class AS predicted FROM rk WHERE rn = 1"
+
+  // ---- the inventory ----------------------------------------------------
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // #1 scan_project (CORE): typed scan + projection pushed to parquet.
+    "scan_project" -> ((s, d) => Tables.embeddings(s, d).select("vec_id", "label")),
+
+    // #15 pairwise_distance (CORE): the FkNN inner loop as a relational op.
+    "pairwise_distance" -> { (s, d) =>
+      val e = emb(s, d)
+      Knn.pairwise(e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20))
+        .select(col("q_id"), col("t_id"), round(col("dist"), 6).as("dist"))
+    },
+
+    // #21 knn_topk (CORE): grouped top-k, the heart of kNN-IS.
+    "knn_topk" -> { (s, d) =>
+      Knn.knn(embQueries(s, d), embTrain(s, d), K)
+        .select(col("q_id"), col("t_id"), round(col("dist"), 6).as("dist"), col("rn"))
+    },
+
+    // #22 fknn_membership_init (CORE): Keller stage-1 CMD, long form.
+    "fknn_membership_init" -> { (s, d) =>
+      Fknn.membershipInit(embTrain(s, d), K, NClasses)
+        .select(col("vec_id"), col("class"), round(col("membership"), 6).as("membership"))
+    },
+
+    // #23 fknn_classify (CORE): the flagship two-stage pipeline.
+    "fknn_classify" -> { (s, d) =>
+      val t = embTrain(s, d)
+      Fknn.classify(Fknn.membershipInit(t, K, NClasses), t, embQueries(s, d), K)
+    },
+
+    // #19 confusion_matrix (SURF): GROUP BY (actual, predicted).
+    "confusion_matrix" -> { (s, d) =>
+      val t = embTrain(s, d)
+      val pred = Fknn.classify(Fknn.membershipInit(t, K, NClasses), t, embQueries(s, d), K)
+      Metrics.confusionMatrix(pred, emb(s, d).select("vec_id", "label"))
+    },
+
+    // #20 accuracy (SURF): the reference's headline metric.
+    "accuracy" -> { (s, d) =>
+      val t = embTrain(s, d)
+      val pred = Fknn.classify(Fknn.membershipInit(t, K, NClasses), t, embQueries(s, d), K)
+      Metrics.accuracy(pred, emb(s, d).select("vec_id", "label"))
+    },
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "scan_project" -> "SELECT vec_id, label FROM embeddings",
+
+    "pairwise_distance" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+        s"SELECT a.vec_id AS q_id, b.vec_id AS t_id, round(${distSql("a.v", "b.v")}, 6) AS dist " +
+        "FROM e a CROSS JOIN e b WHERE a.vec_id < 20 AND b.vec_id >= 20"),
+
+    "knn_topk" ->
+      (s"WITH $embCte, " +
+        s"qp AS (SELECT q.vec_id AS q_id, b.vec_id AS t_id, ${distSql("q.v", "b.v")} AS dist " +
+        "FROM qs q CROSS JOIN tr b), " +
+        "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp) " +
+        "SELECT q_id, t_id, round(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 5"),
+
+    "fknn_membership_init" ->
+      (s"WITH $embCte, $memCte " +
+        "SELECT t_id AS vec_id, class, round(membership, 6) AS membership FROM mem"),
+
+    "fknn_classify" -> classifySql,
+
+    "confusion_matrix" ->
+      (s"WITH $classifyCte, " +
+        "pred AS (SELECT q_id, class AS predicted FROM rk WHERE rn = 1) " +
+        "SELECT e.label, p.predicted, count(*) AS n " +
+        "FROM pred p JOIN embeddings e ON e.vec_id = p.q_id GROUP BY 1, 2"),
+
+    "accuracy" ->
+      (s"WITH $classifyCte, " +
+        "pred AS (SELECT q_id, class AS predicted FROM rk WHERE rn = 1) " +
+        "SELECT round(avg(CASE WHEN p.predicted = e.label THEN 1e0 ELSE 0e0 END), 6) AS accuracy " +
+        "FROM pred p JOIN embeddings e ON e.vec_id = p.q_id"),
+  )
 }

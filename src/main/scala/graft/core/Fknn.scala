@@ -1,0 +1,109 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fuzzy k-Nearest Neighbors (Keller/Gray/Givens 1985), Spark-first.
+  *
+  * Reference semantics (SURVEY.md §2.1, fixed by the published papers —
+  * FUZZ-IEEE'17 exact FkNN / kNN-IS [LINEAGE]):
+  *
+  * Stage 1 (class membership degree over TRAIN): for train instance x of
+  * crisp class c, with n_j = #(k nearest train neighbors of x with class j):
+  *   u_j(x) = 0.51 + 0.49 * n_j / k   if j == c,  else  0.49 * n_j / k
+  *
+  * Stage 2 (classification): for query q with k nearest train rows x_i at
+  * distance d_i, fuzzifier m=2 → w_i = 1/d_i²:
+  *   u_j(q) = Σ_i u_j(x_i)·w_i / Σ_i w_i ;  predicted = argmax_j u_j(q)
+  *   (ties → lowest class index; d=0 guarded by w_i = 1/max(d_i,1e-12)² so
+  *   an exact match dominates the vote — documented impl convention,
+  *   identical in the DuckDB oracle SQL.)
+  *
+  * Everything is one declarative DataFrame pipeline: cross-join + window
+  * top-k + hash aggregations. No driver-side collect anywhere — at cluster
+  * scale the only data movement is the broadcast of the query block and the
+  * top-k shuffle, mirroring the reference's broadcast + reduceByKey.
+  */
+object Fknn {
+
+  val DistEps = 1e-12
+
+  /** Stage 1: long-form membership table (vec_id, class, membership) for
+    * every train row × every class 0..nClasses-1 (densified).
+    * `train` columns: (vec_id, v ARRAY<DOUBLE>, label).
+    */
+  def membershipInit(train: DataFrame, k: Int, nClasses: Int): DataFrame = {
+    // Self-kNN on train (self-pair excluded).
+    val pairs = Knn.pairwise(train, train)
+      .filter(col("q_id") =!= col("t_id"))
+    val nn = Knn.topK(pairs, k)
+    // Neighbor class counts n_j per train row.
+    val labels = train.select(col("vec_id").as("t_id"), col("label").as("t_label"))
+    val counts = nn.join(labels, "t_id")
+      .groupBy(col("q_id").as("vec_id"), col("t_label").as("class"))
+      .agg(count(lit(1)).as("n"))
+    // Densify to all classes, apply the Keller init.
+    val classes = train.sparkSession.range(nClasses)
+      .select(col("id").cast("int").as("class"))
+    val own = train.select(col("vec_id"), col("label"))
+    own.crossJoin(broadcast(classes))
+      .join(counts, Seq("vec_id", "class"), "left")
+      .select(
+        col("vec_id"),
+        col("class"),
+        (lit(0.49) * coalesce(col("n"), lit(0L)) / lit(k.toDouble) +
+          when(col("class") === col("label"), 0.51).otherwise(0.0)
+        ).as("membership"))
+  }
+
+  /** Stage 2: (q_id, predicted) for each query row.
+    * `memberships` is stage-1 output; `train`/`queries` have (vec_id, v, label).
+    */
+  def classify(
+      memberships: DataFrame,
+      train: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val nn = Knn.knn(queries, train, k)
+    val d = greatest(col("dist"), lit(DistEps))
+    val weighted = nn
+      .select(col("q_id"), col("t_id"), (lit(1.0) / (d * d)).as("w"))
+      .join(memberships.withColumnRenamed("vec_id", "t_id"), "t_id")
+    val scores = weighted
+      .groupBy(col("q_id"), col("class"))
+      .agg((sum(col("membership") * col("w")) / sum(col("w"))).as("u"))
+    // argmax with deterministic tie-break: highest u, then lowest class.
+    val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("class").as("predicted"))
+  }
+
+  /** Crisp kNN majority vote (the kNN-IS sibling surface [LINEAGE]):
+    * predicted = most frequent neighbor label, ties → lowest label.
+    */
+  def knnClassify(train: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val nn = Knn.knn(queries, train, k)
+    val labels = train.select(col("vec_id").as("t_id"), col("label"))
+    val votes = nn.join(labels, "t_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("n").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("predicted"))
+  }
+
+  /** The full two-stage pipeline over the embeddings table with the
+    * standard split (query = vec_id % 10 == 0, train = rest).
+    */
+  def classifyEmbeddings(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val t = e.filter(col("vec_id") % 10 =!= 0)
+    val mem = membershipInit(t, k, nClasses = 10)
+    classify(mem, t, q, k)
+  }
+}

@@ -1,0 +1,18 @@
+#!/bin/bash
+# Fast runner for graft mains without sbt startup overhead.
+# usage: tools/run.sh graft.Verify <sfdir> <outdir>
+#        tools/run.sh graft.Bench
+set -e
+cd "$(dirname "$0")/.."
+CP="target/scala-2.13/classes:target/scala-2.13/test-classes"
+for j in /opt/spark/jars/*.jar; do CP="$CP:$j"; done
+OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
+done
+exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" -cp "$CP" "$@"
