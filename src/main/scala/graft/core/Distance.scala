@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * The reference computes Euclidean/Manhattan distance in a hand-written
   * per-partition loop over Array[Double] (SURVEY.md §2.1 [LINEAGE], kNN-IS
   * design). Spark-first equivalent: declarative higher-order functions so
-  * the whole pipeline stays one Catalyst plan. The fused codegen Expression
-  * (graft.functions.FusedL2) replaces the HOF form on the hot path — these
-  * builders remain the semantic definition the tests check it against.
+  * the whole pipeline stays one Catalyst plan. The hot path uses the fused
+  * codegen expressions in `graft.functions.ArrayDistance` (FusedL2/L1/Dot);
+  * these HOF builders are the semantic definition `DistanceSpec` checks
+  * them against (bit-identical: same element-order accumulation).
   *
   * Inputs MUST already be ARRAY<DOUBLE> (cast float→double before any
   * arithmetic — SURVEY §7.4 determinism rule #1).

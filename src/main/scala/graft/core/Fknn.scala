@@ -20,10 +20,20 @@ import org.apache.spark.sql.functions._
   *   an exact match dominates the vote — documented impl convention,
   *   identical in the DuckDB oracle SQL.)
   *
-  * Everything is one declarative DataFrame pipeline: cross-join + window
-  * top-k + hash aggregations. No driver-side collect anywhere — at cluster
-  * scale the only data movement is the broadcast of the query block and the
-  * top-k shuffle, mirroring the reference's broadcast + reduceByKey.
+  * Everything is one declarative DataFrame pipeline: join + bounded-heap
+  * top-k + hash aggregations. No driver-side collect anywhere. Data
+  * movement at cluster scale: the (small) query-block broadcast in stage 2
+  * and the k-rows-per-query top-k shuffle — mirroring the reference's
+  * broadcast + reduceByKey. The stage-1 self-join deliberately carries NO
+  * broadcast hint (the "query" side there is the whole train set); at
+  * sizes beyond one broadcast, use `membershipInitChunked`.
+  *
+  * Cross-engine determinism note (gate invariant): neighbor ranking and
+  * the argmax order on unrounded doubles. This is safe because the fused
+  * distance loop, the HOF fold, and DuckDB's list_sum all accumulate in
+  * element order over identical double inputs — bit-identical results
+  * (asserted by DistanceSpec). Rounding happens only at output edges
+  * (SURVEY §7.4 rule #2).
   */
 object Fknn {
 
@@ -34,10 +44,31 @@ object Fknn {
     * `train` columns: (vec_id, v ARRAY<DOUBLE>, label).
     */
   def membershipInit(train: DataFrame, k: Int, nClasses: Int): DataFrame = {
-    // Self-kNN on train (self-pair excluded).
-    val pairs = Knn.pairwise(train, train)
+    // Self-kNN on train (self-pair excluded). No broadcast hint: the query
+    // side IS the train set — Catalyst size-gates the join strategy.
+    val pairs = Knn.pairwise(train, train, hintBroadcastQ = false)
       .filter(col("q_id") =!= col("t_id"))
-    val nn = Knn.topK(pairs, k)
+    membershipFromNn(Knn.topK(pairs, k), train, k, nClasses)
+  }
+
+  /** Stage 1 with the query side chunked into `blocks` id-range blocks,
+    * each individually broadcast — the relational analogue of kNN-IS's
+    * `numIterations` memory bound (SURVEY §3.2). Identical output to
+    * `membershipInit` (FknnSpec asserts it); use when the train set is too
+    * large for a single unhinted self-join's build side.
+    */
+  def membershipInitChunked(train: DataFrame, k: Int, nClasses: Int, blocks: Int): DataFrame = {
+    val nn = (0 until blocks).map { b =>
+      val qBlock = train.filter(col("vec_id") % blocks === b)
+      val pairs = Knn.pairwise(qBlock, train, hintBroadcastQ = true)
+        .filter(col("q_id") =!= col("t_id"))
+      Knn.topK(pairs, k)
+    }.reduce(_ unionAll _)
+    membershipFromNn(nn, train, k, nClasses)
+  }
+
+  /** Keller stage-1 init from a (q_id, t_id, …) neighbor table. */
+  private def membershipFromNn(nn: DataFrame, train: DataFrame, k: Int, nClasses: Int): DataFrame = {
     // Neighbor class counts n_j per train row.
     val labels = train.select(col("vec_id").as("t_id"), col("label").as("t_label"))
     val counts = nn.join(labels, "t_id")

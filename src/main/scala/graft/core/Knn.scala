@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{ArrayDistance, TopKAgg}
+
 /** The distributed-kNN kernel, relationally.
   *
   * The reference (kNN-IS design, SURVEY.md §2.1 [LINEAGE]) broadcasts test
@@ -11,39 +13,67 @@ import org.apache.spark.sql.functions._
   * mapPartitions, and merges candidate lists in reduceByKey. The Spark-first
   * decomposition of the same dataflow:
   *
-  *   broadcast(queries) crossJoin train        (= the broadcast of the chunk)
-  *   + distance expression                     (= the per-pair hot loop)
-  *   + grouped top-k                           (= local top-k + merge-k)
+  *   queries crossJoin train                (broadcast when genuinely small)
+  *   + fused distance expression            (= the per-pair hot loop)
+  *   + bounded-heap grouped top-k           (= local top-k + merge-k)
   *
-  * Catalyst picks BroadcastNestedLoopJoin for the cross join when the query
-  * side is broadcast-hinted, which is exactly the reference's physical
-  * placement. Grouped top-k is a window row_number here (v1); the scale path
-  * is the bounded-heap Aggregator in graft.functions (partial top-k before
-  * shuffle == the reference's local-k + merge-k).
+  * Physical placement: when the query side carries an explicit
+  * `broadcast()` hint (a small query block — the kNN-IS chunk analogue),
+  * Catalyst picks BroadcastNestedLoopJoin, exactly the reference's
+  * placement. WITHOUT the hint (e.g. the train self-join in
+  * `Fknn.membershipInit`, where the "query" side is ~the whole dataset),
+  * Catalyst/AQE size-gates the decision itself — small inputs still
+  * broadcast, large ones fall back to a partitioned cartesian, and the
+  * per-query cost is bounded by `TopKAgg`'s map-side combine. For query
+  * sets too big for any single broadcast, chunk by id-range
+  * (`Fknn.membershipInitChunked`, the reference's `numIterations`).
   */
 object Knn {
 
   /** All query×train pairs with distance.
-    * Output columns: (q_id, t_id, dist) plus `extra` carried columns.
+    * Output columns: (q_id, t_id, dist).
     * `q`/`t` must have columns (idCol, vecCol) with vecCol ARRAY<DOUBLE>.
+    *
+    * @param hintBroadcastQ force-broadcast the query side. Only set when
+    *   the query block is known-small (kNN-IS chunk). Leave false for
+    *   large/self joins: Catalyst's size-based planning then decides.
     */
+  /** Small-file inputs (one parquet footer) arrive as 1 scan partition; a
+    * cross join streamed over 1 partition runs on 1 core no matter how many
+    * the cluster has. Re-spread only when below the session's parallelism —
+    * at real scale inputs already have ≥ that many partitions and this is a
+    * no-op (no shuffle added).
+    */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def pairwise(
       q: DataFrame,
       t: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "v",
-      dist: (Column, Column) => Column = Distance.l2): DataFrame = {
+      dist: (Column, Column) => Column = ArrayDistance.l2,
+      hintBroadcastQ: Boolean = true): DataFrame = {
     val qr = q.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
     val tr = t.select(col(idCol).as("t_id"), col(vecCol).as("t_v"))
-    // Small side (queries) broadcast — the kNN-IS chunk broadcast analogue.
-    broadcast(qr).crossJoin(tr)
-      .select(col("q_id"), col("t_id"), dist(col("q_v"), col("t_v")).as("dist"))
+    val joined =
+      if (hintBroadcastQ) broadcast(qr).crossJoin(ensureParallelism(tr))
+      else ensureParallelism(qr).crossJoin(ensureParallelism(tr))
+    joined.select(col("q_id"), col("t_id"), dist(col("q_v"), col("t_v")).as("dist"))
   }
 
-  /** Keep the k nearest t_id per q_id. Total order (dist, t_id) — ties are
-    * impossible by unique-key suffix (SURVEY §7.4 rule #3).
+  /** Keep the k nearest t_id per q_id — bounded-heap aggregate (partial
+    * top-k before shuffle; the scale path). Output (q_id, t_id, dist, rn).
     */
-  def topK(pairs: DataFrame, k: Int): DataFrame = {
+  def topK(pairs: DataFrame, k: Int): DataFrame = TopKAgg.knn(pairs, k)
+
+  /** Window-function formulation of grouped top-k. Semantically identical
+    * to `topK` (KnnSpec asserts it); full sort per partition — fine at
+    * small scale, kept as the executable spec for the aggregator.
+    */
+  def topKWindow(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("t_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
@@ -55,6 +85,7 @@ object Knn {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "v",
-      dist: (Column, Column) => Column = Distance.l2): DataFrame =
-    topK(pairwise(q, t, idCol, vecCol, dist), k)
+      dist: (Column, Column) => Column = ArrayDistance.l2,
+      hintBroadcastQ: Boolean = true): DataFrame =
+    topK(pairwise(q, t, idCol, vecCol, dist, hintBroadcastQ), k)
 }

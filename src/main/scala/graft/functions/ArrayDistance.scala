@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Fused, whole-stage-codegen vector-distance expressions over
+  * ARRAY<DOUBLE> columns.
+  *
+  * The reference computes distances in a hand-written per-partition loop
+  * over Array[Double] (SURVEY.md §2.1 [LINEAGE], kNN-IS design). The
+  * declarative twin (`graft.core.Distance`: `zip_with` + `aggregate`) is
+  * semantically identical but those higher-order functions are
+  * CodegenFallback — per-pair interpreted lambdas, ~30× slower on the kNN
+  * hot path. These expressions generate a single fused primitive loop via
+  * `doGenCode`, preserving the exact left-to-right accumulation order of
+  * the HOF form (and of DuckDB's `list_sum`), so results are bit-identical
+  * — `DistanceSpec` asserts that equivalence.
+  *
+  * Inputs must already be cast to ARRAY<DOUBLE> (SURVEY §7.4 rule #1) and
+  * must have equal lengths (guaranteed by the fixed-dim embedding tables;
+  * extra trailing elements on the longer side are ignored, matching
+  * `zip_with`'s null-producing tail never being generated here).
+  */
+abstract class FusedArrayFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = left.dataType == ArrayType(DoubleType, containsNull = false) ||
+      left.dataType == ArrayType(DoubleType, containsNull = true)
+    val okR = right.dataType == ArrayType(DoubleType, containsNull = false) ||
+      right.dataType == ArrayType(DoubleType, containsNull = true)
+    if (ok && okR) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> arguments, got ${left.dataType} / ${right.dataType}")
+  }
+
+  /** Java statements: given element doubles `x`, `y`, update `acc`. */
+  protected def stepCode(acc: String, x: String, y: String): String
+  /** Java expression finishing the fold (e.g. sqrt). */
+  protected def finishCode(acc: String): String
+
+  protected def step(acc: Double, x: Double, y: Double): Double
+  protected def finish(acc: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc = step(acc, x.getDouble(i), y.getDouble(i))
+      i += 1
+    }
+    finish(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${stepCode(acc, s"$a.getDouble($i)", s"$b.getDouble($i)")}
+         |}
+         |${ev.value} = ${finishCode(acc)};
+       """.stripMargin
+    })
+}
+
+/** Euclidean (L2) distance: sqrt(Σ (x-y)²), fold order = element order.
+  * Reference's default metric (SURVEY §2.1 [LINEAGE]). */
+case class FusedL2(left: Expression, right: Expression) extends FusedArrayFold {
+  override def prettyName: String = "fused_l2"
+  protected def stepCode(acc: String, x: String, y: String): String =
+    s"final double d = $x - $y; $acc = $acc + d * d;"
+  protected def finishCode(acc: String): String = s"java.lang.Math.sqrt($acc)"
+  protected def step(acc: Double, x: Double, y: Double): Double = { val d = x - y; acc + d * d }
+  protected def finish(acc: Double): Double = math.sqrt(acc)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FusedL2 = copy(l, r)
+}
+
+/** Manhattan (L1) distance: Σ |x-y| (the reference's alternate metric). */
+case class FusedL1(left: Expression, right: Expression) extends FusedArrayFold {
+  override def prettyName: String = "fused_l1"
+  protected def stepCode(acc: String, x: String, y: String): String =
+    s"$acc = $acc + java.lang.Math.abs($x - $y);"
+  protected def finishCode(acc: String): String = acc
+  protected def step(acc: Double, x: Double, y: Double): Double = acc + math.abs(x - y)
+  protected def finish(acc: Double): Double = acc
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FusedL1 = copy(l, r)
+}
+
+/** Dot product: Σ x·y (building block for cosine similarity / ANN). */
+case class FusedDot(left: Expression, right: Expression) extends FusedArrayFold {
+  override def prettyName: String = "fused_dot"
+  protected def stepCode(acc: String, x: String, y: String): String =
+    s"$acc = $acc + $x * $y;"
+  protected def finishCode(acc: String): String = acc
+  protected def step(acc: Double, x: Double, y: Double): Double = acc + x * y
+  protected def finish(acc: Double): Double = acc
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FusedDot = copy(l, r)
+}
+
+object ArrayDistance {
+  /** Column-level fused L2 — drop-in for `graft.core.Distance.l2`. */
+  def l2(a: Column, b: Column): Column =
+    ColumnBridge.column(FusedL2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l1(a: Column, b: Column): Column =
+    ColumnBridge.column(FusedL1(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(FusedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
