@@ -74,7 +74,10 @@ object SparkEntry {
   // ---- the inventory ----------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
+    graft.rel.Queries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #1 scan_project (CORE): typed scan + projection pushed to parquet.
     "scan_project" -> ((s, d) => Tables.embeddings(s, d).select("vec_id", "label")),
 
@@ -120,7 +123,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracles ++ graft.rel.Queries.oracles
+
+  private def coreOracles: Map[String, String] = Map(
     "scan_project" -> "SELECT vec_id, label FROM embeddings",
 
     "pairwise_distance" ->

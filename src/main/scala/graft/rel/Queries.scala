@@ -1,0 +1,368 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import org.apache.spark.sql.Column
+
+/** The relational EXT surface (SURVEY.md §2 rows #2, #4-#14, #16-#18,
+  * #24-#27): scans with pushdown, scalar functions, 5 join shapes, 3
+  * aggregation shapes, window functions, global top-k, set ops.
+  *
+  * The reference has none of these as user surface (SURVEY §2.10) — they
+  * are the relational decomposition of its dataflow plus the north-star
+  * query capabilities. Everything is plain `DataFrame` code: Catalyst does
+  * pushdown/pruning/join-selection/partial-agg for free (SURVEY §4.2); the
+  * only explicit physical choices are `broadcast()` on genuinely-small
+  * dimensions (#10) and a `merge` hint on the large-large join (#11), which
+  * at harness SFs would otherwise auto-broadcast — at 100 TB both sides of
+  * #11 are huge and sort-merge-join on the shuffled key is the right plan.
+  *
+  * Every floating output is rounded at the edge; every window order ends
+  * in a unique key (SURVEY §7.4).
+  */
+object Queries {
+
+  /** Cross-engine deterministic rounding: floor(x*10^n + 0.5)/10^n, with
+    * the identical formula substituted into each DuckDB twin (`duckify`
+    * rewrites the `rnd(expr, n)` notation the oracle strings use). Spark's
+    * builtin `round()` rounds the shortest-decimal repr half-up via
+    * BigDecimal while DuckDB rounds the binary double — guaranteed
+    * divergence on values like 1222.745 (binary 1222.74499…). Evaluating
+    * one identical double expression on both engines is bit-exact by
+    * construction.
+    */
+  private[graft] def rnd(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p + 0.5) / p
+  }
+  private[graft] def rndSql(e: String, n: Int): String = {
+    val p = "1" + ("0" * n) + "e0"
+    s"floor(($e) * $p + 0.5e0) / $p"
+  }
+
+  /** Rewrite every `rnd(expr, n)` in an oracle SQL string to the floor
+    * formula (balanced-paren aware, recursive). Keeps the twins readable
+    * while guaranteeing both engines evaluate the same expression.
+    */
+  private[graft] def duckify(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (sql.startsWith("rnd(", i)) {
+        var depth = 1; var j = i + 4; var lastComma = -1
+        while (depth > 0) {
+          sql(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 1 => lastComma = j
+            case _ =>
+          }
+          j += 1
+        }
+        require(lastComma > 0, s"rnd() without scale arg in: $sql")
+        val e = sql.substring(i + 4, lastComma).trim
+        val n = sql.substring(lastComma + 1, j - 1).trim.toInt
+        out.append(rndSql(duckify(e), n))
+        i = j
+      } else { out.append(sql(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  // #2 — predicate + column pruning pushed into the parquet scan.
+  def scanFilterPrune(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  // #4 — the reference's KEEL min-max normalization, demoed on a scalar
+  // (SURVEY §2.4). Bounds via 1-row agg + broadcast cross join: one extra
+  // pass, no single-partition window over the whole table.
+  def normalizeMinmax(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val mm = li.agg(min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+    li.crossJoin(broadcast(mm))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        rnd((col("l_quantity") - col("mn")) / (col("mx") - col("mn")), 6).as("q_norm"))
+  }
+
+  // #5 — scalar math surface (the distance-formula components).
+  def scalarMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      rnd(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("disc_price"),
+      rnd(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+      rnd(pow(col("l_discount"), 2.0), 6).as("disc_sq"))
+
+  // #6 — string surface: upper / substring / split+element_at / LIKE.
+  def scalarString(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_type"), 1, 6).as("type_pre"),
+      element_at(split(col("p_type"), " "), 1).as("type_first"),
+      when(col("p_brand").like("Brand#1%"), 1).otherwise(0).as("b1"))
+
+  // #7 — date surface: truncate + extract. Month emitted as a string key
+  // (timestamp columns hash differently across engines' parquet writers).
+  def scalarDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"), rnd(sum("o_totalprice"), 2).as("tot"))
+      .select(
+        date_format(col("m"), "yyyy-MM").as("mon"),
+        year(col("m")).as("y"), month(col("m")).as("m_of_y"),
+        col("n_orders"), col("tot"))
+
+  // #8 — JSON extraction from the events props column.
+  def scalarJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  // #9 — array surface: size, element access, higher-order reduce.
+  def arrayOps(s: SparkSession, d: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      rnd(aggregate(v, lit(0.0), (acc, x) => acc + x), 6).as("vsum"),
+      rnd(element_at(v, 1), 6).as("fst"))
+  }
+
+  // #10 — small-dimension broadcast join (the reference's physical
+  // placement for test-chunk × train, SURVEY §2.5 [LINEAGE]).
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), rnd(sum("o_totalprice"), 2).as("tot"))
+
+  // #11 — large-large equi-join; `merge` hint pins sort-merge (at harness
+  // SFs orders would auto-broadcast; at 100 TB SMJ-on-key is the plan).
+  def joinShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).hint("merge")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+
+  // #12 — semi join: customers having orders.
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  // #13 — anti join: customers with no order since 2000 (the date filter
+  // keeps the result non-empty at harness SFs, where every customer has
+  // *some* order).
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  // #14 — range (θ) join on top of the equi key: lineitems shipped within
+  // 90 days of their order's date.
+  def joinRange(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(
+        Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+
+  // #16 — TPC-H-Q1-style hash aggregation (partial+final automatic).
+  def aggGroupby(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        rnd(sum("l_quantity"), 2).as("sum_qty"),
+        rnd(sum("l_extendedprice"), 2).as("sum_base"),
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+        rnd(avg("l_quantity"), 6).as("avg_qty"),
+        rnd(avg("l_extendedprice"), 6).as("avg_price"),
+        count(lit(1)).as("n"))
+
+  // #17 — distinct aggregation (EXPAND + 2-phase automatic).
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+
+  // #18 — rollup with grouping indicators.
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("int").as("g1"),
+        grouping(col("o_orderpriority")).cast("int").as("g2"))
+
+  // #24 — running-frame analytic window (cumulative sum per user).
+  def windowAnalytic(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      rnd(sum(col("value")).over(w), 6).as("run_sum"))
+  }
+
+  // #25 — ranking window: top-3 orders per customer.
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), rnd(col("o_totalprice"), 2).as("price"), col("rn"))
+  }
+
+  // #26 — global top-k (TakeOrderedAndProject; deterministic total order).
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), rnd(col("o_totalprice"), 2).as("price"))
+
+  // #27 — set operations on key sets (INTERSECT / EXCEPT / UNION ALL).
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"))
+    val ordKeys = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    val both = cust.intersect(ordKeys).select(lit("both").as("tag"), col("c_custkey"))
+    val only = cust.except(ordKeys).select(lit("cust_only").as("tag"), col("c_custkey"))
+    both.unionAll(only)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_filter_prune" -> scanFilterPrune,
+    "normalize_minmax" -> normalizeMinmax,
+    "scalar_math" -> scalarMath,
+    "scalar_string" -> scalarString,
+    "scalar_date" -> scalarDate,
+    "scalar_json" -> scalarJson,
+    "array_ops" -> arrayOps,
+    "join_broadcast" -> joinBroadcast,
+    "join_shuffle" -> joinShuffle,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_range" -> joinRange,
+    "agg_groupby" -> aggGroupby,
+    "agg_distinct" -> aggDistinct,
+    "agg_rollup" -> aggRollup,
+    "window_analytic" -> windowAnalytic,
+    "window_rank" -> windowRank,
+    "sort_limit" -> sortLimit,
+    "set_ops" -> setOps,
+  )
+
+  /** DuckDB twins — same column names, rounding, tie-breaks (SURVEY §7.4).
+    * Integer-width notes: Spark row_number/size/year are INT32 → `::INT`;
+    * DuckDB count(*) is BIGINT = Spark count. Float literals use e-notation
+    * so DuckDB types them DOUBLE, not DECIMAL.
+    */
+  lazy val oracles: Map[String, String] = rawOracles.view.mapValues(duckify).toMap
+
+  private val rawOracles: Map[String, String] = Map(
+    "scan_filter_prune" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45",
+
+    "normalize_minmax" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "rnd((l_quantity - min(l_quantity) OVER ())/(max(l_quantity) OVER () - min(l_quantity) OVER ()), 6) AS q_norm " +
+        "FROM lineitem"),
+
+    "scalar_math" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "rnd(l_extendedprice * (1e0 - l_discount), 2) AS disc_price, " +
+        "rnd(sqrt(l_quantity), 6) AS sqrt_qty, " +
+        "rnd(pow(l_discount, 2e0), 6) AS disc_sq FROM lineitem"),
+
+    "scalar_string" ->
+      ("SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_type, 1, 6) AS type_pre, " +
+        "string_split(p_type, ' ')[1] AS type_first, " +
+        "CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END AS b1 FROM part"),
+
+    "scalar_date" ->
+      ("SELECT strftime(m, '%Y-%m') AS mon, year(m)::INT AS y, month(m)::INT AS m_of_y, n_orders, tot FROM (" +
+        "SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders, " +
+        "rnd(sum(o_totalprice), 2) AS tot FROM orders GROUP BY 1)"),
+
+    "scalar_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+
+    "array_ops" ->
+      ("SELECT vec_id, len(embedding)::INT AS dim, " +
+        "rnd(list_sum(embedding::DOUBLE[]), 6) AS vsum, " +
+        "rnd((embedding::DOUBLE[])[1], 6) AS fst FROM embeddings"),
+
+    "join_broadcast" ->
+      ("SELECT c_mktsegment, count(*) AS n, rnd(sum(o_totalprice), 2) AS tot " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),
+
+    "join_shuffle" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        "rnd(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"),
+
+    "join_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+
+    "join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')"),
+
+    "join_range" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "rnd(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY GROUP BY 1"),
+
+    "agg_groupby" ->
+      ("SELECT l_returnflag, l_linestatus, rnd(sum(l_quantity), 2) AS sum_qty, " +
+        "rnd(sum(l_extendedprice), 2) AS sum_base, " +
+        "rnd(sum(l_extendedprice * (1e0 - l_discount)), 2) AS sum_disc, " +
+        "rnd(avg(l_quantity), 6) AS avg_qty, rnd(avg(l_extendedprice), 6) AS avg_price, " +
+        "count(*) AS n FROM lineitem GROUP BY 1, 2"),
+
+    "agg_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS u, count(*) AS n FROM events GROUP BY 1",
+
+    "agg_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "grouping(o_orderstatus)::INT AS g1, grouping(o_orderpriority)::INT AS g2 " +
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
+
+    "window_analytic" ->
+      ("SELECT user_id, event_id, rnd(sum(value) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum FROM events"),
+
+    "window_rank" ->
+      ("SELECT o_custkey, o_orderkey, rnd(o_totalprice, 2) AS price, rn::INT AS rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3"),
+
+    "sort_limit" ->
+      ("SELECT o_orderkey, rnd(o_totalprice, 2) AS price FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+
+    "set_ops" ->
+      ("SELECT 'both' AS tag, c_custkey FROM (SELECT c_custkey FROM customer " +
+        "INTERSECT SELECT o_custkey FROM orders) " +
+        "UNION ALL SELECT 'cust_only' AS tag, c_custkey FROM (" +
+        "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)"),
+  )
+}
