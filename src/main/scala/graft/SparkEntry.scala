@@ -40,6 +40,10 @@ object SparkEntry {
   private def distSql(a: String, b: String): String =
     s"sqrt(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))))"
 
+  /** Manhattan twin of distSql (the reference's alternate metric). */
+  private def distL1Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> abs(p[1]-p[2])))"
+
   private val embCte =
     "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings), " +
       "qs AS (SELECT * FROM e WHERE vec_id % 10 = 0), " +
@@ -50,11 +54,11 @@ object SparkEntry {
     s"tp AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, ${distSql("a.v", "b.v")} AS dist " +
       "FROM tr a CROSS JOIN tr b WHERE a.vec_id <> b.vec_id), " +
       "tk AS (SELECT q_id, t_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM tp), " +
-      "nb AS (SELECT tk.q_id, t2.label AS class FROM tk JOIN tr t2 ON t2.vec_id = tk.t_id WHERE tk.rn <= 5), " +
+      s"nb AS (SELECT tk.q_id, t2.label AS class FROM tk JOIN tr t2 ON t2.vec_id = tk.t_id WHERE tk.rn <= $K), " +
       "cnts AS (SELECT q_id, class, count(*) AS n FROM nb GROUP BY 1, 2), " +
-      "cls AS (SELECT unnest(range(10))::INT AS class), " +
+      s"cls AS (SELECT unnest(range($NClasses))::INT AS class), " +
       "mem AS (SELECT t.vec_id AS t_id, c.class, " +
-      "0.49e0 * coalesce(n.n, 0) / 5e0 + CASE WHEN c.class = t.label THEN 0.51e0 ELSE 0e0 END AS membership " +
+      s"0.49e0 * coalesce(n.n, 0) / ${K}e0 + CASE WHEN c.class = t.label THEN 0.51e0 ELSE 0e0 END AS membership " +
       "FROM tr t CROSS JOIN cls c LEFT JOIN cnts n ON n.q_id = t.vec_id AND n.class = c.class)"
 
   /** Stage-2 classify CTE chain → rk (argmax-ready). */
@@ -63,7 +67,7 @@ object SparkEntry {
       s"qp AS (SELECT q.vec_id AS q_id, b.vec_id AS t_id, ${distSql("q.v", "b.v")} AS dist " +
       "FROM qs q CROSS JOIN tr b), " +
       "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp), " +
-      "wts AS (SELECT q_id, t_id, 1e0/(greatest(dist, 1e-12)*greatest(dist, 1e-12)) AS w FROM qk WHERE rn <= 5), " +
+      s"wts AS (SELECT q_id, t_id, 1e0/(greatest(dist, 1e-12)*greatest(dist, 1e-12)) AS w FROM qk WHERE rn <= $K), " +
       "sc AS (SELECT w.q_id, m.class, sum(m.membership * w.w)/sum(w.w) AS u " +
       "FROM wts w JOIN mem m ON m.t_id = w.t_id GROUP BY 1, 2), " +
       "rk AS (SELECT q_id, class, row_number() OVER (PARTITION BY q_id ORDER BY u DESC, class) AS rn FROM sc)"
@@ -75,7 +79,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
-    graft.rel.Queries.queries
+    graft.rel.Queries.queries ++ graft.llm.TextOps.queries ++ graft.llm.Streaming.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #1 scan_project (CORE): typed scan + projection pushed to parquet.
@@ -86,6 +90,21 @@ object SparkEntry {
       val e = emb(s, d)
       Knn.pairwise(e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20))
         .select(col("q_id"), col("t_id"), round(col("dist"), 6).as("dist"))
+    },
+
+    // #15b pairwise_distance_l1 (CORE): the reference's Manhattan-metric
+    // option (CLI distType [LINEAGE]), same relational shape as #15.
+    "pairwise_distance_l1" -> { (s, d) =>
+      val e = emb(s, d)
+      Knn.pairwise(e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+          dist = graft.functions.ArrayDistance.l1)
+        .select(col("q_id"), col("t_id"), round(col("dist"), 6).as("dist"))
+    },
+
+    // #21b knn_classify (SURF): crisp-kNN majority vote, the kNN-IS
+    // sibling surface the reference ships alongside FkNN [LINEAGE].
+    "knn_classify" -> { (s, d) =>
+      Fknn.knnClassify(embTrain(s, d), embQueries(s, d), K)
     },
 
     // #21 knn_topk (CORE): grouped top-k, the heart of kNN-IS.
@@ -123,7 +142,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracles ++ graft.rel.Queries.oracles
+  def oracleSql: Map[String, String] = coreOracles ++ graft.rel.Queries.oracles ++
+    (graft.llm.TextOps.rawOracles ++ graft.llm.Streaming.rawOracles)
+      .view.mapValues(graft.rel.Queries.duckify).toMap
 
   private def coreOracles: Map[String, String] = Map(
     "scan_project" -> "SELECT vec_id, label FROM embeddings",
@@ -138,13 +159,27 @@ object SparkEntry {
         s"qp AS (SELECT q.vec_id AS q_id, b.vec_id AS t_id, ${distSql("q.v", "b.v")} AS dist " +
         "FROM qs q CROSS JOIN tr b), " +
         "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp) " +
-        "SELECT q_id, t_id, round(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 5"),
+        s"SELECT q_id, t_id, round(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= $K"),
 
     "fknn_membership_init" ->
       (s"WITH $embCte, $memCte " +
         "SELECT t_id AS vec_id, class, round(membership, 6) AS membership FROM mem"),
 
     "fknn_classify" -> classifySql,
+
+    "pairwise_distance_l1" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+        s"SELECT a.vec_id AS q_id, b.vec_id AS t_id, round(${distL1Sql("a.v", "b.v")}, 6) AS dist " +
+        "FROM e a CROSS JOIN e b WHERE a.vec_id < 20 AND b.vec_id >= 20"),
+
+    "knn_classify" ->
+      (s"WITH $embCte, " +
+        s"qp AS (SELECT q.vec_id AS q_id, b.vec_id AS t_id, ${distSql("q.v", "b.v")} AS dist " +
+        "FROM qs q CROSS JOIN tr b), " +
+        "qk AS (SELECT q_id, t_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp), " +
+        s"vt AS (SELECT qk.q_id, t2.label, count(*) AS n FROM qk JOIN tr t2 ON t2.vec_id = qk.t_id WHERE qk.rn <= $K GROUP BY 1, 2), " +
+        "rk AS (SELECT q_id, label, row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) AS rn FROM vt) " +
+        "SELECT q_id, label AS predicted FROM rk WHERE rn = 1"),
 
     "confusion_matrix" ->
       (s"WITH $classifyCte, " +

@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.rel.Queries.rnd
+
+/** Streaming-shaped operators over `events` (SURVEY.md §2.9 rows #31-#32).
+  *
+  * Each operator has (a) a batch formulation — pure relational, DuckDB
+  * oracle-checkable, what the driver gates on — and (b) a Structured
+  * Streaming twin over the same transform, exercised with MemoryStream in
+  * `StreamingSpec` (watermark/late-data behavior is streaming-runtime
+  * semantics no batch oracle can replay, SURVEY §5.2 layer 4).
+  *
+  * Scale: both are single-shuffle keyed aggregations; the streaming forms
+  * carry watermarks so state stores stay bounded.
+  */
+object Streaming {
+
+  // #31 — tumbling 1-hour window counts/sums per event_type. Window start
+  // emitted as epoch seconds (cross-engine-stable integer key).
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    tumblingTransform(Tables.events(s, d))
+
+  /** Shared batch/stream transform: works on a static OR streaming frame. */
+  def tumblingTransform(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(sum("value"), 6).as("sv"))
+      .select(
+        col("window.start").cast("long").as("ws"),
+        col("event_type"), col("n"), col("sv"))
+
+  /** Streaming twin of #31: same transform + 10-minute watermark. */
+  def tumblingStream(events: DataFrame): DataFrame =
+    tumblingTransform(events.withWatermark("ts", "10 minutes"))
+
+  // #32 — sessionization: per user, a new session opens when the gap to
+  // the previous event exceeds 30 minutes. Batch form = lag/flag/running-
+  // sum windows (pure SQL, oracle-checkable).
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn(
+        "new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), rnd(sum("value"), 6).as("sv"))
+  }
+
+  /** Streaming twin of #32: Spark's native `session_window` (gap-merge
+    * state machine) + watermark. Same session boundaries as the batch
+    * lag/flag formulation for strictly-increasing event times
+    * (StreamingSpec asserts equal session row multisets).
+    */
+  def sessionizeStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), rnd(sum("value"), 6).as("sv"))
+      .select(col("user_id"), col("n_events"), col("sv"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> tumbling,
+    "stream_sessionize" -> sessionize,
+  )
+
+  val rawOracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      ("SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, event_type, " +
+        "count(*) AS n, rnd(sum(value), 6) AS sv FROM events GROUP BY 1, 2"),
+
+    "stream_sessionize" ->
+      ("WITH g AS (SELECT user_id, event_id, value, ts, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM events), " +
+        "ss AS (SELECT user_id, value, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id FROM g) " +
+        "SELECT user_id, session_id, count(*) AS n_events, rnd(sum(value), 6) AS sv " +
+        "FROM ss GROUP BY 1, 2"),
+  )
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.rel.Queries.{rnd, rndSql}
+
+/** LLM-training-data text operators over the `documents` table
+  * (SURVEY.md §2.9, north-star mandated — the reference has no text
+  * surface; these are the EXT rows that make the engine a data-pipeline
+  * tool, not just a classifier).
+  *
+  * Scale notes (100 TB): tokenize/dedup are single-shuffle groupBys with
+  * map-side partial aggregation. Exact Jaccard is the oracle-checkable
+  * semantic definition; its all-pairs token self-join is quadratic in
+  * docs-per-token, so the scale path is MinHash-LSH pre-bucketing
+  * (`MinHashLsh.scala`) which only pairs docs sharing a signature band.
+  */
+object TextOps {
+
+  /** (doc_id, tok) pairs, one row per *distinct* token per doc. */
+  private[llm] def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).distinct()
+
+  // #28 — tokenize + explode (the Generator/UDTF surface) + count.
+  def tokenize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+
+  // #29 — exact dedup by content hash: canonical doc per distinct md5.
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // #30 — exact token-set Jaccard similarity over doc pairs (doc_id1 <
+  // doc_id2, J >= 0.8). Declared over the doc_id < 500 slice so the
+  // all-pairs form stays bounded at bench SFs; the operator is
+  // slice-independent. MinHash-LSH is the at-scale physical form.
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val toks = docTokens(Tables.documents(s, d).filter(col("doc_id") < 500))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = toks.select(col("doc_id").as("d1"), col("tok"))
+      .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val j = inter
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sza"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("szb"))), "d2")
+      .withColumn("j", col("inter") / (col("sza") + col("szb") - col("inter")))
+    j.filter(col("j") >= 0.8)
+      .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), rnd(col("j"), 6).as("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenize" -> tokenize,
+    "dedup_exact" -> dedupExact,
+    "similarity_jaccard" -> jaccardPairs,
+  )
+
+  /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
+  val rawOracles: Map[String, String] = Map(
+    "text_tokenize" ->
+      ("SELECT tok, count(*) AS n FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1"),
+
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+
+    "similarity_jaccard" ->
+      ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents WHERE doc_id < 500), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i " +
+        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "jj AS (SELECT d1, d2, i / (sa.sz + sb.sz - i) AS j FROM inter " +
+        "JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2) " +
+        "SELECT d1 AS doc_id1, d2 AS doc_id2, rnd(j, 6) AS jaccard FROM jj WHERE j >= 0.8e0"),
+  )
+}
