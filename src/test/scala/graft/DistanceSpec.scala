@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Distance
+import graft.functions.ArrayDistance
+
+/** The fused codegen expressions (graft.functions.ArrayDistance) against
+  * their declarative HOF definition (graft.core.Distance): same element-
+  * order accumulation ⇒ bit-identical doubles. This equivalence is a gate
+  * invariant — neighbor ranking happens on unrounded dist (SURVEY §7.4
+  * note in Fknn), so the fused loop must not perturb a single ulp.
+  */
+class DistanceSpec extends SparkSpecBase {
+
+  private val dim = 64
+
+  private def randomPairsDf(n: Int, seed: Long) = {
+    val rnd = new java.util.Random(seed)
+    val rows = (1 to n).map { i =>
+      Row(i.toLong,
+        Array.fill(dim)(rnd.nextDouble() * 2 - 1),
+        Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(DoubleType)),
+      StructField("b", ArrayType(DoubleType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("FusedL2/L1/Dot are bit-identical to the HOF definitions") {
+    val df = randomPairsDf(500, seed = 42)
+    val cmp = df.select(
+      ArrayDistance.l2(col("a"), col("b")).as("f2"), Distance.l2(col("a"), col("b")).as("h2"),
+      ArrayDistance.l1(col("a"), col("b")).as("f1"), Distance.l1(col("a"), col("b")).as("h1"),
+      ArrayDistance.dot(col("a"), col("b")).as("fd"), Distance.dot(col("a"), col("b")).as("hd"))
+    val bad = cmp.filter(col("f2") =!= col("h2") || col("f1") =!= col("h1") || col("fd") =!= col("hd"))
+    assert(bad.count() === 0)
+  }
+
+  test("FusedL2 interpreted eval matches codegen result") {
+    val df = randomPairsDf(50, seed = 7)
+    // force interpreted path by evaluating through a non-codegen context:
+    // collect arrays and fold manually with the same step order
+    val rows = df.select(col("a"), col("b"), ArrayDistance.l2(col("a"), col("b")).as("d")).collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      assert(math.sqrt(acc) === r.getDouble(2))
+    }
+  }
+
+  test("hand-computed values") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Array(0.0, 3.0), Array(4.0, 0.0))), 1),
+      StructType(Seq(
+        StructField("a", ArrayType(DoubleType)),
+        StructField("b", ArrayType(DoubleType)))))
+    val r = df.select(
+      ArrayDistance.l2(col("a"), col("b")),
+      ArrayDistance.l1(col("a"), col("b")),
+      ArrayDistance.dot(col("a"), col("b")),
+      Distance.cosine(col("a"), col("b"))).head()
+    assert(r.getDouble(0) === 5.0)
+    assert(r.getDouble(1) === 7.0)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  test("null input yields null, not a crash") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, Array(1.0, 2.0))), 1),
+      StructType(Seq(
+        StructField("a", ArrayType(DoubleType)),
+        StructField("b", ArrayType(DoubleType)))))
+    assert(df.select(ArrayDistance.l2(col("a"), col("b"))).head().isNullAt(0))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Distance, Knn}
+
+/** The bounded-heap TopK aggregator against its window-function executable
+  * spec, plus the physical-plan properties the 100×-scale design depends
+  * on (broadcast only when hinted; pushdown reaching the scan).
+  */
+class KnnSpec extends SparkSpecBase {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+
+  test("aggregator top-k ≡ window top-k (same rows incl. rank)") {
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    val t = emb.filter(col("vec_id") % 10 =!= 0)
+    val pairs = Knn.pairwise(q, t)
+    val viaAgg = collectSet(Knn.topK(pairs, 5).select("q_id", "t_id", "dist", "rn"))
+    val viaWin = collectSet(Knn.topKWindow(pairs, 5).select("q_id", "t_id", "dist", "rn"))
+    assert(viaAgg === viaWin)
+  }
+
+  test("k larger than candidate count returns all candidates, ranked") {
+    val q = emb.filter(col("vec_id") === 0)
+    val t = emb.filter(col("vec_id").between(1, 3))
+    val out = Knn.knn(q, t, k = 10).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Int]("rn")).sorted.toSeq === Seq(1, 2, 3))
+  }
+
+  test("pairwise broadcast hint: present when hinted, absent for self-join path") {
+    val q = emb.filter(col("vec_id") < 20)
+    val hinted = Knn.pairwise(q, emb, hintBroadcastQ = true)
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "hinted pairwise must carry the broadcast hint (kNN-IS chunk placement)")
+    val unhinted = Knn.pairwise(emb, emb, hintBroadcastQ = false)
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "self-join pairwise must NOT force-broadcast the train side — " +
+        "Catalyst size-gates it (broadcasting ~all data OOMs at scale)")
+  }
+
+  test("scan_filter_prune pushes predicate and columns into the parquet scan") {
+    val df = graft.rel.Queries.scanFilterPrune(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(l_quantity,45"),
+      s"expected pushed filter in:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      "scan must read only the projected columns")
+  }
+
+  test("duckify rewrites rnd() to the floor formula, balanced-paren aware") {
+    import graft.rel.Queries.duckify
+    assert(duckify("SELECT rnd(x, 2) FROM t") ===
+      "SELECT floor((x) * 100e0 + 0.5e0) / 100e0 FROM t")
+    assert(duckify("rnd(sum(a (b, c)) OVER (ORDER BY x, y), 6)") ===
+      "floor((sum(a (b, c)) OVER (ORDER BY x, y)) * 1000000e0 + 0.5e0) / 1000000e0")
+    assert(duckify("rnd(rnd(x, 2), 6)") ===
+      "floor((floor((x) * 100e0 + 0.5e0) / 100e0) * 1000000e0 + 0.5e0) / 1000000e0")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.llm.Streaming
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured-Streaming twins vs their batch formulations (SURVEY §5.2
+  * layer 4): the same transform must produce the same result set when fed
+  * incrementally, and watermarks must drop late rows.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val evs = Seq(
+    Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0),
+    Ev(3, ts("2024-01-01 10:40:00"), 2, "view", 3.0),
+    Ev(4, ts("2024-01-01 11:10:00"), 1, "click", 4.0),
+    Ev(5, ts("2024-01-01 13:00:00"), 2, "view", 5.0))
+
+  test("tumbling stream (complete mode) ≡ batch tumbling on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = Streaming.tumblingTransform(mem.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = collectSet(spark.table("tumb"))
+    val batch = collectSet(Streaming.tumblingTransform(evs.toDF()))
+    assert(streamed === batch)
+  }
+
+  test("tumbling stream with watermark drops late rows (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.tumblingStream(mem.toDF())
+      .writeStream.format("memory").queryName("tumb_wm").outputMode("append").start()
+    try {
+      // batch 1: two 10:xx clicks; a 13:00 row advances the watermark to
+      // 12:50 → the 10:00 and 11:00 windows close and are emitted.
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // batch 2: a LATE 10:30 click (watermark already at 12:50) → dropped.
+      mem.addData(Ev(6, ts("2024-01-01 10:30:00"), 1, "click", 100.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("tumb_wm")
+    val clicks10 = out.filter(col("event_type") === "click" &&
+      col("ws") === ts("2024-01-01 10:00:00").getTime / 1000).select("n").collect()
+    assert(clicks10.map(_.getLong(0)).toSeq === Seq(2), "late row must not be counted")
+  }
+
+  test("session_window streaming twin ≡ batch lag/flag sessionize (session multisets)") {
+    import spark.implicits._
+    // session boundaries: user 1 → {10:05,10:20} + {11:10} (50-min gap);
+    // user 2 → {10:40} + {13:00}.
+    val static = evs.toDF()
+    val viaSessionWindow = Streaming.sessionizeStream(static)
+      .select("user_id", "n_events", "sv")
+    // batch formulation needs the events-table shape; feed it directly:
+    val viaLag = {
+      val s2 = spark
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      static
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+        .withColumn("new_s", when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.rel.Queries.rnd(sum("value"), 6).as("sv"))
+        .select("user_id", "n_events", "sv")
+    }
+    assert(collectSet(viaSessionWindow) === collectSet(viaLag))
+  }
+}
