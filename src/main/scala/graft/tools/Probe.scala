@@ -21,9 +21,11 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[probe] $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[probe] $name run$i rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
