@@ -79,7 +79,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
-    graft.rel.Queries.queries ++ graft.llm.TextOps.queries ++ graft.llm.Streaming.queries
+    graft.rel.Queries.queries ++ graft.llm.TextOps.queries ++ graft.llm.Streaming.queries ++
+    graft.llm.Dedup.queries ++ graft.llm.AnnSearch.queries ++
+    graft.llm.TextAnalysis.queries ++ graft.llm.Multimodal.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #1 scan_project (CORE): typed scan + projection pushed to parquet.
@@ -143,7 +145,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = coreOracles ++ graft.rel.Queries.oracles ++
-    (graft.llm.TextOps.rawOracles ++ graft.llm.Streaming.rawOracles)
+    (graft.llm.TextOps.rawOracles ++ graft.llm.Streaming.rawOracles ++
+      graft.llm.Dedup.rawOracles ++ graft.llm.AnnSearch.rawOracles ++
+      graft.llm.TextAnalysis.rawOracles ++ graft.llm.Multimodal.rawOracles)
       .view.mapValues(graft.rel.Queries.duckify).toMap
 
   private def coreOracles: Map[String, String] = Map(

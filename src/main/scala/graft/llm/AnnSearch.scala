@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.{Distance, Knn}
+import graft.functions.ArrayDistance
+import graft.rel.Queries.rnd
+
+/** Approximate-nearest-neighbor search over the embeddings table — the
+  * similarity-search leg of the LLM-pipeline surface.
+  *
+  * Two physical strategies over one semantic (cosine-distance top-k):
+  *
+  *  - `cosineTopK` — exact brute force: broadcast query block × train,
+  *    fused-dot cosine, bounded-heap top-k. The baseline and the oracle
+  *    twin for recall measurement.
+  *  - `lshBucketTopK` — random-hyperplane LSH: an 8-bit sign signature
+  *    over leading dimensions buckets both sides, turning the cross join
+  *    into a bucket EQUI-join (shuffle by bucket key). At 100 TB this is
+  *    the difference between O(|Q|·|T|) and O(Σ_b |Q_b|·|T_b|); recall is
+  *    tunable by bits/probes. Deterministic planes (coordinate axes) keep
+  *    the oracle expressible — a production variant would use seeded
+  *    random hyperplanes, same plan shape.
+  */
+object AnnSearch {
+
+  /** 1 − cos(a,b), fused-codegen dot/norms, bit-identical to the oracle's
+    * list arithmetic (same element-order folds). */
+  def cosineDist(a: Column, b: Column): Column =
+    lit(1.0) - ArrayDistance.dot(a, b) /
+      (sqrt(ArrayDistance.dot(a, a)) * sqrt(ArrayDistance.dot(b, b)))
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+
+  /** Exact cosine top-10 for each query vector (vec_id < 20). */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Knn.knn(e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+        k = 10, dist = cosineDist)
+      .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
+  }
+
+  /** Sign-LSH bucket expression: bit i set iff v[i] ≥ 0, i = 0..7. */
+  private def bucketCol(v: Column): Column =
+    (0 until 8).map(i => when(element_at(v, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** ANN via LSH bucketing: query probes only its own bucket; top-3 by
+    * cosine distance within it. Bucket equi-join replaces the cross join.
+    */
+  def lshBucketTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), bucketCol(col("v")).as("bucket"))
+    val t = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("t_id"), col("v").as("t_v"), bucketCol(col("v")).as("bucket"))
+    val pairs = broadcast(q).join(t, "bucket")
+      .select(col("q_id"), col("t_id"), cosineDist(col("q_v"), col("t_v")).as("dist"))
+    graft.functions.TopKAgg.knn(pairs, 3)
+      .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
+  }
+
+  /** Embedding-cosine near-dup: pairs among vec_id < 200 with cosine
+    * distance < 0.7 (the embedding leg of the dedup family; threshold
+    * sized to the synthetic data's distance distribution — min ≈ 0.56,
+    * median ≈ 1.0 — so the operator produces a non-vacuous result).
+    */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    Knn.pairwise(e, e, dist = cosineDist, hintBroadcastQ = false)
+      .filter(col("q_id") < col("t_id"))
+      .filter(col("dist") < 0.7)
+      .select(col("q_id").as("vec_id1"), col("t_id").as("vec_id2"), rnd(col("dist"), 6).as("dist"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> cosineTopK,
+    "ann_lsh_bucket" -> lshBucketTopK,
+    "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
+  )
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+
+  private def cosSql(a: String, b: String): String =
+    s"1e0 - ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val bucketSql: String =
+    (0 until 8).map(i => s"CASE WHEN v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+
+  val rawOracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "qp AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, " +
+        s"${cosSql("a.v", "b.v")} AS dist " +
+        "FROM e a CROSS JOIN e b WHERE a.vec_id < 20 AND b.vec_id >= 20), " +
+        "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp) " +
+        "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 10"),
+
+    "ann_lsh_bucket" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"eb AS (SELECT vec_id, v, $bucketSql AS bucket FROM e), " +
+        "qp AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, " +
+        s"${cosSql("a.v", "b.v")} AS dist " +
+        "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id >= 20), " +
+        "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp) " +
+        "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "dedup_embedding" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200), " +
+        "pp AS (SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2, " +
+        s"${cosSql("a.v", "b.v")} AS cd " +
+        "FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) " +
+        "SELECT vec_id1, vec_id2, rnd(cd, 6) AS dist FROM pp WHERE cd < 0.7e0"),
+  )
+}

@@ -1,0 +1,215 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.rel.Queries.rnd
+
+/** Near-duplicate detection for training-data pipelines — the four
+  * standard signatures beyond exact hashing (TextOps.dedupExact):
+  * MinHash+LSH banding, SimHash, character-n-gram Jaccard, and
+  * embedding-cosine near-dup (AnnSearch.dedupEmbedding).
+  *
+  * Scale design (100 TB): every method here turns the quadratic all-pairs
+  * comparison into (a) per-doc signature computation — embarrassingly
+  * parallel map + one keyed aggregation — and (b) an EQUI-join on
+  * signature/band/bucket keys, which Spark shuffles by key instead of
+  * cross-joining. Exact Jaccard verification then runs only on the
+  * candidate pairs a band collision produced. The declared queries run on
+  * the doc_id < 500 slice so the oracle's all-pairs CTEs stay bounded —
+  * the operators themselves are slice-independent.
+  *
+  * Cross-engine hashing: both engines get md5 over identical strings
+  * (lexicographic MIN over hex digests is a valid min-wise hash family
+  * member per seed), so every signature is reproducible in DuckDB SQL —
+  * no engine-specific hash function leaks into results.
+  */
+object Dedup {
+
+  private val NumHashes = 8 // 4 bands × 2 rows
+  private val RowsPerBand = 2
+  private val SimBits = 16
+
+  private def docSlice(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < 500)
+
+  /** Per-(doc, seed) MinHash: lexicographic min of md5("seed:token"). */
+  private def minHashes(s: SparkSession, docs: DataFrame): DataFrame = {
+    val seeds = s.range(NumHashes).select(col("id").cast("int").as("seed"))
+    TextOps.docTokens(docs)
+      .crossJoin(broadcast(seeds))
+      .select(col("doc_id"), col("seed"),
+        md5(concat_ws(":", col("seed"), col("tok"))).as("h"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min("h").as("mh"))
+  }
+
+  /** MinHash-LSH near-dup pairs: docs sharing any band signature become
+    * candidates; exact Jaccard ≥ 0.8 verifies. Candidate generation is the
+    * scale path — band equi-join instead of all-pairs.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = docSlice(s, d)
+    val sigs = minHashes(s, docs)
+      .withColumn("band", expr(s"seed div $RowsPerBand"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat(
+        col("band").cast("string"), lit("|"),
+        min(when(col("seed") % 2 === 0, col("mh"))),
+        min(when(col("seed") % 2 === 1, col("mh")))).as("sig"))
+    val cand = sigs.select(col("doc_id").as("d1"), col("sig"))
+      .join(sigs.select(col("doc_id").as("d2"), col("sig")), "sig")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+
+    // exact-Jaccard verification, restricted to candidates
+    val toks = TextOps.docTokens(docs)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = toks.select(col("doc_id").as("d1"), col("tok"))
+      .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
+      .filter(col("d1") < col("d2"))
+      .join(cand, Seq("d1", "d2"), "left_semi")
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sza"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("szb"))), "d2")
+      .withColumn("j", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), rnd(col("j"), 6).as("jaccard"))
+  }
+
+  /** 16-bit SimHash per doc from md5 hex digits of each distinct token:
+    * bit j votes +1/-1 by bit (j%4) of hex digit (j div 4); non-negative
+    * vote sum ⇒ bit set. Integer-only math, identical in both engines.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val docs = docSlice(s, d)
+    val bits = s.range(SimBits).select(col("id").cast("int").as("j"))
+    TextOps.docTokens(docs)
+      .withColumn("h", md5(col("tok")))
+      .crossJoin(broadcast(bits))
+      .withColumn("dval", expr("instr('0123456789abcdef', substring(h, (j div 4) + 1, 1)) - 1"))
+      .withColumn("divisor", expr("CASE (j % 4) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END"))
+      .withColumn("contrib", expr("2 * ((dval div divisor) % 2) - 1"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") >= 0,
+        expr("CAST(round(pow(2e0, j), 0) AS BIGINT)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 3 over the 16-bit sigs. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhash(s, d)
+    sigs.select(col("doc_id").as("doc_id1"), col("simhash").as("h1"))
+      .crossJoin(sigs.select(col("doc_id").as("doc_id2"), col("simhash").as("h2")))
+      .filter(col("doc_id1") < col("doc_id2"))
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_id1"), col("doc_id2"), col("hamming"))
+  }
+
+  /** Character-3-gram Jaccard ≥ 0.6 between doc pairs (doc_id < 100 —
+    * grams are ~n_chars per doc, an order denser than tokens; threshold
+    * sized to the synthetic data's distribution, max J ≈ 0.69).
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val grams = docs.select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grams.select(col("doc_id").as("d1"), col("g"))
+      .join(grams.select(col("doc_id").as("d2"), col("g")), "g")
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sza"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("szb"))), "d2")
+      .withColumn("j", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("j") >= 0.6)
+      .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), rnd(col("j"), 6).as("jaccard"))
+  }
+
+  /** Rolling polynomial fingerprint over the document's characters:
+    * fold (acc·31 + ascii(c)) mod 1e9+7 — the Rabin-Karp-style content
+    * fingerprint, O(n) per doc, shuffle-free.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      aggregate(
+        transform(
+          // guard the empty string Spark's regex split can append; DuckDB's
+          // string_split(text, '') never produces one
+          filter(split(col("text"), ""), ch => ch =!= ""),
+          ch => ascii(ch).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhashPairs,
+    "similarity_ngram" -> ngramJaccard,
+    "doc_fingerprint" -> fingerprint,
+  )
+
+  private val toksCte =
+    "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents WHERE doc_id < 500)"
+
+  private def jaccardTailSql(candWhere: String): String =
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i " +
+      s"FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id $candWhere GROUP BY 1, 2), " +
+      "jj AS (SELECT d1, d2, i / (sa.sz + sb.sz - i) AS j FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2) " +
+      "SELECT d1 AS doc_id1, d2 AS doc_id2, rnd(j, 6) AS jaccard FROM jj WHERE j >= 0.8e0"
+
+  val rawOracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      (s"WITH $toksCte, " +
+        s"seeds AS (SELECT unnest(range($NumHashes))::INT AS seed), " +
+        "mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || tok)) AS mh " +
+        "FROM toks CROSS JOIN seeds GROUP BY 1, 2), " +
+        s"sig AS (SELECT doc_id, (seed // $RowsPerBand)::VARCHAR || '|' || " +
+        "min(CASE WHEN seed % 2 = 0 THEN mh END) || min(CASE WHEN seed % 2 = 1 THEN mh END) AS sig " +
+        s"FROM mh GROUP BY doc_id, seed // $RowsPerBand), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 " +
+        "FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id), " +
+        jaccardTailSql("WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = a.doc_id AND c.d2 = b.doc_id)")),
+
+    "dedup_simhash" ->
+      (s"WITH $toksCte, " +
+        s"bits AS (SELECT unnest(range($SimBits))::INT AS j), " +
+        "votes AS (SELECT doc_id, j, sum(2 * ((( " +
+        "instr('0123456789abcdef', substr(md5(tok), (j // 4) + 1, 1)) - 1) // " +
+        "(CASE (j % 4) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1)::BIGINT AS vote " +
+        "FROM toks CROSS JOIN bits GROUP BY 1, 2), " +
+        "sh AS (SELECT doc_id, sum(CASE WHEN vote >= 0 THEN CAST(round(pow(2e0, j), 0) AS BIGINT) ELSE 0 END)::BIGINT AS simhash " +
+        "FROM votes GROUP BY 1) " +
+        "SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, " +
+        "bit_count(xor(a.simhash, b.simhash))::INT AS hamming " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
+
+    "similarity_ngram" ->
+      ("WITH toks AS (SELECT DISTINCT doc_id, substr(text, i::INT, 3) AS tok FROM (" +
+        "SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i " +
+        "FROM documents WHERE doc_id < 100)), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i " +
+        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "jj AS (SELECT d1, d2, i / (sa.sz + sb.sz - i) AS j FROM inter " +
+        "JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2) " +
+        "SELECT d1 AS doc_id1, d2 AS doc_id2, rnd(j, 6) AS jaccard FROM jj WHERE j >= 0.6e0"),
+
+    "doc_fingerprint" ->
+      ("SELECT doc_id, list_reduce(" +
+        "list_transform(string_split(text, ''), c -> ascii(c)::BIGINT), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007)::BIGINT AS fp FROM documents"),
+  )
+}

@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `BINARY` columns with typed metadata, batch-iterated feature
+  * extraction, and deterministic frame/window sampling.
+  *
+  * The Spark-side machinery — schema, partitioning, typed batch iteration
+  * via `mapPartitions` (the JVM analogue of `mapInPandas` batch UDFs) —
+  * is real and tested (`MultimodalSpec`). The codec itself is STUBBED:
+  * this container ships no image/audio libraries, so `decodeStub`
+  * produces a deterministic fake decode (dimensions derived from the
+  * payload bytes). Swapping in a real codec is a one-function change; the
+  * distributed shape (no driver-side collect, per-partition batching,
+  * fixed output schema) is the part that has to be right at 100 TB.
+  */
+object Multimodal {
+
+  /** Opaque media record: the at-rest layout for multimodal columns. */
+  case class Media(media_id: Long, modality: String, bytes: Array[Byte])
+
+  /** Typed decode metadata (what a real codec would fill in). */
+  case class MediaMeta(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      checksum: Long)
+
+  /** STUB decode — deterministic fake in place of a real image decoder
+    * (???-equivalent: no codec libs in this environment). Width/height
+    * derive from payload length, checksum is a rolling byte hash, so unit
+    * tests pin exact values and a real decoder slots in unchanged.
+    */
+  def decodeStub(m: Media): MediaMeta = {
+    var acc = 0L
+    var i = 0
+    while (i < m.bytes.length) { acc = (acc * 131 + (m.bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    MediaMeta(
+      m.media_id, m.modality, m.bytes.length.toLong,
+      width = 64 + (m.bytes.length % 64).toInt,
+      height = 64 + (acc % 64).toInt,
+      checksum = acc)
+  }
+
+  /** Batch feature extraction: one decode pass per partition, streaming
+    * iterator-to-iterator (no materialization) — the mapInPandas batch
+    * shape in typed-Dataset form.
+    */
+  def extractMeta(media: Dataset[Media]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Deterministic frame sampling: every `stride`-th byte of the payload
+    * (stand-in for video frame / audio window sampling) — pure relational,
+    * no UDF, codegen-friendly.
+    */
+  def sampleBytes(df: DataFrame, stride: Int): DataFrame =
+    df.withColumn("sampled",
+      expr(s"filter(transform(sequence(1, length(bytes)), i -> " +
+        s"IF(i % $stride = 1, substring(bytes, i, 1), NULL)), x -> x IS NOT NULL)"))
+
+  /** Documents → opaque-media frame (utf-8 payloads stand in for real
+    * binary blobs; the column types are the contract). */
+  def ingestDocuments(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      lit("text").as("modality"),
+      col("text").cast("binary").as("bytes"))
+
+  /** Declared query: the relational slice of the multimodal surface —
+    * byte length + content hash over the binary payload (oracle-checkable;
+    * the stubbed decode fields are covered by MultimodalSpec instead).
+    */
+  def mediaMeta(s: SparkSession, d: String): DataFrame =
+    ingestDocuments(s, d).select(
+      col("media_id"),
+      col("modality"),
+      length(col("bytes")).as("n_bytes"),
+      md5(col("bytes")).as("h"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> mediaMeta,
+  )
+
+  val rawOracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      ("SELECT doc_id AS media_id, 'text' AS modality, " +
+        "octet_length(encode(text))::INT AS n_bytes, md5(text) AS h FROM documents"),
+  )
+}

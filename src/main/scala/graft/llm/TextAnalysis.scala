@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.rel.Queries.rnd
+
+/** Text-analysis operators for training-data curation (SURVEY.md north
+  * star): quality scoring, token counting, and heuristic language ID.
+  * All are per-document map + one keyed aggregation — shuffle-light,
+  * embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Function-word markers per language. On real corpora these are the
+    * standard stopword lists; the mechanism (per-language marker-hit
+    * scoring + deterministic argmax) is the production shape. Single
+    * definition drives BOTH the Spark side and the generated oracle SQL.
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "los", "que"),
+    "fr" -> Seq("le", "est", "et"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  // text_quality — the standard curation signals: token counts, type/token
+  // ratio, average token length, stopword ratio.
+  def quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_types"),
+        rnd(avg(length(col("tok"))), 6).as("avg_len"),
+        rnd(avg(when(col("tok").isin(Stopwords: _*), 1.0).otherwise(0.0)), 6).as("stop_ratio"))
+
+  // token_count — whitespace tokens, regex word tokens (BPE-ish pre-token
+  // split), and characters; the three denominators every pipeline needs.
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_word"),
+      length(col("text")).as("n_chars"))
+
+  // lang_id — marker-hit scoring, argmax with (score DESC, lang ASC)
+  // deterministic tie-break.
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val aggCols = Markers.map { case (lang, ms) =>
+      sum(when(col("tok").isin(ms: _*), 1L).otherwise(0L)).as(s"s_$lang")
+    }
+    val scores = toks.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val long = scores.select(col("doc_id"),
+      explode(array(Markers.map { case (lang, _) =>
+        struct(col(s"s_$lang").as("score"), lit(lang).as("lang"))
+      }: _*)).as("sl"))
+      .select(col("doc_id"), col("sl.score"), col("sl.lang"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))
+    long.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("predicted_lang"), col("score"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> quality,
+    "token_count" -> tokenCount,
+    "lang_id" -> langId,
+  )
+
+  private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
+
+  val rawOracles: Map[String, String] = Map(
+    "text_quality" ->
+      ("SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_types, " +
+        "rnd(avg(length(tok)), 6) AS avg_len, " +
+        s"rnd(avg(CASE WHEN tok IN ${inList(Stopwords)} THEN 1e0 ELSE 0e0 END), 6) AS stop_ratio " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1"),
+
+    "token_count" ->
+      ("SELECT doc_id, len(string_split(text, ' '))::INT AS n_ws, " +
+        "len(regexp_extract_all(text, '[a-z0-9]+'))::INT AS n_word, " +
+        "length(text)::INT AS n_chars FROM documents"),
+
+    "lang_id" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "scores AS (SELECT doc_id, " +
+        Markers.map { case (lang, ms) =>
+          s"sum(CASE WHEN tok IN ${inList(ms)} THEN 1 ELSE 0 END)::BIGINT AS s_$lang"
+        }.mkString(", ") +
+        " FROM toks GROUP BY 1), " +
+        "long AS (" +
+        Markers.map { case (lang, _) =>
+          s"SELECT doc_id, s_$lang AS score, '$lang' AS lang FROM scores"
+        }.mkString(" UNION ALL ") +
+        "), rk AS (SELECT doc_id, score, lang, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM long) " +
+        "SELECT doc_id, lang AS predicted_lang, score FROM rk WHERE rn = 1"),
+  )
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Multimodal
+import graft.llm.Multimodal.{Media, MediaMeta}
+
+/** The multimodal plumbing: typed batch iteration (mapInPandas analogue),
+  * deterministic stub decode, and byte sampling — schema and values
+  * pinned so a real codec can replace the stub without touching the
+  * distributed shape.
+  */
+class MultimodalSpec extends SparkSpecBase {
+
+  test("extractMeta: mapPartitions batch decode keeps schema + determinism") {
+    import spark.implicits._
+    val media = Seq(
+      Media(1L, "image", "abcdef".getBytes("UTF-8")),
+      Media(2L, "audio", Array[Byte](0, 1, 2, 3))).toDS()
+    val out = Multimodal.extractMeta(media).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 2L))
+    assert(out.forall(m => m.width >= 64 && m.width < 128 && m.height >= 64 && m.height < 128))
+    // decode is deterministic: same bytes → same meta
+    val again = Multimodal.extractMeta(media).collect().sortBy(_.media_id)
+    assert(out.toSeq === again.toSeq)
+    // checksum matches a direct fold
+    val expect = "abcdef".getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
+    assert(out.head.checksum === expect)
+  }
+
+  test("ingest + mediaMeta: binary payload with byte-exact length and hash") {
+    val df = Multimodal.mediaMeta(spark, sfDir)
+    val r = df.filter(col("media_id") === 0).head()
+    assert(r.getAs[String]("modality") === "text")
+    assert(r.getAs[Int]("n_bytes") > 0)
+    assert(r.getAs[String]("h").length === 32)
+  }
+
+  test("sampleBytes: every stride-th byte, deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij")).toDF("id", "s")
+      .withColumn("bytes", col("s").cast("binary"))
+    val out = Multimodal.sampleBytes(df, stride = 3).select("sampled").head().getSeq[Array[Byte]](0)
+    assert(out.map(b => new String(b, "UTF-8")).toSeq === Seq("a", "d", "g", "j"))
+  }
+}
