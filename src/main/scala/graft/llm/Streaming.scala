@@ -38,6 +38,22 @@ object Streaming {
   def tumblingStream(events: DataFrame): DataFrame =
     tumblingTransform(events.withWatermark("ts", "10 minutes"))
 
+  /** File-source streaming ingest: a DIRECTORY of events parquet files as
+    * a stream (readStream → transform → writeStream; file sources watch
+    * directories). Same nanos→µs handling as the batch loader; schema
+    * pinned from one batch read (streaming sources require an explicit
+    * schema). Handles both raw timestamp[ns] files (read as nanos-long)
+    * and already-long ts columns.
+    */
+  def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(dir).schema
+    val raw = s.readStream.schema(schema).parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   // #32 — sessionization: per user, a new session opens when the gap to
   // the previous event exceeds 30 minutes. Batch form = lag/flag/running-
   // sum windows (pure SQL, oracle-checkable).

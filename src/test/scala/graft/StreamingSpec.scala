@@ -58,6 +58,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(clicks10.map(_.getLong(0)).toSeq === Seq(2), "late row must not be counted")
   }
 
+  test("file-source readStream → tumbling → memory sink ≡ batch query") {
+    // stage the events table as a directory of parquet files (file
+    // streams watch directories; ts arrives as nanos-long post-copy)
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").write.mode("overwrite").parquet(dir)
+    val streamed = Streaming.tumblingTransform(Streaming.eventsFileStream(spark, dir))
+      .writeStream.format("memory").queryName("tumb_file").outputMode("complete").start()
+    try streamed.processAllAvailable() finally streamed.stop()
+    val batch = Streaming.tumbling(spark, sfDir)
+    assert(collectSet(spark.table("tumb_file")) === collectSet(batch))
+  }
+
   test("session_window streaming twin ≡ batch lag/flag sessionize (session multisets)") {
     import spark.implicits._
     // session boundaries: user 1 → {10:05,10:20} + {11:10} (50-min gap);
