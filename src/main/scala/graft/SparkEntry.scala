@@ -121,23 +121,21 @@ object SparkEntry {
         .select(col("vec_id"), col("class"), round(col("membership"), 6).as("membership"))
     },
 
-    // #23 fknn_classify (CORE): the flagship two-stage pipeline.
+    // #23 fknn_classify (CORE): the flagship two-stage pipeline
+    // (stage-1 memberships persisted across stages, SURVEY §4.1 row 5).
     "fknn_classify" -> { (s, d) =>
-      val t = embTrain(s, d)
-      Fknn.classify(Fknn.membershipInit(t, K, NClasses), t, embQueries(s, d), K)
+      Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
     },
 
     // #19 confusion_matrix (SURF): GROUP BY (actual, predicted).
     "confusion_matrix" -> { (s, d) =>
-      val t = embTrain(s, d)
-      val pred = Fknn.classify(Fknn.membershipInit(t, K, NClasses), t, embQueries(s, d), K)
+      val pred = Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
       Metrics.confusionMatrix(pred, emb(s, d).select("vec_id", "label"))
     },
 
     // #20 accuracy (SURF): the reference's headline metric.
     "accuracy" -> { (s, d) =>
-      val t = embTrain(s, d)
-      val pred = Fknn.classify(Fknn.membershipInit(t, K, NClasses), t, embQueries(s, d), K)
+      val pred = Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
       Metrics.accuracy(pred, emb(s, d).select("vec_id", "label"))
     },
   )

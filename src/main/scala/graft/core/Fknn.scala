@@ -126,6 +126,18 @@ object Fknn {
       .select(col("q_id"), col("label").as("predicted"))
   }
 
+  /** The full two-stage pipeline with the stage-1 output persisted across
+    * stages — the reference's `cache()` of the fuzzified train set
+    * (SURVEY §4.1 row 5). Without it, the O(N²) membership subtree is
+    * re-evaluated inside stage 2's join (measured 8× slower at N=20k,
+    * `tools.ScaleProbe`); with it, stage 2 reads 10 rows/train-instance
+    * from memory.
+    */
+  def classifyPipeline(train: DataFrame, queries: DataFrame, k: Int, nClasses: Int): DataFrame = {
+    val mem = membershipInit(train, k, nClasses).persist()
+    classify(mem, train, queries, k)
+  }
+
   /** The full two-stage pipeline over the embeddings table with the
     * standard split (query = vec_id % 10 == 0, train = rest).
     */
@@ -134,7 +146,6 @@ object Fknn {
       .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
     val q = e.filter(col("vec_id") % 10 === 0)
     val t = e.filter(col("vec_id") % 10 =!= 0)
-    val mem = membershipInit(t, k, nClasses = 10)
-    classify(mem, t, q, k)
+    classifyPipeline(t, q, k, nClasses = 10)
   }
 }

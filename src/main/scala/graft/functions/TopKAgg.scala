@@ -1,42 +1,43 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.{DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.ColumnBridge
 
-/** Grouped top-k as a bounded-heap typed Aggregator.
+/** Grouped top-k as a bounded-heap aggregate.
   *
   * This is the Spark-first form of the reference's kNN-IS merge step
   * (SURVEY.md §2.1 [LINEAGE]): each map task keeps only the k best
   * candidates per query (partial aggregation / map-side combine), and the
   * shuffle then moves at most k rows per (query, partition) instead of the
   * full O(|Q|·|T|) pair stream — the `reduceByKey(mergeKSmallest)` of the
-  * reference, expressed as an `Aggregator` so Catalyst plans it as a
-  * regular two-phase aggregate.
+  * reference, planned as a regular two-phase aggregate.
   *
   * Versus the window `row_number` formulation (`Knn.topKWindow`): the
   * window must shuffle and fully sort every pair; this aggregator shuffles
   * k rows per query per upstream partition. At 100 TB that difference is
-  * the whole game. Ordering is the total order (dist, id) — id uniqueness
-  * makes the k-set deterministic regardless of arrival order (SURVEY §7.4
-  * rule #3).
+  * the whole game.
+  *
+  * Two implementations, same semantics (KnnSpec asserts all three paths
+  * equal): the hot path is the native `TopKAggExpr`
+  * (TypedImperativeAggregate — no per-row Encoder work); `TopKAgg` is the
+  * `Aggregator`/udaf twin kept as the executable spec.
   */
 case class TopKBuf(var dists: Array[Double], var ids: Array[Long], var n: Int)
 
-class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
-  require(k > 0, "k must be positive")
-
-  def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
-
-  /** Insert (d, id) keeping the arrays sorted ascending by (d, id), ≤ k. */
-  private def insert(b: TopKBuf, d: Double, id: Long): TopKBuf = {
+object TopKBuf {
+  /** Insert (d, id) into a (dists, ids, n) buffer kept sorted ascending by
+    * (d, id), bounded at k. Shared by the native expression and the
+    * Aggregator spec twin.
+    */
+  def insert(b: TopKBuf, k: Int, d: Double, id: Long): TopKBuf = {
     val worstIdx = b.n - 1
     if (b.n == k && (d > b.dists(worstIdx) || (d == b.dists(worstIdx) && id >= b.ids(worstIdx)))) {
-      return b // not better than the current k-th best
+      return b
     }
-    // find insertion point from the tail (inputs are near-random; k is tiny)
-    var i = math.min(b.n, k - 1) // last writable slot
+    var i = math.min(b.n, k - 1)
     while (i > 0 && (b.dists(i - 1) > d || (b.dists(i - 1) == d && b.ids(i - 1) > id))) {
       b.dists(i) = b.dists(i - 1)
       b.ids(i) = b.ids(i - 1)
@@ -47,12 +48,18 @@ class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, L
     if (b.n < k) b.n += 1
     b
   }
+}
 
-  def reduce(b: TopKBuf, in: (Double, Long)): TopKBuf = insert(b, in._1, in._2)
+class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+  require(k > 0, "k must be positive")
+
+  def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+
+  def reduce(b: TopKBuf, in: (Double, Long)): TopKBuf = TopKBuf.insert(b, k, in._1, in._2)
 
   def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
     var i = 0
-    while (i < b.n) { insert(a, b.dists(i), b.ids(i)); i += 1 }
+    while (i < b.n) { TopKBuf.insert(a, k, b.dists(i), b.ids(i)); i += 1 }
     a
   }
 
@@ -68,19 +75,50 @@ class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, L
 }
 
 object TopKAgg {
+
+  /** ObjectHashAggregate falls back to sort-based aggregation once a
+    * partition's hash map exceeds this many keys (Spark default: 128).
+    * A kNN partition legitimately holds thousands of query ids, and the
+    * fallback sorts the ENTIRE pair stream — exactly the full-sort the
+    * aggregate exists to avoid (measured 4× slower than the window at
+    * N=20k). 256k keys ≈ tens of MB of k-row buffers: safely in-memory,
+    * far above any chunked query block (SURVEY §3.2).
+    */
+  private val FallbackThreshold = 262144
+
   /** (q_id, t_id, dist) pairs → (q_id, t_id, dist, rn) with rn ∈ [1,k],
-    * ascending (dist, t_id) per q_id — same shape as the window top-k. */
+    * ascending (dist, t_id) per q_id — same shape as the window top-k.
+    * Native TypedImperativeAggregate path.
+    */
   def knn(pairs: DataFrame, k: Int): DataFrame = {
+    pairs.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", FallbackThreshold.toString)
+    val tk = ColumnBridge.column(
+      TopKAggExpr(
+        ColumnBridge.expression(col("dist")),
+        ColumnBridge.expression(col("t_id")),
+        k).toAggregateExpression())
+    explodeNn(pairs.groupBy(col("q_id")).agg(tk.as("nn")))
+  }
+
+  /** udaf/Aggregator twin of `knn` — the executable spec (slower: per-row
+    * Encoder deserialization), used by tests to pin semantics.
+    */
+  def knnUdaf(pairs: DataFrame, k: Int): DataFrame = {
     implicit val inEnc: Encoder[(Double, Long)] = ExpressionEncoder[(Double, Long)]()
     val tk = udaf(new TopKAgg(k))
-    pairs
-      .groupBy(col("q_id"))
-      .agg(tk(col("dist"), col("t_id")).as("nn"))
+    explodeNn(
+      pairs.groupBy(col("q_id")).agg(tk(col("dist"), col("t_id")).as("nn"))
+        .select(col("q_id"),
+          expr("transform(nn, x -> struct(x._1 AS dist, x._2 AS t_id))").as("nn")))
+  }
+
+  private def explodeNn(grouped: DataFrame): DataFrame =
+    grouped
       .select(col("q_id"), posexplode(col("nn")))
       .select(
         col("q_id"),
-        col("col._2").as("t_id"),
-        col("col._1").as("dist"),
+        col("col.t_id").as("t_id"),
+        col("col.dist").as("dist"),
         (col("pos") + 1).cast("int").as("rn"))
-  }
 }

@@ -13,13 +13,15 @@ class KnnSpec extends SparkSpecBase {
   private def emb = Tables.embeddings(spark, sfDir)
     .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
 
-  test("aggregator top-k ≡ window top-k (same rows incl. rank)") {
+  test("native top-k ≡ udaf top-k ≡ window top-k (same rows incl. rank)") {
     val q = emb.filter(col("vec_id") % 10 === 0)
     val t = emb.filter(col("vec_id") % 10 =!= 0)
     val pairs = Knn.pairwise(q, t)
-    val viaAgg = collectSet(Knn.topK(pairs, 5).select("q_id", "t_id", "dist", "rn"))
+    val viaNative = collectSet(Knn.topK(pairs, 5).select("q_id", "t_id", "dist", "rn"))
+    val viaUdaf = collectSet(graft.functions.TopKAgg.knnUdaf(pairs, 5).select("q_id", "t_id", "dist", "rn"))
     val viaWin = collectSet(Knn.topKWindow(pairs, 5).select("q_id", "t_id", "dist", "rn"))
-    assert(viaAgg === viaWin)
+    assert(viaNative === viaWin)
+    assert(viaUdaf === viaWin)
   }
 
   test("k larger than candidate count returns all candidates, ranked") {
