@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.rel.Skew
+
+/** Salted join ≡ plain join (the salt must be invisible in the result). */
+class SkewSpec extends SparkSpecBase {
+
+  test("saltedJoin result equals the plain equi-join") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(ord, "l_orderkey")
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", salts = 4)
+    assert(salted.count() === plain.count())
+    val diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+    assert(diff === 0)
+  }
+
+  test("salted join spreads one hot key across salts sub-keys") {
+    import spark.implicits._
+    val hot = (1 to 1000).map(i => (42L, i.toLong)).toDF("k", "payload")
+    val dim = Seq((42L, "x")).toDF("k", "attr")
+    val out = Skew.saltedJoin(hot, dim, "k", salts = 8)
+    assert(out.count() === 1000)
+    // the replicated dim side carries all 8 salts
+    val rSalts = dim.withColumn("__salt", explode(expr("sequence(0, 7)")))
+    assert(rSalts.select("__salt").distinct().count() === 8)
+  }
+}
