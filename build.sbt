@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// suites share one SparkSession via getOrCreate; GraftExtensionsSpec must
+// tear it down to build an extension-carrying session — keep suites serial
+Test / parallelExecution := false
 run / fork := true
 // Forked `run` output passes straight through (no "[info] " prefix) so the
 // driver can parse Bench's single JSON stdout line.
