@@ -127,6 +127,15 @@ object SparkEntry {
       Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
     },
 
+    // #23b fknn_classify_local (CORE): the reference's version=local
+    // approximate variant (SURVEY §3.1 EP-3) — per-block local top-k,
+    // vote over the union of block candidates; 4 deterministic id-blocks.
+    "fknn_classify_local" -> { (s, d) =>
+      val t = embTrain(s, d)
+      val mem = Fknn.membershipInit(t, K, NClasses).persist()
+      Fknn.classifyLocal(mem, t, embQueries(s, d), K, blocks = 4)
+    },
+
     // #19 confusion_matrix (SURF): GROUP BY (actual, predicted).
     "confusion_matrix" -> { (s, d) =>
       val pred = Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
@@ -168,6 +177,17 @@ object SparkEntry {
         "SELECT t_id AS vec_id, class, round(membership, 6) AS membership FROM mem"),
 
     "fknn_classify" -> classifySql,
+
+    "fknn_classify_local" ->
+      (s"WITH $embCte, $memCte, " +
+        s"qp AS (SELECT q.vec_id AS q_id, b.vec_id AS t_id, b.vec_id % 4 AS blk, ${distSql("q.v", "b.v")} AS dist " +
+        "FROM qs q CROSS JOIN tr b), " +
+        "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id, blk ORDER BY dist, t_id) AS rn FROM qp), " +
+        s"wts AS (SELECT q_id, t_id, 1e0/(greatest(dist, 1e-12)*greatest(dist, 1e-12)) AS w FROM qk WHERE rn <= $K), " +
+        "sc AS (SELECT w.q_id, m.class, sum(m.membership * w.w)/sum(w.w) AS u " +
+        "FROM wts w JOIN mem m ON m.t_id = w.t_id GROUP BY 1, 2), " +
+        "rk AS (SELECT q_id, class, row_number() OVER (PARTITION BY q_id ORDER BY u DESC, class) AS rn FROM sc) " +
+        "SELECT q_id, class AS predicted FROM rk WHERE rn = 1"),
 
     "pairwise_distance_l1" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +

@@ -111,6 +111,41 @@ object Fknn {
       .select(col("q_id"), col("class").as("predicted"))
   }
 
+  /** "Local" (approximate) FkNN — the reference's `version=local` CLI
+    * option (SURVEY §3.1 EP-3 [LINEAGE]): each train block classifies with
+    * its own local k-nearest only, skipping the global merge-k; the vote
+    * then runs over the union of per-block candidates (k·blocks ⊇ the
+    * global top-k, so accuracy ≥ approximation intuition of the papers).
+    * Blocks are a deterministic id-hash (`vec_id % blocks`) rather than
+    * physical partitions, so results are partitioning-independent and
+    * oracle-checkable — the plan still aggregates per (query, block)
+    * before anything shuffles, which is the locality the variant buys.
+    */
+  def classifyLocal(
+      memberships: DataFrame,
+      train: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      blocks: Int): DataFrame = {
+    val tr = train.select(col("vec_id"), col("v"))
+    val qr = queries.select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val pairs = broadcast(qr).crossJoin(tr.select(col("vec_id").as("t_id"), col("v").as("t_v")))
+      .select(col("q_id"), col("t_id"), (col("t_id") % blocks).as("blk"),
+        graft.functions.ArrayDistance.l2(col("q_v"), col("t_v")).as("dist"))
+    val nn = graft.functions.TopKAgg.knn(pairs, k, groupCols = Seq("q_id", "blk"))
+    val d = greatest(col("dist"), lit(DistEps))
+    val weighted = nn
+      .select(col("q_id"), col("t_id"), (lit(1.0) / (d * d)).as("w"))
+      .join(memberships.withColumnRenamed("vec_id", "t_id"), "t_id")
+    val scores = weighted
+      .groupBy(col("q_id"), col("class"))
+      .agg((sum(col("membership") * col("w")) / sum(col("w"))).as("u"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("class").as("predicted"))
+  }
+
   /** Crisp kNN majority vote (the kNN-IS sibling surface [LINEAGE]):
     * predicted = most frequent neighbor label, ties → lowest label.
     */

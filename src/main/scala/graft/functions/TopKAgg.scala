@@ -87,10 +87,12 @@ object TopKAgg {
   private val FallbackThreshold = 262144
 
   /** (q_id, t_id, dist) pairs → (q_id, t_id, dist, rn) with rn ∈ [1,k],
-    * ascending (dist, t_id) per q_id — same shape as the window top-k.
-    * Native TypedImperativeAggregate path.
+    * ascending (dist, t_id) per group — same shape as the window top-k.
+    * Native TypedImperativeAggregate path. `groupCols` defaults to the
+    * global-kNN grouping; the local-FkNN variant groups by
+    * (q_id, partition).
     */
-  def knn(pairs: DataFrame, k: Int): DataFrame = {
+  def knn(pairs: DataFrame, k: Int, groupCols: Seq[String] = Seq("q_id")): DataFrame = {
     pairs.sparkSession.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", FallbackThreshold.toString)
     val tk = ColumnBridge.column(
@@ -98,7 +100,9 @@ object TopKAgg {
         ColumnBridge.expression(col("dist")),
         ColumnBridge.expression(col("t_id")),
         k).toAggregateExpression())
-    explodeNn(pairs.groupBy(col("q_id")).agg(tk.as("nn")))
+    explodeNn(
+      pairs.groupBy(groupCols.map(col): _*).agg(tk.as("nn")),
+      groupCols)
   }
 
   /** udaf/Aggregator twin of `knn` — the executable spec (slower: per-row
@@ -110,15 +114,16 @@ object TopKAgg {
     explodeNn(
       pairs.groupBy(col("q_id")).agg(tk(col("dist"), col("t_id")).as("nn"))
         .select(col("q_id"),
-          expr("transform(nn, x -> struct(x._1 AS dist, x._2 AS t_id))").as("nn")))
+          expr("transform(nn, x -> struct(x._1 AS dist, x._2 AS t_id))").as("nn")),
+      Seq("q_id"))
   }
 
-  private def explodeNn(grouped: DataFrame): DataFrame =
+  private def explodeNn(grouped: DataFrame, groupCols: Seq[String]): DataFrame =
     grouped
-      .select(col("q_id"), posexplode(col("nn")))
+      .select(groupCols.map(col) :+ posexplode(col("nn")): _*)
       .select(
-        col("q_id"),
-        col("col.t_id").as("t_id"),
-        col("col.dist").as("dist"),
-        (col("pos") + 1).cast("int").as("rn"))
+        groupCols.map(col) ++ Seq(
+          col("col.t_id").as("t_id"),
+          col("col.dist").as("dist"),
+          (col("pos") + 1).cast("int").as("rn")): _*)
 }

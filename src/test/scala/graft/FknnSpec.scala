@@ -95,6 +95,19 @@ class FknnSpec extends SparkSpecBase {
     assert(pred.head.getInt(1) === 1)
   }
 
+  test("local FkNN with blocks=1 ≡ global classify; blocks=4 still sane") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+    val train = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") < 300)
+    val queries = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 300)
+    val mem = Fknn.membershipInit(train, 5, 10)
+    val global = collectSet(Fknn.classify(mem, train, queries, 5))
+    val local1 = collectSet(Fknn.classifyLocal(mem, train, queries, 5, blocks = 1))
+    assert(local1 === global, "one block = no locality = exact global FkNN")
+    val local4 = Fknn.classifyLocal(mem, train, queries, 5, blocks = 4)
+    assert(local4.count() === queries.count(), "one prediction per query")
+  }
+
   test("crisp kNN majority vote on the fixture") {
     val (train, queries) = fixture
     val pred = Fknn.knnClassify(train, queries, k = 3)
