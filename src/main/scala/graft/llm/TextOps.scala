@@ -56,10 +56,44 @@ object TextOps {
       .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), rnd(col("j"), 6).as("jaccard"))
   }
 
+  /** End-to-end corpus curation in one declared pipeline — the composed
+    * shape a training-data run actually executes: quality-filter (length
+    * + stopword-ratio), then drop near-duplicates (keep-lowest-id rule
+    * over token-Jaccard ≥ 0.9 pairs), emit the kept corpus with its
+    * quality signals. Every stage is the oracle-gated operator it reuses.
+    */
+  def corpusClean(s: SparkSession, d: String): DataFrame = {
+    import graft.rel.Queries.rnd
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+    val toksAll = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val quality = toksAll.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tok"),
+      rnd(avg(when(col("tok").isin(stop: _*), 1.0).otherwise(0.0)), 6).as("stop_ratio"))
+    val qualified = quality.filter(col("n_tok") >= 20 && col("stop_ratio") <= 0.6)
+
+    val toks = docTokens(docs)
+      .join(qualified.select("doc_id"), Seq("doc_id"), "left_semi")
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dropped = toks.select(col("doc_id").as("d1"), col("tok"))
+      .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sza"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("szb"))), "d2")
+      .filter(col("inter") / (col("sza") + col("szb") - col("inter")) >= 0.9)
+      .select(col("d2").as("doc_id")).distinct()
+
+    qualified.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tok"), col("stop_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokenize" -> tokenize,
     "dedup_exact" -> dedupExact,
     "similarity_jaccard" -> jaccardPairs,
+    "corpus_clean" -> corpusClean,
   )
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
@@ -70,6 +104,24 @@ object TextOps {
 
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+
+    "corpus_clean" ->
+      ("WITH ta AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents WHERE doc_id < 500), " +
+        "quality AS (SELECT doc_id, count(*) AS n_tok, " +
+        "rnd(avg(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'in', 'to') THEN 1e0 ELSE 0e0 END), 6) AS stop_ratio " +
+        "FROM ta GROUP BY 1), " +
+        "qual AS (SELECT * FROM quality WHERE n_tok >= 20 AND stop_ratio <= 0.6e0), " +
+        "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents WHERE doc_id < 500 AND doc_id IN (SELECT doc_id FROM qual)), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i " +
+        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "dropped AS (SELECT DISTINCT d2 AS doc_id FROM inter " +
+        "JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2 " +
+        "WHERE i / (sa.sz + sb.sz - i) >= 0.9e0) " +
+        "SELECT q.doc_id, q.n_tok, q.stop_ratio FROM qual q " +
+        "WHERE q.doc_id NOT IN (SELECT doc_id FROM dropped)"),
 
     "similarity_jaccard" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok " +
