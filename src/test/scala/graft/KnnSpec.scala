@@ -52,6 +52,24 @@ class KnnSpec extends SparkSpecBase {
       "scan must read only the projected columns")
   }
 
+  test("TopKAggExpr buffer serde roundtrip (the shuffle path)") {
+    import graft.functions.{TopKAggExpr, TopKBuf}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = TopKAggExpr(Literal(0.0), Literal(0L), k = 5)
+    val b = agg.createAggregationBuffer()
+    TopKBuf.insert(b, 5, 3.5, 7L)
+    TopKBuf.insert(b, 5, 1.5, 9L)
+    TopKBuf.insert(b, 5, 2.5, 8L)
+    val r = agg.deserialize(agg.serialize(b))
+    assert(r.n === 3)
+    assert(r.dists.take(3).toSeq === Seq(1.5, 2.5, 3.5))
+    assert(r.ids.take(3).toSeq === Seq(9L, 8L, 7L))
+    // merge determinism: inserting the same set in any order gives same buffer
+    val b2 = agg.createAggregationBuffer()
+    Seq((2.5, 8L), (3.5, 7L), (1.5, 9L)).foreach { case (d, i) => TopKBuf.insert(b2, 5, d, i) }
+    assert(b2.dists.take(3).toSeq === r.dists.take(3).toSeq && b2.ids.take(3).toSeq === r.ids.take(3).toSeq)
+  }
+
   test("duckify rewrites rnd() to the floor formula, balanced-paren aware") {
     import graft.rel.Queries.duckify
     assert(duckify("SELECT rnd(x, 2) FROM t") ===
