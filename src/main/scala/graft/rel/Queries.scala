@@ -182,6 +182,31 @@ object Queries {
         count(lit(1)).as("n"),
         rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
 
+  // as-of join: for each error event, the most recent prior click of the
+  // same user. Formulated as a running `max(CASE …) OVER` instead of a
+  // range self-join — one shuffle by user, no quadratic candidate pairs;
+  // the classic scalable as-of shape.
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("last_click_us"))
+  }
+
+  // pivot: per-user event-type counts as columns (EXPAND-free conditional
+  // aggregation; the values list is pinned so both engines emit the same
+  // schema).
+  def aggPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+
   // #16 — TPC-H-Q1-style hash aggregation (partial+final automatic).
   def aggGroupby(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -258,6 +283,8 @@ object Queries {
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_range" -> joinRange,
+    "join_asof" -> joinAsof,
+    "agg_pivot" -> aggPivot,
     "agg_groupby" -> aggGroupby,
     "agg_distinct" -> aggDistinct,
     "agg_rollup" -> aggRollup,
@@ -328,6 +355,23 @@ object Queries {
         "rnd(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY GROUP BY 1"),
+
+    "join_asof" ->
+      ("SELECT event_id, user_id, last_click_us FROM (" +
+        "SELECT event_id, user_id, event_type, " +
+        "max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us " +
+        "FROM events) WHERE event_type = 'error'"),
+
+    "agg_pivot" ->
+      ("SELECT user_id, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click, " +
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase, " +
+        "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup, " +
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view " +
+        "FROM events GROUP BY 1"),
 
     "agg_groupby" ->
       ("SELECT l_returnflag, l_linestatus, rnd(sum(l_quantity), 2) AS sum_qty, " +
