@@ -194,7 +194,10 @@ object Queries {
       .withColumn("last_click_us",
         max(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
       .filter(col("event_type") === "error")
-      .select(col("event_id"), col("user_id"), col("last_click_us"))
+      // no-prior-click → -1: keeps the output column NULL-free (the
+      // driver's hash treatment of NULL cells is not contract-specified)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("last_click_us"), lit(-1L)).as("last_click_us"))
   }
 
   // pivot: per-user event-type counts as columns (EXPAND-free conditional
@@ -225,7 +228,9 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
 
-  // #18 — rollup with grouping indicators.
+  // #18 — rollup with grouping indicators. Subtotal-row NULLs are
+  // projected to '(all)' so the output is NULL-free (grouping() still
+  // carries the subtotal semantics).
   def aggRollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -233,6 +238,10 @@ object Queries {
         count(lit(1)).as("n"),
         grouping(col("o_orderstatus")).cast("int").as("g1"),
         grouping(col("o_orderpriority")).cast("int").as("g2"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n"), col("g1"), col("g2"))
 
   // #24 — running-frame analytic window (cumulative sum per user).
   def windowAnalytic(s: SparkSession, d: String): DataFrame = {
@@ -357,7 +366,7 @@ object Queries {
         "AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY GROUP BY 1"),
 
     "join_asof" ->
-      ("SELECT event_id, user_id, last_click_us FROM (" +
+      ("SELECT event_id, user_id, coalesce(last_click_us, -1) AS last_click_us FROM (" +
         "SELECT event_id, user_id, event_type, " +
         "max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (" +
         "PARTITION BY user_id ORDER BY ts, event_id " +
@@ -384,7 +393,8 @@ object Queries {
       "SELECT event_type, count(DISTINCT user_id) AS u, count(*) AS n FROM events GROUP BY 1",
 
     "agg_rollup" ->
-      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+      ("SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus, " +
+        "coalesce(o_orderpriority, '(all)') AS o_orderpriority, count(*) AS n, " +
         "grouping(o_orderstatus)::INT AS g1, grouping(o_orderpriority)::INT AS g2 " +
         "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
 
