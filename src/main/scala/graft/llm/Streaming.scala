@@ -83,12 +83,29 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), rnd(sum("value"), 6).as("sv"))
       .select(col("user_id"), col("n_events"), col("sv"))
 
+  // #31b — sliding (hopping) windows: 1-hour window, 30-minute hop.
+  // Duration = 2× hop ⇒ every event lands in exactly two windows, so the
+  // oracle is a clean 2-row expansion per event (no containment filter).
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(sum("value"), 6).as("sv"))
+      .select(
+        col("window.start").cast("long").as("ws"),
+        col("event_type"), col("n"), col("sv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> tumbling,
+    "stream_sliding" -> sliding,
     "stream_sessionize" -> sessionize,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "stream_sliding" ->
+      ("SELECT ws, event_type, count(*) AS n, rnd(sum(value), 6) AS sv FROM (" +
+        "SELECT ((epoch_us(ts) // 1000000) // 1800 - o) * 1800 AS ws, event_type, value " +
+        "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o)) GROUP BY 1, 2"),
+
     "stream_tumbling" ->
       ("SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, event_type, " +
         "count(*) AS n, rnd(sum(value), 6) AS sv FROM events GROUP BY 1, 2"),
