@@ -243,6 +243,36 @@ object Queries {
         coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
         col("n"), col("g1"), col("g2"))
 
+  // histogram binning: fixed-width buckets over order totals — the
+  // distribution-profiling primitive (fixed width keeps it one pass and
+  // engine-agnostic; data-dependent bounds would need the minmax pattern
+  // of #4).
+  def aggHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"), rnd(sum("o_totalprice"), 2).as("tot"))
+
+  // per-group exact quantiles (linear interpolation — Spark `percentile`
+  // and DuckDB `quantile_cont` share the p·(n−1) convention).
+  def aggQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
+        rnd(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+
+  // data-profiling: row/distinct/min/max summary of a table in one pass.
+  def dataProfile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_returnflag")).as("n_flags"),
+      sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_flags"),
+      rnd(min("l_quantity"), 6).as("min_qty"),
+      rnd(max("l_quantity"), 6).as("max_qty"),
+      rnd(avg("l_quantity"), 6).as("avg_qty"))
+
   // #24 — running-frame analytic window (cumulative sum per user).
   def windowAnalytic(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -297,6 +327,9 @@ object Queries {
     "agg_groupby" -> aggGroupby,
     "agg_distinct" -> aggDistinct,
     "agg_rollup" -> aggRollup,
+    "agg_histogram" -> aggHistogram,
+    "agg_quantiles" -> aggQuantiles,
+    "data_profile" -> dataProfile,
     "window_analytic" -> windowAnalytic,
     "window_rank" -> windowRank,
     "sort_limit" -> sortLimit,
@@ -397,6 +430,22 @@ object Queries {
         "coalesce(o_orderpriority, '(all)') AS o_orderpriority, count(*) AS n, " +
         "grouping(o_orderstatus)::INT AS g1, grouping(o_orderpriority)::INT AS g2 " +
         "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
+
+    "agg_histogram" ->
+      ("SELECT floor(o_totalprice / 50000e0)::INT AS bucket, count(*) AS n, " +
+        "rnd(sum(o_totalprice), 2) AS tot FROM orders GROUP BY 1"),
+
+    "agg_quantiles" ->
+      ("SELECT o_orderpriority, rnd(quantile_cont(o_totalprice, 0.5e0), 2) AS med, " +
+        "rnd(quantile_cont(o_totalprice, 0.9e0), 2) AS p90, count(*) AS n " +
+        "FROM orders GROUP BY 1"),
+
+    "data_profile" ->
+      ("SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders, " +
+        "count(DISTINCT l_returnflag) AS n_flags, " +
+        "sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_flags, " +
+        "rnd(min(l_quantity), 6) AS min_qty, rnd(max(l_quantity), 6) AS max_qty, " +
+        "rnd(avg(l_quantity), 6) AS avg_qty FROM lineitem"),
 
     "window_analytic" ->
       ("SELECT user_id, event_id, rnd(sum(value) OVER (" +
