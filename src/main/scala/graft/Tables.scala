@@ -23,14 +23,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.ts` is parquet timestamp[ns], which Spark 4 refuses to read
     * as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as nanos-long (legacy
-    * conf) and truncate to microseconds — exactly what DuckDB's parquet
-    * reader does to TIMESTAMP_NS (verified: ns→µs floor), so both engines
-    * see identical µs timestamps.
+    * conf) and FLOOR to microseconds — exactly what DuckDB's parquet
+    * reader does to TIMESTAMP_NS. All-integer floor division
+    * ((ts - pmod(ts,1000)) div 1000): `div` alone truncates toward zero,
+    * which would differ from DuckDB by 1µs on pre-1970 nanos.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -167,6 +167,11 @@ object Fknn {
     * re-evaluated inside stage 2's join (measured 8× slower at N=20k,
     * `tools.ScaleProbe`); with it, stage 2 reads 10 rows/train-instance
     * from memory.
+    *
+    * Cache lifecycle is the CALLER's: the returned frame is lazy, so this
+    * method cannot unpersist after the (not-yet-run) action. Bench/Verify
+    * `clearCache()` between queries; library users should unpersist (or
+    * clear) once the dependent action completes.
     */
   def classifyPipeline(train: DataFrame, queries: DataFrame, k: Int, nClasses: Int): DataFrame = {
     val mem = membershipInit(train, k, nClasses).persist()

@@ -72,10 +72,17 @@ object Knn {
   /** Window-function formulation of grouped top-k. Semantically identical
     * to `topK` (KnnSpec asserts it); full sort per partition — fine at
     * small scale, kept as the executable spec for the aggregator.
+    *
+    * NULL dist/t_id rows are dropped up front: the heap aggregate skips
+    * NULL inputs, so this filter is what makes the two formulations (and
+    * the `GroupedTopKRewrite` rule that converts one into the other)
+    * genuinely equivalent — and it plants the IsNotNull constraint the
+    * rule's nullability guard requires.
     */
   def topKWindow(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("t_id"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    pairs.filter(col("dist").isNotNull && col("t_id").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
   /** k nearest train rows per query row: (q_id, t_id, dist, rn). */

@@ -83,8 +83,23 @@ object TopKAgg {
     * aggregate exists to avoid (measured 4× slower than the window at
     * N=20k). 256k keys ≈ tens of MB of k-row buffers: safely in-memory,
     * far above any chunked query block (SURVEY §3.2).
+    *
+    * Session-construction concern, NOT set here: mutating the session
+    * conf inside a query builder would silently override the user's (or
+    * Probe's GRAFT_OHA) setting and leak into unrelated aggregates.
+    * Bench/Verify/Probe set it in their builders; `tune` is the one-liner
+    * for library users, applied only when the conf is still at Spark's
+    * default.
     */
-  private val FallbackThreshold = 262144
+  val FallbackConfKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+  val FallbackThreshold = 262144
+
+  /** Raise the object-hash fallback threshold for kNN-sized group counts,
+    * unless the caller already chose a non-default value.
+    */
+  def tune(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (spark.conf.get(FallbackConfKey, "128") == "128")
+      spark.conf.set(FallbackConfKey, FallbackThreshold.toString)
 
   /** (q_id, t_id, dist) pairs → (q_id, t_id, dist, rn) with rn ∈ [1,k],
     * ascending (dist, t_id) per group — same shape as the window top-k.
@@ -93,8 +108,6 @@ object TopKAgg {
     * (q_id, partition).
     */
   def knn(pairs: DataFrame, k: Int, groupCols: Seq[String] = Seq("q_id")): DataFrame = {
-    pairs.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", FallbackThreshold.toString)
     val tk = ColumnBridge.column(
       TopKAggExpr(
         ColumnBridge.expression(col("dist")),

@@ -116,7 +116,12 @@ object Dedup {
     * sized to the synthetic data's distribution, max J ≈ 0.69).
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    // length >= 3 guard: for shorter texts Spark's sequence(1, len-2) is a
+    // DESCENDING sequence (e.g. sequence(1,0) = [1,0]) generating spurious
+    // grams, while DuckDB's range(1, len-1) is empty — the guard (present
+    // in the oracle too) keeps both engines on the same document set.
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 100 && length(col("text")) >= 3)
     val grams = docs.select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
       .distinct()
@@ -199,7 +204,7 @@ object Dedup {
     "similarity_ngram" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, substr(text, i::INT, 3) AS tok FROM (" +
         "SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i " +
-        "FROM documents WHERE doc_id < 100)), " +
+        "FROM documents WHERE doc_id < 100 AND length(text) >= 3)), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1), " +
         "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i " +
         "FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), " +

@@ -48,11 +48,24 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] {
             _))
         if rnRef.exprId == rnAlias.exprId &&
           k > 0 && k <= MaxK &&
+          // Nullability guard: the window form ranks NULLs (ASC = NULLS
+          // FIRST, so NULL dists would land IN the top-k) while the heap
+          // aggregate skips NULL inputs — only equivalent when NULLs are
+          // impossible. Keys must be non-nullable OR proven non-null by
+          // the child's constraints (an upstream IsNotNull filter, as
+          // `Knn.topKWindow` plants); otherwise leave the window alone.
+          nonNull(d, child) && nonNull(id, child) &&
           d.dataType == DoubleType && id.dataType == LongType &&
           child.outputSet.subsetOf(AttributeSet(Seq(part, d, id))) &&
           specMatches(spec, part, d, id) =>
       rewrite(f, child, part, d, id, rnAlias, k)
   }
+
+  private def nonNull(a: AttributeReference, child: LogicalPlan): Boolean =
+    !a.nullable || child.constraints.exists {
+      case IsNotNull(r: AttributeReference) => r.exprId == a.exprId
+      case _ => false
+    }
 
   private def specMatches(
       spec: WindowSpecDefinition,
