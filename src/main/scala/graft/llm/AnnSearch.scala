@@ -64,6 +64,47 @@ object AnnSearch {
       .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
   }
 
+  /** IVF-style ANN (L2): a deterministic coarse quantizer (every 40th
+    * train vector is a centroid — a production build would run k-means;
+    * the plan shape is identical and this keeps the oracle expressible),
+    * train vectors assigned to their nearest centroid's cell, queries
+    * probing their `nprobe`=3 nearest cells, exact top-3 within the probed
+    * cells. The cell EQUI-join replaces the cross join — with C cells and
+    * balanced assignment the pair count drops from |Q|·|T| to
+    * |Q|·nprobe·|T|/C, and cells shuffle by key like any hash join. The
+    * per-vector argmin windows are small (|T|×C rows partitioned by
+    * vector); at 100 TB the assignment becomes a k=1 bounded-heap
+    * aggregate, same plan as `TopKAgg`.
+    */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v").as("t_v"))
+    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val cent = e.filter(col("vec_id") >= 20 && col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+
+    val aw = Window.partitionBy(col("t_id")).orderBy(col("dist"), col("c_id"))
+    val cells = t.crossJoin(broadcast(cent))
+      .select(col("t_id"), col("t_v"), col("c_id"),
+        ArrayDistance.l2(col("t_v"), col("c_v")).as("dist"))
+      .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
+      .select(col("t_id"), col("t_v"), col("c_id").as("cell"))
+
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_v"), col("c_id"),
+        ArrayDistance.l2(col("q_v"), col("c_v")).as("dist"))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 3)
+      .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
+
+    val pairs = broadcast(probes).join(cells, "cell")
+      .select(col("q_id"), col("t_id"),
+        ArrayDistance.l2(col("q_v"), col("t_v")).as("dist"))
+    graft.functions.TopKAgg.knn(pairs, 3)
+      .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
+  }
+
   /** Embedding-cosine near-dup: pairs among vec_id < 200 with cosine
     * distance < 0.7 (the embedding leg of the dedup family; threshold
     * sized to the synthetic data's distance distribution — min ≈ 0.56,
@@ -80,11 +121,15 @@ object AnnSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> cosineTopK,
     "ann_lsh_bucket" -> lshBucketTopK,
+    "ann_ivf" -> ivfTopK,
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
   )
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+
+  private def l2Sql(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))))"
 
   private def cosSql(a: String, b: String): String =
     s"1e0 - ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
@@ -108,6 +153,24 @@ object AnnSearch {
         s"${cosSql("a.v", "b.v")} AS dist " +
         "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id >= 20), " +
         "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp) " +
+        "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "ann_ivf" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "tr AS (SELECT vec_id AS t_id, v FROM e WHERE vec_id >= 20), " +
+        "qs AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 20), " +
+        "cent AS (SELECT vec_id AS c_id, v FROM e WHERE vec_id >= 20 AND vec_id % 40 = 0), " +
+        "asg AS (SELECT t_id, c_id, row_number() OVER (PARTITION BY t_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT t.t_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM tr t CROSS JOIN cent c)), " +
+        "cells AS (SELECT t_id, c_id AS cell FROM asg WHERE rn = 1), " +
+        "probe AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT q.q_id, c.c_id, ${l2Sql("q.v", "c.v")} AS dist FROM qs q CROSS JOIN cent c)), " +
+        "pr AS (SELECT q_id, c_id AS cell FROM probe WHERE rn <= 3), " +
+        "pp AS (SELECT p.q_id, ce.t_id, " +
+        s"${l2Sql("q.v", "t.v")} AS dist " +
+        "FROM pr p JOIN cells ce ON ce.cell = p.cell " +
+        "JOIN qs q ON q.q_id = p.q_id JOIN tr t ON t.t_id = ce.t_id), " +
+        "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM pp) " +
         "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
 
     "dedup_embedding" ->

@@ -50,9 +50,33 @@ object Streaming {
     val schema = s.read.parquet(dir).schema
     val raw = s.readStream.schema(schema).parquet(dir)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     else raw
   }
+
+  // stream_dedup — keyed first-event dedup: one row per (user_id,
+  // event_type), the earliest by (ts, event_id). Batch form is a
+  // deterministic window top-1; the streaming twin is Spark's
+  // `dropDuplicates` + watermark (state-store dedup — keeps the
+  // first-ARRIVED row, which equals first-by-ts for in-order sources;
+  // StreamingSpec asserts the equivalence on an ordered MemoryStream).
+  def dedupFirst(s: SparkSession, d: String): DataFrame =
+    dedupFirstTransform(Tables.events(s, d))
+
+  def dedupFirstTransform(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+  }
+
+  /** Streaming twin of stream_dedup: watermarked state-store dedup. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
 
   // #32 — sessionization: per user, a new session opens when the gap to
   // the previous event exceeds 30 minutes. Batch form = lag/flag/running-
@@ -98,9 +122,16 @@ object Streaming {
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
     "stream_sessionize" -> sessionize,
+    "stream_dedup" -> dedupFirst,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      ("SELECT user_id, event_type, event_id FROM (" +
+        "SELECT user_id, event_type, event_id, row_number() OVER (" +
+        "PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn " +
+        "FROM events) WHERE rn = 1"),
+
     "stream_sliding" ->
       ("SELECT ws, event_type, count(*) AS n, rnd(sum(value), 6) AS sv FROM (" +
         "SELECT ((epoch_us(ts) // 1000000) // 1800 - o) * 1800 AS ws, event_type, value " +

@@ -69,10 +69,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("predicted_lang"), col("score"))
   }
 
+  // text_normalize — the canonicalization pass every curation pipeline
+  // runs before hashing/dedup: lowercase, strip non-alphanumerics,
+  // collapse whitespace, trim; emit the canonical hash + length (the text
+  // itself stays in place — this is the key-derivation shape). Pure
+  // projection, zero shuffle. DuckDB's regexp_replace needs the 'g' flag
+  // for Spark's replace-all semantics.
+  def normalize(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(norm).as("norm_hash"),
+      length(norm).as("norm_len"))
+  }
+
+  // sample_hash — deterministic hash sampling: keep ~25% of docs by the
+  // first hex digit of md5(doc_id). Unlike rand()-based sampling this is
+  // reproducible across engines, runs, and partitionings — the only
+  // sampling a verifiable pipeline should use.
+  def sampleHash(s: SparkSession, d: String): DataFrame = {
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables.documents(s, d)
+      .filter(h1.isin("0", "1", "2", "3"))
+      .select(col("doc_id"), h1.as("bucket"), length(col("text")).as("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> quality,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
+    "text_normalize" -> normalize,
+    "sample_hash" -> sampleHash,
   )
 
   private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
@@ -88,6 +116,17 @@ object TextAnalysis {
       ("SELECT doc_id, len(string_split(text, ' '))::INT AS n_ws, " +
         "len(regexp_extract_all(text, '[a-z0-9]+'))::INT AS n_word, " +
         "length(text)::INT AS n_chars FROM documents"),
+
+    "text_normalize" ->
+      ("SELECT doc_id, md5(norm) AS norm_hash, length(norm)::INT AS norm_len FROM (" +
+        "SELECT doc_id, trim(regexp_replace(" +
+        "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS norm " +
+        "FROM documents)"),
+
+    "sample_hash" ->
+      ("SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 1) AS bucket, " +
+        "length(text)::INT AS n_chars FROM documents " +
+        "WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2', '3')"),
 
     "lang_id" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -107,6 +107,30 @@ object Queries {
       element_at(split(col("p_type"), " "), 1).as("type_first"),
       when(col("p_brand").like("Brand#1%"), 1).otherwise(0).as("b1"))
 
+  // scalar_regex — regex surface: extract / replace-all / match / count.
+  // Patterns stay in the RE2 ∩ Java-regex common subset; DuckDB's
+  // regexp_replace needs the explicit 'g' flag to match Spark's
+  // replace-all semantics.
+  def scalarRegex(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_type"), "([A-Za-z]+)$", 1).as("type_last"),
+      regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+      when(col("p_name").rlike("[aeiou]{2}"), 1).otherwise(0).as("has_vv"),
+      size(expr("regexp_extract_all(p_name, '[aeiou]', 0)")).as("n_vowels"))
+
+  // null_handling — NULL-logic surface (coalesce / nullif / null
+  // predicates). The fixture tables are NULL-free, so NULLs are
+  // *manufactured* with nullif and collapsed back with coalesce — the
+  // output stays NULL-free for the hash gate while the plan exercises
+  // null semantics end to end.
+  def nullHandling(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      coalesce(expr("nullif(o_orderstatus, 'O')"), lit("(open)")).as("status_c"),
+      when(expr("nullif(o_orderstatus, 'O')").isNull, 1).otherwise(0).as("was_open"),
+      coalesce(expr("nullif(o_orderpriority, '1-URGENT')"), lit("(urgent)")).as("prio_c"))
+
   // #7 — date surface: truncate + extract. Month emitted as a string key
   // (timestamp columns hash differently across engines' parquet writers).
   def scalarDate(s: SparkSession, d: String): DataFrame =
@@ -182,6 +206,26 @@ object Queries {
         count(lit(1)).as("n"),
         rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
 
+  // join_full_outer — both-side-preserving join: high-balance customers
+  // vs per-customer 1995 order counts; unmatched sides surface with
+  // sentinel values (coalesce keeps the output NULL-free).
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_1995"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("(none)")).as("c_name"),
+        coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+        when(col("c_custkey").isNull, 0).otherwise(1).as("in_cust"),
+        when(col("o_custkey").isNull, 0).otherwise(1).as("in_ord"))
+  }
+
   // as-of join: for each error event, the most recent prior click of the
   // same user. Formulated as a running `max(CASE …) OVER` instead of a
   // range self-join — one shuffle by user, no quadratic candidate pairs;
@@ -243,6 +287,31 @@ object Queries {
         coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
         col("n"), col("g1"), col("g2"))
 
+  // agg_cube — full grouping-set lattice over (status, priority) with
+  // grouping indicators; same '(all)' NULL-projection as the rollup.
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(sum("o_totalprice"), 2).as("tot"),
+        grouping(col("o_orderstatus")).cast("int").as("g1"),
+        grouping(col("o_orderpriority")).cast("int").as("g2"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n"), col("tot"), col("g1"), col("g2"))
+
+  // agg_collect_sorted — list aggregation made hash-stable: the collected
+  // set is sorted and joined to ONE string (SURVEY §7.4 rule 7 — never
+  // emit unordered arrays).
+  def aggCollectSorted(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+        count(lit(1)).as("n"))
+
   // histogram binning: fixed-width buckets over order totals — the
   // distribution-profiling primitive (fixed width keeps it one pass and
   // engine-agnostic; data-dependent bounds would need the minmax pattern
@@ -283,6 +352,18 @@ object Queries {
       rnd(sum(col("value")).over(w), 6).as("run_sum"))
   }
 
+  // window_lead_lag — offset window functions: previous/next/first event
+  // per user (sentinel -1 keeps the output NULL-free at sequence edges).
+  def windowLeadLag(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      coalesce(lag(col("event_id"), 1).over(order), lit(-1L)).as("prev_id"),
+      coalesce(lead(col("event_id"), 1).over(order), lit(-1L)).as("next_id"),
+      first(col("event_id")).over(run).as("first_id"))
+  }
+
   // #25 — ranking window: top-3 orders per customer.
   def windowRank(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -314,6 +395,8 @@ object Queries {
     "normalize_minmax" -> normalizeMinmax,
     "scalar_math" -> scalarMath,
     "scalar_string" -> scalarString,
+    "scalar_regex" -> scalarRegex,
+    "null_handling" -> nullHandling,
     "scalar_date" -> scalarDate,
     "scalar_json" -> scalarJson,
     "array_ops" -> arrayOps,
@@ -321,9 +404,13 @@ object Queries {
     "join_shuffle" -> joinShuffle,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
+    "join_full_outer" -> joinFullOuter,
     "join_range" -> joinRange,
     "join_asof" -> joinAsof,
     "agg_pivot" -> aggPivot,
+    "agg_cube" -> aggCube,
+    "agg_collect_sorted" -> aggCollectSorted,
+    "window_lead_lag" -> windowLeadLag,
     "agg_groupby" -> aggGroupby,
     "agg_distinct" -> aggDistinct,
     "agg_rollup" -> aggRollup,
@@ -362,6 +449,45 @@ object Queries {
       ("SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_type, 1, 6) AS type_pre, " +
         "string_split(p_type, ' ')[1] AS type_first, " +
         "CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END AS b1 FROM part"),
+
+    "scalar_regex" ->
+      ("SELECT p_partkey, regexp_extract(p_type, '([A-Za-z]+)$', 1) AS type_last, " +
+        "regexp_replace(p_type, ' ', '_', 'g') AS type_snake, " +
+        "CASE WHEN regexp_matches(p_name, '[aeiou]{2}') THEN 1 ELSE 0 END AS has_vv, " +
+        "len(regexp_extract_all(p_name, '[aeiou]'))::INT AS n_vowels FROM part"),
+
+    "null_handling" ->
+      ("SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'), '(open)') AS status_c, " +
+        "CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END AS was_open, " +
+        "coalesce(nullif(o_orderpriority, '1-URGENT'), '(urgent)') AS prio_c FROM orders"),
+
+    "join_full_outer" ->
+      ("SELECT coalesce(c_custkey, o_custkey) AS custkey, " +
+        "coalesce(c_name, '(none)') AS c_name, coalesce(n_1995, 0) AS n_1995, " +
+        "CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS in_cust, " +
+        "CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS in_ord FROM (" +
+        "SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c " +
+        "FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_1995 FROM orders " +
+        "WHERE year(o_orderdate) = 1995 GROUP BY 1) o ON c_custkey = o_custkey"),
+
+    "agg_cube" ->
+      ("SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus, " +
+        "coalesce(o_orderpriority, '(all)') AS o_orderpriority, count(*) AS n, " +
+        "rnd(sum(o_totalprice), 2) AS tot, " +
+        "grouping(o_orderstatus)::INT AS g1, grouping(o_orderpriority)::INT AS g2 " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
+
+    "agg_collect_sorted" ->
+      ("SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types, " +
+        "count(*) AS n FROM events GROUP BY 1"),
+
+    "window_lead_lag" ->
+      ("SELECT user_id, event_id, " +
+        "coalesce(lag(event_id, 1) OVER w, -1) AS prev_id, " +
+        "coalesce(lead(event_id, 1) OVER w, -1) AS next_id, " +
+        "first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_id " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
 
     "scalar_date" ->
       ("SELECT strftime(m, '%Y-%m') AS mon, year(m)::INT AS y, month(m)::INT AS m_of_y, n_orders, tot FROM (" +

@@ -71,6 +71,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(collectSet(spark.table("tumb_file")) === collectSet(batch))
   }
 
+  test("dropDuplicates streaming twin ≡ batch window dedup on in-order source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*) // evs arrive in ts order → first-arrived = first-by-ts
+    val q = Streaming.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_s").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = collectSet(spark.table("dedup_s"))
+    val batch = collectSet(Streaming.dedupFirstTransform(evs.toDF()))
+    assert(streamed === batch)
+    // keyed shape: exactly one row per (user_id, event_type)
+    assert(spark.table("dedup_s").groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
   test("session_window streaming twin ≡ batch lag/flag sessionize (session multisets)") {
     import spark.implicits._
     // session boundaries: user 1 → {10:05,10:20} + {11:10} (50-min gap);
