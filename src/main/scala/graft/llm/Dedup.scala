@@ -34,13 +34,23 @@ object Dedup {
   private def docSlice(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < 500)
 
-  /** Per-(doc, seed) MinHash: lexicographic min of md5("seed:token"). */
+  /** Per-(doc, seed) MinHash: lexicographic min of md5("seed:token").
+    *
+    * Hashes are computed once per VOCABULARY entry (distinct token ×
+    * seed), not per corpus occurrence: under a Zipfian corpus the vocab
+    * is orders of magnitude smaller than the (doc, token) stream, so at
+    * 100 TB this trades |corpus|·seeds md5 calls for |vocab|·seeds calls
+    * plus one equi-join on `tok` — the join shuffles by token exactly
+    * like the aggregation that follows it anyway.
+    */
   private def minHashes(s: SparkSession, docs: DataFrame): DataFrame = {
     val seeds = s.range(NumHashes).select(col("id").cast("int").as("seed"))
-    TextOps.docTokens(docs)
+    val toks = TextOps.docTokens(docs)
+    val vocab = toks.select(col("tok")).distinct()
       .crossJoin(broadcast(seeds))
-      .select(col("doc_id"), col("seed"),
+      .select(col("tok"), col("seed"),
         md5(concat_ws(":", col("seed"), col("tok"))).as("h"))
+    toks.join(vocab, "tok")
       .groupBy(col("doc_id"), col("seed"))
       .agg(min("h").as("mh"))
   }

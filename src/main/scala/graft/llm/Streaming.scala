@@ -1,11 +1,18 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables
 import graft.rel.Queries.rnd
+
+/** Row types for the custom-state sessionizer (top-level for stable
+  * Encoder derivation). */
+case class SessEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+case class SessState(sessionId: Long, lastMs: Long, n: Long, sv: Double)
+case class SessAgg(user_id: Long, session_id: Long, n_events: Long, sv: Double)
 
 /** Streaming-shaped operators over `events` (SURVEY.md §2.9 rows #31-#32).
   *
@@ -81,10 +88,13 @@ object Streaming {
   // #32 — sessionization: per user, a new session opens when the gap to
   // the previous event exceeds 30 minutes. Batch form = lag/flag/running-
   // sum windows (pure SQL, oracle-checkable).
-  def sessionize(s: SparkSession, d: String): DataFrame = {
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    sessionizeTransform(Tables.events(s, d))
+
+  def sessionizeTransform(events: DataFrame): DataFrame = {
     val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
       .withColumn(
         "new_s",
@@ -106,6 +116,62 @@ object Streaming {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), rnd(sum("value"), 6).as("sv"))
       .select(col("user_id"), col("n_events"), col("sv"))
+
+  /** Custom-state sessionizer via `flatMapGroupsWithState` — the
+    * §7.3 "custom session logic" tier that `session_window` can't express
+    * (here it reimplements the same 30-min gap rule so StreamingSpec can
+    * assert it against the batch window formulation; a production variant
+    * would carry arbitrary per-session state). Per-user state machine:
+    * events folded in (ts, event_id) order; an in-batch gap > 30 min
+    * closes and emits the open session; the surviving open session parks
+    * in the state store with an event-time timeout at last_ts + gap, and
+    * is emitted when the watermark passes it. In BATCH execution (same
+    * code path, Spark runs the function once per group with no timeouts)
+    * the final session is emitted immediately.
+    */
+  def sessionizeCustomState(events: DataFrame): Dataset[SessAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val GapMs = 1800000L
+    val ds = (if (streaming) events.withWatermark("ts", "10 minutes") else events)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("value").cast("double").as("value"))
+      .as[SessEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessAgg(user, s.sessionId, s.n, s.sv))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessAgg]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              cur = cur match {
+                case Some(s) if ms - s.lastMs <= GapMs =>
+                  Some(s.copy(lastMs = ms, n = s.n + 1, sv = s.sv + e.value))
+                case Some(s) =>
+                  out += SessAgg(user, s.sessionId, s.n, s.sv)
+                  Some(SessState(s.sessionId + 1, ms, 1L, e.value))
+                case None =>
+                  Some(SessState(1L, ms, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              if (streaming) {
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastMs + GapMs)
+              } else out += SessAgg(user, s.sessionId, s.n, s.sv)
+            }
+            out.iterator
+          }
+      }
+  }
 
   // #31b — sliding (hopping) windows: 1-hour window, 30-minute hop.
   // Duration = 2× hop ⇒ every event lands in exactly two windows, so the

@@ -331,6 +331,22 @@ object Queries {
         rnd(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
         count(lit(1)).as("n"))
 
+  // agg_stats — second-moment statistics (stddev/variance/covariance/
+  // correlation). Deliberately over SMALL-magnitude columns (quantity,
+  // discount): second moments of ~1e5-scale values over 600k rows lose
+  // enough double precision to partition-order merge effects that a
+  // 6-dp round would flap cross-engine; small magnitudes keep both
+  // engines bit-stable within the rounding.
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        rnd(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        rnd(var_samp(col("l_quantity")), 6).as("var_qty"),
+        rnd(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+        rnd(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+        count(lit(1)).as("n"))
+
   // data-profiling: row/distinct/min/max summary of a table in one pass.
   def dataProfile(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(
@@ -374,6 +390,27 @@ object Queries {
       .select(col("o_custkey"), col("o_orderkey"), rnd(col("o_totalprice"), 2).as("price"), col("rn"))
   }
 
+  // window_ntile — distribution windows: quartile bucket, percent_rank,
+  // cume_dist per order within its status (order key made total by
+  // o_orderkey, §7.4 rule 3).
+  def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      ntile(4).over(w).as("quartile"),
+      rnd(percent_rank().over(w), 6).as("pr"),
+      rnd(cume_dist().over(w), 6).as("cd"))
+  }
+
+  // scalar_hash — content-hashing surface (dedup/fingerprint building
+  // blocks): md5 and sha-256 hex digests.
+  def scalarHash(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      md5(col("p_name")).as("h_md5"),
+      sha2(col("p_name"), 256).as("h_sha256"))
+
   // #26 — global top-k (TakeOrderedAndProject; deterministic total order).
   def sortLimit(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -416,9 +453,12 @@ object Queries {
     "agg_rollup" -> aggRollup,
     "agg_histogram" -> aggHistogram,
     "agg_quantiles" -> aggQuantiles,
+    "agg_stats" -> aggStats,
     "data_profile" -> dataProfile,
     "window_analytic" -> windowAnalytic,
     "window_rank" -> windowRank,
+    "window_ntile" -> windowNtile,
+    "scalar_hash" -> scalarHash,
     "sort_limit" -> sortLimit,
     "set_ops" -> setOps,
   )
@@ -565,6 +605,21 @@ object Queries {
       ("SELECT o_orderpriority, rnd(quantile_cont(o_totalprice, 0.5e0), 2) AS med, " +
         "rnd(quantile_cont(o_totalprice, 0.9e0), 2) AS p90, count(*) AS n " +
         "FROM orders GROUP BY 1"),
+
+    "agg_stats" ->
+      ("SELECT l_returnflag, rnd(stddev_samp(l_quantity), 6) AS sd_qty, " +
+        "rnd(var_samp(l_quantity), 6) AS var_qty, " +
+        "rnd(covar_samp(l_quantity, l_discount), 6) AS cov_qd, " +
+        "rnd(corr(l_quantity, l_discount), 6) AS corr_qd, " +
+        "count(*) AS n FROM lineitem GROUP BY 1"),
+
+    "window_ntile" ->
+      ("SELECT o_orderkey, o_orderstatus, ntile(4) OVER w::INT AS quartile, " +
+        "rnd(percent_rank() OVER w, 6) AS pr, rnd(cume_dist() OVER w, 6) AS cd " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)"),
+
+    "scalar_hash" ->
+      "SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256 FROM part",
 
     "data_profile" ->
       ("SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders, " +

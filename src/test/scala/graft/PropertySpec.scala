@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.core.Fknn
+import graft.functions.TopKBuf
+import graft.llm.Streaming
+
+/** Property-based layer (SURVEY §5.2 layer 2): checkable invariants over
+  * randomized inputs. Spark-touching properties run few cases (each case
+  * is a distributed job); the pure-function heap property runs hundreds.
+  */
+class PropertySpec extends SparkSpecBase {
+
+  private def check(p: Prop, min: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("TopKBuf.insert ≡ sort-and-take-k for arbitrary (dist, id) streams") {
+    val gen = for {
+      k <- Gen.choose(1, 8)
+      xs <- Gen.listOf(Gen.zip(
+        Gen.chooseNum(0.0, 10.0), Gen.chooseNum(0L, 20L)))
+    } yield (k, xs)
+    check(Prop.forAll(gen) { case (k, xs) =>
+      val b = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+      xs.foreach { case (d, id) => TopKBuf.insert(b, k, d, id) }
+      val got = (0 until b.n).map(i => (b.dists(i), b.ids(i))).toList
+      got == xs.sorted.take(k)
+    }, min = 300)
+  }
+
+  private val datasetGen = for {
+    n <- Gen.choose(6, 16)
+    dim <- Gen.choose(2, 4)
+    nc <- Gen.choose(2, 3)
+    vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-5.0, 5.0)))
+    labels <- Gen.listOfN(n, Gen.choose(0, nc - 1))
+  } yield (vecs, labels, nc)
+
+  test("Keller memberships: rows sum to exactly 1.0, all in [0,1], own-class ≥ 0.51") {
+    import spark.implicits._
+    check(Prop.forAll(datasetGen) { case (vecs, labels, nc) =>
+      val df = vecs.zip(labels).zipWithIndex
+        .map { case ((v, l), i) => (i.toLong, v.toArray, l) }
+        .toDF("vec_id", "v", "label")
+      val mem = Fknn.membershipInit(df, k = 3, nClasses = nc).collect()
+      val byId = mem.groupBy(_.getLong(0))
+      val sumsOk = byId.values.forall(rs => math.abs(rs.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+      val rangeOk = mem.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      val ownOk = mem.forall { r =>
+        r.getInt(1) != labels(r.getLong(0).toInt) || r.getDouble(2) >= 0.51
+      }
+      sumsOk && rangeOk && ownOk
+    }, min = 5)
+  }
+
+  test("FkNN classification is invariant under translation of all vectors") {
+    import spark.implicits._
+    val gen = for {
+      base <- datasetGen
+      shift <- Gen.listOfN(4, Gen.chooseNum(-3.0, 3.0))
+    } yield (base, shift)
+    check(Prop.forAll(gen) { case ((vecs, labels, nc), shift) =>
+      val rows = vecs.zip(labels).zipWithIndex
+        .map { case ((v, l), i) => (i.toLong, v.toArray, l) }
+      val df = rows.toDF("vec_id", "v", "label")
+      val shifted = rows.map { case (i, v, l) =>
+        (i, v.zipWithIndex.map { case (x, j) => x + shift(j % shift.size) }, l)
+      }.toDF("vec_id", "v", "label")
+      def preds(d: org.apache.spark.sql.DataFrame) = {
+        val q = d.filter(col("vec_id") % 3 === 0)
+        val t = d.filter(col("vec_id") % 3 =!= 0)
+        Fknn.classifyPipeline(t, q, k = 2, nClasses = nc)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      }
+      preds(df) == preds(shifted)
+    }, min = 3)
+  }
+
+  test("sessionize: per-user session count = 1 + #gaps>30min; event counts conserved") {
+    import spark.implicits._
+    val gen = for {
+      nUsers <- Gen.choose(1, 3)
+      evs <- Gen.listOf(for {
+        u <- Gen.choose(0L, nUsers.toLong - 1)
+        // offsets up to ~3h so both gap outcomes occur
+        off <- Gen.chooseNum(0L, 10800L)
+        v <- Gen.chooseNum(0.0, 5.0)
+      } yield (u, off, v))
+    } yield evs.zipWithIndex.map { case ((u, off, v), i) =>
+      (i.toLong, new Timestamp(1700000000000L + off * 1000L), u, "e", v)
+    }
+    check(Prop.forAll(gen) { evs =>
+      evs.isEmpty || {
+        val df = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+        val out = Streaming.sessionizeTransform(df)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val byUser = evs.groupBy(_._3)
+        val expectedSessions = byUser.view.mapValues { rows =>
+          val times = rows.map(e => (e._2.getTime, e._1)).sorted.map(_._1)
+          1 + times.sliding(2).count { case Seq(a, b) => b - a > 1800000L; case _ => false }
+        }.toMap
+        val gotSessions = out.groupBy(_._1).view.mapValues(_.length).toMap
+        val countsOk = out.groupBy(_._1).forall { case (u, rs) =>
+          rs.map(_._3).sum == byUser(u).size
+        }
+        gotSessions == expectedSessions && countsOk
+      }
+    }, min = 20)
+  }
+}

@@ -87,6 +87,38 @@ class StreamingSpec extends SparkSpecBase {
       .filter(col("count") > 1).count() === 0)
   }
 
+  test("flatMapGroupsWithState sessionizer (batch mode) ≡ window sessionize") {
+    import spark.implicits._
+    val static = evs.toDF()
+    val custom = Streaming.sessionizeCustomState(static)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        graft.rel.Queries.rnd(col("sv"), 6).as("sv"))
+    val batch = Streaming.sessionizeTransform(static)
+    assert(collectSet(custom) === collectSet(batch))
+  }
+
+  test("flatMapGroupsWithState sessionizer (streaming) emits sessions on watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.sessionizeCustomState(mem.toDF())
+      .writeStream.format("memory").queryName("sess_fmgws").outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // sentinel user 99 far in the future: advances the watermark past
+      // every open session's timeout; its own session stays parked.
+      mem.addData(Ev(100, ts("2024-01-01 20:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_fmgws")
+      .filter(col("user_id") =!= 99)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        graft.rel.Queries.rnd(col("sv"), 6).as("sv"))
+    val batch = Streaming.sessionizeTransform(evs.toDF())
+    assert(collectSet(streamed) === collectSet(batch))
+  }
+
   test("session_window streaming twin ≡ batch lag/flag sessionize (session multisets)") {
     import spark.implicits._
     // session boundaries: user 1 → {10:05,10:20} + {11:10} (50-min gap);
