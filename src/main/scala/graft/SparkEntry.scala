@@ -147,11 +147,29 @@ object SparkEntry {
       val pred = Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
       Metrics.accuracy(pred, emb(s, d).select("vec_id", "label"))
     },
+
+    // #20b auc_binary (SURF): the reference's AUC report, one-vs-rest
+    // (class 0) over the fuzzy score table — rank-statistic AUC with
+    // averaged ties.
+    "auc_binary" -> { (s, d) =>
+      val t = embTrain(s, d)
+      val mem = Fknn.membershipInit(t, K, NClasses).persist()
+      val sc0 = Fknn.classifyScores(mem, t, embQueries(s, d), K)
+        .filter(col("class") === 0)
+      Metrics.aucBinary(sc0, emb(s, d).select("vec_id", "label"), posLabel = 0)
+    },
+
+    // #20c class_report (SURF): per-class precision/recall/F1.
+    "class_report" -> { (s, d) =>
+      val pred = Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
+      Metrics.classReport(pred, emb(s, d).select("vec_id", "label"), NClasses)
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracles ++ graft.rel.Queries.oracles ++
+  def oracleSql: Map[String, String] =
+    coreOracles.view.mapValues(graft.rel.Queries.duckify).toMap ++ graft.rel.Queries.oracles ++
     (graft.llm.TextOps.rawOracles ++ graft.llm.Streaming.rawOracles ++
       graft.llm.Dedup.rawOracles ++ graft.llm.AnnSearch.rawOracles ++
       graft.llm.TextAnalysis.rawOracles ++ graft.llm.Multimodal.rawOracles)
@@ -214,5 +232,29 @@ object SparkEntry {
         "pred AS (SELECT q_id, class AS predicted FROM rk WHERE rn = 1) " +
         "SELECT round(avg(CASE WHEN p.predicted = e.label THEN 1e0 ELSE 0e0 END), 6) AS accuracy " +
         "FROM pred p JOIN embeddings e ON e.vec_id = p.q_id"),
+
+    "auc_binary" ->
+      (s"WITH $classifyCte, " +
+        "s0 AS (SELECT sc.q_id, sc.u, CASE WHEN e.label = 0 THEN 1e0 ELSE 0e0 END AS pos " +
+        "FROM sc JOIN embeddings e ON e.vec_id = sc.q_id WHERE sc.class = 0), " +
+        "rk2 AS (SELECT q_id, u, pos, row_number() OVER (ORDER BY u, q_id) AS rn FROM s0), " +
+        "ar AS (SELECT q_id, pos, avg(rn) OVER (PARTITION BY u) AS ar FROM rk2) " +
+        "SELECT rnd((sum(CASE WHEN pos = 1e0 THEN ar END) - sum(pos) * (sum(pos) + 1) / 2e0) " +
+        "/ (sum(pos) * (count(*) - sum(pos))), 6) AS auc FROM ar"),
+
+    "class_report" ->
+      (s"WITH $classifyCte, " +
+        "pred AS (SELECT q_id, class AS predicted FROM rk WHERE rn = 1), " +
+        "j AS (SELECT e.label, p.predicted FROM pred p JOIN embeddings e ON e.vec_id = p.q_id), " +
+        "st AS (SELECT c.class, " +
+        "sum(CASE WHEN j.label = c.class AND j.predicted = c.class THEN 1 ELSE 0 END)::BIGINT AS tp, " +
+        "sum(CASE WHEN j.label <> c.class AND j.predicted = c.class THEN 1 ELSE 0 END)::BIGINT AS fp, " +
+        "sum(CASE WHEN j.label = c.class AND j.predicted <> c.class THEN 1 ELSE 0 END)::BIGINT AS fn " +
+        "FROM j CROSS JOIN cls c GROUP BY 1), " +
+        "pr AS (SELECT class, tp, fp, fn, " +
+        "CASE WHEN tp + fp = 0 THEN 0e0 ELSE tp / (tp + fp) END AS p, " +
+        "CASE WHEN tp + fn = 0 THEN 0e0 ELSE tp / (tp + fn) END AS r FROM st) " +
+        "SELECT class, tp, fp, fn, rnd(p, 6) AS precision, rnd(r, 6) AS recall, " +
+        "rnd(CASE WHEN p + r = 0 THEN 0e0 ELSE 2e0 * p * r / (p + r) END, 6) AS f1 FROM pr"),
   )
 }

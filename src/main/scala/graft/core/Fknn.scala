@@ -96,19 +96,31 @@ object Fknn {
       train: DataFrame,
       queries: DataFrame,
       k: Int): DataFrame = {
+    // argmax with deterministic tie-break: highest u, then lowest class.
+    val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
+    classifyScores(memberships, train, queries, k)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("class").as("predicted"))
+  }
+
+  /** Stage-2 score table (q_id, class, u) — the fuzzy membership vote
+    * before the argmax; the per-class "probability" surface metrics like
+    * AUC rank on.
+    */
+  def classifyScores(
+      memberships: DataFrame,
+      train: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
     val nn = Knn.knn(queries, train, k)
     val d = greatest(col("dist"), lit(DistEps))
     val weighted = nn
       .select(col("q_id"), col("t_id"), (lit(1.0) / (d * d)).as("w"))
       .join(memberships.withColumnRenamed("vec_id", "t_id"), "t_id")
-    val scores = weighted
+    weighted
       .groupBy(col("q_id"), col("class"))
       .agg((sum(col("membership") * col("w")) / sum(col("w"))).as("u"))
-    // argmax with deterministic tie-break: highest u, then lowest class.
-    val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
-    scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("class").as("predicted"))
   }
 
   /** "Local" (approximate) FkNN — the reference's `version=local` CLI

@@ -1,11 +1,15 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The reference's user-visible report surface: accuracy + confusion matrix
-  * (SURVEY.md §2.6 rows 19-20 [LINEAGE]; AUC is binary-only in the papers,
-  * our labels are 10-class → out of scope).
+import graft.rel.Queries.rnd
+
+/** The reference's user-visible report surface (SURVEY.md §2.6 rows 19-20
+  * [LINEAGE]): accuracy + confusion matrix, plus AUC — binary in the
+  * papers, served here as one-vs-rest over the fuzzy score table — and a
+  * per-class precision/recall/F1 report.
   */
 object Metrics {
 
@@ -20,4 +24,58 @@ object Metrics {
     predictions.join(truth, predictions("q_id") === truth("vec_id"))
       .agg(round(avg(when(col("predicted") === col("label"), 1.0).otherwise(0.0)), 6)
         .as("accuracy"))
+
+  /** Binary (one-vs-rest) ROC AUC via the rank statistic:
+    * AUC = (Σ avg-ranks of positives − P(P+1)/2) / (P·N), average ranks
+    * over score ties — cross-engine deterministic because the underlying
+    * row_number order ends in the unique q_id and ties then AVERAGE to
+    * the same value regardless of within-tie order. `scores` = (q_id, u)
+    * for the positive class; `truth` = (vec_id, label); `posLabel`
+    * defines the positive.
+    *
+    * The global-rank window is a single partition by construction —
+    * metrics rank the (small) evaluation set, not the corpus; an
+    * at-scale AUC would bucket scores into a fixed histogram first.
+    */
+  def aucBinary(scores: DataFrame, truth: DataFrame, posLabel: Int): DataFrame = {
+    val s = scores.join(truth, scores("q_id") === truth("vec_id"))
+      .select(col("q_id"), col("u"),
+        when(col("label") === posLabel, 1.0).otherwise(0.0).as("pos"))
+    val byScore = Window.orderBy(col("u"), col("q_id"))
+    val ties = Window.partitionBy(col("u"))
+    s.withColumn("rn", row_number().over(byScore))
+      .withColumn("ar", avg(col("rn")).over(ties))
+      .agg(rnd(
+        (sum(when(col("pos") === 1.0, col("ar"))) -
+          sum(col("pos")) * (sum(col("pos")) + 1) / 2.0) /
+          (sum(col("pos")) * (count(lit(1)) - sum(col("pos")))), 6).as("auc"))
+  }
+
+  /** Per-class precision / recall / F1 over all `nClasses` classes
+    * (densified — classes absent from predictions AND truth report
+    * zeros). One conditional aggregation per class over the joined
+    * prediction frame; the metric denominators guard division by zero.
+    */
+  def classReport(predictions: DataFrame, truth: DataFrame, nClasses: Int): DataFrame = {
+    val joined = predictions.join(truth, predictions("q_id") === truth("vec_id"))
+      .select(col("label"), col("predicted"))
+    val classes = predictions.sparkSession.range(nClasses)
+      .select(col("id").cast("int").as("class"))
+    val stats = joined.crossJoin(broadcast(classes))
+      .groupBy(col("class"))
+      .agg(
+        sum(when(col("label") === col("class") && col("predicted") === col("class"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("label") =!= col("class") && col("predicted") === col("class"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("label") === col("class") && col("predicted") =!= col("class"), 1L)
+          .otherwise(0L)).as("fn"))
+    val p = when(col("tp") + col("fp") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fp")))
+    val r = when(col("tp") + col("fn") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fn")))
+    stats.select(
+      col("class"), col("tp"), col("fp"), col("fn"),
+      rnd(p, 6).as("precision"),
+      rnd(r, 6).as("recall"),
+      rnd(when(p + r === 0, 0.0).otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
+  }
 }

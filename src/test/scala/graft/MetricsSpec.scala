@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Metrics
+
+/** Hand-computed fixtures for the report metrics (AUC rank statistic,
+  * per-class precision/recall/F1).
+  */
+class MetricsSpec extends SparkSpecBase {
+
+  test("aucBinary matches the hand-computed rank statistic (with score tie)") {
+    import spark.implicits._
+    // scores (q_id, u): positives q1 (0.9), q3 (0.7); negatives q2 (0.8),
+    // q4 (0.7 — TIED with q3). Ascending ranks: q3/q4 share avg rank 1.5,
+    // q2 → 3, q1 → 4. AUC = (Σ pos avg-ranks − P(P+1)/2) / (P·N)
+    //     = (1.5 + 4 − 3) / (2·2) = 0.625
+    val scores = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7), (4L, 0.7)).toDF("q_id", "u")
+    val truth = Seq((1L, 0), (2L, 5), (3L, 0), (4L, 7)).toDF("vec_id", "label")
+    val auc = Metrics.aucBinary(scores, truth, posLabel = 0)
+      .collect().head.getDouble(0)
+    assert(auc === 0.625)
+  }
+
+  test("classReport matches hand-computed precision/recall/F1") {
+    import spark.implicits._
+    // class 0: tp=1 (q1), fn=1 (q2 predicted 1), fp=1 (q3 actual 1 pred 0)
+    val pred = Seq((1L, 0), (2L, 1), (3L, 0)).toDF("q_id", "predicted")
+    val truth = Seq((1L, 0), (2L, 0), (3L, 1)).toDF("vec_id", "label")
+    val rep = Metrics.classReport(pred, truth, nClasses = 3)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(rep(0) === ((1L, 1L, 1L, 0.5, 0.5, 0.5)))
+    // class 1: tp=0, fp=1 (q2), fn=1 (q3) → p=r=f1=0
+    assert(rep(1) === ((0L, 1L, 1L, 0.0, 0.0, 0.0)))
+    // class 2: absent everywhere → densified zeros
+    assert(rep(2) === ((0L, 0L, 0L, 0.0, 0.0, 0.0)))
+  }
+}
