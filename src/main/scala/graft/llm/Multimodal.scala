@@ -85,13 +85,38 @@ object Multimodal {
       length(col("bytes")).as("n_bytes"),
       md5(col("bytes")).as("h"))
 
+  /** Declared query: deterministic frame sampling as a relational op —
+    * every 4th "frame" (character) of the payload, rematerialized and
+    * content-hashed. The sampling index math runs inside the engine (no
+    * UDF), so the same stride logic drives video-frame or audio-window
+    * sampling at scale.
+    */
+  def mediaSample(s: SparkSession, d: String): DataFrame = {
+    val stride = 4
+    val sampled = expr(
+      "array_join(transform(sequence(1, length(text)), i -> " +
+        s"IF((i - 1) % $stride = 0, substring(text, i, 1), '')), '')")
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      length(sampled).as("n_frames"),
+      md5(sampled).as("sample_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> mediaMeta,
+    "multimodal_sample" -> mediaSample,
   )
 
   val rawOracles: Map[String, String] = Map(
     "multimodal_meta" ->
       ("SELECT doc_id AS media_id, 'text' AS modality, " +
         "octet_length(encode(text))::INT AS n_bytes, md5(text) AS h FROM documents"),
+
+    "multimodal_sample" ->
+      ("SELECT media_id, length(sampled)::INT AS n_frames, md5(sampled) AS sample_hash FROM (" +
+        "SELECT doc_id AS media_id, array_to_string(" +
+        "list_transform(range(1, length(text) + 1), i -> " +
+        "CASE WHEN (i - 1) % 4 = 0 THEN substr(text, i::INT, 1) ELSE '' END), '') AS sampled " +
+        "FROM documents)"),
   )
 }

@@ -56,6 +56,42 @@ object TextOps {
       .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), rnd(col("j"), 6).as("jaccard"))
   }
 
+  // text_tfidf — the classic term-weighting op: per-doc top-3 terms by
+  // tf·idf (raw term count × ln(N/df)). Two keyed aggregations + a small
+  // window; idf's doc-frequency table is a broadcast-sized dimension at
+  // any corpus size (vocab, not corpus, scale).
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val termCounts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = termCounts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = termCounts.join(broadcast(df_), "tok").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        rnd(col("tfidf"), 6).as("tfidf"), col("rn"))
+  }
+
+  // text_bigrams — word-n-gram generation (n=2): adjacent-token pairs
+  // from the in-engine token array (no self-join on position; the gram
+  // construction is a per-row array transform). Docs with < 2 tokens are
+  // guarded out — Spark's sequence(1, 0) would run DESCENDING.
+  def bigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(a) - 1), i -> " +
+          "concat(element_at(a, i), ' ', element_at(a, i + 1)))")).as("bg"))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("n"))
+
   /** End-to-end corpus curation in one declared pipeline — the composed
     * shape a training-data run actually executes: quality-filter (length
     * + stopword-ratio), then drop near-duplicates (keep-lowest-id rule
@@ -94,6 +130,8 @@ object TextOps {
     "dedup_exact" -> dedupExact,
     "similarity_jaccard" -> jaccardPairs,
     "corpus_clean" -> corpusClean,
+    "text_tfidf" -> tfidf,
+    "text_bigrams" -> bigrams,
   )
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
@@ -122,6 +160,22 @@ object TextOps {
         "WHERE i / (sa.sz + sb.sz - i) >= 0.9e0) " +
         "SELECT q.doc_id, q.n_tok, q.stop_ratio FROM qual q " +
         "WHERE q.doc_id NOT IN (SELECT doc_id FROM dropped)"),
+
+    "text_tfidf" ->
+      ("WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents WHERE doc_id < 500), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tc GROUP BY 1, 2), " +
+        "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 500), " +
+        "sc AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, " +
+        "tf.tf * ln(nd.n_docs / dfq.df) AS tfidf FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN nd), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn FROM sc) " +
+        "SELECT doc_id, tok, tf, df, rnd(tfidf, 6) AS tfidf, rn::INT AS rn FROM rk WHERE rn <= 3"),
+
+    "text_bigrams" ->
+      ("SELECT bg, count(*) AS n FROM (" +
+        "SELECT unnest(list_transform(range(1, len(a)), i -> a[i::INT] || ' ' || a[(i + 1)::INT])) AS bg " +
+        "FROM (SELECT string_split(text, ' ') AS a FROM documents) WHERE len(a) >= 2) GROUP BY 1"),
 
     "similarity_jaccard" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok " +
