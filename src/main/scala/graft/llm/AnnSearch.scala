@@ -77,31 +77,50 @@ object AnnSearch {
     * aggregate, same plan as `TopKAgg`.
     */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
-    val t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v").as("t_v"))
-    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    val cent = e.filter(col("vec_id") >= 20 && col("vec_id") % 40 === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    ivfSearch(
+      q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("q_v")),
+      t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v").as("t_v")),
+      cent = e.filter(col("vec_id") >= 20 && col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("c_v")),
+      k = 3, nprobe = 3)
+  }
 
-    val aw = Window.partitionBy(col("t_id")).orderBy(col("dist"), col("c_id"))
-    val cells = t.crossJoin(broadcast(cent))
-      .select(col("t_id"), col("t_v"), col("c_id"),
-        ArrayDistance.l2(col("t_v"), col("c_v")).as("dist"))
-      .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
-      .select(col("t_id"), col("t_v"), col("c_id").as("cell"))
+  /** IVF search over arbitrary (q_id, q_v) / (t_id, t_v) / (c_id, c_v)
+    * frames — the transform `tools.PipelineScaleProbe` scales up.
+    */
+  def ivfSearch(q: DataFrame, t: DataFrame, cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Assignment argmin as min(struct(dist, cell)) — lexicographic struct
+    // ordering = (dist ASC, c_id ASC), identical to a row_number()=1
+    // window but planned as a two-phase hash aggregate with map-side
+    // combine: no shuffle-sort of the |T|×C assignment stream (the
+    // window form measured SLOWER than brute force at 100 k vectors,
+    // PipelineScaleProbe). The struct is 16 bytes — vectors do NOT ride
+    // through the aggregate; t_v rejoins by id afterwards (|T| rows,
+    // cheap next to the |T|×C stream).
+    val asg = t.crossJoin(broadcast(cent))
+      .select(col("t_id"), struct(
+        ArrayDistance.l2(col("t_v"), col("c_v")).as("dist"),
+        col("c_id").as("cell")).as("dc"))
+      .groupBy(col("t_id"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("t_id"), col("m.cell").as("cell"))
+    val cells = t.join(asg, "t_id").select(col("t_id"), col("t_v"), col("cell"))
 
     val pw = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
     val probes = q.crossJoin(broadcast(cent))
       .select(col("q_id"), col("q_v"), col("c_id"),
         ArrayDistance.l2(col("q_v"), col("c_v")).as("dist"))
-      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 3)
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= nprobe)
       .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
 
-    val pairs = broadcast(probes).join(cells, "cell")
+    // no broadcast hint: probes grow with |Q|·nprobe — Catalyst/AQE
+    // size-gates the build side (small query batches still broadcast)
+    val pairs = probes.join(cells, "cell")
       .select(col("q_id"), col("t_id"),
         ArrayDistance.l2(col("q_v"), col("t_v")).as("dist"))
-    graft.functions.TopKAgg.knn(pairs, 3)
+    graft.functions.TopKAgg.knn(pairs, k)
       .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
   }
 

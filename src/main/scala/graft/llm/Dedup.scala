@@ -59,8 +59,14 @@ object Dedup {
     * candidates; exact Jaccard ≥ 0.8 verifies. Candidate generation is the
     * scale path — band equi-join instead of all-pairs.
     */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = docSlice(s, d)
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshPairs(s, docSlice(s, d))
+
+  /** The full MinHash-LSH pipeline over an arbitrary (doc_id, text)
+    * frame — `tools.PipelineScaleProbe` drives this at 100-500× the
+    * bench corpus.
+    */
+  def minhashLshPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     val sigs = minHashes(s, docs)
       .withColumn("band", expr(s"seed div $RowsPerBand"))
       .groupBy(col("doc_id"), col("band"))
@@ -73,13 +79,17 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
 
-    // exact-Jaccard verification, restricted to candidates
+    // exact-Jaccard verification DRIVEN BY the candidate pairs: expand
+    // each candidate to d1's tokens, keep those also in d2. Work scales
+    // with |candidates| × tokens-per-doc. (The naive alternative — join
+    // the full token streams on tok and THEN semi-join candidates —
+    // materializes every token CO-OCCURRENCE first: ~1.6 B intermediate
+    // pairs at 50 k docs, found by PipelineScaleProbe.)
     val toks = TextOps.docTokens(docs)
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = toks.select(col("doc_id").as("d1"), col("tok"))
-      .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
-      .filter(col("d1") < col("d2"))
-      .join(cand, Seq("d1", "d2"), "left_semi")
+    val inter = cand
+      .join(toks.select(col("doc_id").as("d1"), col("tok")), "d1")
+      .join(toks.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
