@@ -158,6 +158,21 @@ object Queries {
       rnd(element_at(v, 1), 6).as("fst"))
   }
 
+  // array_hof — the higher-order-function surface beyond #9's reduce:
+  // filter / exists / forall / sorted slice, all codegen-planned over the
+  // embedding arrays (aggregates of the derived arrays, never raw array
+  // output — SURVEY §7.4 rule 7).
+  def arrayHof(s: SparkSession, d: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(filter(v, x => x > 0)).as("n_pos"),
+      when(exists(v, x => x > lit(2.0)), 1).otherwise(0).as("any_gt2"),
+      when(forall(v, x => abs(x) < lit(10.0)), 1).otherwise(0).as("all_lt10"),
+      rnd(element_at(array_sort(v), 1), 6).as("min_el"),
+      rnd(aggregate(slice(array_sort(v), 1, 8), lit(0.0), (a, x) => a + x), 6).as("low8_sum"))
+  }
+
   // #10 — small-dimension broadcast join (the reference's physical
   // placement for test-chunk × train, SURVEY §2.5 [LINEAGE]).
   def joinBroadcast(s: SparkSession, d: String): DataFrame =
@@ -437,6 +452,7 @@ object Queries {
     "scalar_date" -> scalarDate,
     "scalar_json" -> scalarJson,
     "array_ops" -> arrayOps,
+    "array_hof" -> arrayHof,
     "join_broadcast" -> joinBroadcast,
     "join_shuffle" -> joinShuffle,
     "join_semi" -> joinSemi,
@@ -541,6 +557,15 @@ object Queries {
       ("SELECT vec_id, len(embedding)::INT AS dim, " +
         "rnd(list_sum(embedding::DOUBLE[]), 6) AS vsum, " +
         "rnd((embedding::DOUBLE[])[1], 6) AS fst FROM embeddings"),
+
+    "array_hof" ->
+      ("SELECT vec_id, " +
+        "len(list_filter(v, x -> x > 0))::INT AS n_pos, " +
+        "CASE WHEN len(list_filter(v, x -> x > 2e0)) > 0 THEN 1 ELSE 0 END AS any_gt2, " +
+        "CASE WHEN len(list_filter(v, x -> abs(x) >= 10e0)) = 0 THEN 1 ELSE 0 END AS all_lt10, " +
+        "rnd(list_sort(v)[1], 6) AS min_el, " +
+        "rnd(list_sum(list_slice(list_sort(v), 1, 8)), 6) AS low8_sum " +
+        "FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"),
 
     "join_broadcast" ->
       ("SELECT c_mktsegment, count(*) AS n, rnd(sum(o_totalprice), 2) AS tot " +
