@@ -442,6 +442,29 @@ object Queries {
     both.unionAll(only)
   }
 
+  // sql_q3 — the SQL-frontend surface: the classic shipping-priority
+  // join/agg/top-k (TPC-H Q3 shape) submitted as SQL TEXT over temp
+  // views and planned by the same Catalyst pipeline as the DataFrame
+  // queries. The rounding formula is written out so both engines
+  // evaluate the identical expression.
+  def sqlQ3(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_orderkey,
+             floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+             count(*) AS n
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY l_orderkey
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_filter_prune" -> scanFilterPrune,
     "normalize_minmax" -> normalizeMinmax,
@@ -477,6 +500,7 @@ object Queries {
     "scalar_hash" -> scalarHash,
     "sort_limit" -> sortLimit,
     "set_ops" -> setOps,
+    "sql_q3" -> sqlQ3,
   )
 
   /** DuckDB twins — same column names, rounding, tie-breaks (SURVEY §7.4).
@@ -667,6 +691,14 @@ object Queries {
     "sort_limit" ->
       ("SELECT o_orderkey, rnd(o_totalprice, 2) AS price FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+
+    "sql_q3" ->
+      ("SELECT l_orderkey, rnd(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15' " +
+        "AND l_shipdate > TIMESTAMP '1995-03-15' " +
+        "GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
 
     "set_ops" ->
       ("SELECT 'both' AS tag, c_custkey FROM (SELECT c_custkey FROM customer " +
