@@ -426,6 +426,36 @@ object Queries {
       md5(col("p_name")).as("h_md5"),
       sha2(col("p_name"), 256).as("h_sha256"))
 
+  // window_range_frame — RANGE frame (vs #24's ROWS): trailing-hour sum
+  // per user over the event-time axis. Range frames are tie-safe by
+  // construction (peers share the frame), so no unique-key suffix is
+  // needed on the ORDER BY — but the output still carries event_id as
+  // the row identity.
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3599, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_s", expr("unix_micros(ts) div 1000000"))
+      .select(col("user_id"), col("event_id"),
+        rnd(sum(col("value")).over(w), 6).as("hour_sum"))
+  }
+
+  // agg_grouping_sets — explicit GROUPING SETS (the lattice rollup/cube
+  // can't express: two independent single-column subtotals + grand
+  // total, no (status, priority) cell). SQL-text form — the DataFrame
+  // API routes grouping sets through SQL anyway.
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+             coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+             count(*) AS n,
+             cast(grouping(o_orderstatus) AS int) AS g1,
+             cast(grouping(o_orderpriority) AS int) AS g2
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+  }
+
   // #26 — global top-k (TakeOrderedAndProject; deterministic total order).
   def sortLimit(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -497,6 +527,8 @@ object Queries {
     "window_analytic" -> windowAnalytic,
     "window_rank" -> windowRank,
     "window_ntile" -> windowNtile,
+    "window_range_frame" -> windowRangeFrame,
+    "agg_grouping_sets" -> aggGroupingSets,
     "scalar_hash" -> scalarHash,
     "sort_limit" -> sortLimit,
     "set_ops" -> setOps,
@@ -687,6 +719,17 @@ object Queries {
         "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
         "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
         "WHERE rn <= 3"),
+
+    "window_range_frame" ->
+      ("SELECT user_id, event_id, rnd(sum(value) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000 " +
+        "RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 6) AS hour_sum FROM events"),
+
+    "agg_grouping_sets" ->
+      ("SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus, " +
+        "coalesce(o_orderpriority, '(all)') AS o_orderpriority, count(*) AS n, " +
+        "grouping(o_orderstatus)::INT AS g1, grouping(o_orderpriority)::INT AS g2 " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
 
     "sort_limit" ->
       ("SELECT o_orderkey, rnd(o_totalprice, 2) AS price FROM orders " +
