@@ -33,16 +33,14 @@ object SparkEntry {
 
   // ---- DuckDB SQL fragments (shared across oracle twins) ---------------
 
-  /** Euclidean distance between two DOUBLE[] columns in DuckDB SQL.
-    * Same sequential fold order as Distance.l2; float literals use e-notation
-    * so DuckDB types them DOUBLE (bare 0.49 would be DECIMAL).
+  /** Euclidean / Manhattan distance between two DOUBLE[] columns in
+    * DuckDB SQL — the shared fold-order-exact fragments
+    * (`graft.rel.Queries.l2Sql`/`l1Sql`; one definition repo-wide).
+    * Float literals in this file use e-notation so DuckDB types them
+    * DOUBLE (bare 0.49 would be DECIMAL).
     */
-  private def distSql(a: String, b: String): String =
-    s"sqrt(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))))"
-
-  /** Manhattan twin of distSql (the reference's alternate metric). */
-  private def distL1Sql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> abs(p[1]-p[2])))"
+  private def distSql(a: String, b: String): String = graft.rel.Queries.l2Sql(a, b)
+  private def distL1Sql(a: String, b: String): String = graft.rel.Queries.l1Sql(a, b)
 
   private val embCte =
     "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings), " +
@@ -250,7 +248,7 @@ object SparkEntry {
         "sum(CASE WHEN j.label = c.class AND j.predicted = c.class THEN 1 ELSE 0 END)::BIGINT AS tp, " +
         "sum(CASE WHEN j.label <> c.class AND j.predicted = c.class THEN 1 ELSE 0 END)::BIGINT AS fp, " +
         "sum(CASE WHEN j.label = c.class AND j.predicted <> c.class THEN 1 ELSE 0 END)::BIGINT AS fn " +
-        "FROM j CROSS JOIN cls c GROUP BY 1), " +
+        "FROM cls c LEFT JOIN j ON TRUE GROUP BY 1), " +
         "pr AS (SELECT class, tp, fp, fn, " +
         "CASE WHEN tp + fp = 0 THEN 0e0 ELSE tp / (tp + fp) END AS p, " +
         "CASE WHEN tp + fn = 0 THEN 0e0 ELSE tp / (tp + fn) END AS r FROM st) " +

@@ -61,7 +61,10 @@ object Metrics {
       .select(col("label"), col("predicted"))
     val classes = predictions.sparkSession.range(nClasses)
       .select(col("id").cast("int").as("class"))
-    val stats = joined.crossJoin(broadcast(classes))
+    // densify FROM classes (left join): an empty prediction set still
+    // yields one all-zero row per class — a crossJoin would collapse to
+    // zero rows and break callers indexing the report by class
+    val stats = broadcast(classes).join(joined, lit(true), "left")
       .groupBy(col("class"))
       .agg(
         sum(when(col("label") === col("class") && col("predicted") === col("class"), 1L)

@@ -144,11 +144,8 @@ object AnnSearch {
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
   )
 
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
-
-  private def l2Sql(a: String, b: String): String =
-    s"sqrt(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))))"
+  private def dotSql(a: String, b: String): String = graft.rel.Queries.dotSql(a, b)
+  private def l2Sql(a: String, b: String): String = graft.rel.Queries.l2Sql(a, b)
 
   private def cosSql(a: String, b: String): String =
     s"1e0 - ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"

@@ -22,8 +22,10 @@ case class SessAgg(user_id: Long, session_id: Long, n_events: Long, sv: Double)
   * `StreamingSpec` (watermark/late-data behavior is streaming-runtime
   * semantics no batch oracle can replay, SURVEY §5.2 layer 4).
   *
-  * Scale: both are single-shuffle keyed aggregations; the streaming forms
-  * carry watermarks so state stores stay bounded.
+  * Scale: both are single-shuffle keyed aggregations; the windowed/
+  * sessionized streaming forms carry watermarks so their state stores
+  * stay bounded (keyed-dedup state is bounded by key cardinality
+  * instead — see `dedupStream`).
   */
 object Streaming {
 
@@ -78,7 +80,15 @@ object Streaming {
       .select(col("user_id"), col("event_type"), col("event_id"))
   }
 
-  /** Streaming twin of stream_dedup: watermarked state-store dedup. */
+  /** Streaming twin of stream_dedup: state-store dedup. State here is one
+    * row per DISTINCT (user_id, event_type) — bounded by key cardinality,
+    * not stream length, but NOT evicted by the watermark (eviction only
+    * applies when the event-time column is part of the dedup key; full
+    * eviction would also break the "first event ever per key" semantics
+    * this twin shares with the batch form). For dedup-within-horizon
+    * semantics with hard state bounds, use
+    * `dropDuplicatesWithinWatermark` instead — different semantics.
+    */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
@@ -138,13 +148,17 @@ object Streaming {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("value").cast("double").as("value"))
       .as[SessEvent]
+    // State encoding: n > 0 = an OPEN session; n == 0 = a closed-marker
+    // that only preserves the per-user session counter (so session ids
+    // stay unique and aligned with the batch numbering after a timeout
+    // emission — removing the state entirely would restart ids at 1).
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessAgg](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            state.update(s.copy(n = 0L, sv = 0.0)) // keep the counter; no new timeout
             Iterator.single(SessAgg(user, s.sessionId, s.n, s.sv))
           } else {
             val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
@@ -153,11 +167,16 @@ object Streaming {
             sorted.foreach { e =>
               val ms = e.ts.getTime
               cur = cur match {
-                case Some(s) if ms - s.lastMs <= GapMs =>
-                  Some(s.copy(lastMs = ms, n = s.n + 1, sv = s.sv + e.value))
-                case Some(s) =>
+                case Some(s) if s.n > 0 && ms - s.lastMs <= GapMs =>
+                  // max() guards cross-batch late events: an out-of-order
+                  // row joins the session without dragging lastMs (and
+                  // the next timeout) backwards
+                  Some(s.copy(lastMs = math.max(s.lastMs, ms), n = s.n + 1, sv = s.sv + e.value))
+                case Some(s) if s.n > 0 =>
                   out += SessAgg(user, s.sessionId, s.n, s.sv)
                   Some(SessState(s.sessionId + 1, ms, 1L, e.value))
+                case Some(closed) =>
+                  Some(SessState(closed.sessionId + 1, ms, 1L, e.value))
                 case None =>
                   Some(SessState(1L, ms, 1L, e.value))
               }
@@ -165,7 +184,13 @@ object Streaming {
             cur.foreach { s =>
               if (streaming) {
                 state.update(s)
-                state.setTimeoutTimestamp(s.lastMs + GapMs)
+                if (s.n > 0) {
+                  // a late event can put lastMs+gap at/behind the current
+                  // watermark, which setTimeoutTimestamp rejects — clamp
+                  // just past it (the session then times out next batch)
+                  val wm = state.getCurrentWatermarkMs()
+                  state.setTimeoutTimestamp(math.max(s.lastMs + GapMs, wm + 1))
+                }
               } else out += SessAgg(user, s.sessionId, s.n, s.sv)
             }
             out.iterator

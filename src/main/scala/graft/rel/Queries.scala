@@ -43,6 +43,18 @@ object Queries {
     s"floor(($e) * $p + 0.5e0) / $p"
   }
 
+  /** Shared DuckDB SQL fragments for vector math — ONE definition of the
+    * load-bearing "same element-order fold as the fused expressions"
+    * contract (SparkEntry and AnnSearch both build oracles from these;
+    * a second copy could silently diverge).
+    */
+  private[graft] def l2Sql(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))))"
+  private[graft] def l1Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> abs(p[1]-p[2])))"
+  private[graft] def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+
   /** Rewrite every `rnd(expr, n)` in an oracle SQL string to the floor
     * formula (balanced-paren aware, recursive). Keeps the twins readable
     * while guaranteeing both engines evaluate the same expression.
@@ -435,7 +447,10 @@ object Queries {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
       .rangeBetween(-3599, Window.currentRow)
     Tables.events(s, d)
-      .withColumn("ts_s", expr("unix_micros(ts) div 1000000"))
+      // FLOOR division (pmod form) to match DuckDB's `//` — `div` alone
+      // truncates toward zero and would differ by 1 s pre-1970
+      .withColumn("ts_s",
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000"))
       .select(col("user_id"), col("event_id"),
         rnd(sum(col("value")).over(w), 6).as("hour_sum"))
   }
@@ -445,14 +460,14 @@ object Queries {
   // total, no (status, priority) cell). SQL-text form — the DataFrame
   // API routes grouping sets through SQL anyway.
   def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
     s.sql("""
       SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
              coalesce(o_orderpriority, '(all)') AS o_orderpriority,
              count(*) AS n,
              cast(grouping(o_orderstatus) AS int) AS g1,
              cast(grouping(o_orderpriority) AS int) AS g2
-      FROM orders
+      FROM graft_orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
   }
 
@@ -478,15 +493,17 @@ object Queries {
   // queries. The rounding formula is written out so both engines
   // evaluate the identical expression.
   def sqlQ3(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("customer")
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    // graft_-prefixed view names: query builders must not clobber a
+    // library user's own temp views (catalog state is session-global)
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
     s.sql("""
       SELECT l_orderkey,
              floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100 AS revenue,
              count(*) AS n
-      FROM customer JOIN orders ON c_custkey = o_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
+      FROM graft_customer JOIN graft_orders ON c_custkey = o_custkey
+      JOIN graft_lineitem ON l_orderkey = o_orderkey
       WHERE c_mktsegment = 'BUILDING'
         AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
         AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'

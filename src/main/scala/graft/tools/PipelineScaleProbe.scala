@@ -50,7 +50,7 @@ object PipelineScaleProbe {
     var t0 = System.nanoTime()
     val dupPairs = Dedup.minhashLshPairs(spark, docs).count()
     val tDedup = (System.nanoTime() - t0) / 1e9
-    val planted = (nDocs - 1) / 20 + (if (nDocs % 20 >= 2) 1 else 0)
+    val planted = if (nDocs >= 2) (nDocs + 18) / 20 else 0 // ids 1,21,41,… < nDocs
     println(f"[scale] minhash_lsh nDocs=$nDocs pairs=$dupPairs (planted≈$planted) " +
       f"wall=$tDedup%.1f s (${nDocs / tDedup}%.0f docs/s)")
 

@@ -21,6 +21,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // kNN-sized group counts need the raised object-hash fallback
+    // threshold or ObjectHashAggregate sort-falls-back (the 4-8×
+    // regression this probe exists to measure the absence of)
+    graft.functions.TopKAgg.tune(spark)
 
     val path = s"/tmp/scale_emb_${n}_$dim"
     // deterministic synthetic vectors: hash-seeded, no RNG state

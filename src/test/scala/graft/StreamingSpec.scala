@@ -103,6 +103,7 @@ class StreamingSpec extends SparkSpecBase {
     val mem = MemoryStream[Ev]
     val q = Streaming.sessionizeCustomState(mem.toDF())
       .writeStream.format("memory").queryName("sess_fmgws").outputMode("append").start()
+    val late = Ev(7, ts("2024-01-01 21:00:00"), 1, "click", 9.0)
     try {
       mem.addData(evs: _*)
       q.processAllAvailable()
@@ -110,12 +111,19 @@ class StreamingSpec extends SparkSpecBase {
       // every open session's timeout; its own session stays parked.
       mem.addData(Ev(100, ts("2024-01-01 20:00:00"), 99, "click", 0.0))
       q.processAllAvailable()
+      // user 1 returns AFTER its sessions timed out: the closed-marker
+      // state must continue the session numbering (id 3, not restart at
+      // 1 — batch numbering alignment). A second sentinel flushes it.
+      mem.addData(late)
+      q.processAllAvailable()
+      mem.addData(Ev(101, ts("2024-01-02 04:00:00"), 98, "click", 0.0))
+      q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("sess_fmgws")
-      .filter(col("user_id") =!= 99)
+      .filter(col("user_id") =!= 99 && col("user_id") =!= 98)
       .select(col("user_id"), col("session_id"), col("n_events"),
         graft.rel.Queries.rnd(col("sv"), 6).as("sv"))
-    val batch = Streaming.sessionizeTransform(evs.toDF())
+    val batch = Streaming.sessionizeTransform((evs :+ late).toDF())
     assert(collectSet(streamed) === collectSet(batch))
   }
 
