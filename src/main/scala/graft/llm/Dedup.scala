@@ -43,9 +43,8 @@ object Dedup {
     * plus one equi-join on `tok` — the join shuffles by token exactly
     * like the aggregation that follows it anyway.
     */
-  private def minHashes(s: SparkSession, docs: DataFrame): DataFrame = {
+  private def minHashes(s: SparkSession, toks: DataFrame): DataFrame = {
     val seeds = s.range(NumHashes).select(col("id").cast("int").as("seed"))
-    val toks = TextOps.docTokens(docs)
     val vocab = toks.select(col("tok")).distinct()
       .crossJoin(broadcast(seeds))
       .select(col("tok"), col("seed"),
@@ -67,7 +66,13 @@ object Dedup {
     * bench corpus.
     */
   def minhashLshPairs(s: SparkSession, docs: DataFrame): DataFrame = {
-    val sigs = minHashes(s, docs)
+    // ONE tokenize pass, persisted: the (doc, tok) stream feeds the
+    // signature build, the vocabulary, and the exact verify — without
+    // the persist the corpus is tokenized three times (the dominant map
+    // cost at scale). Cache lifecycle is the caller's (Bench/Verify
+    // clear between queries), same contract as Fknn.classifyPipeline.
+    val toks = TextOps.docTokens(docs).persist()
+    val sigs = minHashes(s, toks)
       .withColumn("band", expr(s"seed div $RowsPerBand"))
       .groupBy(col("doc_id"), col("band"))
       .agg(concat(
@@ -85,7 +90,6 @@ object Dedup {
     // the full token streams on tok and THEN semi-join candidates —
     // materializes every token CO-OCCURRENCE first: ~1.6 B intermediate
     // pairs at 50 k docs, found by PipelineScaleProbe.)
-    val toks = TextOps.docTokens(docs)
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(toks.select(col("doc_id").as("d1"), col("tok")), "d1")
