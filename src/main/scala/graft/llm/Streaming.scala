@@ -198,6 +198,19 @@ object Streaming {
       }
   }
 
+  // stream_topk — windowed top-k analytics: the 2 most frequent event
+  // types per tumbling hour (tie-break: count DESC, type ASC). The
+  // ranking window partitions by the (closed) time window — in a
+  // streaming deployment this runs downstream of the watermarked
+  // tumbling aggregate, ranking only windows the watermark has sealed.
+  def topkPerWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = tumblingTransform(Tables.events(s, d))
+    val w = Window.partitionBy(col("ws")).orderBy(col("n").desc, col("event_type"))
+    agg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("ws"), col("event_type"), col("n"), col("rn"))
+  }
+
   // #31b — sliding (hopping) windows: 1-hour window, 30-minute hop.
   // Duration = 2× hop ⇒ every event lands in exactly two windows, so the
   // oracle is a clean 2-row expansion per event (no containment filter).
@@ -214,6 +227,7 @@ object Streaming {
     "stream_sliding" -> sliding,
     "stream_sessionize" -> sessionize,
     "stream_dedup" -> dedupFirst,
+    "stream_topk" -> topkPerWindow,
   )
 
   val rawOracles: Map[String, String] = Map(
@@ -222,6 +236,13 @@ object Streaming {
         "SELECT user_id, event_type, event_id, row_number() OVER (" +
         "PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn " +
         "FROM events) WHERE rn = 1"),
+
+    "stream_topk" ->
+      ("WITH agg AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, event_type, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "rk AS (SELECT ws, event_type, n, row_number() OVER (" +
+        "PARTITION BY ws ORDER BY n DESC, event_type) AS rn FROM agg) " +
+        "SELECT ws, event_type, n, rn::INT AS rn FROM rk WHERE rn <= 2"),
 
     "stream_sliding" ->
       ("SELECT ws, event_type, count(*) AS n, rnd(sum(value), 6) AS sv FROM (" +
