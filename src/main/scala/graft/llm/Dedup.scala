@@ -66,12 +66,16 @@ object Dedup {
     * bench corpus.
     */
   def minhashLshPairs(s: SparkSession, docs: DataFrame): DataFrame = {
-    // ONE tokenize pass, persisted: the (doc, tok) stream feeds the
-    // signature build, the vocabulary, and the exact verify — without
-    // the persist the corpus is tokenized three times (the dominant map
-    // cost at scale). Cache lifecycle is the caller's (Bench/Verify
-    // clear between queries), same contract as Fknn.classifyPipeline.
-    val toks = TextOps.docTokens(docs).persist()
+    // The (doc, tok) stream feeds the signature build, the vocabulary,
+    // and the exact verify. Deliberately NOT persisted: measured slower
+    // at every size tried (bench slice 1.3 s → 2.2 s; 50 k-doc probe
+    // 32 s → 39-48 s) because caching materializes the full stream once
+    // while recomputation lets each consumer push its own filters and
+    // column pruning into the scan (the verify leg reads only candidate
+    // docs' tokens). Contrast classifyPipeline, where the shared subtree
+    // is O(N²) and persist wins 8× — persist the EXPENSIVE subtree, not
+    // every shared one.
+    val toks = TextOps.docTokens(docs)
     val sigs = minHashes(s, toks)
       .withColumn("band", expr(s"seed div $RowsPerBand"))
       .groupBy(col("doc_id"), col("band"))
