@@ -61,18 +61,22 @@ object Metrics {
       .select(col("label"), col("predicted"))
     val classes = predictions.sparkSession.range(nClasses)
       .select(col("id").cast("int").as("class"))
-    // densify FROM classes (left join): an empty prediction set still
-    // yields one all-zero row per class — a crossJoin would collapse to
-    // zero rows and break callers indexing the report by class
-    val stats = broadcast(classes).join(joined, lit(true), "left")
-      .groupBy(col("class"))
-      .agg(
-        sum(when(col("label") === col("class") && col("predicted") === col("class"), 1L)
-          .otherwise(0L)).as("tp"),
-        sum(when(col("label") =!= col("class") && col("predicted") === col("class"), 1L)
-          .otherwise(0L)).as("fp"),
-        sum(when(col("label") === col("class") && col("predicted") =!= col("class"), 1L)
-          .otherwise(0L)).as("fn"))
+    // aggregate-then-densify: three partial aggregations keyed by class
+    // (≤ C rows each) left-joined onto the C-row classes frame. No C×N
+    // row expansion, every join build side is tiny, and an empty
+    // prediction set still yields one all-zero row per class.
+    def perClass(df: DataFrame, key: String, name: String): DataFrame =
+      df.groupBy(col(key).cast("int").as("class")).agg(count(lit(1)).as(name))
+    val hit = joined.filter(col("label") === col("predicted"))
+    val miss = joined.filter(col("label") =!= col("predicted"))
+    val stats = classes
+      .join(broadcast(perClass(hit, "predicted", "tp_")), Seq("class"), "left")
+      .join(broadcast(perClass(miss, "predicted", "fp_")), Seq("class"), "left")
+      .join(broadcast(perClass(miss, "label", "fn_")), Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("tp_"), lit(0L)).as("tp"),
+        coalesce(col("fp_"), lit(0L)).as("fp"),
+        coalesce(col("fn_"), lit(0L)).as("fn"))
     val p = when(col("tp") + col("fp") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fp")))
     val r = when(col("tp") + col("fn") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fn")))
     stats.select(

@@ -152,14 +152,25 @@ object Streaming {
     // that only preserves the per-user session counter (so session ids
     // stay unique and aligned with the batch numbering after a timeout
     // emission — removing the state entirely would restart ids at 1).
+    // Markers carry a TTL timeout (MarkerTtlMs) and are then removed, so
+    // total state = open sessions + recently-active users' counters —
+    // bounded; a user returning after the TTL restarts numbering at 1
+    // (documented tradeoff).
+    val MarkerTtlMs = 24L * 3600 * 1000
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessAgg](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.update(s.copy(n = 0L, sv = 0.0)) // keep the counter; no new timeout
-            Iterator.single(SessAgg(user, s.sessionId, s.n, s.sv))
+            if (s.n > 0) {
+              state.update(s.copy(n = 0L, sv = 0.0))
+              state.setTimeoutTimestamp(s.lastMs + MarkerTtlMs)
+              Iterator.single(SessAgg(user, s.sessionId, s.n, s.sv))
+            } else {
+              state.remove() // marker TTL expired
+              Iterator.empty
+            }
           } else {
             val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             val out = scala.collection.mutable.ArrayBuffer.empty[SessAgg]
@@ -167,11 +178,19 @@ object Streaming {
             sorted.foreach { e =>
               val ms = e.ts.getTime
               cur = cur match {
-                case Some(s) if s.n > 0 && ms - s.lastMs <= GapMs =>
+                case Some(s) if s.n > 0 && ms >= s.lastMs - GapMs && ms - s.lastMs <= GapMs =>
                   // max() guards cross-batch late events: an out-of-order
                   // row joins the session without dragging lastMs (and
                   // the next timeout) backwards
                   Some(s.copy(lastMs = math.max(s.lastMs, ms), n = s.n + 1, sv = s.sv + e.value))
+                case Some(s) if s.n > 0 && ms < s.lastMs - GapMs =>
+                  // out-of-contract VERY-late event (predates the open
+                  // session by more than the gap): emit it as its own
+                  // earlier-numbered singleton instead of silently
+                  // inflating the open session; the open session moves to
+                  // the next id (nothing with its old id was emitted yet)
+                  out += SessAgg(user, s.sessionId, 1L, e.value)
+                  Some(s.copy(sessionId = s.sessionId + 1))
                 case Some(s) if s.n > 0 =>
                   out += SessAgg(user, s.sessionId, s.n, s.sv)
                   Some(SessState(s.sessionId + 1, ms, 1L, e.value))

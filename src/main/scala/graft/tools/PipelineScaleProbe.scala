@@ -26,10 +26,9 @@ object PipelineScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config(graft.functions.TopKAgg.FallbackConfKey,
-        graft.functions.TopKAgg.FallbackThreshold.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.TopKAgg.tune(spark)
 
     // ---- dedup: MinHash-LSH over N docs --------------------------------
     val docPath = s"/tmp/scale_docs_$nDocs"

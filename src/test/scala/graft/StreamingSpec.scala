@@ -127,6 +127,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(collectSet(streamed) === collectSet(batch))
   }
 
+  test("fMGWS sessionizer: below-watermark late events are dropped, never inflate the open session") {
+    // Spark (≥3.4, SPARK-40025) filters below-watermark rows before
+    // flatMapGroupsWithState, and with watermark delay (10 min) < gap
+    // (30 min) any SURVIVING event is within the gap of the open
+    // session's lastMs by arithmetic — so an hours-late event must
+    // simply vanish, leaving the open session's count intact. (The
+    // in-code very-late branch guards the delay > gap configuration.)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.sessionizeCustomState(mem.toDF())
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 12:00:00"), 5, "click", 1.0),
+        Ev(2, ts("2024-01-01 12:10:00"), 5, "click", 2.0),
+        Ev(3, ts("2024-01-01 12:30:00"), 50, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, ts("2024-01-01 08:00:00"), 5, "click", 7.0)) // below watermark
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts("2024-01-01 20:00:00"), 51, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_late").filter(col("user_id") === 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set((1L, 2L, 3.0)), "open session unpolluted; late row dropped")
+  }
+
   test("session_window streaming twin ≡ batch lag/flag sessionize (session multisets)") {
     import spark.implicits._
     // session boundaries: user 1 → {10:05,10:20} + {11:10} (50-min gap);
