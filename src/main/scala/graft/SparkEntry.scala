@@ -119,6 +119,26 @@ object SparkEntry {
         .select(col("vec_id"), col("class"), round(col("membership"), 6).as("membership"))
     },
 
+    // #22b fknn_membership_chunked (CORE): same stage-1 semantics through
+    // the kNN-IS `numIterations` physical path — the query side split
+    // into 4 id-range blocks, each individually broadcast (the memory
+    // bound for train sets too large for one unhinted self-join). Same
+    // oracle as #22: the chunking must be output-invisible.
+    "fknn_membership_chunked" -> { (s, d) =>
+      Fknn.membershipInitChunked(embTrain(s, d), K, NClasses, blocks = 4)
+        .select(col("vec_id"), col("class"), round(col("membership"), 6).as("membership"))
+    },
+
+    // agg_hll (sketch): HLL++ approximate count-distinct per event_type.
+    // Deliberately NO oracle twin — sketch internals differ across
+    // engines, so the driver records the weaker rows-only check here;
+    // the bounded-error contract vs the exact answer is SketchSpec's.
+    "agg_hll" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+    },
+
     // #23 fknn_classify (CORE): the flagship two-stage pipeline
     // (stage-1 memberships persisted across stages, SURVEY §4.1 row 5).
     "fknn_classify" -> { (s, d) =>
@@ -189,6 +209,12 @@ object SparkEntry {
         s"SELECT q_id, t_id, round(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= $K"),
 
     "fknn_membership_init" ->
+      (s"WITH $embCte, $memCte " +
+        "SELECT t_id AS vec_id, class, round(membership, 6) AS membership FROM mem"),
+
+    // chunking is output-invisible: the chunked path must hash-match the
+    // exact same oracle as the unchunked stage-1
+    "fknn_membership_chunked" ->
       (s"WITH $embCte, $memCte " +
         "SELECT t_id AS vec_id, class, round(membership, 6) AS membership FROM mem"),
 
