@@ -234,7 +234,10 @@ object Streaming {
   // Duration = 2× hop ⇒ every event lands in exactly two windows, so the
   // oracle is a clean 2-row expansion per event (no containment filter).
   def sliding(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    slidingTransform(Tables.events(s, d))
+
+  def slidingTransform(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), rnd(sum("value"), 6).as("sv"))
       .select(

@@ -70,15 +70,22 @@ object PipelineScaleProbe {
       .select(col("vec_id").as("c_id"), col("v").as("c_v"))
 
     t0 = System.nanoTime()
-    val ivfRows = AnnSearch.ivfSearch(q, t, cent, k = 10, nprobe = 4).count()
+    val ivf = AnnSearch.ivfSearch(q, t, cent, k = 10, nprobe = 4)
+      .select(col("q_id"), col("t_id")).persist()
+    val ivfRows = ivf.count()
     val tIvf = (System.nanoTime() - t0) / 1e9
     t0 = System.nanoTime()
-    val bruteRows = graft.core.Knn.knn(
+    val brute = graft.core.Knn.knn(
       q.select(col("q_id").as("vec_id"), col("q_v").as("v")),
-      t.select(col("t_id").as("vec_id"), col("t_v").as("v")), 10).count()
+      t.select(col("t_id").as("vec_id"), col("t_v").as("v")), 10)
+      .select(col("q_id"), col("t_id")).persist()
+    val bruteRows = brute.count()
     val tBrute = (System.nanoTime() - t0) / 1e9
+    // recall: an approximate method's wall time means nothing without it
+    val hits = ivf.join(brute, Seq("q_id", "t_id"), "left_semi").count()
+    val recall = hits.toDouble / bruteRows
     println(f"[scale] ann nVecs=$nVecs nQ=$nQ cells≈$nCells ivf=$ivfRows rows in $tIvf%.1f s; " +
-      f"brute=$bruteRows rows in $tBrute%.1f s (speedup ${tBrute / tIvf}%.1fx)")
+      f"brute=$bruteRows rows in $tBrute%.1f s (speedup ${tBrute / tIvf}%.1fx, recall $recall%.3f)")
     spark.stop()
   }
 }

@@ -71,6 +71,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(collectSet(spark.table("tumb_file")) === collectSet(batch))
   }
 
+  test("sliding (hopping) window stream (complete mode) ≡ batch sliding on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = Streaming.slidingTransform(mem.toDF())
+      .writeStream.format("memory").queryName("slide").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(collectSet(spark.table("slide")) ===
+      collectSet(Streaming.slidingTransform(evs.toDF())))
+  }
+
   test("dropDuplicates streaming twin ≡ batch window dedup on in-order source") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
