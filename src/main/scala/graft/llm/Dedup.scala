@@ -30,6 +30,7 @@ object Dedup {
   private val NumHashes = 8 // 4 bands × 2 rows
   private val RowsPerBand = 2
   private val SimBits = 16
+  private val SimBands = 4 // pigeonhole: Hamming ≤ SimBands-1 ⇒ one band equal
 
   private def docSlice(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < 500)
@@ -43,8 +44,8 @@ object Dedup {
     * plus one equi-join on `tok` — the join shuffles by token exactly
     * like the aggregation that follows it anyway.
     */
-  private def minHashes(s: SparkSession, toks: DataFrame): DataFrame = {
-    val seeds = s.range(NumHashes).select(col("id").cast("int").as("seed"))
+  private def minHashes(s: SparkSession, toks: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = s.range(numHashes).select(col("id").cast("int").as("seed"))
     val vocab = toks.select(col("tok")).distinct()
       .crossJoin(broadcast(seeds))
       .select(col("tok"), col("seed"),
@@ -64,8 +65,17 @@ object Dedup {
   /** The full MinHash-LSH pipeline over an arbitrary (doc_id, text)
     * frame — `tools.PipelineScaleProbe` drives this at 100-500× the
     * bench corpus.
+    *
+    * `numHashes`/`rowsPerBand` size the signature: b = numHashes /
+    * rowsPerBand bands of r = rowsPerBand rows give candidate recall
+    * 1-(1-J^r)^b at Jaccard J. The declared query keeps 8 / 2 (the
+    * oracle's constants, ~98 % at J = 0.8); production corpora run
+    * 64-128 hashes — same plan shape, only the broadcast seed range and
+    * the per-band concat width change.
     */
-  def minhashLshPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+  def minhashLshPairs(s: SparkSession, docs: DataFrame,
+      numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be a multiple of rowsPerBand")
     // The (doc, tok) stream feeds the signature build, the vocabulary,
     // and the exact verify. Deliberately NOT persisted: measured slower
     // at every size tried (bench slice 1.3 s → 2.2 s; 50 k-doc probe
@@ -76,13 +86,15 @@ object Dedup {
     // is O(N²) and persist wins 8× — persist the EXPENSIVE subtree, not
     // every shared one.
     val toks = TextOps.docTokens(docs)
-    val sigs = minHashes(s, toks)
-      .withColumn("band", expr(s"seed div $RowsPerBand"))
+    // within band b, seed = b*rowsPerBand + r, so seed % rowsPerBand
+    // recovers the row index — one min(when) column per row keeps the
+    // signature concat inside whole-stage codegen for any width
+    val rowCols = (0 until rowsPerBand)
+      .map(r => min(when(col("seed") % rowsPerBand === r, col("mh"))))
+    val sigs = minHashes(s, toks, numHashes)
+      .withColumn("band", expr(s"seed div $rowsPerBand"))
       .groupBy(col("doc_id"), col("band"))
-      .agg(concat(
-        col("band").cast("string"), lit("|"),
-        min(when(col("seed") % 2 === 0, col("mh"))),
-        min(when(col("seed") % 2 === 1, col("mh")))).as("sig"))
+      .agg(concat(col("band").cast("string") +: lit("|") +: rowCols: _*).as("sig"))
     val cand = sigs.select(col("doc_id").as("d1"), col("sig"))
       .join(sigs.select(col("doc_id").as("d2"), col("sig")), "sig")
       .filter(col("d1") < col("d2"))
@@ -112,8 +124,11 @@ object Dedup {
     * bit j votes +1/-1 by bit (j%4) of hex digit (j div 4); non-negative
     * vote sum ⇒ bit set. Integer-only math, identical in both engines.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val docs = docSlice(s, d)
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashSigs(s, docSlice(s, d))
+
+  /** 16-bit SimHash signatures over an arbitrary (doc_id, text) frame. */
+  def simhashSigs(s: SparkSession, docs: DataFrame): DataFrame = {
     val bits = s.range(SimBits).select(col("id").cast("int").as("j"))
     TextOps.docTokens(docs)
       .withColumn("h", md5(col("tok")))
@@ -129,15 +144,54 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ 3 over the 16-bit sigs. */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhash(s, d)
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashBandedPairs(s, simhash(s, d))
+
+  /** Banded SimHash candidate generation: split the 16-bit signature
+    * into `SimBands` = 4 bands of 4 bits. Pigeonhole: a pair at Hamming
+    * ≤ 3 differs in at most 3 bands, so at least one band matches
+    * EXACTLY — the union of the 4 per-band equi-joins (one shuffle keyed
+    * on (band, band-bits)) finds every qualifying pair with zero misses,
+    * replacing the all-pairs signature cross join (O(N²) candidate rows;
+    * at 1 B docs that cross join dies before its filter runs). Exact
+    * `bit_count(h1^h2)` then verifies only the collision-driven
+    * candidates. Output ≡ the all-pairs form (DedupSpec pins this), so
+    * the DuckDB oracle keeps its direct cross-join shape.
+    */
+  def simhashBandedPairs(s: SparkSession, sigs: DataFrame,
+      maxHamming: Int = SimBands - 1): DataFrame = {
+    require(maxHamming < SimBands, s"pigeonhole needs maxHamming < $SimBands bands")
+    val bandBits = SimBits / SimBands
+    val bands = s.range(SimBands).select(col("id").cast("int").as("band"))
+    // band key = that band's bit slice; div/% on the BIGINT signature
+    // stays integer-exact in codegen (shift amounts are per-row columns)
+    val keyed = sigs.crossJoin(broadcast(bands))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr(s"(simhash div shiftleft(1L, band * $bandBits)) % shiftleft(1L, $bandBits)")
+          .as("bkey"))
+    keyed.select(col("doc_id").as("doc_id1"), col("simhash").as("h1"),
+        col("band"), col("bkey"))
+      .join(keyed.select(col("doc_id").as("doc_id2"), col("simhash").as("h2"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("doc_id1") < col("doc_id2"))
+      // a pair can collide in up to SimBands bands — dedupe candidates
+      // before the (cheap) exact verify so each pair is emitted once
+      .select(col("doc_id1"), col("doc_id2"), col("h1"), col("h2")).distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id1"), col("doc_id2"), col("hamming"))
+  }
+
+  /** All-pairs reference form of the SimHash pairing — the spec twin
+    * that pins `simhashBandedPairs` ≡ cross join; never on a hot path.
+    */
+  private[graft] def simhashAllPairs(sigs: DataFrame, maxHamming: Int = SimBands - 1): DataFrame =
     sigs.select(col("doc_id").as("doc_id1"), col("simhash").as("h1"))
       .crossJoin(sigs.select(col("doc_id").as("doc_id2"), col("simhash").as("h2")))
       .filter(col("doc_id1") < col("doc_id2"))
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_id1"), col("doc_id2"), col("hamming"))
-  }
 
   /** Character-3-gram Jaccard ≥ 0.6 between doc pairs (doc_id < 100 —
     * grams are ~n_chars per doc, an order denser than tokens; threshold

@@ -53,6 +53,29 @@ object PipelineScaleProbe {
     println(f"[scale] minhash_lsh nDocs=$nDocs pairs=$dupPairs (planted≈$planted) " +
       f"wall=$tDedup%.1f s (${nDocs / tDedup}%.0f docs/s)")
 
+    // same pipeline at production signature width (64 hashes, 16×4
+    // banding): recall at the planted J≈0.975 pairs should match or beat
+    // the 8-hash default; wall grows with the vocab×seeds hash build only
+    t0 = System.nanoTime()
+    val dupPairs64 = Dedup.minhashLshPairs(spark, docs, numHashes = 64, rowsPerBand = 4).count()
+    val tDedup64 = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] minhash_lsh64 nDocs=$nDocs pairs=$dupPairs64 (planted≈$planted) " +
+      f"wall=$tDedup64%.1f s (${nDocs / tDedup64}%.0f docs/s)")
+
+    // ---- dedup: banded SimHash over N docs -----------------------------
+    // the banded equi-join's candidate count is the scale argument: it
+    // must sit orders of magnitude under the N²/2 pairs the old cross
+    // join materialized
+    t0 = System.nanoTime()
+    val simSigs = Dedup.simhashSigs(spark, docs).persist()
+    val bandCand = Dedup.simhashBandedPairs(spark, simSigs)
+    val simPairs = bandCand.count()
+    val tSim = (System.nanoTime() - t0) / 1e9
+    simSigs.unpersist()
+    val allPairsCount = nDocs.toLong * (nDocs - 1) / 2
+    println(f"[scale] simhash_banded nDocs=$nDocs pairs=$simPairs " +
+      f"(cross-join would scan $allPairsCount%,d pairs) wall=$tSim%.1f s")
+
     // ---- ANN: IVF over N vectors ---------------------------------------
     val vecPath = s"/tmp/scale_vecs_$nVecs"
     spark.range(nVecs)
@@ -65,8 +88,11 @@ object PipelineScaleProbe {
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     val t = vecs.filter(col("vec_id") >= nQ)
       .select(col("vec_id").as("t_id"), col("v").as("t_v"))
+    // max(1, …): nVecs < nCells would make the stride 0 and the modulo
+    // NULL, silently emptying the centroid set (recall NaN instead of a
+    // loud failure)
     val cent = vecs.filter(col("vec_id") >= nQ &&
-        col("vec_id") % (nVecs / nCells) === 0)
+        col("vec_id") % math.max(1L, nVecs.toLong / nCells) === 0)
       .select(col("vec_id").as("c_id"), col("v").as("c_v"))
 
     t0 = System.nanoTime()

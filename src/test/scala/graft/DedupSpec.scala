@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+/** Near-dup signature suites: the banded SimHash candidate generation
+  * must be output-identical to the all-pairs reference (pigeonhole
+  * guarantee), and the parameterized MinHash width must keep finding the
+  * planted near-dups.
+  */
+class DedupSpec extends SparkSpecBase {
+
+  /** Synthetic corpus with planted near-dups: every 10th doc copies its
+    * predecessor with the last token replaced (same generator family as
+    * PipelineScaleProbe, smaller).
+    */
+  private lazy val docs = spark.range(200)
+    .select(col("id").as("doc_id"),
+      expr("IF(id % 10 = 1, id - 1, id)").as("base"),
+      expr("IF(id % 10 = 1, 1, 0)").as("mut"))
+    .select(col("doc_id"), expr(
+      """concat(
+        |  array_join(transform(sequence(1, 39), j ->
+        |    concat('w', cast(abs(hash(concat(cast(base AS string), ':', cast(j AS string)))) % 500 AS string))), ' '),
+        |  ' ', IF(mut = 1, concat('m', cast(doc_id AS string)),
+        |    concat('w', cast(abs(hash(concat(cast(base AS string), ':40'))) % 500 AS string))))""".stripMargin)
+      .as("text"))
+
+  test("banded SimHash pairing is identical to the all-pairs form (sf0.001 documents)") {
+    val sigs = Dedup.simhash(spark, sfDir).persist()
+    try {
+      val banded = collectSet(Dedup.simhashBandedPairs(spark, sigs))
+      val allPairs = collectSet(Dedup.simhashAllPairs(sigs))
+      assert(banded == allPairs)
+      assert(allPairs.nonEmpty, "vacuous twin: no pairs at Hamming <= 3")
+    } finally sigs.unpersist()
+  }
+
+  test("banded SimHash pairing matches all-pairs on the planted-dup corpus") {
+    val sigs = Dedup.simhashSigs(spark, docs).persist()
+    try {
+      val banded = collectSet(Dedup.simhashBandedPairs(spark, sigs))
+      val allPairs = collectSet(Dedup.simhashAllPairs(sigs))
+      assert(banded == allPairs)
+      assert(allPairs.nonEmpty)
+    } finally sigs.unpersist()
+  }
+
+  test("MinHash-LSH at 64 hashes finds the planted near-dups found at 8") {
+    // planted pairs are (id-1, id) for id % 10 == 1: J ≈ 39/41 ≈ 0.95
+    val planted = (1 until 200 by 10).map(i => (i - 1L, i.toLong)).toSet
+    val at8 = collectSet(Dedup.minhashLshPairs(spark, docs))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    val at64 = collectSet(Dedup.minhashLshPairs(spark, docs, numHashes = 64, rowsPerBand = 4))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    // exact-Jaccard verify makes both precise; recall at J≈0.95 should be
+    // total for 16 bands × 4 rows (1-(1-J^4)^16 ≈ 1-2e-13)
+    assert(planted.subsetOf(at64), s"64-hash LSH missed ${planted -- at64}")
+    // 8 hashes (4 bands × 2 rows) at J≈0.95: 1-(1-0.9²)^4 ≈ 0.9997 — the
+    // deterministic md5 family either finds a planted pair or not; assert
+    // near-total recall rather than exact equality
+    assert((planted -- at8).size <= 1, s"8-hash LSH missed ${planted -- at8}")
+  }
+}
