@@ -50,6 +50,11 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), json + "\n")
     println(json)
+    // Short machine line LAST: at 77+ queries the full per-query map
+    // overflows the driver's stdout tail window (BENCH_r03 "parsed": null)
+    // — the driver parses the last line, so emit a map-free summary after
+    // the full one (which bench.json keeps anyway).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

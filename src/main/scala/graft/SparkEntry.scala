@@ -145,6 +145,17 @@ object SparkEntry {
       Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
     },
 
+    // #23c fknn_classify_chunked (CORE): stage 2 through the kNN-IS
+    // `numIterations` physical path — the query set split into 4 id-hash
+    // blocks, each individually broadcast (the memory bound for query
+    // sets too large for one broadcast). Same oracle as #23: chunking
+    // must be output-invisible, mirroring what #22b proves for stage 1.
+    "fknn_classify_chunked" -> { (s, d) =>
+      val t = embTrain(s, d)
+      val mem = Fknn.membershipInit(t, K, NClasses).persist()
+      Fknn.classifyChunked(mem, t, embQueries(s, d), K, blocks = 4)
+    },
+
     // #23b fknn_classify_local (CORE): the reference's version=local
     // approximate variant (SURVEY §3.1 EP-3) — per-block local top-k,
     // vote over the union of block candidates; 4 deterministic id-blocks.
@@ -219,6 +230,9 @@ object SparkEntry {
         "SELECT t_id AS vec_id, class, round(membership, 6) AS membership FROM mem"),
 
     "fknn_classify" -> classifySql,
+
+    // chunking is output-invisible: same oracle as fknn_classify
+    "fknn_classify_chunked" -> classifySql,
 
     "fknn_classify_local" ->
       (s"WITH $embCte, $memCte, " +

@@ -95,32 +95,60 @@ object Fknn {
       memberships: DataFrame,
       train: DataFrame,
       queries: DataFrame,
-      k: Int): DataFrame = {
-    // argmax with deterministic tie-break: highest u, then lowest class.
-    val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
-    classifyScores(memberships, train, queries, k)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("class").as("predicted"))
+      k: Int): DataFrame =
+    argmaxPredicted(classifyScores(memberships, train, queries, k))
+
+  /** Stage 2 with the query side chunked into `blocks` id-hash blocks,
+    * each individually broadcast — the same kNN-IS `numIterations` memory
+    * bound `membershipInitChunked` gives stage 1. Output-identical to
+    * `classify` (FknnSpec + the shared oracle row assert it); use when
+    * the query set is too large for one broadcast — chunking bounds the
+    * in-flight broadcast at |Q|/blocks rows.
+    */
+  def classifyChunked(
+      memberships: DataFrame,
+      train: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      blocks: Int): DataFrame = {
+    val nn = (0 until blocks).map { b =>
+      Knn.knn(queries.filter(col("vec_id") % blocks === b), train, k)
+    }.reduce(_ unionAll _)
+    argmaxPredicted(scoresFromNn(nn, memberships))
   }
 
   /** Stage-2 score table (q_id, class, u) — the fuzzy membership vote
     * before the argmax; the per-class "probability" surface metrics like
     * AUC rank on.
+    *
+    * The query side carries NO broadcast hint (round-3 fix): the declared
+    * split makes it 10 % of the corpus, which at 100× is a guaranteed
+    * executor OOM if force-broadcast — Catalyst/AQE size-gates instead,
+    * exactly like the stage-1 self-join. Known-small query blocks go
+    * through `classifyChunked`, whose per-block `Knn.knn` keeps the hint.
     */
   def classifyScores(
       memberships: DataFrame,
       train: DataFrame,
       queries: DataFrame,
-      k: Int): DataFrame = {
-    val nn = Knn.knn(queries, train, k)
+      k: Int): DataFrame =
+    scoresFromNn(Knn.knn(queries, train, k, hintBroadcastQ = false), memberships)
+
+  /** Keller stage-2 vote from a (q_id, t_id, dist) neighbor table. */
+  private def scoresFromNn(nn: DataFrame, memberships: DataFrame): DataFrame = {
     val d = greatest(col("dist"), lit(DistEps))
-    val weighted = nn
-      .select(col("q_id"), col("t_id"), (lit(1.0) / (d * d)).as("w"))
+    nn.select(col("q_id"), col("t_id"), (lit(1.0) / (d * d)).as("w"))
       .join(memberships.withColumnRenamed("vec_id", "t_id"), "t_id")
-    weighted
       .groupBy(col("q_id"), col("class"))
       .agg((sum(col("membership") * col("w")) / sum(col("w"))).as("u"))
+  }
+
+  /** argmax with deterministic tie-break: highest u, then lowest class. */
+  private def argmaxPredicted(scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("class").as("predicted"))
   }
 
   /** "Local" (approximate) FkNN — the reference's `version=local` CLI
@@ -139,23 +167,15 @@ object Fknn {
       queries: DataFrame,
       k: Int,
       blocks: Int): DataFrame = {
-    val tr = train.select(col("vec_id"), col("v"))
-    val qr = queries.select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    val pairs = broadcast(qr).crossJoin(tr.select(col("vec_id").as("t_id"), col("v").as("t_v")))
+    // un-hinted (round-3 fix): the query side is the full query set here —
+    // Catalyst/AQE size-gates the cross-join placement like classifyScores
+    val qr = Knn.ensureParallelism(queries.select(col("vec_id").as("q_id"), col("v").as("q_v")))
+    val tr = Knn.ensureParallelism(train.select(col("vec_id").as("t_id"), col("v").as("t_v")))
+    val pairs = qr.crossJoin(tr)
       .select(col("q_id"), col("t_id"), (col("t_id") % blocks).as("blk"),
         graft.functions.ArrayDistance.l2(col("q_v"), col("t_v")).as("dist"))
     val nn = graft.functions.TopKAgg.knn(pairs, k, groupCols = Seq("q_id", "blk"))
-    val d = greatest(col("dist"), lit(DistEps))
-    val weighted = nn
-      .select(col("q_id"), col("t_id"), (lit(1.0) / (d * d)).as("w"))
-      .join(memberships.withColumnRenamed("vec_id", "t_id"), "t_id")
-    val scores = weighted
-      .groupBy(col("q_id"), col("class"))
-      .agg((sum(col("membership") * col("w")) / sum(col("w"))).as("u"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
-    scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("class").as("predicted"))
+    argmaxPredicted(scoresFromNn(nn, memberships))
   }
 
   /** Crisp kNN majority vote (the kNN-IS sibling surface [LINEAGE]):

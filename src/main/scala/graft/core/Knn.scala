@@ -43,10 +43,18 @@ object Knn {
     * the cluster has. Re-spread only when below the session's parallelism —
     * at real scale inputs already have ≥ that many partitions and this is a
     * no-op (no shuffle added).
+    *
+    * The split-count estimate is LOGICAL-stats-based (sizeInBytes /
+    * maxPartitionBytes ≈ the file-source split count): touching `df.rdd`
+    * here would force a physical plan outside AQE on every call — this
+    * keeps AQE the sole owner of the physical plan.
     */
-  private def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  private[core] def ensureParallelism(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    val maxPartBytes = sess.sessionState.conf.filesMaxPartitionBytes
+    val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPartBytes + 1
+    if (estParts < target) df.repartition(target) else df
   }
 
   def pairwise(

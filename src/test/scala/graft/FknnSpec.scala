@@ -84,6 +84,20 @@ class FknnSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("chunked classify ≡ unchunked for blocks=1 and blocks=3 (stage-2 numIterations)") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+    val train = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") < 300)
+    val queries = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 300)
+    val mem = Fknn.membershipInit(train, 5, 10).persist()
+    try {
+      val global = collectSet(Fknn.classify(mem, train, queries, 5))
+      assert(collectSet(Fknn.classifyChunked(mem, train, queries, 5, blocks = 1)) === global)
+      assert(collectSet(Fknn.classifyChunked(mem, train, queries, 5, blocks = 3)) === global)
+      assert(global.nonEmpty)
+    } finally mem.unpersist()
+  }
+
   test("d=0 guard: an exact-match neighbor dominates the vote") {
     val (train, _) = fixture
     // query identical to train point 2 (class B) → must predict B (1)
