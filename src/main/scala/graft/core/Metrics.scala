@@ -43,12 +43,54 @@ object Metrics {
         when(col("label") === posLabel, 1.0).otherwise(0.0).as("pos"))
     val byScore = Window.orderBy(col("u"), col("q_id"))
     val ties = Window.partitionBy(col("u"))
+    val pCnt = sum(col("pos"))
+    val nCnt = count(lit(1)) - sum(col("pos"))
     s.withColumn("rn", row_number().over(byScore))
       .withColumn("ar", avg(col("rn")).over(ties))
-      .agg(rnd(
-        (sum(when(col("pos") === 1.0, col("ar"))) -
-          sum(col("pos")) * (sum(col("pos")) + 1) / 2.0) /
-          (sum(col("pos")) * (count(lit(1)) - sum(col("pos")))), 6).as("auc"))
+      // AUC is UNDEFINED when the eval slice is single-class — emit NULL
+      // deliberately (the oracle's div-by-zero NULL has the same shape)
+      // instead of relying on the accidental 0-divisor NULL.
+      .agg(when(pCnt === 0 || nCnt === 0, lit(null).cast("double"))
+        .otherwise(rnd(
+          (sum(when(col("pos") === 1.0, col("ar"))) - pCnt * (pCnt + 1) / 2.0) /
+            (pCnt * nCnt), 6)).as("auc"))
+  }
+
+  /** At-scale AUC: the same rank statistic over a fixed-width score
+    * histogram instead of a global sort. Every score in a bucket is
+    * treated as tied at the bucket midrank, so the only non-map work is
+    * (a) one min/max aggregate, (b) one `buckets`-row keyed aggregate,
+    * and (c) a window over those ≤ `buckets` rows — the single-partition
+    * window is bounded by the BUCKET COUNT, never the data (the exact
+    * form's global-rank window sorts the whole eval set on one task,
+    * which stops scaling the moment the eval set scales with the corpus).
+    * Approximation error ≤ the mass mis-ranked within one bucket width;
+    * MetricsSpec pins |bucketed − exact| at 10⁴ buckets.
+    */
+  def aucBinaryBucketed(scores: DataFrame, truth: DataFrame, posLabel: Int,
+      buckets: Int = 10000): DataFrame = {
+    val s = scores.join(truth, scores("q_id") === truth("vec_id"))
+      .select(col("u"),
+        when(col("label") === posLabel, 1.0).otherwise(0.0).as("pos"))
+    val range = s.agg(min("u").as("lo"), max("u").as("hi"))
+    val hist = s.crossJoin(broadcast(range))
+      .select(
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(floor((col("u") - col("lo")) / (col("hi") - col("lo")) * buckets),
+            lit(buckets - 1))).cast("int").as("b"),
+        col("pos"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+    val before = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("midrank",
+        coalesce(sum(col("cnt")).over(before), lit(0L)) + (col("cnt") + 1) / 2.0)
+    val pCnt = sum(col("p"))
+    val nCnt = sum(col("cnt")) - sum(col("p"))
+    ranked.agg(when(pCnt === 0 || nCnt === 0, lit(null).cast("double"))
+      .otherwise(rnd(
+        (sum(col("p") * col("midrank")) - pCnt * (pCnt + 1) / 2.0) /
+          (pCnt * nCnt), 6)).as("auc"))
   }
 
   /** Per-class precision / recall / F1 over all `nClasses` classes

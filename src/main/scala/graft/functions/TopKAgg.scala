@@ -84,22 +84,27 @@ object TopKAgg {
     * N=20k). 256k keys ≈ tens of MB of k-row buffers: safely in-memory,
     * far above any chunked query block (SURVEY §3.2).
     *
-    * Session-construction concern, NOT set here: mutating the session
-    * conf inside a query builder would silently override the user's (or
-    * Probe's GRAFT_OHA) setting and leak into unrelated aggregates.
-    * Bench/Verify/Probe set it in their builders; `tune` is the one-liner
-    * for library users, applied only when the conf is still at Spark's
-    * default.
+    * `knn()` applies `tune` on every call so ANY session running the
+    * aggregate (the acceptance driver, a library user) gets the raised
+    * threshold — safe because `tune` no-ops whenever the conf was set
+    * explicitly (Bench/Verify/Probe builders, a user's own choice),
+    * so no caller's decision is ever overridden.
     */
   val FallbackConfKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
   val FallbackThreshold = 262144
 
   /** Raise the object-hash fallback threshold for kNN-sized group counts,
-    * unless the caller already chose a non-default value.
+    * unless the caller already set the conf EXPLICITLY (any explicit
+    * value wins — including an explicit 128). Detection: `conf.get(key,
+    * sentinel)` returns the sentinel only when the key was never set
+    * (Spark validates but does not substitute the registered default),
+    * so this never misfires if Spark changes its default.
     */
-  def tune(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (spark.conf.get(FallbackConfKey, "128") == "128")
+  def tune(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sentinel = Int.MinValue.toString
+    if (spark.conf.get(FallbackConfKey, sentinel) == sentinel)
       spark.conf.set(FallbackConfKey, FallbackThreshold.toString)
+  }
 
   /** (q_id, t_id, dist) pairs → (q_id, t_id, dist, rn) with rn ∈ [1,k],
     * ascending (dist, t_id) per group — same shape as the window top-k.
@@ -108,6 +113,10 @@ object TopKAgg {
     * (q_id, partition).
     */
   def knn(pairs: DataFrame, k: Int, groupCols: Seq[String] = Seq("q_id")): DataFrame = {
+    // every session running this aggregate needs the raised fallback
+    // threshold (the 128-group sort-based path is the 4-8× regression the
+    // aggregate exists to avoid); tune() respects any explicit user value
+    tune(pairs.sparkSession)
     val tk = ColumnBridge.column(
       TopKAggExpr(
         ColumnBridge.expression(col("dist")),

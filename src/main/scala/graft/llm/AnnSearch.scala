@@ -89,24 +89,64 @@ object AnnSearch {
   /** IVF search over arbitrary (q_id, q_v) / (t_id, t_v) / (c_id, c_v)
     * frames — the transform `tools.PipelineScaleProbe` scales up.
     */
-  def ivfSearch(q: DataFrame, t: DataFrame, cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Assignment argmin as min(struct(dist, cell)) — lexicographic struct
-    // ordering = (dist ASC, c_id ASC), identical to a row_number()=1
-    // window but planned as a two-phase hash aggregate with map-side
-    // combine: no shuffle-sort of the |T|×C assignment stream (the
-    // window form measured SLOWER than brute force at 100 k vectors,
-    // PipelineScaleProbe). The struct is 16 bytes — vectors do NOT ride
-    // through the aggregate; t_v rejoins by id afterwards (|T| rows,
-    // cheap next to the |T|×C stream).
-    val asg = t.crossJoin(broadcast(cent))
+  /** (t_id, cell) nearest-centroid assignment. Argmin as
+    * min(struct(dist, cell)) — lexicographic struct ordering = (dist
+    * ASC, c_id ASC), identical to a row_number()=1 window but planned as
+    * a two-phase hash aggregate with map-side combine: no shuffle-sort
+    * of the |T|×C assignment stream (the window form measured SLOWER
+    * than brute force at 100 k vectors, PipelineScaleProbe). The struct
+    * is 16 bytes — vectors do NOT ride through the aggregate; t_v
+    * rejoins by id afterwards (|T| rows, cheap next to the |T|×C
+    * stream).
+    */
+  private def assignCells(t: DataFrame, cent: DataFrame): DataFrame =
+    t.crossJoin(broadcast(cent))
       .select(col("t_id"), struct(
         ArrayDistance.l2(col("t_v"), col("c_v")).as("dist"),
         col("c_id").as("cell")).as("dc"))
       .groupBy(col("t_id"))
       .agg(min(col("dc")).as("m"))
       .select(col("t_id"), col("m.cell").as("cell"))
-    val cells = t.join(asg, "t_id").select(col("t_id"), col("t_v"), col("cell"))
+
+  /** Fixed-iteration Lloyd's k-means refinement of a deterministic seed
+    * centroid set (the stride centroids `ivfTopK` uses are the natural
+    * seed). Each iteration: nearest-centroid assignment (`assignCells` —
+    * the same two-phase min(struct) aggregate the search uses), then the
+    * per-cell elementwise mean via posexplode → (cell, dim) keyed avg →
+    * re-assembled array. Both shuffles key on (cell[, dim]) with map-side
+    * partial aggregation — nothing global, nothing driver-side; empty
+    * cells keep their previous centroid so the cell count never decays.
+    * Deterministic: fixed seed, fixed iterations, no RNG — re-running
+    * yields bit-identical centroids, so an IVF query over refined
+    * centroids stays oracle-expressible in principle (the declared
+    * `ann_ivf` row keeps the stride quantizer so its DuckDB twin stays
+    * ~20 lines; AnnSearchSpec pins the refined variant's recall ≥ the
+    * stride baseline at equal nprobe instead).
+    *
+    * Iterations nest the previous round's plan into the next broadcast,
+    * so keep `iters` small (the classic IVF recipe: a handful of Lloyd
+    * rounds on a sample) and persist `t` if it isn't a cheap scan.
+    */
+  def kmeansCentroids(t: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var cent = seed.select(col("c_id"), col("c_v"))
+    for (_ <- 0 until iters) {
+      val means = t.join(assignCells(t, cent), "t_id")
+        .select(col("cell"), posexplode(col("t_v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("c_id"), expr("transform(pm, p -> p.m)").as("c_v"))
+      val kept = cent.join(means.select(col("c_id")), Seq("c_id"), "left_anti")
+      cent = means.unionByName(kept)
+    }
+    cent
+  }
+
+  def ivfSearch(q: DataFrame, t: DataFrame, cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = t.join(assignCells(t, cent), "t_id")
+      .select(col("t_id"), col("t_v"), col("cell"))
 
     val pw = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
     val probes = q.crossJoin(broadcast(cent))

@@ -48,13 +48,64 @@ object Multimodal {
       checksum = acc)
   }
 
+  /** The decode seam: a codec maps one opaque payload to typed metadata.
+    * Serializable so instances ship to executors inside the
+    * `mapPartitions` closure — swapping codecs never touches the
+    * distributed shape (MultimodalSpec proves it with `PpmCodec`).
+    */
+  trait MediaCodec extends Serializable {
+    def decode(m: Media): MediaMeta
+  }
+
+  /** The deterministic stand-in codec (see `decodeStub`). */
+  object StubCodec extends MediaCodec {
+    def decode(m: Media): MediaMeta = decodeStub(m)
+  }
+
+  /** A REAL codec behind the same seam: binary PPM ("P6") header parsing
+    * — pure JVM, no libraries, so it runs in this container. Reads the
+    * actual width/height from the payload header (whitespace-separated
+    * ASCII, `#` comments skipped per the netpbm spec); non-PPM payloads
+    * decode with width = height = 0 rather than throwing, because one
+    * poison byte-blob must not kill a 100-TB decode stage. Checksum is
+    * the same rolling byte hash as the stub (payload identity, not
+    * pixels).
+    */
+  object PpmCodec extends MediaCodec {
+    def decode(m: Media): MediaMeta = {
+      val b = m.bytes
+      def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+      // tokenizer over the ASCII header: skip whitespace and # comments
+      var i = 0
+      def nextToken(): String = {
+        while (i < b.length && (isWs(b(i)) || b(i) == '#')) {
+          if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else i += 1
+        }
+        val start = i
+        while (i < b.length && !isWs(b(i))) i += 1
+        new String(b, start, i - start, "US-ASCII")
+      }
+      val (w, h) =
+        if (nextToken() == "P6") {
+          try { (nextToken().toInt, nextToken().toInt) }
+          catch { case _: NumberFormatException => (0, 0) }
+        } else (0, 0)
+      var acc = 0L
+      var j = 0
+      while (j < b.length) { acc = (acc * 131 + (b(j) & 0xff)) % 1000000007L; j += 1 }
+      MediaMeta(m.media_id, m.modality, b.length.toLong, w, h, acc)
+    }
+  }
+
   /** Batch feature extraction: one decode pass per partition, streaming
     * iterator-to-iterator (no materialization) — the mapInPandas batch
-    * shape in typed-Dataset form.
+    * shape in typed-Dataset form. The codec is injected; the plan is
+    * codec-independent.
     */
-  def extractMeta(media: Dataset[Media]): Dataset[MediaMeta] = {
+  def extractMeta(media: Dataset[Media], codec: MediaCodec = StubCodec): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(codec.decode))
   }
 
   /** Deterministic frame sampling: every `stride`-th byte of the payload

@@ -165,7 +165,12 @@ object Streaming {
             val s = state.get
             if (s.n > 0) {
               state.update(s.copy(n = 0L, sv = 0.0))
-              state.setTimeoutTimestamp(s.lastMs + MarkerTtlMs)
+              // clamp like the non-timeout site below: if the watermark
+              // jumped more than the TTL past lastMs in one batch (idle
+              // stream, then a far-future event), an unclamped timestamp
+              // is ≤ watermark and setTimeoutTimestamp throws
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + MarkerTtlMs, state.getCurrentWatermarkMs() + 1))
               Iterator.single(SessAgg(user, s.sessionId, s.n, s.sv))
             } else {
               state.remove() // marker TTL expired
@@ -222,8 +227,19 @@ object Streaming {
   // ranking window partitions by the (closed) time window — in a
   // streaming deployment this runs downstream of the watermarked
   // tumbling aggregate, ranking only windows the watermark has sealed.
-  def topkPerWindow(s: SparkSession, d: String): DataFrame = {
-    val agg = tumblingTransform(Tables.events(s, d))
+  def topkPerWindow(s: SparkSession, d: String): DataFrame =
+    rankSealed(tumblingTransform(Tables.events(s, d)))
+
+  /** The rank step of stream_topk, factored so the streaming twin can
+    * apply it per micro-batch. In a streaming deployment this runs in
+    * `foreachBatch` downstream of the WATERMARKED tumbling aggregate in
+    * Append mode: the aggregate emits a window's rows exactly once —
+    * when the watermark passes the window end — so every window arrives
+    * COMPLETE within a single batch and the per-batch rank is the final
+    * rank for that window (StreamingSpec asserts stream ≡ batch). No
+    * state beyond the upstream aggregate's own bounded store.
+    */
+  def rankSealed(agg: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("ws")).orderBy(col("n").desc, col("event_type"))
     agg.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)

@@ -29,6 +29,35 @@ class AnnSearchSpec extends SparkSpecBase {
     assert(r >= 0.4, s"IVF recall $r below floor")
   }
 
+  test("Lloyd-refined centroids: recall >= stride seed at equal nprobe, count preserved") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), graft.core.Distance.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v").as("t_v"))
+      .persist()
+    try {
+      val seed = e.filter(col("vec_id") >= 20 && col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      val refined = AnnSearch.kmeansCentroids(t, seed, iters = 3).persist()
+      assert(refined.count() === seed.count(), "empty cells must keep their centroid")
+      val rStride = recallVsExact(AnnSearch.ivfSearch(q, t, seed, k = 3, nprobe = 3), 3)
+      val rKmeans = recallVsExact(AnnSearch.ivfSearch(q, t, refined, k = 3, nprobe = 3), 3)
+      assert(rKmeans >= rStride, s"refined recall $rKmeans < stride recall $rStride")
+      refined.unpersist()
+    } finally t.unpersist()
+  }
+
+  test("kmeans refinement is deterministic (two runs bit-identical)") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), graft.core.Distance.asDouble(col("embedding")).as("v"))
+    val t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v").as("t_v"))
+    val seed = e.filter(col("vec_id") >= 20 && col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    val a = collectSet(AnnSearch.kmeansCentroids(t, seed, iters = 2))
+    val b = collectSet(AnnSearch.kmeansCentroids(t, seed, iters = 2))
+    assert(a === b)
+  }
+
   test("IVF result distances are exact for the pairs it returns") {
     // approximation is in candidate selection only — any returned pair's
     // distance must equal the exact L2 between its vectors

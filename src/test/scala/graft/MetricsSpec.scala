@@ -22,6 +22,45 @@ class MetricsSpec extends SparkSpecBase {
     assert(auc === 0.625)
   }
 
+  test("aucBinary emits NULL (not a crash or garbage) on a single-class eval slice") {
+    import spark.implicits._
+    val scores = Seq((1L, 0.9), (2L, 0.8)).toDF("q_id", "u")
+    val allPos = Seq((1L, 0), (2L, 0)).toDF("vec_id", "label")
+    assert(Metrics.aucBinary(scores, allPos, posLabel = 0).collect().head.isNullAt(0))
+    assert(Metrics.aucBinaryBucketed(scores, allPos, posLabel = 0).collect().head.isNullAt(0))
+  }
+
+  test("bucketed AUC matches exact within bucket tolerance on the real score table") {
+    import graft.core.{Distance, Fknn}
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+    val t = e.filter(col("vec_id") % 10 =!= 0)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val mem = Fknn.membershipInit(t, 5, 10).persist()
+    try {
+      val sc0 = Fknn.classifyScores(mem, t, q, 5).filter(col("class") === 0).persist()
+      val truth = e.select(col("vec_id"), col("label"))
+      val exact = Metrics.aucBinary(sc0, truth, posLabel = 0).collect().head.getDouble(0)
+      val approx = Metrics.aucBinaryBucketed(sc0, truth, posLabel = 0).collect().head.getDouble(0)
+      // 10⁴ buckets over 50 eval rows: every distinct score lands alone in
+      // its bucket unless two scores sit within 1e-4 of the range — allow
+      // that one mis-ranked pair's worth of slack
+      assert(math.abs(exact - approx) < 0.01, s"exact=$exact approx=$approx")
+      sc0.unpersist()
+    } finally mem.unpersist()
+  }
+
+  test("bucketed AUC at buckets=1 degrades to 0.5 (everything tied), exact stays put") {
+    import spark.implicits._
+    val scores = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7), (4L, 0.6)).toDF("q_id", "u")
+    val truth = Seq((1L, 0), (2L, 0), (3L, 7), (4L, 7)).toDF("vec_id", "label")
+    val one = Metrics.aucBinaryBucketed(scores, truth, posLabel = 0, buckets = 1)
+      .collect().head.getDouble(0)
+    assert(one === 0.5)
+    val exact = Metrics.aucBinary(scores, truth, posLabel = 0).collect().head.getDouble(0)
+    assert(exact === 1.0)
+  }
+
   test("classReport matches hand-computed precision/recall/F1") {
     import spark.implicits._
     // class 0: tp=1 (q1), fn=1 (q2 predicted 1), fp=1 (q3 actual 1 pred 0)

@@ -28,6 +28,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.head.checksum === expect)
   }
 
+  test("PPM codec swaps into the same seam: real header parse, same distributed shape") {
+    import spark.implicits._
+    // a 2×3 binary PPM with a header comment + 18 pixel bytes
+    val ppm = ("P6\n# test image\n2 3\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](18)(_.toByte))
+    val media = Seq(
+      Media(1L, "image", ppm),
+      Media(2L, "image", "not a ppm".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.extractMeta(media, Multimodal.PpmCodec)
+      .collect().sortBy(_.media_id)
+    assert(out(0).width === 2 && out(0).height === 3)
+    assert(out(0).n_bytes === ppm.length.toLong)
+    assert(out(1).width === 0 && out(1).height === 0, "non-PPM decodes to 0x0, not a throw")
+    // same seam, same schema: stub and real codec outputs are union-able
+    val stub = Multimodal.extractMeta(media).collect()
+    assert(stub.map(_.media_id).sorted.toSeq === out.map(_.media_id).toSeq)
+  }
+
   test("ingest + mediaMeta: binary payload with byte-exact length and hash") {
     val df = Multimodal.mediaMeta(spark, sfDir)
     val r = df.filter(col("media_id") === 0).head()

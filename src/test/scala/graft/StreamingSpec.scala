@@ -167,6 +167,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === Set((1L, 2L, 3.0)), "open session unpolluted; late row dropped")
   }
 
+  test("stream_topk twin: foreachBatch rank over sealed windows ≡ batch top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = scala.collection.mutable.Set.empty[Seq[Any]]
+    val rank: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, _) => {
+        val rows = Streaming.rankSealed(b).collect()
+        out.synchronized { rows.foreach(r => out += r.toSeq) }
+      }
+    val q = Streaming.tumblingStream(mem.toDF())
+      .writeStream.outputMode("append").foreachBatch(rank).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // sentinel far in the future seals the 13:00 window; its own
+      // window stays open and must NOT appear in the output
+      mem.addData(Ev(8, ts("2024-01-01 23:00:00"), 3, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = collectSet(Streaming.rankSealed(Streaming.tumblingTransform(evs.toDF())))
+    assert(out.toSet === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("session_window streaming twin ≡ batch lag/flag sessionize (session multisets)") {
     import spark.implicits._
     // session boundaries: user 1 → {10:05,10:20} + {11:10} (50-min gap);
