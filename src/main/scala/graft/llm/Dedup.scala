@@ -221,6 +221,64 @@ object Dedup {
       .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), rnd(col("j"), 6).as("jaccard"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    * graph, labeling every clustered doc with its component's minimum
+    * doc_id — the canonical keeper (`keep = doc_id == cluster_id`). This
+    * is the step between "find dup pairs" and "drop all but one per
+    * group" that a real curation pipeline runs.
+    */
+  def minhashClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      minhashLsh(s, d).select(col("doc_id1"), col("doc_id2")))
+
+  /** Distributed connected components by iterative min-label propagation:
+    * each round every vertex takes the min of its own label and its
+    * neighbors' labels — one equi-join + one keyed min-aggregate per
+    * round, converging in O(graph diameter) rounds. Near-dup components
+    * are dense and tiny (diameter ≲ a handful even for pathological
+    * chains), so the loop closes in a few rounds; `maxIters` bounds the
+    * worst case. The convergence check is one count per round (a scalar
+    * to the driver, never data). Deterministic: min-label has a unique
+    * fixed point regardless of execution order.
+    *
+    * Scale: every round shuffles |E| rows by vertex id — the classic
+    * large-graph CC shape (label propagation, the simple cousin of
+    * two-phase small-star/large-star); no vertex ever holds more state
+    * than one label.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_id1").as("a"), col("doc_id2").as("b"))
+      .unionAll(pairs.select(col("doc_id2").as("a"), col("doc_id1").as("b")))
+      .persist()
+    // `cached` is the persisted frame backing the current labels; each
+    // round persists the next one before releasing the previous (the
+    // final round's cache is the result's backing store — lifecycle is
+    // the caller's, like classifyPipeline's stage-1 persist).
+    var cached = edges.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"), lit(false).as("changed")).persist()
+    var labels = cached.select(col("v"), col("lbl"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a").as("v"))
+        .agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          coalesce(col("nmin") < col("lbl"), lit(false)).as("changed"))
+        .persist()
+      converged = next.filter(col("changed")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("v"), col("lbl"))
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("v") === col("lbl")).as("keep"))
+  }
+
   /** Rolling polynomial fingerprint over the document's characters:
     * fold (acc·31 + ascii(c)) mod 1e9+7 — the Rabin-Karp-style content
     * fingerprint, O(n) per doc, shuffle-free.
@@ -239,6 +297,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_cluster" -> minhashClusters,
     "dedup_simhash" -> simhashPairs,
     "similarity_ngram" -> ngramJaccard,
     "doc_fingerprint" -> fingerprint,
@@ -248,26 +307,48 @@ object Dedup {
     "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok " +
       "FROM documents WHERE doc_id < 500)"
 
-  private def jaccardTailSql(candWhere: String): String =
+  private def jaccardCtes(candWhere: String): String =
     "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1), " +
       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i " +
       s"FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id $candWhere GROUP BY 1, 2), " +
       "jj AS (SELECT d1, d2, i / (sa.sz + sb.sz - i) AS j FROM inter " +
-      "JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2) " +
-      "SELECT d1 AS doc_id1, d2 AS doc_id2, rnd(j, 6) AS jaccard FROM jj WHERE j >= 0.8e0"
+      "JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2)"
+
+  private def jaccardTailSql(candWhere: String): String =
+    jaccardCtes(candWhere) +
+      " SELECT d1 AS doc_id1, d2 AS doc_id2, rnd(j, 6) AS jaccard FROM jj WHERE j >= 0.8e0"
+
+  /** The MinHash signature + candidate CTE chain (toks → cand), shared by
+    * the pair oracle and the cluster oracle. */
+  private val minhashCtes =
+    s"$toksCte, " +
+      s"seeds AS (SELECT unnest(range($NumHashes))::INT AS seed), " +
+      "mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || tok)) AS mh " +
+      "FROM toks CROSS JOIN seeds GROUP BY 1, 2), " +
+      s"sig AS (SELECT doc_id, (seed // $RowsPerBand)::VARCHAR || '|' || " +
+      "min(CASE WHEN seed % 2 = 0 THEN mh END) || min(CASE WHEN seed % 2 = 1 THEN mh END) AS sig " +
+      s"FROM mh GROUP BY doc_id, seed // $RowsPerBand), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 " +
+      "FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id)"
+
+  private val candExists =
+    "WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = a.doc_id AND c.d2 = b.doc_id)"
 
   val rawOracles: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
-      (s"WITH $toksCte, " +
-        s"seeds AS (SELECT unnest(range($NumHashes))::INT AS seed), " +
-        "mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || tok)) AS mh " +
-        "FROM toks CROSS JOIN seeds GROUP BY 1, 2), " +
-        s"sig AS (SELECT doc_id, (seed // $RowsPerBand)::VARCHAR || '|' || " +
-        "min(CASE WHEN seed % 2 = 0 THEN mh END) || min(CASE WHEN seed % 2 = 1 THEN mh END) AS sig " +
-        s"FROM mh GROUP BY doc_id, seed // $RowsPerBand), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 " +
-        "FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id), " +
-        jaccardTailSql("WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = a.doc_id AND c.d2 = b.doc_id)")),
+      s"WITH $minhashCtes, ${jaccardTailSql(candExists)}",
+
+    // connected components as a transitive-closure recursive CTE: tiny
+    // components make the closure cheap in the oracle; the Spark side
+    // uses min-label propagation (same fixed point, proven unique)
+    "dedup_cluster" ->
+      (s"WITH RECURSIVE $minhashCtes, ${jaccardCtes(candExists)}, " +
+        "dups AS (SELECT d1, d2 FROM jj WHERE j >= 0.8e0), " +
+        "edges AS (SELECT d1 AS a, d2 AS b FROM dups UNION ALL SELECT d2, d1 FROM dups), " +
+        "reach(a, b) AS (SELECT a, b FROM edges " +
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b), " +
+        "lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) " +
+        "SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM lbl"),
 
     "dedup_simhash" ->
       (s"WITH $toksCte, " +

@@ -95,12 +95,27 @@ object TextAnalysis {
       .select(col("doc_id"), h1.as("bucket"), length(col("text")).as("n_chars"))
   }
 
+  // sample_stratified — per-stratum deterministic rate sampling: the
+  // class-rebalancing sampler every training pipeline runs (downsample
+  // dominant strata, keep more of rare ones). Stratum = embedding label;
+  // the kept fraction is (2 + label % 3)/16 — a stand-in rate table that
+  // exercises per-stratum thresholds (a production run feeds real rates;
+  // the mechanism — hash bucket < per-stratum threshold — is the
+  // reproducible, engine-independent part, like sample_hash).
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 1), 16, 10).cast("int")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), bucket.as("bucket"))
+      .filter(col("bucket") < lit(2) + pmod(col("label"), lit(3)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> quality,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
     "text_normalize" -> normalize,
     "sample_hash" -> sampleHash,
+    "sample_stratified" -> sampleStratified,
   )
 
   private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
@@ -127,6 +142,12 @@ object TextAnalysis {
       ("SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 1) AS bucket, " +
         "length(text)::INT AS n_chars FROM documents " +
         "WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2', '3')"),
+
+    "sample_stratified" ->
+      ("SELECT vec_id, label, bucket FROM (" +
+        "SELECT vec_id, label, (instr('0123456789abcdef', " +
+        "substr(md5(vec_id::VARCHAR), 1, 1)) - 1)::INT AS bucket FROM embeddings) " +
+        "WHERE bucket < 2 + label % 3"),
 
     "lang_id" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -348,6 +348,40 @@ object Queries {
       .groupBy(floor(col("o_totalprice") / 50000.0).cast("int").as("bucket"))
       .agg(count(lit(1)).as("n"), rnd(sum("o_totalprice"), 2).as("tot"))
 
+  // join_skew_salted — the manual skew lever as a declared query: the
+  // orders⋈customer join with the left side salted 4 ways (hot keys
+  // spread over 4 sub-keys, right side replicated per salt). Salting is
+  // OUTPUT-INVISIBLE — the oracle is the plain join, which is exactly
+  // the point: physical spreading, identical results (SkewSpec asserts
+  // the same for a synthetically hot key).
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_custkey").as("ck"))
+    val r = Tables.customer(s, d).select(col("c_custkey").as("ck"), col("c_name"))
+    Skew.saltedJoin(l, r, "ck", salts = 4)
+      .select(col("o_orderkey"), col("o_custkey"),
+        rnd(col("o_totalprice"), 2).as("o_totalprice"), col("c_name"))
+  }
+
+  // agg_topk_freq — grouped heavy hitters: the 3 most active users per
+  // event type, tie-break (n DESC, user_id ASC). Reuses the native
+  // bounded-heap top-k aggregate on NEGATED counts (the heap orders
+  // ascending by (dist, id), so -n gives count-descending) — frequency
+  // ranking rides the same ≤k-rows-per-partition shuffle as kNN instead
+  // of a per-group sort window. The count aggregation underneath is the
+  // usual partial+final hash agg.
+  def aggTopkFreq(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = counts.select(col("event_type").as("q_id"),
+      col("user_id").as("t_id"), negate(col("n").cast("double")).as("dist"))
+    graft.functions.TopKAgg.knn(pairs, 3)
+      .select(col("q_id").as("event_type"), col("t_id").as("user_id"),
+        negate(col("dist")).cast("long").as("n"), col("rn"))
+  }
+
   // per-group exact quantiles (linear interpolation — Spark `percentile`
   // and DuckDB `quantile_cont` share the p·(n−1) convention).
   def aggQuantiles(s: SparkSession, d: String): DataFrame =
@@ -538,7 +572,9 @@ object Queries {
     "agg_distinct" -> aggDistinct,
     "agg_rollup" -> aggRollup,
     "agg_histogram" -> aggHistogram,
+    "agg_topk_freq" -> aggTopkFreq,
     "agg_quantiles" -> aggQuantiles,
+    "join_skew_salted" -> joinSkewSalted,
     "agg_stats" -> aggStats,
     "data_profile" -> dataProfile,
     "window_analytic" -> windowAnalytic,
@@ -698,6 +734,17 @@ object Queries {
     "agg_histogram" ->
       ("SELECT floor(o_totalprice / 50000e0)::INT AS bucket, count(*) AS n, " +
         "rnd(sum(o_totalprice), 2) AS tot FROM orders GROUP BY 1"),
+
+    "agg_topk_freq" ->
+      ("WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "rk AS (SELECT event_type, user_id, n, row_number() OVER (" +
+        "PARTITION BY event_type ORDER BY n DESC, user_id) AS rn FROM c) " +
+        "SELECT event_type, user_id, n, rn::INT AS rn FROM rk WHERE rn <= 3"),
+
+    // salting is output-invisible: the oracle is the PLAIN join
+    "join_skew_salted" ->
+      ("SELECT o_orderkey, o_custkey, rnd(o_totalprice, 2) AS o_totalprice, c_name " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey"),
 
     "agg_quantiles" ->
       ("SELECT o_orderpriority, rnd(quantile_cont(o_totalprice, 0.5e0), 2) AS med, " +

@@ -47,6 +47,27 @@ class DedupSpec extends SparkSpecBase {
     } finally sigs.unpersist()
   }
 
+  test("connectedComponents: chain + separate pair + min labels (multi-round convergence)") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 forces several propagation rounds),
+    // pair 10-11, and 20-21 bridged to the chain via 21-3
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (20L, 21L), (3L, 21L))
+      .toDF("doc_id1", "doc_id2")
+    val got = graft.llm.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expect = Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false), (5L, 1L, false),
+      (20L, 1L, false), (21L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false))
+    assert(got === expect)
+  }
+
+  test("connectedComponents on an empty pair set is empty") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_id1", "doc_id2")
+    assert(graft.llm.Dedup.connectedComponents(pairs).count() === 0)
+  }
+
   test("MinHash-LSH at 64 hashes finds the planted near-dups found at 8") {
     // planted pairs are (id-1, id) for id % 10 == 1: J ≈ 39/41 ≈ 0.95
     val planted = (1 until 200 by 10).map(i => (i - 1L, i.toLong)).toSet
