@@ -177,11 +177,41 @@ object AnnSearch {
       .select(col("q_id").as("vec_id1"), col("t_id").as("vec_id2"), rnd(col("dist"), 6).as("dist"))
   }
 
+  /** embedding_normalize — L2 unit-normalization, the projection every
+    * cosine-similarity pipeline runs at ingest. LONG FORM output
+    * (vec_id, pos, x) so the gate compares scalars, never
+    * engine-formatted arrays; the normalize itself is a zero-shuffle
+    * map (posexplode is for the oracle's benefit — the library form
+    * would keep the array column). Sliced to vec_id < 50 to bound the
+    * |V|×dim row expansion at bench SFs.
+    */
+  def embeddingNormalize(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).filter(col("vec_id") < 50)
+      .withColumn("nrm", sqrt(ArrayDistance.dot(col("v"), col("v"))))
+    e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+      .select(col("vec_id"), col("pos"), rnd(col("x") / col("nrm"), 6).as("xn"))
+  }
+
+  /** embedding_centroid — per-label mean vector (class prototypes: the
+    * seed for quantizers, nearest-centroid classifiers, drift checks).
+    * Long form (label, pos, mean): one (label, dim)-keyed aggregation
+    * with map-side partial avg — the same shuffle shape as
+    * `kmeansCentroids`' mean step.
+    */
+  def embeddingCentroid(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(rnd(avg(col("x")), 6).as("m"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> cosineTopK,
     "ann_lsh_bucket" -> lshBucketTopK,
     "ann_ivf" -> ivfTopK,
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
+    "embedding_normalize" -> embeddingNormalize,
+    "embedding_centroid" -> embeddingCentroid,
   )
 
   private def dotSql(a: String, b: String): String = graft.rel.Queries.dotSql(a, b)
@@ -228,6 +258,19 @@ object AnnSearch {
         "JOIN qs q ON q.q_id = p.q_id JOIN tr t ON t.t_id = ce.t_id), " +
         "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM pp) " +
         "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "embedding_normalize" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+        s"sqrt(${dotSql("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS nrm " +
+        "FROM embeddings WHERE vec_id < 50) " +
+        "SELECT vec_id, i::INT - 1 AS pos, rnd(v[i::INT] / nrm, 6) AS xn " +
+        "FROM (SELECT vec_id, v, nrm, unnest(range(1, len(v) + 1)) AS i FROM e)"),
+
+    "embedding_centroid" ->
+      ("WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "long AS (SELECT label, i::INT - 1 AS pos, v[i::INT] AS x " +
+        "FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e)) " +
+        "SELECT label, pos, rnd(avg(x), 6) AS m FROM long GROUP BY 1, 2"),
 
     "dedup_embedding" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200), " +

@@ -109,6 +109,22 @@ object TextAnalysis {
       .filter(col("bucket") < lit(2) + pmod(col("label"), lit(3)))
   }
 
+  // corpus_mix — deterministic weighted source mixing: training mixtures
+  // draw source A at one rate and source B at another (here: the head
+  // slice at 12/16, the tail at 4/16 — a 3:1 up-weighting of the head).
+  // Hash-threshold per source keeps the mixture reproducible across
+  // engines, runs, and partitionings; at scale each source is a pushed-
+  // down scan + filter and the union is free (no shuffle).
+  def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
+    val head = docs.filter(col("doc_id") < 500 && bucket < 12)
+      .select(lit("head").as("source"), col("doc_id"))
+    val tail = docs.filter(col("doc_id") >= 500 && bucket < 4)
+      .select(lit("tail").as("source"), col("doc_id"))
+    head.unionAll(tail)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> quality,
     "token_count" -> tokenCount,
@@ -116,6 +132,7 @@ object TextAnalysis {
     "text_normalize" -> normalize,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
+    "corpus_mix" -> corpusMix,
   )
 
   private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
@@ -148,6 +165,12 @@ object TextAnalysis {
         "SELECT vec_id, label, (instr('0123456789abcdef', " +
         "substr(md5(vec_id::VARCHAR), 1, 1)) - 1)::INT AS bucket FROM embeddings) " +
         "WHERE bucket < 2 + label % 3"),
+
+    "corpus_mix" ->
+      ("WITH b AS (SELECT doc_id, (instr('0123456789abcdef', " +
+        "substr(md5(doc_id::VARCHAR), 1, 1)) - 1)::INT AS bucket FROM documents) " +
+        "SELECT 'head' AS source, doc_id FROM b WHERE doc_id < 500 AND bucket < 12 " +
+        "UNION ALL SELECT 'tail', doc_id FROM b WHERE doc_id >= 500 AND bucket < 4"),
 
     "lang_id" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
