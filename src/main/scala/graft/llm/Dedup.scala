@@ -246,34 +246,59 @@ object Dedup {
     * two-phase small-star/large-star); no vertex ever holds more state
     * than one label.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      verbose: Boolean = false): DataFrame = {
     val edges = pairs.select(col("doc_id1").as("a"), col("doc_id2").as("b"))
       .unionAll(pairs.select(col("doc_id2").as("a"), col("doc_id1").as("b")))
       .persist()
-    // `cached` is the persisted frame backing the current labels; each
-    // round persists the next one before releasing the previous (the
-    // final round's cache is the result's backing store — lifecycle is
-    // the caller's, like classifyPipeline's stage-1 persist).
-    var cached = edges.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"), lit(false).as("changed")).persist()
-    var labels = cached.select(col("v"), col("lbl"))
+    // Each round ends in `localCheckpoint(eager = true)` — NOT persist.
+    // Persist caches the data but leaves the full logical lineage in the
+    // plan; with a self-join per round the analyzed plan DOUBLES every
+    // iteration and Catalyst analysis/planning blows up exponentially
+    // (measured: round walls 3.6 s → 11.7 s → driver OOM building the
+    // plan string at sf0.1). Checkpointing truncates the plan to a
+    // LogicalRDD, so every round plans against a constant-size tree. On
+    // a cluster this would be `checkpoint()` to reliable storage — same
+    // shape, plus fault tolerance for long chains.
+    var labels = edges.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      val t0 = System.nanoTime()
+      // Step 1 — neighbor min: each vertex takes the min label over its
+      // neighborhood (one |E|-shuffle join + one keyed min).
       val nbrMin = edges
         .join(labels.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy(col("a").as("v"))
         .agg(min(col("nlbl")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("v"), "left")
+      // persisted: the jump step below reads it twice (self-join)
+      val stepped = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
           coalesce(col("nmin") < col("lbl"), lit(false)).as("changed"))
         .persist()
-      converged = next.filter(col("changed")).isEmpty
-      cached.unpersist()
-      cached = next
+      // Step 2 — pointer jumping (path halving): lbl(v) := lbl(lbl(v)).
+      // Plain neighbor-min alone needs O(chain length) rounds on a path
+      // graph; composing one jump per round collapses chains
+      // logarithmically, so the loop closes in O(log diameter) rounds.
+      val next = stepped.alias("s")
+        .join(stepped.select(col("v").as("lbl"), col("lbl").as("plbl")).alias("p"),
+          Seq("lbl"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
+          (col("changed") || coalesce(col("plbl") < col("lbl"), lit(false))).as("changed"))
+        .localCheckpoint()
+      val nChanged = next.filter(col("changed")).count()
+      converged = nChanged == 0
+      stepped.unpersist()
       labels = next.select(col("v"), col("lbl"))
       it += 1
+      if (verbose)
+        println(f"[cc] round $it changed=$nChanged wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    if (!converged)
+      // scalastyle:off println — dev-visible signal; no logger dep in this module
+      System.err.println(s"[graft] connectedComponents hit maxIters=$maxIters without " +
+        "converging — labels are a refinement of the true components, not the fixed point")
     edges.unpersist()
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
       (col("v") === col("lbl")).as("keep"))

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Connected-components scale probe: runs `Dedup.connectedComponents`
+  * over the MinHash-LSH pair graph at the given SF with per-round
+  * timing (`verbose = true`), reporting pair count, component count,
+  * max component size, and total wall. Usage:
+  * `tools/run.sh graft.tools.CcProbe [sfdir]`.
+  */
+object CcProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val t0 = System.nanoTime()
+    val pairs = graft.llm.Dedup.minhashLsh(spark, sfDir)
+      .select(col("doc_id1"), col("doc_id2")).persist()
+    val np = pairs.count()
+    println(f"[cc-probe] pairs=$np lsh_wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+
+    val t1 = System.nanoTime()
+    val cc = graft.llm.Dedup.connectedComponents(pairs.toDF(), verbose = true)
+    val row = cc.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("ncomp"), max(col("sz")).as("maxsz")).collect()(0)
+    println(f"[cc-probe] ncomp=${row.get(0)} maxsz=${row.get(1)} " +
+      f"cc_wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
