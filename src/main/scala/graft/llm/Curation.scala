@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.rel.Queries.rnd
+
+/** Corpus-curation operators beyond dedup/quality: the steps a training
+  * run executes between "raw documents" and "token stream" —
+  * benchmark decontamination, sequence packing, repetition-based
+  * quality signals, and retrieval-style chunking.
+  *
+  * Scale design: decontamination is an equi-join on gram keys (work
+  * scales with collisions, never doc pairs); packing is a per-source
+  * running sum (windows parallelize across sources — global packing
+  * would range-partition by a sort key and offset per-partition sums,
+  * same two-pass shape as `Metrics.aucBinaryBucketed`); repetition and
+  * chunking are map + keyed-agg / pure map, shuffle-free or one
+  * partial-agg shuffle.
+  */
+object Curation {
+
+  /** Word 3-grams per doc, distinct — the shingle unit for
+    * decontamination overlap. Docs under 3 tokens are guarded out
+    * (Spark's `sequence(1, 0)` runs DESCENDING; DuckDB's range is
+    * empty — same guard in the oracle keeps the doc sets identical).
+    */
+  private def docGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a) - 2), i -> concat(" +
+          "element_at(a, i), ' ', element_at(a, i + 1), ' ', element_at(a, i + 2)))")).as("g"))
+      .distinct()
+
+  /** decontaminate — benchmark/eval-set leakage check: flag every
+    * training doc sharing at least one word 3-gram with the eval slice
+    * (here `doc_id % 10 == 0`), with the count of shared distinct
+    * grams. The join is keyed on the gram itself, so cost scales with
+    * actual overlap; a genuinely-small eval set's gram table broadcasts
+    * (left to AQE's size gate rather than a hint — eval sets grow too).
+    */
+  def decontaminateDocs(docs: DataFrame): DataFrame = {
+    val grams = docGrams(docs)
+    val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") % 10 =!= 0)
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminateDocs(Tables.documents(s, d))
+
+  /** seq_pack — fixed-budget sequence packing (2048-char budget):
+    * concatenate each source's docs in doc_id order and assign every
+    * doc the sequence its first character lands in, plus its offset
+    * within the running stream modulo the budget. One running sum per
+    * source — the standard "concat then split at budget boundaries"
+    * packing a trainer's data loader performs, made deterministic.
+    */
+  def seqPackDocs(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        sum(col("n_chars")).over(w).as("cum"))
+      .select(col("source"), col("doc_id"),
+        floor((col("cum") - col("n_chars")) / budget).cast("long").as("seq_id"),
+        ((col("cum") - col("n_chars")) % budget).as("pack_off"))
+  }
+
+  def seqPack(s: SparkSession, d: String): DataFrame =
+    seqPackDocs(Tables.documents(s, d))
+
+  /** quality_repetition — Gopher-style repetition signals: token count,
+    * unique-token count, duplicate-token fraction, and top-token
+    * frequency share. Two keyed aggregations, both with map-side
+    * partials; nothing leaves the (doc, token) key space.
+    */
+  def qualityRepetitionDocs(docs: DataFrame): DataFrame = {
+    val tokCounts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    tokCounts.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tok"), count(lit(1)).as("n_unique"), max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_tok"), col("n_unique"),
+        rnd(lit(1.0) - col("n_unique") / col("n_tok"), 6).as("rep_ratio"),
+        rnd(col("top_n") / col("n_tok"), 6).as("top_ratio"))
+  }
+
+  def qualityRepetition(s: SparkSession, d: String): DataFrame =
+    qualityRepetitionDocs(Tables.documents(s, d))
+
+  /** doc_chunk — fixed-width character chunking with overlap (width 64,
+    * stride 48): the retrieval/embedding-ingest split. Pure per-row
+    * map — chunk index math stays in-engine (`sequence` + `substring`),
+    * no shuffle, scans stream through.
+    */
+  def docChunkDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (greatest(length(text) - 64, 0) + 47) div 48)")).as("i"))
+      .select(col("doc_id"), col("i").cast("int").as("chunk_id"),
+        expr("substring(text, cast(i * 48 + 1 as int), 64)").as("chunk"))
+
+  def docChunk(s: SparkSession, d: String): DataFrame =
+    docChunkDocs(Tables.documents(s, d))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> decontaminate,
+    "seq_pack" -> seqPack,
+    "quality_repetition" -> qualityRepetition,
+    "doc_chunk" -> docChunk,
+  )
+
+  /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
+  val rawOracles: Map[String, String] = Map(
+    "decontaminate" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(a) - 1), " +
+        "i -> a[i::INT] || ' ' || a[(i + 1)::INT] || ' ' || a[(i + 2)::INT])) AS g " +
+        "FROM t WHERE len(a) >= 3), " +
+        "e AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0) " +
+        "SELECT doc_id, count(*) AS n_hits FROM g JOIN e USING (g) " +
+        "WHERE doc_id % 10 <> 0 GROUP BY 1"),
+
+    "seq_pack" ->
+      ("WITH c AS (SELECT source, doc_id, n_chars, " +
+        "(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM documents) " +
+        "SELECT source, doc_id, floor((cum - n_chars) / 2048)::BIGINT AS seq_id, " +
+        "(cum - n_chars) % 2048 AS pack_off FROM c"),
+
+    "quality_repetition" ->
+      ("WITH tc AS (SELECT doc_id, tok, count(*) AS n FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, sum(n)::BIGINT AS n_tok, count(*) AS n_unique, " +
+        "max(n) AS top_n FROM tc GROUP BY 1) " +
+        "SELECT doc_id, n_tok, n_unique, rnd(1e0 - n_unique / n_tok, 6) AS rep_ratio, " +
+        "rnd(top_n / n_tok, 6) AS top_ratio FROM agg"),
+
+    "doc_chunk" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
+        "i AS (SELECT doc_id, text, unnest(range(0, (greatest(len - 64, 0) + 47) // 48 + 1)) AS i " +
+        "FROM d) " +
+        "SELECT doc_id, i::INT AS chunk_id, substr(text, (i * 48 + 1)::INT, 64) AS chunk FROM i"),
+  )
+}

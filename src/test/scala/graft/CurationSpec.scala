@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Curation
+
+/** Curation-operator invariants: decontamination catches exactly the
+  * planted overlaps, packing partitions the stream consistently, and
+  * chunking covers every character of every doc.
+  */
+class CurationSpec extends SparkSpecBase {
+
+  test("decontaminate flags exactly the train docs sharing a 3-gram with the eval slice") {
+    import spark.implicits._
+    // doc 10 is eval (10 % 10 == 0). doc 1 shares the 'c d e' window,
+    // doc 2 shares nothing, doc 3 repeats TWO distinct eval grams.
+    val docs = Seq(
+      (10L, "c d e f g"), // eval: grams {c d e, d e f, e f g}
+      (1L, "a b c d e"), //   hits on 'c d e'
+      (2L, "x y z w q"), //   clean
+      (3L, "c d e f g h"), // hits 'c d e', 'd e f', 'e f g'
+      (4L, "a b") //          under 3 tokens: guarded out entirely
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminateDocs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 3L -> 3L))
+  }
+
+  test("seq_pack partitions each source stream consistently (driver-recomputed twin)") {
+    val got = Curation.seqPack(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.size == docs.length, "every doc packed exactly once")
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, id, n) =>
+        assert(got((src, id)) == (cum / 2048, cum % 2048), s"doc $id in $src")
+        cum += n
+      }
+    }
+    assert(got.values.forall { case (_, off) => off >= 0 && off < 2048 })
+  }
+
+  test("doc_chunk covers every doc: stride layout, full coverage, correct substrings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x" * 30), //  shorter than one width: single chunk
+      (2L, "a" * 64), //  exactly one width
+      (3L, ("abcdefgh" * 20).take(150)) // 150 chars -> chunks at 0,48,96
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val chunks = Curation.docChunkDocs(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val texts = Map(1L -> "x" * 30, 2L -> "a" * 64, 3L -> ("abcdefgh" * 20).take(150))
+    for ((id, text) <- texts) {
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(mine.head._2 == 0)
+      // every chunk is the exact substring at its stride offset
+      mine.foreach { case (_, cid, c) => assert(c == text.slice(cid * 48, cid * 48 + 64)) }
+      // coverage: last chunk reaches the end, and no chunk starts past it
+      val last = mine.last._2
+      assert(last * 48 < text.length && last * 48 + 64 >= text.length)
+      val expectN = (math.max(text.length - 64, 0) + 47) / 48 + 1
+      assert(mine.length == expectN, s"doc $id chunk count")
+    }
+  }
+
+  test("quality_repetition computes the hand-checked signals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"), //    4 toks, 2 unique, top 3
+      (2L, "u v w x y z") // all unique
+    ).toDF("doc_id", "text")
+    val got = Curation.qualityRepetitionDocs(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5, 0.75)))
+    assert(got(2L) == ((6L, 6L, 0.0, math.floor(1.0 / 6 * 1e6 + 0.5) / 1e6)))
+  }
+}
