@@ -260,15 +260,125 @@ object Streaming {
         col("window.start").cast("long").as("ws"),
         col("event_type"), col("n"), col("sv"))
 
+  // stream_enrich — stream-static dimension join: events enriched with
+  // the customer dimension (user_id ↔ c_custkey - 1 in the synthetic
+  // data), aggregated per (segment, event_type). The dimension side is
+  // explicitly broadcast — it is a true dimension at any corpus scale,
+  // and in the streaming deployment the static side is broadcast to
+  // every micro-batch with no state store at all.
+  def enrich(s: SparkSession, d: String): DataFrame =
+    enrichTransform(Tables.events(s, d), Tables.customer(s, d))
+
+  def enrichTransform(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select((col("c_custkey") - 1).as("user_id"),
+        col("c_mktsegment"))), Seq("user_id"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(sum("value"), 6).as("sv"))
+      .select(col("c_mktsegment").as("segment"), col("event_type"), col("n"), col("sv"))
+
+  // stream_join — stream-stream interval join: each click matched with
+  // the same user's purchases within the following 30 minutes. Batch
+  // form is an equi-join on user_id with the interval as a post-join
+  // filter (shuffle keyed on user; per-key fanout bounded by per-user
+  // activity inside the window). The streaming twin gives BOTH sides a
+  // watermark and bounds the join condition in event time, so each
+  // side's join state evicts once the watermark passes cts + 30 min.
+  def clickPurchase(s: SparkSession, d: String): DataFrame =
+    clickPurchaseTransform(Tables.events(s, d))
+
+  def clickPurchaseTransform(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("pts") > col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Streaming twin of stream_join: watermarks on both sides + an
+    * event-time-bounded condition (required for state eviction in
+    * stream-stream joins; without the bound state grows forever).
+    */
+  def clickPurchaseStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("cts", "1 hour")
+    // rename the purchase-side key: both sides usually derive from ONE
+    // source stream, and a same-exprId join key would trip Spark's
+    // ambiguous-self-join detection
+    val p = purchases.withColumnRenamed("user_id", "p_uid")
+      .withWatermark("pts", "1 hour")
+    c.join(p,
+      col("user_id") === col("p_uid") &&
+        col("pts") > col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  // events_funnel — staged conversion funnel over the sealed event
+  // history: per user, first signup, then first click AFTER it, then
+  // first purchase after THAT; stage = how far the user got. Three
+  // keyed min-aggregations, every join keyed on user_id — one shuffle
+  // key throughout, so co-partitioning is reused across all stages.
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelTransform(Tables.events(s, d))
+
+  def funnelTransform(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val s1 = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(us).as("t1"))
+    val s2 = events.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(us > col("t1"))
+      .groupBy(col("user_id")).agg(min(us).as("t2"))
+    val s3 = events.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(us > col("t2"))
+      .groupBy(col("user_id")).agg(min(us).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
     "stream_sessionize" -> sessionize,
     "stream_dedup" -> dedupFirst,
     "stream_topk" -> topkPerWindow,
+    "stream_enrich" -> enrich,
+    "stream_join" -> clickPurchase,
+    "events_funnel" -> funnel,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "stream_enrich" ->
+      ("SELECT c_mktsegment AS segment, event_type, count(*) AS n, " +
+        "rnd(sum(value), 6) AS sv FROM events " +
+        "JOIN customer ON user_id = c_custkey - 1 GROUP BY 1, 2"),
+
+    "stream_join" ->
+      ("WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus " +
+        "FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT c.user_id, click_id, purchase_id FROM c JOIN p USING (user_id) " +
+        "WHERE pus > cus AND pus - cus <= 1800000000"),
+
+    "events_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(epoch_us(ts)) AS t2 FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id AND epoch_us(ts) > s1.t1 " +
+        "WHERE event_type = 'click' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(epoch_us(ts)) AS t3 FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id AND epoch_us(ts) > s2.t2 " +
+        "WHERE event_type = 'purchase' GROUP BY 1) " +
+        "SELECT s1.user_id, t1, t2, t3, " +
+        "(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT) AS stage " +
+        "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
+        "LEFT JOIN s3 ON s1.user_id = s3.user_id"),
+
     "stream_dedup" ->
       ("SELECT user_id, event_type, event_id FROM (" +
         "SELECT user_id, event_type, event_id, row_number() OVER (" +

@@ -217,4 +217,66 @@ class StreamingSpec extends SparkSpecBase {
     }
     assert(collectSet(viaSessionWindow) === collectSet(viaLag))
   }
+
+  test("stream-static enrich (complete mode) ≡ batch enrich on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cust = Seq((2L, "AUTO"), (3L, "HOUSE")) // user_id = c_custkey - 1 → users 1, 2
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = Streaming.enrichTransform(mem.toDF(), cust)
+      .writeStream.format("memory").queryName("enrich").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(collectSet(spark.table("enrich")) ===
+      collectSet(Streaming.enrichTransform(evs.toDF(), cust)))
+    assert(spark.table("enrich").count() > 0, "vacuous twin: dimension never matched")
+  }
+
+  test("stream-stream interval join (append mode) ≡ batch click→purchase join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val joinEvs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "purchase", 0), // e1 +10min: match
+      Ev(3, ts("2024-01-01 10:40:00"), 1, "purchase", 0), // e1 +40min: out; e4 +20min: match
+      Ev(4, ts("2024-01-01 10:20:00"), 1, "click", 0),
+      Ev(5, ts("2024-01-01 10:00:00"), 2, "click", 0),
+      Ev(6, ts("2024-01-01 11:00:00"), 2, "purchase", 0)) // +60min: out
+    val mem = MemoryStream[Ev]
+    mem.addData(joinEvs: _*)
+    val src = mem.toDF()
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val q = Streaming.clickPurchaseStream(clicks, purchases)
+      .writeStream.format("memory").queryName("cp_join").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = collectSet(spark.table("cp_join"))
+    val batch = collectSet(Streaming.clickPurchaseTransform(joinEvs.toDF()))
+    assert(streamed === batch)
+    assert(batch == Set(Seq(1L, 1L, 2L), Seq(1L, 4L, 3L)), "hand-checked matches")
+  }
+
+  test("events_funnel stages are the hand-checked sequence mins") {
+    import spark.implicits._
+    val fEvs = Seq(
+      // u1 completes: signup 10:00 → click 10:05 → purchase 10:10
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 0),
+      // u2 stalls at stage 2: purchase PRECEDES the click
+      Ev(4, ts("2024-01-01 09:00:00"), 2, "signup", 0),
+      Ev(5, ts("2024-01-01 09:30:00"), 2, "purchase", 0),
+      Ev(6, ts("2024-01-01 09:40:00"), 2, "click", 0),
+      // u3 never signs up → not in the funnel at all
+      Ev(7, ts("2024-01-01 08:00:00"), 3, "click", 0),
+      // u4 stage 1: click happened BEFORE signup
+      Ev(8, ts("2024-01-01 07:30:00"), 4, "click", 0),
+      Ev(9, ts("2024-01-01 07:45:00"), 4, "signup", 0))
+    val got = Streaming.funnelTransform(fEvs.toDF())
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 4L -> 1))
+  }
 }
