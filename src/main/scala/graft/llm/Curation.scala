@@ -76,6 +76,37 @@ object Curation {
   def seqPack(s: SparkSession, d: String): DataFrame =
     seqPackDocs(Tables.documents(s, d))
 
+  /** Global (cross-source) packing WITHOUT a one-partition window: the
+    * two-pass distributed prefix sum. Pass 1 range-partitions by the
+    * pack order and takes per-partition running sums; pass 2 computes
+    * each partition's starting offset from the (num-partitions-sized)
+    * totals table — tiny, so its one-partition window is free — and
+    * broadcast-joins it back. Output is identical to a global-order
+    * running sum, but no task ever sees more than its own range slice.
+    * Same shape as `Metrics.aucBinaryBucketed`'s rank statistic.
+    */
+  def seqPackGlobal(docs: DataFrame, budget: Int = 2048, partitions: Int = 0): DataFrame = {
+    val parts =
+      if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = docs.repartitionByRange(parts, col("doc_id"))
+      .select(col("doc_id"), col("n_chars"), spark_partition_id().as("pid"))
+    val inPart = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("cum_in", sum(col("n_chars")).over(inPart))
+    // per-partition totals: numShufflePartitions rows — the one global
+    // ordered window in the plan runs over THIS frame only
+    val offsets = local.groupBy(col("pid")).agg(max(col("cum_in")).as("tot"))
+      .withColumn("base",
+        coalesce(sum(col("tot")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("base"))
+    local.join(broadcast(offsets), "pid")
+      .select(col("doc_id"),
+        floor((col("base") + col("cum_in") - col("n_chars")) / budget).cast("long").as("seq_id"),
+        ((col("base") + col("cum_in") - col("n_chars")) % budget).as("pack_off"))
+  }
+
   /** quality_repetition — Gopher-style repetition signals: token count,
     * unique-token count, duplicate-token fraction, and top-token
     * frequency share. Two keyed aggregations, both with map-side

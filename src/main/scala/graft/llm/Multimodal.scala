@@ -153,9 +153,32 @@ object Multimodal {
       md5(sampled).as("sample_hash"))
   }
 
+  /** Declared query: aspect-preserving resize PLANNING — the shape
+    * computation an image-preprocess stage runs per payload (target:
+    * shortest side 224, round-half-up). Input dims stand in for decoder
+    * output via the same deterministic derivation the stub codec uses
+    * (real decode is spec-gated at the codec seam); the resize math is
+    * the relational piece and runs entirely in integer arithmetic —
+    * `round(w·224/s) = (2·224·w + s) div (2·s)` — so both engines agree
+    * bit-for-bit with no floating point.
+    */
+  def mediaResize(s: SparkSession, d: String): DataFrame = {
+    val nBytes = length(col("bytes")).cast("long")
+    val w = lit(64L) + nBytes % 64
+    val h = lit(64L) + (nBytes * 7) % 64
+    val short = least(w, h)
+    def out(dim: org.apache.spark.sql.Column) =
+      (lit(448L) * dim + short) / (lit(2L) * short)
+    ingestDocuments(s, d).select(
+      col("media_id"), w.as("w"), h.as("h"),
+      floor(out(w)).cast("long").as("out_w"),
+      floor(out(h)).cast("long").as("out_h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> mediaMeta,
     "multimodal_sample" -> mediaSample,
+    "multimodal_resize" -> mediaResize,
   )
 
   val rawOracles: Map[String, String] = Map(
@@ -169,5 +192,14 @@ object Multimodal {
         "list_transform(range(1, length(text) + 1), i -> " +
         "CASE WHEN (i - 1) % 4 = 0 THEN substr(text, i::INT, 1) ELSE '' END), '') AS sampled " +
         "FROM documents)"),
+
+    "multimodal_resize" ->
+      ("WITH m AS (SELECT doc_id AS media_id, " +
+        "octet_length(encode(text))::BIGINT AS nb FROM documents), " +
+        "dims AS (SELECT media_id, 64 + nb % 64 AS w, 64 + (nb * 7) % 64 AS h FROM m), " +
+        "s AS (SELECT media_id, w, h, least(w, h) AS sh FROM dims) " +
+        "SELECT media_id, w, h, " +
+        "((448 * w + sh) // (2 * sh))::BIGINT AS out_w, " +
+        "((448 * h + sh) // (2 * sh))::BIGINT AS out_h FROM s"),
   )
 }
