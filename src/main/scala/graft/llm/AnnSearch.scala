@@ -205,6 +205,23 @@ object AnnSearch {
       .groupBy(col("label"), col("pos"))
       .agg(rnd(avg(col("x")), 6).as("m"))
 
+  /** embedding_drift — per-label centroid shift between two corpus
+    * slices (even vs odd vec_ids stand in for "reference vs current"
+    * ingest snapshots): the L2 distance between slice centroids, the
+    * drift monitor a training pipeline evaluates per batch. Two
+    * (label, dim)-keyed mean aggregations, one (label, dim) join, one
+    * label-keyed sum — every shuffle is vocab-dimensional (labels ×
+    * dims), never corpus-scale.
+    */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+    def cent(half: Int) = emb(s, d).filter(pmod(col("vec_id"), lit(2)) === half)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as(s"m$half"))
+    cent(0).join(cent(1), Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(rnd(sqrt(sum((col("m0") - col("m1")) * (col("m0") - col("m1")))), 6).as("drift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> cosineTopK,
     "ann_lsh_bucket" -> lshBucketTopK,
@@ -212,6 +229,7 @@ object AnnSearch {
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "embedding_normalize" -> embeddingNormalize,
     "embedding_centroid" -> embeddingCentroid,
+    "embedding_drift" -> embeddingDrift,
   )
 
   private def dotSql(a: String, b: String): String = graft.rel.Queries.dotSql(a, b)
@@ -271,6 +289,15 @@ object AnnSearch {
         "long AS (SELECT label, i::INT - 1 AS pos, v[i::INT] AS x " +
         "FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e)) " +
         "SELECT label, pos, rnd(avg(x), 6) AS m FROM long GROUP BY 1, 2"),
+
+    "embedding_drift" ->
+      ("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "long AS (SELECT vec_id % 2 AS half, label, i::INT - 1 AS pos, v[i::INT] AS x " +
+        "FROM (SELECT vec_id, label, v, unnest(range(1, len(v) + 1)) AS i FROM e)), " +
+        "c0 AS (SELECT label, pos, avg(x) AS m0 FROM long WHERE half = 0 GROUP BY 1, 2), " +
+        "c1 AS (SELECT label, pos, avg(x) AS m1 FROM long WHERE half = 1 GROUP BY 1, 2) " +
+        "SELECT c0.label, rnd(sqrt(sum((m0 - m1) * (m0 - m1))), 6) AS drift " +
+        "FROM c0 JOIN c1 USING (label, pos) GROUP BY 1"),
 
     "dedup_embedding" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200), " +
