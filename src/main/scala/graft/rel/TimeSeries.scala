@@ -1,0 +1,204 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.rel.Queries.rnd
+
+/** Time-series / change-data-capture operators over `events` — the
+  * monitoring + incremental-ingest surface a training-data pipeline
+  * runs next to its batch curation jobs (SURVEY.md §2.9c; the reference
+  * lineage has no native time-series ops [LINEAGE §2.10], so these are
+  * north-star EXT additions like `llm/Curation`).
+  *
+  * Scale notes (100 TB framing):
+  *  - `resampleHourly`'s gap grid is `sequence()`-exploded per key, so
+  *    grid size is bounded by key-cardinality × CALENDAR span (hours in
+  *    the retention window), never by event count — the grid side of the
+  *    left join stays small/AQE-broadcastable while the bucket side is a
+  *    plain partial-agg shuffle.
+  *  - `anomalyZscore` is one window pass per event_type, rows-bounded
+  *    frame (24 preceding). A single dominant event_type serializes into
+  *    one sort partition — at corpus scale, salt the partition key with a
+  *    coarse time bucket and overlap frames by 24 rows (same trick as
+  *    `Curation.seqPackGlobal`'s range-partition pass).
+  *  - `cdcLatest` deliberately AVOIDS the textbook row_number window:
+  *    a max-on-struct aggregate gets map-side partial combine, so the
+  *    shuffle carries ≤ one row per (partition, key) instead of every
+  *    version of every key — the difference between O(updates) and
+  *    O(keys) shuffle bytes on a busy CDC feed. TimeSeriesSpec asserts
+  *    it ≡ the window form; the DuckDB oracle IS the window form.
+  *  - `scd2Intervals` / `eventsRetention` are one keyed window / two
+  *    keyed aggs sharing the user_id shuffle key.
+  */
+object TimeSeries {
+
+  private val WeekUs = 604800000000L // 7 * 86400 * 1e6
+
+  // ---- ts_resample: hourly gap-fill + forward fill ----------------------
+
+  /** Per-event_type hourly resample: every hour in [min, max] of that
+    * type's span appears exactly once; empty hours carry n = 0 and the
+    * last non-null hourly average forward-filled.
+    */
+  def resampleHourly(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(count(lit(1)).as("n"), rnd(avg(col("value")), 6).as("v"))
+    val grid = b.groupBy("event_type")
+      .agg(min("hs").as("lo"), max("hs").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hs"))
+    val ffill = Window.partitionBy("event_type").orderBy("hs")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq("event_type", "hs"), "left")
+      .select(col("event_type"), col("hs"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("v"), ignoreNulls = true).over(ffill).as("v_fill"))
+  }
+
+  def resample(s: SparkSession, d: String): DataFrame =
+    resampleHourly(Tables.events(s, d))
+
+  // ---- ts_anomaly: rolling z-score outliers -----------------------------
+
+  /** Rolling z-score anomaly detection: each event scored against the
+    * mean/stddev of the 24 events preceding it (same event_type, event
+    * time order). Emits only scored outliers (|z| > 2 with ≥ 12-event
+    * history and non-degenerate spread) — the alert stream, not the
+    * full scored corpus.
+    */
+  def anomalyZscore(events: DataFrame): DataFrame = {
+    val frame = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-24, -1)
+    events
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("mu", avg(col("value")).over(frame))
+      .withColumn("sd", stddev_samp(col("value")).over(frame))
+      .withColumn("hist", count(col("value")).over(frame))
+      .filter(col("hist") >= 12 && col("sd") > 0 &&
+        abs((col("value") - col("mu")) / col("sd")) > 2)
+      .select(col("event_id"), col("event_type"), col("value"),
+        rnd((col("value") - col("mu")) / col("sd"), 6).as("z"))
+  }
+
+  def anomaly(s: SparkSession, d: String): DataFrame =
+    anomalyZscore(Tables.events(s, d))
+
+  // ---- cdc_latest: keep-latest-version per key --------------------------
+
+  /** Latest event per user — the CDC "current snapshot" compaction.
+    * max-on-struct so the shuffle sees one partial row per (partition,
+    * user) — see object scaladoc. (ts, event_id) leads the struct, so
+    * lexicographic max = latest-then-highest-id, matching the window
+    * oracle's ORDER BY ts DESC, event_id DESC tiebreak.
+    */
+  def cdcLatest(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"))
+
+  /** The textbook window form of `cdcLatest` — spec twin only (the
+    * aggregate form above is what scales; results must be identical).
+    */
+  private[graft] def cdcLatestWindow(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  def latest(s: SparkSession, d: String): DataFrame =
+    cdcLatest(Tables.events(s, d))
+
+  // ---- scd2_intervals: event log → validity intervals -------------------
+
+  /** Slowly-changing-dimension type-2 shape: each per-user event becomes
+    * a [valid_from, valid_to) interval in epoch µs, valid_to = next
+    * event's valid_from (NULL ⇒ current version). One keyed window.
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
+  }
+
+  def scd2(s: SparkSession, d: String): DataFrame =
+    scd2Intervals(Tables.events(s, d))
+
+  // ---- events_retention: weekly cohort retention ------------------------
+
+  /** Cohort retention matrix: users bucketed by first-seen week (epoch
+    * week number), counted distinct in each offset week they reappear.
+    * Two keyed aggregations; the first-seen frame shares the user_id
+    * shuffle key with the join, and the cohort-cell agg is
+    * low-cardinality (weeks × weeks).
+    */
+  def eventsRetention(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val first = e.groupBy("user_id").agg(min("t").as("t0"))
+    e.join(first, "user_id")
+      .select(col("user_id"), expr(s"t0 div $WeekUs").as("cohort_week"),
+        expr(s"(t - t0) div $WeekUs").as("week_n"))
+      .groupBy("cohort_week", "week_n")
+      .agg(countDistinct("user_id").as("users"))
+  }
+
+  def retention(s: SparkSession, d: String): DataFrame =
+    eventsRetention(Tables.events(s, d))
+
+  // ---- driver wiring ----------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_resample" -> resample,
+    "ts_anomaly" -> anomaly,
+    "cdc_latest" -> latest,
+    "scd2_intervals" -> scd2,
+    "events_retention" -> retention,
+  )
+
+  val rawOracles: Map[String, String] = Map(
+    "ts_resample" ->
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "count(*) AS n, rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, min(hs) AS lo, max(hs) AS hi FROM b GROUP BY 1), " +
+        "g AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS hs FROM r), " +
+        "j AS (SELECT g.event_type, g.hs, coalesce(n, 0) AS n, v " +
+        "FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.hs = b.hs) " +
+        "SELECT event_type, hs, n, last_value(v IGNORE NULLS) OVER (" +
+        "PARTITION BY event_type ORDER BY hs " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill FROM j"),
+
+    "ts_anomaly" ->
+      ("WITH sc AS (SELECT event_id, event_type, value, " +
+        "avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd, " +
+        "count(value) OVER w AS hist FROM events " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, event_type, value, rnd((value - mu) / sd, 6) AS z " +
+        "FROM sc WHERE hist >= 12 AND sd > 0 AND abs((value - mu) / sd) > 2"),
+
+    "cdc_latest" ->
+      ("SELECT user_id, event_id, event_type, value FROM (" +
+        "SELECT user_id, event_id, event_type, value, row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1"),
+
+    "scd2_intervals" ->
+      ("SELECT user_id, event_type, epoch_us(ts) AS valid_from, " +
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts), event_id) AS valid_to FROM events"),
+
+    "events_retention" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+        "f AS (SELECT user_id, min(t) AS t0 FROM e GROUP BY 1) " +
+        s"SELECT t0 // $WeekUs AS cohort_week, (t - t0) // $WeekUs AS week_n, " +
+        "count(DISTINCT e.user_id) AS users " +
+        "FROM e JOIN f USING (user_id) GROUP BY 1, 2"),
+  )
+}

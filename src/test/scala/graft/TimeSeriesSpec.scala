@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.rel.TimeSeries
+
+class TimeSeriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** (event_id, epoch-seconds, user_id, event_type, value) → events frame. */
+  private def ev(rows: (Long, Long, Long, String, Double)*): DataFrame =
+    rows.toDF("event_id", "secs", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+
+  test("resampleHourly fills gaps with n=0 and forward-fills the hourly mean") {
+    // clicks at hour 0 (avg 2.0) and hour 3 (avg 6.0); hours 1-2 are gaps
+    val df = ev(
+      (1L, 600L, 1L, "click", 1.0), (2L, 1200L, 1L, "click", 3.0),
+      (3L, 3 * 3600L + 60L, 2L, "click", 6.0))
+    val out = TimeSeries.resampleHourly(df)
+      .orderBy("hs").select("hs", "n", "v_fill").as[(Long, Long, Double)].collect()
+    assert(out === Seq(
+      (0L, 2L, 2.0), (3600L, 0L, 2.0), (7200L, 0L, 2.0), (10800L, 1L, 6.0)))
+  }
+
+  test("resampleHourly keeps per-type spans independent") {
+    val df = ev(
+      (1L, 0L, 1L, "click", 1.0), (2L, 7200L, 1L, "click", 2.0),
+      (3L, 3600L, 2L, "view", 5.0))
+    val out = TimeSeries.resampleHourly(df)
+    assert(out.filter($"event_type" === "click").count() === 3) // hours 0,1,2
+    assert(out.filter($"event_type" === "view").count() === 1)  // hour 1 only
+  }
+
+  test("anomalyZscore flags a spike after sufficient history, not the baseline") {
+    // 24 alternating baseline points (10/12), then one spike at 100
+    val base = (1 to 24).map(i =>
+      (i.toLong, i * 60L, 1L, "click", if (i % 2 == 0) 12.0 else 10.0))
+    val df = ev(base :+ (99L, 25 * 60L, 1L, "click", 100.0): _*)
+    val out = TimeSeries.anomalyZscore(df).select("event_id").as[Long].collect()
+    assert(out === Seq(99L))
+  }
+
+  test("anomalyZscore requires 12 events of history") {
+    val base = (1 to 5).map(i => (i.toLong, i * 60L, 1L, "click", if (i % 2 == 0) 12.0 else 10.0))
+    val df = ev(base :+ (99L, 400L, 1L, "click", 100.0): _*)
+    assert(TimeSeries.anomalyZscore(df).count() === 0)
+  }
+
+  test("cdcLatest keeps the latest (ts, event_id) version per user") {
+    val df = ev(
+      (1L, 100L, 1L, "signup", 1.0), (2L, 200L, 1L, "click", 2.0),
+      (3L, 200L, 1L, "view", 3.0), // ts tie → higher event_id wins
+      (4L, 50L, 2L, "click", 4.0))
+    val out = TimeSeries.cdcLatest(df)
+      .orderBy("user_id").select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect()
+    assert(out === Seq((1L, 3L, 3.0), (2L, 4L, 4.0)))
+  }
+
+  test("cdcLatest aggregate form ≡ row_number window form on real data") {
+    val events = Tables.events(spark, sfDir)
+    assert(collectSet(TimeSeries.cdcLatest(events)) ===
+      collectSet(TimeSeries.cdcLatestWindow(events)))
+  }
+
+  test("scd2Intervals chains valid_to to the next valid_from, NULL for current") {
+    val df = ev(
+      (1L, 100L, 1L, "signup", 0.0), (2L, 200L, 1L, "click", 0.0),
+      (3L, 300L, 1L, "purchase", 0.0))
+    val out = TimeSeries.scd2Intervals(df).orderBy("valid_from")
+      .select("event_type", "valid_from", "valid_to")
+      .as[(String, Long, Option[Long])].collect()
+    assert(out === Seq(
+      ("signup", 100000000L, Some(200000000L)),
+      ("click", 200000000L, Some(300000000L)),
+      ("purchase", 300000000L, None)))
+  }
+
+  test("scd2Intervals on real data: intervals per user are contiguous and end open") {
+    val out = TimeSeries.scd2Intervals(Tables.events(spark, sfDir))
+    val perUser = out.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      count(col("valid_to")).as("closed"),
+      // each closed interval's end must equal some start for that user
+      sum(when(col("valid_to").isNotNull && col("valid_to") <= col("valid_from"), 1)
+        .otherwise(0)).as("bad"))
+    assert(perUser.filter(col("closed") =!= col("n") - 1).count() === 0)
+    assert(perUser.filter(col("bad") > 0).count() === 0)
+  }
+
+  test("eventsRetention counts cohort users per offset week") {
+    val wk = 604800L
+    val df = ev(
+      (1L, 0L, 1L, "click", 0.0), (2L, wk + 60L, 1L, "click", 0.0),  // u1: w0, w1
+      (3L, 60L, 2L, "click", 0.0),                                   // u2: w0 only
+      (4L, wk + 120L, 3L, "click", 0.0))                             // u3 cohort wk1
+    val out = TimeSeries.eventsRetention(df)
+      .orderBy("cohort_week", "week_n")
+      .select("week_n", "users").as[(Long, Long)].collect()
+    // epoch-week-0 cohort: w0 → 2 users, w1 → 1 user; week-1 cohort: w0 → 1
+    assert(out.toSeq === Seq((0L, 2L), (1L, 1L), (0L, 1L)))
+  }
+}
