@@ -142,11 +142,34 @@ object Curation {
   def docChunk(s: SparkSession, d: String): DataFrame =
     docChunkDocs(Tables.documents(s, d))
 
+  /** pii_redact — pattern-based PII scrubbing (the pre-training privacy
+    * pass): email-shaped tokens then digit runs masked, with a count of
+    * masked spans per record. Pure map — codegen'd regexp over each
+    * partition, zero shuffle, scales linearly. Runs on `events.props`
+    * (the one column of this synthetic corpus with digit content — the
+    * documents table is letters-only, which would make the redaction
+    * path vacuous); both patterns are RE2-and-Java-regex-compatible so
+    * the DuckDB twin applies the identical expressions.
+    */
+  def piiRedactProps(events: DataFrame): DataFrame = {
+    val emailPat = "[A-Za-z0-9.%+-]+@[A-Za-z0-9.-]+"
+    val deEmailed = regexp_replace(col("props"), emailPat, "<EMAIL>")
+    events.select(
+      col("event_id"),
+      regexp_replace(deEmailed, "[0-9]+", "<NUM>").as("redacted"),
+      (regexp_count(col("props"), lit(emailPat)) +
+        regexp_count(deEmailed, lit("[0-9]+"))).as("n_masked"))
+  }
+
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    piiRedactProps(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> decontaminate,
     "seq_pack" -> seqPack,
     "quality_repetition" -> qualityRepetition,
     "doc_chunk" -> docChunk,
+    "pii_redact" -> piiRedact,
   )
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
@@ -180,5 +203,13 @@ object Curation {
         "i AS (SELECT doc_id, text, unnest(range(0, (greatest(len - 64, 0) + 47) // 48 + 1)) AS i " +
         "FROM d) " +
         "SELECT doc_id, i::INT AS chunk_id, substr(text, (i * 48 + 1)::INT, 64) AS chunk FROM i"),
+
+    "pii_redact" ->
+      ("WITH de AS (SELECT event_id, props, " +
+        "regexp_replace(props, '[A-Za-z0-9.%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS t " +
+        "FROM events) " +
+        "SELECT event_id, regexp_replace(t, '[0-9]+', '<NUM>', 'g') AS redacted, " +
+        "(len(regexp_extract_all(props, '[A-Za-z0-9.%+-]+@[A-Za-z0-9.-]+')) + " +
+        "len(regexp_extract_all(t, '[0-9]+')))::INT AS n_masked FROM de"),
   )
 }

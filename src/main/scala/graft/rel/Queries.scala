@@ -521,6 +521,50 @@ object Queries {
     both.unionAll(only)
   }
 
+  // join_bloom_prune — the manual runtime-filter lever: lineitem is
+  // Bloom-pruned on l_orderkey against a selective orders subset BEFORE
+  // the join shuffle (see BloomPrune scaladoc for the 100-TB rationale).
+  // Pruning is output-invisible — false positives die in the real join —
+  // so the oracle is the plain filtered join.
+  def joinBloomPrune(s: SparkSession, d: String): DataFrame =
+    BloomPrune.prunedJoin(
+        Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d).filter(col("o_totalprice") > 470000), "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("l_extendedprice")), 2).as("rev"))
+
+  // sql_exists — correlated-subquery surface: EXISTS / NOT EXISTS plus a
+  // correlated scalar subquery, submitted as SQL text. Exercises
+  // Catalyst's subquery decorrelation (all three rewrite to joins —
+  // semi, anti, and a left-outer aggregate — rather than per-row
+  // re-execution, which is what makes them survive 100 TB).
+  def sqlExists(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment,
+             (SELECT count(*) FROM graft_orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) AS n_big
+      FROM graft_customer c
+      WHERE EXISTS (SELECT 1 FROM graft_orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        AND NOT EXISTS (SELECT 1 FROM graft_orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""")
+  }
+
+  // agg_argmax — max_by/min_by: which event carried the extreme value
+  // per type. Struct-valued ordering key makes ties deterministic
+  // (value, then event_id) — the oracle's window form spells out the
+  // same ORDER BY.
+  def aggArgmax(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("event_id"), struct(col("value"), col("event_id"))).as("max_event"),
+        min_by(col("event_id"), struct(col("value"), col("event_id"))).as("min_event"),
+        rnd(max(col("value")), 6).as("max_v"),
+        rnd(min(col("value")), 6).as("min_v"))
+
   // sql_q3 — the SQL-frontend surface: the classic shipping-priority
   // join/agg/top-k (TPC-H Q3 shape) submitted as SQL TEXT over temp
   // views and planned by the same Catalyst pipeline as the DataFrame
@@ -586,6 +630,9 @@ object Queries {
     "sort_limit" -> sortLimit,
     "set_ops" -> setOps,
     "sql_q3" -> sqlQ3,
+    "join_bloom_prune" -> joinBloomPrune,
+    "sql_exists" -> sqlExists,
+    "agg_argmax" -> aggArgmax,
   )
 
   /** DuckDB twins — same column names, rounding, tie-breaks (SURVEY §7.4).
@@ -812,5 +859,30 @@ object Queries {
         "INTERSECT SELECT o_custkey FROM orders) " +
         "UNION ALL SELECT 'cust_only' AS tag, c_custkey FROM (" +
         "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)"),
+
+    // Bloom pruning is output-invisible → oracle is the plain join
+    "join_bloom_prune" ->
+      ("SELECT o_orderpriority, count(*) AS n, rnd(sum(l_extendedprice), 2) AS rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_totalprice > 470000e0 GROUP BY 1"),
+
+    "sql_exists" ->
+      ("SELECT c_custkey, c_mktsegment, " +
+        "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 400000e0) AS n_big " +
+        "FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 400000e0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderstatus = 'F')"),
+
+    "agg_argmax" ->
+      ("WITH rk AS (SELECT event_type, event_id, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rmax, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rmin " +
+        "FROM events) " +
+        "SELECT event_type, max(CASE WHEN rmax = 1 THEN event_id END) AS max_event, " +
+        "max(CASE WHEN rmin = 1 THEN event_id END) AS min_event, " +
+        "rnd(max(value), 6) AS max_v, rnd(min(value), 6) AS min_v FROM rk GROUP BY 1"),
   )
 }

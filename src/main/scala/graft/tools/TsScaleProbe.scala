@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.rel.{BloomPrune, TimeSeries}
+
+/** Scale experiment for the TimeSeries/CDC family + Bloom pruning over
+  * an N-event synthetic CDC feed (many updates per key — the regime
+  * where compaction strategy matters: here 100 versions/key, so the
+  * window form sorts 100× more shuffled rows than the aggregate form
+  * ships).
+  *
+  * usage: tools/run.sh graft.tools.TsScaleProbe [nEvents]
+  */
+object TsScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nEvents = if (args.nonEmpty) args(0).toInt else 2000000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 100 versions per user key; value hash-seeded, ts strides 1s
+    val evPath = s"/tmp/scale_ts_$nEvents"
+    spark.range(nEvents)
+      .select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1704067200L) + col("id") % 2592000).as("ts"),
+        (col("id") % (nEvents / 100)).as("user_id"),
+        concat(lit("t"), col("id") % 5).as("event_type"),
+        (abs(hash(col("id"))) % 1000 / 10.0).as("value"))
+      .write.mode("overwrite").parquet(evPath)
+    val events = spark.read.parquet(evPath)
+
+    // shuffle-write accounting: wall time barely moves on an in-memory
+    // local shuffle, so the number that predicts cluster behavior is
+    // BYTES SHUFFLED — a stage-completion listener sums them per leg
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    def leg(name: String)(body: => Long): Unit = {
+      shuffled.set(0)
+      val t0 = System.nanoTime()
+      val rows = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus drain (private API; probe-grade wait)
+      println(f"[scale] $name nEvents=$nEvents rows=$rows wall=$wall%.1f s " +
+        f"(${nEvents / wall}%.0f ev/s) shuffleMB=${shuffled.get / 1e6}%.1f")
+    }
+
+    leg("cdc_latest_agg")(TimeSeries.cdcLatest(events).count())
+    leg("cdc_latest_window")(TimeSeries.cdcLatestWindow(events).count())
+    leg("ts_resample")(TimeSeries.resampleHourly(events).count())
+    leg("ts_anomaly")(TimeSeries.anomalyZscore(events).count())
+    // 24h buckets over the 30-day feed: 30 buckets × 5 types of sort
+    // parallelism vs the global form's 5 partitions
+    leg("ts_anomaly_salted")(TimeSeries.anomalyZscoreScalable(events, 24).count())
+    leg("scd2_intervals")(TimeSeries.scd2Intervals(events).count())
+    leg("events_retention")(TimeSeries.eventsRetention(events).count())
+
+    // Bloom prune: 0.1% of keys selective; `merge` hint pins a shuffle
+    // join (the cluster regime — both sides too big to broadcast) so the
+    // probe shows what pruning does to the big side's shuffle volume.
+    // The key table is MATERIALIZED SEPARATELY: deriving it by filtering
+    // `events` lets InferFiltersFromConstraints push the defining
+    // predicate through the join onto the big side — static pruning that
+    // no real dimension table offers (found when this probe's first cut
+    // reported 0 shuffled bytes for the plain join).
+    val smallPath = s"/tmp/scale_ts_keys_$nEvents"
+    spark.range(0, nEvents / 100, 1000).select(col("id").as("k"))
+      .write.mode("overwrite").parquet(smallPath)
+    val small = spark.read.parquet(smallPath)
+    leg("join_plain")(
+      events.hint("merge").join(small, events("user_id") === small("k")).count())
+    leg("join_bloom_pruned") {
+      val bloom = BloomPrune.bloomOf(small, small("k"),
+        expectedItems = nEvents / 100000 + 10)
+      BloomPrune.prune(events, events("user_id"), bloom).hint("merge")
+        .join(small, events("user_id") === small("k")).count()
+    }
+    spark.stop()
+  }
+}

@@ -48,6 +48,24 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(TimeSeries.anomalyZscore(df).count() === 0)
   }
 
+  test("anomalyZscoreScalable flags a spike whose history crosses the bucket boundary") {
+    // 24 baseline points in hour-bucket 0; spike lands in bucket 1 with
+    // 1-hour buckets — scoring depends entirely on imported context rows
+    val base = (1 to 24).map(i =>
+      (i.toLong, i * 60L, 1L, "click", if (i % 2 == 0) 12.0 else 10.0))
+    val df = ev(base :+ (99L, 3660L, 1L, "click", 100.0): _*)
+    val out = TimeSeries.anomalyZscoreScalable(df, bucketSpanHours = 1)
+      .select("event_id").as[Long].collect()
+    assert(out === Seq(99L))
+  }
+
+  test("anomalyZscoreScalable ≡ global-window form on the harness feed") {
+    val events = Tables.events(spark, sfDir)
+    // 168h buckets: every (type, week) bucket in sf0.001 holds ≥ 24 events
+    assert(collectSet(TimeSeries.anomalyZscoreScalable(events, 168)) ===
+      collectSet(TimeSeries.anomalyZscore(events)))
+  }
+
   test("cdcLatest keeps the latest (ts, event_id) version per user") {
     val df = ev(
       (1L, 100L, 1L, "signup", 1.0), (2L, 200L, 1L, "click", 2.0),
