@@ -80,7 +80,7 @@ object SparkEntry {
     graft.rel.Queries.queries ++ graft.llm.TextOps.queries ++ graft.llm.Streaming.queries ++
     graft.llm.Dedup.queries ++ graft.llm.AnnSearch.queries ++
     graft.llm.TextAnalysis.queries ++ graft.llm.Multimodal.queries ++
-    graft.llm.Curation.queries ++ graft.rel.TimeSeries.queries
+    graft.llm.Curation.queries ++ graft.rel.TimeSeries.queries ++ graft.rel.Graph.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #1 scan_project (CORE): typed scan + projection pushed to parquet.
@@ -203,7 +203,8 @@ object SparkEntry {
     (graft.llm.TextOps.rawOracles ++ graft.llm.Streaming.rawOracles ++
       graft.llm.Dedup.rawOracles ++ graft.llm.AnnSearch.rawOracles ++
       graft.llm.TextAnalysis.rawOracles ++ graft.llm.Multimodal.rawOracles ++
-      graft.llm.Curation.rawOracles ++ graft.rel.TimeSeries.rawOracles)
+      graft.llm.Curation.rawOracles ++ graft.rel.TimeSeries.rawOracles ++
+      graft.rel.Graph.rawOracles)
       .view.mapValues(graft.rel.Queries.duckify).toMap
 
   private def coreOracles: Map[String, String] = Map(

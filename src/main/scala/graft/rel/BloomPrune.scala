@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.BinaryType
   * requires of its value expression); an empty build side yields a
   * null sketch and `prune` short-circuits to an empty frame (= the
   * empty join result, still output-correct).
+  *
+  * Sizing: the sketch travels inside the serialized plan (the same
+  * path Spark's injected runtime filter uses for its subquery result),
+  * so `expectedItems` should reflect the real build-side cardinality —
+  * the default 1 M keys ≈ 1.2 MB at 3 % fpp. Beyond ~50 M keys the
+  * sketch itself is tens of MB and a pre-computed semi-join (or
+  * `Bucketing`) is the better lever.
   */
 object BloomPrune {
 
