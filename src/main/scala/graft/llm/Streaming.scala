@@ -14,6 +14,12 @@ case class SessEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, valu
 case class SessState(sessionId: Long, lastMs: Long, n: Long, sv: Double)
 case class SessAgg(user_id: Long, session_id: Long, n_events: Long, sv: Double)
 
+/** Row types for the keep-latest CDC stream (`Streaming.latestStream`). */
+case class CdcEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+case class CdcState(tsMs: Long, event_id: Long, event_type: String, value: Double)
+case class CdcLatest(user_id: Long, event_id: Long, event_type: String, value: Double)
+
 /** Streaming-shaped operators over `events` (SURVEY.md §2.9 rows #31-#32).
   *
   * Each operator has (a) a batch formulation — pure relational, DuckDB
@@ -94,6 +100,41 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
+
+  /** Streaming twin of `TimeSeries.cdcLatest`: keep-latest-version
+    * state per user via `mapGroupsWithState`, emitting the key's
+    * running latest on every trigger that touches it (Update mode —
+    * the memory/console row stream is the CDC "current value" feed; a
+    * sink doing point upserts applies rows as-is). State is ONE
+    * max-struct per key — bounded by key cardinality exactly like the
+    * batch aggregate's partial state, and like `dedupStream` it is
+    * deliberately not watermark-evicted: "current version per key"
+    * semantics never expire. The in-batch fold is max by (tsMs,
+    * event_id) — order-independent, so arrival order within a trigger
+    * cannot change the result (StreamingSpec asserts stream ≡ batch
+    * compaction across multi-batch feeds).
+    */
+  def latestStream(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[CdcEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcLatest](GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          val incoming = evs.map(e => CdcState(e.ts.getTime, e.event_id, e.event_type, e.value))
+            .maxBy(st => (st.tsMs, st.event_id))
+          val best = state.getOption match {
+            case Some(cur) if cur.tsMs > incoming.tsMs ||
+              (cur.tsMs == incoming.tsMs && cur.event_id > incoming.event_id) => cur
+            case _ => incoming
+          }
+          state.update(best)
+          CdcLatest(uid, best.event_id, best.event_type, best.value)
+      }
+      .toDF()
+  }
 
   // #32 — sessionization: per user, a new session opens when the gap to
   // the previous event exceeds 30 minutes. Batch form = lag/flag/running-
