@@ -33,6 +33,16 @@ object CcProbe {
       .agg(count(lit(1)).as("ncomp"), max(col("sz")).as("maxsz")).collect()(0)
     println(f"[cc-probe] ncomp=${row.get(0)} maxsz=${row.get(1)} " +
       f"cc_wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+
+    // PageRank over the same near-dup pair graph (3 message rounds) —
+    // the other iterative graph op, same |E|-equi-join-per-round shape
+    val t2 = System.nanoTime()
+    val half = pairs.toDF().select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
+    val pr = graft.rel.Graph.pageRank(
+      half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"))), iters = 3)
+    val prTop = pr.orderBy(col("rank").desc).limit(1).collect()(0)
+    println(f"[pr-probe] nodes=${pr.count()} topRank=${prTop.getDouble(1)}%.6f " +
+      f"pr_wall=${(System.nanoTime() - t2) / 1e9}%.2f s")
     spark.stop()
   }
 }
