@@ -125,6 +125,38 @@ object TextAnalysis {
     head.unionAll(tail)
   }
 
+  // corpus_zipf — rank-frequency power-law fit: token counts ranked
+  // desc, then the least-squares slope/intercept of ln(count) on
+  // ln(rank) — the Zipf exponent, the one-number summary of corpus
+  // "naturalness" (synthetic or template-heavy corpora bend the curve).
+  // One token-count shuffle (map-side combine), a vocab-sized rank
+  // window, and a scalar regression aggregate; the slope formula is
+  // written out as explicit sums so both engines run the IDENTICAL
+  // arithmetic rather than their internal covariance algorithms.
+  def corpusZipf(s: SparkSession, d: String): DataFrame =
+    corpusZipfDocs(Tables.documents(s, d))
+
+  def corpusZipfDocs(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    // vocab-sized global window (documented: rank over vocab, not corpus)
+    val ranked = counts
+      .withColumn("r", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .select(log(col("n").cast("double")).as("y"), log(col("r").cast("double")).as("x"))
+    ranked.agg(
+      count(lit(1)).cast("double").as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("k").cast("long").as("n_vocab"),
+        rnd(((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))), 6).as("zipf_slope"),
+        rnd((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("k"), 6)
+          .as("zipf_intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> quality,
     "token_count" -> tokenCount,
@@ -133,6 +165,7 @@ object TextAnalysis {
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
+    "corpus_zipf" -> corpusZipf,
   )
 
   private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
@@ -171,6 +204,18 @@ object TextAnalysis {
         "substr(md5(doc_id::VARCHAR), 1, 1)) - 1)::INT AS bucket FROM documents) " +
         "SELECT 'head' AS source, doc_id FROM b WHERE doc_id < 500 AND bucket < 12 " +
         "UNION ALL SELECT 'tail', doc_id FROM b WHERE doc_id >= 500 AND bucket < 4"),
+
+    "corpus_zipf" ->
+      ("WITH c AS (SELECT tok, count(*) AS n FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1), " +
+        "rk AS (SELECT ln(n::DOUBLE) AS y, ln(row_number() OVER (" +
+        "ORDER BY n DESC, tok)::DOUBLE) AS x FROM c), " +
+        "s AS (SELECT count(*)::DOUBLE AS k, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * y) AS sxy, sum(x * x) AS sxx FROM rk) " +
+        "SELECT k::BIGINT AS n_vocab, " +
+        "rnd((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope, " +
+        "rnd((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6) " +
+        "AS zipf_intercept FROM s"),
 
     "lang_id" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -61,6 +61,41 @@ object TimeSeries {
   def resample(s: SparkSession, d: String): DataFrame =
     resampleHourly(Tables.events(s, d))
 
+  /** Linear interpolation over the same hourly grid as `resampleHourly`:
+    * gap hours get the line between the nearest observed buckets
+    * (endpoints clamp to the nearest observation). Same calendar-bounded
+    * grid + two grid-sized window passes (backward carry of the previous
+    * observation, forward carry of the next) — nothing here scales with
+    * event count after the first bucket aggregation.
+    */
+  def interpolateHourly(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(avg(col("value")).as("v"))
+    val grid = b.groupBy("event_type")
+      .agg(min("hs").as("lo"), max("hs").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hs"))
+    val back = Window.partitionBy("event_type").orderBy("hs")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("event_type").orderBy("hs")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(b, Seq("event_type", "hs"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(when(col("v").isNotNull, col("hs")), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(when(col("v").isNotNull, col("hs")), ignoreNulls = true).over(fwd))
+      .select(col("event_type"), col("hs"),
+        rnd(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("hs") - col("ph")) / (col("nh") - col("ph"))), 6).as("v_lin"))
+  }
+
+  def interpolate(s: SparkSession, d: String): DataFrame =
+    interpolateHourly(Tables.events(s, d))
+
   // ---- ts_anomaly: rolling z-score outliers -----------------------------
 
   /** Rolling z-score anomaly detection: each event scored against the
@@ -193,6 +228,7 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample" -> resample,
+    "ts_interpolate" -> interpolate,
     "ts_anomaly" -> anomaly,
     "cdc_latest" -> latest,
     "scd2_intervals" -> scd2,
@@ -210,6 +246,27 @@ object TimeSeries {
         "SELECT event_type, hs, n, last_value(v IGNORE NULLS) OVER (" +
         "PARTITION BY event_type ORDER BY hs " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill FROM j"),
+
+    "ts_interpolate" ->
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "avg(value) AS v FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, min(hs) AS lo, max(hs) AS hi FROM b GROUP BY 1), " +
+        "g AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS hs FROM r), " +
+        "j AS (SELECT g.event_type, g.hs, v FROM g LEFT JOIN b " +
+        "ON g.event_type = b.event_type AND g.hs = b.hs), " +
+        "w AS (SELECT event_type, hs, v, " +
+        "last_value(v IGNORE NULLS) OVER wb AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS) OVER wb AS ph, " +
+        "first_value(v IGNORE NULLS) OVER wf AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS) OVER wf AS nh " +
+        "FROM j WINDOW " +
+        "wb AS (PARTITION BY event_type ORDER BY hs " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY event_type ORDER BY hs " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT event_type, hs, rnd(CASE WHEN v IS NOT NULL THEN v " +
+        "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+        "ELSE pv + (nv - pv) * (hs - ph) / (nh - ph) END, 6) AS v_lin FROM w"),
 
     "ts_anomaly" ->
       ("WITH sc AS (SELECT event_id, event_type, value, " +

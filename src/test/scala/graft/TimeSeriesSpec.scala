@@ -48,6 +48,16 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(TimeSeries.anomalyZscore(df).count() === 0)
   }
 
+  test("interpolateHourly draws the line between observed buckets and clamps the edges") {
+    // observations at hour 0 (v=2) and hour 3 (v=8): hours 1,2 → 4, 6
+    val df = ev(
+      (1L, 600L, 1L, "click", 2.0),
+      (2L, 3 * 3600L + 60L, 2L, "click", 8.0))
+    val out = TimeSeries.interpolateHourly(df)
+      .orderBy("hs").select("hs", "v_lin").as[(Long, Double)].collect()
+    assert(out === Seq((0L, 2.0), (3600L, 4.0), (7200L, 6.0), (10800L, 8.0)))
+  }
+
   test("anomalyZscoreScalable flags a spike whose history crosses the bucket boundary") {
     // 24 baseline points in hour-bucket 0; spike lands in bucket 1 with
     // 1-hour buckets — scoring depends entirely on imported context rows
