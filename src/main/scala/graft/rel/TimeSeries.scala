@@ -96,6 +96,25 @@ object TimeSeries {
   def interpolate(s: SparkSession, d: String): DataFrame =
     interpolateHourly(Tables.events(s, d))
 
+  /** OHLC (open/high/low/close) bars per (event_type, hour) — the
+    * classic downsampling aggregate. open/close are min_by/max_by on
+    * the (ts, event_id) struct (same deterministic-tie trick as
+    * `agg_argmax`), so the whole bar is ONE partial-combine aggregation
+    * — no window, no per-group sort beyond the aggregate's own.
+    */
+  def ohlcHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+
+  def ohlc(s: SparkSession, d: String): DataFrame =
+    ohlcHourly(Tables.events(s, d))
+
   // ---- ts_anomaly: rolling z-score outliers -----------------------------
 
   /** Rolling z-score anomaly detection: each event scored against the
@@ -229,6 +248,7 @@ object TimeSeries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample" -> resample,
     "ts_interpolate" -> interpolate,
+    "ts_ohlc" -> ohlc,
     "ts_anomaly" -> anomaly,
     "cdc_latest" -> latest,
     "scd2_intervals" -> scd2,
@@ -267,6 +287,17 @@ object TimeSeries {
         "SELECT event_type, hs, rnd(CASE WHEN v IS NOT NULL THEN v " +
         "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
         "ELSE pv + (nv - pv) * (hs - ph) / (nh - ph) END, 6) AS v_lin FROM w"),
+
+    "ts_ohlc" ->
+      ("WITH x AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, value, " +
+        "row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts) " +
+        "ORDER BY ts, event_id) AS ra, " +
+        "row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts) " +
+        "ORDER BY ts DESC, event_id DESC) AS rd FROM events) " +
+        "SELECT event_type, hs, max(CASE WHEN ra = 1 THEN value END) AS open, " +
+        "max(value) AS high, min(value) AS low, " +
+        "max(CASE WHEN rd = 1 THEN value END) AS close, count(*) AS n " +
+        "FROM x GROUP BY 1, 2"),
 
     "ts_anomaly" ->
       ("WITH sc AS (SELECT event_id, event_type, value, " +

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet sink helpers: the write-side layout decisions that determine
+  * read-side scale behavior (complement of `Bucketing`, which owns the
+  * join-key layout).
+  *
+  *  - `writePartitioned`: hive-style directory partitioning — readers
+  *    filtering on the partition columns prune whole directories before
+  *    any file is opened (`PartitionFilters` in the scan, asserted in
+  *    SinksSpec). Pick LOW-cardinality columns: each distinct tuple is a
+  *    directory, and at 100 TB a high-cardinality partition key is the
+  *    classic small-files self-inflict.
+  *  - `compact`: the operational answer once small files exist (steady
+  *    streaming drips, over-parallel writers): rewrite a directory into
+  *    ceil(bytes / targetBytes) files. Coalesce-based (no shuffle — a
+  *    compaction that shuffles 100 TB to avoid reading small files has
+  *    negated its own point); pass `shuffle = true` only when the input
+  *    is also badly skewed across files.
+  */
+object Sinks {
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Rewrite `inPath` into `outPath` with ~`targetBytes`-sized files.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024, shuffle: Boolean = false): (Int, Int) = {
+    val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(inPath))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
+    sized.write.mode("overwrite").parquet(outPath)
+    val outFiles = fs.listStatus(new Path(outPath))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (files.length, outFiles)
+  }
+}
