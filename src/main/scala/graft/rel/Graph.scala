@@ -51,7 +51,10 @@ object Graph {
     * storage. Checkpointing changes no values, so the DuckDB oracle's
     * unrolled CTEs still match.
     */
-  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRank(edgesIn: DataFrame, iters: Int = 3): DataFrame = {
+    // edges are read iters + 2 times (nodes, degrees, every round's
+    // join) — materialize the derivation once instead of re-running it
+    val edges = edgesIn.localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od")).localCheckpoint()
     val n1 = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))

@@ -21,9 +21,9 @@ import graft.rel.Queries.rnd
   *    plain partial-agg shuffle.
   *  - `anomalyZscore` is one window pass per event_type, rows-bounded
   *    frame (24 preceding). A single dominant event_type serializes into
-  *    one sort partition — at corpus scale, salt the partition key with a
-  *    coarse time bucket and overlap frames by 24 rows (same trick as
-  *    `Curation.seqPackGlobal`'s range-partition pass).
+  *    one sort partition — `anomalyZscoreScalable` is the measured
+  *    overlap-chunk fix (types × time-buckets parallelism, identical
+  *    output; TsScaleProbe + spec twin).
   *  - `cdcLatest` deliberately AVOIDS the textbook row_number window:
   *    a max-on-struct aggregate gets map-side partial combine, so the
   *    shuffle carries ≤ one row per (partition, key) instead of every

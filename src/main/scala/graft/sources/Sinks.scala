@@ -26,7 +26,10 @@ object Sinks {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
   /** Rewrite `inPath` into `outPath` with ~`targetBytes`-sized files.
-    * Returns (filesBefore, filesAfter). */
+    * Returns (filesBefore, filesAfter). Operates on a FLAT parquet
+    * directory (one compaction unit); for a hive-partitioned tree, run
+    * it per leaf partition directory — compacting across partition
+    * boundaries would destroy the layout `writePartitioned` built. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L * 1024 * 1024, shuffle: Boolean = false): (Int, Int) = {
     val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)

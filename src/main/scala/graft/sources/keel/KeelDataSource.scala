@@ -136,6 +136,9 @@ private[keel] class KeelReaderFactory(required: Array[String])
   */
 private[keel] class KeelPartitionReader(file: String, required: Array[String])
     extends PartitionReader[InternalRow] {
+  // default Hadoop conf: local/HDFS paths resolve; object-store creds
+  // travelling via session conf would need a SerializableConfiguration
+  // hop — out of scope for this legacy small-data format
   private val conf = new Configuration()
   private val schema = KeelV2.headerOf(file, conf)
   private val attrIdx = schema.attrs.map(_.name).zipWithIndex.toMap
