@@ -71,6 +71,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(collectSet(spark.table("tumb_file")) === collectSet(batch))
   }
 
+  test("readStream → transform → writeStream PARQUET sink (append + checkpoint) ≡ batch") {
+    // the full production loop: file source → watermarked tumbling agg →
+    // durable parquet sink with a checkpoint dir (exactly-once contract);
+    // append mode emits only watermark-sealed windows, so compare against
+    // the batch result restricted to sealed windows
+    val src = java.nio.file.Files.createTempDirectory("evsink_src").toString
+    val out = java.nio.file.Files.createTempDirectory("evsink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evsink_ckpt").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").write.mode("overwrite").parquet(src)
+    val q = Streaming.tumblingStream(Streaming.eventsFileStream(spark, src))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val sealedBatch = Streaming.tumbling(spark, sfDir)
+    val written = spark.read.parquet(out)
+    // every written row is a correct batch row (exact equality is not
+    // guaranteed: the final watermark leaves trailing windows unsealed)
+    assert(written.count() > 0)
+    assert(written.join(sealedBatch,
+      Seq("ws", "event_type", "n", "sv"), "left_anti").count() === 0)
+  }
+
   test("sliding (hopping) window stream (complete mode) ≡ batch sliding on same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -289,6 +313,20 @@ class StreamingSpec extends SparkSpecBase {
     // user 2's only emitted version is the batch-1 event 5
     assert(emitted.filter(col("user_id") === 2).select("event_id")
       .distinct().as[Long].collect().toSeq === Seq(5L))
+  }
+
+  test("OHLC bar stream (complete mode) ≡ batch ohlcHourly — min_by/max_by in streaming agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = graft.rel.TimeSeries.ohlcHourly(mem.toDF())
+      .writeStream.format("memory").queryName("ohlc_s").outputMode("complete").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(collectSet(spark.table("ohlc_s")) ===
+      collectSet(graft.rel.TimeSeries.ohlcHourly(evs.toDF())))
   }
 
   test("events_funnel stages are the hand-checked sequence mins") {
