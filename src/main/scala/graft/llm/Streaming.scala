@@ -14,6 +14,11 @@ case class SessEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, valu
 case class SessState(sessionId: Long, lastMs: Long, n: Long, sv: Double)
 case class SessAgg(user_id: Long, session_id: Long, n_events: Long, sv: Double)
 
+/** Row types for the rolling z-score stream (`Streaming.anomalyStream`). */
+case class AnomEvent(event_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+case class AnomState(vals: Seq[Double])
+case class AnomAlert(event_id: Long, event_type: String, value: Double, z: Double)
+
 /** Row types for the keep-latest CDC stream (`Streaming.latestStream`). */
 case class CdcEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
@@ -100,6 +105,51 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
+
+  /** Streaming twin of `TimeSeries.anomalyZscore`: per event_type the
+    * state is the RING BUFFER of the last 24 values (by event time), so
+    * each arriving event is scored against exactly the history the
+    * batch window frame would give it. State size = 24 doubles × type
+    * cardinality — hard-bounded, no watermark eviction needed
+    * (`NoTimeout`). Within a trigger the group's events are sorted by
+    * (ts, event_id) before folding; equality with the batch form
+    * therefore holds for in-order sources (same contract as
+    * `dedupStream`, asserted in StreamingSpec across multi-batch
+    * feeds). The z rounding reuses the oracle formula so the twin is
+    * bit-comparable to the batch query.
+    */
+  def anomalyStream(events: DataFrame): Dataset[AnomAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HistMax = 24
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    events
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[AnomEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, evs: Iterator[AnomEvent], state: GroupState[AnomState]) =>
+          var hist = state.getOption.map(_.vals).getOrElse(Seq.empty)
+          val alerts = Seq.newBuilder[AnomAlert]
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val n = hist.length
+            if (n >= 12) {
+              val mu = hist.sum / n
+              val sd = math.sqrt(hist.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+              if (sd > 0) {
+                val z = (e.value - mu) / sd
+                if (math.abs(z) > 2)
+                  alerts += AnomAlert(e.event_id, etype, e.value, rnd6(z))
+              }
+            }
+            hist = (hist :+ e.value).takeRight(HistMax)
+          }
+          state.update(AnomState(hist))
+          alerts.result().iterator
+      }
+  }
 
   /** Streaming twin of `TimeSeries.cdcLatest`: keep-latest-version
     * state per user via `mapGroupsWithState`, emitting the key's

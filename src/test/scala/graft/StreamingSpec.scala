@@ -283,6 +283,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch == Set(Seq(1L, 1L, 2L), Seq(1L, 4L, 3L)), "hand-checked matches")
   }
 
+  test("rolling z-score stream ≡ batch anomalyZscore across multi-batch in-order feeds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 24 alternating baseline points then a spike, split across two
+    // triggers mid-history — the ring buffer must carry over
+    val series = (1 to 24).map(i =>
+      Ev(i.toLong, new Timestamp(i * 60000L), 1, "click", if (i % 2 == 0) 12.0 else 10.0)) :+
+      Ev(99L, new Timestamp(25 * 60000L), 1, "click", 100.0)
+    val mem = MemoryStream[Ev]
+    val q = Streaming.anomalyStream(mem.toDF())
+      .writeStream.format("memory").queryName("anom_s").outputMode("append").start()
+    try {
+      mem.addData(series.take(10): _*); q.processAllAvailable()
+      mem.addData(series.drop(10): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collectSet(spark.table("anom_s"))
+    val batch = collectSet(graft.rel.TimeSeries.anomalyZscore(series.toDF()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))))
+    assert(streamed === batch)
+    assert(spark.table("anom_s").select("event_id").as[Long].collect().toSeq === Seq(99L))
+  }
+
   test("keep-latest CDC stream ≡ batch cdcLatest across multi-batch feeds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
