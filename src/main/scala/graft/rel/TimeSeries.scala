@@ -115,6 +115,39 @@ object TimeSeries {
   def ohlc(s: SparkSession, d: String): DataFrame =
     ohlcHourly(Tables.events(s, d))
 
+  /** Exponentially-weighted moving average (α = 0.3) of the hourly
+    * series — a RECURSIVE fold (e_i = α·v_i + (1−α)·e_{i−1}), which no
+    * window frame expresses. Each key's buckets are collected sorted
+    * and folded with the `aggregate` higher-order function in one pass;
+    * per-key state is CALENDAR-bounded (hours in the key's span), the
+    * same bound as the resample grid — for multi-year spans switch to a
+    * per-key sorted `mapPartitions` scan (the fold is the same; only
+    * the container changes). The DuckDB twin runs the identical
+    * recurrence as a recursive CTE.
+    */
+  def ewmaHourly(events: DataFrame, alpha: Double = 0.3): DataFrame = {
+    // decimal-string complement: 1 - 0.3 in BINARY doubles is
+    // 0.7000000000000001, one ulp off the 0.7 the oracle's literal
+    // parses to — format both factors as exact decimal text
+    val a = BigDecimal(alpha.toString)
+    val compl = (BigDecimal(1) - a).toString
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(avg(col("value")).as("v"))
+    b.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hs"), col("v")))).as("xs"))
+      .select(col("event_type"), explode(expr(
+        s"""aggregate(xs, cast(array() as array<struct<hs:bigint,e:double>>),
+           |  (acc, x) -> acc || array(struct(x.hs as hs,
+           |    if(size(acc) = 0, x.v,
+           |       ${a}D * x.v + ${compl}D * element_at(acc, -1).e) as e)))"""
+          .stripMargin)).as("s"))
+      .select(col("event_type"), col("s.hs").as("hs"), rnd(col("s.e"), 6).as("ewma"))
+  }
+
+  def ewma(s: SparkSession, d: String): DataFrame =
+    ewmaHourly(Tables.events(s, d))
+
   // ---- ts_anomaly: rolling z-score outliers -----------------------------
 
   /** Rolling z-score anomaly detection: each event scored against the
@@ -249,6 +282,7 @@ object TimeSeries {
     "ts_resample" -> resample,
     "ts_interpolate" -> interpolate,
     "ts_ohlc" -> ohlc,
+    "ts_ewma" -> ewma,
     "ts_anomaly" -> anomaly,
     "cdc_latest" -> latest,
     "scd2_intervals" -> scd2,
@@ -298,6 +332,17 @@ object TimeSeries {
         "max(value) AS high, min(value) AS low, " +
         "max(CASE WHEN rd = 1 THEN value END) AS close, count(*) AS n " +
         "FROM x GROUP BY 1, 2"),
+
+    "ts_ewma" ->
+      ("WITH RECURSIVE b AS (SELECT event_type, " +
+        "epoch(date_trunc('hour', ts))::BIGINT AS hs, avg(value) AS v, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY date_trunc('hour', ts)) AS rn " +
+        "FROM events GROUP BY 1, 2, date_trunc('hour', ts)), " +
+        "r AS (SELECT event_type, rn, hs, v AS e FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT b.event_type, b.rn, b.hs, 0.3e0 * b.v + 0.7e0 * r.e " +
+        "FROM b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1) " +
+        "SELECT event_type, hs, rnd(e, 6) AS ewma FROM r"),
 
     "ts_anomaly" ->
       ("WITH sc AS (SELECT event_id, event_type, value, " +

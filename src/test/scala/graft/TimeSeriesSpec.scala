@@ -58,6 +58,17 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out === Seq((0L, 2.0), (3600L, 4.0), (7200L, 6.0), (10800L, 8.0)))
   }
 
+  test("ewmaHourly runs the exact recurrence e_i = 0.3·v_i + 0.7·e_{i-1}") {
+    // hourly buckets with means 10, 20, 30 → e = 10, 13, 18.1
+    val df = ev(
+      (1L, 60L, 1L, "click", 10.0),
+      (2L, 3660L, 1L, "click", 20.0),
+      (3L, 7260L, 1L, "click", 30.0))
+    val out = TimeSeries.ewmaHourly(df)
+      .orderBy("hs").select("ewma").as[Double].collect().toSeq
+    assert(out === Seq(10.0, 13.0, 18.1))
+  }
+
   test("anomalyZscoreScalable flags a spike whose history crosses the bucket boundary") {
     // 24 baseline points in hour-bucket 0; spike lands in bucket 1 with
     // 1-hour buckets — scoring depends entirely on imported context rows
