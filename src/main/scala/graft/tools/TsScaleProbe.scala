@@ -59,6 +59,9 @@ object TsScaleProbe {
     leg("cdc_latest_agg")(TimeSeries.cdcLatest(events).count())
     leg("cdc_latest_window")(TimeSeries.cdcLatestWindow(events).count())
     leg("ts_resample")(TimeSeries.resampleHourly(events).count())
+    leg("ts_interpolate")(TimeSeries.interpolateHourly(events).count())
+    leg("ts_ohlc")(TimeSeries.ohlcHourly(events).count())
+    leg("ts_ewma")(TimeSeries.ewmaHourly(events).count())
     leg("ts_anomaly")(TimeSeries.anomalyZscore(events).count())
     // 24h buckets over the 30-day feed: 30 buckets × 5 types of sort
     // parallelism vs the global form's 5 partitions
