@@ -565,6 +565,20 @@ object Queries {
         rnd(max(col("value")), 6).as("max_v"),
         rnd(min(col("value")), 6).as("min_v"))
 
+  // reshape_unpivot — wide→long melt (the inverse of agg_pivot) via the
+  // Dataset unpivot API: three lineitem measures become (measure, value)
+  // rows. Pure generator-shaped map (Expand node), zero shuffle, 3×
+  // row-count output — the reshaping step feature pipelines run before
+  // a long-format aggregation.
+  def reshapeUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+
   // sql_q3 — the SQL-frontend surface: the classic shipping-priority
   // join/agg/top-k (TPC-H Q3 shape) submitted as SQL TEXT over temp
   // views and planned by the same Catalyst pipeline as the DataFrame
@@ -633,6 +647,7 @@ object Queries {
     "join_bloom_prune" -> joinBloomPrune,
     "sql_exists" -> sqlExists,
     "agg_argmax" -> aggArgmax,
+    "reshape_unpivot" -> reshapeUnpivot,
   )
 
   /** DuckDB twins — same column names, rounding, tie-breaks (SURVEY §7.4).
@@ -875,6 +890,14 @@ object Queries {
         "AND o.o_totalprice > 400000e0) " +
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
         "AND o.o_orderstatus = 'F')"),
+
+    "reshape_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value " +
+        "FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice " +
+        "FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount " +
+        "FROM lineitem"),
 
     "agg_argmax" ->
       ("WITH rk AS (SELECT event_type, event_id, value, " +
