@@ -47,14 +47,30 @@ object Knn {
     * The split-count estimate is LOGICAL-stats-based (sizeInBytes /
     * maxPartitionBytes ≈ the file-source split count): touching `df.rdd`
     * here would force a physical plan outside AQE on every call — this
-    * keeps AQE the sole owner of the physical plan.
+    * keeps AQE the sole owner of the physical plan. Two cases the size
+    * estimate cannot see:
+    *  - an EXPLICIT `coalesce(n)`/`repartition(n)` with small n in the
+    *    caller's lineage squeezes a big frame onto few cores while the
+    *    stats still say "big" — those are logical nodes, so they ARE
+    *    detectable, and we re-spread when one caps below target;
+    *  - physically unsplittable opaque inputs (RDD-backed frames,
+    *    non-splittable codecs) are invisible at the logical layer —
+    *    out of contract; the engine's inputs are splittable file
+    *    sources (parquet throughout).
     */
   private[core] def ensureParallelism(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val target = sess.sparkContext.defaultParallelism
     val maxPartBytes = sess.sessionState.conf.filesMaxPartitionBytes
-    val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPartBytes + 1
-    if (estParts < target) df.repartition(target) else df
+    val plan = df.queryExecution.optimizedPlan
+    val cappedBelow = plan.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+        if r.numPartitions < target => r
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+        if r.optNumPartitions.exists(_ < target) => r
+    }.isDefined
+    val estParts = plan.stats.sizeInBytes / maxPartBytes + 1
+    if (cappedBelow || estParts < target) df.repartition(target) else df
   }
 
   def pairwise(

@@ -156,9 +156,13 @@ object Multimodal {
   /** Declared query: aspect-preserving resize PLANNING — the shape
     * computation an image-preprocess stage runs per payload (target:
     * shortest side 224, round-half-up). Input dims stand in for decoder
-    * output via the same deterministic derivation the stub codec uses
-    * (real decode is spec-gated at the codec seam); the resize math is
-    * the relational piece and runs entirely in integer arithmetic —
+    * output via a RELATIONAL stand-in derivation (width matches the stub
+    * codec's `64 + nBytes % 64`; height uses `64 + 7·nBytes % 64`, NOT
+    * the stub's rolling-checksum height — that fold needs the decode
+    * pass, which is deliberately out of this query so the oracle stays
+    * SQL-expressible; wiring real decoded dims in goes through the
+    * codec seam instead). The resize math is the relational piece and
+    * runs entirely in integer arithmetic —
     * `round(w·224/s) = (2·224·w + s) div (2·s)` — so both engines agree
     * bit-for-bit with no floating point.
     */

@@ -178,21 +178,30 @@ object TimeSeries {
     * bucket imports the previous bucket's last 24 rows as context-only
     * copies, so every scored row still sees its full 24-row history
     * while the sort parallelism becomes types × buckets instead of
-    * types. Results are IDENTICAL to the global-window form (spec twin)
-    * PROVIDED the bucket span is chosen so each non-empty bucket holds
-    * ≥ 24 events per type (monitoring feeds: hours-to-days spans) —
-    * a sparser bucket's successors could see a shorter history than the
-    * unsalted window would.
+    * types. Context routes to each bucket's next NON-EMPTY successor
+    * (an idle bucket must not break the history chain — the bucket
+    * list is types × buckets rows, so the routing join is broadcast-
+    * sized). Results are IDENTICAL to the global-window form (spec
+    * twin, including an empty-middle-bucket case) PROVIDED the bucket
+    * span is chosen so each NON-EMPTY bucket holds ≥ 24 events per
+    * type (monitoring feeds: hours-to-days spans) — a sparser bucket's
+    * successors could see a shorter history than the unsalted window
+    * would, since context is only imported from one bucket back.
     */
   def anomalyZscoreScalable(events: DataFrame, bucketSpanHours: Int = 168): DataFrame = {
     val spanUs = bucketSpanHours * 3600L * 1000000L
     val base = events.select(col("event_id"), col("event_type"), col("ts"), col("value"),
       expr(s"unix_micros(ts) div ${spanUs}L").as("bkt"))
+    val nextNonEmpty = base.select(col("event_type"), col("bkt")).distinct()
+      .withColumn("nbkt", lead(col("bkt"), 1)
+        .over(Window.partitionBy("event_type").orderBy("bkt")))
     val tail = Window.partitionBy("event_type", "bkt")
       .orderBy(col("ts").desc, col("event_id").desc)
     val ctx = base.withColumn("tn", row_number().over(tail)).filter(col("tn") <= 24)
+      .join(nextNonEmpty, Seq("event_type", "bkt"))
+      .filter(col("nbkt").isNotNull)
       .select(col("event_id"), col("event_type"), col("ts"), col("value"),
-        (col("bkt") + 1).as("bkt"), lit(true).as("ctx"))
+        col("nbkt").as("bkt"), lit(true).as("ctx"))
     val all = base.withColumn("ctx", lit(false)).unionByName(ctx)
     val frame = Window.partitionBy("event_type", "bkt")
       .orderBy(col("ts"), col("event_id")).rowsBetween(-24, -1)

@@ -33,6 +33,13 @@ object Sinks {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L * 1024 * 1024, shuffle: Boolean = false): (Int, Int) = {
     val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // in-place compaction would have mode("overwrite") delete the very
+    // directory the lazy read still has to scan — refuse loudly instead
+    // of losing data (write to a sibling, then swap)
+    val inQ = fs.makeQualified(new Path(inPath)).toString
+    val outQ = fs.makeQualified(new Path(outPath)).toString
+    require(outQ != inQ && !outQ.startsWith(inQ + "/") && !inQ.startsWith(outQ + "/"),
+      s"compact output $outQ must not overlap input $inQ")
     val files = fs.listStatus(new Path(inPath))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum

@@ -62,7 +62,12 @@ private[keel] object KeelV2 {
   def headerOf(path: String, conf: Configuration): KeelSource.Schema = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val file = if (fs.getFileStatus(p).isDirectory) dataFiles(path, conf).head else p
+    val file =
+      if (fs.getFileStatus(p).isDirectory) {
+        val files = dataFiles(path, conf)
+        require(files.nonEmpty, s"keel source: no data files under $path")
+        files.head
+      } else p
     val in = fs.open(file)
     try {
       val lines = Source.fromInputStream(in).getLines()

@@ -80,6 +80,17 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out === Seq(99L))
   }
 
+  test("anomalyZscoreScalable bridges an EMPTY middle bucket (history chain intact)") {
+    // baseline fills hour 0; hour 1 is silent; spike early in hour 2 —
+    // context must route past the empty bucket or the spike goes unscored
+    val base = (1 to 24).map(i =>
+      (i.toLong, i * 60L, 1L, "click", if (i % 2 == 0) 12.0 else 10.0))
+    val df = ev(base :+ (99L, 2 * 3600L + 60L, 1L, "click", 100.0): _*)
+    val salted = TimeSeries.anomalyZscoreScalable(df, bucketSpanHours = 1)
+    assert(salted.select("event_id").as[Long].collect().toSeq === Seq(99L))
+    assert(collectSet(salted) === collectSet(TimeSeries.anomalyZscore(df)))
+  }
+
   test("anomalyZscoreScalable ≡ global-window form on the harness feed") {
     val events = Tables.events(spark, sfDir)
     // 168h buckets: every (type, week) bucket in sf0.001 holds ≥ 24 events
