@@ -57,6 +57,14 @@ class KeelV2Spec extends SparkSpecBase {
       .collect().sorted.toSeq === Seq(0.1, 0.12, 0.5, 0.8, 0.85))
   }
 
+  test("empty directory fails schema inference with a clear message, not a bare head()") {
+    val dir = Files.createTempDirectory("keelv2_empty")
+    Files.writeString(dir.resolve("_SUCCESS"), "")
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("keel").load(dir.toString).schema)
+    assert(e.getMessage.contains("no data files"))
+  }
+
   test("DSv2 column values match the KeelSource convenience loader") {
     val dir = writeDir(1)
     val v2 = spark.read.format("keel").load(dir)

@@ -23,6 +23,13 @@ class SinksSpec extends SparkSpecBase {
     assert(back.count() === events.filter(col("event_type") === "click").count())
   }
 
+  test("compact refuses in-place / overlapping output (overwrite would eat the input)") {
+    val in = Files.createTempDirectory("graft_sink_guard").toString
+    Tables.events(spark, sfDir).limit(10).write.mode("overwrite").parquet(in)
+    intercept[IllegalArgumentException](Sinks.compact(spark, in, in))
+    intercept[IllegalArgumentException](Sinks.compact(spark, in, in + "/sub"))
+  }
+
   test("compact collapses a small-file mess without losing rows") {
     val in = Files.createTempDirectory("graft_sink_in").toString
     val out = Files.createTempDirectory("graft_sink_out").toString
