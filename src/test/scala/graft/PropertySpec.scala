@@ -113,4 +113,68 @@ class PropertySpec extends SparkSpecBase {
       }
     }, min = 20)
   }
+
+  // randomized event feed for the TimeSeries invariants: n events over a
+  // multi-hour span, a few types, values in a small range
+  private val eventsGen = for {
+    n <- Gen.choose(5, 40)
+    rows <- Gen.listOfN(n, for {
+      secs <- Gen.choose(0L, 6L * 3600)
+      typ <- Gen.oneOf("a", "b")
+      v <- Gen.chooseNum(-5.0, 5.0)
+    } yield (secs, typ, v))
+  } yield rows.zipWithIndex.map { case ((secs, typ, v), i) => (i.toLong, secs, typ, v) }
+
+  private def eventsDf(rows: Seq[(Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "secs", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+      .withColumn("user_id", lit(1L))
+  }
+
+  test("resample grid: contiguous hours per type, exactly once, n conserved") {
+    check(Prop.forAll(eventsGen) { rows =>
+      val out = graft.rel.TimeSeries.resampleHourly(eventsDf(rows)).collect()
+      val byType = out.groupBy(_.getString(0))
+      val contiguous = byType.forall { case (_, rs) =>
+        val hs = rs.map(_.getLong(1)).sorted
+        hs.distinct.length == hs.length &&
+          hs.zip(hs.drop(1)).forall { case (a, b) => b - a == 3600 }
+      }
+      val conserved = out.map(_.getLong(2)).sum == rows.length
+      contiguous && conserved
+    }, min = 15)
+  }
+
+  test("OHLC invariants: low ≤ open,close ≤ high; n conserved per type") {
+    check(Prop.forAll(eventsGen) { rows =>
+      val out = graft.rel.TimeSeries.ohlcHourly(eventsDf(rows)).collect()
+      val bounds = out.forall { r =>
+        val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        l <= o && o <= h && l <= c && c <= h
+      }
+      bounds && out.map(_.getLong(6)).sum == rows.length
+    }, min = 15)
+  }
+
+  test("EWMA stays inside the running [min, max] envelope of bucket means") {
+    check(Prop.forAll(eventsGen) { rows =>
+      val df = eventsDf(rows)
+      val means = graft.rel.TimeSeries.resampleHourly(df).collect()
+        .filter(_.getLong(2) > 0) // observed buckets carry the bucket mean
+        .groupBy(_.getString(0))
+        .view.mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(3))).toMap
+      val ew = graft.rel.TimeSeries.ewmaHourly(df).collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2))).toMap
+      ew.forall { case (typ, es) =>
+        val ms = means(typ)
+        es.indices.forall { i =>
+          val seen = ms.take(i + 1)
+          // 1e-6 slack: both sides are 6-dp rounded
+          es(i) >= seen.min - 1e-6 && es(i) <= seen.max + 1e-6
+        }
+      }
+    }, min = 15)
+  }
 }
