@@ -565,6 +565,49 @@ object Queries {
         rnd(max(col("value")), 6).as("max_v"),
         rnd(min(col("value")), 6).as("min_v"))
 
+  // sql_lateral — correlated LATERAL subquery with per-row ORDER BY +
+  // LIMIT (top-2 orders per customer): the SQL spelling of grouped
+  // top-k. Catalyst decorrelates the lateral into a join + per-key
+  // limit rather than re-running the subquery per row — the same class
+  // of rewrite `GroupedTopKRewrite` provides for the window spelling.
+  def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey,
+             floor(o.o_totalprice * 100 + 0.5) / 100 AS price
+      FROM graft_customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM graft_orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      WHERE c.c_custkey < 100""")
+  }
+
+  // sql_recursive — WITH RECURSIVE (Spark 4 SQL frontend): walk each
+  // user's event chain from their first event while inter-event gaps
+  // stay ≤ 30 min, reporting the first session's length. Linear
+  // recursion — each step is one equi-join against the numbered event
+  // frame; depth is bounded by the longest first-session (harness
+  // feeds: ≪ the recursion-level limit).
+  def sqlRecursive(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_events")
+    s.sql("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id, unix_micros(ts) AS t, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM graft_events),
+      walk AS (
+        SELECT user_id, rn, 1 AS len FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT nxt.user_id, nxt.rn, w.len + 1
+        FROM walk w
+        JOIN ev cur ON cur.user_id = w.user_id AND cur.rn = w.rn
+        JOIN ev nxt ON nxt.user_id = w.user_id AND nxt.rn = w.rn + 1
+        WHERE nxt.t - cur.t <= 1800000000)
+      SELECT user_id, cast(max(len) AS BIGINT) AS first_session_len
+      FROM walk GROUP BY user_id""")
+  }
+
   // reshape_unpivot — wide→long melt (the inverse of agg_pivot) via the
   // Dataset unpivot API: three lineitem measures become (measure, value)
   // rows. Pure generator-shaped map (Expand node), zero shuffle, 3×
@@ -648,6 +691,8 @@ object Queries {
     "sql_exists" -> sqlExists,
     "agg_argmax" -> aggArgmax,
     "reshape_unpivot" -> reshapeUnpivot,
+    "sql_lateral" -> sqlLateral,
+    "sql_recursive" -> sqlRecursive,
   )
 
   /** DuckDB twins — same column names, rounding, tie-breaks (SURVEY §7.4).
@@ -890,6 +935,27 @@ object Queries {
         "AND o.o_totalprice > 400000e0) " +
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
         "AND o.o_orderstatus = 'F')"),
+
+    "sql_lateral" ->
+      ("SELECT c.c_custkey, o.o_orderkey, " +
+        "floor(o.o_totalprice * 100 + 0.5) / 100 AS price " +
+        "FROM customer c, " +
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o " +
+        "WHERE c.c_custkey < 100"),
+
+    "sql_recursive" ->
+      ("WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events), " +
+        "walk AS (SELECT user_id, rn, 1 AS len FROM ev WHERE rn = 1 " +
+        "UNION ALL SELECT nxt.user_id, nxt.rn, w.len + 1 FROM walk w " +
+        "JOIN ev cur ON cur.user_id = w.user_id AND cur.rn = w.rn " +
+        "JOIN ev nxt ON nxt.user_id = w.user_id AND nxt.rn = w.rn + 1 " +
+        "WHERE nxt.t - cur.t <= 1800000000) " +
+        "SELECT user_id, max(len)::BIGINT AS first_session_len " +
+        "FROM walk GROUP BY user_id"),
 
     "reshape_unpivot" ->
       ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value " +
