@@ -58,19 +58,33 @@ object Knn {
     *    out of contract; the engine's inputs are splittable file
     *    sources (parquet throughout).
     */
-  private[core] def ensureParallelism(df: DataFrame): DataFrame = {
+  /** True when an explicit low-count `coalesce`/`repartition` in the
+    * lineage still governs the frame's parallelism: nothing between it
+    * and the root re-shuffles. Descent stops at nodes whose execution
+    * introduces an exchange that restores partitioning (aggregate,
+    * global sort, adequate explicit repartitions). Joins are traversed:
+    * a broadcast join preserves the streamed side's (possibly capped)
+    * partitioning.
+    */
+  private[graft] def cappedBelowTarget(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, target: Int): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Repartition, RepartitionByExpression, Sort}
+    p match {
+      case r: Repartition => r.numPartitions < target
+      case r: RepartitionByExpression => r.optNumPartitions.exists(_ < target)
+      case _: Aggregate => false
+      case s: Sort if s.global => false
+      case other => other.children.exists(cappedBelowTarget(_, target))
+    }
+  }
+
+  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val target = sess.sparkContext.defaultParallelism
     val maxPartBytes = sess.sessionState.conf.filesMaxPartitionBytes
     val plan = df.queryExecution.optimizedPlan
-    val cappedBelow = plan.collectFirst {
-      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
-        if r.numPartitions < target => r
-      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
-        if r.optNumPartitions.exists(_ < target) => r
-    }.isDefined
     val estParts = plan.stats.sizeInBytes / maxPartBytes + 1
-    if (cappedBelow || estParts < target) df.repartition(target) else df
+    if (cappedBelowTarget(plan, target) || estParts < target) df.repartition(target) else df
   }
 
   def pairwise(

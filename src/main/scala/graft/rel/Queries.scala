@@ -586,9 +586,13 @@ object Queries {
   // sql_recursive — WITH RECURSIVE (Spark 4 SQL frontend): walk each
   // user's event chain from their first event while inter-event gaps
   // stay ≤ 30 min, reporting the first session's length. Linear
-  // recursion — each step is one equi-join against the numbered event
-  // frame; depth is bounded by the longest first-session (harness
-  // feeds: ≪ the recursion-level limit).
+  // recursion — the walk CARRIES the current timestamp so each step is
+  // ONE equi-join against the numbered event frame (not a cur+nxt
+  // double join), and the declared semantics cap the walk at 64 steps:
+  // Spark's recursion-level limit is a hard ERROR, not a truncation,
+  // so an uncapped walk would turn one 100-event session at a larger
+  // SF into a query failure — the cap makes the query total at any
+  // scale and the oracle computes the identical capped value.
   def sqlRecursive(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d).createOrReplaceTempView("graft_events")
     s.sql("""
@@ -597,13 +601,12 @@ object Queries {
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         FROM graft_events),
       walk AS (
-        SELECT user_id, rn, 1 AS len FROM ev WHERE rn = 1
+        SELECT user_id, rn, t, 1 AS len FROM ev WHERE rn = 1
         UNION ALL
-        SELECT nxt.user_id, nxt.rn, w.len + 1
+        SELECT nxt.user_id, nxt.rn, nxt.t, w.len + 1
         FROM walk w
-        JOIN ev cur ON cur.user_id = w.user_id AND cur.rn = w.rn
         JOIN ev nxt ON nxt.user_id = w.user_id AND nxt.rn = w.rn + 1
-        WHERE nxt.t - cur.t <= 1800000000)
+        WHERE nxt.t - w.t <= 1800000000 AND w.len < 64)
       SELECT user_id, cast(max(len) AS BIGINT) AS first_session_len
       FROM walk GROUP BY user_id""")
   }
@@ -938,7 +941,7 @@ object Queries {
 
     "sql_lateral" ->
       ("SELECT c.c_custkey, o.o_orderkey, " +
-        "floor(o.o_totalprice * 100 + 0.5) / 100 AS price " +
+        "rnd(o.o_totalprice, 2) AS price " +
         "FROM customer c, " +
         "LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_custkey = c.c_custkey " +
@@ -949,11 +952,10 @@ object Queries {
       ("WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
         "FROM events), " +
-        "walk AS (SELECT user_id, rn, 1 AS len FROM ev WHERE rn = 1 " +
-        "UNION ALL SELECT nxt.user_id, nxt.rn, w.len + 1 FROM walk w " +
-        "JOIN ev cur ON cur.user_id = w.user_id AND cur.rn = w.rn " +
+        "walk AS (SELECT user_id, rn, t, 1 AS len FROM ev WHERE rn = 1 " +
+        "UNION ALL SELECT nxt.user_id, nxt.rn, nxt.t, w.len + 1 FROM walk w " +
         "JOIN ev nxt ON nxt.user_id = w.user_id AND nxt.rn = w.rn + 1 " +
-        "WHERE nxt.t - cur.t <= 1800000000) " +
+        "WHERE nxt.t - w.t <= 1800000000 AND w.len < 64) " +
         "SELECT user_id, max(len)::BIGINT AS first_session_len " +
         "FROM walk GROUP BY user_id"),
 

@@ -36,8 +36,10 @@ object Sinks {
     // in-place compaction would have mode("overwrite") delete the very
     // directory the lazy read still has to scan — refuse loudly instead
     // of losing data (write to a sibling, then swap)
-    val inQ = fs.makeQualified(new Path(inPath)).toString
-    val outQ = fs.makeQualified(new Path(outPath)).toString
+    // URI.normalize resolves "." / ".." segments makeQualified leaves
+    // alone — "/data/y/../x" must compare equal to "/data/x"
+    val inQ = fs.makeQualified(new Path(inPath)).toUri.normalize().toString
+    val outQ = fs.makeQualified(new Path(outPath)).toUri.normalize().toString
     require(outQ != inQ && !outQ.startsWith(inQ + "/") && !inQ.startsWith(outQ + "/"),
       s"compact output $outQ must not overlap input $inQ")
     val files = fs.listStatus(new Path(inPath))

@@ -10,6 +10,25 @@ import graft.core.{Distance, Knn}
   */
 class KnnSpec extends SparkSpecBase {
 
+  test("capped-parallelism detection: low coalesce seen; masked by an aggregate above it") {
+    import graft.core.Knn.cappedBelowTarget
+    val target = spark.sparkContext.defaultParallelism
+    val base = Tables.embeddings(spark, sfDir)
+    val squeezed = base.coalesce(1)
+    assert(cappedBelowTarget(squeezed.queryExecution.optimizedPlan, target))
+    // behavioral: ensureParallelism re-spreads the capped frame
+    assert(graft.core.Knn.ensureParallelism(squeezed).rdd.getNumPartitions === target)
+    // an aggregate above the coalesce re-shuffles, restoring parallelism —
+    // the buried Repartition node must no longer count as capped
+    val restored = squeezed.groupBy("label")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(!cappedBelowTarget(restored.queryExecution.optimizedPlan, target))
+    // an adequate explicit repartition also clears it
+    val respread = squeezed.repartition(target)
+    assert(!cappedBelowTarget(respread.queryExecution.optimizedPlan, target))
+  }
+
   private def emb = Tables.embeddings(spark, sfDir)
     .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
 
