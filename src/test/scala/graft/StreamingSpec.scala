@@ -305,6 +305,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("anom_s").select("event_id").as[Long].collect().toSeq === Seq(99L))
   }
 
+  test("rolling z-score stream contract: order WITHIN a trigger is repaired, across triggers is not") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val series = (1 to 24).map(i =>
+      Ev(i.toLong, new Timestamp(i * 60000L), 1, "click", if (i % 2 == 0) 12.0 else 10.0)) :+
+      Ev(99L, new Timestamp(25 * 60000L), 1, "click", 100.0)
+    // whole feed delivered SHUFFLED in one trigger: the per-group sort
+    // repairs it — same alert as the ordered feed
+    val mem1 = MemoryStream[Ev]
+    val q1 = Streaming.anomalyStream(mem1.toDF())
+      .writeStream.format("memory").queryName("anom_shuf").outputMode("append").start()
+    try { mem1.addData(scala.util.Random.shuffle(series): _*); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(spark.table("anom_shuf").select("event_id").as[Long].collect().toSeq === Seq(99L))
+    // spike delivered in an EARLIER trigger than its history: state knows
+    // nothing yet, so the spike is unscored — the documented in-order
+    // contract across triggers (same as dedupStream's first-arrived rule)
+    val mem2 = MemoryStream[Ev]
+    val q2 = Streaming.anomalyStream(mem2.toDF())
+      .writeStream.format("memory").queryName("anom_ooo").outputMode("append").start()
+    try {
+      mem2.addData(series.last); q2.processAllAvailable()
+      mem2.addData(series.dropRight(1): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("anom_ooo").count() === 0)
+  }
+
   test("keep-latest CDC stream ≡ batch cdcLatest across multi-batch feeds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
