@@ -89,7 +89,10 @@ object SparkEntry {
     // #15 pairwise_distance (CORE): the FkNN inner loop as a relational op.
     "pairwise_distance" -> { (s, d) =>
       val e = emb(s, d)
-      Knn.pairwise(e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20))
+      // query side literal-bounded (≤20 rows) — known-small by
+      // construction, the legitimate forced-broadcast shape
+      Knn.pairwise(e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+          hintBroadcastQ = true)
         .select(col("q_id"), col("t_id"), round(col("dist"), 6).as("dist"))
     },
 
@@ -98,7 +101,7 @@ object SparkEntry {
     "pairwise_distance_l1" -> { (s, d) =>
       val e = emb(s, d)
       Knn.pairwise(e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
-          dist = graft.functions.ArrayDistance.l1)
+          dist = graft.functions.ArrayDistance.l1, hintBroadcastQ = true)
         .select(col("q_id"), col("t_id"), round(col("dist"), 6).as("dist"))
     },
 

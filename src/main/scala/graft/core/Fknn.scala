@@ -112,7 +112,10 @@ object Fknn {
       k: Int,
       blocks: Int): DataFrame = {
     val nn = (0 until blocks).map { b =>
-      Knn.knn(queries.filter(col("vec_id") % blocks === b), train, k)
+      // per-block query side is known-small by construction (|Q|/blocks) —
+      // the one legitimate forced-broadcast site (kNN-IS chunk placement)
+      Knn.knn(queries.filter(col("vec_id") % blocks === b), train, k,
+        hintBroadcastQ = true)
     }.reduce(_ unionAll _)
     argmaxPredicted(scoresFromNn(nn, memberships))
   }
@@ -182,6 +185,8 @@ object Fknn {
     * predicted = most frequent neighbor label, ties → lowest label.
     */
   def knnClassify(train: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // un-hinted (round-5 fix, same root cause as classifyScores round 3):
+    // the declared query split is corpus-proportional — AQE size-gates
     val nn = Knn.knn(queries, train, k)
     val labels = train.select(col("vec_id").as("t_id"), col("label"))
     val votes = nn.join(labels, "t_id")

@@ -34,9 +34,13 @@ object Knn {
     * Output columns: (q_id, t_id, dist).
     * `q`/`t` must have columns (idCol, vecCol) with vecCol ARRAY<DOUBLE>.
     *
-    * @param hintBroadcastQ force-broadcast the query side. Only set when
-    *   the query block is known-small (kNN-IS chunk). Leave false for
-    *   large/self joins: Catalyst's size-based planning then decides.
+    * @param hintBroadcastQ force-broadcast the query side. Default FALSE
+    *   (round-5 flip): only call sites whose query block is known-small BY
+    *   CONSTRUCTION (a kNN-IS per-block chunk, a literal-bounded filter)
+    *   opt in. Everything else — including "looks small at this SF" splits
+    *   like `vec_id % 10 == 0`, which are corpus-proportional — leaves the
+    *   decision to Catalyst/AQE size gating. A forced broadcast of a
+    *   corpus-proportional side is a guaranteed executor OOM at 100×.
     */
   /** Small-file inputs (one parquet footer) arrive as 1 scan partition; a
     * cross join streamed over 1 partition runs on 1 core no matter how many
@@ -93,7 +97,7 @@ object Knn {
       idCol: String = "vec_id",
       vecCol: String = "v",
       dist: (Column, Column) => Column = ArrayDistance.l2,
-      hintBroadcastQ: Boolean = true): DataFrame = {
+      hintBroadcastQ: Boolean = false): DataFrame = {
     val qr = q.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
     val tr = t.select(col(idCol).as("t_id"), col(vecCol).as("t_v"))
     val joined =
@@ -131,6 +135,6 @@ object Knn {
       idCol: String = "vec_id",
       vecCol: String = "v",
       dist: (Column, Column) => Column = ArrayDistance.l2,
-      hintBroadcastQ: Boolean = true): DataFrame =
+      hintBroadcastQ: Boolean = false): DataFrame =
     topK(pairwise(q, t, idCol, vecCol, dist, hintBroadcastQ), k)
 }

@@ -62,6 +62,26 @@ class KnnSpec extends SparkSpecBase {
         "Catalyst size-gates it (broadcasting ~all data OOMs at scale)")
   }
 
+  test("knn_topk/knn_classify declared splits carry no forced query-side broadcast") {
+    // round-5 fix: the `vec_id % 10 == 0` query side is 10% of the corpus —
+    // corpus-proportional, so a forced broadcast is a guaranteed OOM at
+    // 100×. The hint must be absent from the analyzed plan (AQE then
+    // size-gates the placement at runtime, which is allowed to broadcast
+    // at THIS sf — the invariant is that nothing forces it).
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    val t = emb.filter(col("vec_id") % 10 =!= 0)
+    val topk = Knn.knn(q, t, k = 5)
+    assert(!topk.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "knn_topk path must not force-broadcast a corpus-proportional query side")
+    val classify = graft.core.Fknn.knnClassify(t, q, k = 5)
+    assert(!classify.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "knn_classify path must not force-broadcast a corpus-proportional query side")
+    // and the one legitimately hinted shape (chunked per-block) still hints
+    val chunk = q.filter(col("vec_id") % 4 === 0)
+    assert(Knn.knn(chunk, t, k = 5, hintBroadcastQ = true)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
   test("scan_filter_prune pushes predicate and columns into the parquet scan") {
     val df = graft.rel.Queries.scanFilterPrune(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
