@@ -120,9 +120,10 @@ object TimeSeries {
     * window frame expresses. Each key's buckets are collected sorted
     * and folded with the `aggregate` higher-order function in one pass;
     * per-key state is CALENDAR-bounded (hours in the key's span), the
-    * same bound as the resample grid — for multi-year spans switch to a
-    * per-key sorted `mapPartitions` scan (the fold is the same; only
-    * the container changes). The DuckDB twin runs the identical
+    * same bound as the resample grid — but the array-append accumulator
+    * makes the fold O(span²) in element copies, so for multi-year spans
+    * use `ewmaScan` (identical fold, linear `mapPartitions` container;
+    * spec-twinned bit-identical). The DuckDB twin runs the identical
     * recurrence as a recursive CTE.
     */
   def ewmaHourly(events: DataFrame, alpha: Double = 0.3): DataFrame = {
@@ -147,6 +148,54 @@ object TimeSeries {
 
   def ewma(s: SparkSession, d: String): DataFrame =
     ewmaHourly(Tables.events(s, d))
+
+  /** The linear-time container for the SAME fold as `ewmaHourly` — the
+    * multi-year-span path the `ewmaHourly` scaladoc names. The HOF form
+    * appends to the accumulator array with `acc || array(...)`, which
+    * copies the accumulated array per element: O(span²) element copies
+    * on one task for a long key (a 10-year hourly key ≈ 87 k buckets ≈
+    * 3.8 B copies). Here the key's buckets are instead routed to one
+    * partition (`repartition(event_type)`), sorted WITHIN the partition
+    * (no global sort exchange), and folded by a linear `mapPartitions`
+    * scan carrying one (prevKey, prevEwma) register — O(span) per key,
+    * O(1) state.
+    *
+    * Arithmetic parity with the HOF form (TimeSeriesSpec asserts ≡):
+    * the factors come from the same decimal strings (`BigDecimal("0.3")
+    * .toDouble` is the identical double the SQL literal `0.3D` parses
+    * to) and the fold runs the identical `a·v + compl·prev` expression
+    * in the identical order — bit-identical doubles, not just close.
+    * `ewmaHourly` stays the declared/oracle row (its per-key state is
+    * calendar-bounded, fine at harness spans); this is the library's
+    * scale path, TsScaleProbe measures the linear wall growth.
+    */
+  def ewmaScan(events: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val a = BigDecimal(alpha.toString).toDouble
+    val compl = (BigDecimal(1) - BigDecimal(alpha.toString)).toDouble
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(avg(col("value")).as("v"))
+    val sess = events.sparkSession
+    import sess.implicits._
+    b.select(col("event_type").cast("string"), col("hs"), col("v"))
+      .as[(String, Long, Double)]
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("hs"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var prev = 0.0
+        var seeded = false
+        it.map { case (k, hs, v) =>
+          if (k != curKey) { curKey = k; seeded = false }
+          val e = if (!seeded) v else a * v + compl * prev
+          seeded = true
+          prev = e
+          (k, hs, e)
+        }
+      }
+      .toDF("event_type", "hs", "e")
+      .select(col("event_type"), col("hs"), rnd(col("e"), 6).as("ewma"))
+  }
 
   // ---- ts_anomaly: rolling z-score outliers -----------------------------
 

@@ -46,15 +46,16 @@ object TsScaleProbe {
         shuffled.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
 
-    def leg(name: String)(body: => Long): Unit = {
+    def legN(name: String, n: Long)(body: => Long): Unit = {
       shuffled.set(0)
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // listener bus drain (private API; probe-grade wait)
-      println(f"[scale] $name nEvents=$nEvents rows=$rows wall=$wall%.1f s " +
-        f"(${nEvents / wall}%.0f ev/s) shuffleMB=${shuffled.get / 1e6}%.1f")
+      println(f"[scale] $name nEvents=$n rows=$rows wall=$wall%.1f s " +
+        f"(${n / wall}%.0f ev/s) shuffleMB=${shuffled.get / 1e6}%.1f")
     }
+    def leg(name: String)(body: => Long): Unit = legN(name, nEvents)(body)
 
     leg("cdc_latest_agg")(TimeSeries.cdcLatest(events).count())
     leg("cdc_latest_window")(TimeSeries.cdcLatestWindow(events).count())
@@ -68,6 +69,23 @@ object TsScaleProbe {
     leg("ts_anomaly_salted")(TimeSeries.anomalyZscoreScalable(events, 24).count())
     leg("scd2_intervals")(TimeSeries.scd2Intervals(events).count())
     leg("events_retention")(TimeSeries.eventsRetention(events).count())
+
+    // EWMA container scaling: ONE key over a multi-year hourly span —
+    // per-key span is what the HOF form is quadratic in (array-append
+    // accumulator copies), while ewmaScan's mapPartitions fold is linear.
+    // Doubling span should ~4× the HOF wall and ~2× (or less — fixed
+    // overheads dominate) the scan wall.
+    Seq(10000, 20000, 40000).foreach { span =>
+      val sp = spark.range(span).select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1104067200L) + col("id") * 3600).as("ts"),
+        lit(1L).as("user_id"),
+        lit("t0").as("event_type"),
+        (abs(hash(col("id"))) % 1000 / 10.0).as("value"))
+        .localCheckpoint() // isolate generation from the measured fold
+      legN(s"ewma_hof_span$span", span)(TimeSeries.ewmaHourly(sp).count())
+      legN(s"ewma_scan_span$span", span)(TimeSeries.ewmaScan(sp).count())
+    }
 
     // Bloom prune: 0.1% of keys selective; `merge` hint pins a shuffle
     // join (the cluster regime — both sides too big to broadcast) so the

@@ -69,6 +69,24 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out === Seq(10.0, 13.0, 18.1))
   }
 
+  test("ewmaScan (linear container) ≡ ewmaHourly HOF form, incl. multi-key") {
+    // exact recurrence values on a two-key feed
+    val df = ev(
+      (1L, 60L, 1L, "click", 10.0),
+      (2L, 3660L, 1L, "click", 20.0),
+      (3L, 7260L, 1L, "click", 30.0),
+      (4L, 60L, 2L, "view", 4.0),
+      (5L, 3660L, 2L, "view", 8.0))
+    val out = TimeSeries.ewmaScan(df)
+      .orderBy("event_type", "hs").select("ewma").as[Double].collect().toSeq
+    assert(out === Seq(10.0, 13.0, 18.1, 4.0, 5.2))
+    // bit-identical to the HOF form on the harness feed (same doubles,
+    // same fold order — not just same rounded output)
+    val events = Tables.events(spark, sfDir)
+    assert(collectSet(TimeSeries.ewmaScan(events)) ===
+      collectSet(TimeSeries.ewmaHourly(events)))
+  }
+
   test("anomalyZscoreScalable flags a spike whose history crosses the bucket boundary") {
     // 24 baseline points in hour-bucket 0; spike lands in bucket 1 with
     // 1-hour buckets — scoring depends entirely on imported context rows
