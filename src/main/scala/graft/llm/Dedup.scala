@@ -100,24 +100,11 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
 
-    // exact-Jaccard verification DRIVEN BY the candidate pairs: expand
-    // each candidate to d1's tokens, keep those also in d2. Work scales
-    // with |candidates| × tokens-per-doc. (The naive alternative — join
-    // the full token streams on tok and THEN semi-join candidates —
-    // materializes every token CO-OCCURRENCE first: ~1.6 B intermediate
-    // pairs at 50 k docs, found by PipelineScaleProbe.)
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(toks.select(col("doc_id").as("d1"), col("tok")), "d1")
-      .join(toks.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sza"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("szb"))), "d2")
-      .withColumn("j", col("inter") / (col("sza") + col("szb") - col("inter")))
-      .filter(col("j") >= 0.8)
-      .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), rnd(col("j"), 6).as("jaccard"))
+    // exact-Jaccard verification DRIVEN BY the candidate pairs — the
+    // shared candidate-driven pipeline (TextOps.jaccardVerify scaladoc
+    // has the scale argument and the probe-found co-occurrence trap)
+    TextOps.jaccardVerify(cand, toks, 0.8)
+      .select(col("doc_id1"), col("doc_id2"), rnd(col("j"), 6).as("jaccard"))
   }
 
   /** 16-bit SimHash per doc from md5 hex digits of each distinct token:
@@ -127,9 +114,22 @@ object Dedup {
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashSigs(s, docSlice(s, d))
 
-  /** 16-bit SimHash signatures over an arbitrary (doc_id, text) frame. */
-  def simhashSigs(s: SparkSession, docs: DataFrame): DataFrame = {
-    val bits = s.range(SimBits).select(col("id").cast("int").as("j"))
+  /** SimHash signatures over an arbitrary (doc_id, text) frame.
+    *
+    * `simBits` sizes the signature (≤ 64: bit j votes by bit (j%4) of
+    * md5 hex digit (j div 4), and md5 has 32 digits = 128 bits to draw
+    * from). The declared query keeps 16 — the oracle's constant, exactly
+    * reproducible in DuckDB SQL; production corpora run 64-bit (the
+    * standard width — 16-bit collides heavily at corpus scale), same
+    * plan shape, only the broadcast bit range widens. Bit accumulation
+    * is `shiftleft(1L, j)` (≡ the oracle's pow(2,j) for j ≤ 15, and
+    * exact where pow's double→BIGINT round-trip would overflow at
+    * j = 63); sums of distinct powers of two are exact bit-sets even
+    * when bit 63 lands in the sign position.
+    */
+  def simhashSigs(s: SparkSession, docs: DataFrame, simBits: Int = SimBits): DataFrame = {
+    require(simBits >= 1 && simBits <= 64, s"simBits must be in [1, 64], got $simBits")
+    val bits = s.range(simBits).select(col("id").cast("int").as("j"))
     TextOps.docTokens(docs)
       .withColumn("h", md5(col("tok")))
       .crossJoin(broadcast(bits))
@@ -140,46 +140,62 @@ object Dedup {
       .agg(sum(col("contrib")).as("vote"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("vote") >= 0,
-        expr("CAST(round(pow(2e0, j), 0) AS BIGINT)")).otherwise(0L)).as("simhash"))
+        expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ 3 over the 16-bit sigs. */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     simhashBandedPairs(s, simhash(s, d))
 
-  /** Banded SimHash candidate generation: split the 16-bit signature
-    * into `SimBands` = 4 bands of 4 bits. Pigeonhole: a pair at Hamming
-    * ≤ 3 differs in at most 3 bands, so at least one band matches
-    * EXACTLY — the union of the 4 per-band equi-joins (one shuffle keyed
-    * on (band, band-bits)) finds every qualifying pair with zero misses,
+  /** Banded SimHash candidate generation: split the `simBits`-bit
+    * signature into `simBands` bands of simBits/simBands bits.
+    * Pigeonhole: a pair at Hamming ≤ maxHamming < simBands differs in
+    * at most maxHamming bands, so at least one band matches EXACTLY —
+    * the union of the per-band equi-joins (one shuffle keyed on
+    * (band, band-bits)) finds every qualifying pair with zero misses,
     * replacing the all-pairs signature cross join (O(N²) candidate rows;
     * at 1 B docs that cross join dies before its filter runs). Exact
     * `bit_count(h1^h2)` then verifies only the collision-driven
     * candidates. Output ≡ the all-pairs form (DedupSpec pins this), so
     * the DuckDB oracle keeps its direct cross-join shape.
+    *
+    * Defaults are the declared query's 16/4; the production width is
+    * 64/8 (SCALE.md round-5 probe row — the 16-bit signature collides
+    * heavily as the corpus grows, 64-bit keeps candidates ≈ true pairs).
     */
   def simhashBandedPairs(s: SparkSession, sigs: DataFrame,
-      maxHamming: Int = SimBands - 1): DataFrame = {
-    require(maxHamming < SimBands, s"pigeonhole needs maxHamming < $SimBands bands")
-    val bandBits = SimBits / SimBands
-    val bands = s.range(SimBands).select(col("id").cast("int").as("band"))
-    // band key = that band's bit slice; div/% on the BIGINT signature
-    // stays integer-exact in codegen (shift amounts are per-row columns)
+      maxHamming: Int = SimBands - 1, simBits: Int = SimBits,
+      simBands: Int = SimBands): DataFrame = {
+    require(maxHamming < simBands, s"pigeonhole needs maxHamming < $simBands bands")
+    simhashBandCandidates(s, sigs, simBits, simBands)
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id1"), col("doc_id2"), col("hamming"))
+  }
+
+  /** The band-collision candidate pairs (pre-verify) — the row count the
+    * banding width controls; PipelineScaleProbe reports it per width.
+    */
+  private[graft] def simhashBandCandidates(s: SparkSession, sigs: DataFrame,
+      simBits: Int, simBands: Int): DataFrame = {
+    require(simBits % simBands == 0, "simBits must be a multiple of simBands")
+    val bandBits = simBits / simBands
+    val bands = s.range(simBands).select(col("id").cast("int").as("band"))
+    // band key = that band's bit slice; unsigned shift + mask is
+    // sign-safe when bit 63 is set (div/% would go negative there) and
+    // identical to div/% on narrower non-negative signatures
     val keyed = sigs.crossJoin(broadcast(bands))
       .select(col("doc_id"), col("simhash"), col("band"),
-        expr(s"(simhash div shiftleft(1L, band * $bandBits)) % shiftleft(1L, $bandBits)")
+        expr(s"shiftrightunsigned(simhash, band * $bandBits) & ${(1L << bandBits) - 1}L")
           .as("bkey"))
     keyed.select(col("doc_id").as("doc_id1"), col("simhash").as("h1"),
         col("band"), col("bkey"))
       .join(keyed.select(col("doc_id").as("doc_id2"), col("simhash").as("h2"),
         col("band"), col("bkey")), Seq("band", "bkey"))
       .filter(col("doc_id1") < col("doc_id2"))
-      // a pair can collide in up to SimBands bands — dedupe candidates
-      // before the (cheap) exact verify so each pair is emitted once
+      // a pair can collide in multiple bands — dedupe candidates before
+      // the (cheap) exact verify so each pair is emitted once
       .select(col("doc_id1"), col("doc_id2"), col("h1"), col("h2")).distinct()
-      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_id1"), col("doc_id2"), col("hamming"))
   }
 
   /** All-pairs reference form of the SimHash pairing — the spec twin
@@ -204,21 +220,12 @@ object Dedup {
     // in the oracle too) keeps both engines on the same document set.
     val docs = Tables.documents(s, d)
       .filter(col("doc_id") < 100 && length(col("text")) >= 3)
+    // grams play the token role in the shared all-pairs pipeline
     val grams = docs.select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tok"))
       .distinct()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = grams.select(col("doc_id").as("d1"), col("g"))
-      .join(grams.select(col("doc_id").as("d2"), col("g")), "g")
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sza"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("szb"))), "d2")
-      .withColumn("j", col("inter") / (col("sza") + col("szb") - col("inter")))
-      .filter(col("j") >= 0.6)
-      .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), rnd(col("j"), 6).as("jaccard"))
+    TextOps.jaccardAllPairs(grams, 0.6)
+      .select(col("doc_id1"), col("doc_id2"), rnd(col("j"), 6).as("jaccard"))
   }
 
   /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair

@@ -23,6 +23,59 @@ object TextOps {
   private[llm] def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).distinct()
 
+  // ---- the ONE exact-Jaccard verify pipeline ---------------------------
+  // (round-5 unification: minhashLshPairs, jaccardPairs, ngramJaccard and
+  // corpusClean each hand-rolled the same sizes/intersection/threshold
+  // chain — one implementation means the candidate-driven scale fix
+  // provably applies everywhere it should.)
+
+  /** Exact Jaccard ≥ threshold DRIVEN BY candidate pairs: expand each
+    * (d1, d2) candidate to d1's tokens, keep those also in d2's. Work
+    * scales with |candidates| × tokens-per-doc — the 100-TB path, fed by
+    * LSH band collisions. (The naive alternative — join the full token
+    * streams on tok and THEN semi-join candidates — materializes every
+    * token co-occurrence first: ~1.6 B intermediate pairs at 50 k docs,
+    * found by PipelineScaleProbe.) Output (doc_id1, doc_id2, j), j
+    * unrounded — callers round at their output edge.
+    */
+  private[llm] def jaccardVerify(cand: DataFrame, toks: DataFrame,
+      threshold: Double): DataFrame = {
+    val inter = cand
+      .join(toks.select(col("doc_id").as("d1"), col("tok")), "d1")
+      .join(toks.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFromInter(inter, toks, threshold)
+  }
+
+  /** Exact Jaccard ≥ threshold over ALL pairs sharing a token — the
+    * oracle-checkable semantic definition. Quadratic in docs-per-token:
+    * for BOUNDED slices only; at corpus scale generate candidates with
+    * MinHash-LSH and use `jaccardVerify`.
+    */
+  private[llm] def jaccardAllPairs(toks: DataFrame, threshold: Double): DataFrame = {
+    val inter = toks.select(col("doc_id").as("d1"), col("tok"))
+      .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFromInter(inter, toks, threshold)
+  }
+
+  /** Shared tail: |A∪B| = |A| + |B| − |A∩B|; doc-size table broadcast
+    * (one row per doc in the verified slice/candidate set).
+    */
+  private def jaccardFromInter(inter: DataFrame, toks: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sza"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("szb"))), "d2")
+      .withColumn("j", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("j") >= threshold)
+      .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), col("j"))
+  }
+
   // #28 — tokenize + explode (the Generator/UDTF surface) + count.
   def tokenize(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -42,18 +95,8 @@ object TextOps {
   // slice-independent. MinHash-LSH is the at-scale physical form.
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val toks = docTokens(Tables.documents(s, d).filter(col("doc_id") < 500))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = toks.select(col("doc_id").as("d1"), col("tok"))
-      .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-    val j = inter
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sza"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("szb"))), "d2")
-      .withColumn("j", col("inter") / (col("sza") + col("szb") - col("inter")))
-    j.filter(col("j") >= 0.8)
-      .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), rnd(col("j"), 6).as("jaccard"))
+    jaccardAllPairs(toks, 0.8)
+      .select(col("doc_id1"), col("doc_id2"), rnd(col("j"), 6).as("jaccard"))
   }
 
   // text_tfidf — the classic term-weighting op: per-doc top-3 terms by
@@ -108,18 +151,12 @@ object TextOps {
       rnd(avg(when(col("tok").isin(stop: _*), 1.0).otherwise(0.0)), 6).as("stop_ratio"))
     val qualified = quality.filter(col("n_tok") >= 20 && col("stop_ratio") <= 0.6)
 
+    // all-pairs on the declared bounded slice; a library user cleaning a
+    // big frame should pre-bucket with minhashLshPairs (jaccardVerify)
     val toks = docTokens(docs)
       .join(qualified.select("doc_id"), Seq("doc_id"), "left_semi")
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val dropped = toks.select(col("doc_id").as("d1"), col("tok"))
-      .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sza"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("szb"))), "d2")
-      .filter(col("inter") / (col("sza") + col("szb") - col("inter")) >= 0.9)
-      .select(col("d2").as("doc_id")).distinct()
+    val dropped = jaccardAllPairs(toks, 0.9)
+      .select(col("doc_id2").as("doc_id")).distinct()
 
     qualified.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tok"), col("stop_ratio"))

@@ -66,15 +66,29 @@ object PipelineScaleProbe {
     // the banded equi-join's candidate count is the scale argument: it
     // must sit orders of magnitude under the N²/2 pairs the old cross
     // join materialized
-    t0 = System.nanoTime()
-    val simSigs = Dedup.simhashSigs(spark, docs).persist()
-    val bandCand = Dedup.simhashBandedPairs(spark, simSigs)
-    val simPairs = bandCand.count()
-    val tSim = (System.nanoTime() - t0) / 1e9
-    simSigs.unpersist()
     val allPairsCount = nDocs.toLong * (nDocs - 1) / 2
-    println(f"[scale] simhash_banded nDocs=$nDocs pairs=$simPairs " +
-      f"(cross-join would scan $allPairsCount%,d pairs) wall=$tSim%.1f s")
+    // width sweep: 16-bit/4-band (the declared/oracle constants) vs the
+    // production 64-bit/8-band. CANDIDATES (band collisions before the
+    // exact Hamming verify) is the number banding width controls — at
+    // 16 bits random docs collide in a 4-bit band with p = 1/16 per
+    // band, so candidates grow ~N²/4 (a quadratic tax the verify pays);
+    // at 64 bits an 8-bit band collides at p = 1/256 and candidates
+    // stay ≈ true near-dups. Planted-pair recall must hold at both.
+    for ((bits, bands) <- Seq((16, 4), (64, 8))) {
+      t0 = System.nanoTime()
+      val simSigs = Dedup.simhashSigs(spark, docs, simBits = bits).persist()
+      val nCand = Dedup.simhashBandCandidates(spark, simSigs, bits, bands).count()
+      val simPairs = Dedup.simhashBandedPairs(spark, simSigs,
+        maxHamming = bands - 1, simBits = bits, simBands = bands)
+      val planted2 = simPairs.filter(col("doc_id2") === col("doc_id1") + 1 &&
+        col("doc_id2") % 20 === 1).count()
+      val nPairs = simPairs.count()
+      val tSim = (System.nanoTime() - t0) / 1e9
+      simSigs.unpersist()
+      println(f"[scale] simhash_banded${bits} nDocs=$nDocs cand=$nCand%,d " +
+        f"pairs=$nPairs planted_found=$planted2/$planted " +
+        f"(cross-join would scan $allPairsCount%,d pairs) wall=$tSim%.1f s")
+    }
 
     // ---- ANN: IVF over N vectors ---------------------------------------
     val vecPath = s"/tmp/scale_vecs_$nVecs"

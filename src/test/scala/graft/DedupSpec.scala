@@ -47,6 +47,21 @@ class DedupSpec extends SparkSpecBase {
     } finally sigs.unpersist()
   }
 
+  test("64-bit/8-band SimHash: banded ≡ all-pairs, planted dups found, sign bit safe") {
+    val sigs = Dedup.simhashSigs(spark, docs, simBits = 64).persist()
+    try {
+      // at 64 bits roughly half of all signatures set bit 63 (negative
+      // BIGINT) — the twin covers the unsigned band-slice path
+      assert(sigs.filter(col("simhash") < 0).count() > 0,
+        "no sign-bit signatures — 64-bit twin not exercising the unsigned slice")
+      val banded = collectSet(Dedup.simhashBandedPairs(spark, sigs,
+        maxHamming = 7, simBits = 64, simBands = 8))
+      val allPairs = collectSet(Dedup.simhashAllPairs(sigs, maxHamming = 7))
+      assert(banded == allPairs)
+      assert(allPairs.nonEmpty, "vacuous twin: no pairs at Hamming <= 7")
+    } finally sigs.unpersist()
+  }
+
   test("connectedComponents: chain + separate pair + min labels (multi-round convergence)") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 forces several propagation rounds),
