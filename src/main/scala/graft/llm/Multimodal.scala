@@ -163,20 +163,22 @@ object Multimodal {
     * SQL-expressible; wiring real decoded dims in goes through the
     * codec seam instead). The resize math is the relational piece and
     * runs entirely in integer arithmetic —
-    * `round(w·224/s) = (2·224·w + s) div (2·s)` — so both engines agree
-    * bit-for-bit with no floating point.
+    * `round(w·224/s) = (2·224·w + s) div (2·s)`, with SQL `div` (true
+    * BIGINT division, = DuckDB's `//`) so both engines run the identical
+    * integer op. (Column `/` on longs is DOUBLE division — exact for
+    * these magnitudes but a subtler cross-engine argument than integer ≡
+    * integer; round-5 ADVICE fix.)
     */
   def mediaResize(s: SparkSession, d: String): DataFrame = {
     val nBytes = length(col("bytes")).cast("long")
-    val w = lit(64L) + nBytes % 64
-    val h = lit(64L) + (nBytes * 7) % 64
-    val short = least(w, h)
-    def out(dim: org.apache.spark.sql.Column) =
-      (lit(448L) * dim + short) / (lit(2L) * short)
-    ingestDocuments(s, d).select(
-      col("media_id"), w.as("w"), h.as("h"),
-      floor(out(w)).cast("long").as("out_w"),
-      floor(out(h)).cast("long").as("out_h"))
+    ingestDocuments(s, d)
+      .select(col("media_id"),
+        (lit(64L) + nBytes % 64).as("w"),
+        (lit(64L) + (nBytes * 7) % 64).as("h"))
+      .withColumn("sh", least(col("w"), col("h")))
+      .select(col("media_id"), col("w"), col("h"),
+        expr("(448 * w + sh) div (2 * sh)").as("out_w"),
+        expr("(448 * h + sh) div (2 * sh)").as("out_h"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

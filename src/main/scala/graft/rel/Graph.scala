@@ -66,10 +66,16 @@ object Graph {
         .join(deg, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") / col("od")).as("c"))
+      // decimal-string complement (same discipline as ewmaHourly): the
+      // Scala expression 1 - 0.85 is 0.15000000000000002, one ulp off
+      // the 0.15 the oracle's 0.15e0 literal parses to — derive the
+      // teleport factor through BigDecimal text so both engines run the
+      // identical double
+      val teleport = (BigDecimal(1) - BigDecimal(Damping.toString)).toDouble
       ranks = nodes.crossJoin(n1)
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(1 - Damping) / col("n") + lit(Damping) * coalesce(col("c"), lit(0.0))).as("r"))
+          (lit(teleport) / col("n") + lit(Damping) * coalesce(col("c"), lit(0.0))).as("r"))
         .localCheckpoint()
     }
     ranks.select(col("node"), rnd(col("r"), 6).as("rank"))

@@ -235,7 +235,10 @@ object TimeSeries {
     * span is chosen so each NON-EMPTY bucket holds ≥ 24 events per
     * type (monitoring feeds: hours-to-days spans) — a sparser bucket's
     * successors could see a shorter history than the unsalted window
-    * would, since context is only imported from one bucket back.
+    * would, since context is only imported from one bucket back. The
+    * precondition is RUNTIME-GUARDED: a bucket that exports context to
+    * a successor while holding < 24 events raises a descriptive error
+    * instead of silently diverging (TimeSeriesSpec pins both sides).
     */
   def anomalyZscoreScalable(events: DataFrame, bucketSpanHours: Int = 168): DataFrame = {
     val spanUs = bucketSpanHours * 3600L * 1000000L
@@ -246,11 +249,26 @@ object TimeSeries {
         .over(Window.partitionBy("event_type").orderBy("bkt")))
     val tail = Window.partitionBy("event_type", "bkt")
       .orderBy(col("ts").desc, col("event_id").desc)
+    // Runtime guard (round-5, ADVICE): the ≥24-events-per-non-empty-
+    // bucket precondition lived only in the scaladoc — a sparser feed
+    // silently diverged from anomalyZscore. The guard costs nothing the
+    // tail window hasn't already paid (bucket size capped at 24 = one
+    // more window count over the same partition keys) and only fires for
+    // buckets that EXPORT context (have a non-empty successor) — the
+    // last bucket of a type may be arbitrarily sparse, nothing reads
+    // history through it. Violations raise with the knob to turn.
     val ctx = base.withColumn("tn", row_number().over(tail)).filter(col("tn") <= 24)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("event_type", "bkt")))
       .join(nextNonEmpty, Seq("event_type", "bkt"))
       .filter(col("nbkt").isNotNull)
-      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
-        col("nbkt").as("bkt"), lit(true).as("ctx"))
+      .select(col("event_id"), col("event_type"),
+        when(col("bsz") < 24, raise_error(concat(
+          lit("anomalyZscoreScalable: non-empty bucket ("), col("event_type"),
+          lit(", "), col("bkt"), lit(") holds only "), col("bsz"),
+          lit(" events but exports history to a successor — results would " +
+            "diverge from anomalyZscore; widen bucketSpanHours")))
+          .cast("timestamp")).otherwise(col("ts")).as("ts"),
+        col("value"), col("nbkt").as("bkt"), lit(true).as("ctx"))
     val all = base.withColumn("ctx", lit(false)).unionByName(ctx)
     val frame = Window.partitionBy("event_type", "bkt")
       .orderBy(col("ts"), col("event_id")).rowsBetween(-24, -1)

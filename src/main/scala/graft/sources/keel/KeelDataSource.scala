@@ -167,11 +167,22 @@ private[keel] class KeelPartitionReader(file: String, required: Array[String])
       val parts = lines.next().split(",", -1)
       val vals = new ArrayBuffer[Any](cols.length)
       cols.foreach { case (i, attr) =>
-        val raw = parts(i).trim
-        attr.kind match {
-          case RealAttr(lo, hi) if hi > lo => vals += (raw.toDouble - lo) / (hi - lo)
-          case RealAttr(_, _) => vals += raw.toDouble
-          case NominalAttr(vs) => vals += vs.indexOf(raw)
+        // the schema advertises nullable=true, and the reader honors it:
+        // KEEL missing values ('?' or empty), short rows, unparseable
+        // reals, and out-of-vocabulary nominals all emit NULL instead of
+        // killing the task (or, worse, silently encoding -1)
+        val raw = if (i < parts.length) parts(i).trim else "?"
+        if (raw == "?" || raw.isEmpty) vals += null
+        else attr.kind match {
+          case RealAttr(lo, hi) =>
+            raw.toDoubleOption match {
+              case Some(x) if hi > lo => vals += (x - lo) / (hi - lo)
+              case Some(x) => vals += x
+              case None => vals += null
+            }
+          case NominalAttr(vs) =>
+            val idx = vs.indexOf(raw)
+            vals += (if (idx >= 0) idx else null)
         }
       }
       current = new GenericInternalRow(vals.toArray)

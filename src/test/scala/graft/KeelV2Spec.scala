@@ -65,6 +65,30 @@ class KeelV2Spec extends SparkSpecBase {
     assert(e.getMessage.contains("no data files"))
   }
 
+  test("missing/malformed fields emit NULL per the nullable schema, not task death") {
+    val dirty =
+      """@relation toy2d
+        |@attribute x real [0.0, 10.0]
+        |@attribute y real [0.0, 10.0]
+        |@attribute class {A, B}
+        |@data
+        |?, 1.0, A
+        |2.0, oops, B
+        |3.0, 3.0, C
+        |4.0
+        |5.0, 5.0, B
+        |""".stripMargin
+    val dir = Files.createTempDirectory("keelv2_dirty")
+    Files.writeString(dir.resolve("part1.dat"), dirty)
+    val rows = spark.read.format("keel").load(dir.toString).orderBy("x").collect()
+    assert(rows.length === 5)
+    assert(rows(0).isNullAt(0) && rows(0).getDouble(1) === 0.1)   // '?' → NULL
+    assert(rows(1).isNullAt(1))                                   // unparseable real
+    assert(rows(2).isNullAt(2))                                   // unknown nominal ≠ -1
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))            // short row
+    assert(rows(4).getInt(2) === 1)                               // clean row intact
+  }
+
   test("DSv2 column values match the KeelSource convenience loader") {
     val dir = writeDir(1)
     val v2 = spark.read.format("keel").load(dir)

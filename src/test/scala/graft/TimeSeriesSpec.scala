@@ -109,10 +109,32 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(collectSet(salted) === collectSet(TimeSeries.anomalyZscore(df)))
   }
 
+  test("anomalyZscoreScalable raises on a context-exporting bucket under 24 events") {
+    // bucket 0 full (24), bucket 1 sparse (5 rows) BUT exports history to
+    // bucket 2 — the documented precondition is violated, so the guard
+    // must raise instead of silently diverging from anomalyZscore
+    val base = (1 to 24).map(i =>
+      (i.toLong, i * 60L, 1L, "click", if (i % 2 == 0) 12.0 else 10.0))
+    val sparse = (1 to 5).map(i =>
+      (100L + i, 3600L + i * 60L, 1L, "click", if (i % 2 == 0) 12.0 else 10.0))
+    val df = ev(base ++ sparse :+ (999L, 2 * 3600L + 60L, 1L, "click", 100.0): _*)
+    val e = intercept[Exception](
+      TimeSeries.anomalyZscoreScalable(df, bucketSpanHours = 1).collect())
+    assert(e.getMessage.contains("widen bucketSpanHours") ||
+      Option(e.getCause).exists(_.getMessage.contains("widen bucketSpanHours")))
+    // and the trailing bucket may stay sparse — nothing reads through it
+    val ok = ev(base :+ (999L, 3660L, 1L, "click", 100.0): _*)
+    assert(TimeSeries.anomalyZscoreScalable(ok, bucketSpanHours = 1)
+      .select("event_id").as[Long].collect().toSeq === Seq(999L))
+  }
+
   test("anomalyZscoreScalable ≡ global-window form on the harness feed") {
     val events = Tables.events(spark, sfDir)
-    // 168h buckets: every (type, week) bucket in sf0.001 holds ≥ 24 events
-    assert(collectSet(TimeSeries.anomalyZscoreScalable(events, 168)) ===
+    // 720h buckets: the narrowest standard span where every context-
+    // exporting (type, bucket) in sf0.001 holds ≥ 24 events — at 168h
+    // three tail buckets dip to 13 and the round-5 runtime guard
+    // (correctly) raises; measured with the DuckDB twin of the guard
+    assert(collectSet(TimeSeries.anomalyZscoreScalable(events, 720)) ===
       collectSet(TimeSeries.anomalyZscore(events)))
   }
 
