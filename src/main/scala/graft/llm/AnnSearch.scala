@@ -143,6 +143,28 @@ object AnnSearch {
     cent
   }
 
+  /** Declared query for the Lloyd-refined IVF path: same search as
+    * `ivfTopK` but over `kmeansCentroids(stride seed, 2 iters)`. Like
+    * `agg_hll`, deliberately NO oracle twin — the refinement is fully
+    * deterministic (fixed seed/iters, no RNG; AnnSearchSpec pins two
+    * runs bit-identical and recall ≥ the stride row at equal nprobe),
+    * but expressing two Lloyd rounds of per-cell elementwise means +
+    * array re-assembly as a DuckDB CTE chain is unreasonable where the
+    * stride row's quantizer is ~20 lines — the driver records the
+    * rows-only check and the spec carries the semantics.
+    */
+  def ivfKmeansTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v").as("t_v"))
+    val seed = e.filter(col("vec_id") >= 20 && col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    ivfSearch(
+      q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("q_v")),
+      t = t,
+      cent = kmeansCentroids(t, seed, iters = 2),
+      k = 3, nprobe = 3)
+  }
+
   def ivfSearch(q: DataFrame, t: DataFrame, cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = t.join(assignCells(t, cent), "t_id")
@@ -226,6 +248,7 @@ object AnnSearch {
     "ann_cosine_topk" -> cosineTopK,
     "ann_lsh_bucket" -> lshBucketTopK,
     "ann_ivf" -> ivfTopK,
+    "ann_ivf_kmeans" -> ivfKmeansTopK,
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "embedding_normalize" -> embeddingNormalize,
     "embedding_centroid" -> embeddingCentroid,

@@ -43,6 +43,34 @@ object CcProbe {
     val prTop = pr.orderBy(col("rank").desc).limit(1).collect()(0)
     println(f"[pr-probe] nodes=${pr.count()} topRank=${prTop.getDouble(1)}%.6f " +
       f"pr_wall=${(System.nanoTime() - t2) / 1e9}%.2f s")
+
+    // ---- stress leg: pathological topology (round-5) -----------------
+    // A real near-dup corpus graph is mostly tiny dense blobs, which any
+    // propagation closes in a round or two — the shapes that hurt are a
+    // LONG CHAIN (diameter = length; plain neighbor-min needs one round
+    // per hop) and a GIANT component (every round re-shuffles its edges).
+    // maxIters is set to the pointer-jumping bound log2(diameter)+c: if
+    // path halving ever regresses to linear rounds, the run stops short,
+    // labels stay a refinement (ncomp > 2), and the assert fires. Round
+    // walls print via verbose — they must stay flat (constant-size plan
+    // per round is the localCheckpoint contract).
+    val chainLen = 4096
+    val starSize = 100000
+    val chain = spark.range(chainLen)
+      .select(col("id").as("doc_id1"), (col("id") + 1).as("doc_id2"))
+    val star = spark.range(starSize)
+      .select(lit(10000000L).as("doc_id1"), (col("id") + 10000001L).as("doc_id2"))
+    val stress = chain.unionAll(star).localCheckpoint()
+    val bound = (math.log(chainLen) / math.log(2)).toInt + 4
+    val t3 = System.nanoTime()
+    val scc = graft.llm.Dedup.connectedComponents(stress, maxIters = bound, verbose = true)
+    val srow = scc.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("ncomp"), max(col("sz")).as("maxsz")).collect()(0)
+    println(f"[cc-stress] chain=$chainLen star=$starSize ncomp=${srow.getLong(0)} " +
+      f"(expect 2) maxsz=${srow.getLong(1)} (expect ${starSize + 1}) " +
+      f"iterBound=$bound wall=${(System.nanoTime() - t3) / 1e9}%.2f s")
+    assert(srow.getLong(0) == 2 && srow.getLong(1) == starSize + 1,
+      s"stress graph did not close within log2(diameter)+4 = $bound rounds")
     spark.stop()
   }
 }
