@@ -62,15 +62,20 @@ object TextOps {
     jaccardFromInter(inter, toks, threshold)
   }
 
-  /** Shared tail: |A∪B| = |A| + |B| − |A∩B|; doc-size table broadcast
-    * (one row per doc in the verified slice/candidate set).
+  /** Shared tail: |A∪B| = |A| + |B| − |A∩B|. The doc-size table carries
+    * ONE ROW PER DOC IN `toks` — corpus-proportional on the candidate-
+    * driven path, so it must NOT be force-broadcast (the knn_topk OOM
+    * shape; pre-unification the hint hid in all four copies). AQE
+    * size-gates the two joins instead: at bench slices the sizes side
+    * still broadcasts; at corpus scale the (much smaller) intersection
+    * side becomes the build side or both sides shuffle on doc id.
     */
   private def jaccardFromInter(inter: DataFrame, toks: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sza"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("szb"))), "d2")
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sza")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("szb")), "d2")
       .withColumn("j", col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("j") >= threshold)
       .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), col("j"))
