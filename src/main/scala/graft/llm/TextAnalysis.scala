@@ -137,13 +137,54 @@ object TextAnalysis {
     corpusZipfDocs(Tables.documents(s, d))
 
   def corpusZipfDocs(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("n"))
-    // vocab-sized global window (documented: rank over vocab, not corpus)
+    val counts = tokenCounts(docs)
+    // vocab-sized global window (documented: rank over vocab, not
+    // corpus; `corpusZipfScalable` is the distributed-rank twin for
+    // vocabularies too big for one sort task)
     val ranked = counts
       .withColumn("r", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
       .select(log(col("n").cast("double")).as("y"), log(col("r").cast("double")).as("x"))
+    zipfRegression(ranked)
+  }
+
+  /** The at-scale form of `corpusZipfDocs`: the vocab-sized global rank
+    * window replaced by the two-pass distributed rank — range-partition
+    * by the sort key, per-partition `row_number`, per-partition counts
+    * prefix-summed over a partitions-count-sized frame and broadcast
+    * back (the `Curation.seqPackGlobal` / `Metrics.aucBinaryBucketed`
+    * shape: no task ever sorts more than its range slice). Rank values
+    * are identical because the sort key (n DESC, tok) is unique per
+    * row; TextAnalysisSpec pins the twin.
+    */
+  def corpusZipfScalable(docs: DataFrame, partitions: Int = 0): DataFrame = {
+    val parts =
+      if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = tokenCounts(docs)
+      .repartitionByRange(parts, col("n").desc, col("tok"))
+      .select(col("tok"), col("n"), spark_partition_id().as("pid"))
+    val inPart = Window.partitionBy(col("pid")).orderBy(col("n").desc, col("tok"))
+    val local = ranged.withColumn("r_in", row_number().over(inPart))
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("base"))
+    val ranked = local.join(broadcast(offsets), "pid")
+      .select(log(col("n").cast("double")).as("y"),
+        log((col("base") + col("r_in")).cast("double")).as("x"))
+    zipfRegression(ranked)
+  }
+
+  private def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+
+  /** Least-squares fit of y = ln(count) on x = ln(rank), written as
+    * explicit sums so both engines (and both rank containers) run the
+    * identical arithmetic.
+    */
+  private def zipfRegression(ranked: DataFrame): DataFrame =
     ranked.agg(
       count(lit(1)).cast("double").as("k"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -155,7 +196,6 @@ object TextAnalysis {
         rnd((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
           (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("k"), 6)
           .as("zipf_intercept"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> quality,
