@@ -38,7 +38,7 @@ object TextOps {
     * found by PipelineScaleProbe.) Output (doc_id1, doc_id2, j), j
     * unrounded — callers round at their output edge.
     */
-  private[llm] def jaccardVerify(cand: DataFrame, toks: DataFrame,
+  private[graft] def jaccardVerify(cand: DataFrame, toks: DataFrame,
       threshold: Double): DataFrame = {
     val inter = cand
       .join(toks.select(col("doc_id").as("d1"), col("tok")), "d1")
@@ -53,7 +53,7 @@ object TextOps {
     * for BOUNDED slices only; at corpus scale generate candidates with
     * MinHash-LSH and use `jaccardVerify`.
     */
-  private[llm] def jaccardAllPairs(toks: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def jaccardAllPairs(toks: DataFrame, threshold: Double): DataFrame = {
     val inter = toks.select(col("doc_id").as("d1"), col("tok"))
       .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
       .filter(col("d1") < col("d2"))

@@ -157,6 +157,52 @@ class PropertySpec extends SparkSpecBase {
     }, min = 15)
   }
 
+  test("ewmaScan (linear container) ≡ ewmaHourly (HOF) on random feeds") {
+    check(Prop.forAll(eventsGen) { rows =>
+      val df = eventsDf(rows)
+      collectSet(graft.rel.TimeSeries.ewmaScan(df)) ==
+        collectSet(graft.rel.TimeSeries.ewmaHourly(df))
+    }, min = 10)
+  }
+
+  test("banded SimHash pigeonhole holds for arbitrary 64-bit signatures (incl. sign bit)") {
+    import spark.implicits._
+    // correlated signatures (base ^ up-to-10 bit flips) so Hamming ≤ 7
+    // pairs actually occur — independent random longs sit near Hamming 32
+    // and the property would be vacuous
+    val gen = for {
+      base <- Gen.choose(Long.MinValue, Long.MaxValue)
+      n <- Gen.choose(2, 10)
+      flips <- Gen.listOfN(n, Gen.listOf(Gen.choose(0, 63)).map(_.take(10)))
+    } yield flips.zipWithIndex.map { case (fs, i) =>
+      (i.toLong, fs.foldLeft(base)((a, b) => a ^ (1L << b)))
+    }
+    check(Prop.forAll(gen) { sigRows =>
+      val df = sigRows.toDF("doc_id", "simhash")
+      collectSet(graft.llm.Dedup.simhashBandedPairs(spark, df,
+        maxHamming = 7, simBits = 64, simBands = 8)) ==
+        collectSet(graft.llm.Dedup.simhashAllPairs(df, maxHamming = 7))
+    }, min = 10)
+  }
+
+  test("candidate-driven jaccardVerify ≡ all-pairs when candidates cover all pairs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 7)
+      docs <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.choose(0, 12)))
+    } yield docs
+    check(Prop.forAll(gen) { docs =>
+      val toks = docs.zipWithIndex
+        .flatMap { case (ts, i) => ts.distinct.map(t => (i.toLong, s"t$t")) }
+        .toDF("doc_id", "tok")
+      val n = docs.length
+      val cand = (for { a <- 0 until n; b <- a + 1 until n }
+        yield (a.toLong, b.toLong)).toDF("d1", "d2")
+      collectSet(graft.llm.TextOps.jaccardVerify(cand, toks, 0.3)) ==
+        collectSet(graft.llm.TextOps.jaccardAllPairs(toks, 0.3))
+    }, min = 10)
+  }
+
   test("EWMA stays inside the running [min, max] envelope of bucket means") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = eventsDf(rows)
