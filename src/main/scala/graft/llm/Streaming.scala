@@ -19,6 +19,11 @@ case class AnomEvent(event_id: Long, ts: java.sql.Timestamp, event_type: String,
 case class AnomState(vals: Seq[Double])
 case class AnomAlert(event_id: Long, event_type: String, value: Double, z: Double)
 
+/** Row types for the EWMA state stream (`Streaming.ewmaStream`). */
+case class EwmaEvent(event_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+case class EwmaState(e: Double)
+case class EwmaOut(event_type: String, event_id: Long, ewma: Double)
+
 /** Row types for the keep-latest CDC stream (`Streaming.latestStream`). */
 case class CdcEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
@@ -148,6 +153,45 @@ object Streaming {
           }
           state.update(AnomState(hist))
           alerts.result().iterator
+      }
+  }
+
+  /** EWMA state stream — the recursive fold (e = α·v + (1−α)·e_prev)
+    * as `flatMapGroupsWithState` with ONE DOUBLE of state per
+    * event_type: the minimal-state end of the custom-state spectrum
+    * (the z-score stream keeps a 24-value ring buffer; CDC keeps one
+    * struct). Batch twin is `TimeSeries.ewmaEventsScan` — identical
+    * factors via the same decimal strings, identical (ts, event_id)
+    * fold order, so equality is bit-level for in-order sources:
+    * within a trigger the group sorts by event time (order repaired),
+    * across triggers history is arrival-order — the same contract as
+    * `anomalyStream`/`dedupStream`, asserted in StreamingSpec across
+    * multi-batch feeds. No watermark needed: state never grows.
+    */
+  def ewmaStream(events: DataFrame, alpha: Double = 0.3): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val a = BigDecimal(alpha.toString).toDouble
+    val compl = (BigDecimal(1) - BigDecimal(alpha.toString)).toDouble
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    events
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, evs: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          var seeded = state.exists
+          var e = state.getOption.map(_.e).getOrElse(0.0)
+          val out = Seq.newBuilder[EwmaOut]
+          evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id)).foreach { ev =>
+            e = if (!seeded) ev.value else a * ev.value + compl * e
+            seeded = true
+            out += EwmaOut(etype, ev.event_id, rnd6(e))
+          }
+          if (seeded) state.update(EwmaState(e))
+          out.result().iterator
       }
   }
 

@@ -197,6 +197,40 @@ object TimeSeries {
       .select(col("event_type"), col("hs"), rnd(col("e"), 6).as("ewma"))
   }
 
+  /** EWMA over RAW events per type in (ts, event_id) order — the batch
+    * twin of `Streaming.ewmaStream`. The hourly forms fold over bucket
+    * means; a stateful stream scores every row as it arrives, so its
+    * batch twin must too. Same linear `mapPartitions` container (and
+    * the same decimal-string factor parity) as `ewmaScan`; output is
+    * one row per event.
+    */
+  def ewmaEventsScan(events: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val a = BigDecimal(alpha.toString).toDouble
+    val compl = (BigDecimal(1) - BigDecimal(alpha.toString)).toDouble
+    val sess = events.sparkSession
+    import sess.implicits._
+    events
+      .select(col("event_type").cast("string"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value").cast("double").as("value"))
+      .as[(String, Long, Long, Double)]
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("tus"), col("event_id"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var prev = 0.0
+        var seeded = false
+        it.map { case (k, _, id, v) =>
+          if (k != curKey) { curKey = k; seeded = false }
+          val e = if (!seeded) v else a * v + compl * prev
+          seeded = true
+          prev = e
+          (k, id, e)
+        }
+      }
+      .toDF("event_type", "event_id", "e")
+      .select(col("event_type"), col("event_id"), rnd(col("e"), 6).as("ewma"))
+  }
+
   // ---- ts_anomaly: rolling z-score outliers -----------------------------
 
   /** Rolling z-score anomaly detection: each event scored against the

@@ -191,6 +191,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === Set((1L, 2L, 3.0)), "open session unpolluted; late row dropped")
   }
 
+  test("EWMA state stream ≡ ewmaEventsScan across multi-batch in-order feeds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.ewmaStream(mem.toDF())
+      .writeStream.format("memory").queryName("ewma_s").outputMode("append").start()
+    try {
+      // three triggers, in-order ACROSS triggers per type (the
+      // contract); within trigger 2 the two clicks arrive ts-SHUFFLED —
+      // the fold must repair the order before folding
+      mem.addData(evs(0))
+      q.processAllAvailable()
+      mem.addData(evs(3), evs(1)) // clicks: 11:10 arrives before 10:20
+      q.processAllAvailable()
+      mem.addData(evs(2), evs(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collectSet(spark.table("ewma_s"))
+    val batch = collectSet(
+      graft.rel.TimeSeries.ewmaEventsScan(evs.toDF()))
+    assert(streamed === batch)
+    // recurrence sanity on the click chain (values 1, 2, 4):
+    // e = 1, 0.3·2+0.7·1 = 1.3, 0.3·4+0.7·1.3 = 2.11
+    val clicks = spark.table("ewma_s").filter(col("event_type") === "click")
+      .orderBy("event_id").select("ewma").as[Double].collect().toSeq
+    assert(clicks === Seq(1.0, 1.3, 2.11))
+  }
+
   test("stream_topk twin: foreachBatch rank over sealed windows ≡ batch top-k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
