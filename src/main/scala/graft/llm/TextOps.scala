@@ -106,8 +106,12 @@ object TextOps {
 
   // text_tfidf — the classic term-weighting op: per-doc top-3 terms by
   // tf·idf (raw term count × ln(N/df)). Two keyed aggregations + a small
-  // window; idf's doc-frequency table is a broadcast-sized dimension at
-  // any corpus size (vocab, not corpus, scale).
+  // window. The df table is VOCAB-sized — much smaller than the corpus
+  // but not bounded (web-scale vocab runs to hundreds of millions of
+  // types), so it is NOT force-broadcast: the join is tok-keyed on both
+  // sides, co-partitioned with the aggregation shuffle that produced
+  // df, and AQE still broadcasts it at bench slices. Only the one-row
+  // nDocs aggregate keeps its hint.
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -116,7 +120,7 @@ object TextOps {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val df_ = termCounts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = termCounts.join(broadcast(df_), "tok").crossJoin(broadcast(nDocs))
+    val scored = termCounts.join(df_, "tok").crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
