@@ -66,6 +66,26 @@ object ScaleProbe {
     val pairs = (n * 0.9).toLong * (n * 0.9).toLong
     println(f"[scale] n=$n dim=$dim selfPairs=$pairs membership=$memRows rows in $tMem%.1f s " +
       f"(${pairs / tMem / 1e6}%.1f Mpairs/s), classify=$predRows rows in $tCls%.1f s")
+
+    // crisp-kNN declared-split path (round-5: no forced broadcast — AQE
+    // owns the placement). The probe reports the physical join AQE
+    // picked so the size gate is DOCUMENTED flipping: a small query
+    // side still broadcasts (the fast plan), one past the threshold
+    // goes partitioned-cartesian + bounded-heap — the shape that
+    // survives a corpus-proportional query side at 100 TB instead of
+    // OOMing an executor on a forced build.
+    t0 = System.nanoTime()
+    val topk = graft.core.Knn.knn(queries, train, 5)
+    val nk = topk.count()
+    val tKnn = (System.nanoTime() - t0) / 1e9
+    val phys = topk.queryExecution.executedPlan.toString
+    val join =
+      if (phys.contains("CartesianProduct")) "cartesian"
+      else if (phys.contains("BroadcastNestedLoop")) "broadcast-nl"
+      else "other"
+    val qtPairs = (n * 0.9).toLong * (n / 10)
+    println(f"[scale] knn_topk n=$n q=${n / 10} join=$join rows=$nk wall=$tKnn%.1f s " +
+      f"(${qtPairs / tKnn / 1e6}%.1f Mpairs/s)")
     spark.stop()
   }
 }
