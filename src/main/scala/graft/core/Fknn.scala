@@ -56,13 +56,25 @@ object Fknn {
     * `numIterations` memory bound (SURVEY §3.2). Identical output to
     * `membershipInit` (FknnSpec asserts it); use when the train set is too
     * large for a single unhinted self-join's build side.
+    *
+    * `eager` (round-5): the LAZY union runs every block inside ONE job,
+    * so each block's broadcast is |Q|/blocks rows but all of them are
+    * LIVE CONCURRENTLY on the executors (disk-spillable, not OOM, but
+    * the per-stage bound is not a per-job bound). `eager = true`
+    * `localCheckpoint`s each block's (small, k-rows-per-query) top-k as
+    * its own job — the reference's sequential-iteration semantics: one
+    * broadcast in flight at a time, the previous block's released to
+    * the ContextCleaner before the next starts. Output-identical
+    * (FknnSpec); on a cluster use `checkpoint()` for fault tolerance.
     */
-  def membershipInitChunked(train: DataFrame, k: Int, nClasses: Int, blocks: Int): DataFrame = {
+  def membershipInitChunked(train: DataFrame, k: Int, nClasses: Int, blocks: Int,
+      eager: Boolean = false): DataFrame = {
     val nn = (0 until blocks).map { b =>
       val qBlock = train.filter(col("vec_id") % blocks === b)
       val pairs = Knn.pairwise(qBlock, train, hintBroadcastQ = true)
         .filter(col("q_id") =!= col("t_id"))
-      Knn.topK(pairs, k)
+      val topk = Knn.topK(pairs, k)
+      if (eager) topk.localCheckpoint() else topk
     }.reduce(_ unionAll _)
     membershipFromNn(nn, train, k, nClasses)
   }
@@ -110,12 +122,16 @@ object Fknn {
       train: DataFrame,
       queries: DataFrame,
       k: Int,
-      blocks: Int): DataFrame = {
+      blocks: Int,
+      eager: Boolean = false): DataFrame = {
     val nn = (0 until blocks).map { b =>
       // per-block query side is known-small by construction (|Q|/blocks) —
-      // the one legitimate forced-broadcast site (kNN-IS chunk placement)
-      Knn.knn(queries.filter(col("vec_id") % blocks === b), train, k,
+      // the one legitimate forced-broadcast site (kNN-IS chunk placement).
+      // `eager` sequences the blocks into separate jobs so only one
+      // broadcast is live at a time (see membershipInitChunked).
+      val topk = Knn.knn(queries.filter(col("vec_id") % blocks === b), train, k,
         hintBroadcastQ = true)
+      if (eager) topk.localCheckpoint() else topk
     }.reduce(_ unionAll _)
     argmaxPredicted(scoresFromNn(nn, memberships))
   }
