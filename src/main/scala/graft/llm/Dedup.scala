@@ -72,9 +72,23 @@ object Dedup {
     * oracle's constants, ~98 % at J = 0.8); production corpora run
     * 64-128 hashes — same plan shape, only the broadcast seed range and
     * the per-band concat width change.
+    *
+    * `maxBandBucket` (round-5, off by default so the declared row's
+    * semantics are untouched): a band signature shared by B docs
+    * yields B² candidate pairs, and real corpora have degenerate
+    * buckets (empty docs, boilerplate templates) where B is huge —
+    * the classic LSH hot-bucket blowup. With the cap set, band buckets
+    * larger than the cap are EXCLUDED from candidate generation: a
+    * bucket that size means near-identical members, which belong to
+    * exact dedup (`dedupExact` collapses them for free) — and pairs
+    * genuinely at J ≥ threshold still surface through their other,
+    * less-degenerate bands. An explicit opt-in knob, not a silent
+    * cap: recall loss is confined to pairs ALL of whose matching
+    * bands are oversized.
     */
   def minhashLshPairs(s: SparkSession, docs: DataFrame,
-      numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand): DataFrame = {
+      numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand,
+      maxBandBucket: Int = 0): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be a multiple of rowsPerBand")
     // The (doc, tok) stream feeds the signature build, the vocabulary,
     // and the exact verify. Deliberately NOT persisted: measured slower
@@ -91,10 +105,16 @@ object Dedup {
     // signature concat inside whole-stage codegen for any width
     val rowCols = (0 until rowsPerBand)
       .map(r => min(when(col("seed") % rowsPerBand === r, col("mh"))))
-    val sigs = minHashes(s, toks, numHashes)
+    val sigsAll = minHashes(s, toks, numHashes)
       .withColumn("band", expr(s"seed div $rowsPerBand"))
       .groupBy(col("doc_id"), col("band"))
       .agg(concat(col("band").cast("string") +: lit("|") +: rowCols: _*).as("sig"))
+    val sigs =
+      if (maxBandBucket <= 0) sigsAll
+      else sigsAll.join(
+        sigsAll.groupBy("sig").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > maxBandBucket).select("sig"),
+        Seq("sig"), "left_anti")
     val cand = sigs.select(col("doc_id").as("d1"), col("sig"))
       .join(sigs.select(col("doc_id").as("d2"), col("sig")), "sig")
       .filter(col("d1") < col("d2"))

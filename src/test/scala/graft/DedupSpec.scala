@@ -47,6 +47,17 @@ class DedupSpec extends SparkSpecBase {
     } finally sigs.unpersist()
   }
 
+  test("LSH hot-bucket cap: generous cap is output-invisible, cap=1 kills all candidates") {
+    // planted-dup corpus: every band bucket is small (≤ a handful of
+    // docs), so a generous cap must change nothing...
+    val uncapped = collectSet(Dedup.minhashLshPairs(spark, docs))
+    assert(uncapped.nonEmpty)
+    assert(collectSet(Dedup.minhashLshPairs(spark, docs, maxBandBucket = 1000))
+      === uncapped)
+    // ...while cap=1 excludes every ≥2-doc bucket — no candidates at all
+    assert(collectSet(Dedup.minhashLshPairs(spark, docs, maxBandBucket = 1)).isEmpty)
+  }
+
   test("64-bit/8-band SimHash: banded ≡ all-pairs, planted dups found, sign bit safe") {
     val sigs = Dedup.simhashSigs(spark, docs, simBits = 64).persist()
     try {
