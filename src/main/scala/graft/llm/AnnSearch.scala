@@ -123,9 +123,14 @@ object AnnSearch {
     * ~20 lines; AnnSearchSpec pins the refined variant's recall ≥ the
     * stride baseline at equal nprobe instead).
     *
-    * Iterations nest the previous round's plan into the next broadcast,
-    * so keep `iters` small (the classic IVF recipe: a handful of Lloyd
-    * rounds on a sample) and persist `t` if it isn't a cheap scan.
+    * Iterative-lineage hygiene (the uniform lesson from
+    * `connectedComponents`/`pageRank`): each round references the
+    * previous `cent` TWICE (assignment + empty-cell keep), so the lazy
+    * plan would DOUBLE per iteration — every round ends in
+    * `localCheckpoint` so planning stays constant-size and the final
+    * search never re-derives earlier rounds (`checkpoint()` on a
+    * cluster). Checkpointing changes no values: the refinement stays
+    * deterministic (AnnSearchSpec pins two runs bit-identical).
     */
   def kmeansCentroids(t: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
     var cent = seed.select(col("c_id"), col("c_v"))
@@ -138,7 +143,7 @@ object AnnSearch {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("c_id"), expr("transform(pm, p -> p.m)").as("c_v"))
       val kept = cent.join(means.select(col("c_id")), Seq("c_id"), "left_anti")
-      cent = means.unionByName(kept)
+      cent = means.unionByName(kept).localCheckpoint()
     }
     cent
   }
