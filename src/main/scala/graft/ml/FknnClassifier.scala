@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Estimator, Model}
-import org.apache.spark.ml.param.{IntParam, ParamMap, ParamValidators, Params}
+import org.apache.spark.ml.param.{IntParam, Param, ParamMap, ParamValidators, Params}
 import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.col
@@ -14,6 +14,14 @@ import graft.core.Fknn
   * stage 1 (Keller class-membership degrees over train) and caches it in
   * the model; `transform` runs stage 2 against any query frame.
   *
+  * Parameter parity with the reference's CLI surface (SURVEY §3.1
+  * [LINEAGE]): `k`, `nClasses`, plus `version` ("global" exact /
+  * "local" per-block approximate — the reference's EP-3 option) and
+  * `numIterations` (the kNN-IS memory bound: > 1 chunks BOTH stages
+  * into that many id-hash blocks, each individually broadcast; for
+  * version=local it is the block count). Defaults reproduce the exact
+  * single-pass pipeline.
+  *
   * Input contract (both stages): columns `vec_id BIGINT`,
   * `v ARRAY<DOUBLE>`, `label INT` — the engine's classification-relation
   * shape (SURVEY §1.2); the model appends `predicted INT`.
@@ -21,9 +29,17 @@ import graft.core.Fknn
 trait FknnParams extends Params {
   final val k = new IntParam(this, "k", "number of neighbors", ParamValidators.gt(0))
   final val nClasses = new IntParam(this, "nClasses", "number of classes", ParamValidators.gt(1))
+  final val version = new Param[String](this, "version",
+    "classification variant: global (exact) or local (per-block approximate)",
+    ParamValidators.inArray(Array("global", "local")))
+  final val numIterations = new IntParam(this, "numIterations",
+    "kNN-IS chunk count (1 = single pass; > 1 bounds per-broadcast memory at |Q|/n)",
+    ParamValidators.gt(0))
   def getK: Int = $(k)
   def getNClasses: Int = $(nClasses)
-  setDefault(k -> 5, nClasses -> 10)
+  def getVersion: String = $(version)
+  def getNumIterations: Int = $(numIterations)
+  setDefault(k -> 5, nClasses -> 10, version -> "global", numIterations -> 1)
 
   protected def validate(schema: StructType): StructType = {
     require(Seq("vec_id", "v", "label").forall(n => schema.fieldNames.contains(n)),
@@ -37,11 +53,16 @@ class FknnClassifier(override val uid: String) extends Estimator[FknnModel] with
 
   def setK(value: Int): this.type = set(k, value)
   def setNClasses(value: Int): this.type = set(nClasses, value)
+  def setVersion(value: String): this.type = set(version, value)
+  def setNumIterations(value: Int): this.type = set(numIterations, value)
 
   override def fit(dataset: Dataset[_]): FknnModel = {
     val train = dataset.select(col("vec_id"), col("v"), col("label"))
-    val memberships = Fknn.membershipInit(train, getK, getNClasses)
-    val model = new FknnModel(uid, train, memberships, getK)
+    val memberships =
+      if (getNumIterations > 1)
+        Fknn.membershipInitChunked(train, getK, getNClasses, blocks = getNumIterations)
+      else Fknn.membershipInit(train, getK, getNClasses)
+    val model = new FknnModel(uid, train, memberships)
     copyValues(model.setParent(this))
   }
 
@@ -52,18 +73,23 @@ class FknnClassifier(override val uid: String) extends Estimator[FknnModel] with
 class FknnModel(
     override val uid: String,
     private val train: DataFrame,
-    val memberships: DataFrame,
-    private val kValue: Int)
+    val memberships: DataFrame)
   extends Model[FknnModel] with FknnParams {
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     val queries = dataset.select(col("vec_id"), col("v"), col("label"))
-    val pred = Fknn.classify(memberships, train, queries, kValue)
-      .withColumnRenamed("q_id", "vec_id")
-    dataset.toDF().join(pred, "vec_id")
+    val pred = (getVersion, getNumIterations) match {
+      case ("local", n) =>
+        Fknn.classifyLocal(memberships, train, queries, getK, blocks = math.max(n, 2))
+      case ("global", n) if n > 1 =>
+        Fknn.classifyChunked(memberships, train, queries, getK, blocks = n)
+      case _ =>
+        Fknn.classify(memberships, train, queries, getK)
+    }
+    dataset.toDF().join(pred.withColumnRenamed("q_id", "vec_id"), "vec_id")
   }
 
   override def transformSchema(schema: StructType): StructType = validate(schema)
   override def copy(extra: ParamMap): FknnModel =
-    copyValues(new FknnModel(uid, train, memberships, kValue)).setParent(parent)
+    copyValues(new FknnModel(uid, train, memberships)).setParent(parent)
 }

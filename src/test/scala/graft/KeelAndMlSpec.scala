@@ -82,4 +82,31 @@ class KeelAndMlSpec extends SparkSpecBase {
     assert(model.transform(queries).columns.toSeq ===
       Seq("vec_id", "v", "label", "predicted"))
   }
+
+  test("FknnClassifier version/numIterations params mirror the CLI variants") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+    val train = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") < 300)
+    val queries = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 300)
+
+    // numIterations chunks both stages — output-invisible vs the default
+    val chunked = new FknnClassifier().setK(5).setNClasses(10)
+      .setNumIterations(3).fit(train).transform(queries)
+      .select(col("vec_id").as("q_id"), col("predicted"))
+    val exact = Fknn.classify(Fknn.membershipInit(train, 5, 10), train, queries, 5)
+    assert(collectSet(chunked) === collectSet(exact))
+
+    // version=local runs the per-block approximate variant ≡ classifyLocal
+    val mem = Fknn.membershipInit(train, 5, 10)
+    val local = new FknnClassifier().setK(5).setNClasses(10)
+      .setVersion("local").setNumIterations(4).fit(train).transform(queries)
+      .select(col("vec_id").as("q_id"), col("predicted"))
+    val directLocal = Fknn.classifyLocal(mem, train, queries, 5, blocks = 4)
+    assert(collectSet(local) === collectSet(directLocal))
+
+    // invalid variant rejected at set time
+    intercept[IllegalArgumentException] {
+      new FknnClassifier().setVersion("turbo")
+    }
+  }
 }
