@@ -90,6 +90,39 @@ object PipelineScaleProbe {
         f"(cross-join would scan $allPairsCount%,d pairs) wall=$tSim%.1f s")
     }
 
+    // ---- dedup: hot-bucket cap on a boilerplate-heavy corpus -----------
+    // Every real corpus has degenerate documents (empty pages, templates)
+    // that share ALL band signatures: one bucket of B identical docs is
+    // B² candidate pairs before any verify. 20 % boilerplate here — the
+    // capped run excludes the degenerate bucket (those docs belong to
+    // exact dedup) while keeping every planted near-dup.
+    val nBoil = math.min(nDocs, 10000)
+    val boilPath = s"/tmp/scale_boil_$nBoil"
+    spark.range(nBoil)
+      .select(col("id").as("doc_id"),
+        expr("IF(id % 20 = 1, id - 1, id)").as("base"),
+        expr("IF(id % 20 = 1, 1, 0)").as("mut"))
+      .select(col("doc_id"), expr(
+        s"""IF(doc_id < ${nBoil / 5},
+          |  'lorem ipsum template boilerplate page about contact terms privacy',
+          |  concat(
+          |    array_join(transform(sequence(1, 79), j ->
+          |      concat('w', cast(abs(hash(concat(cast(base AS string), ':', cast(j AS string)))) % 10000 AS string))), ' '),
+          |    ' ', IF(mut = 1, concat('m', cast(doc_id AS string)),
+          |      concat('w', cast(abs(hash(concat(cast(base AS string), ':80'))) % 10000 AS string)))))""".stripMargin)
+        .as("text"))
+      .write.mode("overwrite").parquet(boilPath)
+    val boilDocs = spark.read.parquet(boilPath)
+    t0 = System.nanoTime()
+    val uncapped = Dedup.minhashLshPairs(spark, boilDocs).count()
+    val tUncap = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val capped = Dedup.minhashLshPairs(spark, boilDocs, maxBandBucket = 100).count()
+    val tCap = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] minhash_hotbucket nDocs=$nBoil boiler=${nBoil / 5} " +
+      f"uncapped=$uncapped pairs in $tUncap%.1f s; capped(100)=$capped in $tCap%.1f s " +
+      f"(degenerate bucket alone = ${(nBoil / 5).toLong * (nBoil / 5 - 1) / 2}%,d pairs)")
+
     // ---- ANN: IVF over N vectors ---------------------------------------
     val vecPath = s"/tmp/scale_vecs_$nVecs"
     spark.range(nVecs)
