@@ -182,12 +182,15 @@ object Dedup {
     * Defaults are the declared query's 16/4; the production width is
     * 64/8 (SCALE.md round-5 probe row — the 16-bit signature collides
     * heavily as the corpus grows, 64-bit keeps candidates ≈ true pairs).
+    * `maxBandBucket` is the same opt-in hot-bucket cap as
+    * `minhashLshPairs` (identical docs share ALL bands — B² candidates
+    * from one degenerate bucket; they belong to exact dedup).
     */
   def simhashBandedPairs(s: SparkSession, sigs: DataFrame,
       maxHamming: Int = SimBands - 1, simBits: Int = SimBits,
-      simBands: Int = SimBands): DataFrame = {
+      simBands: Int = SimBands, maxBandBucket: Int = 0): DataFrame = {
     require(maxHamming < simBands, s"pigeonhole needs maxHamming < $simBands bands")
-    simhashBandCandidates(s, sigs, simBits, simBands)
+    simhashBandCandidates(s, sigs, simBits, simBands, maxBandBucket)
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_id1"), col("doc_id2"), col("hamming"))
@@ -197,17 +200,23 @@ object Dedup {
     * banding width controls; PipelineScaleProbe reports it per width.
     */
   private[graft] def simhashBandCandidates(s: SparkSession, sigs: DataFrame,
-      simBits: Int, simBands: Int): DataFrame = {
+      simBits: Int, simBands: Int, maxBandBucket: Int = 0): DataFrame = {
     require(simBits % simBands == 0, "simBits must be a multiple of simBands")
     val bandBits = simBits / simBands
     val bands = s.range(simBands).select(col("id").cast("int").as("band"))
     // band key = that band's bit slice; unsigned shift + mask is
     // sign-safe when bit 63 is set (div/% would go negative there) and
     // identical to div/% on narrower non-negative signatures
-    val keyed = sigs.crossJoin(broadcast(bands))
+    val keyedAll = sigs.crossJoin(broadcast(bands))
       .select(col("doc_id"), col("simhash"), col("band"),
         expr(s"shiftrightunsigned(simhash, band * $bandBits) & ${(1L << bandBits) - 1}L")
           .as("bkey"))
+    val keyed =
+      if (maxBandBucket <= 0) keyedAll
+      else keyedAll.join(
+        keyedAll.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > maxBandBucket).select("band", "bkey"),
+        Seq("band", "bkey"), "left_anti")
     keyed.select(col("doc_id").as("doc_id1"), col("simhash").as("h1"),
         col("band"), col("bkey"))
       .join(keyed.select(col("doc_id").as("doc_id2"), col("simhash").as("h2"),

@@ -56,6 +56,15 @@ class DedupSpec extends SparkSpecBase {
       === uncapped)
     // ...while cap=1 excludes every ≥2-doc bucket — no candidates at all
     assert(collectSet(Dedup.minhashLshPairs(spark, docs, maxBandBucket = 1)).isEmpty)
+    // same knob on the SimHash path: generous cap invisible, cap=1 empty
+    val sigs = Dedup.simhashSigs(spark, docs).persist()
+    try {
+      val uncappedSim = collectSet(Dedup.simhashBandedPairs(spark, sigs))
+      assert(collectSet(Dedup.simhashBandedPairs(spark, sigs,
+        maxBandBucket = 100000)) === uncappedSim)
+      assert(collectSet(Dedup.simhashBandedPairs(spark, sigs,
+        maxBandBucket = 1)).isEmpty)
+    } finally sigs.unpersist()
   }
 
   test("64-bit/8-band SimHash: banded ≡ all-pairs, planted dups found, sign bit safe") {
