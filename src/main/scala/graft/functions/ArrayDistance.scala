@@ -111,6 +111,75 @@ case class FusedDot(left: Expression, right: Expression) extends FusedArrayFold 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FusedDot = copy(l, r)
 }
 
+/** Cosine DISTANCE (1 − cos) in ONE pass: the composed form
+  * (1 − dot(a,b) / (√dot(a,a)·√dot(b,b))) walks both arrays three
+  * times per pair — three separate fused folds in the ANN hot loop.
+  * This fuses the three sums into one traversal while keeping each
+  * sum's left-to-right accumulation order identical to its standalone
+  * fold, so the result is BIT-IDENTICAL to the composed form (and to
+  * the DuckDB oracle's list arithmetic) — DistanceSpec asserts it.
+  * Zero-norm inputs yield NaN in both forms (0/0).
+  */
+case class FusedCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fused_cosine"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e =>
+      e.dataType == ArrayType(DoubleType, containsNull = false) ||
+        e.dataType == ArrayType(DoubleType, containsNull = true))
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> arguments, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = $a.getDouble($i);
+         |  final double $yi = $b.getDouble($i);
+         |  $dot = $dot + $xi * $yi;
+         |  $na = $na + $xi * $xi;
+         |  $nb = $nb + $yi * $yi;
+         |}
+         |${ev.value} = 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FusedCosine =
+    copy(l, r)
+}
+
 object ArrayDistance {
   /** Column-level fused L2 — drop-in for `graft.core.Distance.l2`. */
   def l2(a: Column, b: Column): Column =
@@ -121,4 +190,8 @@ object ArrayDistance {
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FusedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** One-pass cosine distance — drop-in for the three-fold composition. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(FusedCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

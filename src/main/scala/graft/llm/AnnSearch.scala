@@ -26,11 +26,12 @@ import graft.rel.Queries.rnd
   */
 object AnnSearch {
 
-  /** 1 − cos(a,b), fused-codegen dot/norms, bit-identical to the oracle's
-    * list arithmetic (same element-order folds). */
-  def cosineDist(a: Column, b: Column): Column =
-    lit(1.0) - ArrayDistance.dot(a, b) /
-      (sqrt(ArrayDistance.dot(a, a)) * sqrt(ArrayDistance.dot(b, b)))
+  /** 1 − cos(a,b) as ONE fused-codegen pass (round-5: the composed
+    * dot/√dot·√dot form walked both arrays three times per pair in the
+    * ANN hot loop). Bit-identical to the composed form and the oracle's
+    * list arithmetic — same per-sum element-order folds (DistanceSpec).
+    */
+  def cosineDist(a: Column, b: Column): Column = ArrayDistance.cosine(a, b)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)

@@ -41,6 +41,31 @@ class DistanceSpec extends SparkSpecBase {
     assert(bad.count() === 0)
   }
 
+  test("FusedCosine (one pass) is bit-identical to the composed three-fold form") {
+    val df = randomPairsDf(500, seed = 99)
+    val composed = lit(1.0) - ArrayDistance.dot(col("a"), col("b")) /
+      (sqrt(ArrayDistance.dot(col("a"), col("a"))) *
+        sqrt(ArrayDistance.dot(col("b"), col("b"))))
+    val cmp = df.select(
+      ArrayDistance.cosine(col("a"), col("b")).as("fc"), composed.as("cc"))
+    assert(cmp.filter(col("fc") =!= col("cc")).count() === 0)
+    // and against the declarative HOF definition (Distance.cosine is the
+    // SIMILARITY; distance = 1 − similarity, same folds)
+    val hof = df.select(
+      ArrayDistance.cosine(col("a"), col("b")).as("fc"),
+      (lit(1.0) - Distance.cosine(col("a"), col("b"))).as("hc"))
+    assert(hof.filter(col("fc") =!= col("hc")).count() === 0)
+    // interpreted eval path (no codegen context) agrees too
+    val rows = df.limit(50)
+      .select(col("a"), col("b"), ArrayDistance.cosine(col("a"), col("b")).as("d")).collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      assert(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)) === r.getDouble(2))
+    }
+  }
+
   test("FusedL2 interpreted eval matches codegen result") {
     val df = randomPairsDf(50, seed = 7)
     // force interpreted path by evaluating through a non-codegen context:
