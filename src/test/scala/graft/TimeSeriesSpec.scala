@@ -138,6 +138,12 @@ class TimeSeriesSpec extends SparkSpecBase {
       collectSet(TimeSeries.anomalyZscore(events)))
   }
 
+  test("ewmaScan / ewmaEventsScan on an empty feed return empty, not a crash") {
+    val empty = ev()
+    assert(TimeSeries.ewmaScan(empty).count() === 0)
+    assert(TimeSeries.ewmaEventsScan(empty).count() === 0)
+  }
+
   test("cdcLatest keeps the latest (ts, event_id) version per user") {
     val df = ev(
       (1L, 100L, 1L, "signup", 1.0), (2L, 200L, 1L, "click", 2.0),
