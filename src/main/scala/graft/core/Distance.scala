@@ -42,7 +42,11 @@ object Distance {
   def norm(a: Column): Column =
     sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity (0-vector guarded to 0.0). */
+  /** Cosine similarity (0-vector guarded to 0.0). NB this is the
+    * SIMILARITY; the hot-path cosine DISTANCE (1 − cos, unguarded 0/0 →
+    * NaN) is `ArrayDistance.cosine`, a one-pass fused expression
+    * (DistanceSpec pins the relationship).
+    */
   def cosine(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
     when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)

@@ -117,8 +117,12 @@ case class FusedDot(left: Expression, right: Expression) extends FusedArrayFold 
   * This fuses the three sums into one traversal while keeping each
   * sum's left-to-right accumulation order identical to its standalone
   * fold, so the result is BIT-IDENTICAL to the composed form (and to
-  * the DuckDB oracle's list arithmetic) — DistanceSpec asserts it.
-  * Zero-norm inputs yield NaN in both forms (0/0).
+  * the DuckDB oracle's list arithmetic) on all nonzero-norm inputs —
+  * DistanceSpec asserts it. Zero-norm inputs yield IEEE NaN (0/0),
+  * which ranks LAST under Spark's ordering — benign for top-k; the
+  * composed Column form instead RAISES under ANSI mode (Spark 4
+  * default: Divide errors on 0 divisor), so the fused expression is
+  * the more total of the two (PropertySpec pins both behaviors).
   */
 case class FusedCosine(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType

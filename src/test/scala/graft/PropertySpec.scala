@@ -203,6 +203,47 @@ class PropertySpec extends SparkSpecBase {
     }, min = 10)
   }
 
+  test("FusedCosine ≡ composed three-fold form for arbitrary dims and values") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.functions.ArrayDistance
+    val gen = for {
+      dim <- Gen.choose(1, 16)
+      n <- Gen.choose(1, 8)
+      vs <- Gen.listOfN(n, Gen.zip(
+        Gen.listOfN(dim, Gen.chooseNum(-10.0, 10.0)),
+        Gen.listOfN(dim, Gen.chooseNum(-10.0, 10.0))))
+    } yield vs
+    check(Prop.forAll(gen) { vs =>
+      // zero-norm rows must be excluded from the composed comparison: the
+      // composed Column form RAISES under ANSI (Spark 4 default Divide)
+      // where the fused expression yields IEEE NaN — asserted separately
+      val nonzero = vs.filter { case (a, b) =>
+        a.exists(_ != 0.0) && b.exists(_ != 0.0)
+      }
+      nonzero.isEmpty || {
+        val rows = nonzero.map { case (a, b) => Row(a.toArray, b.toArray) }
+        val schema = StructType(Seq(
+          StructField("a", ArrayType(DoubleType)), StructField("b", ArrayType(DoubleType))))
+        val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        val composed = lit(1.0) - ArrayDistance.dot(col("a"), col("b")) /
+          (sqrt(ArrayDistance.dot(col("a"), col("a"))) *
+            sqrt(ArrayDistance.dot(col("b"), col("b"))))
+        df.select(ArrayDistance.cosine(col("a"), col("b")).as("fc"), composed.as("cc"))
+          .collect().forall { r =>
+            java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+              java.lang.Double.doubleToLongBits(r.getDouble(1))
+          }
+      }
+    }, min = 10)
+    // the zero-norm contract itself: fused → NaN (ranks last), total
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType)), StructField("b", ArrayType(DoubleType))))
+    val z = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Array(0.0, 0.0), Array(1.0, 2.0))), 1), schema)
+    assert(z.select(ArrayDistance.cosine(col("a"), col("b"))).head().getDouble(0).isNaN)
+  }
+
   test("EWMA stays inside the running [min, max] envelope of bucket means") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = eventsDf(rows)
