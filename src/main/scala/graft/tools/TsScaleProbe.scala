@@ -63,6 +63,9 @@ object TsScaleProbe {
     leg("ts_interpolate")(TimeSeries.interpolateHourly(events).count())
     leg("ts_ohlc")(TimeSeries.ohlcHourly(events).count())
     leg("ts_ewma")(TimeSeries.ewmaHourly(events).count())
+    // per-EVENT fold (the stream twin's batch form): linear in events,
+    // parallelism = key cardinality — one row out per row in
+    leg("ts_ewma_events")(TimeSeries.ewmaEventsScan(events).count())
     leg("ts_anomaly")(TimeSeries.anomalyZscore(events).count())
     // 24h buckets over the 30-day feed: 30 buckets × 5 types of sort
     // parallelism vs the global form's 5 partitions
