@@ -63,9 +63,12 @@ object Fknn {
     * the per-stage bound is not a per-job bound). `eager = true`
     * `localCheckpoint`s each block's (small, k-rows-per-query) top-k as
     * its own job — the reference's sequential-iteration semantics: one
-    * broadcast in flight at a time, the previous block's released to
-    * the ContextCleaner before the next starts. Output-identical
-    * (FknnSpec); on a cluster use `checkpoint()` for fault tolerance.
+    * broadcast EXECUTING at a time, and each completed block's
+    * broadcast becomes unreferenced (checkpoint truncates the plan), so
+    * it is eligible for ContextCleaner release — asynchronous, but
+    * executors can also evict it under pressure once nothing pins it.
+    * Output-identical (FknnSpec); on a cluster use `checkpoint()` for
+    * fault tolerance.
     */
   def membershipInitChunked(train: DataFrame, k: Int, nClasses: Int, blocks: Int,
       eager: Boolean = false): DataFrame = {
