@@ -164,12 +164,61 @@ object Curation {
   def piiRedact(s: SparkSession, d: String): DataFrame =
     piiRedactProps(Tables.events(s, d))
 
+  /** corpus_line_dedup — C4/RefinedWeb-style repeated-line removal:
+    * drop every "line" whose exact text occurs in ≥ `minDocs` distinct
+    * documents (navigation chrome, licence boilerplate, cookie
+    * banners), then reassemble each document from its surviving lines
+    * in order. This corpus has no newlines, so the line unit is a
+    * deterministic `width`-token segment — the PIPELINE (explode →
+    * corpus-wide count → anti-join → ordered reassembly) is the real
+    * operator and is segmentation-agnostic.
+    *
+    * Scale shape: segmentation is a pure map (split + sequence +
+    * slice, no per-token explode); the boilerplate set is one keyed
+    * count-distinct with map-side partials; removal is an anti-join on
+    * the segment text (work scales with actual repetition — the
+    * boilerplate side is output-bounded and AQE broadcasts it when
+    * genuinely small); reassembly and the per-doc totals are two
+    * keyed aggs sharing the doc_id shuffle key. Per-doc state in the
+    * reassembly collect is the doc's own segments — document-bounded,
+    * same bound as the source row. Documents whose every segment is
+    * boilerplate drop out entirely (C4 behavior; `n_kept` ≥ 1 on
+    * every emitted row).
+    */
+  def lineDedupDocs(docs: DataFrame, width: Int = 4, minDocs: Int = 3): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), col("a"),
+        explode(expr(s"sequence(0, (size(a) - 1) div $width)")).as("seg_id"))
+      .select(col("doc_id"), col("seg_id"),
+        array_join(slice(col("a"), col("seg_id") * width + 1, lit(width)), " ").as("stext"))
+    val boiler = segs.groupBy("stext")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("stext")
+    val kept = segs.join(boiler, Seq("stext"), "left_anti")
+    val tot = segs.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
+    kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_id"), col("stext")))),
+            x => x.getField("stext")), " ").as("text_clean"))
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("n_kept"),
+        (col("n_seg") - col("n_kept")).as("n_dropped"), col("text_clean"))
+  }
+
+  def lineDedup(s: SparkSession, d: String): DataFrame =
+    lineDedupDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> decontaminate,
     "seq_pack" -> seqPack,
     "quality_repetition" -> qualityRepetition,
     "doc_chunk" -> docChunk,
     "pii_redact" -> piiRedact,
+    "corpus_line_dedup" -> lineDedup,
   )
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
@@ -211,5 +260,22 @@ object Curation {
         "SELECT event_id, regexp_replace(t, '[0-9]+', '<NUM>', 'g') AS redacted, " +
         "(len(regexp_extract_all(props, '[A-Za-z0-9.%+-]+@[A-Za-z0-9.-]+')) + " +
         "len(regexp_extract_all(t, '[0-9]+')))::INT AS n_masked FROM de"),
+
+    "corpus_line_dedup" ->
+      // identical segmentation (DuckDB list slices are 1-based inclusive
+      // and clamp at the list end, same as Spark's slice), identical
+      // boilerplate threshold, identical ordered reassembly
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+        "seg0 AS (SELECT doc_id, a, unnest(range(0, (len(a) + 3) // 4)) AS seg_id FROM d), " +
+        "seg AS (SELECT doc_id, seg_id, " +
+        "array_to_string(a[(seg_id * 4 + 1)::INT:((seg_id + 1) * 4)::INT], ' ') AS stext " +
+        "FROM seg0), " +
+        "boiler AS (SELECT stext FROM (SELECT stext, count(DISTINCT doc_id) AS nd " +
+        "FROM seg GROUP BY 1) WHERE nd >= 3), " +
+        "kept AS (SELECT * FROM seg WHERE stext NOT IN (SELECT stext FROM boiler)), " +
+        "tot AS (SELECT doc_id, count(*) AS n_seg FROM seg GROUP BY 1) " +
+        "SELECT k.doc_id, count(*) AS n_kept, t.n_seg - count(*) AS n_dropped, " +
+        "string_agg(k.stext, ' ' ORDER BY k.seg_id) AS text_clean " +
+        "FROM kept k JOIN tot t USING (doc_id) GROUP BY k.doc_id, t.n_seg"),
   )
 }

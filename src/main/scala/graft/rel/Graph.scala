@@ -84,8 +84,72 @@ object Graph {
   def pageRankQuery(s: SparkSession, d: String): DataFrame =
     pageRank(custSuppEdges(s, d), iters = 3)
 
+  /** Undirected part↔part co-order edges: distinct part pairs that
+    * appear in the same order (canonical p1 < p2). The quantity filter
+    * keeps harness-SF density sane — it is semantics (shared with the
+    * oracle), not a physical knob. Unlike `custSuppEdges` this graph is
+    * NOT bipartite, so it carries triangles.
+    */
+  def coOrderEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.select(col("ok"), col("pk").as("p1"))
+      .join(li.select(col("ok"), col("pk").as("p2")), "ok")
+      .filter(col("p1") < col("p2"))
+      .select(col("p1"), col("p2"))
+      .distinct()
+  }
+
+  /** Triangle count via DEGREE-ORDERED ORIENTATION — the at-scale
+    * algorithm (Cohen's MapReduce formulation / Schank-Wagner): orient
+    * every edge from the lexicographically-smaller (degree, node) to the
+    * larger, enumerate wedges from each node's OUT-edges only, and close
+    * them against the canonical edge set. The orientation caps out-degree
+    * at O(√m), so the wedge self-join — the step a naive formulation
+    * explodes on hub nodes — generates O(m^1.5) rows worst-case instead
+    * of Σ deg², and a social-graph hub with degree 10⁶ produces zero
+    * wedges as a source unless its neighbors out-rank it. Every step is
+    * an equi-join or keyed agg (shuffles on node/edge keys; no broadcast
+    * of anything corpus-proportional): deg attach is two joins on the
+    * node key, wedge generation shuffles oriented edges on `src`, and
+    * the close is a semi-join on the (v, w) pair key. Each triangle is
+    * counted exactly once — its unique apex is the min-(degree, node)
+    * vertex, the only one with out-edges to both others.
+    *
+    * The edge list is `localCheckpoint`ed because it feeds four
+    * consumers (degrees, two orientation joins, the closing semi-join);
+    * on a cluster this would be a `persist` or a materialized edge
+    * table. Output is the one-row (n_edges, n_triangles) summary.
+    */
+  def triangleCount(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val deg = edges.select(col("p1").as("node"))
+      .unionAll(edges.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val lt = struct(col("d1"), col("p1")) < struct(col("d2"), col("p2"))
+    val oriented = edges
+      .join(deg.select(col("node").as("p1"), col("d").as("d1")), "p1")
+      .join(deg.select(col("node").as("p2"), col("d").as("d2")), "p2")
+      .select(
+        when(lt, col("p1")).otherwise(col("p2")).as("src"),
+        when(lt, col("p2")).otherwise(col("p1")).as("dst"))
+    val wedges = oriented.select(col("src"), col("dst").as("v"))
+      .join(oriented.select(col("src"), col("dst").as("w")), "src")
+      .filter(col("v") < col("w"))
+    val closed = wedges.join(
+      edges, wedges("v") === edges("p1") && wedges("w") === edges("p2"), "left_semi")
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  def trianglesQuery(s: SparkSession, d: String): DataFrame =
+    triangleCount(coOrderEdges(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRankQuery,
+    "graph_triangles" -> trianglesQuery,
   )
 
   val rawOracles: Map[String, String] = Map(
@@ -111,5 +175,23 @@ object Graph {
         "FROM v CROSS JOIN nn LEFT JOIN c3 ON v.node = c3.node) " +
         "SELECT node, rnd(r, 6) AS rank FROM r3"
     },
+
+    "graph_triangles" ->
+      // identical edge derivation, degree ordering, orientation, wedge
+      // close — tuple comparison (d, node) is lexicographic in both
+      // engines, and p1 < p2 keeps the closing join canonical
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem WHERE l_quantity >= 25), " +
+        "e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
+        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "deg AS (SELECT node, count(*) AS d FROM " +
+        "(SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e) t GROUP BY 1), " +
+        "o AS (SELECT CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p1 ELSE e.p2 END AS src, " +
+        "CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p2 ELSE e.p1 END AS dst " +
+        "FROM e JOIN deg d1 ON e.p1 = d1.node JOIN deg d2 ON e.p2 = d2.node), " +
+        "wdg AS (SELECT a.dst AS v, b.dst AS w FROM o a JOIN o b " +
+        "ON a.src = b.src AND a.dst < b.dst) " +
+        "SELECT (SELECT count(*) FROM e) AS n_edges, " +
+        "(SELECT count(*) FROM wdg JOIN e ON wdg.v = e.p1 AND wdg.w = e.p2) AS n_triangles"),
   )
 }

@@ -231,6 +231,88 @@ object TimeSeries {
       .select(col("event_type"), col("event_id"), rnd(col("e"), 6).as("ewma"))
   }
 
+  // ---- ts_holt: double exponential smoothing -----------------------------
+
+  /** Holt's linear-trend (double exponential) smoothing over the hourly
+    * series — the EWMA recurrence extended with a trend register:
+    * lᵢ = α·vᵢ + (1−α)·(lᵢ₋₁ + bᵢ₋₁), bᵢ = γ·(lᵢ − lᵢ₋₁) + (1−γ)·bᵢ₋₁,
+    * seeded l₁ = v₁, b₁ = 0. Same container as `ewmaHourly` (sorted
+    * collect + `aggregate` HOF, per-key state CALENDAR-bounded), same
+    * decimal-string factor parity, and the same O(span²) append caveat —
+    * `holtScan` is the linear container for multi-year keys. The new
+    * level's expression is REPEATED inside the trend update (SQL lambdas
+    * have no let-binding); double arithmetic is deterministic, so the
+    * repeated evaluation is bit-identical, and the DuckDB twin repeats
+    * the identical text inside its recursive CTE.
+    */
+  def holtHourly(events: DataFrame, alpha: Double = 0.3, gamma: Double = 0.2): DataFrame = {
+    val a = BigDecimal(alpha.toString)
+    val ac = (BigDecimal(1) - a).toString
+    val g = BigDecimal(gamma.toString)
+    val gc = (BigDecimal(1) - g).toString
+    val lNew = s"${a}D * x.v + ${ac}D * (element_at(acc, -1).l + element_at(acc, -1).b)"
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(avg(col("value")).as("v"))
+    b.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hs"), col("v")))).as("xs"))
+      .select(col("event_type"), explode(expr(
+        s"""aggregate(xs, cast(array() as array<struct<hs:bigint,l:double,b:double>>),
+           |  (acc, x) -> acc || array(if(size(acc) = 0,
+           |    struct(x.hs as hs, x.v as l, 0.0D as b),
+           |    struct(x.hs as hs,
+           |      $lNew as l,
+           |      ${g}D * (($lNew) - element_at(acc, -1).l)
+           |        + ${gc}D * element_at(acc, -1).b as b))))"""
+          .stripMargin)).as("s"))
+      .select(col("event_type"), col("s.hs").as("hs"),
+        rnd(col("s.l"), 6).as("level"), rnd(col("s.b"), 6).as("trend"))
+  }
+
+  def holt(s: SparkSession, d: String): DataFrame =
+    holtHourly(Tables.events(s, d))
+
+  /** Linear-time container for the SAME Holt fold — `ewmaScan`'s shape
+    * with a two-register (level, trend) state. Factor doubles come from
+    * the identical decimal strings and the update runs the identical
+    * expressions in the identical order, so TimeSeriesSpec asserts
+    * bit-identity with `holtHourly`, not closeness.
+    */
+  def holtScan(events: DataFrame, alpha: Double = 0.3, gamma: Double = 0.2): DataFrame = {
+    val a = BigDecimal(alpha.toString).toDouble
+    val ac = (BigDecimal(1) - BigDecimal(alpha.toString)).toDouble
+    val g = BigDecimal(gamma.toString).toDouble
+    val gc = (BigDecimal(1) - BigDecimal(gamma.toString)).toDouble
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(avg(col("value")).as("v"))
+    val sess = events.sparkSession
+    import sess.implicits._
+    b.select(col("event_type").cast("string"), col("hs"), col("v"))
+      .as[(String, Long, Double)]
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("hs"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var l = 0.0
+        var t = 0.0
+        var seeded = false
+        it.map { case (k, hs, v) =>
+          if (k != curKey) { curKey = k; seeded = false }
+          if (!seeded) { l = v; t = 0.0; seeded = true }
+          else {
+            val lNew = a * v + ac * (l + t)
+            t = g * (lNew - l) + gc * t
+            l = lNew
+          }
+          (k, hs, l, t)
+        }
+      }
+      .toDF("event_type", "hs", "l", "b")
+      .select(col("event_type"), col("hs"),
+        rnd(col("l"), 6).as("level"), rnd(col("b"), 6).as("trend"))
+  }
+
   // ---- ts_anomaly: rolling z-score outliers -----------------------------
 
   /** Rolling z-score anomaly detection: each event scored against the
@@ -393,6 +475,7 @@ object TimeSeries {
     "ts_interpolate" -> interpolate,
     "ts_ohlc" -> ohlc,
     "ts_ewma" -> ewma,
+    "ts_holt" -> holt,
     "ts_anomaly" -> anomaly,
     "cdc_latest" -> latest,
     "scd2_intervals" -> scd2,
@@ -453,6 +536,21 @@ object TimeSeries {
         "UNION ALL SELECT b.event_type, b.rn, b.hs, 0.3e0 * b.v + 0.7e0 * r.e " +
         "FROM b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1) " +
         "SELECT event_type, hs, rnd(e, 6) AS ewma FROM r"),
+
+    "ts_holt" ->
+      // identical recurrence; the new level's expression is repeated
+      // inside the trend update exactly as the Spark HOF repeats it
+      ("WITH RECURSIVE b AS (SELECT event_type, " +
+        "epoch(date_trunc('hour', ts))::BIGINT AS hs, avg(value) AS v, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY date_trunc('hour', ts)) AS rn " +
+        "FROM events GROUP BY 1, 2, date_trunc('hour', ts)), " +
+        "r AS (SELECT event_type, rn, hs, v AS l, 0e0 AS tr FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT b.event_type, b.rn, b.hs, " +
+        "0.3e0 * b.v + 0.7e0 * (r.l + r.tr), " +
+        "0.2e0 * ((0.3e0 * b.v + 0.7e0 * (r.l + r.tr)) - r.l) + 0.8e0 * r.tr " +
+        "FROM b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1) " +
+        "SELECT event_type, hs, rnd(l, 6) AS level, rnd(tr, 6) AS trend FROM r"),
 
     "ts_anomaly" ->
       ("WITH sc AS (SELECT event_id, event_type, value, " +

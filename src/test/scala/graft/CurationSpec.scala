@@ -26,6 +26,34 @@ class CurationSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 3L -> 3L))
   }
 
+  test("corpus_line_dedup removes cross-doc boilerplate segments and reassembles in order") {
+    import spark.implicits._
+    // segment width 2, boilerplate threshold 3 distinct docs. The
+    // segment "cookie banner" occupies a DIFFERENT position in each doc
+    // but is byte-identical, so it crosses the threshold; "unique
+    // words" pairs appear in one doc only and survive.
+    val docs = Seq(
+      (1L, "cookie banner alpha beta gamma delta"),
+      (2L, "one two cookie banner three four"),
+      (3L, "cookie banner cookie banner"), // ALL segments boilerplate → doc dropped
+      (4L, "five six seven eight")
+    ).toDF("doc_id", "text")
+    val got = Curation.lineDedupDocs(docs, width = 2, minDocs = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, "alpha beta gamma delta")),
+      2L -> ((2L, 1L, "one two three four")),
+      4L -> ((2L, 0L, "five six seven eight"))))
+  }
+
+  test("corpus_line_dedup: ragged tail segment is kept and counted once") {
+    import spark.implicits._
+    // 5 tokens at width 2 → segments "a b", "c d", "e"; nothing repeats
+    val docs = Seq((7L, "a b c d e")).toDF("doc_id", "text")
+    val got = Curation.lineDedupDocs(docs, width = 2, minDocs = 2).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getString(3)) === ((3L, 0L, "a b c d e")))
+  }
+
   test("seq_pack partitions each source stream consistently (driver-recomputed twin)") {
     val got = Curation.seqPack(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap

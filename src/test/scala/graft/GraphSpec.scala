@@ -25,4 +25,33 @@ class GraphSpec extends SparkSpecBase {
     assert(pr.count() === nNodes)
     assert(pr.filter(col("rank") <= 0).count() === 0)
   }
+
+  test("triangleCount: known counts, hub-wedge explosion avoided by orientation") {
+    // two triangles sharing edge (2,3): {1,2,3} and {2,3,4}; plus a
+    // pendant (4,5) that closes nothing
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("p1", "p2")
+    val r = Graph.triangleCount(edges).collect().head
+    assert(r.getLong(0) === 6L)
+    assert(r.getLong(1) === 2L)
+  }
+
+  test("triangleCount: star graph (max-degree hub) has zero triangles") {
+    // a 50-leaf star: the naive wedge join would enumerate C(50,2)
+    // wedges from the hub; degree orientation points every edge INTO
+    // the hub, so the hub sources no wedges at all
+    val edges = (2L to 51L).map(leaf => (1L, leaf)).toDF("p1", "p2")
+    val r = Graph.triangleCount(edges).collect().head
+    assert(r.getLong(0) === 50L)
+    assert(r.getLong(1) === 0L)
+  }
+
+  test("triangleCount: complete graph K5 has C(5,3) = 10 triangles") {
+    val edges = (for {
+      i <- 1L to 5L; j <- (i + 1) to 5L
+    } yield (i, j)).toDF("p1", "p2")
+    val r = Graph.triangleCount(edges).collect().head
+    assert(r.getLong(0) === 10L)
+    assert(r.getLong(1) === 10L)
+  }
 }

@@ -87,6 +87,37 @@ class TimeSeriesSpec extends SparkSpecBase {
       collectSet(TimeSeries.ewmaHourly(events)))
   }
 
+  test("holtHourly runs the exact level/trend recurrence") {
+    // buckets 10, 20, 30 with α=0.3, γ=0.2, l₁=10, b₁=0:
+    //  l₂ = 0.3·20 + 0.7·(10+0) = 13,   b₂ = 0.2·(13−10) + 0.8·0 = 0.6
+    //  l₃ = 0.3·30 + 0.7·13.6 = 18.52,  b₃ = 0.2·5.52 + 0.8·0.6 = 1.584
+    val df = ev(
+      (1L, 60L, 1L, "click", 10.0),
+      (2L, 3660L, 1L, "click", 20.0),
+      (3L, 7260L, 1L, "click", 30.0))
+    val out = TimeSeries.holtHourly(df)
+      .orderBy("hs").select("level", "trend").as[(Double, Double)].collect().toSeq
+    assert(out === Seq((10.0, 0.0), (13.0, 0.6), (18.52, 1.584)))
+  }
+
+  test("holtScan (linear container) ≡ holtHourly HOF form, incl. multi-key") {
+    val df = ev(
+      (1L, 60L, 1L, "click", 10.0),
+      (2L, 3660L, 1L, "click", 20.0),
+      (3L, 7260L, 1L, "click", 30.0),
+      (4L, 60L, 2L, "view", 4.0),
+      (5L, 3660L, 2L, "view", 8.0))
+    val out = TimeSeries.holtScan(df)
+      .orderBy("event_type", "hs").select("level").as[Double].collect().toSeq
+    assert(out === Seq(10.0, 13.0, 18.52, 4.0, 5.2))
+    // bit-identical to the HOF form on the harness feed (same decimal-
+    // string factors, same expression order)
+    val events = Tables.events(spark, sfDir)
+    assert(collectSet(TimeSeries.holtScan(events)) ===
+      collectSet(TimeSeries.holtHourly(events)))
+    assert(TimeSeries.holtScan(ev()).count() === 0)
+  }
+
   test("anomalyZscoreScalable flags a spike whose history crosses the bucket boundary") {
     // 24 baseline points in hour-bucket 0; spike lands in bucket 1 with
     // 1-hour buckets — scoring depends entirely on imported context rows
