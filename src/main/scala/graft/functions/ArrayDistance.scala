@@ -89,6 +89,19 @@ case class FusedL2(left: Expression, right: Expression) extends FusedArrayFold {
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FusedL2 = copy(l, r)
 }
 
+/** Squared L2: Σ (x-y)² WITHOUT the final sqrt — the subspace unit of
+  * PQ/ADC distance tables, where squared partials sum across subspaces
+  * before one final sqrt. Same fold order as FusedL2. */
+case class FusedL2Sq(left: Expression, right: Expression) extends FusedArrayFold {
+  override def prettyName: String = "fused_l2sq"
+  protected def stepCode(acc: String, x: String, y: String): String =
+    s"final double d = $x - $y; $acc = $acc + d * d;"
+  protected def finishCode(acc: String): String = acc
+  protected def step(acc: Double, x: Double, y: Double): Double = { val d = x - y; acc + d * d }
+  protected def finish(acc: Double): Double = acc
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FusedL2Sq = copy(l, r)
+}
+
 /** Manhattan (L1) distance: Σ |x-y| (the reference's alternate metric). */
 case class FusedL1(left: Expression, right: Expression) extends FusedArrayFold {
   override def prettyName: String = "fused_l1"
@@ -191,6 +204,9 @@ object ArrayDistance {
 
   def l1(a: Column, b: Column): Column =
     ColumnBridge.column(FusedL1(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2sq(a: Column, b: Column): Column =
+    ColumnBridge.column(FusedL2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FusedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))

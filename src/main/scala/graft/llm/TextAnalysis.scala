@@ -197,6 +197,47 @@ object TextAnalysis {
           (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("k"), 6)
           .as("zipf_intercept"))
 
+  /** quality_perplexity — the CCNet/Gopher-style LM-perplexity quality
+    * filter, with the corpus's own add-one-smoothed bigram model as the
+    * scoring LM: per doc, the negative mean log-likelihood
+    * −mean ln((count(w₁w₂)+1) / (count(w₁)+V)) over its adjacent-token
+    * bigrams (lower = more predictable = more "natural" under the
+    * corpus distribution; a production run scores against a reference-
+    * corpus model, same dataflow). Docs under 2 tokens are guarded out
+    * (same rule as `text_bigrams`).
+    *
+    * Scale shape: bigram construction is a per-row array transform (no
+    * positional self-join); the unigram/bigram count tables are
+    * vocab-/bigram-vocab-sized keyed aggs with map-side combine; the
+    * scoring joins are keyed on the gram itself (the same
+    * co-partitioning argument as `tfidf`'s df join — NOT force-
+    * broadcast, web-scale bigram vocabs are huge; AQE gates); V enters
+    * as a broadcast one-row aggregate. Output is one keyed avg per doc.
+    */
+  def perplexityProxyDocs(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a) - 1), i -> struct(" +
+          "element_at(a, i) as w1, " +
+          "concat(element_at(a, i), ' ', element_at(a, i + 1)) as bg))")).as("x"))
+      .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+    val uni = docs
+      .select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("u"))
+    val big = bg.groupBy("bg").agg(count(lit(1)).as("b"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bg.join(big, "bg").join(uni, "w1").crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        rnd(-avg(log((col("b") + lit(1L)) / (col("u") + col("v")))), 6).as("nll"))
+  }
+
+  def perplexityProxy(s: SparkSession, d: String): DataFrame =
+    perplexityProxyDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> quality,
     "token_count" -> tokenCount,
@@ -206,6 +247,7 @@ object TextAnalysis {
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
     "corpus_zipf" -> corpusZipf,
+    "quality_perplexity" -> perplexityProxy,
   )
 
   private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
@@ -271,5 +313,22 @@ object TextAnalysis {
         "), rk AS (SELECT doc_id, score, lang, " +
         "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM long) " +
         "SELECT doc_id, lang AS predicted_lang, score FROM rk WHERE rn = 1"),
+
+    "quality_perplexity" ->
+      // identical smoothing arithmetic; ln (DuckDB `log` is log10);
+      // integer counts divide to double in both engines
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(a)), " +
+        "i -> struct_pack(w1 := a[i::INT], " +
+        "bg := a[i::INT] || ' ' || a[(i + 1)::INT]))) AS x " +
+        "FROM t WHERE len(a) >= 2), " +
+        "bgf AS (SELECT doc_id, x.w1 AS w1, x.bg AS bg FROM bg), " +
+        "uni AS (SELECT w1, count(*) AS u FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS w1 FROM documents) GROUP BY 1), " +
+        "big AS (SELECT bg, count(*) AS b FROM bgf GROUP BY 1), " +
+        "v AS (SELECT count(*) AS v FROM uni) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "rnd(-avg(ln((big.b + 1) / (uni.u + v.v))), 6) AS nll " +
+        "FROM bgf JOIN big USING (bg) JOIN uni USING (w1) CROSS JOIN v GROUP BY 1"),
   )
 }

@@ -50,6 +50,8 @@ object Queries {
     */
   private[graft] def l2Sql(a: String, b: String): String =
     s"sqrt(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))))"
+  private[graft] def l2sqSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])))"
   private[graft] def l1Sql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> abs(p[1]-p[2])))"
   private[graft] def dotSql(a: String, b: String): String =

@@ -58,6 +58,81 @@ class AnnSearchSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("PQ/ADC dist ≡ L2 to the decoded vector; k rows per query") {
+    // ADC's defining identity: Σ_s l2sq(q_s, cw[code_s]) = l2sq(q, decode)
+    // — same terms, different association, so equality is ~1e-15 relative
+    // (not bitwise). This validates encode + table + fixed-order sum
+    // end-to-end, independent of recall.
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), graft.core.Distance.asDouble(col("embedding")).as("v"))
+    val pq = AnnSearch.pqTopK(spark, sfDir).persist()
+    try {
+      val perQ = pq.groupBy("q_id").agg(count(lit(1)).as("n"), max("rn").as("mr"))
+      assert(perQ.filter(col("n") =!= 3 || col("mr") =!= 3).count() === 0)
+
+      // rebuild each returned t_id's decoded vector from its codes
+      val m = 4
+      def slices(df: org.apache.spark.sql.DataFrame, id: String, out: String) =
+        df.select(col(id), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+          .select(col(id), col("s"),
+            expr(s"slice(v, s * (size(v) div $m) + 1, size(v) div $m)").as(out))
+      val cbs = slices(e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+        .select((col("vec_id") - 20).as("j"), col("v")), "j", "cw")
+      val enc = slices(e.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("t_id"), col("v")), "t_id", "tv")
+        .join(cbs, "s")
+        .select(col("t_id"), col("s"), struct(
+          graft.functions.ArrayDistance.l2sq(col("tv"), col("cw")).as("dist"),
+          col("j").as("code")).as("dc"))
+        .groupBy(col("t_id"), col("s")).agg(min(col("dc")).as("mn"))
+        .select(col("t_id"), col("s"), col("mn.code").as("code"))
+      val decoded = enc.join(cbs, enc("s") === cbs("s") && enc("code") === cbs("j"))
+        .select(col("t_id"), enc("s").as("ss"), col("cw"))
+        .groupBy(col("t_id"))
+        .agg(flatten(expr("transform(array_sort(collect_list(struct(ss, cw))), p -> p.cw)"))
+          .as("recon"))
+      val check = pq
+        .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
+        .join(decoded, "t_id")
+        .select(col("dist"), graft.rel.Queries.rnd(
+          graft.functions.ArrayDistance.l2(col("q_v"), col("recon")), 6).as("d2"))
+        .filter(abs(col("dist") - col("d2")) > 1e-5)
+      assert(check.count() === 0)
+    } finally pq.unpersist()
+  }
+
+  test("PQ preserves coarse geometry: on clustered data every neighbor is in-cluster") {
+    // the harness embeddings are near-uniform (L2 spread CV ≈ 6% — PQ's
+    // documented worst case: quantization error swamps the spread, recall
+    // vs exact top-3 ≈ 3-5%, measured in both engines). PQ's real-world
+    // contract is COARSE geometry on clustered data, so that is what the
+    // spec pins: 10 tight clusters, every returned neighbor must share
+    // the query's cluster.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new java.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextDouble() * 4 - 2))
+    val rows = (0 until 220).map { i =>
+      val c = i % 10
+      Row(i.toLong, c.toLong, centers(c).map(_ + rnd.nextDouble() * 0.1 - 0.05))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("vec_id", LongType), StructField("cluster", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+    val pq = AnnSearch.pqSearch(
+      q = df.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v")),
+      t = df.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v")),
+      cb = df.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+        .select((col("vec_id") - 20).as("j"), col("v")),
+      m = 4, k = 3)
+    val joined = pq
+      .join(df.select(col("vec_id").as("q_id"), col("cluster").as("qc")), "q_id")
+      .join(df.select(col("vec_id").as("t_id"), col("cluster").as("tc")), "t_id")
+    assert(joined.count() === 60)
+    assert(joined.filter(col("qc") =!= col("tc")).count() === 0)
+  }
+
   test("IVF result distances are exact for the pairs it returns") {
     // approximation is in candidate selection only — any returned pair's
     // distance must equal the exact L2 between its vectors

@@ -66,6 +66,18 @@ class DistanceSpec extends SparkSpecBase {
     }
   }
 
+  test("FusedL2Sq ≡ the HOF squared fold, and sqrt(l2sq) ≡ FusedL2 bit-exactly") {
+    val df = randomPairsDf(500, seed = 17)
+    // the same accumulator value feeds both finishes, so sqrt of the
+    // squared fold IS the L2 fold — equality is bitwise, not approximate
+    val cmp = df.select(
+      ArrayDistance.l2sq(col("a"), col("b")).as("sq"),
+      ArrayDistance.l2(col("a"), col("b")).as("l2"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z).as("hof"))
+    assert(cmp.filter(col("sq") =!= col("hof") || sqrt(col("sq")) =!= col("l2")).count() === 0)
+  }
+
   test("FusedL2 interpreted eval matches codegen result") {
     val df = randomPairsDf(50, seed = 7)
     // force interpreted path by evaluating through a non-codegen context:

@@ -27,6 +27,24 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out.getAs[Double]("zipf_slope") < 0.0)
   }
 
+  test("quality_perplexity computes the hand-checked add-one bigram NLL") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a b". Unigrams a:3, b:3; V=2.
+    // Bigram counts: "a b": 3, "b a": 1.
+    //   P(b|a) = (3+1)/(3+2) = 0.8,  P(a|b) = (1+1)/(3+2) = 0.4
+    // doc1 nll = −(ln .8 + ln .4 + ln .8)/3 ; doc2 nll = −ln .8
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityProxyDocs(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(1L)._1 === 3L)
+    assert(got(1L)._2 === r6(-(math.log(0.8) + math.log(0.4) + math.log(0.8)) / 3))
+    assert(got(2L) === ((1L, r6(-math.log(0.8)))))
+    // the doc containing the rare "b a" bigram scores HIGHER (less
+    // predictable) — the filter's discriminating direction
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("corpusZipfScalable (distributed rank) ≡ global-window form") {
     // several partitions so the prefix-sum offsets actually matter
     val docs = Tables.documents(spark, sfDir)
