@@ -123,23 +123,34 @@ object Graph {
     * on a cluster this would be a `persist` or a materialized edge
     * table. Output is the one-row (n_edges, n_triangles) summary.
     */
-  def triangleCount(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.localCheckpoint()
-    val deg = edges.select(col("p1").as("node"))
+  /** Degree table of an undirected (p1, p2) edge list. */
+  private[graft] def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("p1").as("node"))
       .unionAll(edges.select(col("p2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+
+  /** The (src, dst) orientation of each edge by ascending (degree, node). */
+  private[graft] def orientEdges(edges: DataFrame, deg: DataFrame): DataFrame = {
     val lt = struct(col("d1"), col("p1")) < struct(col("d2"), col("p2"))
-    val oriented = edges
+    edges
       .join(deg.select(col("node").as("p1"), col("d").as("d1")), "p1")
       .join(deg.select(col("node").as("p2"), col("d").as("d2")), "p2")
       .select(
         when(lt, col("p1")).otherwise(col("p2")).as("src"),
         when(lt, col("p2")).otherwise(col("p1")).as("dst"))
-    val wedges = oriented.select(col("src"), col("dst").as("v"))
+  }
+
+  /** Out-edge wedges (src, v, w) with v < w, from the oriented edges. */
+  private[graft] def wedges(oriented: DataFrame): DataFrame =
+    oriented.select(col("src"), col("dst").as("v"))
       .join(oriented.select(col("src"), col("dst").as("w")), "src")
       .filter(col("v") < col("w"))
-    val closed = wedges.join(
-      edges, wedges("v") === edges("p1") && wedges("w") === edges("p2"), "left_semi")
+
+  def triangleCount(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val oriented = orientEdges(edges, degrees(edges))
+    val closed = wedges(oriented).join(
+      edges, col("v") === edges("p1") && col("w") === edges("p2"), "left_semi")
     edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }

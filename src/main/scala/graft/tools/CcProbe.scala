@@ -71,6 +71,49 @@ object CcProbe {
       f"iterBound=$bound wall=${(System.nanoTime() - t3) / 1e9}%.2f s")
     assert(srow.getLong(0) == 2 && srow.getLong(1) == starSize + 1,
       s"stress graph did not close within log2(diameter)+4 = $bound rounds")
+
+    // ---- triangle legs (round-5 continuation) -------------------------
+    // 1. The counterfactual that justifies degree-ordered orientation:
+    //    Σ C(d, 2) (the wedges a naive per-node enumeration would emit)
+    //    vs the oriented join's ACTUAL wedge count, on the harness
+    //    co-order graph.
+    import graft.rel.Graph
+    val t4 = System.nanoTime()
+    val tedges = Graph.coOrderEdges(spark, sfDir).localCheckpoint()
+    val tdeg = tedges.select(col("p1").as("node"))
+      .unionAll(tedges.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val naiveW = tdeg.agg(sum(col("d") * (col("d") - 1) / 2)).collect()(0).getDouble(0)
+    val orientedW = Graph.wedges(Graph.orientEdges(tedges, tdeg)).count()
+    val tri = Graph.triangleCount(tedges).collect()(0)
+    println(f"[tri-probe] sf=$sfDir edges=${tri.getLong(0)} " +
+      f"naive_wedges=${naiveW}%.0f oriented_wedges=$orientedW " +
+      f"triangles=${tri.getLong(1)} wall=${(System.nanoTime() - t4) / 1e9}%.2f s")
+
+    // 2. Hub stress: one degree-20k node (the shape that OOMs a naive
+    //    wedge join: C(20k, 2) = 2·10⁸ wedges from one task's key). The
+    //    orientation points every hub edge INTO the hub, so the hub
+    //    sources zero wedges — the probe asserts the exact triangle
+    //    count and that the actual wedge count stays leaf-sized.
+    val hubN = 20000L
+    val spokes = spark.range(1, hubN + 1).select(lit(0L).as("p1"), col("id").as("p2"))
+    // every 100th consecutive leaf pair closes a triangle with the hub
+    val rim = spark.range(1, hubN).filter(col("id") % 100 === 1)
+      .select(col("id").as("p1"), (col("id") + 1).as("p2"))
+    val hubEdges = spokes.unionAll(rim).localCheckpoint()
+    val nRim = rim.count()
+    val t5 = System.nanoTime()
+    val hdeg = hubEdges.select(col("p1").as("node"))
+      .unionAll(hubEdges.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val hNaive = hdeg.agg(sum(col("d") * (col("d") - 1) / 2)).collect()(0).getDouble(0)
+    val hOriented = Graph.wedges(Graph.orientEdges(hubEdges, hdeg)).count()
+    val htri = Graph.triangleCount(hubEdges).collect()(0)
+    println(f"[tri-stress] hub_degree=$hubN naive_wedges=${hNaive}%.0f " +
+      f"oriented_wedges=$hOriented triangles=${htri.getLong(1)} (expect $nRim) " +
+      f"wall=${(System.nanoTime() - t5) / 1e9}%.2f s")
+    assert(htri.getLong(1) == nRim, s"hub stress: expected $nRim triangles")
+    assert(hOriented < hubN, s"orientation failed: $hOriented wedges from a $hubN-degree hub")
     spark.stop()
   }
 }
