@@ -186,12 +186,18 @@ object Curation {
     * every emitted row).
     */
   def lineDedupDocs(docs: DataFrame, width: Int = 4, minDocs: Int = 3): DataFrame = {
+    // the segment frame feeds THREE consumers (boilerplate counts, the
+    // anti-join probe side, per-doc totals) — materialize the
+    // segmentation once instead of re-running the corpus scan + explode
+    // per consumer (`checkpoint()`/persist on a cluster; same
+    // materialize-the-fan-out discipline as pageRank's edge table)
     val segs = docs
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .select(col("doc_id"), col("a"),
         explode(expr(s"sequence(0, (size(a) - 1) div $width)")).as("seg_id"))
       .select(col("doc_id"), col("seg_id"),
         array_join(slice(col("a"), col("seg_id") * width + 1, lit(width)), " ").as("stext"))
+      .localCheckpoint()
     val boiler = segs.groupBy("stext")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -215,6 +215,10 @@ object TextAnalysis {
     * as a broadcast one-row aggregate. Output is one keyed avg per doc.
     */
   def perplexityProxyDocs(docs: DataFrame): DataFrame = {
+    // the bigram stream feeds the model counts AND the scoring join, and
+    // the unigram table feeds the scoring join AND the vocab count —
+    // materialize each once instead of re-running the corpus explode per
+    // consumer (persist/`checkpoint()` on a cluster)
     val bg = docs
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= 2)
@@ -223,9 +227,11 @@ object TextAnalysis {
           "element_at(a, i) as w1, " +
           "concat(element_at(a, i), ' ', element_at(a, i + 1)) as bg))")).as("x"))
       .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+      .localCheckpoint()
     val uni = docs
       .select(explode(split(col("text"), " ")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("u"))
+      .localCheckpoint()
     val big = bg.groupBy("bg").agg(count(lit(1)).as("b"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     bg.join(big, "bg").join(uni, "w1").crossJoin(broadcast(vocab))
