@@ -165,6 +165,55 @@ class PropertySpec extends SparkSpecBase {
     }, min = 10)
   }
 
+  test("holtScan (linear container) ≡ holtHourly (HOF) on random feeds") {
+    check(Prop.forAll(eventsGen) { rows =>
+      val df = eventsDf(rows)
+      collectSet(graft.rel.TimeSeries.holtScan(df)) ==
+        collectSet(graft.rel.TimeSeries.holtHourly(df))
+    }, min = 10)
+  }
+
+  test("corpus_line_dedup is the identity when nothing crosses the threshold") {
+    import spark.implicits._
+    // with minDocs > |corpus| no segment can be boilerplate, so the
+    // segment → anti-join → ordered-reassembly round trip must return
+    // every doc verbatim — this pins slicing arithmetic and reassembly
+    // order for ragged tails, width-1 docs, duplicated docs, etc.
+    val gen = for {
+      n <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(n, Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, 19).map(i => s"w$i"))))
+    } yield docs.map(_.mkString(" "))
+    check(Prop.forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.llm.Curation.lineDedupDocs(docs, width = 3,
+        minDocs = texts.length + 1).collect()
+      out.length == texts.length && out.forall { r =>
+        r.getLong(2) == 0L && r.getString(3) == texts(r.getLong(0).toInt)
+      }
+    }, min = 10)
+  }
+
+  test("triangleCount ≡ brute force on random small graphs") {
+    import spark.implicits._
+    val gen = for {
+      nodes <- Gen.choose(3, 8)
+      edges <- Gen.someOf(for { a <- 0 until nodes; b <- a + 1 until nodes }
+        yield (a.toLong, b.toLong))
+    } yield edges.toList
+    check(Prop.forAll(gen suchThat (_.nonEmpty)) { edges =>
+      val es = edges.toSet
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).toList.sorted
+      val brute = (for {
+        i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+        if es((i, j)) && es((j, k)) && es((i, k))
+      } yield 1).size
+      val r = graft.rel.Graph.triangleCount(edges.toDF("p1", "p2")).collect().head
+      r.getLong(0) == edges.length && r.getLong(1) == brute.toLong
+    }, min = 15)
+  }
+
   test("banded SimHash pigeonhole holds for arbitrary 64-bit signatures (incl. sign bit)") {
     import spark.implicits._
     // correlated signatures (base ^ up-to-10 bit flips) so Hamming ≤ 7
