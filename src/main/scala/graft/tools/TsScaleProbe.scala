@@ -88,6 +88,10 @@ object TsScaleProbe {
         .localCheckpoint() // isolate generation from the measured fold
       legN(s"ewma_hof_span$span", span)(TimeSeries.ewmaHourly(sp).count())
       legN(s"ewma_scan_span$span", span)(TimeSeries.ewmaScan(sp).count())
+      // Holt shares the container shapes — same quadratic/linear split,
+      // slightly heavier constants (two registers, struct state)
+      legN(s"holt_hof_span$span", span)(TimeSeries.holtHourly(sp).count())
+      legN(s"holt_scan_span$span", span)(TimeSeries.holtScan(sp).count())
     }
 
     // Bloom prune: 0.1% of keys selective; `merge` hint pins a shuffle
