@@ -197,6 +197,73 @@ case class FusedCosine(left: Expression, right: Expression) extends BinaryExpres
     copy(l, r)
 }
 
+/** PQ/ADC distance: sqrt(Σ_s table[codes[s]]) — the asymmetric-distance
+  * lookup of product quantization as ONE fused primitive gather. `left`
+  * is a query's FLAT distance table (ARRAY<DOUBLE> of m·K entries,
+  * subspace-major), `right` a train vector's PRE-OFFSET code array
+  * (ARRAY<INT>, codes[s] = s·K + argmin codeword — the offset is baked
+  * in at encode time so this walk needs no K). Flat-on-purpose: a
+  * nested [subspace][codeword] layout costs one `ArrayData.getArray`
+  * wrapper ALLOCATION per lookup — 4 allocations × |Q|·|T| pairs on the
+  * ADC hot path, which PipelineScaleProbe measured as PQ losing to
+  * brute force (22.3 s vs 11.8 s at 784 M pairs) before flattening.
+  * The interpreted SQL alternative (m nested `element_at` calls) boxes
+  * every lookup and is worse still. Accumulation is ascending-subspace
+  * left-to-right starting from 0.0, bit-identical to the SQL form's
+  * fixed left-associated sum (+0.0 + x ≡ x for the non-negative squared
+  * partials).
+  */
+case class FusedAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fused_adc"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val okR = right.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+    if (okL && okR) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<DOUBLE>, ARRAY<INT>), got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ts = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val n = cs.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      acc += ts.getDouble(cs.getInt(s))
+      s += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $b.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $n; $s++) {
+         |  $acc = $acc + $a.getDouble($b.getInt($s));
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FusedAdc =
+    copy(l, r)
+}
+
 object ArrayDistance {
   /** Column-level fused L2 — drop-in for `graft.core.Distance.l2`. */
   def l2(a: Column, b: Column): Column =
@@ -214,4 +281,8 @@ object ArrayDistance {
   /** One-pass cosine distance — drop-in for the three-fold composition. */
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(FusedCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ/ADC distance: sqrt(Σ_s tables[s][codes[s]]) as one fused walk. */
+  def adc(tables: Column, codes: Column): Column =
+    ColumnBridge.column(FusedAdc(ColumnBridge.expression(tables), ColumnBridge.expression(codes)))
 }

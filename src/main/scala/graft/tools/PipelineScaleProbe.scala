@@ -159,6 +159,23 @@ object PipelineScaleProbe {
     val recall = hits.toDouble / bruteRows
     println(f"[scale] ann nVecs=$nVecs nQ=$nQ cells≈$nCells ivf=$ivfRows rows in $tIvf%.1f s; " +
       f"brute=$bruteRows rows in $tBrute%.1f s (speedup ${tBrute / tIvf}%.1fx, recall $recall%.3f)")
+
+    // ---- ANN: PQ/ADC over the same vectors ------------------------------
+    // the compression path: encode once (corpus pass vs a broadcast
+    // 4×64 codebook), then distance = 4 table lookups per pair instead
+    // of a 64-element fold — recall printed alongside, as always
+    t0 = System.nanoTime()
+    val pq = AnnSearch.pqSearch(
+      q.select(col("q_id"), col("q_v").as("v")),
+      t.select(col("t_id"), col("t_v").as("v")),
+      t.filter(col("t_id") < nQ + 64).select((col("t_id") - nQ).as("j"), col("t_v").as("v")),
+      m = 4, k = 10)
+      .select(col("q_id"), col("t_id")).persist()
+    val pqRows = pq.count()
+    val tPq = (System.nanoTime() - t0) / 1e9
+    val pqHits = pq.join(brute, Seq("q_id", "t_id"), "left_semi").count()
+    println(f"[scale] ann_pq nVecs=$nVecs nQ=$nQ k=64 m=4 pq=$pqRows rows in $tPq%.1f s " +
+      f"(speedup ${tBrute / tPq}%.1fx vs brute, recall ${pqHits.toDouble / bruteRows}%.3f)")
     spark.stop()
   }
 }
