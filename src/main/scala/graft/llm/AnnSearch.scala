@@ -312,6 +312,49 @@ object AnnSearch {
       .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
   }
 
+  /** ann_rerank — the production two-stage ANN pipeline: PQ/ADC scans
+    * the compressed corpus for a per-query SHORTLIST (cheap, 2-byte
+    * codes), then exact L2 runs only on the |Q|·shortlist candidate
+    * pairs and re-ranks to the final top-k. This is how PQ is actually
+    * deployed — ADC ranks are approximate (quantization error), so the
+    * shortlist absorbs the error and the exact pass restores true
+    * ordering at shortlist/corpus of the full-precision cost.
+    *
+    * Plan shape at 100 TB: stage 1 is `pqSearch` (map-only encode over
+    * codes, fused gather); stage 2 joins the candidate ids back to the
+    * raw vectors by EQUI-key (q_id, then t_id) — shuffle bounded by the
+    * candidate count, never |Q|·|T|; both joins un-hinted (candidates
+    * are query-proportional, AQE size-gates). The exact pass reads full
+    * vectors for only the shortlisted t_ids — with a selective
+    * shortlist that is the only full-precision I/O in the pipeline.
+    *
+    * Shortlist selection happens on UNROUNDED ADC distance inside the
+    * bounded-heap top-k (ties → lower t_id), exactly mirroring the
+    * oracle's row_number over the raw ADC sum, so both engines pick the
+    * identical candidate set — AnnSearchSpec pins shortlist ⊇ final and
+    * exactness of the reranked distances.
+    */
+  def pqRerank(q: DataFrame, t: DataFrame, cb: DataFrame,
+      m: Int, shortlist: Int, k: Int): DataFrame = {
+    val cand = pqSearch(q, t, cb, m, shortlist).select(col("q_id"), col("t_id"))
+    val exact = cand
+      .join(q.select(col("q_id"), col("v").as("q_v")), "q_id")
+      .join(t.select(col("t_id"), col("v").as("t_v")), "t_id")
+      .select(col("q_id"), col("t_id"), ArrayDistance.l2(col("q_v"), col("t_v")).as("dist"))
+    graft.functions.TopKAgg.knn(exact, k)
+      .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
+  }
+
+  def pqRerankTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    pqRerank(
+      q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v")),
+      t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v")),
+      cb = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+        .select((col("vec_id") - 20).as("j"), col("v")),
+      m = 4, shortlist = 10, k = 3)
+  }
+
   /** Embedding-cosine near-dup: pairs among vec_id < 200 with cosine
     * distance < 0.7 (the embedding leg of the dedup family; threshold
     * sized to the synthetic data's distance distribution — min ≈ 0.56,
@@ -376,6 +419,7 @@ object AnnSearch {
     "ann_ivf" -> ivfTopK,
     "ann_ivf_kmeans" -> ivfKmeansTopK,
     "ann_pq" -> pqTopK,
+    "ann_rerank" -> pqRerankTopK,
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "embedding_normalize" -> embeddingNormalize,
     "embedding_centroid" -> embeddingCentroid,
@@ -391,6 +435,40 @@ object AnnSearch {
 
   private val bucketSql: String =
     (0 until 8).map(i => s"CASE WHEN v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+
+  /** Shared PQ/ADC oracle chain (through `ad` = per-pair ADC distance):
+    * identical subspace slicing (1-based inclusive list slices = Spark's
+    * slice(start, length)), identical squared-L2 folds, min-(dist, j)
+    * encoding, and the same fixed-order partial sum. `ann_pq` tops it
+    * with a direct top-3; `ann_rerank` shortlists top-10 then re-ranks
+    * by exact L2.
+    */
+  private lazy val pqChainSql: String =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "sub AS (SELECT unnest(range(0, 4)) AS s), " +
+      "cbv AS (SELECT vec_id - 20 AS j, v FROM e WHERE vec_id >= 20 AND vec_id < 36), " +
+      "cbs AS (SELECT j, s, v[(s * (len(v) // 4) + 1)::INT:((s + 1) * (len(v) // 4))::INT] AS cw " +
+      "FROM cbv CROSS JOIN sub), " +
+      "ts AS (SELECT vec_id AS t_id, s, " +
+      "v[(s * (len(v) // 4) + 1)::INT:((s + 1) * (len(v) // 4))::INT] AS tv " +
+      "FROM e CROSS JOIN sub WHERE vec_id >= 20), " +
+      "qsub AS (SELECT vec_id AS q_id, s, " +
+      "v[(s * (len(v) // 4) + 1)::INT:((s + 1) * (len(v) // 4))::INT] AS qv " +
+      "FROM e CROSS JOIN sub WHERE vec_id < 20), " +
+      "encd AS (SELECT t_id, ts.s AS s, j, " +
+      s"${l2sqSql("tv", "cw")} AS dist FROM ts JOIN cbs ON ts.s = cbs.s), " +
+      "enc AS (SELECT t_id, s, j AS code FROM (SELECT t_id, s, j, dist, " +
+      "row_number() OVER (PARTITION BY t_id, s ORDER BY dist, j) AS rn FROM encd) " +
+      "WHERE rn = 1), " +
+      "dt AS (SELECT q_id, qsub.s AS s, j, " +
+      s"${l2sqSql("qv", "cw")} AS pd FROM qsub JOIN cbs ON qsub.s = cbs.s), " +
+      "adc AS (SELECT q_id, t_id, " +
+      "sum(CASE WHEN dt.s = 0 THEN pd END) AS p0, " +
+      "sum(CASE WHEN dt.s = 1 THEN pd END) AS p1, " +
+      "sum(CASE WHEN dt.s = 2 THEN pd END) AS p2, " +
+      "sum(CASE WHEN dt.s = 3 THEN pd END) AS p3 " +
+      "FROM enc JOIN dt ON dt.s = enc.s AND dt.j = enc.code GROUP BY 1, 2), " +
+      "ad AS (SELECT q_id, t_id, sqrt(p0 + p1 + p2 + p3) AS dist FROM adc)"
 
   val rawOracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -429,36 +507,25 @@ object AnnSearch {
         "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
 
     "ann_pq" ->
-      // identical subspace slicing (1-based inclusive list slices =
-      // Spark's slice(start, length)), identical squared-L2 folds,
-      // min-(dist, j) encoding, and the same fixed-order partial sum
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "sub AS (SELECT unnest(range(0, 4)) AS s), " +
-        "cbv AS (SELECT vec_id - 20 AS j, v FROM e WHERE vec_id >= 20 AND vec_id < 36), " +
-        "cbs AS (SELECT j, s, v[(s * (len(v) // 4) + 1)::INT:((s + 1) * (len(v) // 4))::INT] AS cw " +
-        "FROM cbv CROSS JOIN sub), " +
-        "ts AS (SELECT vec_id AS t_id, s, " +
-        "v[(s * (len(v) // 4) + 1)::INT:((s + 1) * (len(v) // 4))::INT] AS tv " +
-        "FROM e CROSS JOIN sub WHERE vec_id >= 20), " +
-        "qsub AS (SELECT vec_id AS q_id, s, " +
-        "v[(s * (len(v) // 4) + 1)::INT:((s + 1) * (len(v) // 4))::INT] AS qv " +
-        "FROM e CROSS JOIN sub WHERE vec_id < 20), " +
-        "encd AS (SELECT t_id, ts.s AS s, j, " +
-        s"${l2sqSql("tv", "cw")} AS dist FROM ts JOIN cbs ON ts.s = cbs.s), " +
-        "enc AS (SELECT t_id, s, j AS code FROM (SELECT t_id, s, j, dist, " +
-        "row_number() OVER (PARTITION BY t_id, s ORDER BY dist, j) AS rn FROM encd) " +
-        "WHERE rn = 1), " +
-        "dt AS (SELECT q_id, qsub.s AS s, j, " +
-        s"${l2sqSql("qv", "cw")} AS pd FROM qsub JOIN cbs ON qsub.s = cbs.s), " +
-        "adc AS (SELECT q_id, t_id, " +
-        "sum(CASE WHEN dt.s = 0 THEN pd END) AS p0, " +
-        "sum(CASE WHEN dt.s = 1 THEN pd END) AS p1, " +
-        "sum(CASE WHEN dt.s = 2 THEN pd END) AS p2, " +
-        "sum(CASE WHEN dt.s = 3 THEN pd END) AS p3 " +
-        "FROM enc JOIN dt ON dt.s = enc.s AND dt.j = enc.code GROUP BY 1, 2), " +
-        "ad AS (SELECT q_id, t_id, sqrt(p0 + p1 + p2 + p3) AS dist FROM adc), " +
+      (s"WITH $pqChainSql, " +
         "qk AS (SELECT q_id, t_id, dist, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM ad) " +
+        "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "ann_rerank" ->
+      // shortlist = PQ top-10 on UNROUNDED ADC distance; exact L2 only
+      // on the shortlisted (q, t) pairs, re-ranked to top-3
+      (s"WITH $pqChainSql, " +
+        "cand AS (SELECT q_id, t_id FROM (SELECT q_id, t_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM ad) " +
+        "WHERE rn <= 10), " +
+        "rr AS (SELECT c.q_id, c.t_id, " +
+        s"${l2Sql("q.v", "t.v")} AS dist " +
+        "FROM cand c " +
+        "JOIN (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 20) q ON q.q_id = c.q_id " +
+        "JOIN (SELECT vec_id AS t_id, v FROM e WHERE vec_id >= 20) t ON t.t_id = c.t_id), " +
+        "qk AS (SELECT q_id, t_id, dist, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM rr) " +
         "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
 
     "embedding_normalize" ->

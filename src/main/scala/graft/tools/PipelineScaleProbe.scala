@@ -176,6 +176,23 @@ object PipelineScaleProbe {
     val pqHits = pq.join(brute, Seq("q_id", "t_id"), "left_semi").count()
     println(f"[scale] ann_pq nVecs=$nVecs nQ=$nQ k=64 m=4 pq=$pqRows rows in $tPq%.1f s " +
       f"(speedup ${tBrute / tPq}%.1fx vs brute, recall ${pqHits.toDouble / bruteRows}%.3f)")
+
+    // ---- ANN: PQ shortlist + exact rerank -------------------------------
+    // the production two-stage shape: the compressed scan absorbs its
+    // quantization error into a wide shortlist, the exact pass runs on
+    // |Q|·shortlist pairs only — recall should recover toward exact
+    t0 = System.nanoTime()
+    val rr = AnnSearch.pqRerank(
+      q.select(col("q_id"), col("q_v").as("v")),
+      t.select(col("t_id"), col("t_v").as("v")),
+      t.filter(col("t_id") < nQ + 64).select((col("t_id") - nQ).as("j"), col("t_v").as("v")),
+      m = 4, shortlist = 100, k = 10)
+      .select(col("q_id"), col("t_id")).persist()
+    val rrRows = rr.count()
+    val tRr = (System.nanoTime() - t0) / 1e9
+    val rrHits = rr.join(brute, Seq("q_id", "t_id"), "left_semi").count()
+    println(f"[scale] ann_rerank nVecs=$nVecs nQ=$nQ shortlist=100 rr=$rrRows rows in $tRr%.1f s " +
+      f"(recall ${rrHits.toDouble / bruteRows}%.3f vs raw-PQ ${pqHits.toDouble / bruteRows}%.3f)")
     spark.stop()
   }
 }

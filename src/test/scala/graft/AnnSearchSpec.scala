@@ -133,6 +133,27 @@ class AnnSearchSpec extends SparkSpecBase {
     assert(joined.filter(col("qc") =!= col("tc")).count() === 0)
   }
 
+  test("rerank distances are exact L2 and recall >= the raw PQ ranking") {
+    // the two-stage contract: every returned distance is the TRUE L2
+    // (the exact pass undoes quantization error on the shortlist), and
+    // re-ranking a PQ shortlist can only improve recall vs exact top-k
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), graft.core.Distance.asDouble(col("embedding")).as("v"))
+    val rr = AnnSearch.pqRerankTopK(spark, sfDir).persist()
+    try {
+      val check = rr
+        .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
+        .join(e.select(col("vec_id").as("t_id"), col("v").as("t_v")), "t_id")
+        .withColumn("d2", graft.rel.Queries.rnd(
+          graft.functions.ArrayDistance.l2(col("q_v"), col("t_v")), 6))
+        .filter(col("dist") =!= col("d2"))
+      assert(check.count() === 0)
+      val rPq = recallVsExact(AnnSearch.pqTopK(spark, sfDir), 3)
+      val rRr = recallVsExact(rr, 3)
+      assert(rRr >= rPq, s"rerank recall $rRr < raw PQ recall $rPq")
+    } finally rr.unpersist()
+  }
+
   test("IVF result distances are exact for the pairs it returns") {
     // approximation is in candidate selection only — any returned pair's
     // distance must equal the exact L2 between its vectors

@@ -117,4 +117,32 @@ class DistanceSpec extends SparkSpecBase {
         StructField("b", ArrayType(DoubleType)))))
     assert(df.select(ArrayDistance.l2(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  test("FusedAdc gather ≡ SQL element_at sum and the hand fold, bit-exactly") {
+    // flat m·K tables with pre-offset codes, the pqSearch layout
+    val m = 4; val K = 8
+    val rnd = new java.util.Random(11)
+    val rows = (1 to 200).map { _ =>
+      Row(Array.fill(m * K)(rnd.nextDouble() * 3),
+        Array.tabulate(m)(s => s * K + rnd.nextInt(K)))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("tbl", ArrayType(DoubleType)),
+        StructField("codes", ArrayType(IntegerType)))))
+    val sqlForm = (0 until m)
+      .map(s => s"element_at(tbl, element_at(codes, ${s + 1}) + 1)")
+      .reduce((a, b) => s"($a + $b)")
+    val cmp = df.select(col("tbl"), col("codes"),
+      ArrayDistance.adc(col("tbl"), col("codes")).as("fused"),
+      expr(s"sqrt($sqlForm)").as("sql")).collect()
+    cmp.foreach { r =>
+      assert(r.getDouble(2) === r.getDouble(3))
+      val tbl = r.getSeq[Double](0); val cs = r.getSeq[Int](1)
+      var acc = 0.0
+      cs.foreach(c => acc += tbl(c))
+      assert(math.sqrt(acc) === r.getDouble(2))
+    }
+  }
 }
