@@ -368,6 +368,39 @@ object AnnSearch {
       .select(col("q_id").as("vec_id1"), col("t_id").as("vec_id2"), rnd(col("dist"), 6).as("dist"))
   }
 
+  /** dedup_semantic — SemDeDup-style cluster-scoped embedding dedup,
+    * the published SCALE path for `dedupEmbedding`'s declared quadratic:
+    * vectors are assigned to coarse cells (the same deterministic stride
+    * quantizer + min(struct) two-phase aggregate as `ann_ivf`), and the
+    * pairwise cosine check runs only WITHIN each cell — a self
+    * equi-join on the cell key, so work is Σ|cell|² (shuffle by cell,
+    * AQE-balanced), never |V|². A vector with any lower-id cell-mate
+    * closer than ε is marked a duplicate; keep = the canonical
+    * lowest-id representative survives, every near-copy drops.
+    *
+    * ε = 0.75 sits at the ~5th percentile of this corpus's in-cell
+    * cosine-distance distribution (min ≈ 0.53), so the flag is
+    * non-vacuous. Cross-cell near-dups are the method's documented
+    * recall loss (straddling pairs land in different cells); production
+    * builds sweep with multiple probe cells or k-means-refined centroids
+    * (`kmeansCentroids` is the seam) — the plan shape is identical.
+    */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val t = e.select(col("vec_id").as("t_id"), col("v").as("t_v"))
+    val cent = e.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    val cells = assignCells(t, cent)
+    val et = t.join(cells, "t_id")
+    val dups = et.select(col("t_id").as("id1"), col("t_v").as("v1"), col("cell"))
+      .join(et.select(col("t_id").as("id2"), col("t_v").as("v2"), col("cell")), Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(cosineDist(col("v1"), col("v2")) < 0.75)
+      .select(col("id2").as("t_id")).distinct()
+    cells.join(dups.withColumn("dup", lit(true)), Seq("t_id"), "left")
+      .select(col("t_id").as("vec_id"), col("cell"), col("dup").isNull.as("keep"))
+  }
+
   /** embedding_normalize — L2 unit-normalization, the projection every
     * cosine-similarity pipeline runs at ingest. LONG FORM output
     * (vec_id, pos, x) so the gate compares scalars, never
@@ -421,6 +454,7 @@ object AnnSearch {
     "ann_pq" -> pqTopK,
     "ann_rerank" -> pqRerankTopK,
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
+    "dedup_semantic" -> dedupSemantic,
     "embedding_normalize" -> embeddingNormalize,
     "embedding_centroid" -> embeddingCentroid,
     "embedding_drift" -> embeddingDrift,
@@ -556,5 +590,20 @@ object AnnSearch {
         s"${cosSql("a.v", "b.v")} AS cd " +
         "FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) " +
         "SELECT vec_id1, vec_id2, rnd(cd, 6) AS dist FROM pp WHERE cd < 0.7e0"),
+
+    "dedup_semantic" ->
+      // same stride quantizer + (dist, c_id) argmin as ann_ivf's asg;
+      // in-cell pairs only; keep = no lower-id cell-mate under 0.75
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cent AS (SELECT vec_id AS c_id, v FROM e WHERE vec_id % 40 = 0), " +
+        "asg AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT t.vec_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM e t CROSS JOIN cent c)), " +
+        "cells AS (SELECT vec_id, c_id AS cell FROM asg WHERE rn = 1), " +
+        "dups AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b " +
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id " +
+        s"WHERE ${cosSql("ea.v", "eb.v")} < 0.75e0) " +
+        "SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep " +
+        "FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id"),
   )
 }

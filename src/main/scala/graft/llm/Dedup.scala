@@ -356,10 +356,57 @@ object Dedup {
         lit(0L),
         (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
 
+  /** dedup_substring — exact substring deduplication, the sliding-window
+    * form of corpus boilerplate detection (the published training-data
+    * pipelines run it at ~50-token spans; `gram` is scaled to this
+    * corpus's ~54-token docs): every `gram`-token window (stride 1, so
+    * repeated spans are caught at ANY offset — the property the
+    * fixed-segment `corpus_line_dedup` trades away), counted corpus-wide
+    * by DISTINCT containing docs; a window text held by ≥ `minDocs` docs
+    * is duplicated, and each doc reports its duplicated-window count and
+    * ratio — the score a curation pass filters or trims on.
+    *
+    * Scale shape: windowing is a pure map (split + sequence + slice —
+    * no per-token explode) fanned out once (`localCheckpoint`, the
+    * materialize-the-fan-out discipline); the duplicated-window set is
+    * one keyed count-distinct with map-side partials, output-bounded by
+    * actual repetition; membership is a semi-join on the window key;
+    * per-doc totals are two keyed aggs sharing the doc_id shuffle key.
+    * The window KEY here is the literal text so the oracle can reproduce
+    * it — at corpus scale you key on xxhash64(window) (64-bit, ~8 bytes
+    * vs ~50 tokens — collision probability negligible at any corpus
+    * size) and the plan is unchanged.
+    */
+  def substringDupDocs(docs: DataFrame, gram: Int = 8, minDocs: Int = 2): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= gram)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(a) - $gram)")).as("i"), col("a"))
+      .select(col("doc_id"),
+        array_join(slice(col("a"), col("i") + 1, lit(gram)), " ").as("wtext"))
+      .localCheckpoint()
+    val dup = wins.groupBy("wtext")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("wtext")
+    val tot = wins.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
+    val dd = wins.join(dup, Seq("wtext"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    tot.join(dd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        rnd(coalesce(col("n_dup"), lit(0L)) / col("n_win"), 6).as("dup_ratio"))
+  }
+
+  def substringDup(s: SparkSession, d: String): DataFrame =
+    substringDupDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_cluster" -> minhashClusters,
     "dedup_simhash" -> simhashPairs,
+    "dedup_substring" -> substringDup,
     "similarity_ngram" -> ngramJaccard,
     "doc_fingerprint" -> fingerprint,
   )
@@ -424,6 +471,22 @@ object Dedup {
         "bit_count(xor(a.simhash, b.simhash))::INT AS hamming " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
+
+    "dedup_substring" ->
+      // identical sliding windows: 0-based offset i, tokens i+1..i+8
+      // (DuckDB inclusive slice ≡ Spark slice(start, length)); BIGINT /
+      // BIGINT is double division in both engines
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+        "w AS (SELECT doc_id, array_to_string(a[(i + 1)::INT:(i + 8)::INT], ' ') AS wtext " +
+        "FROM (SELECT doc_id, a, unnest(range(0, len(a) - 7)) AS i FROM t WHERE len(a) >= 8)), " +
+        "dup AS (SELECT wtext FROM (SELECT wtext, count(DISTINCT doc_id) AS nd " +
+        "FROM w GROUP BY 1) WHERE nd >= 2), " +
+        "tot AS (SELECT doc_id, count(*) AS n_win FROM w GROUP BY 1), " +
+        "dd AS (SELECT doc_id, count(*) AS n_dup FROM w " +
+        "WHERE wtext IN (SELECT wtext FROM dup) GROUP BY 1) " +
+        "SELECT t.doc_id, n_win, coalesce(n_dup, 0) AS n_dup, " +
+        "rnd(coalesce(n_dup, 0) / n_win, 6) AS dup_ratio " +
+        "FROM tot t LEFT JOIN dd USING (doc_id)"),
 
     "similarity_ngram" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, substr(text, i::INT, 3) AS tok FROM (" +

@@ -154,6 +154,21 @@ class AnnSearchSpec extends SparkSpecBase {
     } finally rr.unpersist()
   }
 
+  test("semantic dedup: one row per vector, per-cell lowest id always kept, drops non-vacuous") {
+    val r = AnnSearch.dedupSemantic(spark, sfDir).persist()
+    try {
+      val total = Tables.embeddings(spark, sfDir).count()
+      assert(r.count() === total, "every vector must appear exactly once")
+      // the canonical representative (lowest id in its cell) can have no
+      // lower-id cell-mate, so it must always survive
+      val minKept = r.withColumn("mn",
+          min(col("vec_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+        .filter(col("vec_id") === col("mn") && !col("keep"))
+      assert(minKept.count() === 0)
+      assert(r.filter(!col("keep")).count() > 0, "threshold should drop at least one near-dup")
+    } finally r.unpersist()
+  }
+
   test("IVF result distances are exact for the pairs it returns") {
     // approximation is in candidate selection only — any returned pair's
     // distance must equal the exact L2 between its vectors

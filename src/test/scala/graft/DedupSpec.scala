@@ -103,6 +103,27 @@ class DedupSpec extends SparkSpecBase {
     assert(graft.llm.Dedup.connectedComponents(pairs).count() === 0)
   }
 
+  test("substring dedup catches a repeated span at ANY offset, and never under-counts") {
+    import spark.implicits._
+    // doc 0 holds the span at tokens 3..10; doc 1 embeds the SAME span
+    // at offset 7; doc 2 shares nothing. Stride-1 windows must flag
+    // docs 0 and 1 (the property fixed-segment line-dedup trades away)
+    // and leave doc 2 clean.
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a1 a2 a3 $span a12 a13 a14"),
+      (1L, s"b1 b2 b3 b4 b5 b6 b7 $span b16"),
+      (2L, (1 to 15).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.substringDupDocs(docs, gram = 8, minDocs = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L)._2 === 1L, s"doc 0 should flag exactly the planted window, got ${r(0L)}")
+    assert(r(1L)._2 === 1L, s"doc 1 should flag exactly the planted window, got ${r(1L)}")
+    assert(r(2L)._2 === 0L)
+    // windows per doc: n_tokens - gram + 1
+    assert(r(0L)._1 === 14L - 8L + 1L)
+    r.values.foreach { case (nw, nd) => assert(nd <= nw) }
+  }
+
   test("MinHash-LSH at 64 hashes finds the planted near-dups found at 8") {
     // planted pairs are (id-1, id) for id % 10 == 1: J ≈ 39/41 ≈ 0.95
     val planted = (1 until 200 by 10).map(i => (i - 1L, i.toLong)).toSet
