@@ -313,6 +313,119 @@ object TimeSeries {
         rnd(col("l"), 6).as("level"), rnd(col("b"), 6).as("trend"))
   }
 
+  // ---- ts_holt_winters: additive triple exponential smoothing ----------
+
+  /** Additive Holt-Winters over the hourly series, season S = 24 (daily
+    * cycle on hourly buckets): the Holt recurrence plus a seasonal
+    * register read S steps back —
+    * lᵢ = α·(vᵢ − sᵢ₋S) + (1−α)·(lᵢ₋₁ + bᵢ₋₁),
+    * bᵢ = γ·(lᵢ − lᵢ₋₁) + (1−γ)·bᵢ₋₁,
+    * sᵢ = δ·(vᵢ − lᵢ) + (1−δ)·sᵢ₋S.
+    * Fully-causal seeding (every value computable left-to-right, the
+    * property both the fold and the streaming shape need): i = 1 seeds
+    * l = v, b = 0, s = 0; the first season (i ≤ S) runs plain Holt and
+    * records s = v − l as its seasonal factor; from i > S the full
+    * recurrence applies. The HOF fold reads sᵢ₋S straight out of its own
+    * history (`element_at(acc, -S)`), so no ring state is needed here;
+    * the DuckDB twin's recursive CTE carries an explicit last-S ring
+    * LIST instead — same values, TimeSeriesSpec-pinned. Same calendar
+    * bound, decimal-string factor parity, repeated-subexpression
+    * discipline, and O(span²) append caveat as `holtHourly` —
+    * `holtWintersScan` is the linear container.
+    */
+  def holtWintersHourly(events: DataFrame, alpha: Double = 0.3, gamma: Double = 0.2,
+      delta: Double = 0.25, season: Int = 24): DataFrame = {
+    val a = BigDecimal(alpha.toString)
+    val ac = (BigDecimal(1) - a).toString
+    val g = BigDecimal(gamma.toString)
+    val gc = (BigDecimal(1) - g).toString
+    val dl = BigDecimal(delta.toString)
+    val dc = (BigDecimal(1) - dl).toString
+    val prevL = "element_at(acc, -1).l"
+    val prevB = "element_at(acc, -1).b"
+    val sLag = s"element_at(acc, -$season).s"
+    val lB = s"${a}D * x.v + ${ac}D * ($prevL + $prevB)"
+    val lF = s"${a}D * (x.v - $sLag) + ${ac}D * ($prevL + $prevB)"
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(avg(col("value")).as("v"))
+    b.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hs"), col("v")))).as("xs"))
+      .select(col("event_type"), explode(expr(
+        s"""aggregate(xs, cast(array() as array<struct<hs:bigint,l:double,b:double,s:double>>),
+           |  (acc, x) -> acc || array(if(size(acc) = 0,
+           |    struct(x.hs as hs, x.v as l, 0.0D as b, 0.0D as s),
+           |    if(size(acc) < $season,
+           |      struct(x.hs as hs, $lB as l,
+           |        ${g}D * (($lB) - $prevL) + ${gc}D * $prevB as b,
+           |        x.v - ($lB) as s),
+           |      struct(x.hs as hs, $lF as l,
+           |        ${g}D * (($lF) - $prevL) + ${gc}D * $prevB as b,
+           |        ${dl}D * (x.v - ($lF)) + ${dc}D * ($sLag) as s)))))"""
+          .stripMargin)).as("o"))
+      .select(col("event_type"), col("o.hs").as("hs"),
+        rnd(col("o.l"), 6).as("level"), rnd(col("o.b"), 6).as("trend"),
+        rnd(col("o.s"), 6).as("seasonal"))
+  }
+
+  def holtWinters(s: SparkSession, d: String): DataFrame =
+    holtWintersHourly(Tables.events(s, d))
+
+  /** Linear container for the SAME Holt-Winters fold — `holtScan`'s
+    * shape with the seasonal register in an explicit S-slot ring buffer.
+    * Identical decimal-string factors, identical expression order ⇒
+    * TimeSeriesSpec asserts bit-identity with `holtWintersHourly`.
+    */
+  def holtWintersScan(events: DataFrame, alpha: Double = 0.3, gamma: Double = 0.2,
+      delta: Double = 0.25, season: Int = 24): DataFrame = {
+    val a = BigDecimal(alpha.toString).toDouble
+    val ac = (BigDecimal(1) - BigDecimal(alpha.toString)).toDouble
+    val g = BigDecimal(gamma.toString).toDouble
+    val gc = (BigDecimal(1) - BigDecimal(gamma.toString)).toDouble
+    val dl = BigDecimal(delta.toString).toDouble
+    val dc = (BigDecimal(1) - BigDecimal(delta.toString)).toDouble
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(avg(col("value")).as("v"))
+    val sess = events.sparkSession
+    import sess.implicits._
+    b.select(col("event_type").cast("string"), col("hs"), col("v"))
+      .as[(String, Long, Double)]
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("hs"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var l = 0.0
+        var t = 0.0
+        var ring: Array[Double] = null
+        var n = 0
+        it.map { case (k, hs, v) =>
+          if (k != curKey) { curKey = k; n = 0; ring = new Array[Double](season) }
+          val s =
+            if (n == 0) { l = v; t = 0.0; 0.0 }
+            else if (n < season) {
+              val lNew = a * v + ac * (l + t)
+              t = g * (lNew - l) + gc * t
+              l = lNew
+              v - lNew
+            } else {
+              val sLag = ring(n % season)
+              val lNew = a * (v - sLag) + ac * (l + t)
+              t = g * (lNew - l) + gc * t
+              l = lNew
+              dl * (v - lNew) + dc * sLag
+            }
+          ring(n % season) = s
+          n += 1
+          (k, hs, l, t, s)
+        }
+      }
+      .toDF("event_type", "hs", "l", "b", "s")
+      .select(col("event_type"), col("hs"),
+        rnd(col("l"), 6).as("level"), rnd(col("b"), 6).as("trend"),
+        rnd(col("s"), 6).as("seasonal"))
+  }
+
   // ---- ts_anomaly: rolling z-score outliers -----------------------------
 
   /** Rolling z-score anomaly detection: each event scored against the
@@ -476,6 +589,7 @@ object TimeSeries {
     "ts_ohlc" -> ohlc,
     "ts_ewma" -> ewma,
     "ts_holt" -> holt,
+    "ts_holt_winters" -> holtWinters,
     "ts_anomaly" -> anomaly,
     "cdc_latest" -> latest,
     "scd2_intervals" -> scd2,
@@ -551,6 +665,35 @@ object TimeSeries {
         "0.2e0 * ((0.3e0 * b.v + 0.7e0 * (r.l + r.tr)) - r.l) + 0.8e0 * r.tr " +
         "FROM b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1) " +
         "SELECT event_type, hs, rnd(l, 6) AS level, rnd(tr, 6) AS trend FROM r"),
+
+    "ts_holt_winters" ->
+      // identical causal recurrence; the recursive state carries the
+      // last-24 seasonal factors as a ring LIST (the Spark fold reads
+      // them from its own history instead); each branch repeats the new
+      // level's text exactly as the Spark HOF repeats it
+      ("WITH RECURSIVE b AS (SELECT event_type, " +
+        "epoch(date_trunc('hour', ts))::BIGINT AS hs, avg(value) AS v, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY date_trunc('hour', ts)) AS rn " +
+        "FROM events GROUP BY 1, 2, date_trunc('hour', ts)), " +
+        "r AS (SELECT event_type, rn, hs, v AS l, 0e0 AS tr, 0e0 AS s, [0e0] AS ring " +
+        "FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT b.event_type, b.rn, b.hs, " +
+        "CASE WHEN len(r.ring) < 24 THEN 0.3e0 * b.v + 0.7e0 * (r.l + r.tr) " +
+        "ELSE 0.3e0 * (b.v - r.ring[1]) + 0.7e0 * (r.l + r.tr) END, " +
+        "CASE WHEN len(r.ring) < 24 " +
+        "THEN 0.2e0 * ((0.3e0 * b.v + 0.7e0 * (r.l + r.tr)) - r.l) + 0.8e0 * r.tr " +
+        "ELSE 0.2e0 * ((0.3e0 * (b.v - r.ring[1]) + 0.7e0 * (r.l + r.tr)) - r.l) + 0.8e0 * r.tr END, " +
+        "CASE WHEN len(r.ring) < 24 " +
+        "THEN b.v - (0.3e0 * b.v + 0.7e0 * (r.l + r.tr)) " +
+        "ELSE 0.25e0 * (b.v - (0.3e0 * (b.v - r.ring[1]) + 0.7e0 * (r.l + r.tr))) + 0.75e0 * r.ring[1] END, " +
+        "CASE WHEN len(r.ring) < 24 " +
+        "THEN list_append(r.ring, b.v - (0.3e0 * b.v + 0.7e0 * (r.l + r.tr))) " +
+        "ELSE list_append(r.ring[2:], " +
+        "0.25e0 * (b.v - (0.3e0 * (b.v - r.ring[1]) + 0.7e0 * (r.l + r.tr))) + 0.75e0 * r.ring[1]) END " +
+        "FROM b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1) " +
+        "SELECT event_type, hs, rnd(l, 6) AS level, rnd(tr, 6) AS trend, " +
+        "rnd(s, 6) AS seasonal FROM r"),
 
     "ts_anomaly" ->
       ("WITH sc AS (SELECT event_id, event_type, value, " +

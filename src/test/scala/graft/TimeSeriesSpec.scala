@@ -118,6 +118,34 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(TimeSeries.holtScan(ev()).count() === 0)
   }
 
+  test("holtWinters: seasonal register engages after one season; scan ≡ HOF bit-exactly") {
+    // season S=2 on a 4-bucket series isolates the lookback: with
+    // α=0.3 γ=0.2 δ=0.25, v = 10, 20, 14, 24 —
+    //  i=1: l=10, b=0, s=0
+    //  i=2 (building): l = .3·20+.7·10 = 13, b = .2·3 = .6, s = 20−13 = 7
+    //  i=3 (full, s₁=0): l = .3·14+.7·13.6 = 13.72, b = .2·.72+.8·.6 = .624,
+    //      s = .25·(14−13.72)+.75·0 = .07
+    //  i=4 (full, s₂=7): l = .3·(24−7)+.7·14.344 = 15.1408,
+    //      b = .2·1.4208+.8·.624 = .78336, s = .25·8.8592+.75·7 = 7.4648
+    val df = ev(
+      (1L, 60L, 1L, "click", 10.0),
+      (2L, 3660L, 1L, "click", 20.0),
+      (3L, 7260L, 1L, "click", 14.0),
+      (4L, 10860L, 1L, "click", 24.0))
+    val out = TimeSeries.holtWintersHourly(df, season = 2)
+      .orderBy("hs").select("level", "trend", "seasonal")
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(out === Seq((10.0, 0.0, 0.0), (13.0, 0.6, 7.0),
+      (13.72, 0.624, 0.07), (15.1408, 0.78336, 7.4648)))
+    // the linear ring-buffer container is bit-identical to the HOF form
+    // on the harness feed at the declared S=24 (same decimal-string
+    // factors, same expression order), including multi-key resets
+    val events = Tables.events(spark, sfDir)
+    assert(collectSet(TimeSeries.holtWintersScan(events)) ===
+      collectSet(TimeSeries.holtWintersHourly(events)))
+    assert(TimeSeries.holtWintersScan(ev()).count() === 0)
+  }
+
   test("anomalyZscoreScalable flags a spike whose history crosses the bucket boundary") {
     // 24 baseline points in hour-bucket 0; spike lands in bucket 1 with
     // 1-hour buckets — scoring depends entirely on imported context rows
