@@ -92,6 +92,11 @@ object TsScaleProbe {
       // slightly heavier constants (two registers, struct state)
       legN(s"holt_hof_span$span", span)(TimeSeries.holtHourly(sp).count())
       legN(s"holt_scan_span$span", span)(TimeSeries.holtScan(sp).count())
+      // Holt-Winters adds the seasonal lookback: the HOF form's
+      // element_at(acc, -24) is a per-step O(1) read, so the quadratic
+      // term is still the append copy — same split, ring-buffer scan
+      legN(s"hw_hof_span$span", span)(TimeSeries.holtWintersHourly(sp).count())
+      legN(s"hw_scan_span$span", span)(TimeSeries.holtWintersScan(sp).count())
     }
 
     // Bloom prune: 0.1% of keys selective; `merge` hint pins a shuffle
