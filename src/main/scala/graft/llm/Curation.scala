@@ -215,6 +215,32 @@ object Curation {
         (col("n_seg") - col("n_kept")).as("n_dropped"), col("text_clean"))
   }
 
+  /** corpus_shuffle — deterministic training-order shuffle + sharding:
+    * every doc gets a seeded permutation key (md5 over a salted id — a
+    * different salt is a different epoch's order), a shard from the
+    * key's leading byte, and a position within its shard by key order.
+    * rand()-free on purpose: the order is reproducible across engines,
+    * runs, and partitionings (same property as `sample_hash`), which is
+    * what makes a training run resumable and auditable.
+    *
+    * Scale shape: exactly the sharded-training-data write pattern —
+    * hash-shuffle by shard, sort WITHIN each shard (per-shard windows
+    * parallelize across the shard count; production shard counts are
+    * thousands, so no window sees more than corpus/shards rows), then
+    * each shard streams to its own file in final training order. No
+    * global sort anywhere.
+    */
+  def corpusShuffle(s: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+    val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+    val shard = pmod(conv(substring(col("skey"), 1, 2), 16, 10).cast("int"), lit(nShards))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), key.as("skey"))
+      .select(col("doc_id"), col("skey"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   def lineDedup(s: SparkSession, d: String): DataFrame =
     lineDedupDocs(Tables.documents(s, d))
 
@@ -225,10 +251,20 @@ object Curation {
     "doc_chunk" -> docChunk,
     "pii_redact" -> piiRedact,
     "corpus_line_dedup" -> lineDedup,
+    "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
   )
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
   val rawOracles: Map[String, String] = Map(
+    "corpus_shuffle" ->
+      // same salted-md5 key; leading byte = 16·d1 + d2 (the instr-based
+      // hex-digit decode sample_stratified already uses)
+      ("WITH k AS (SELECT doc_id, md5('shuf:' || doc_id::VARCHAR) AS skey FROM documents), " +
+        "sh AS (SELECT doc_id, skey, (((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16 " +
+        "+ (instr('0123456789abcdef', substr(skey, 2, 1)) - 1)) % 8)::INT AS shard FROM k) " +
+        "SELECT doc_id, shard, " +
+        "row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::INT AS pos FROM sh"),
+
     "decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
         "g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(a) - 1), " +

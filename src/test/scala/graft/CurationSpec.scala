@@ -121,4 +121,21 @@ class CurationSpec extends SparkSpecBase {
     assert(got(1L) == ((4L, 2L, 0.5, 0.75)))
     assert(got(2L) == ((6L, 6L, 0.0, math.floor(1.0 / 6 * 1e6 + 0.5) / 1e6)))
   }
+
+  test("corpus_shuffle is a reproducible permutation: every doc once, dense per-shard positions") {
+    val a = Curation.corpusShuffle(spark, sfDir).persist()
+    try {
+      val total = Tables.documents(spark, sfDir).count()
+      assert(a.count() === total)
+      assert(a.select("doc_id").distinct().count() === total, "must be a permutation")
+      // positions within each shard are exactly 1..n (dense training order)
+      val bad = a.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"),
+          countDistinct(col("pos")).as("nd"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("nd") =!= col("n"))
+      assert(bad.count() === 0)
+      // deterministic: a second run is bit-identical
+      assert(collectSet(Curation.corpusShuffle(spark, sfDir)) === collectSet(a))
+    } finally a.unpersist()
+  }
 }
