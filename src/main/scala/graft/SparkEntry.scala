@@ -143,6 +143,20 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
     },
 
+    // agg_approx_quantiles (sketch): GK-summary percentiles per group —
+    // the bounded-memory quantile sketch that replaces agg_quantiles'
+    // exact sort at 100 TB (mergeable partials, accuracy set by the
+    // target 1/accuracy relative rank error). Rows-only like agg_hll
+    // (summary merge internals differ across engines); SketchSpec pins
+    // the per-group bracketing contract vs the exact quantiles.
+    "agg_approx_quantiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("qs"))
+        .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("p_idx", "q")))
+    },
+
     // #23 fknn_classify (CORE): the flagship two-stage pipeline
     // (stage-1 memberships persisted across stages, SURVEY §4.1 row 5).
     "fknn_classify" -> { (s, d) =>

@@ -30,4 +30,24 @@ class SketchSpec extends SparkSpecBase {
     assert(approxMed >= p40 && approxMed <= p60,
       s"approx median $approxMed outside [$p40, $p60] (exact $exact)")
   }
+
+  test("agg_approx_quantiles: every group's sketch quantile brackets the exact one") {
+    // the declared rows-only row's contract: for each l_returnflag group
+    // and each requested p, the GK answer lands within ±10 percentile
+    // ranks of the exact answer (accuracy=1000 ⇒ rank error 1e-3; the
+    // wide bracket keeps the assertion robust to ties)
+    val li = Tables.lineitem(spark, sfDir)
+    val approx = SparkEntry.queries("agg_approx_quantiles")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val ps = Array(0.25, 0.5, 0.75)
+    li.select("l_returnflag").distinct().collect().map(_.getString(0)).foreach { g =>
+      val grp = li.filter(col("l_returnflag") === g)
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val lo = grp.stat.approxQuantile("l_extendedprice", Array(math.max(0.0, p - 0.1)), 0.0).head
+        val hi = grp.stat.approxQuantile("l_extendedprice", Array(math.min(1.0, p + 0.1)), 0.0).head
+        val a = approx((g, i))
+        assert(a >= lo && a <= hi, s"group $g p=$p approx $a outside [$lo, $hi]")
+      }
+    }
+  }
 }
