@@ -235,6 +235,38 @@ object Queries {
         count(lit(1)).as("n"),
         rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
 
+  /** join_interval_bin — KEYLESS point-in-interval join via time
+    * binning, the scale pattern `join_range` doesn't need (it has an
+    * equi key; a pure θ-join has none, and Spark's only native plan for
+    * one is a broadcast nested loop or cartesian — both corpus² at
+    * scale). Each 2-hour window (opened by every event of the
+    * user_id < 20 slice) EXPLODES into the 1-hour bins it covers
+    * (≤ ⌈len/bin⌉+1 rows per interval); each point maps to exactly ONE
+    * bin; the join becomes an EQUI-join on the bin key (shuffle by bin
+    * — time-distributed data spreads evenly) with the true interval
+    * test as a residual filter. No dedup step: a point lives in one
+    * bin, so each (window, point) pair can match at most once. Bin
+    * width tunes fan-out vs selectivity (match ≈ interval length keeps
+    * the blow-up ≤ 3×); per-window totals are one keyed agg.
+    */
+  def joinIntervalBin(s: SparkSession, d: String): DataFrame = {
+    val binUs = 3600000000L // 1 h
+    val winUs = 7200000000L // 2 h
+    val ev = Tables.events(s, d)
+    val wins = ev.filter(col("user_id") < 20)
+      .select(col("event_id").as("w_id"), unix_micros(col("ts")).as("ws"))
+      .select(col("w_id"), col("ws"), (col("ws") + winUs).as("we"))
+      .select(col("w_id"), col("ws"), col("we"),
+        explode(expr(s"sequence(ws div ${binUs}L, (we - 1) div ${binUs}L)")).as("bin"))
+    val pts = ev.select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pt"),
+        col("value"))
+      .withColumn("bin", expr(s"pt div ${binUs}L"))
+    wins.join(pts, "bin")
+      .filter(col("pt") >= col("ws") && col("pt") < col("we"))
+      .groupBy(col("w_id"))
+      .agg(count(lit(1)).as("n_in"), rnd(sum(col("value")), 6).as("sum_value"))
+  }
+
   // join_full_outer — both-side-preserving join: high-balance customers
   // vs per-customer 1995 order counts; unmatched sides surface with
   // sentinel values (coalesce keeps the output NULL-free).
@@ -669,6 +701,7 @@ object Queries {
     "join_anti" -> joinAnti,
     "join_full_outer" -> joinFullOuter,
     "join_range" -> joinRange,
+    "join_interval_bin" -> joinIntervalBin,
     "join_asof" -> joinAsof,
     "agg_pivot" -> aggPivot,
     "agg_cube" -> aggCube,
@@ -809,6 +842,14 @@ object Queries {
         "rnd(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY GROUP BY 1"),
+
+    "join_interval_bin" ->
+      // the oracle states the SEMANTIC θ-join directly — binning is
+      // physical-only and must be output-invisible
+      ("WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events), " +
+        "w AS (SELECT event_id AS w_id, t AS ws, t + 7200000000 AS we FROM ev WHERE user_id < 20) " +
+        "SELECT w_id, count(*) AS n_in, rnd(sum(p.value), 6) AS sum_value " +
+        "FROM w JOIN ev p ON p.t >= w.ws AND p.t < w.we GROUP BY 1"),
 
     "join_asof" ->
       ("SELECT event_id, user_id, coalesce(last_click_us, -1) AS last_click_us FROM (" +
