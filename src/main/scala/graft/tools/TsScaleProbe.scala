@@ -99,6 +99,33 @@ object TsScaleProbe {
       legN(s"hw_scan_span$span", span)(TimeSeries.holtWintersScan(sp).count())
     }
 
+    // Keyless interval join: binned equi-join vs the native θ-join plan
+    // (broadcast nested loop — every window tests every point). 2 k
+    // 2-hour windows over the 30-day feed: BNLJ runs |W|·|P| interval
+    // tests; the binned form shuffles each side once by 1-hour bin and
+    // touches only co-binned pairs (~3 bins per window).
+    {
+      val binUs = 3600000000L
+      val winUs = 7200000000L
+      val wins = events.filter(col("event_id") % (nEvents / 2000) === 0)
+        .select(col("event_id").as("w_id"), expr("unix_micros(ts)").as("ws"))
+        .select(col("w_id"), col("ws"), (col("ws") + winUs).as("we"))
+        .localCheckpoint()
+      val pts = events.select(col("event_id").as("p_id"),
+        expr("unix_micros(ts)").as("pt"), col("value"))
+      def agg(j: org.apache.spark.sql.DataFrame): Long =
+        j.groupBy(col("w_id")).agg(count(lit(1)).as("n")).count()
+      legN("interval_binned", nEvents) {
+        val wb = wins.select(col("w_id"), col("ws"), col("we"),
+          explode(expr(s"sequence(ws div ${binUs}L, (we - 1) div ${binUs}L)")).as("bin"))
+        val pb = pts.withColumn("bin", expr(s"pt div ${binUs}L"))
+        agg(wb.join(pb, "bin").filter(col("pt") >= col("ws") && col("pt") < col("we")))
+      }
+      legN("interval_bnlj", nEvents) {
+        agg(wins.join(pts, col("pt") >= col("ws") && col("pt") < col("we")))
+      }
+    }
+
     // Bloom prune: 0.1% of keys selective; `merge` hint pins a shuffle
     // join (the cluster regime — both sides too big to broadcast) so the
     // probe shows what pruning does to the big side's shuffle volume.
