@@ -193,6 +193,26 @@ object PipelineScaleProbe {
     val rrHits = rr.join(brute, Seq("q_id", "t_id"), "left_semi").count()
     println(f"[scale] ann_rerank nVecs=$nVecs nQ=$nQ shortlist=100 rr=$rrRows rows in $tRr%.1f s " +
       f"(recall ${rrHits.toDouble / bruteRows}%.3f vs raw-PQ ${pqHits.toDouble / bruteRows}%.3f)")
+
+    // ---- ANN: PQ at production width (m=8, K=256) -----------------------
+    // the declared row's 4×64 codebook is oracle-sized; this leg runs
+    // the width real deployments use (8 subspaces × 256 codewords = one
+    // byte per code, 8 bytes per vector). Encode cost is |T|·m·K
+    // subspace distances — the corpus pass the map-only design keeps
+    // shuffle-free; recall on uniform vectors stays the documented
+    // worst case, so the number that matters here is the wall.
+    t0 = System.nanoTime()
+    val pqW = AnnSearch.pqSearch(
+      q.select(col("q_id"), col("q_v").as("v")),
+      t.select(col("t_id"), col("t_v").as("v")),
+      t.filter(col("t_id") < nQ + 256).select((col("t_id") - nQ).as("j"), col("t_v").as("v")),
+      m = 8, k = 10)
+      .select(col("q_id"), col("t_id")).persist()
+    val pqWRows = pqW.count()
+    val tPqW = (System.nanoTime() - t0) / 1e9
+    val pqWHits = pqW.join(brute, Seq("q_id", "t_id"), "left_semi").count()
+    println(f"[scale] ann_pq_wide nVecs=$nVecs nQ=$nQ K=256 m=8 pq=$pqWRows rows in $tPqW%.1f s " +
+      f"(recall ${pqWHits.toDouble / bruteRows}%.3f vs 4x64 ${pqHits.toDouble / bruteRows}%.3f)")
     spark.stop()
   }
 }
