@@ -401,6 +401,29 @@ object AnnSearch {
       .select(col("t_id").as("vec_id"), col("cell"), col("dup").isNull.as("keep"))
   }
 
+  /** embedding_quantize — int8 SCALAR quantization, the other embedding
+    * compression path (PQ quantizes subvectors to codewords; this
+    * quantizes each dimension to one of 256 levels on a per-vector
+    * [min, max] grid — 8× smaller than float64, trivially reversible,
+    * the storage format embedding stores default to). Declared output is
+    * the quantization audit a pipeline actually checks: per vector, the
+    * grid (mn, scale) and the L2 reconstruction error — bounded by
+    * √dim·scale/2, AnnSearchSpec pins it. Pure map, zero shuffle; the
+    * degenerate constant vector (scale 0) round-trips exactly via the
+    * identical CASE in both engines.
+    */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    e.select(col("vec_id"), col("v"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .withColumn("vhat", when(col("scale") > 0,
+          expr("transform(v, x -> mn + floor((x - mn) / scale + 0.5e0) * scale)"))
+        .otherwise(col("v")))
+      .select(col("vec_id"), rnd(col("mn"), 6).as("mn"), rnd(col("scale"), 6).as("scale"),
+        rnd(ArrayDistance.l2(col("v"), col("vhat")), 6).as("q_err"))
+  }
+
   /** embedding_normalize — L2 unit-normalization, the projection every
     * cosine-similarity pipeline runs at ingest. LONG FORM output
     * (vec_id, pos, x) so the gate compares scalars, never
@@ -455,6 +478,7 @@ object AnnSearch {
     "ann_rerank" -> pqRerankTopK,
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "dedup_semantic" -> dedupSemantic,
+    "embedding_quantize" -> embeddingQuantize,
     "embedding_normalize" -> embeddingNormalize,
     "embedding_centroid" -> embeddingCentroid,
     "embedding_drift" -> embeddingDrift,
@@ -590,6 +614,18 @@ object AnnSearch {
         s"${cosSql("a.v", "b.v")} AS cd " +
         "FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) " +
         "SELECT vec_id1, vec_id2, rnd(cd, 6) AS dist FROM pp WHERE cd < 0.7e0"),
+
+    "embedding_quantize" ->
+      // identical grid arithmetic and fold order; the CASE keeps the
+      // degenerate constant vector exact in both engines
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200), " +
+        "m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e), " +
+        "sc AS (SELECT vec_id, v, mn, (mx - mn) / 255e0 AS scale FROM m), " +
+        "vh AS (SELECT vec_id, v, mn, scale, CASE WHEN scale > 0 THEN " +
+        "list_transform(v, x -> mn + floor((x - mn) / scale + 0.5e0) * scale) " +
+        "ELSE v END AS vhat FROM sc) " +
+        "SELECT vec_id, rnd(mn, 6) AS mn, rnd(scale, 6) AS scale, " +
+        s"rnd(${l2Sql("v", "vhat")}, 6) AS q_err FROM vh"),
 
     "dedup_semantic" ->
       // same stride quantizer + (dist, c_id) argmin as ann_ivf's asg;

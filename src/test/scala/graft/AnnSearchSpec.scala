@@ -169,6 +169,17 @@ class AnnSearchSpec extends SparkSpecBase {
     } finally r.unpersist()
   }
 
+  test("embedding_quantize: reconstruction error within the sqrt(dim)·scale/2 bound") {
+    // each dimension lands within scale/2 of its grid point, so the L2
+    // error is bounded by sqrt(dim)·scale/2 — the contract that makes
+    // int8 storage safe for distance work
+    val dim = Tables.embeddings(spark, sfDir)
+      .select(size(graft.core.Distance.asDouble(col("embedding")))).head().getInt(0)
+    val bad = AnnSearch.embeddingQuantize(spark, sfDir)
+      .filter(col("q_err") > sqrt(lit(dim.toDouble)) * col("scale") / 2 + 1e-9)
+    assert(bad.count() === 0)
+  }
+
   test("IVF result distances are exact for the pairs it returns") {
     // approximation is in candidate selection only — any returned pair's
     // distance must equal the exact L2 between its vectors
