@@ -588,6 +588,7 @@ object TimeSeries {
     "ts_interpolate" -> interpolate,
     "ts_ohlc" -> ohlc,
     "ts_ewma" -> ewma,
+    "ts_ewma_events" -> ((s, d) => ewmaEventsScan(Tables.events(s, d))),
     "ts_holt" -> holt,
     "ts_holt_winters" -> holtWinters,
     "ts_anomaly" -> anomaly,
@@ -650,6 +651,20 @@ object TimeSeries {
         "UNION ALL SELECT b.event_type, b.rn, b.hs, 0.3e0 * b.v + 0.7e0 * r.e " +
         "FROM b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1) " +
         "SELECT event_type, hs, rnd(e, 6) AS ewma FROM r"),
+
+    "ts_ewma_events" ->
+      // the per-event state-stream semantic under the gate: one EWMA
+      // value PER EVENT in (ts, event_id) order (the hourly row folds
+      // bucket means instead). The linear mapPartitions container is
+      // the declared form here — the recursive twin proves it against
+      // engine-independent SQL at full event depth.
+      ("WITH RECURSIVE b AS (SELECT event_type, event_id, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn " +
+        "FROM events), " +
+        "r AS (SELECT event_type, rn, event_id, value AS e FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT b.event_type, b.rn, b.event_id, 0.3e0 * b.value + 0.7e0 * r.e " +
+        "FROM b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1) " +
+        "SELECT event_type, event_id, rnd(e, 6) AS ewma FROM r"),
 
     "ts_holt" ->
       // identical recurrence; the new level's expression is repeated
