@@ -82,6 +82,30 @@ class KnnSpec extends SparkSpecBase {
       .queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
 
+  test("round-5 operators plan with their load-bearing physical shapes") {
+    // pqSearch: the fused gather is in the plan, both ADC inputs sit
+    // behind explicit exchanges (the AQE size-gate boundary), and no
+    // force-broadcast hint exists anywhere in the pipeline
+    val pq = graft.llm.AnnSearch.pqTopK(spark, sfDir)
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(pqPlan.contains("fused_adc"), "ADC must run through the fused expression")
+    assert(pqPlan.contains("REPARTITION_BY_NUM"),
+      "ADC inputs need their stage boundary (see pqSearch scaladoc)")
+    // interval-bin join: physically an EQUI-join on the bin key — the
+    // plan must contain a hash/sort-merge join, never a nested loop or
+    // cartesian over the full point set
+    val ij = graft.rel.Queries.joinIntervalBin(spark, sfDir)
+    val ijPlan = ij.queryExecution.executedPlan.toString
+    assert(!ijPlan.contains("BroadcastNestedLoopJoin") && !ijPlan.contains("CartesianProduct"),
+      s"interval-bin join must plan as an equi-join, got:\n$ijPlan")
+    // corpus_shuffle: the position window is PARTITIONED by shard (a
+    // global window here would serialize the corpus into one task)
+    val cs = graft.llm.Curation.corpusShuffle(spark, sfDir)
+    val csPlan = cs.queryExecution.executedPlan.toString
+    assert(csPlan.contains("hashpartitioning(shard"),
+      s"corpus_shuffle window must partition by shard, got:\n$csPlan")
+  }
+
   test("scan_filter_prune pushes predicate and columns into the parquet scan") {
     val df = graft.rel.Queries.scanFilterPrune(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
