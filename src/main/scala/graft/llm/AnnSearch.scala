@@ -312,6 +312,35 @@ object AnnSearch {
       .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
   }
 
+  /** The kNN-IS-style chunked container for `pqSearch` — the scaladoc's
+    * "big query sets chunk" made concrete: the query batch splits into
+    * `blocks` id-hash blocks, each runs the full PQ pipeline with a
+    * per-block distance-table side that is known-small by construction
+    * (|Q|/blocks · m·K doubles — inside AQE's broadcast gate), and the
+    * union is output-identical to one big run because per-query top-k
+    * never crosses blocks. `eager` sequences blocks into separate jobs
+    * (one table broadcast live at a time — the
+    * `membershipInitChunked` lesson). Encode runs per block here; a
+    * long chunk loop would hoist `codes` behind a persist/checkpoint,
+    * the same seam the fknn chunked paths expose for stage-1 state.
+    */
+  def pqSearchChunked(q: DataFrame, t: DataFrame, cb: DataFrame,
+      m: Int, k: Int, blocks: Int, eager: Boolean = false): DataFrame =
+    (0 until blocks).map { b =>
+      val blk = pqSearch(q.filter(pmod(col("q_id"), lit(blocks)) === b), t, cb, m, k)
+      if (eager) blk.localCheckpoint() else blk
+    }.reduce(_ unionAll _)
+
+  def pqChunkedTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    pqSearchChunked(
+      q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v")),
+      t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v")),
+      cb = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+        .select((col("vec_id") - 20).as("j"), col("v")),
+      m = 4, k = 3, blocks = 4)
+  }
+
   /** ann_rerank — the production two-stage ANN pipeline: PQ/ADC scans
     * the compressed corpus for a per-query SHORTLIST (cheap, 2-byte
     * codes), then exact L2 runs only on the |Q|·shortlist candidate
@@ -475,6 +504,7 @@ object AnnSearch {
     "ann_ivf" -> ivfTopK,
     "ann_ivf_kmeans" -> ivfKmeansTopK,
     "ann_pq" -> pqTopK,
+    "ann_pq_chunked" -> pqChunkedTopK,
     "ann_rerank" -> pqRerankTopK,
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "dedup_semantic" -> dedupSemantic,
@@ -565,6 +595,14 @@ object AnnSearch {
         "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
 
     "ann_pq" ->
+      (s"WITH $pqChainSql, " +
+        "qk AS (SELECT q_id, t_id, dist, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM ad) " +
+        "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    // same oracle as ann_pq — the kNN-IS block split must be
+    // output-invisible (the fknn_classify_chunked precedent)
+    "ann_pq_chunked" ->
       (s"WITH $pqChainSql, " +
         "qk AS (SELECT q_id, t_id, dist, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM ad) " +
