@@ -158,9 +158,47 @@ object Graph {
   def trianglesQuery(s: SparkSession, d: String): DataFrame =
     triangleCount(coOrderEdges(s, d))
 
+  /** graph_edge_jaccard — per-edge neighborhood similarity
+    * cn/(d₁+d₂−cn−2), the graph-sparsification / community-detection
+    * primitive (drop low-Jaccard edges before clustering). The
+    * common-neighbor counts come from the SAME oriented triangle
+    * enumeration as `triangleCount` — each closed triangle (src, v, w)
+    * contributes one common neighbor to each of its three edges, so
+    * the hub-safe O(m^1.5) wedge bound carries over and the output is
+    * |E|-bounded (edges outside any triangle get cn = 0 via the left
+    * join). Degree-1-endpoint edges have an empty neighbor union —
+    * Jaccard defined 0 by the shared CASE.
+    */
+  def edgeJaccard(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val deg = degrees(edges)
+    val tri = wedges(orientEdges(edges, deg)).join(
+      edges, col("v") === edges("p1") && col("w") === edges("p2"), "left_semi")
+    val contrib = tri.select(explode(array(
+        struct(least(col("src"), col("v")).as("e1"), greatest(col("src"), col("v")).as("e2")),
+        struct(least(col("src"), col("w")).as("e1"), greatest(col("src"), col("w")).as("e2")),
+        struct(col("v").as("e1"), col("w").as("e2")))).as("e"))
+      .select(col("e.e1").as("p1"), col("e.e2").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("cn"))
+    edges.join(contrib, Seq("p1", "p2"), "left")
+      .join(deg.select(col("node").as("p1"), col("d").as("d1")), "p1")
+      .join(deg.select(col("node").as("p2"), col("d").as("d2")), "p2")
+      .select(col("p1"), col("p2"),
+        coalesce(col("cn"), lit(0L)).as("cn"),
+        graft.rel.Queries.rnd(
+          when(col("d1") + col("d2") - coalesce(col("cn"), lit(0L)) - 2 > 0,
+            coalesce(col("cn"), lit(0L)) /
+              (col("d1") + col("d2") - coalesce(col("cn"), lit(0L)) - 2))
+            .otherwise(lit(0.0)), 6).as("jaccard"))
+  }
+
+  def edgeJaccardQuery(s: SparkSession, d: String): DataFrame =
+    edgeJaccard(coOrderEdges(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRankQuery,
     "graph_triangles" -> trianglesQuery,
+    "graph_edge_jaccard" -> edgeJaccardQuery,
   )
 
   val rawOracles: Map[String, String] = Map(
@@ -204,5 +242,24 @@ object Graph {
         "ON a.src = b.src AND a.dst < b.dst) " +
         "SELECT (SELECT count(*) FROM e) AS n_edges, " +
         "(SELECT count(*) FROM wdg JOIN e ON wdg.v = e.p1 AND wdg.w = e.p2) AS n_triangles"),
+
+    "graph_edge_jaccard" ->
+      // the oracle states the SEMANTIC definition (common neighbors via
+      // the adjacency self-join) — the oriented-triangle derivation is
+      // physical-only and must agree edge for edge
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem WHERE l_quantity >= 25), " +
+        "e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
+        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "adj AS (SELECT p1 AS u, p2 AS x FROM e UNION ALL SELECT p2, p1 FROM e), " +
+        "deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1), " +
+        "cn AS (SELECT e.p1, e.p2, count(*) AS cn FROM e " +
+        "JOIN adj a1 ON a1.u = e.p1 JOIN adj a2 ON a2.u = e.p2 AND a2.x = a1.x GROUP BY 1, 2) " +
+        "SELECT e.p1, e.p2, coalesce(cn.cn, 0) AS cn, " +
+        "rnd(CASE WHEN d1.d + d2.d - coalesce(cn.cn, 0) - 2 > 0 " +
+        "THEN coalesce(cn.cn, 0) / (d1.d + d2.d - coalesce(cn.cn, 0) - 2) " +
+        "ELSE 0e0 END, 6) AS jaccard " +
+        "FROM e LEFT JOIN cn ON cn.p1 = e.p1 AND cn.p2 = e.p2 " +
+        "JOIN deg d1 ON d1.u = e.p1 JOIN deg d2 ON d2.u = e.p2"),
   )
 }

@@ -54,4 +54,26 @@ class GraphSpec extends SparkSpecBase {
     assert(r.getLong(0) === 10L)
     assert(r.getLong(1) === 10L)
   }
+
+  test("edgeJaccard: hand-computed on K4+pendant; star edges all zero") {
+    // K4 on {1,2,3,4} + pendant edge (4,5):
+    //  K4-edges not touching 4: cn=2 (the other two K4 nodes),
+    //    union = 3+3-cn-2 = 2 → J = 1
+    //  K4-edges touching 4 (deg 4): cn=2, union = 3+4-2-2 = 3 → J = 2/3
+    //  pendant (4,5): cn=0, union = 4+1-0-2 = 3 → J = 0
+    val edges = ((for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)) :+ (4L, 5L))
+      .toDF("p1", "p2")
+    val r = Graph.edgeJaccard(edges).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(r.size === 7)
+    assert(r((1L, 2L)) === ((2L, 1.0)))
+    assert(r((2L, 3L)) === ((2L, 1.0)))
+    assert(r((1L, 4L))._1 === 2L)
+    assert(math.abs(r((1L, 4L))._2 - 2.0 / 3) < 1e-6)
+    assert(r((4L, 5L)) === ((0L, 0.0)))
+    // star graph: no edge has common neighbors
+    val star = (2L to 30L).map(i => (1L, i)).toDF("p1", "p2")
+    assert(Graph.edgeJaccard(star).filter(col("cn") =!= 0 || col("jaccard") =!= 0.0)
+      .count() === 0)
+  }
 }
