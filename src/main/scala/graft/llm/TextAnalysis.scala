@@ -244,7 +244,75 @@ object TextAnalysis {
   def perplexityProxy(s: SparkSession, d: String): DataFrame =
     perplexityProxyDocs(Tables.documents(s, d))
 
+  /** tokenizer_bpe — byte-pair-encoding tokenizer TRAINING, the
+    * canonical LLM-data job: learn the merge table from the corpus.
+    * Classic formulation (Sennrich et al.): work on the WORD-FREQUENCY
+    * table (Zipf makes it vocab-sized — corpus-scale work happens
+    * exactly once, in the word count; every merge round after that is
+    * vocab-bounded and independent of corpus size), each word a
+    * character-symbol sequence; per round, count adjacent symbol pairs
+    * weighted by word frequency (keyed agg, map-side combine), pick the
+    * most frequent (ONE-ROW max(struct) aggregate — no global sort;
+    * ties break to the lexicographically larger pair, same rule in both
+    * engines), and apply the merge to every word as a greedy
+    * left-to-right `aggregate`-HOF fold over the symbol array (array
+    * semantics sidestep the substring-ambiguity of string replace; a
+    * freshly merged symbol does not immediately re-merge — standard BPE
+    * greedy). Per-round `localCheckpoint` is the iterative-lineage
+    * hygiene every loop here uses (`kmeansCentroids`). Output is the
+    * merge-rule table (round, pair, cnt) — the trained tokenizer.
+    * Production runs tens of thousands of rounds at this exact
+    * per-round cost; the DuckDB twin replays each round's fold as a
+    * per-word recursive CTE (depth = word length).
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    var seqs = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("word"), col("n"),
+        expr("filter(split(word, ''), c -> c != '')").as("syms"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = seqs.filter(size(col("syms")) > 1)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pr"))
+        .groupBy("pr").agg(sum(col("n")).as("cnt"))
+      // one-row argmax, then the exhaustion guard: when no pairs remain
+      // (every word fully merged) stop emitting rules — the isEmpty is a
+      // one-row driver check, same scalar-per-round shape as the CC
+      // convergence count
+      val best = pairs.agg(max(struct(col("cnt"), col("pr"))).as("b"))
+        .select(col("b.pr").as("bp"), col("b.cnt").as("cnt"))
+        .filter(col("bp").isNotNull)
+        .localCheckpoint()
+      if (best.isEmpty) exhausted = true
+      else {
+        seqs = seqs.crossJoin(broadcast(best.select(col("bp"))))
+          .select(col("word"), col("n"), expr(
+            """aggregate(syms, cast(array() as array<string>),
+              |  (acc, x) -> if(size(acc) > 0 and concat(element_at(acc, -1), ' ', x) = bp,
+              |    slice(acc, 1, size(acc) - 1) || array(concat(element_at(acc, -1), x)),
+              |    acc || array(x)))""".stripMargin).as("syms"))
+          .localCheckpoint()
+        rules += best.select(lit(r).as("round"), col("bp").as("pair"), col("cnt"))
+        r += 1
+      }
+    }
+    rules.reduceOption(_ unionAll _).getOrElse(
+      docs.sparkSession.range(0)
+        .select(lit(0).as("round"), lit("").as("pair"), lit(0L).as("cnt")))
+  }
+
+  def bpe(s: SparkSession, d: String): DataFrame =
+    bpeMerges(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tokenizer_bpe" -> bpe,
     "text_quality" -> quality,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
@@ -258,7 +326,40 @@ object TextAnalysis {
 
   private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
 
+  /** One BPE round in DuckDB: pair counts from s{i-1}, the argmax rule
+    * b{i} (ORDER BY cnt DESC, pr DESC ≡ Spark's max(struct)), and the
+    * merged sequences s{i} via a per-word recursive fold m{i} (depth =
+    * word length) running the IDENTICAL greedy left-to-right semantics
+    * as the Spark `aggregate` HOF.
+    */
+  private def bpeRoundSql(i: Int): String = {
+    val prev = s"s${i - 1}"
+    s"p$i AS (SELECT pr, sum(n)::BIGINT AS cnt FROM (" +
+      s"SELECT n, syms[j::INT] || ' ' || syms[(j + 1)::INT] AS pr " +
+      s"FROM (SELECT n, syms, unnest(range(1, len(syms))) AS j FROM $prev WHERE len(syms) >= 2)) GROUP BY 1), " +
+      s"b$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr DESC LIMIT 1), " +
+      s"m$i(word, n, i, acc) AS (" +
+      s"SELECT word, n, 1, [syms[1]] FROM $prev " +
+      s"UNION ALL SELECT m.word, m.n, m.i + 1, " +
+      s"CASE WHEN m.acc[-1] || ' ' || s.syms[(m.i + 1)::INT] = b.pr " +
+      s"THEN m.acc[1:(len(m.acc) - 1)::INT] || [m.acc[-1] || s.syms[(m.i + 1)::INT]] " +
+      s"ELSE m.acc || [s.syms[(m.i + 1)::INT]] END " +
+      s"FROM m$i m JOIN $prev s ON s.word = m.word CROSS JOIN b$i b WHERE m.i < len(s.syms)), " +
+      s"s$i AS (SELECT m.word, m.n, m.acc AS syms FROM m$i m JOIN $prev s ON s.word = m.word " +
+      s"WHERE m.i = len(s.syms))"
+  }
+
+  private val bpeSql: String =
+    "WITH RECURSIVE s0 AS (SELECT word, count(*) AS n, " +
+      "list_filter(string_split(word, ''), c -> c != '') AS syms " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE len(word) > 0 GROUP BY 1), " +
+      (1 to 4).map(bpeRoundSql).mkString(", ") + " " +
+      (1 to 4).map(i => s"SELECT $i AS round, pr AS pair, cnt FROM b$i")
+        .mkString(" UNION ALL ")
+
   val rawOracles: Map[String, String] = Map(
+    "tokenizer_bpe" -> bpeSql,
     "text_quality" ->
       ("SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_types, " +
         "rnd(avg(length(tok)), 6) AS avg_len, " +

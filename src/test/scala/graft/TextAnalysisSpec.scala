@@ -59,4 +59,21 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(collectSet(TextAnalysis.corpusZipfScalable(pl, partitions = 5)) ===
       collectSet(TextAnalysis.corpusZipfDocs(pl)))
   }
+
+  test("bpeMerges: hand-computed merges, greedy run semantics, exhaustion stops cleanly") {
+    import spark.implicits._
+    // words: aa×3, ab×2 → round 1 merges ('a a', 3), round 2 ('a b', 2),
+    // then no pairs remain — rounds 3-4 must emit NOTHING (no null rule)
+    val docs = Seq((0L, "aa ab aa"), (1L, "ab aa")).toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeMerges(docs, rounds = 4).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).sortBy(_._1)
+    assert(rules.toSeq === Seq((1, "a a", 3L), (2, "a b", 2L)))
+    // greedy left-to-right on runs: "aaaa" (freq 2) has 3 adjacent (a a)
+    // occurrences per word → cnt 6; the merge yields (aa)(aa), so round 2
+    // sees pair ('aa aa') once per word → cnt 2
+    val runs = Seq((0L, "aaaa aaaa")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.bpeMerges(runs, rounds = 2).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).sortBy(_._1)
+    assert(r2.toSeq === Seq((1, "a a", 6L), (2, "aa aa", 2L)))
+  }
 }
