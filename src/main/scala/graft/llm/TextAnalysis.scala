@@ -265,7 +265,11 @@ object TextAnalysis {
     * per-round cost; the DuckDB twin replays each round's fold as a
     * per-word recursive CTE (depth = word length).
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
+  def bpeMerges(docs: DataFrame, rounds: Int = 4): DataFrame = bpeTrain(docs, rounds)._1
+
+  /** Training loop shared by `bpeMerges` (the rule table) and
+    * `bpeEncodeDocs` (which needs the final merged sequences). */
+  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     var seqs = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -303,16 +307,44 @@ object TextAnalysis {
         r += 1
       }
     }
-    rules.reduceOption(_ unionAll _).getOrElse(
+    val ruleDf = rules.reduceOption(_ unionAll _).getOrElse(
       docs.sparkSession.range(0)
         .select(lit(0).as("round"), lit("").as("pair"), lit(0L).as("cnt")))
+    (ruleDf, seqs)
   }
 
   def bpe(s: SparkSession, d: String): DataFrame =
     bpeMerges(Tables.documents(s, d))
 
+  /** tokenizer_encode — the INFERENCE side of `tokenizer_bpe`: encode
+    * every document with the trained merge table and report the tokens
+    * it costs. Key scale property: encoding happens on the WORD table
+    * (the training loop's final merged sequences — vocab-sized), and
+    * documents just JOIN their words to the per-word token count
+    * (vocab side is AQE-broadcastable) and sum — the corpus is never
+    * re-folded. Output per doc: word count, token count, character
+    * count, tokens-per-char (the compression a tokenizer is judged by).
+    */
+  def bpeEncodeDocs(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val wtoks = bpeTrain(docs, rounds)._2
+      .select(col("word"), size(col("syms")).as("n_tok"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wtoks, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
+        rnd(col("n_tokens") / col("n_chars"), 6).as("tok_per_char"))
+  }
+
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tokenizer_bpe" -> bpe,
+    "tokenizer_encode" -> bpeEncode,
     "text_quality" -> quality,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
@@ -349,17 +381,30 @@ object TextAnalysis {
       s"WHERE m.i = len(s.syms))"
   }
 
-  private val bpeSql: String =
+  private val bpeChainSql: String =
     "WITH RECURSIVE s0 AS (SELECT word, count(*) AS n, " +
       "list_filter(string_split(word, ''), c -> c != '') AS syms " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
       "WHERE len(word) > 0 GROUP BY 1), " +
-      (1 to 4).map(bpeRoundSql).mkString(", ") + " " +
+      (1 to 4).map(bpeRoundSql).mkString(", ")
+
+  private val bpeSql: String =
+    bpeChainSql + " " +
       (1 to 4).map(i => s"SELECT $i AS round, pr AS pair, cnt FROM b$i")
         .mkString(" UNION ALL ")
 
+  private val bpeEncodeSql: String =
+    bpeChainSql + ", " +
+      "wt AS (SELECT word, len(syms)::INT AS n_tok FROM s4), " +
+      "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "SELECT doc_id, count(*) AS n_words, sum(n_tok)::BIGINT AS n_tokens, " +
+      "sum(length(word))::BIGINT AS n_chars, " +
+      "rnd(sum(n_tok) / sum(length(word)), 6) AS tok_per_char " +
+      "FROM dw JOIN wt USING (word) WHERE length(word) > 0 GROUP BY 1"
+
   val rawOracles: Map[String, String] = Map(
     "tokenizer_bpe" -> bpeSql,
+    "tokenizer_encode" -> bpeEncodeSql,
     "text_quality" ->
       ("SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_types, " +
         "rnd(avg(length(tok)), 6) AS avg_len, " +
