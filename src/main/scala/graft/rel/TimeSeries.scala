@@ -538,6 +538,40 @@ object TimeSeries {
   def latest(s: SparkSession, d: String): DataFrame =
     cdcLatest(Tables.events(s, d))
 
+  // ---- cdc_merge: MERGE-INTO upsert of a change batch -------------------
+
+  /** Incremental-refresh primitive — the relational core of
+    * `MERGE INTO base USING changes ON key`: rows whose key appears in
+    * the change batch leave the base (one LEFT ANTI join on the key),
+    * then the batch's upserts append (deletes simply never re-enter).
+    * This is exactly how lakehouse MERGE plans physically — key-shuffled
+    * anti join + union, both sides partial-agg/AQE-friendly; at 100 TB
+    * the base side stays partitioned on the merge key so only matched
+    * partitions rewrite. Declared split: base = even event_ids, change
+    * batch = event_ids divisible by 3 with value < 10 as deletes and
+    * the rest as upserts carrying a bumped value; `src` labels
+    * provenance (kept / upserted) so the oracle checks the row's origin
+    * too.
+    */
+  def cdcMerge(events: DataFrame): DataFrame = {
+    val base = events.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val changes = events.filter(col("event_id") % 3 === 0)
+      .select(col("event_id"), col("event_type"),
+        when(col("value") < 10, lit("delete")).otherwise(lit("upsert")).as("op"),
+        rnd(col("value") * 2.0, 6).as("new_value"))
+    val kept = base.join(changes.select("event_id"), Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("event_type"), rnd(col("value"), 6).as("value"),
+        lit("kept").as("src"))
+    val upserts = changes.filter(col("op") === "upsert")
+      .select(col("event_id"), col("event_type"), col("new_value").as("value"),
+        lit("upserted").as("src"))
+    kept.unionAll(upserts)
+  }
+
+  def merge(s: SparkSession, d: String): DataFrame =
+    cdcMerge(Tables.events(s, d))
+
   // ---- scd2_intervals: event log → validity intervals -------------------
 
   /** Slowly-changing-dimension type-2 shape: each per-user event becomes
@@ -593,11 +627,24 @@ object TimeSeries {
     "ts_holt_winters" -> holtWinters,
     "ts_anomaly" -> anomaly,
     "cdc_latest" -> latest,
+    "cdc_merge" -> merge,
     "scd2_intervals" -> scd2,
     "events_retention" -> retention,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "cdc_merge" ->
+      // the oracle states MERGE semantics declaratively: NOT IN for the
+      // anti join, the same op derivation and value bump
+      ("WITH base AS (SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0), " +
+        "chg AS (SELECT event_id, event_type, " +
+        "CASE WHEN value < 10 THEN 'delete' ELSE 'upsert' END AS op, " +
+        "rnd(value * 2e0, 6) AS new_value FROM events WHERE event_id % 3 = 0) " +
+        "SELECT event_id, event_type, rnd(value, 6) AS value, 'kept' AS src FROM base " +
+        "WHERE event_id NOT IN (SELECT event_id FROM chg) " +
+        "UNION ALL SELECT event_id, event_type, new_value AS value, 'upserted' AS src " +
+        "FROM chg WHERE op = 'upsert'"),
+
     "ts_resample" ->
       ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
         "count(*) AS n, rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +

@@ -220,6 +220,30 @@ class TimeSeriesSpec extends SparkSpecBase {
       collectSet(TimeSeries.cdcLatestWindow(events)))
   }
 
+  test("cdcMerge: deletes vanish, upserts replace, untouched keys survive — exact set identity") {
+    val events = Tables.events(spark, sfDir)
+    val m = TimeSeries.cdcMerge(events).persist()
+    try {
+      val base = events.filter(col("event_id") % 2 === 0)
+      val chgKeys = events.filter(col("event_id") % 3 === 0).select("event_id")
+      val delKeys = events.filter(col("event_id") % 3 === 0 && col("value") < 10)
+        .select("event_id")
+      // no merged key appears twice
+      assert(m.groupBy("event_id").count().filter(col("count") > 1).count() === 0)
+      // delete keys are gone entirely
+      assert(m.join(delKeys, Seq("event_id"), "left_semi").count() === 0)
+      // every touched-and-upserted key is labeled upserted; untouched base
+      // keys are labeled kept
+      assert(m.filter(col("src") === "kept")
+        .join(chgKeys, Seq("event_id"), "left_semi").count() === 0)
+      // count identity: kept = |base| − |base ∩ chg|; upserted = |chg upserts|
+      val baseTouched = base.join(chgKeys, Seq("event_id"), "left_semi").count()
+      assert(m.filter(col("src") === "kept").count() === base.count() - baseTouched)
+      assert(m.filter(col("src") === "upserted").count() ===
+        events.filter(col("event_id") % 3 === 0 && !(col("value") < 10)).count())
+    } finally m.unpersist()
+  }
+
   test("scd2Intervals chains valid_to to the next valid_from, NULL for current") {
     val df = ev(
       (1L, 100L, 1L, "signup", 0.0), (2L, 200L, 1L, "click", 0.0),
