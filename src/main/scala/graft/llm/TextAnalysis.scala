@@ -359,6 +359,10 @@ object TextAnalysis {
   private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
 
   /** One BPE round in DuckDB: pair counts from s{i-1}, the argmax rule
+    * (s CTEs are MATERIALIZED: DuckDB inlines CTEs by default, and an
+    * inlined s{i-1} re-evaluates the ENTIRE upstream recursion on every
+    * iteration of m{i} — the chain compounds ~(word-length)^rounds
+    * corpus scans; measured 200 s → 0.5 s at sf0.1 with the hint)
     * b{i} (ORDER BY cnt DESC, pr DESC ≡ Spark's max(struct)), and the
     * merged sequences s{i} via a per-word recursive fold m{i} (depth =
     * word length) running the IDENTICAL greedy left-to-right semantics
@@ -377,12 +381,12 @@ object TextAnalysis {
       s"THEN m.acc[1:(len(m.acc) - 1)::INT] || [m.acc[-1] || s.syms[(m.i + 1)::INT]] " +
       s"ELSE m.acc || [s.syms[(m.i + 1)::INT]] END " +
       s"FROM m$i m JOIN $prev s ON s.word = m.word CROSS JOIN b$i b WHERE m.i < len(s.syms)), " +
-      s"s$i AS (SELECT m.word, m.n, m.acc AS syms FROM m$i m JOIN $prev s ON s.word = m.word " +
+      s"s$i AS MATERIALIZED (SELECT m.word, m.n, m.acc AS syms FROM m$i m JOIN $prev s ON s.word = m.word " +
       s"WHERE m.i = len(s.syms))"
   }
 
   private val bpeChainSql: String =
-    "WITH RECURSIVE s0 AS (SELECT word, count(*) AS n, " +
+    "WITH RECURSIVE s0 AS MATERIALIZED (SELECT word, count(*) AS n, " +
       "list_filter(string_split(word, ''), c -> c != '') AS syms " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
       "WHERE len(word) > 0 GROUP BY 1), " +

@@ -442,6 +442,31 @@ object Queries {
         rnd(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
         count(lit(1)).as("n"))
 
+  /** agg_moments — third/fourth-moment shape statistics (skewness,
+    * excess kurtosis) via EXPLICIT raw-moment averages, not the
+    * engines' internal one-pass M2/M3/M4 updates (which accumulate in
+    * engine-specific orders — the corpus_zipf lesson): both engines
+    * compute avg(x), avg(x²), avg(x³), avg(x⁴) with the identical
+    * expressions and assemble the identical formula. Small-magnitude
+    * column (quantity, 1..50) for the same partition-order stability
+    * reason as agg_stats; one partial-combine aggregation.
+    */
+  def aggMoments(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(x).as("m1"), avg(x * x).as("m2"), avg(x * x * x).as("m3"),
+        avg(x * x * x * x).as("m4"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        rnd((col("m3") - lit(3.0) * col("m1") * col("m2")
+            + lit(2.0) * col("m1") * col("m1") * col("m1")) /
+          pow(col("m2") - col("m1") * col("m1"), 1.5), 6).as("skewness"),
+        rnd((col("m4") - lit(4.0) * col("m1") * col("m3")
+            + lit(6.0) * col("m1") * col("m1") * col("m2")
+            - lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")) /
+          pow(col("m2") - col("m1") * col("m1"), 2.0) - lit(3.0), 6).as("kurtosis"))
+  }
+
   // data-profiling: row/distinct/min/max summary of a table in one pass.
   def dataProfile(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(
@@ -715,6 +740,7 @@ object Queries {
     "agg_quantiles" -> aggQuantiles,
     "join_skew_salted" -> joinSkewSalted,
     "agg_stats" -> aggStats,
+    "agg_moments" -> aggMoments,
     "data_profile" -> dataProfile,
     "window_analytic" -> windowAnalytic,
     "window_rank" -> windowRank,
@@ -903,6 +929,19 @@ object Queries {
       ("SELECT o_orderpriority, rnd(quantile_cont(o_totalprice, 0.5e0), 2) AS med, " +
         "rnd(quantile_cont(o_totalprice, 0.9e0), 2) AS p90, count(*) AS n " +
         "FROM orders GROUP BY 1"),
+
+    "agg_moments" ->
+      // identical raw-moment averages and assembly; pow(,1.5)/(,2) both
+      // binary-exact on these operands' scales after rnd(6)
+      ("WITH m AS (SELECT l_returnflag, avg(l_quantity) AS m1, " +
+        "avg(l_quantity * l_quantity) AS m2, " +
+        "avg(l_quantity * l_quantity * l_quantity) AS m3, " +
+        "avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4, " +
+        "count(*) AS n FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, n, " +
+        "rnd((m3 - 3e0 * m1 * m2 + 2e0 * m1 * m1 * m1) / pow(m2 - m1 * m1, 1.5e0), 6) AS skewness, " +
+        "rnd((m4 - 4e0 * m1 * m3 + 6e0 * m1 * m1 * m2 - 3e0 * m1 * m1 * m1 * m1) / " +
+        "pow(m2 - m1 * m1, 2e0) - 3e0, 6) AS kurtosis FROM m"),
 
     "agg_stats" ->
       ("SELECT l_returnflag, rnd(stddev_samp(l_quantity), 6) AS sd_qty, " +

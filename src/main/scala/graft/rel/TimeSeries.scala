@@ -622,7 +622,13 @@ object TimeSeries {
     "ts_interpolate" -> interpolate,
     "ts_ohlc" -> ohlc,
     "ts_ewma" -> ewma,
-    "ts_ewma_events" -> ((s, d) => ewmaEventsScan(Tables.events(s, d))),
+    // declared on the event_id % 5 slice: the oracle replays the fold as
+    // a recursive CTE whose depth = events per type, and the unsliced
+    // sf0.1 feed (20 k deep) runs past any reasonable oracle budget —
+    // the operator itself is slice-independent (the doc_id < 500
+    // precedent); StreamingSpec exercises it unsliced
+    "ts_ewma_events" -> ((s, d) =>
+      ewmaEventsScan(Tables.events(s, d).filter(col("event_id") % 5 === 0))),
     "ts_holt" -> holt,
     "ts_holt_winters" -> holtWinters,
     "ts_anomaly" -> anomaly,
@@ -707,7 +713,7 @@ object TimeSeries {
       // engine-independent SQL at full event depth.
       ("WITH RECURSIVE b AS (SELECT event_type, event_id, value, " +
         "row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn " +
-        "FROM events), " +
+        "FROM events WHERE event_id % 5 = 0), " +
         "r AS (SELECT event_type, rn, event_id, value AS e FROM b WHERE rn = 1 " +
         "UNION ALL SELECT b.event_type, b.rn, b.event_id, 0.3e0 * b.value + 0.7e0 * r.e " +
         "FROM b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1) " +
