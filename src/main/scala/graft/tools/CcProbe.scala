@@ -114,6 +114,21 @@ object CcProbe {
       f"wall=${(System.nanoTime() - t5) / 1e9}%.2f s")
     assert(htri.getLong(1) == nRim, s"hub stress: expected $nRim triangles")
     assert(hOriented < hubN, s"orientation failed: $hOriented wedges from a $hubN-degree hub")
+
+    // 3. edge-jaccard on the same hub graph: output must stay |E|-bounded
+    //    (one row per edge) and inherit the orientation's hub safety —
+    //    each rim edge (x, x+1) has the hub as its one common neighbor
+    //    (cn = 1), spokes to rim-free leaves have cn = 0.
+    val t6 = System.nanoTime()
+    val ej = Graph.edgeJaccard(hubEdges).persist()
+    val ejRows = ej.count()
+    val cn1 = ej.filter(col("cn") === 1).count()
+    println(f"[tri-stress] edge_jaccard rows=$ejRows (expect ${hubN + nRim}) " +
+      f"cn1=$cn1 (expect ${3 * nRim}) wall=${(System.nanoTime() - t6) / 1e9}%.2f s")
+    // each rim triangle's THREE edges see exactly one common neighbor
+    assert(ejRows == hubN + nRim)
+    assert(cn1 == 3 * nRim, s"expected ${3 * nRim} cn=1 edges, got $cn1")
+    ej.unpersist()
     spark.stop()
   }
 }

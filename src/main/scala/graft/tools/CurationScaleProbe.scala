@@ -47,6 +47,15 @@ object CurationScaleProbe {
     leg("seq_pack")(Curation.seqPackDocs(docs).count())
     leg("quality_repetition")(Curation.qualityRepetitionDocs(docs).count())
     leg("doc_chunk")(Curation.docChunkDocs(docs).count())
+    // stride-1 windows: the heaviest fan-out in the family — 73 windows
+    // per 80-token doc, all materialized once through the checkpoint;
+    // this corpus plants no cross-doc 8-gram dups, so the count-distinct
+    // and semi-join sides are exercised at full width with ~0 survivors
+    leg("dedup_substring")(graft.llm.Dedup.substringDupDocs(docs).count())
+    // BPE training: corpus-scale work is the one word-count pass; the 4
+    // merge rounds then iterate on the ~10k-word vocab table — wall
+    // should track the word count, not the rounds
+    leg("tokenizer_bpe")(graft.llm.TextAnalysis.bpeMerges(docs).count())
     spark.stop()
   }
 }
