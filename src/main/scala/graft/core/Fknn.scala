@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Ckpt.TruncateSyntax
+
 /** Fuzzy k-Nearest Neighbors (Keller/Gray/Givens 1985), Spark-first.
   *
   * Reference semantics (SURVEY.md §2.1, fixed by the published papers —
@@ -61,7 +63,7 @@ object Fknn {
     * so each block's broadcast is |Q|/blocks rows but all of them are
     * LIVE CONCURRENTLY on the executors (disk-spillable, not OOM, but
     * the per-stage bound is not a per-job bound). `eager = true`
-    * `localCheckpoint`s each block's (small, k-rows-per-query) top-k as
+    * `Ckpt.truncate`s each block's (small, k-rows-per-query) top-k as
     * its own job — the reference's sequential-iteration semantics: one
     * broadcast EXECUTING at a time, and each completed block's
     * broadcast becomes unreferenced (checkpoint truncates the plan), so
@@ -77,7 +79,7 @@ object Fknn {
       val pairs = Knn.pairwise(qBlock, train, hintBroadcastQ = true)
         .filter(col("q_id") =!= col("t_id"))
       val topk = Knn.topK(pairs, k)
-      if (eager) topk.localCheckpoint() else topk
+      if (eager) topk.truncated() else topk
     }.reduce(_ unionAll _)
     membershipFromNn(nn, train, k, nClasses)
   }
@@ -134,7 +136,7 @@ object Fknn {
       // broadcast is live at a time (see membershipInitChunked).
       val topk = Knn.knn(queries.filter(col("vec_id") % blocks === b), train, k,
         hintBroadcastQ = true)
-      if (eager) topk.localCheckpoint() else topk
+      if (eager) topk.truncated() else topk
     }.reduce(_ unionAll _)
     argmaxPredicted(scoresFromNn(nn, memberships))
   }

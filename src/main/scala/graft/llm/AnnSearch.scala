@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Ckpt.TruncateSyntax
 import graft.core.{Distance, Knn}
 import graft.functions.ArrayDistance
 import graft.rel.Queries.rnd
@@ -128,7 +129,7 @@ object AnnSearch {
     * `connectedComponents`/`pageRank`): each round references the
     * previous `cent` TWICE (assignment + empty-cell keep), so the lazy
     * plan would DOUBLE per iteration — every round ends in
-    * `localCheckpoint` so planning stays constant-size and the final
+    * `Ckpt.truncate` so planning stays constant-size and the final
     * search never re-derives earlier rounds (`checkpoint()` on a
     * cluster). Checkpointing changes no values: the refinement stays
     * deterministic (AnnSearchSpec pins two runs bit-identical).
@@ -144,7 +145,7 @@ object AnnSearch {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("c_id"), expr("transform(pm, p -> p.m)").as("c_v"))
       val kept = cent.join(means.select(col("c_id")), Seq("c_id"), "left_anti")
-      cent = means.unionByName(kept).localCheckpoint()
+      cent = means.unionByName(kept).truncated()
     }
     cent
   }
@@ -328,7 +329,7 @@ object AnnSearch {
       m: Int, k: Int, blocks: Int, eager: Boolean = false): DataFrame =
     (0 until blocks).map { b =>
       val blk = pqSearch(q.filter(pmod(col("q_id"), lit(blocks)) === b), t, cb, m, k)
-      if (eager) blk.localCheckpoint() else blk
+      if (eager) blk.truncated() else blk
     }.reduce(_ unionAll _)
 
   def pqChunkedTopK(s: SparkSession, d: String): DataFrame = {

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Ckpt.TruncateSyntax
 import graft.rel.Queries.rnd
 
 /** Corpus-curation operators beyond dedup/quality: the steps a training
@@ -197,7 +198,7 @@ object Curation {
         explode(expr(s"sequence(0, (size(a) - 1) div $width)")).as("seg_id"))
       .select(col("doc_id"), col("seg_id"),
         array_join(slice(col("a"), col("seg_id") * width + 1, lit(width)), " ").as("stext"))
-      .localCheckpoint()
+      .truncated()
     val boiler = segs.groupBy("stext")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Ckpt.TruncateSyntax
 import graft.rel.Queries.rnd
 
 /** Near-duplicate detection for training-data pipelines — the four
@@ -287,17 +288,17 @@ object Dedup {
     val edges = pairs.select(col("doc_id1").as("a"), col("doc_id2").as("b"))
       .unionAll(pairs.select(col("doc_id2").as("a"), col("doc_id1").as("b")))
       .persist()
-    // Each round ends in `localCheckpoint(eager = true)` — NOT persist.
+    // Each round ends in `Ckpt.truncate` (eager checkpoint) — NOT persist.
     // Persist caches the data but leaves the full logical lineage in the
     // plan; with a self-join per round the analyzed plan DOUBLES every
     // iteration and Catalyst analysis/planning blows up exponentially
     // (measured: round walls 3.6 s → 11.7 s → driver OOM building the
     // plan string at sf0.1). Checkpointing truncates the plan to a
-    // LogicalRDD, so every round plans against a constant-size tree. On
-    // a cluster this would be `checkpoint()` to reliable storage — same
-    // shape, plus fault tolerance for long chains.
+    // LogicalRDD, so every round plans against a constant-size tree.
+    // `Ckpt.truncate` picks reliable `checkpoint()` when a checkpoint
+    // dir is configured (cluster) else `localCheckpoint()` (local).
     var labels = edges.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl")).localCheckpoint()
+      .select(col("v"), col("v").as("lbl")).truncated()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -322,7 +323,7 @@ object Dedup {
           Seq("lbl"), "left")
         .select(col("v"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
           (col("changed") || coalesce(col("plbl") < col("lbl"), lit(false))).as("changed"))
-        .localCheckpoint()
+        .truncated()
       val nChanged = next.filter(col("changed")).count()
       converged = nChanged == 0
       stepped.unpersist()
@@ -367,7 +368,7 @@ object Dedup {
     * ratio — the score a curation pass filters or trims on.
     *
     * Scale shape: windowing is a pure map (split + sequence + slice —
-    * no per-token explode) fanned out once (`localCheckpoint`, the
+    * no per-token explode) fanned out once (`Ckpt.truncate`, the
     * materialize-the-fan-out discipline); the duplicated-window set is
     * one keyed count-distinct with map-side partials, output-bounded by
     * actual repetition; membership is a semi-join on the window key;
@@ -385,7 +386,7 @@ object Dedup {
         explode(expr(s"sequence(0, size(a) - $gram)")).as("i"), col("a"))
       .select(col("doc_id"),
         array_join(slice(col("a"), col("i") + 1, lit(gram)), " ").as("wtext"))
-      .localCheckpoint()
+      .truncated()
     val dup = wins.groupBy("wtext")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

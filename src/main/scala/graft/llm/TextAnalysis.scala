@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Ckpt.TruncateSyntax
 import graft.rel.Queries.rnd
 
 /** Text-analysis operators for training-data curation (SURVEY.md north
@@ -227,11 +228,11 @@ object TextAnalysis {
           "element_at(a, i) as w1, " +
           "concat(element_at(a, i), ' ', element_at(a, i + 1)) as bg))")).as("x"))
       .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
-      .localCheckpoint()
+      .truncated()
     val uni = docs
       .select(explode(split(col("text"), " ")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("u"))
-      .localCheckpoint()
+      .truncated()
     val big = bg.groupBy("bg").agg(count(lit(1)).as("b"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     bg.join(big, "bg").join(uni, "w1").crossJoin(broadcast(vocab))
@@ -258,7 +259,7 @@ object TextAnalysis {
     * left-to-right `aggregate`-HOF fold over the symbol array (array
     * semantics sidestep the substring-ambiguity of string replace; a
     * freshly merged symbol does not immediately re-merge — standard BPE
-    * greedy). Per-round `localCheckpoint` is the iterative-lineage
+    * greedy). Per-round `Ckpt.truncate` is the iterative-lineage
     * hygiene every loop here uses (`kmeansCentroids`). Output is the
     * merge-rule table (round, pair, cnt) — the trained tokenizer.
     * Production runs tens of thousands of rounds at this exact
@@ -276,7 +277,7 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(col("word"), col("n"),
         expr("filter(split(word, ''), c -> c != '')").as("syms"))
-      .localCheckpoint()
+      .truncated()
     val rules = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 1
     var exhausted = false
@@ -293,7 +294,7 @@ object TextAnalysis {
       val best = pairs.agg(max(struct(col("cnt"), col("pr"))).as("b"))
         .select(col("b.pr").as("bp"), col("b.cnt").as("cnt"))
         .filter(col("bp").isNotNull)
-        .localCheckpoint()
+        .truncated()
       if (best.isEmpty) exhausted = true
       else {
         seqs = seqs.crossJoin(broadcast(best.select(col("bp"))))
@@ -302,7 +303,7 @@ object TextAnalysis {
               |  (acc, x) -> if(size(acc) > 0 and concat(element_at(acc, -1), ' ', x) = bp,
               |    slice(acc, 1, size(acc) - 1) || array(concat(element_at(acc, -1), x)),
               |    acc || array(x)))""".stripMargin).as("syms"))
-          .localCheckpoint()
+          .truncated()
         rules += best.select(lit(r).as("round"), col("bp").as("pair"), col("cnt"))
         r += 1
       }

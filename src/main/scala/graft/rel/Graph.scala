@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Ckpt.TruncateSyntax
 import graft.rel.Queries.rnd
 
 /** Graph analytics over relationally-derived edge lists. The reference
@@ -17,7 +18,7 @@ import graft.rel.Queries.rnd
   * edge table reuses its exchange. A FIXED iteration count keeps the
   * operator oracle-expressible (the DuckDB twin unrolls the same three
   * rounds as CTEs) and the lineage bounded — for open-ended iteration
-  * reuse the `localCheckpoint`-per-round pattern of
+  * reuse the `Ckpt.truncate`-per-round pattern of
   * `Dedup.connectedComponents` (Dedup.scala:249).
   */
 object Graph {
@@ -43,23 +44,24 @@ object Graph {
     *
     * Iterative-lineage hygiene (same lesson as
     * `Dedup.connectedComponents`): the per-round frames are
-    * `localCheckpoint`ed so each round plans against a constant-size
+    * `Ckpt.truncate`d so each round plans against a constant-size
     * tree and downstream actions never re-derive earlier rounds —
     * WITHOUT this, a 349-node / 3-round run spent 6.3 s in repeated
     * analysis/planning of the unrolled lineage (CcProbe pr leg); with
-    * it, 2.2 s. On a cluster this would be `checkpoint()` to reliable
-    * storage. Checkpointing changes no values, so the DuckDB oracle's
+    * it, 2.2 s. `Ckpt.truncate` picks reliable `checkpoint()` when a
+    * checkpoint dir is configured (cluster) else `localCheckpoint()`.
+    * Checkpointing changes no values, so the DuckDB oracle's
     * unrolled CTEs still match.
     */
   def pageRank(edgesIn: DataFrame, iters: Int = 3): DataFrame = {
     // edges are read iters + 2 times (nodes, degrees, every round's
     // join) — materialize the derivation once instead of re-running it
-    val edges = edgesIn.localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("od")).localCheckpoint()
+    val edges = edgesIn.truncated()
+    val nodes = edges.select(col("src").as("node")).distinct().truncated()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("od")).truncated()
     val n1 = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
     var ranks = nodes.crossJoin(n1).select(col("node"), (lit(1.0) / col("n")).as("r"))
-      .localCheckpoint()
+      .truncated()
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks, edges("src") === ranks("node"))
@@ -76,7 +78,7 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) / col("n") + lit(Damping) * coalesce(col("c"), lit(0.0))).as("r"))
-        .localCheckpoint()
+        .truncated()
     }
     ranks.select(col("node"), rnd(col("r"), 6).as("rank"))
   }
@@ -118,7 +120,7 @@ object Graph {
     * counted exactly once — its unique apex is the min-(degree, node)
     * vertex, the only one with out-edges to both others.
     *
-    * The edge list is `localCheckpoint`ed because it feeds four
+    * The edge list is `Ckpt.truncate`d because it feeds four
     * consumers (degrees, two orientation joins, the closing semi-join);
     * on a cluster this would be a `persist` or a materialized edge
     * table. Output is the one-row (n_edges, n_triangles) summary.
@@ -147,7 +149,7 @@ object Graph {
       .filter(col("v") < col("w"))
 
   def triangleCount(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.localCheckpoint()
+    val edges = edgesIn.truncated()
     val oriented = orientEdges(edges, degrees(edges))
     val closed = wedges(oriented).join(
       edges, col("v") === edges("p1") && col("w") === edges("p2"), "left_semi")
@@ -170,7 +172,7 @@ object Graph {
     * Jaccard defined 0 by the shared CASE.
     */
   def edgeJaccard(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.localCheckpoint()
+    val edges = edgesIn.truncated()
     val deg = degrees(edges)
     val tri = wedges(orientEdges(edges, deg)).join(
       edges, col("v") === edges("p1") && col("w") === edges("p2"), "left_semi")

@@ -3,6 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.core.Ckpt.TruncateSyntax
+
 /** Connected-components scale probe: runs `Dedup.connectedComponents`
   * over the MinHash-LSH pair graph at the given SF with per-round
   * timing (`verbose = true`), reporting pair count, component count,
@@ -53,14 +55,14 @@ object CcProbe {
     // path halving ever regresses to linear rounds, the run stops short,
     // labels stay a refinement (ncomp > 2), and the assert fires. Round
     // walls print via verbose — they must stay flat (constant-size plan
-    // per round is the localCheckpoint contract).
+    // per round is the Ckpt.truncate contract).
     val chainLen = 4096
     val starSize = 100000
     val chain = spark.range(chainLen)
       .select(col("id").as("doc_id1"), (col("id") + 1).as("doc_id2"))
     val star = spark.range(starSize)
       .select(lit(10000000L).as("doc_id1"), (col("id") + 10000001L).as("doc_id2"))
-    val stress = chain.unionAll(star).localCheckpoint()
+    val stress = chain.unionAll(star).truncated()
     val bound = (math.log(chainLen) / math.log(2)).toInt + 4
     val t3 = System.nanoTime()
     val scc = graft.llm.Dedup.connectedComponents(stress, maxIters = bound, verbose = true)
@@ -79,7 +81,7 @@ object CcProbe {
     //    co-order graph.
     import graft.rel.Graph
     val t4 = System.nanoTime()
-    val tedges = Graph.coOrderEdges(spark, sfDir).localCheckpoint()
+    val tedges = Graph.coOrderEdges(spark, sfDir).truncated()
     val tdeg = tedges.select(col("p1").as("node"))
       .unionAll(tedges.select(col("p2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -100,7 +102,7 @@ object CcProbe {
     // every 100th consecutive leaf pair closes a triangle with the hub
     val rim = spark.range(1, hubN).filter(col("id") % 100 === 1)
       .select(col("id").as("p1"), (col("id") + 1).as("p2"))
-    val hubEdges = spokes.unionAll(rim).localCheckpoint()
+    val hubEdges = spokes.unionAll(rim).truncated()
     val nRim = rim.count()
     val t5 = System.nanoTime()
     val hdeg = hubEdges.select(col("p1").as("node"))

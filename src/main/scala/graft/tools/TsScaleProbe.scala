@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.core.Ckpt.TruncateSyntax
 import graft.rel.{BloomPrune, TimeSeries}
 
 /** Scale experiment for the TimeSeries/CDC family + Bloom pruning over
@@ -85,7 +86,7 @@ object TsScaleProbe {
         lit(1L).as("user_id"),
         lit("t0").as("event_type"),
         (abs(hash(col("id"))) % 1000 / 10.0).as("value"))
-        .localCheckpoint() // isolate generation from the measured fold
+        .truncated() // isolate generation from the measured fold
       legN(s"ewma_hof_span$span", span)(TimeSeries.ewmaHourly(sp).count())
       legN(s"ewma_scan_span$span", span)(TimeSeries.ewmaScan(sp).count())
       // Holt shares the container shapes — same quadratic/linear split,
@@ -110,7 +111,7 @@ object TsScaleProbe {
       val wins = events.filter(col("event_id") % (nEvents / 2000) === 0)
         .select(col("event_id").as("w_id"), expr("unix_micros(ts)").as("ws"))
         .select(col("w_id"), col("ws"), (col("ws") + winUs).as("we"))
-        .localCheckpoint()
+        .truncated()
       val pts = events.select(col("event_id").as("p_id"),
         expr("unix_micros(ts)").as("pt"), col("value"))
       def agg(j: org.apache.spark.sql.DataFrame): Long =
