@@ -168,6 +168,22 @@ object Dedup {
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     simhashBandedPairs(s, simhash(s, d))
 
+  /** dedup_simhash64 — the PRODUCTION width as a declared, oracle-gated
+    * row: 64-bit signatures in 8 bands, same Hamming ≤ 3 semantics as
+    * the 16-bit row. SCALE.md's round-5 probe is the reason this row
+    * exists: at 50 k docs the 16-bit signature space (65 536 values)
+    * saturates — 291.6 M band-collision candidates and 14.3 M
+    * hash-coincidence "pairs" vs 41.4 M / 2 480 at 64-bit. The 16-bit
+    * row keeps the historical oracle; this row certifies the width a
+    * real corpus needs, end-to-end through the banding path (sign-bit
+    * signatures included — bit 63 lands in BIGINT's sign position in
+    * both engines, handled by the unsigned band slice here and the
+    * signed-complement literal in the oracle CTE).
+    */
+  def simhashPairs64(s: SparkSession, d: String): DataFrame =
+    simhashBandedPairs(s, simhashSigs(s, docSlice(s, d), simBits = 64),
+      maxHamming = 3, simBits = 64, simBands = 8)
+
   /** Banded SimHash candidate generation: split the `simBits`-bit
     * signature into `simBands` bands of simBits/simBands bits.
     * Pigeonhole: a pair at Hamming ≤ maxHamming < simBands differs in
@@ -274,8 +290,12 @@ object Dedup {
     * round, converging in O(graph diameter) rounds. Near-dup components
     * are dense and tiny (diameter ≲ a handful even for pathological
     * chains), so the loop closes in a few rounds; `maxIters` bounds the
-    * worst case. The convergence check is one count per round (a scalar
-    * to the driver, never data). Deterministic: min-label has a unique
+    * worst case. The convergence check rides the SAME job that
+    * materializes the round's checkpoint (an `observe` metric — a scalar
+    * to the driver, never data, and no separate count job: at sf0.1 the
+    * suite's most job-count-heavy query spent ~40 % of its wall on
+    * per-job fixed overhead, so one job per round instead of two is the
+    * direct constant-factor cut). Deterministic: min-label has a unique
     * fixed point regardless of execution order.
     *
     * Scale: every round shuffles |E| rows by vertex id — the classic
@@ -285,8 +305,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
       verbose: Boolean = false): DataFrame = {
-    val edges = pairs.select(col("doc_id1").as("a"), col("doc_id2").as("b"))
-      .unionAll(pairs.select(col("doc_id2").as("a"), col("doc_id1").as("b")))
+    // Materialize the pair derivation ONCE before symmetrizing: the two
+    // union branches are separate subtrees to Spark, so un-truncated
+    // they each recompute the caller's whole upstream pipeline (the
+    // TimeQuery job trace showed the LSH signature+verify chain running
+    // 2×32 tasks inside the first CC job — half of dedup_cluster's wall
+    // was upstream recompute, not CC)
+    val p = pairs.select(col("doc_id1").as("a"), col("doc_id2").as("b")).truncated()
+    val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
       .persist()
     // Each round ends in `Ckpt.truncate` (eager checkpoint) — NOT persist.
     // Persist caches the data but leaves the full logical lineage in the
@@ -297,8 +323,16 @@ object Dedup {
     // LogicalRDD, so every round plans against a constant-size tree.
     // `Ckpt.truncate` picks reliable `checkpoint()` when a checkpoint
     // dir is configured (cluster) else `localCheckpoint()` (local).
-    var labels = edges.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl")).truncated()
+    // Initialization FOLDS the first neighbor-min round: every vertex
+    // starts at min(v, N(v)) rather than v — one groupBy on the same
+    // shuffle key the old `distinct` init already paid for, and the loop
+    // below starts one full propagation round ahead (min-label's fixed
+    // point is unique, so advancing the start state cannot change the
+    // result — only the round count; measured 4 → 3 rounds on the sf0.1
+    // near-dup graph where each round is ~0.9 s of fixed overhead).
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("lbl"))
+      .select(col("a").as("v"), col("lbl")).truncated()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -318,13 +352,19 @@ object Dedup {
       // Plain neighbor-min alone needs O(chain length) rounds on a path
       // graph; composing one jump per round collapses chains
       // logarithmically, so the loop closes in O(log diameter) rounds.
+      // the changed-count observation is computed DURING the eager
+      // checkpoint's materialization job — `Observation.get` blocks only
+      // until that already-running action completes, so the round's one
+      // job yields both the truncated labels and the convergence scalar
+      val obs = org.apache.spark.sql.Observation()
       val next = stepped.alias("s")
         .join(stepped.select(col("v").as("lbl"), col("lbl").as("plbl")).alias("p"),
           Seq("lbl"), "left")
         .select(col("v"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
           (col("changed") || coalesce(col("plbl") < col("lbl"), lit(false))).as("changed"))
+        .observe(obs, count(when(col("changed"), lit(1))).as("nChanged"))
         .truncated()
-      val nChanged = next.filter(col("changed")).count()
+      val nChanged = obs.get("nChanged").asInstanceOf[Long]
       converged = nChanged == 0
       stepped.unpersist()
       labels = next.select(col("v"), col("lbl"))
@@ -373,26 +413,34 @@ object Dedup {
     * one keyed count-distinct with map-side partials, output-bounded by
     * actual repetition; membership is a semi-join on the window key;
     * per-doc totals are two keyed aggs sharing the doc_id shuffle key.
-    * The window KEY here is the literal text so the oracle can reproduce
-    * it — at corpus scale you key on xxhash64(window) (64-bit, ~8 bytes
-    * vs ~50 tokens — collision probability negligible at any corpus
-    * size) and the plan is unchanged.
+    *
+    * `hashKey` picks the window KEY — the corpus-scale form. The default
+    * keys on the literal ~`gram`-token window text so the DuckDB oracle
+    * can reproduce it; `hashKey = true` keys on `xxhash64(wtext)` (8
+    * bytes vs ~50 tokens of text on the highest-fan-out frame in the
+    * operator — CurationScaleProbe's substr leg measures the shuffle-byte
+    * ratio; collision probability is negligible at any corpus size, and
+    * a collision can only merge two windows, never drop one). Counts and
+    * ratios are unchanged (DedupSpec pins hash-keyed ≡ text-keyed); only
+    * the bytes on the wire shrink.
     */
-  def substringDupDocs(docs: DataFrame, gram: Int = 8, minDocs: Int = 2): DataFrame = {
+  def substringDupDocs(docs: DataFrame, gram: Int = 8, minDocs: Int = 2,
+      hashKey: Boolean = false): DataFrame = {
+    val wtext = array_join(slice(col("a"), col("i") + 1, lit(gram)), " ")
     val wins = docs
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= gram)
       .select(col("doc_id"),
         explode(expr(s"sequence(0, size(a) - $gram)")).as("i"), col("a"))
       .select(col("doc_id"),
-        array_join(slice(col("a"), col("i") + 1, lit(gram)), " ").as("wtext"))
+        (if (hashKey) xxhash64(wtext) else wtext).as("wkey"))
       .truncated()
-    val dup = wins.groupBy("wtext")
+    val dup = wins.groupBy("wkey")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select("wtext")
+      .select("wkey")
     val tot = wins.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
-    val dd = wins.join(dup, Seq("wtext"), "left_semi")
+    val dd = wins.join(dup, Seq("wkey"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     tot.join(dd, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_win"),
@@ -407,6 +455,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_cluster" -> minhashClusters,
     "dedup_simhash" -> simhashPairs,
+    "dedup_simhash64" -> simhashPairs64,
     "dedup_substring" -> substringDup,
     "similarity_ngram" -> ngramJaccard,
     "doc_fingerprint" -> fingerprint,
@@ -443,6 +492,28 @@ object Dedup {
   private val candExists =
     "WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = a.doc_id AND c.d2 = b.doc_id)"
 
+  /** SimHash oracle for an arbitrary width ≤ 64 — identical vote math to
+    * `simhashSigs`. Bit accumulation is `1::BIGINT << j` with the signed
+    * two's-complement literal at j = 63: DuckDB's sum over BIGINT runs in
+    * HUGEINT (no wraparound), so the j = 63 term must enter as −2⁶³ for
+    * the total to BE the signed 64-bit value `shiftleft(1L, 63)` sums to
+    * on the Spark side; every such total fits BIGINT exactly.
+    */
+  private def simhashOracleSql(bits: Int, maxHamming: Int): String =
+    s"WITH $toksCte, " +
+      s"bits AS (SELECT unnest(range($bits))::INT AS j), " +
+      "votes AS (SELECT doc_id, j, sum(2 * ((( " +
+      "instr('0123456789abcdef', substr(md5(tok), (j // 4) + 1, 1)) - 1) // " +
+      "(CASE (j % 4) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1)::BIGINT AS vote " +
+      "FROM toks CROSS JOIN bits GROUP BY 1, 2), " +
+      "sh AS (SELECT doc_id, sum(CASE WHEN vote >= 0 THEN " +
+      "(CASE WHEN j = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << j) END) " +
+      "ELSE 0 END)::BIGINT AS simhash FROM votes GROUP BY 1) " +
+      "SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, " +
+      "bit_count(xor(a.simhash, b.simhash))::INT AS hamming " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      s"WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming"
+
   val rawOracles: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
       s"WITH $minhashCtes, ${jaccardTailSql(candExists)}",
@@ -459,19 +530,11 @@ object Dedup {
         "lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) " +
         "SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM lbl"),
 
-    "dedup_simhash" ->
-      (s"WITH $toksCte, " +
-        s"bits AS (SELECT unnest(range($SimBits))::INT AS j), " +
-        "votes AS (SELECT doc_id, j, sum(2 * ((( " +
-        "instr('0123456789abcdef', substr(md5(tok), (j // 4) + 1, 1)) - 1) // " +
-        "(CASE (j % 4) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1)::BIGINT AS vote " +
-        "FROM toks CROSS JOIN bits GROUP BY 1, 2), " +
-        "sh AS (SELECT doc_id, sum(CASE WHEN vote >= 0 THEN CAST(round(pow(2e0, j), 0) AS BIGINT) ELSE 0 END)::BIGINT AS simhash " +
-        "FROM votes GROUP BY 1) " +
-        "SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, " +
-        "bit_count(xor(a.simhash, b.simhash))::INT AS hamming " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
+    "dedup_simhash" -> simhashOracleSql(SimBits, 3),
+
+    // the production width, same semantics — the oracle keeps its direct
+    // all-pairs shape (banded ≡ all-pairs, DedupSpec's pigeonhole twin)
+    "dedup_simhash64" -> simhashOracleSql(64, 3),
 
     "dedup_substring" ->
       // identical sliding windows: 0-based offset i, tokens i+1..i+8

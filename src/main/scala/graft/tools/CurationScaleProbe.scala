@@ -34,12 +34,28 @@ object CurationScaleProbe {
       .write.mode("overwrite").parquet(docPath)
     val docs = spark.read.parquet(docPath)
 
-    def leg(name: String)(body: => Long): Unit = {
+    // shuffle-write accounting (TsScaleProbe precedent): local in-memory
+    // shuffles barely move wall time, so the number that predicts cluster
+    // behavior is BYTES SHUFFLED — summed per leg by a stage listener
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    def legMb(name: String)(body: => Long): (Double, Double) = {
+      shuffled.set(0)
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name nDocs=$nDocs rows=$rows wall=$wall%.1f s (${nDocs / wall}%.0f docs/s)")
+      Thread.sleep(300) // listener bus drain (probe-grade wait)
+      val mb = shuffled.get / 1e6
+      println(f"[scale] $name nDocs=$nDocs rows=$rows wall=$wall%.1f s " +
+        f"(${nDocs / wall}%.0f docs/s) shuffleMB=$mb%.1f")
+      (wall, mb)
     }
+    def leg(name: String)(body: => Long): Unit = { legMb(name)(body); () }
 
     // eval slice = 10% of the corpus; grams ≈ 78 per doc → the join
     // probes ~nDocs*78 gram rows against a ~nDocs/10*78-gram eval table
@@ -50,12 +66,43 @@ object CurationScaleProbe {
     // stride-1 windows: the heaviest fan-out in the family — 73 windows
     // per 80-token doc, all materialized once through the checkpoint;
     // this corpus plants no cross-doc 8-gram dups, so the count-distinct
-    // and semi-join sides are exercised at full width with ~0 survivors
-    leg("dedup_substring")(graft.llm.Dedup.substringDupDocs(docs).count())
+    // and semi-join sides are exercised at full width with ~0 survivors.
+    // Text-keyed vs xxhash64-keyed: the window key is the shuffle key on
+    // the fan-out frame, so the 8-byte hash cuts the bytes that key
+    // carries across the wire (~47 window chars vs 8 bytes; LZ4 narrows
+    // the raw ratio — report what's actually written). The legs consume
+    // n_win AND n_dup: a bare count() lets Catalyst drop the left join
+    // against the unique-keyed dup aggregate and the whole window
+    // shuffle with it (found when this leg's first cut read 0.3 MB).
+    def forceDup(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("n_win") + col("n_dup"))).collect()(0).getLong(0)
+    val (_, textMb) = legMb("dedup_substring_textkey")(
+      forceDup(graft.llm.Dedup.substringDupDocs(docs)))
+    val (_, hashMb) = legMb("dedup_substring_hashkey")(
+      forceDup(graft.llm.Dedup.substringDupDocs(docs, hashKey = true)))
+    println(f"[scale] dedup_substring key-shuffle ratio text/hash = ${textMb / hashMb}%.1f x")
+    assert(hashMb < textMb,
+      f"hash key must shuffle fewer bytes: $hashMb%.1f MB vs $textMb%.1f MB")
     // BPE training: corpus-scale work is the one word-count pass; the 4
     // merge rounds then iterate on the ~10k-word vocab table — wall
     // should track the word count, not the rounds
-    leg("tokenizer_bpe")(graft.llm.TextAnalysis.bpeMerges(docs).count())
+    val (bpe4, _) = legMb("tokenizer_bpe")(graft.llm.TextAnalysis.bpeMerges(docs).count())
+    // merge-loop DEPTH: production tokenizers train tens of thousands of
+    // rounds; per-round cost must stay flat (vocab-sized state, constant
+    // plan via Ckpt.truncate) as rounds grow 16x. Marginal per-round wall
+    // at depth 64->256 vs 4->64 should be ~equal; assert within 3x to
+    // leave harness-noise room while still catching anything that grows
+    // with round index (lineage, state, vocab blowup)
+    val (bpe64, _) = legMb("tokenizer_bpe_r64")(
+      graft.llm.TextAnalysis.bpeMerges(docs, rounds = 64).count())
+    val (bpe256, _) = legMb("tokenizer_bpe_r256")(
+      graft.llm.TextAnalysis.bpeMerges(docs, rounds = 256).count())
+    val early = (bpe64 - bpe4) / 60.0
+    val late = (bpe256 - bpe64) / 192.0
+    println(f"[scale] bpe per-round wall: rounds 5-64 $early%.3f s/round, " +
+      f"rounds 65-256 $late%.3f s/round")
+    assert(late < early * 3.0,
+      f"per-round BPE wall grew with depth: $late%.3f vs $early%.3f s/round")
     spark.stop()
   }
 }

@@ -124,6 +124,19 @@ class DedupSpec extends SparkSpecBase {
     r.values.foreach { case (nw, nd) => assert(nd <= nw) }
   }
 
+  test("substring dedup: xxhash64-keyed form is output-identical to text-keyed") {
+    // planted corpus: the near-dup docs share 32 of their 33 stride-1
+    // windows, so both dup counts and ratios are non-trivial
+    val textKeyed = collectSet(Dedup.substringDupDocs(docs))
+    val hashKeyed = collectSet(Dedup.substringDupDocs(docs, hashKey = true))
+    assert(textKeyed.nonEmpty)
+    assert(hashKeyed === textKeyed)
+    // and on the declared row's actual input (sf0.001 documents)
+    val d = Tables.documents(spark, sfDir)
+    assert(collectSet(Dedup.substringDupDocs(d, hashKey = true))
+      === collectSet(Dedup.substringDupDocs(d)))
+  }
+
   test("MinHash-LSH at 64 hashes finds the planted near-dups found at 8") {
     // planted pairs are (id-1, id) for id % 10 == 1: J ≈ 39/41 ≈ 0.95
     val planted = (1 until 200 by 10).map(i => (i - 1L, i.toLong)).toSet
