@@ -236,10 +236,13 @@ case class FusedAdc(left: Expression, right: Expression) extends BinaryExpressio
     val ts = a.asInstanceOf[ArrayData]
     val cs = b.asInstanceOf[ArrayData]
     val n = cs.numElements()
+    val tn = ts.numElements()
     var acc = 0.0
     var s = 0
     while (s < n) {
-      acc += ts.getDouble(cs.getInt(s))
+      val c = cs.getInt(s)
+      if (c < 0 || c >= tn) FusedAdc.badCodeJ(c, tn)
+      acc += ts.getDouble(c)
       s += 1
     }
     math.sqrt(acc)
@@ -248,13 +251,18 @@ case class FusedAdc(left: Expression, right: Expression) extends BinaryExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
+      val tn = ctx.freshName("tn")
       val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
       val acc = ctx.freshName("acc")
       s"""
          |final int $n = $b.numElements();
+         |final int $tn = $a.numElements();
          |double $acc = 0.0;
          |for (int $s = 0; $s < $n; $s++) {
-         |  $acc = $acc + $a.getDouble($b.getInt($s));
+         |  final int $c = $b.getInt($s);
+         |  if ($c < 0 || $c >= $tn) graft.functions.FusedAdc.badCodeJ($c, $tn);
+         |  $acc = $acc + $a.getDouble($c);
          |}
          |${ev.value} = java.lang.Math.sqrt($acc);
        """.stripMargin
@@ -262,6 +270,19 @@ case class FusedAdc(left: Expression, right: Expression) extends BinaryExpressio
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FusedAdc =
     copy(l, r)
+}
+
+object FusedAdc {
+  // Bounds check on every gather: `ArrayDistance.adc` is a PUBLIC Column
+  // API, and an out-of-range code would otherwise read arbitrary
+  // UnsafeArrayData memory (garbage distance, no error) -- fail loudly
+  // instead. One branch per lookup; the JIT hoists the compare against
+  // the loop-invariant table length, measured noise vs the gather.
+  // Static forwarder so generated code can call it without MODULE$.
+  def badCodeJ(code: Int, tableLen: Int): Unit =
+    throw new IllegalArgumentException(
+      s"fused_adc: code $code out of range [0, $tableLen) -- codes must be " +
+        "pre-offset (s*K + codeword) into the flat subspace-major table")
 }
 
 object ArrayDistance {

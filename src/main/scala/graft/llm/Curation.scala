@@ -23,6 +23,9 @@ import graft.rel.Queries.rnd
   */
 object Curation {
 
+  /** Shard count shared by `corpusShuffle` and its oracle twin. */
+  private[graft] val DefaultShards = 8
+
   /** Word 3-grams per doc, distinct — the shingle unit for
     * decontamination overlap. Docs under 3 tokens are guarded out
     * (Spark's `sequence(1, 0)` runs DESCENDING; DuckDB's range is
@@ -231,7 +234,7 @@ object Curation {
     * each shard streams to its own file in final training order. No
     * global sort anywhere.
     */
-  def corpusShuffle(s: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+  def corpusShuffle(s: SparkSession, d: String, nShards: Int = DefaultShards): DataFrame = {
     val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
     val shard = pmod(conv(substring(col("skey"), 1, 2), 16, 10).cast("int"), lit(nShards))
     val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
@@ -245,6 +248,20 @@ object Curation {
   def lineDedup(s: SparkSession, d: String): DataFrame =
     lineDedupDocs(Tables.documents(s, d))
 
+  /** The `corpus_shuffle` oracle derived from the SAME shard count as
+    * the Scala default (the bpeRoundSql discipline: one constant, both
+    * engines) — a caller re-declaring the row at another `nShards` gets
+    * a matching twin instead of a silently-divergent hardcoded `% 8`.
+    * Leading byte = 16·d1 + d2 (the instr-based hex-digit decode
+    * `sample_stratified` already uses).
+    */
+  private[graft] def corpusShuffleSql(nShards: Int = DefaultShards): String =
+    "WITH k AS (SELECT doc_id, md5('shuf:' || doc_id::VARCHAR) AS skey FROM documents), " +
+      "sh AS (SELECT doc_id, skey, (((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16 " +
+      s"+ (instr('0123456789abcdef', substr(skey, 2, 1)) - 1)) % $nShards)::INT AS shard FROM k) " +
+      "SELECT doc_id, shard, " +
+      "row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::INT AS pos FROM sh"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> decontaminate,
     "seq_pack" -> seqPack,
@@ -257,14 +274,7 @@ object Curation {
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
   val rawOracles: Map[String, String] = Map(
-    "corpus_shuffle" ->
-      // same salted-md5 key; leading byte = 16·d1 + d2 (the instr-based
-      // hex-digit decode sample_stratified already uses)
-      ("WITH k AS (SELECT doc_id, md5('shuf:' || doc_id::VARCHAR) AS skey FROM documents), " +
-        "sh AS (SELECT doc_id, skey, (((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16 " +
-        "+ (instr('0123456789abcdef', substr(skey, 2, 1)) - 1)) % 8)::INT AS shard FROM k) " +
-        "SELECT doc_id, shard, " +
-        "row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::INT AS pos FROM sh"),
+    "corpus_shuffle" -> corpusShuffleSql(),
 
     "decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +

@@ -108,7 +108,9 @@ object TsScaleProbe {
     {
       val binUs = 3600000000L
       val winUs = 7200000000L
-      val wins = events.filter(col("event_id") % (nEvents / 2000) === 0)
+      // max(1, …): a probe run with nEvents < 2000 would otherwise make
+      // the stride 0 and the modulo throw
+      val wins = events.filter(col("event_id") % math.max(1, nEvents / 2000) === 0)
         .select(col("event_id").as("w_id"), expr("unix_micros(ts)").as("ws"))
         .select(col("w_id"), col("ws"), (col("ws") + winUs).as("we"))
         .truncated()

@@ -145,4 +145,26 @@ class DistanceSpec extends SparkSpecBase {
       assert(math.sqrt(acc) === r.getDouble(2))
     }
   }
+
+  test("FusedAdc rejects out-of-range codes instead of reading garbage") {
+    // adc is a public Column API: a code outside [0, m*K) must fail
+    // loudly, not silently read out-of-bounds UnsafeArrayData memory
+    def adcOn(codes: Array[Int]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(Array.fill(8)(1.0), codes)), 1),
+        StructType(Seq(
+          StructField("tbl", ArrayType(DoubleType)),
+          StructField("codes", ArrayType(IntegerType)))))
+      df.select(ArrayDistance.adc(col("tbl"), col("codes"))).collect()
+      ()
+    }
+    adcOn(Array(0, 7)) // in range: fine
+    val tooBig = intercept[Exception](adcOn(Array(0, 8)))
+    val negative = intercept[Exception](adcOn(Array(-1, 3)))
+    Seq(tooBig, negative).foreach { e =>
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("out of range"), s"unexpected failure: $msgs")
+    }
+  }
 }
