@@ -92,11 +92,38 @@ object Graph {
     * oracle), not a physical knob. Unlike `custSuppEdges` this graph is
     * NOT bipartite, so it carries triangles.
     */
-  def coOrderEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .filter(col("l_quantity") >= 25)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+  def coOrderEdges(s: SparkSession, d: String): DataFrame =
+    coOrderEdgesFrom(
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** Co-occurrence pairing over an arbitrary (ok, pk) membership frame.
+    *
+    * Runtime guard (round-6, the `ts_anomaly` precedent): the self-join
+    * emits C(parts, 2) pairs PER ORDER — quadratic in parts-per-order.
+    * TPC-H-shaped orders hold ≤ ~7 parts, but this is the generic
+    * grouping→pairs primitive, and one heavy group (a basket with 10⁵
+    * items) silently turns the map stage into a 10¹⁰-row generator. A
+    * group larger than `maxPerGroup` now raises a descriptive error
+    * with the knob to turn instead. The count costs one window over the
+    * same `ok` key the join itself shuffles by (exchange reused); heavy
+    * groups that are LEGITIMATE belong on a sampled or top-k-per-group
+    * reduction first, not the raw pair expansion.
+    */
+  private[graft] def coOrderEdgesFrom(membership: DataFrame,
+      maxPerGroup: Int = 1000): DataFrame = {
+    val li = membership.select(col("ok"), col("pk")).distinct()
+      .withColumn("nparts",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("ok")))
+      .select(col("ok"),
+        when(col("nparts") > maxPerGroup,
+          raise_error(concat(
+            lit(s"coOrderEdges: group "), col("ok").cast("string"),
+            lit(s" holds "), col("nparts").cast("string"),
+            lit(s" members > maxPerGroup=$maxPerGroup — the pair expansion is " +
+              "quadratic per group; sample or reduce heavy groups first"))))
+          .otherwise(col("pk")).as("pk"))
     li.select(col("ok"), col("pk").as("p1"))
       .join(li.select(col("ok"), col("pk").as("p2")), "ok")
       .filter(col("p1") < col("p2"))

@@ -76,4 +76,21 @@ class GraphSpec extends SparkSpecBase {
     assert(Graph.edgeJaccard(star).filter(col("cn") =!= 0 || col("jaccard") =!= 0.0)
       .count() === 0)
   }
+
+  test("coOrderEdges guard: heavy group raises, sane groups pair normally") {
+    // order 1: 3 parts → 3 pairs; order 2: 2 parts → 1 pair (cross-order
+    // duplicates collapse via distinct)
+    val sane = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L))
+      .toDF("ok", "pk")
+    val pairs = Graph.coOrderEdgesFrom(sane, maxPerGroup = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 20L), (10L, 30L), (20L, 30L)))
+    // synthetic heavy order: one group with 51 members over a cap of 50
+    val heavy = (1L to 51L).map(i => (99L, i)).toDF("ok", "pk")
+    val e = intercept[Exception](
+      Graph.coOrderEdgesFrom(sane.unionAll(heavy), maxPerGroup = 50).count())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("maxPerGroup"), s"unexpected failure: $msgs")
+  }
 }
