@@ -101,7 +101,7 @@ object AnnSearch {
     * rejoins by id afterwards (|T| rows, cheap next to the |T|×C
     * stream).
     */
-  private def assignCells(t: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignCells(t: DataFrame, cent: DataFrame): DataFrame =
     t.crossJoin(broadcast(cent))
       .select(col("t_id"), struct(
         ArrayDistance.l2(col("t_v"), col("c_v")).as("dist"),
@@ -109,6 +109,29 @@ object AnnSearch {
       .groupBy(col("t_id"))
       .agg(min(col("dc")).as("m"))
       .select(col("t_id"), col("m.cell").as("cell"))
+
+  /** (t_id, cell) nprobe-NEAREST-cells assignment — the multi-probe
+    * mitigation for cell-straddling pairs (SemDeDup's documented recall
+    * loss: a near-dup pair split across a cell boundary never meets in
+    * a single-cell scan, but DOES meet if either vector also probes its
+    * runner-up cells). Same broadcast-centroids shape as `assignCells`;
+    * the per-vector reduction keeps the nprobe smallest (dist, cell)
+    * structs — a centroid-count-bounded `array_sort(collect_list)` per
+    * vector, never corpus-bounded. Emits nprobe rows per vector, so the
+    * downstream in-cell self-join's work scales ~nprobe² — the price of
+    * the recovered recall, measured by PipelineScaleProbe's
+    * semantic-straddle leg.
+    */
+  private[graft] def assignCellsMulti(t: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame =
+    t.crossJoin(broadcast(cent))
+      .select(col("t_id"), struct(
+        ArrayDistance.l2(col("t_v"), col("c_v")).as("dist"),
+        col("c_id").as("cell")).as("dc"))
+      .groupBy(col("t_id"))
+      .agg(slice(array_sort(collect_list(col("dc"))), 1, nprobe).as("top"))
+      .select(col("t_id"), explode(col("top")).as("dc"))
+      .select(col("t_id"), col("dc.cell").as("cell"))
 
   /** Fixed-iteration Lloyd's k-means refinement of a deterministic seed
     * centroid set (the stride centroids `ivfTopK` uses are the natural
@@ -429,14 +452,34 @@ object AnnSearch {
     val cent = e.filter(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("c_v"))
     val cells = assignCells(t, cent)
-    val et = t.join(cells, "t_id")
-    val dups = et.select(col("t_id").as("id1"), col("t_v").as("v1"), col("cell"))
-      .join(et.select(col("t_id").as("id2"), col("t_v").as("v2"), col("cell")), Seq("cell"))
-      .filter(col("id1") < col("id2"))
-      .filter(cosineDist(col("v1"), col("v2")) < 0.75)
+    val dups = semanticPairScan(t.join(cells, "t_id"), 0.75)
       .select(col("id2").as("t_id")).distinct()
     cells.join(dups.withColumn("dup", lit(true)), Seq("t_id"), "left")
       .select(col("t_id").as("vec_id"), col("cell"), col("dup").isNull.as("keep"))
+  }
+
+  /** The cell-scoped pair scan shared by the declared `dedup_semantic`
+    * row and the multi-probe harness path: self equi-join on the cell
+    * key, canonical id1 < id2, cosine-ε filter, pair-distinct (a pair
+    * that meets in several probe cells emits once).
+    */
+  private def semanticPairScan(et: DataFrame, eps: Double): DataFrame =
+    et.select(col("t_id").as("id1"), col("t_v").as("v1"), col("cell"))
+      .join(et.select(col("t_id").as("id2"), col("t_v").as("v2"), col("cell")), Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(cosineDist(col("v1"), col("v2")) < eps)
+      .select(col("id1"), col("id2")).distinct()
+
+  /** SemDeDup pair detection over arbitrary frames with `nprobe` probe
+    * cells per vector — `nprobe = 1` is the declared row's single-cell
+    * scan; 2-3 recovers straddling pairs at ~nprobe² in-cell work
+    * (PipelineScaleProbe's semantic-straddle leg puts numbers on both).
+    */
+  private[graft] def semanticDupPairs(t: DataFrame, cent: DataFrame,
+      eps: Double, nprobe: Int = 1): DataFrame = {
+    val cells =
+      if (nprobe <= 1) assignCells(t, cent) else assignCellsMulti(t, cent, nprobe)
+    semanticPairScan(t.join(cells, "t_id"), eps)
   }
 
   /** embedding_quantize — int8 SCALAR quantization, the other embedding

@@ -213,6 +213,36 @@ object PipelineScaleProbe {
     val pqWHits = pqW.join(brute, Seq("q_id", "t_id"), "left_semi").count()
     println(f"[scale] ann_pq_wide nVecs=$nVecs nQ=$nQ K=256 m=8 pq=$pqWRows rows in $tPqW%.1f s " +
       f"(recall ${pqWHits.toDouble / bruteRows}%.3f vs 4x64 ${pqHits.toDouble / bruteRows}%.3f)")
+
+    // ---- semantic dedup: multi-probe recall on straddling pairs ---------
+    // SemDeDup's documented recall loss is the near-dup pair whose two
+    // vectors land in DIFFERENT cells (the single-cell scan never
+    // compares them). Plant one near-dup per 10 vectors (tiny additive
+    // perturbation -> cosine dist ~1e-3 vs ~1 for random pairs) and
+    // measure planted-pair recall at nprobe = 1 vs 2 vs 3. Straddling
+    // happens naturally: a perturbed vector near a cell boundary flips
+    // its argmin centroid.
+    val sdPath = s"/tmp/scale_sem_$nVecs"
+    spark.range(nVecs)
+      .select(col("id").as("t_id"),
+        expr("IF(id % 10 = 1, id - 1, id)").as("base"),
+        expr("IF(id % 10 = 1, 1, 0)").as("mut"))
+      .select(col("t_id"), expr(
+        "transform(sequence(1, 64), i -> sin(base * 131 + i) + mut * 0.05 * sin(t_id * 7 + i))")
+        .as("t_v"))
+      .write.mode("overwrite").parquet(sdPath)
+    val sem = spark.read.parquet(sdPath)
+    val semCent = sem.filter(col("t_id") % math.max(1L, nVecs.toLong / nCells) === 0)
+      .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
+    val plantedSem = sem.filter(col("t_id") % 10 === 1).count()
+    for (np <- Seq(1, 2, 3)) {
+      t0 = System.nanoTime()
+      val found = AnnSearch.semanticDupPairs(sem, semCent, eps = 0.05, nprobe = np)
+        .filter(col("id2") === col("id1") + 1 && col("id2") % 10 === 1).count()
+      val tSd = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] semantic_straddle nVecs=$nVecs cells≈$nCells nprobe=$np " +
+        f"recall=$found/$plantedSem (${100.0 * found / plantedSem}%.1f%%) wall=$tSd%.1f s")
+    }
     spark.stop()
   }
 }

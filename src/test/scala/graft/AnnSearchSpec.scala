@@ -208,4 +208,22 @@ class AnnSearchSpec extends SparkSpecBase {
       .filter(col("dist") =!= col("d2"))
     assert(check.count() === 0)
   }
+
+  test("multi-probe semantic pairs: nprobe=1 matches single-cell, higher nprobe is a superset") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("t_id"), graft.core.Distance.asDouble(col("embedding")).as("t_v"))
+    val cent = e.filter(col("t_id") % 40 === 0)
+      .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
+    // nprobe=1 through the top-nprobe reduction must agree cell-for-cell
+    // with the min(struct) argmin (same tie-break: lexicographic
+    // (dist, cell) order in both)
+    assert(collectSet(AnnSearch.assignCellsMulti(e, cent, 1))
+      === collectSet(AnnSearch.assignCells(e, cent)))
+    val p1 = collectSet(AnnSearch.semanticDupPairs(e, cent, eps = 0.75))
+    val p2 = collectSet(AnnSearch.semanticDupPairs(e, cent, eps = 0.75, nprobe = 2))
+    val p3 = collectSet(AnnSearch.semanticDupPairs(e, cent, eps = 0.75, nprobe = 3))
+    assert(p1.subsetOf(p2) && p2.subsetOf(p3),
+      "probing more cells can only ADD straddling pairs, never drop in-cell ones")
+    assert(p1.nonEmpty)
+  }
 }
