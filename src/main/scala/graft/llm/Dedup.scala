@@ -36,24 +36,38 @@ object Dedup {
   private def docSlice(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < 500)
 
-  /** Per-(doc, seed) MinHash: lexicographic min of md5("seed:token").
+  /** Per-doc MinHash signature ROW: m<i> = lexicographic min over the
+    * doc's tokens of md5("i:token"), all `numHashes` mins in ONE
+    * aggregate pass.
     *
-    * Hashes are computed once per VOCABULARY entry (distinct token ×
-    * seed), not per corpus occurrence: under a Zipfian corpus the vocab
-    * is orders of magnitude smaller than the (doc, token) stream, so at
-    * 100 TB this trades |corpus|·seeds md5 calls for |vocab|·seeds calls
-    * plus one equi-join on `tok` — the join shuffles by token exactly
-    * like the aggregation that follows it anyway.
+    * Hashes are computed once per VOCABULARY entry (distinct token),
+    * not per corpus occurrence: under a Zipfian corpus the vocab is
+    * orders of magnitude smaller than the (doc, token) stream, so at
+    * 100 TB this trades |corpus|·seeds md5 calls for |vocab|·seeds
+    * calls plus one equi-join on `tok`.
+    *
+    * TRANSPOSED on purpose (round 6): each vocab row carries the ARRAY
+    * of all `numHashes` hashes, and the per-doc reduction is numHashes
+    * element-wise `min` aggregators over one corpus-row stream — NOT an
+    * exploded (doc, tok) × seeds stream into a (doc, seed)-keyed agg.
+    * The seed-exploded form multiplies the join output and the partial
+    * aggregation's input by the signature width: at 64 hashes × 20 k
+    * docs it ran 203 s where this shape runs the same math in one
+    * corpus-width pass (PipelineScaleProbe minhash_lsh64 leg — the
+    * production width is exactly where the explode hurt most). Same
+    * md5 strings, same mins, bit-identical signatures — the oracle CTE
+    * keeps its seed-unrolled shape.
     */
-  private def minHashes(s: SparkSession, toks: DataFrame, numHashes: Int): DataFrame = {
-    val seeds = s.range(numHashes).select(col("id").cast("int").as("seed"))
+  private def minHashRow(toks: DataFrame, numHashes: Int): DataFrame = {
     val vocab = toks.select(col("tok")).distinct()
-      .crossJoin(broadcast(seeds))
-      .select(col("tok"), col("seed"),
-        md5(concat_ws(":", col("seed"), col("tok"))).as("h"))
+      .select(col("tok"), expr(
+        s"transform(sequence(0, ${numHashes - 1}), s -> md5(concat(cast(s AS string), ':', tok)))")
+        .as("hs"))
+    val minCols = (0 until numHashes)
+      .map(i => min(element_at(col("hs"), i + 1)).as(s"m$i"))
     toks.join(vocab, "tok")
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min("h").as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
   }
 
   /** MinHash-LSH near-dup pairs: docs sharing any band signature become
@@ -101,15 +115,16 @@ object Dedup {
     // is O(N²) and persist wins 8× — persist the EXPENSIVE subtree, not
     // every shared one.
     val toks = TextOps.docTokens(docs)
-    // within band b, seed = b*rowsPerBand + r, so seed % rowsPerBand
-    // recovers the row index — one min(when) column per row keeps the
-    // signature concat inside whole-stage codegen for any width
-    val rowCols = (0 until rowsPerBand)
-      .map(r => min(when(col("seed") % rowsPerBand === r, col("mh"))))
-    val sigsAll = minHashes(s, toks, numHashes)
-      .withColumn("band", expr(s"seed div $rowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat(col("band").cast("string") +: lit("|") +: rowCols: _*).as("sig"))
+    // band b's signature = band|m(b·r)…m(b·r+r-1), a PURE MAP over the
+    // one-row-per-doc signature frame (the old (doc, seed) long form
+    // needed a second (doc, band)-keyed shuffle to regroup rows the
+    // transposed aggregate now keeps side by side)
+    val sigCols = (0 until numHashes / rowsPerBand).map { b =>
+      concat(lit(b.toString) +: lit("|") +:
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    val sigsAll = minHashRow(toks, numHashes)
+      .select(col("doc_id"), explode(array(sigCols: _*)).as("sig"))
     val sigs =
       if (maxBandBucket <= 0) sigsAll
       else sigsAll.join(
@@ -150,18 +165,33 @@ object Dedup {
     */
   def simhashSigs(s: SparkSession, docs: DataFrame, simBits: Int = SimBits): DataFrame = {
     require(simBits >= 1 && simBits <= 64, s"simBits must be in [1, 64], got $simBits")
-    val bits = s.range(simBits).select(col("id").cast("int").as("j"))
-    TextOps.docTokens(docs)
-      .withColumn("h", md5(col("tok")))
-      .crossJoin(broadcast(bits))
-      .withColumn("dval", expr("instr('0123456789abcdef', substring(h, (j div 4) + 1, 1)) - 1"))
-      .withColumn("divisor", expr("CASE (j % 4) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END"))
-      .withColumn("contrib", expr("2 * ((dval div divisor) % 2) - 1"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("vote"))
+    // TRANSPOSED like `minHashRow` (round 6): a token's ±1 contribution
+    // to bit j is a pure function of md5(tok), so the per-VOCAB-token
+    // contribution vector is computed once and the per-doc reduction is
+    // simBits element-wise sums over one corpus-row stream — not a
+    // corpus × bits exploded stream into a (doc, bit)-keyed agg. Same
+    // integer votes, same signature, bit for bit; the oracle CTE keeps
+    // its bit-unrolled shape.
+    val toks = TextOps.docTokens(docs)
+    val vocab = toks.select(col("tok")).distinct()
+      .select(col("tok"), md5(col("tok")).as("h"))
+      .select(col("tok"), expr(
+        s"""transform(sequence(0, ${simBits - 1}), j ->
+           |  2 * (((instr('0123456789abcdef', substring(h, (j div 4) + 1, 1)) - 1)
+           |    div (CASE (j % 4) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1)"""
+          .stripMargin).as("cs"))
+    val voteCols = (0 until simBits)
+      .map(j => sum(element_at(col("cs"), j + 1)).as(s"v$j"))
+    // bit j set iff vote ≥ 0; the literal 1L << j is the same value
+    // shiftleft(1L, j) produced (sign position at j = 63 included), and
+    // the chained + of distinct powers of two never leaves Long range
+    toks.join(vocab, "tok")
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") >= 0,
-        expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until simBits)
+          .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ 3 over the 16-bit sigs. */
