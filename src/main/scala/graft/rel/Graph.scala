@@ -54,29 +54,37 @@ object Graph {
     * unrolled CTEs still match.
     */
   def pageRank(edgesIn: DataFrame, iters: Int = 3): DataFrame = {
-    // edges are read iters + 2 times (nodes, degrees, every round's
-    // join) — materialize the derivation once instead of re-running it
+    // edges are read iters + 1 times (degrees, every round's join) —
+    // materialize the derivation once instead of re-running it
     val edges = edgesIn.truncated()
-    val nodes = edges.select(col("src").as("node")).distinct().truncated()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("od")).truncated()
-    val n1 = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
-    var ranks = nodes.crossJoin(n1).select(col("node"), (lit(1.0) / col("n")).as("r"))
+    // The degree table doubles as the node set (edges are symmetrized,
+    // so every node appears as src), and BOTH per-node constants — od
+    // and the node count n — ride IN the rank state. Round 6: the old
+    // shape kept separate checkpointed nodes/deg frames, re-joined deg
+    // every round, and re-ran the n1 broadcast subquery every round —
+    // on a 349-node sf0.1 graph that was most of the query's 2.8 s
+    // (TimeQuery job trace: ~15 sub-0.3 s scheduling-bound jobs around
+    // 0.9 s of real edge-building work). Same arithmetic, same values:
+    // r/od uses the same od, teleport/n the same n.
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val n1 = broadcast(deg.agg(count(lit(1)).cast("double").as("n")))
+    var ranks = deg.crossJoin(n1)
+      .select(col("src").as("node"), col("od"), col("n"), (lit(1.0) / col("n")).as("r"))
       .truncated()
+    // decimal-string complement (same discipline as ewmaHourly): the
+    // Scala expression 1 - 0.85 is 0.15000000000000002, one ulp off
+    // the 0.15 the oracle's 0.15e0 literal parses to — derive the
+    // teleport factor through BigDecimal text so both engines run the
+    // identical double
+    val teleport = (BigDecimal(1) - BigDecimal(Damping.toString)).toDouble
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks, edges("src") === ranks("node"))
-        .join(deg, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") / col("od")).as("c"))
-      // decimal-string complement (same discipline as ewmaHourly): the
-      // Scala expression 1 - 0.85 is 0.15000000000000002, one ulp off
-      // the 0.15 the oracle's 0.15e0 literal parses to — derive the
-      // teleport factor through BigDecimal text so both engines run the
-      // identical double
-      val teleport = (BigDecimal(1) - BigDecimal(Damping.toString)).toDouble
-      ranks = nodes.crossJoin(n1)
+      ranks = ranks.select(col("node"), col("od"), col("n"))
         .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("od"), col("n"),
           (lit(teleport) / col("n") + lit(Damping) * coalesce(col("c"), lit(0.0))).as("r"))
         .truncated()
     }
