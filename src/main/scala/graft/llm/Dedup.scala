@@ -58,7 +58,7 @@ object Dedup {
     * md5 strings, same mins, bit-identical signatures — the oracle CTE
     * keeps its seed-unrolled shape.
     */
-  private def minHashRow(toks: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def minHashRow(toks: DataFrame, numHashes: Int): DataFrame = {
     val vocab = toks.select(col("tok")).distinct()
       .select(col("tok"), expr(
         s"transform(sequence(0, ${numHashes - 1}), s -> md5(concat(cast(s AS string), ':', tok)))")

@@ -20,7 +20,7 @@ import graft.rel.Queries.{rnd, rndSql}
 object TextOps {
 
   /** (doc_id, tok) pairs, one row per *distinct* token per doc. */
-  private[llm] def docTokens(docs: DataFrame): DataFrame =
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).distinct()
 
   // ---- the ONE exact-Jaccard verify pipeline ---------------------------

@@ -124,6 +124,26 @@ class DedupSpec extends SparkSpecBase {
     r.values.foreach { case (nw, nd) => assert(nd <= nw) }
   }
 
+  test("transposed MinHash signatures ≡ the seed-exploded reference form") {
+    // the round-6 transpose (width-many element-wise mins over one
+    // corpus pass) must produce the exact strings of the textbook
+    // (doc, seed)-keyed formulation — the exploded form lives on here
+    // as the test-side reference
+    import spark.implicits._
+    val toks = graft.llm.TextOps.docTokens(docs)
+    val exploded = toks
+      .crossJoin(spark.range(8).select(col("id").cast("int").as("seed")))
+      .select(col("doc_id"), col("seed"),
+        md5(concat_ws(":", col("seed"), col("tok"))).as("h"))
+      .groupBy(col("doc_id"), col("seed")).agg(min("h").as("mh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val transposed = graft.llm.Dedup.minHashRow(toks, 8)
+      .collect().flatMap(r => (0 until 8).map(i => (r.getLong(0), i) -> r.getString(i + 1)))
+      .toMap
+    assert(transposed === exploded)
+    assert(exploded.nonEmpty)
+  }
+
   test("substring dedup: xxhash64-keyed form is output-identical to text-keyed") {
     // planted corpus: the near-dup docs share 32 of their 33 stride-1
     // windows, so both dup counts and ratios are non-trivial
