@@ -42,9 +42,23 @@ class CkptSpec extends SparkSpecBase {
         .filter(_.getName.startsWith("rdd-"))
       assert(rddDirs.nonEmpty, s"reliable checkpoint() left no rdd-* dirs under $dir")
 
-      // a full iterative operator on the reliable path matches the local path
+      // full iterative operators on the reliable path match the local path
       val reliableCc = collectSet(graft.llm.Dedup.connectedComponents(pairs))
       assert(reliableCc === localCc)
+      // PageRank (per-round truncation) and BPE training (per-merge
+      // truncation + the one-row argmax checkpoint) — values must be
+      // path-independent
+      import spark.implicits._
+      val half = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+      val pr = graft.rel.Graph.pageRank(edges, iters = 3).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pr.size === 3 && math.abs(pr.values.sum - 1.0) < 1e-4)
+      // multi-character words — single-char words have no adjacent
+      // symbol pairs and BPE would exhaust at round 1 with no rules
+      val docs = Seq((0L, "abab abab cdcd"), (1L, "abab cdcd")).toDF("doc_id", "text")
+      val rules = graft.llm.TextAnalysis.bpeMerges(docs, rounds = 2).collect()
+      assert(rules.length === 2 && rules.map(_.getString(1)).forall(_.nonEmpty))
     } finally {
       resetCheckpointDir()
       def rm(f: File): Unit = {
