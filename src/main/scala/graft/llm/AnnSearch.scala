@@ -115,23 +115,24 @@ object AnnSearch {
     * loss: a near-dup pair split across a cell boundary never meets in
     * a single-cell scan, but DOES meet if either vector also probes its
     * runner-up cells). Same broadcast-centroids shape as `assignCells`;
-    * the per-vector reduction keeps the nprobe smallest (dist, cell)
-    * structs — a centroid-count-bounded `array_sort(collect_list)` per
-    * vector, never corpus-bounded. Emits nprobe rows per vector, so the
-    * downstream in-cell self-join's work scales ~nprobe² — the price of
-    * the recovered recall, measured by PipelineScaleProbe's
-    * semantic-straddle leg.
+    * the per-vector reduction is the repo's bounded-heap `TopKAgg`
+    * (nprobe-sized buffer, map-side combine, (dist, id) tie-break —
+    * identical ordering to `assignCells`' min(struct), spec-pinned at
+    * nprobe = 1), so per-vector state is nprobe entries even at
+    * production cell counts — never a C-element collect. Emits nprobe
+    * rows per vector; the downstream in-cell self-join's work scales
+    * ~nprobe² — the price of the recovered recall, measured by
+    * PipelineScaleProbe's semantic-straddle leg.
     */
   private[graft] def assignCellsMulti(t: DataFrame, cent: DataFrame,
-      nprobe: Int): DataFrame =
-    t.crossJoin(broadcast(cent))
-      .select(col("t_id"), struct(
+      nprobe: Int): DataFrame = {
+    val pairs = t.crossJoin(broadcast(cent))
+      .select(col("t_id").as("q_id"),
         ArrayDistance.l2(col("t_v"), col("c_v")).as("dist"),
-        col("c_id").as("cell")).as("dc"))
-      .groupBy(col("t_id"))
-      .agg(slice(array_sort(collect_list(col("dc"))), 1, nprobe).as("top"))
-      .select(col("t_id"), explode(col("top")).as("dc"))
-      .select(col("t_id"), col("dc.cell").as("cell"))
+        col("c_id").cast("long").as("t_id"))
+    graft.functions.TopKAgg.knn(pairs, nprobe)
+      .select(col("q_id").as("t_id"), col("t_id").as("cell"))
+  }
 
   /** Fixed-iteration Lloyd's k-means refinement of a deterministic seed
     * centroid set (the stride centroids `ivfTopK` uses are the natural
