@@ -305,6 +305,43 @@ object Queries {
         coalesce(col("last_click_us"), lit(-1L)).as("last_click_us"))
   }
 
+  // join_asof_tol — the as-of join with a TOLERANCE bound (pandas
+  // merge_asof(tolerance=…) parity, the form sensor/trade enrichment
+  // actually runs: a stale match is as useless as none). Same running
+  // max(CASE) window — the most recent prior click is the ONLY
+  // tolerance candidate (anything else is older), so the bound is one
+  // post-window CASE, not a different join. 1-hour tolerance over the
+  // same error←click pairing; misses and stale matches both → -1.
+  def joinAsofTol(s: SparkSession, d: String, tolUs: Long = 3600000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        when(col("last_click_us").isNotNull &&
+            unix_micros(col("ts")) - col("last_click_us") <= tolUs,
+          col("last_click_us")).otherwise(lit(-1L)).as("click_us_within_tol"))
+  }
+
+  // join_asof_fwd — the FORWARD as-of join (pandas direction='forward'):
+  // for each error, the next click strictly after it in (ts, event_id)
+  // order. min(CASE) over the mirrored frame (1 FOLLOWING → unbounded);
+  // same one-shuffle-by-user scalable shape, no self-join.
+  def joinAsofFwd(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("next_click_us",
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("next_click_us"), lit(-1L)).as("next_click_us"))
+  }
+
   // pivot: per-user event-type counts as columns (EXPAND-free conditional
   // aggregation; the values list is pinned so both engines emit the same
   // schema).
@@ -728,6 +765,8 @@ object Queries {
     "join_range" -> joinRange,
     "join_interval_bin" -> joinIntervalBin,
     "join_asof" -> joinAsof,
+    "join_asof_tol" -> ((s, d) => joinAsofTol(s, d)),
+    "join_asof_fwd" -> joinAsofFwd,
     "agg_pivot" -> aggPivot,
     "agg_cube" -> aggCube,
     "agg_collect_sorted" -> aggCollectSorted,
@@ -883,6 +922,24 @@ object Queries {
         "max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (" +
         "PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us " +
+        "FROM events) WHERE event_type = 'error'"),
+
+    "join_asof_tol" ->
+      ("SELECT event_id, user_id, CASE WHEN last_click_us IS NOT NULL " +
+        "AND ts_us - last_click_us <= 3600000000 THEN last_click_us ELSE -1 END " +
+        "AS click_us_within_tol FROM (" +
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, " +
+        "max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us " +
+        "FROM events) WHERE event_type = 'error'"),
+
+    "join_asof_fwd" ->
+      ("SELECT event_id, user_id, coalesce(next_click_us, -1) AS next_click_us FROM (" +
+        "SELECT event_id, user_id, event_type, " +
+        "min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_us " +
         "FROM events) WHERE event_type = 'error'"),
 
     "agg_pivot" ->
