@@ -41,6 +41,31 @@ object TextAnalysis {
         rnd(avg(length(col("tok"))), 6).as("avg_len"),
         rnd(avg(when(col("tok").isin(Stopwords: _*), 1.0).otherwise(0.0)), 6).as("stop_ratio"))
 
+  /** text_entropy — per-doc Shannon entropy of the token distribution
+    * (nats) and its Pielou evenness H/ln(V): the whole-distribution
+    * repetitiveness signal (quality_repetition scores the top-1 token;
+    * low entropy flags templated/boilerplate text even when no single
+    * token dominates). Single-pass identity H = ln(N) − Σ n·ln(n)/N
+    * over the per-(doc, tok) counts — two keyed aggregations sharing
+    * the doc_id shuffle, map-side partials on both. ln over identical
+    * integers in both engines; the double-sum order difference is
+    * absorbed by the shared rnd(6) like every avg/sum output here.
+    * Single-type docs (V = 1) define evenness 0 via the shared CASE.
+    */
+  def entropy(s: SparkSession, d: String): DataFrame = {
+    val h = log(sum(col("n"))) - sum(col("n") * log(col("n"))) / sum(col("n"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        rnd(h, 6).as("entropy"),
+        rnd(when(count(lit(1)) === 1, lit(0.0))
+          .otherwise(h / log(count(lit(1)))), 6).as("evenness"))
+  }
+
   // token_count — whitespace tokens, regex word tokens (BPE-ish pre-token
   // split), and characters; the three denominators every pipeline needs.
   def tokenCount(s: SparkSession, d: String): DataFrame =
@@ -347,6 +372,7 @@ object TextAnalysis {
     "tokenizer_bpe" -> bpe,
     "tokenizer_encode" -> bpeEncode,
     "text_quality" -> quality,
+    "text_entropy" -> entropy,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
     "text_normalize" -> normalize,
@@ -415,6 +441,15 @@ object TextAnalysis {
         "rnd(avg(length(tok)), 6) AS avg_len, " +
         s"rnd(avg(CASE WHEN tok IN ${inList(Stopwords)} THEN 1e0 ELSE 0e0 END), 6) AS stop_ratio " +
         "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1"),
+
+    "text_entropy" ->
+      ("SELECT doc_id, sum(n)::BIGINT AS n_tok, count(*) AS n_types, " +
+        "rnd(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy, " +
+        "rnd(CASE WHEN count(*) = 1 THEN 0e0 " +
+        "ELSE (ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(count(*)) END, 6) AS evenness " +
+        "FROM (SELECT doc_id, tok, count(*) AS n FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY 1, 2) GROUP BY 1"),
 
     "token_count" ->
       ("SELECT doc_id, len(string_split(text, ' '))::INT AS n_ws, " +
