@@ -26,28 +26,35 @@ object Curation {
   /** Shard count shared by `corpusShuffle` and its oracle twin. */
   private[graft] val DefaultShards = 8
 
-  /** Word 3-grams per doc, distinct — the shingle unit for
-    * decontamination overlap. Docs under 3 tokens are guarded out
+  /** Word n-grams per doc, distinct — the shingle unit for
+    * decontamination overlap. Docs under `gram` tokens are guarded out
     * (Spark's `sequence(1, 0)` runs DESCENDING; DuckDB's range is
     * empty — same guard in the oracle keeps the doc sets identical).
     */
-  private def docGrams(docs: DataFrame): DataFrame =
+  private def docGrams(docs: DataFrame, gram: Int = 3): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("a"))
-      .filter(size(col("a")) >= 3)
+      .filter(size(col("a")) >= gram)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(a) - 2), i -> concat(" +
-          "element_at(a, i), ' ', element_at(a, i + 1), ' ', element_at(a, i + 2)))")).as("g"))
+        s"transform(sequence(1, size(a) - ${gram - 1}), i -> " +
+          s"array_join(slice(a, i, $gram), ' '))")).as("g"))
       .distinct()
 
   /** decontaminate — benchmark/eval-set leakage check: flag every
-    * training doc sharing at least one word 3-gram with the eval slice
-    * (here `doc_id % 10 == 0`), with the count of shared distinct
+    * training doc sharing at least one word `gram`-gram with the eval
+    * slice (here `doc_id % 10 == 0`), with the count of shared distinct
     * grams. The join is keyed on the gram itself, so cost scales with
     * actual overlap; a genuinely-small eval set's gram table broadcasts
     * (left to AQE's size gate rather than a hint — eval sets grow too).
+    *
+    * The declared `decontaminate` row keeps 3-grams (dense overlap at
+    * harness corpus sizes exercises the full join); `decontaminate_13`
+    * declares the PUBLISHED production shingle — 13-gram overlap is the
+    * GPT-3/PaLM-lineage decontamination standard (long enough that a
+    * match means real leakage, not phrase coincidence) — through the
+    * same plan at the width real curation runs.
     */
-  def decontaminateDocs(docs: DataFrame): DataFrame = {
-    val grams = docGrams(docs)
+  def decontaminateDocs(docs: DataFrame, gram: Int = 3): DataFrame = {
+    val grams = docGrams(docs, gram)
     val evalGrams = grams.filter(col("doc_id") % 10 === 0)
       .select(col("g")).distinct()
     grams.filter(col("doc_id") % 10 =!= 0)
@@ -264,6 +271,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> decontaminate,
+    "decontaminate_13" -> ((ss, d) => decontaminateDocs(graft.Tables.documents(ss, d), gram = 13)),
     "seq_pack" -> seqPack,
     "quality_repetition" -> qualityRepetition,
     "doc_chunk" -> docChunk,
@@ -281,6 +289,15 @@ object Curation {
         "g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(a) - 1), " +
         "i -> a[i::INT] || ' ' || a[(i + 1)::INT] || ' ' || a[(i + 2)::INT])) AS g " +
         "FROM t WHERE len(a) >= 3), " +
+        "e AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0) " +
+        "SELECT doc_id, count(*) AS n_hits FROM g JOIN e USING (g) " +
+        "WHERE doc_id % 10 <> 0 GROUP BY 1"),
+
+    // the same leakage check at the published 13-gram shingle
+    "decontaminate_13" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(a[i::INT:(i + 12)::INT], ' ') AS g " +
+        "FROM (SELECT doc_id, a, unnest(range(1, len(a) - 11)) AS i FROM t WHERE len(a) >= 13)), " +
         "e AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0) " +
         "SELECT doc_id, count(*) AS n_hits FROM g JOIN e USING (g) " +
         "WHERE doc_id % 10 <> 0 GROUP BY 1"),
