@@ -31,12 +31,18 @@ object Curation {
     * (Spark's `sequence(1, 0)` runs DESCENDING; DuckDB's range is
     * empty — same guard in the oracle keeps the doc sets identical).
     */
-  private def docGrams(docs: DataFrame, gram: Int = 3): DataFrame =
+  private def docGrams(docs: DataFrame, gram: Int = 3,
+      hashKey: Boolean = false): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= gram)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(a) - ${gram - 1}), i -> " +
-          s"array_join(slice(a, i, $gram), ' '))")).as("g"))
+          s"array_join(slice(a, i, $gram), ' '))")).as("gtext"))
+      // hash BEFORE the distinct — the per-doc dedup is the first and
+      // largest shuffle of the gram stream, and it must already ride
+      // the 8-byte key for hashKey to pay
+      .select(col("doc_id"),
+        (if (hashKey) xxhash64(col("gtext")) else col("gtext")).as("g"))
       .distinct()
 
   /** decontaminate — benchmark/eval-set leakage check: flag every
@@ -52,9 +58,17 @@ object Curation {
     * GPT-3/PaLM-lineage decontamination standard (long enough that a
     * match means real leakage, not phrase coincidence) — through the
     * same plan at the width real curation runs.
+    *
+    * `hashKey` keys the leakage join on `xxhash64(g)` instead of the
+    * literal gram text — 8 bytes vs ~70 chars at gram = 13 on BOTH
+    * shuffled sides (the `substringDupDocs(hashKey)` economics; a
+    * collision can only merge two grams, inflating n_hits by at most
+    * one at 2⁻⁶⁴ probability). CurationSpec pins hash-keyed ≡
+    * text-keyed; the declared rows keep the text key for the oracle.
     */
-  def decontaminateDocs(docs: DataFrame, gram: Int = 3): DataFrame = {
-    val grams = docGrams(docs, gram)
+  def decontaminateDocs(docs: DataFrame, gram: Int = 3,
+      hashKey: Boolean = false): DataFrame = {
+    val grams = docGrams(docs, gram, hashKey)
     val evalGrams = grams.filter(col("doc_id") % 10 === 0)
       .select(col("g")).distinct()
     grams.filter(col("doc_id") % 10 =!= 0)

@@ -60,6 +60,15 @@ object CurationScaleProbe {
     // eval slice = 10% of the corpus; grams ≈ 78 per doc → the join
     // probes ~nDocs*78 gram rows against a ~nDocs/10*78-gram eval table
     leg("decontaminate")(Curation.decontaminateDocs(docs).count())
+    // the published 13-gram shingle, text vs xxhash64 join key: ~70-char
+    // gram strings vs 8 bytes on both shuffled sides
+    val (_, d13TextMb) = legMb("decontaminate_13_textkey")(
+      Curation.decontaminateDocs(docs, gram = 13).count())
+    val (_, d13HashMb) = legMb("decontaminate_13_hashkey")(
+      Curation.decontaminateDocs(docs, gram = 13, hashKey = true).count())
+    println(f"[scale] decontaminate_13 key-shuffle ratio text/hash = ${d13TextMb / d13HashMb}%.1f x")
+    assert(d13HashMb < d13TextMb,
+      f"hash key must shuffle fewer bytes: $d13HashMb%.1f MB vs $d13TextMb%.1f MB")
     leg("seq_pack")(Curation.seqPackDocs(docs).count())
     leg("quality_repetition")(Curation.qualityRepetitionDocs(docs).count())
     leg("doc_chunk")(Curation.docChunkDocs(docs).count())

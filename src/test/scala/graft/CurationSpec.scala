@@ -138,4 +138,14 @@ class CurationSpec extends SparkSpecBase {
       assert(collectSet(Curation.corpusShuffle(spark, sfDir)) === collectSet(a))
     } finally a.unpersist()
   }
+
+  test("decontaminate: xxhash64-keyed join is output-identical to text-keyed, at 3 and 13 grams") {
+    val docs = Tables.documents(spark, sfDir)
+    for (gram <- Seq(3, 13)) {
+      val text = collectSet(Curation.decontaminateDocs(docs, gram))
+      val hashed = collectSet(Curation.decontaminateDocs(docs, gram, hashKey = true))
+      assert(text.nonEmpty, s"vacuous twin at gram=$gram")
+      assert(hashed === text, s"hash-keyed decontamination diverged at gram=$gram")
+    }
+  }
 }
