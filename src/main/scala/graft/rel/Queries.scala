@@ -312,7 +312,11 @@ object Queries {
   // tolerance candidate (anything else is older), so the bound is one
   // post-window CASE, not a different join. 1-hour tolerance over the
   // same error←click pairing; misses and stale matches both → -1.
-  def joinAsofTol(s: SparkSession, d: String, tolUs: Long = 3600000000L): DataFrame = {
+  /** Tolerance shared by `joinAsofTol` and its oracle twin (the
+    * `corpusShuffleSql` one-constant-both-engines discipline). */
+  private[graft] val AsofTolUs = 3600000000L
+
+  def joinAsofTol(s: SparkSession, d: String, tolUs: Long = AsofTolUs): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -926,7 +930,7 @@ object Queries {
 
     "join_asof_tol" ->
       ("SELECT event_id, user_id, CASE WHEN last_click_us IS NOT NULL " +
-        "AND ts_us - last_click_us <= 3600000000 THEN last_click_us ELSE -1 END " +
+        s"AND ts_us - last_click_us <= $AsofTolUs THEN last_click_us ELSE -1 END " +
         "AS click_us_within_tol FROM (" +
         "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, " +
         "max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (" +
