@@ -346,6 +346,20 @@ object Queries {
         coalesce(col("next_click_us"), lit(-1L)).as("next_click_us"))
   }
 
+  // agg_corr — per-group Pearson correlation + sample covariance
+  // (quantity vs price per return flag): the bivariate profiling
+  // aggregate (feature-redundancy checks, drift monitors). Both engines
+  // compute the one-pass co-moment form — a keyed aggregation with
+  // map-side partials, mergeable at any partition count; rnd(6) absorbs
+  // the merge-order ulp like every double aggregate here.
+  def aggCorr(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        rnd(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qp"))
+
   // pivot: per-user event-type counts as columns (EXPAND-free conditional
   // aggregation; the values list is pinned so both engines emit the same
   // schema).
@@ -770,6 +784,7 @@ object Queries {
     "join_interval_bin" -> joinIntervalBin,
     "join_asof" -> joinAsof,
     "join_asof_tol" -> ((s, d) => joinAsofTol(s, d)),
+    "agg_corr" -> aggCorr,
     "join_asof_fwd" -> joinAsofFwd,
     "agg_pivot" -> aggPivot,
     "agg_cube" -> aggCube,
@@ -927,6 +942,12 @@ object Queries {
         "PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us " +
         "FROM events) WHERE event_type = 'error'"),
+
+    "agg_corr" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "rnd(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
+        "rnd(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp " +
+        "FROM lineitem GROUP BY 1"),
 
     "join_asof_tol" ->
       ("SELECT event_id, user_id, CASE WHEN last_click_us IS NOT NULL " +
