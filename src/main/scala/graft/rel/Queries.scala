@@ -346,6 +346,26 @@ object Queries {
         coalesce(col("next_click_us"), lit(-1L)).as("next_click_us"))
   }
 
+  // similarity_editdist — BLOCKED fuzzy string matching, the entity-
+  // resolution primitive (dedupe "Acme Corp" vs "Acme Corp."): block on
+  // an equi-key (brand), verify within blocks with Levenshtein ≤ 5.
+  // The block join IS the scale story — candidate pairs are Σ|block|²,
+  // never |P|² (the bucket-join-not-cross-join shape every dedup
+  // signature here uses; real ER pipelines block on normalized
+  // prefixes/phonetics the same way). Edit distance is an INTEGER —
+  // exact in both engines, no rounding discipline needed. Slice keeps
+  // the oracle's block scan bounded; the operator is slice-independent.
+  def editDistPairs(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_partkey") < 200)
+    p.select(col("p_partkey").as("pk1"), col("p_name").as("n1"), col("p_brand"))
+      .join(p.select(col("p_partkey").as("pk2"), col("p_name").as("n2"), col("p_brand")),
+        "p_brand")
+      .filter(col("pk1") < col("pk2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= 5)
+      .select(col("pk1"), col("pk2"), col("dist"))
+  }
+
   // agg_corr — per-group Pearson correlation + sample covariance
   // (quantity vs price per return flag): the bivariate profiling
   // aggregate (feature-redundancy checks, drift monitors). Both engines
@@ -785,6 +805,7 @@ object Queries {
     "join_asof" -> joinAsof,
     "join_asof_tol" -> ((s, d) => joinAsofTol(s, d)),
     "agg_corr" -> aggCorr,
+    "similarity_editdist" -> editDistPairs,
     "join_asof_fwd" -> joinAsofFwd,
     "agg_pivot" -> aggPivot,
     "agg_cube" -> aggCube,
@@ -942,6 +963,13 @@ object Queries {
         "PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us " +
         "FROM events) WHERE event_type = 'error'"),
+
+    "similarity_editdist" ->
+      ("SELECT a.p_partkey AS pk1, b.p_partkey AS pk2, " +
+        "levenshtein(a.p_name, b.p_name)::INT AS dist " +
+        "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey " +
+        "WHERE a.p_partkey < 200 AND b.p_partkey < 200 " +
+        "AND levenshtein(a.p_name, b.p_name) <= 5"),
 
     "agg_corr" ->
       ("SELECT l_returnflag, count(*) AS n, " +
