@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** The ONE checkpoint seam for every iterative/fan-out lineage truncation
   * in the library (CC label propagation, PageRank, triangle orientation,
@@ -22,30 +23,45 @@ import org.apache.spark.sql.DataFrame
   * `sparkContext.setCheckpointDir(...)` once and every call site below
   * switches — no per-site edits (the round-5 verdict's "one helper, all
   * sites" requirement).
+  *
+  * Reliable-path cost discipline: a bare `checkpoint()` computes the
+  * frame TWICE — the eager count job materializes it, then Spark re-runs
+  * the lineage in a second job to write the checkpoint files. The seam
+  * therefore persists the frame first (MEMORY_AND_DISK), so the
+  * checkpoint-write pass reads cached blocks instead of recomputing the
+  * round, and unpersists once the (eager) checkpoint has materialized.
+  * This also keeps `observe()` metrics single-fire: the metric operator
+  * runs only while the cache is populated, not again on the write pass
+  * (the `Dedup.connectedComponents` convergence count rides exactly
+  * there). Checkpoint FILES are a different lifetime: Spark only deletes
+  * rdd-* dirs when `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * (a SparkConf setting, default false) — a cluster deployment running
+  * many iterative queries per context should set it, or point
+  * `setCheckpointDir` at storage with a TTL/lifecycle rule.
+  * `tools.CkptProbe` measures the reliable-vs-local wall and byte cost.
   */
 object Ckpt {
 
   /** Materialize `df` and truncate its lineage: reliable `checkpoint()`
     * when a checkpoint dir is configured on the SparkContext, else
     * `localCheckpoint()`. Both eager — iterative callers need the round
-    * computed NOW, not re-planned inside next round's tree.
+    * computed NOW, not re-planned inside next round's tree. (Call sites
+    * that thread their own eagerness flag — `Fknn.topkBlocks`,
+    * `AnnSearch.pqSearchChunked` — skip truncation entirely on the lazy
+    * path: `if (eager) df.truncated() else df`.)
     */
   def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
-
-  /** Lazy variant for call sites that thread their own eagerness flag
-    * (`Fknn.topkBlocks(eager = ...)`, `AnnSearch.pqSearchChunked`).
-    */
-  def truncate(df: DataFrame, eager: Boolean): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint()
+      cached.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint()
 
   /** Postfix syntax so call sites keep the `.localCheckpoint()` shape:
     * `df.truncated()` ≡ `Ckpt.truncate(df)`.
     */
   implicit class TruncateSyntax(private val df: DataFrame) extends AnyVal {
     def truncated(): DataFrame = truncate(df)
-    def truncated(eager: Boolean): DataFrame = truncate(df, eager)
   }
 }

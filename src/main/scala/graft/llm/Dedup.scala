@@ -385,7 +385,11 @@ object Dedup {
       // the changed-count observation is computed DURING the eager
       // checkpoint's materialization job — `Observation.get` blocks only
       // until that already-running action completes, so the round's one
-      // job yields both the truncated labels and the convergence scalar
+      // job yields both the truncated labels and the convergence scalar.
+      // Reliable-path caveat: Ckpt.truncate persists before checkpoint()
+      // so the write pass reads cache and the metric fires ONCE; were
+      // that persist ever removed, nChanged could double on the write
+      // recompute — convergence (== 0) would survive, magnitudes not.
       val obs = org.apache.spark.sql.Observation()
       val next = stepped.alias("s")
         .join(stepped.select(col("v").as("lbl"), col("lbl").as("plbl")).alias("p"),

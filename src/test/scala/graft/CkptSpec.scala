@@ -3,6 +3,8 @@ package graft
 import java.io.File
 import java.nio.file.Files
 
+import org.apache.spark.sql.SparkSession
+
 import graft.core.Ckpt
 
 /** The checkpoint seam: `Ckpt.truncate` must use reliable `checkpoint()`
@@ -12,28 +14,40 @@ import graft.core.Ckpt
   */
 class CkptSpec extends SparkSpecBase {
 
-  /** SparkContext has no public un-set for the checkpoint dir; the spec
-    * restores the shared session's `None` via reflection so later suites
-    * keep the local path.
-    */
-  private def resetCheckpointDir(): Unit = {
-    val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
-    f.setAccessible(true)
-    f.set(spark.sparkContext, None)
+  test("truncate without a checkpoint dir takes the local path") {
+    import spark.implicits._
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_id1", "doc_id2")
+    val cc = collectSet(graft.llm.Dedup.connectedComponents(pairs))
+    assert(cc.map(_.head.asInstanceOf[Long]) === Set(1L, 2L, 3L, 4L, 10L, 11L))
   }
 
-  test("truncate picks reliable checkpoint() iff a checkpoint dir is set") {
-    import spark.implicits._
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_id1", "doc_id2")
+  test("reliable path writes rdd-* files and is value-identical") {
+    // the reliable-path assertions run in a THROWAWAY session (the
+    // GraftExtensionsSpec teardown precedent) — SparkContext has no
+    // public un-set for the checkpoint dir, and mutating the shared
+    // context reflectively is the kind of internal access a Spark
+    // upgrade breaks first
+    val mkPairs = { s: SparkSession =>
+      import s.implicits._
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_id1", "doc_id2")
+    }
+    val localCc = collectSet(graft.llm.Dedup.connectedComponents(mkPairs(spark)))
 
-    // local path (no dir): works, leaves no checkpoint files anywhere
-    assert(spark.sparkContext.getCheckpointDir.isEmpty)
-    val localCc = collectSet(graft.llm.Dedup.connectedComponents(pairs))
-    assert(localCc.nonEmpty)
-
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val dir = Files.createTempDirectory("graft-ckpt").toFile
-    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ckpt-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s2.sparkContext.setCheckpointDir(dir.getAbsolutePath)
     try {
+      import s2.implicits._
+      val pairs = mkPairs(s2)
       // one-frame truncate lands RDD checkpoint files in the dir
       // (setCheckpointDir eagerly creates a UUID subdir; rdd-* appears
       // under it only when a reliable checkpoint actually runs)
@@ -41,14 +55,18 @@ class CkptSpec extends SparkSpecBase {
       val rddDirs = dir.listFiles.flatMap(u => Option(u.listFiles).getOrElse(Array.empty[File]))
         .filter(_.getName.startsWith("rdd-"))
       assert(rddDirs.nonEmpty, s"reliable checkpoint() left no rdd-* dirs under $dir")
+      // the persist-before-checkpoint discipline must leave no frame
+      // pinned once truncate returns
+      assert(s2.sparkContext.getPersistentRDDs.isEmpty,
+        "Ckpt.truncate leaked a persisted RDD on the reliable path")
 
       // full iterative operators on the reliable path match the local path
-      val reliableCc = collectSet(graft.llm.Dedup.connectedComponents(pairs))
+      val reliableCc = graft.llm.Dedup.connectedComponents(pairs)
+        .collect().map(_.toSeq).toSet
       assert(reliableCc === localCc)
       // PageRank (per-round truncation) and BPE training (per-merge
       // truncation + the one-row argmax checkpoint) — values must be
       // path-independent
-      import spark.implicits._
       val half = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
       val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
       val pr = graft.rel.Graph.pageRank(edges, iters = 3).collect()
@@ -60,13 +78,15 @@ class CkptSpec extends SparkSpecBase {
       val rules = graft.llm.TextAnalysis.bpeMerges(docs, rounds = 2).collect()
       assert(rules.length === 2 && rules.map(_.getString(1)).forall(_.nonEmpty))
     } finally {
-      resetCheckpointDir()
+      // stop + clear so the next suite's getOrCreate builds a fresh
+      // session with no checkpoint dir
+      s2.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
       def rm(f: File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
       rm(dir)
     }
-    assert(spark.sparkContext.getCheckpointDir.isEmpty,
-      "spec must restore the shared session's local path")
   }
 }
