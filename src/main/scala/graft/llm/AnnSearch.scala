@@ -443,9 +443,12 @@ object AnnSearch {
     * ε = 0.75 sits at the ~5th percentile of this corpus's in-cell
     * cosine-distance distribution (min ≈ 0.53), so the flag is
     * non-vacuous. Cross-cell near-dups are the method's documented
-    * recall loss (straddling pairs land in different cells); production
-    * builds sweep with multiple probe cells or k-means-refined centroids
-    * (`kmeansCentroids` is the seam) — the plan shape is identical.
+    * recall loss (straddling pairs land in different cells) — measured
+    * at 25 % of planted pairs at ~50 cells and 50 % at ~100 cells
+    * (SCALE.md's straddle table), growing in the production direction.
+    * This row is the HISTORICAL-ORACLE single-probe form; production
+    * readers should run `dedup_semantic2` (nprobe = 2, 99.9-100 %
+    * straddle recall at ~1.3× wall), declared right below.
     */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
@@ -456,6 +459,30 @@ object AnnSearch {
     val dups = semanticPairScan(t.join(cells, "t_id"), 0.75)
       .select(col("id2").as("t_id")).distinct()
     cells.join(dups.withColumn("dup", lit(true)), Seq("t_id"), "left")
+      .select(col("t_id").as("vec_id"), col("cell"), col("dup").isNull.as("keep"))
+  }
+
+  /** dedup_semantic2 — the PRODUCTION SemDeDup configuration: same
+    * corpus, centroids, and ε as `dedup_semantic`, but every vector
+    * probes its TWO nearest cells (`assignCellsMulti`), so a near-dup
+    * pair straddling one cell boundary still meets in somebody's
+    * runner-up cell. The probe that mandated this row: single-cell
+    * recall on planted straddling pairs falls from 74.6 % at ~50 cells
+    * to 49.3 % at ~100 cells, while nprobe = 2 recovers 99.9-100 % at
+    * ~1.3× wall (SCALE.md straddle table) — and Σ|cell|² forces MORE
+    * cells as the corpus grows, so the loss grows in exactly the
+    * production direction. Output surface matches `dedup_semantic`
+    * (vec_id, primary cell, keep) — only the dup set widens; work is
+    * ~nprobe² of the single-probe scan, still Σ|cell|², never |V|².
+    */
+  def dedupSemantic2(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val t = e.select(col("vec_id").as("t_id"), col("v").as("t_v"))
+    val cent = e.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    val dups = semanticDupPairs(t, cent, 0.75, nprobe = 2)
+      .select(col("id2").as("t_id")).distinct()
+    assignCells(t, cent).join(dups.withColumn("dup", lit(true)), Seq("t_id"), "left")
       .select(col("t_id").as("vec_id"), col("cell"), col("dup").isNull.as("keep"))
   }
 
@@ -561,6 +588,7 @@ object AnnSearch {
     "ann_rerank" -> pqRerankTopK,
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic2" -> dedupSemantic2,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_normalize" -> embeddingNormalize,
     "embedding_centroid" -> embeddingCentroid,
@@ -727,6 +755,24 @@ object AnnSearch {
         s"SELECT t.vec_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM e t CROSS JOIN cent c)), " +
         "cells AS (SELECT vec_id, c_id AS cell FROM asg WHERE rn = 1), " +
         "dups AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b " +
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id " +
+        s"WHERE ${cosSql("ea.v", "eb.v")} < 0.75e0) " +
+        "SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep " +
+        "FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id"),
+
+    "dedup_semantic2" ->
+      // same quantizer ranking; each vector carries its TWO nearest
+      // cells (rn <= 2) into the pair scan — a pair meeting in several
+      // probe cells dedupes via DISTINCT; the reported cell stays the
+      // primary (rn = 1) assignment
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cent AS (SELECT vec_id AS c_id, v FROM e WHERE vec_id % 40 = 0), " +
+        "asg AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT t.vec_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM e t CROSS JOIN cent c)), " +
+        "cells AS (SELECT vec_id, c_id AS cell FROM asg WHERE rn = 1), " +
+        "probes AS (SELECT vec_id, c_id AS cell FROM asg WHERE rn <= 2), " +
+        "dups AS (SELECT DISTINCT b.vec_id FROM probes a JOIN probes b " +
         "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
         "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id " +
         s"WHERE ${cosSql("ea.v", "eb.v")} < 0.75e0) " +

@@ -226,4 +226,17 @@ class AnnSearchSpec extends SparkSpecBase {
       "probing more cells can only ADD straddling pairs, never drop in-cell ones")
     assert(p1.nonEmpty)
   }
+
+  test("dedup_semantic2: same surface as dedup_semantic, keep set only shrinks") {
+    val s1 = AnnSearch.dedupSemantic(spark, sfDir).persist()
+    val s2 = AnnSearch.dedupSemantic2(spark, sfDir).persist()
+    try {
+      // identical (vec_id, primary cell) surface — only the dup flag widens
+      assert(collectSet(s1.select("vec_id", "cell")) === collectSet(s2.select("vec_id", "cell")))
+      val kept1 = collectSet(s1.filter(col("keep")).select("vec_id"))
+      val kept2 = collectSet(s2.filter(col("keep")).select("vec_id"))
+      assert(kept2.subsetOf(kept1),
+        "a vector dropped by the single-probe scan must stay dropped under multi-probe")
+    } finally { s1.unpersist(); s2.unpersist(); () }
+  }
 }
