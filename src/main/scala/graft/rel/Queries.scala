@@ -368,17 +368,29 @@ object Queries {
 
   // agg_corr — per-group Pearson correlation + sample covariance
   // (quantity vs price per return flag): the bivariate profiling
-  // aggregate (feature-redundancy checks, drift monitors). Both engines
-  // compute the one-pass co-moment form — a keyed aggregation with
-  // map-side partials, mergeable at any partition count; rnd(6) absorbs
-  // the merge-order ulp like every double aggregate here.
-  def aggCorr(s: SparkSession, d: String): DataFrame =
+  // aggregate (feature-redundancy checks, drift monitors). Assembled
+  // from EXPLICIT raw-moment averages — avg(x), avg(y), avg(xy),
+  // avg(x²), avg(y²) — with the identical formula in both engines (the
+  // agg_moments discipline), NOT the engines' internal one-pass
+  // co-moment updates, whose M2/Mxy merge orders are engine-specific:
+  // covar_qp is an O(10⁴)-magnitude output, so the 6-dp round demands
+  // ~1e-10 relative agreement, too tight to lean on internals staying
+  // coincidentally aligned across SFs/partition counts. Still one keyed
+  // aggregation with map-side partials.
+  def aggCorr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(
-        count(lit(1)).as("n"),
-        rnd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-        rnd(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qp"))
+      .agg(count(lit(1)).as("n"), avg(x).as("mx"), avg(y).as("my"),
+        avg(x * y).as("mxy"), avg(x * x).as("mxx"), avg(y * y).as("myy"))
+      .select(col("l_returnflag"), col("n"),
+        rnd((col("mxy") - col("mx") * col("my")) /
+          sqrt((col("mxx") - col("mx") * col("mx")) *
+            (col("myy") - col("my") * col("my"))), 6).as("corr_qp"),
+        rnd((col("mxy") - col("mx") * col("my")) *
+          (col("n") / (col("n") - lit(1.0))), 6).as("covar_qp"))
+  }
 
   // pivot: per-user event-type counts as columns (EXPAND-free conditional
   // aggregation; the values list is pinned so both engines emit the same
@@ -972,10 +984,17 @@ object Queries {
         "AND levenshtein(a.p_name, b.p_name) <= 5"),
 
     "agg_corr" ->
-      ("SELECT l_returnflag, count(*) AS n, " +
-        "rnd(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
-        "rnd(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp " +
-        "FROM lineitem GROUP BY 1"),
+      // identical raw-moment assembly as the Spark side — neither
+      // engine's internal co-moment merge order is load-bearing
+      ("WITH m AS (SELECT l_returnflag, count(*) AS n, " +
+        "avg(l_quantity) AS mx, avg(l_extendedprice) AS my, " +
+        "avg(l_quantity * l_extendedprice) AS mxy, " +
+        "avg(l_quantity * l_quantity) AS mxx, " +
+        "avg(l_extendedprice * l_extendedprice) AS myy " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, n, " +
+        "rnd((mxy - mx * my) / sqrt((mxx - mx * mx) * (myy - my * my)), 6) AS corr_qp, " +
+        "rnd((mxy - mx * my) * (n / (n - 1e0)), 6) AS covar_qp FROM m"),
 
     "join_asof_tol" ->
       ("SELECT event_id, user_id, CASE WHEN last_click_us IS NOT NULL " +
