@@ -485,12 +485,26 @@ object Dedup {
   def substringDup(s: SparkSession, d: String): DataFrame =
     substringDupDocs(Tables.documents(s, d))
 
+  /** dedup_substring_50 — the PUBLISHED long-span configuration (the
+    * `decontaminate_13` precedent): training-data curation removes
+    * repeated spans of ~50 tokens, the threshold under which repetition
+    * is usually legitimate phrasing and above which it is boilerplate
+    * or template text. Same operator, `gram = 50` — stride-1 windows
+    * mean a repeated ≥50-token span is caught at EVERY offset it spans,
+    * so n_dup/dup_ratio measure span coverage, not just span presence.
+    * Non-vacuous at every driver SF (280-2 971 duplicated 50-token
+    * windows at sf0.01-0.1 — the corpus plants long shared spans).
+    */
+  def substringDup50(s: SparkSession, d: String): DataFrame =
+    substringDupDocs(Tables.documents(s, d), gram = 50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_cluster" -> minhashClusters,
     "dedup_simhash" -> simhashPairs,
     "dedup_simhash64" -> simhashPairs64,
     "dedup_substring" -> substringDup,
+    "dedup_substring_50" -> substringDup50,
     "similarity_ngram" -> ngramJaccard,
     "doc_fingerprint" -> fingerprint,
   )
@@ -548,6 +562,24 @@ object Dedup {
       "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
       s"WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming"
 
+  /** Gram-parameterized substring-dedup oracle: identical sliding
+    * windows — 0-based offset i, tokens i+1..i+gram (DuckDB inclusive
+    * slice ≡ Spark slice(start, length)); BIGINT / BIGINT is double
+    * division in both engines.
+    */
+  private def substringOracleSql(gram: Int): String =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+      s"w AS (SELECT doc_id, array_to_string(a[(i + 1)::INT:(i + $gram)::INT], ' ') AS wtext " +
+      s"FROM (SELECT doc_id, a, unnest(range(0, len(a) - ${gram - 1})) AS i FROM t WHERE len(a) >= $gram)), " +
+      "dup AS (SELECT wtext FROM (SELECT wtext, count(DISTINCT doc_id) AS nd " +
+      "FROM w GROUP BY 1) WHERE nd >= 2), " +
+      "tot AS (SELECT doc_id, count(*) AS n_win FROM w GROUP BY 1), " +
+      "dd AS (SELECT doc_id, count(*) AS n_dup FROM w " +
+      "WHERE wtext IN (SELECT wtext FROM dup) GROUP BY 1) " +
+      "SELECT t.doc_id, n_win, coalesce(n_dup, 0) AS n_dup, " +
+      "rnd(coalesce(n_dup, 0) / n_win, 6) AS dup_ratio " +
+      "FROM tot t LEFT JOIN dd USING (doc_id)"
+
   val rawOracles: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
       s"WITH $minhashCtes, ${jaccardTailSql(candExists)}",
@@ -570,21 +602,8 @@ object Dedup {
     // all-pairs shape (banded ≡ all-pairs, DedupSpec's pigeonhole twin)
     "dedup_simhash64" -> simhashOracleSql(64, 3),
 
-    "dedup_substring" ->
-      // identical sliding windows: 0-based offset i, tokens i+1..i+8
-      // (DuckDB inclusive slice ≡ Spark slice(start, length)); BIGINT /
-      // BIGINT is double division in both engines
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
-        "w AS (SELECT doc_id, array_to_string(a[(i + 1)::INT:(i + 8)::INT], ' ') AS wtext " +
-        "FROM (SELECT doc_id, a, unnest(range(0, len(a) - 7)) AS i FROM t WHERE len(a) >= 8)), " +
-        "dup AS (SELECT wtext FROM (SELECT wtext, count(DISTINCT doc_id) AS nd " +
-        "FROM w GROUP BY 1) WHERE nd >= 2), " +
-        "tot AS (SELECT doc_id, count(*) AS n_win FROM w GROUP BY 1), " +
-        "dd AS (SELECT doc_id, count(*) AS n_dup FROM w " +
-        "WHERE wtext IN (SELECT wtext FROM dup) GROUP BY 1) " +
-        "SELECT t.doc_id, n_win, coalesce(n_dup, 0) AS n_dup, " +
-        "rnd(coalesce(n_dup, 0) / n_win, 6) AS dup_ratio " +
-        "FROM tot t LEFT JOIN dd USING (doc_id)"),
+    "dedup_substring" -> substringOracleSql(8),
+    "dedup_substring_50" -> substringOracleSql(50),
 
     "similarity_ngram" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, substr(text, i::INT, 3) AS tok FROM (" +

@@ -346,25 +346,56 @@ object Queries {
         coalesce(col("next_click_us"), lit(-1L)).as("next_click_us"))
   }
 
-  // similarity_editdist — BLOCKED fuzzy string matching, the entity-
-  // resolution primitive (dedupe "Acme Corp" vs "Acme Corp."): block on
-  // an equi-key (brand), verify within blocks with Levenshtein ≤ 5.
-  // The block join IS the scale story — candidate pairs are Σ|block|²,
-  // never |P|² (the bucket-join-not-cross-join shape every dedup
-  // signature here uses; real ER pipelines block on normalized
-  // prefixes/phonetics the same way). Edit distance is an INTEGER —
-  // exact in both engines, no rounding discipline needed. Slice keeps
-  // the oracle's block scan bounded; the operator is slice-independent.
-  def editDistPairs(s: SparkSession, d: String): DataFrame = {
-    val p = Tables.part(s, d).filter(col("p_partkey") < 200)
-    p.select(col("p_partkey").as("pk1"), col("p_name").as("n1"), col("p_brand"))
-      .join(p.select(col("p_partkey").as("pk2"), col("p_name").as("n2"), col("p_brand")),
-        "p_brand")
+  /** Blocked fuzzy string matching over an arbitrary (id, name, blk)
+    * frame — the entity-resolution primitive (dedupe "Acme Corp" vs
+    * "Acme Corp."): block on the equi-key, verify within blocks with
+    * Levenshtein ≤ `maxDist`. The block join IS the scale story —
+    * candidate pairs are Σ|block|², never |P|² (the
+    * bucket-join-not-cross-join shape every dedup signature here uses).
+    *
+    * The block KEY decides whether that sum survives growth: a
+    * fixed-cardinality key (the declared row's 25-value brand) makes
+    * blocks grow linearly with the table and Σ|block|² quadratically —
+    * fine for a bounded demo slice, fatal at 100×. Real ER blocks on
+    * normalized prefixes/phonetics whose cardinality TRACKS the data
+    * (PipelineScaleProbe's editdist leg puts numbers on both keys), and
+    * the `maxPerBlock` runtime guard (the `coOrderEdges` precedent)
+    * raises a descriptive error instead of silently generating a
+    * quadratic map stage when a key degenerates. The guard's window
+    * count shuffles by the same `blk` key the join itself uses.
+    */
+  def editDistBlocked(df: DataFrame, maxDist: Int,
+      maxPerBlock: Int = 10000): DataFrame = {
+    val guarded = df
+      .withColumn("nblk", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .select(col("id"),
+        when(col("nblk") > maxPerBlock,
+          raise_error(concat(
+            lit("editDistBlocked: block "), col("blk").cast("string"),
+            lit(" holds "), col("nblk").cast("string"),
+            lit(s" members > maxPerBlock=$maxPerBlock — in-block verify is " +
+              "quadratic per block; block on a key whose cardinality tracks " +
+              "the data (normalized prefix/phonetic), or sample heavy blocks"))))
+          .otherwise(col("name")).as("name"),
+        col("blk"))
+    guarded.select(col("id").as("pk1"), col("name").as("n1"), col("blk"))
+      .join(guarded.select(col("id").as("pk2"), col("name").as("n2"), col("blk")), "blk")
       .filter(col("pk1") < col("pk2"))
       .withColumn("dist", levenshtein(col("n1"), col("n2")))
-      .filter(col("dist") <= 5)
+      .filter(col("dist") <= maxDist)
       .select(col("pk1"), col("pk2"), col("dist"))
   }
+
+  // similarity_editdist — the declared row: parts blocked on brand,
+  // Levenshtein ≤ 5. Edit distance is an INTEGER — exact in both
+  // engines, no rounding discipline needed. Slice keeps the oracle's
+  // block scan bounded; the operator is slice-independent.
+  def editDistPairs(s: SparkSession, d: String): DataFrame =
+    editDistBlocked(
+      Tables.part(s, d).filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"),
+          col("p_brand").as("blk")),
+      maxDist = 5)
 
   // agg_corr — per-group Pearson correlation + sample covariance
   // (quantity vs price per return flag): the bivariate profiling

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.core.Ckpt.TruncateSyntax
 import graft.llm.{AnnSearch, Dedup}
 
 /** Scale experiment for the LLM-pipeline families (complement of
@@ -160,6 +161,22 @@ object PipelineScaleProbe {
     println(f"[scale] ann nVecs=$nVecs nQ=$nQ cells≈$nCells ivf=$ivfRows rows in $tIvf%.1f s; " +
       f"brute=$bruteRows rows in $tBrute%.1f s (speedup ${tBrute / tIvf}%.1fx, recall $recall%.3f)")
 
+    // ---- ANN: IVF recall-vs-nprobe trade --------------------------------
+    // the number a deployment tunes: each extra probe cell scans ~1/cells
+    // more of the corpus and recovers the neighbors whose cell the query
+    // didn't land in — recall should rise monotonically toward the brute
+    // baseline while wall grows ~linearly in nprobe
+    for (np <- Seq(1, 2, 3)) {
+      t0 = System.nanoTime()
+      val r = AnnSearch.ivfSearch(q, t, cent, k = 10, nprobe = np)
+        .select(col("q_id"), col("t_id")).persist()
+      val nHits = r.join(brute, Seq("q_id", "t_id"), "left_semi").count()
+      val tNp = (System.nanoTime() - t0) / 1e9
+      r.unpersist()
+      println(f"[scale] ann_nprobe nVecs=$nVecs cells≈$nCells nprobe=$np " +
+        f"recall=${nHits.toDouble / bruteRows}%.3f wall=$tNp%.1f s")
+    }
+
     // ---- ANN: PQ/ADC over the same vectors ------------------------------
     // the compression path: encode once (corpus pass vs a broadcast
     // 4×64 codebook), then distance = 4 table lookups per pair instead
@@ -242,6 +259,49 @@ object PipelineScaleProbe {
       val tSd = (System.nanoTime() - t0) / 1e9
       println(f"[scale] semantic_straddle nVecs=$nVecs cells≈$nCells nprobe=$np " +
         f"recall=$found/$plantedSem (${100.0 * found / plantedSem}%.1f%%) wall=$tSd%.1f s")
+    }
+
+    // ---- blocked edit-distance: fixed-cardinality vs data-tracking key --
+    // the declared similarity_editdist row blocks on a 25-value brand
+    // key — cardinality that does NOT grow with the table, so blocks
+    // grow linearly and candidate pairs Σ|block|² ~ N²/25 QUADRATICALLY.
+    // A prefix-style key whose cardinality tracks the data (here ~N/100
+    // distinct first tokens → ~100-member blocks at every N) keeps
+    // candidates ~100·N LINEAR. Same verify, same join shape — the key
+    // alone decides which curve the operator rides; every 10× in N
+    // should widen the candidate ratio another ~10×.
+    for (n <- Seq(nDocs / 2, nDocs * 5)) {
+      val firstTok = s"concat('tok', cast(abs(hash(cast(id AS string))) % ${math.max(1, n / 100)} AS string))"
+      val restToks = "array_join(transform(sequence(1, 4), j -> " +
+        "concat('w', cast(abs(hash(concat(cast(id AS string), '#', cast(j AS string)))) % 50 AS string))), ' ')"
+      val ents = spark.range(n)
+        .select(col("id"),
+          expr(s"concat($firstTok, ' ', $restToks)").as("name"),
+          expr("concat('Brand#', cast(id % 25 AS string))").as("brand"))
+        .truncated()
+      val brand = ents.select(col("id"), col("name"), col("brand").as("blk"))
+      val prefix = ents.select(col("id"), col("name"),
+        substring_index(col("name"), " ", 1).as("blk"))
+      def candidates(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(col("blk")).groupBy("blk").agg(count(lit(1)).as("c"))
+          // Column./ is DOUBLE division — halve the long sum instead
+          .agg(sum(col("c") * (col("c") - 1))).head().getLong(0) / 2
+      val (candB, candP) = (candidates(brand), candidates(prefix))
+      t0 = System.nanoTime()
+      val pairsP = graft.rel.Queries.editDistBlocked(prefix, maxDist = 8,
+        maxPerBlock = 100000).count()
+      val tP = (System.nanoTime() - t0) / 1e9
+      // brand key timed only while its candidate count stays tractable —
+      // the POINT of the leg is that it stops being tractable
+      val brandWall = if (candB <= 200L * 1000 * 1000) {
+        t0 = System.nanoTime()
+        graft.rel.Queries.editDistBlocked(brand, maxDist = 8,
+          maxPerBlock = 100000000).count()
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s"
+      } else "skipped (quadratic)"
+      println(f"[scale] editdist n=$n cand_brand=$candB%,d cand_prefix=$candP%,d " +
+        f"(ratio ${candB.toDouble / candP}%.0fx) prefix_wall=$tP%.1f s pairs=$pairsP " +
+        f"brand_wall=$brandWall")
     }
     spark.stop()
   }

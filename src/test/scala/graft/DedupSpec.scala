@@ -172,4 +172,23 @@ class DedupSpec extends SparkSpecBase {
     // near-total recall rather than exact equality
     assert((planted -- at8).size <= 1, s"8-hash LSH missed ${planted -- at8}")
   }
+
+  test("editDistBlocked: blocks bound candidates, heavy block raises") {
+    import spark.implicits._
+    val ents = Seq(
+      (1L, "acme corp", "a"), (2L, "acme corp.", "a"), (3L, "zzzzzzzzz", "a"),
+      (4L, "acme corp", "b")).toDF("id", "name", "blk")
+    val pairs = graft.rel.Queries.editDistBlocked(ents, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1,2) matches within block a at dist 1; (1,4) is identical text but
+    // NEVER compared — different blocks (the Σ|block|², not |P|², contract)
+    assert(pairs === Set((1L, 2L, 1)))
+    val heavy = (1L to 51L).map(i => (100L + i, s"name$i", "hot")).toDF("id", "name", "blk")
+    val e = intercept[Exception](
+      graft.rel.Queries.editDistBlocked(ents.unionAll(heavy),
+        maxDist = 2, maxPerBlock = 50).count())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("maxPerBlock"), s"unexpected failure: $msgs")
+  }
 }
