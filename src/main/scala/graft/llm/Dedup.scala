@@ -194,7 +194,14 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: Hamming distance ≤ 3 over the 16-bit sigs. */
+  /** SimHash near-dup pairs: Hamming distance ≤ 3 over the 16-bit sigs.
+    * HISTORICAL-ORACLE TWIN: 16 bits is oracle-bracket width, kept for
+    * cross-round oracle continuity only — at 16 bits random docs collide
+    * in a 4-bit band at p = 1/16, so candidates grow ~N²/4
+    * (PipelineScaleProbe's width sweep). Production readers want
+    * `dedup_simhash64` (`simhashPairs64`): 64-bit/8-band, candidates
+    * ≈ true near-dups, fully oracle-gated since round 6.
+    */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     simhashBandedPairs(s, simhash(s, d))
 

@@ -110,7 +110,10 @@ object CurationScaleProbe {
     val late = (bpe256 - bpe64) / 192.0
     println(f"[scale] bpe per-round wall: rounds 5-64 $early%.3f s/round, " +
       f"rounds 65-256 $late%.3f s/round")
-    assert(late < early * 3.0,
+    // floored denominator: if merges exhaust early or walls are
+    // scheduling-noise-dominated, `early` → 0 and a raw ratio assert
+    // would fire spuriously despite flat per-round cost
+    assert(late < math.max(early, 0.05) * 3.0,
       f"per-round BPE wall grew with depth: $late%.3f vs $early%.3f s/round")
     spark.stop()
   }
