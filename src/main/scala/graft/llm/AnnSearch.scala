@@ -578,6 +578,33 @@ object AnnSearch {
       .agg(rnd(sqrt(sum((col("m0") - col("m1")) * (col("m0") - col("m1")))), 6).as("drift"))
   }
 
+  /** embedding_pca — one deterministic power-iteration step toward the
+    * corpus's top principal direction (the dimensionality-reduction /
+    * whitening primitive under SemDeDup-style pipelines and PQ rotation):
+    * v₁ ∝ Σᵢ (xᵢ·v₀)·xᵢ with the fixed seed v₀ = 1⃗/√d, emitted as the
+    * unit-normalized long-form (pos, pc1). Distributed shape: the dot
+    * scores are a per-row map (the same left-fold the fused expressions
+    * use), the component sums are ONE (dim)-keyed aggregation with
+    * map-side partials — d cells per partition regardless of corpus
+    * rows, the `sketch_countmin` constant-state property — and the
+    * normalizer is a one-row broadcast. Further Lloyd-style rounds
+    * would ride the `Ckpt.truncate` seam like `kmeansCentroids`; one
+    * seeded round keeps the row oracle-gated (the iterative variant is
+    * `ann_ivf_kmeans`'s rows-only precedent).
+    */
+  def embeddingPca(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val scored = emb(s, d).withColumn("sc",
+      expr("aggregate(v, 0d, (a, x) -> a + x)") / sqrt(lit(dim.toDouble)))
+    val comps = scored
+      .select(col("sc"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("sc") * col("x")).as("c"))
+    val nrm = comps.agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+    comps.crossJoin(broadcast(nrm))
+      .select(col("pos"), rnd(col("c") / col("nrm"), 6).as("pc1"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> cosineTopK,
     "ann_lsh_bucket" -> lshBucketTopK,
@@ -593,6 +620,7 @@ object AnnSearch {
     "embedding_normalize" -> embeddingNormalize,
     "embedding_centroid" -> embeddingCentroid,
     "embedding_drift" -> embeddingDrift,
+    "embedding_pca" -> embeddingPca,
   )
 
   private def dotSql(a: String, b: String): String = graft.rel.Queries.dotSql(a, b)
@@ -726,6 +754,18 @@ object AnnSearch {
         "c1 AS (SELECT label, pos, avg(x) AS m1 FROM long WHERE half = 1 GROUP BY 1, 2) " +
         "SELECT c0.label, rnd(sqrt(sum((m0 - m1) * (m0 - m1))), 6) AS drift " +
         "FROM c0 JOIN c1 USING (label, pos) GROUP BY 1"),
+
+    "embedding_pca" ->
+      // same seeded power step: score = list-sum/√d (the left-fold
+      // parity the shared vector fragments pin), one (pos)-keyed sum,
+      // unit normalization under the shared rnd(6)
+      ("WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings), " +
+        "s AS (SELECT v, list_sum(v) / sqrt(64e0) AS sc FROM e), " +
+        "long AS (SELECT sc, i::INT - 1 AS pos, v[i::INT] AS x " +
+        "FROM (SELECT v, sc, unnest(range(1, len(v) + 1)) AS i FROM s)), " +
+        "comp AS (SELECT pos, sum(sc * x) AS c FROM long GROUP BY 1), " +
+        "n AS (SELECT sqrt(sum(c * c)) AS nrm FROM comp) " +
+        "SELECT pos, rnd(c / nrm, 6) AS pc1 FROM comp, n"),
 
     "dedup_embedding" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200), " +

@@ -368,6 +368,40 @@ object TextAnalysis {
   def bpeEncode(s: SparkSession, d: String): DataFrame =
     bpeEncodeDocs(Tables.documents(s, d))
 
+  /** quality_classifier — hashed-feature linear quality scorer (the
+    * fastText-style MODEL-based filter a curation pipeline runs after
+    * the heuristic ones; CCNet/RefinedWeb lineage): each token hashes
+    * into a 256-bin weight grid, the doc logit is a·mean(weight)+b,
+    * score = sigmoid(logit), kept = score ≥ ½. The weights here are a
+    * deterministic md5-derived grid — a stand-in for trained
+    * coefficients; the MECHANISM (hash features → mean → sigmoid →
+    * threshold) is the engine-independent, oracle-checkable part, the
+    * `sample_stratified` discipline. One explode + one doc-keyed agg
+    * with map-side partials; the weight "table" is pure arithmetic, no
+    * join — a production weight vector (2²⁰ bins) rides as one small
+    * broadcast array, so the shape is identical at 100 TB. Float note:
+    * each weight is a dyadic rational (k−127.5)/256, so the partial
+    * sums are EXACT in double at any partitioning — the mean is
+    * bit-identical across engines before sigmoid's rnd(6).
+    */
+  def qualityClassifierDocs(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("double")
+    val w = (h - lit(127.5)) / lit(256.0)
+    val logit = lit(8.0) * col("mw") + lit(0.2)
+    val score = lit(1.0) / (lit(1.0) + exp(-logit))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), avg(col("w")).as("mw"))
+      .select(col("doc_id"), col("n_tok"),
+        rnd(score, 6).as("score"),
+        (score >= 0.5).cast("int").as("kept"))
+  }
+
+  def qualityClassifier(s: SparkSession, d: String): DataFrame =
+    qualityClassifierDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tokenizer_bpe" -> bpe,
     "tokenizer_encode" -> bpeEncode,
@@ -381,6 +415,7 @@ object TextAnalysis {
     "corpus_mix" -> corpusMix,
     "corpus_zipf" -> corpusZipf,
     "quality_perplexity" -> perplexityProxy,
+    "quality_classifier" -> qualityClassifier,
   )
 
   private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
@@ -522,5 +557,18 @@ object TextAnalysis {
         "SELECT doc_id, count(*) AS n_bigrams, " +
         "rnd(-avg(ln((big.b + 1) / (uni.u + v.v))), 6) AS nll " +
         "FROM bgf JOIN big USING (bg) JOIN uni USING (w1) CROSS JOIN v GROUP BY 1"),
+
+    "quality_classifier" ->
+      // identical hash grid (first two md5 hex chars → 0..255), identical
+      // logit arithmetic; the dyadic weights make mw exact in both engines
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "w AS (SELECT doc_id, " +
+        "(((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))::DOUBLE - 127.5) / 256.0 AS w " +
+        "FROM toks), " +
+        "m AS (SELECT doc_id, count(*) AS n_tok, avg(w) AS mw FROM w GROUP BY 1) " +
+        "SELECT doc_id, n_tok, " +
+        "rnd(1.0 / (1.0 + exp(-(8.0 * mw + 0.2))), 6) AS score, " +
+        "(1.0 / (1.0 + exp(-(8.0 * mw + 0.2))) >= 0.5)::INT AS kept FROM m"),
   )
 }

@@ -346,6 +346,35 @@ object Queries {
         coalesce(col("next_click_us"), lit(-1L)).as("next_click_us"))
   }
 
+  // join_asof_nearest — the NEAREST-direction as-of join (pandas
+  // direction='nearest'): for each error, the click closest in time in
+  // EITHER direction; ties break backward (the pandas rule). Composes
+  // the backward (unbounded-preceding max) and forward (1-following
+  // min) window forms over the SAME (user_id; ts, event_id) sort, so
+  // Spark plans ONE shuffle + ONE sort for both frames — still no
+  // self-join, no candidate-pair expansion.
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val clickUs = when(col("event_type") === "click", unix_micros(col("ts")))
+    Tables.events(s, d)
+      .withColumn("prev_us", max(clickUs).over(back))
+      .withColumn("next_us", min(clickUs).over(fwd))
+      .filter(col("event_type") === "error")
+      .withColumn("t", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        when(col("prev_us").isNull && col("next_us").isNull, lit(-1L))
+          .when(col("next_us").isNull, col("prev_us"))
+          .when(col("prev_us").isNull, col("next_us"))
+          .when(col("t") - col("prev_us") <= col("next_us") - col("t"),
+            col("prev_us"))
+          .otherwise(col("next_us")).as("nearest_click_us"))
+  }
+
   /** Blocked fuzzy string matching over an arbitrary (id, name, blk)
     * frame — the entity-resolution primitive (dedupe "Acme Corp" vs
     * "Acme Corp."): block on the equi-key, verify within blocks with
@@ -421,6 +450,46 @@ object Queries {
             (col("myy") - col("my") * col("my"))), 6).as("corr_qp"),
         rnd((col("mxy") - col("mx") * col("my")) *
           (col("n") / (col("n") - lit(1.0))), 6).as("covar_qp"))
+  }
+
+  /** sketch_countmin — Count-Min frequency sketch (depth 4 × width 64)
+    * over part brands, with the point-query estimates read back out
+    * next to the exact counts. Unlike HLL/KLL (whose merge internals
+    * are engine-specific — `agg_hll` stays rows-only by design), CMS is
+    * DETERMINISTIC given its hash family, so the full build + estimate
+    * is reproducible in any engine and this row is oracle-gated end to
+    * end. Hash_j(k) = first two md5 hex chars of "j:k" mod width (the
+    * `sample_hash` cross-engine md5 discipline). Build = one
+    * depth-way explode + (j, cell)-keyed count — the sketch aggregates
+    * MAP-SIDE into ≤ depth×width cells per partition, so at 100 TB the
+    * shuffle moves a CONSTANT ≤256 rows per partition regardless of
+    * corpus size; estimate = min over the depth rows (collisions only
+    * ever over-count). The probe join is sketch-sized (AQE broadcasts
+    * it). The same shape streams: each partial sketch is the same 256
+    * cells, merged by cell-wise sum.
+    */
+  def sketchCountMin(s: SparkSession, d: String): DataFrame = {
+    val depth = 4
+    val width = 64
+    def cellOf(j: Int, k: Column): Column =
+      (conv(substring(md5(concat(lit(s"$j:"), k)), 1, 2), 16, 10)
+        .cast("long") % width).cast("int")
+    def probes(k: Column): Column =
+      explode(array((1 to depth).map(j =>
+        struct(lit(j).as("j"), cellOf(j, k).as("cell"))): _*))
+    val part = Tables.part(s, d)
+    val sketch = part
+      .select(probes(col("p_brand")).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val truth = part.groupBy(col("p_brand")).agg(count(lit(1)).as("true_cnt"))
+    truth
+      .select(col("p_brand"), col("true_cnt"), probes(col("p_brand")).as("jc"))
+      .select(col("p_brand"), col("true_cnt"), col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .join(sketch, Seq("j", "cell"))
+      .groupBy(col("p_brand"), col("true_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("p_brand"), col("est_cnt"), col("true_cnt"))
   }
 
   // pivot: per-user event-type counts as columns (EXPAND-free conditional
@@ -850,6 +919,8 @@ object Queries {
     "agg_corr" -> aggCorr,
     "similarity_editdist" -> editDistPairs,
     "join_asof_fwd" -> joinAsofFwd,
+    "join_asof_nearest" -> joinAsofNearest,
+    "sketch_countmin" -> sketchCountMin,
     "agg_pivot" -> aggPivot,
     "agg_cube" -> aggCube,
     "agg_collect_sorted" -> aggCollectSorted,
@@ -1044,6 +1115,37 @@ object Queries {
         "PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_us " +
         "FROM events) WHERE event_type = 'error'"),
+
+    "join_asof_nearest" ->
+      // same two window frames, same tie-break: backward wins on equal
+      // distance (integer microsecond arithmetic — exact in both engines)
+      ("SELECT event_id, user_id, CASE " +
+        "WHEN prev_us IS NULL AND next_us IS NULL THEN -1 " +
+        "WHEN next_us IS NULL THEN prev_us " +
+        "WHEN prev_us IS NULL THEN next_us " +
+        "WHEN t - prev_us <= next_us - t THEN prev_us " +
+        "ELSE next_us END AS nearest_click_us FROM (" +
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS t, " +
+        "max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us, " +
+        "min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us " +
+        "FROM events) WHERE event_type = 'error'"),
+
+    "sketch_countmin" ->
+      // identical sketch construction: the same md5-derived hash family,
+      // the same depth/width, min over rows; integer outputs — exact
+      ("WITH h AS (SELECT p_brand, j, " +
+        "((instr('0123456789abcdef', substr(md5(j::VARCHAR || ':' || p_brand), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substr(md5(j::VARCHAR || ':' || p_brand), 2, 1)) - 1)) % 64 AS cell " +
+        "FROM part, generate_series(1, 4) AS t(j)), " +
+        "sk AS (SELECT j, cell, count(*) AS cnt FROM h GROUP BY 1, 2), " +
+        "tr AS (SELECT p_brand, count(*) AS true_cnt FROM part GROUP BY 1), " +
+        "pr AS (SELECT DISTINCT p_brand, j, cell FROM h) " +
+        "SELECT tr.p_brand, min(sk.cnt)::BIGINT AS est_cnt, tr.true_cnt " +
+        "FROM tr JOIN pr USING (p_brand) JOIN sk USING (j, cell) GROUP BY 1, 3"),
 
     "agg_pivot" ->
       ("SELECT user_id, " +

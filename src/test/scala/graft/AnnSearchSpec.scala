@@ -239,4 +239,15 @@ class AnnSearchSpec extends SparkSpecBase {
         "a vector dropped by the single-probe scan must stay dropped under multi-probe")
     } finally { s1.unpersist(); s2.unpersist(); () }
   }
+
+  test("embedding_pca: full dimension set, unit norm, non-degenerate") {
+    val p = AnnSearch.embeddingPca(spark, sfDir).collect()
+    assert(p.length === 64)
+    assert(p.map(_.getInt(0)).toSet === (0 until 64).toSet)
+    val ss = p.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(ss - 1.0) < 1e-4, s"|pc1| deviates from 1: $ss")
+    // a principal direction of non-constant data is not axis-aligned:
+    // no single component may carry (almost) all the mass
+    assert(p.map(r => math.abs(r.getDouble(1))).max < 0.999)
+  }
 }

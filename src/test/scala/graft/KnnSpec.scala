@@ -106,6 +106,28 @@ class KnnSpec extends SparkSpecBase {
       s"corpus_shuffle window must partition by shard, got:\n$csPlan")
   }
 
+  test("join_asof_nearest ≡ brute-force nearest click; ties break backward; no clicks → -1") {
+    import org.apache.spark.sql.functions._
+    val near = graft.rel.Queries.joinAsofNearest(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("t"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("ct"))
+    // brute force: min over (|ct-t|, ct) — on an equal-distance tie the
+    // backward candidate has the SMALLER ct, so the struct min picks it
+    val hasClick = err.join(clk, Seq("user_id"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(min(struct(abs(col("ct") - col("t")).as("d"), col("ct"))).as("m"))
+      .select(col("event_id"), col("user_id"), col("m.ct").as("nearest_click_us"))
+    val noClick = err.join(clk.select("user_id").distinct(), Seq("user_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), lit(-1L).as("nearest_click_us"))
+    assert(collectSet(near) === collectSet(hasClick.unionByName(noClick)))
+    assert(near.count() > 0)
+  }
+
   test("scan_filter_prune pushes predicate and columns into the parquet scan") {
     val df = graft.rel.Queries.scanFilterPrune(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString

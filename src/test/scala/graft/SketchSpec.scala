@@ -31,6 +31,23 @@ class SketchSpec extends SparkSpecBase {
       s"approx median $approxMed outside [$p40, $p60] (exact $exact)")
   }
 
+  test("sketch_countmin: estimates never undercount and are bounded by the row total") {
+    // the CMS one-sided guarantee: collisions only ever ADD counts, so
+    // est ∈ [true, N]; with 25 keys in 4×64 cells most rows are
+    // collision-free — require at least one exact estimate as a smoke
+    // check that the probe reads the cells the build wrote
+    val r = SparkEntry.queries("sketch_countmin")(spark, sfDir).collect()
+    val total = Tables.part(spark, sfDir).count()
+    assert(r.length === 25)
+    r.foreach { row =>
+      val est = row.getLong(1); val exact = row.getLong(2)
+      assert(est >= exact, s"CMS undercounted ${row.getString(0)}: $est < $exact")
+      assert(est <= total)
+    }
+    assert(r.exists(row => row.getLong(1) === row.getLong(2)),
+      "no collision-free estimate among 25 keys in 256 cells — probe/build mismatch?")
+  }
+
   test("agg_approx_quantiles: every group's sketch quantile brackets the exact one") {
     // the declared rows-only row's contract: for each l_returnflag group
     // and each requested p, the GK answer lands within ±10 percentile

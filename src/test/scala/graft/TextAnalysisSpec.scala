@@ -60,6 +60,23 @@ class TextAnalysisSpec extends SparkSpecBase {
       collectSet(TextAnalysis.corpusZipfDocs(pl)))
   }
 
+  test("quality_classifier: score bounds, kept ⇔ threshold, exact partition invariance") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = TextAnalysis.qualityClassifierDocs(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val score = r.getDouble(2); val kept = r.getInt(3)
+      assert(score > 0.0 && score < 1.0, s"score out of range: $score")
+      // kept derives from the raw score; skip the rounding boundary band
+      if (math.abs(score - 0.5) > 1e-5)
+        assert(kept === (if (score >= 0.5) 1 else 0), s"kept/score mismatch: $r")
+    }
+    // the dyadic-weight claim: the mean is EXACT at any partitioning, so
+    // the whole output (post-round) must be bit-identical, not just close
+    assert(collectSet(TextAnalysis.qualityClassifierDocs(docs.repartition(7))) ===
+      collectSet(TextAnalysis.qualityClassifierDocs(docs)))
+  }
+
   test("bpeMerges: hand-computed merges, greedy run semantics, exhaustion stops cleanly") {
     import spark.implicits._
     // words: aa×3, ab×2 → round 1 merges ('a a', 3), round 2 ('a b', 2),
