@@ -438,6 +438,48 @@ object Dedup {
         lit(0L),
         (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
 
+  /** similarity_containment — DIRECTIONAL n-gram overlap,
+    * C(A→B) = |g(A) ∩ g(B)| / |g(A)|: the asymmetric near-dup measure
+    * decontamination reporting needs (a short test doc fully embedded in
+    * a long train doc scores 1.0 where Jaccard dilutes toward
+    * |A|/|B|; the Lee-et-al dedup lineage reports exactly this). Same
+    * physical shape as every dedup signature here: per-doc DISTINCT
+    * token-3-gram shingles, candidate pairs generated BY the shared-gram
+    * equi-join (Σ per-gram doc-count², the `decontaminate` shape — never
+    * all-pairs), per-pair intersection count, then two gram-count joins
+    * turn it into both containment directions. Bounded slice for the
+    * oracle's benefit; the operator is slice-independent and the gram
+    * key switches to xxhash64 at corpus scale (the `hashKey` precedent).
+    */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    containment(Tables.documents(s, d).filter(col("doc_id") < 300))
+
+  /** The containment pipeline over an arbitrary (doc_id, text) frame —
+    * `gram` is the shingle width, `minC` the report threshold on
+    * max(C₁₂, C₂₁) (pairs where NEITHER direction reaches it are noise).
+    */
+  def containment(docs: DataFrame, gram: Int = 3, minC: Double = 0.2): DataFrame = {
+    val g = gram
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= g)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(a) - $g), i -> array_join(slice(a, i + 1, $g), ' '))")).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = grams.select(col("doc_id").as("doc_id1"), col("gram"))
+      .join(grams.select(col("doc_id").as("doc_id2"), col("gram")), "gram")
+      .filter(col("doc_id1") < col("doc_id2"))
+      .groupBy(col("doc_id1"), col("doc_id2")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_id1"), col("n").as("n1")), "doc_id1")
+      .join(sizes.select(col("doc_id").as("doc_id2"), col("n").as("n2")), "doc_id2")
+      .filter(greatest(col("n_common") / col("n1"), col("n_common") / col("n2")) >= minC)
+      .select(col("doc_id1"), col("doc_id2"), col("n_common"),
+        rnd(col("n_common") / col("n1"), 6).as("containment_12"),
+        rnd(col("n_common") / col("n2"), 6).as("containment_21"))
+  }
+
   /** dedup_substring — exact substring deduplication, the sliding-window
     * form of corpus boilerplate detection (the published training-data
     * pipelines run it at ~50-token spans; `gram` is scaled to this
@@ -513,6 +555,7 @@ object Dedup {
     "dedup_substring" -> substringDup,
     "dedup_substring_50" -> substringDup50,
     "similarity_ngram" -> ngramJaccard,
+    "similarity_containment" -> containmentPairs,
     "doc_fingerprint" -> fingerprint,
   )
 
@@ -627,5 +670,21 @@ object Dedup {
       ("SELECT doc_id, list_reduce(" +
         "list_transform(string_split(text, ''), c -> ascii(c)::BIGINT), " +
         "(acc, x) -> (acc * 31 + x) % 1000000007)::BIGINT AS fp FROM documents"),
+
+    "similarity_containment" ->
+      // same DISTINCT 3-gram shingles, same shared-gram candidate join,
+      // both containment directions from the two gram-count joins
+      ("WITH g AS (SELECT DISTINCT doc_id, array_to_string(a[i::INT:i::INT + 2], ' ') AS gram " +
+        "FROM (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents WHERE doc_id < 300) " +
+        "WHERE len(a) >= 3)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), " +
+        "com AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_id1, doc_id2, n_common, " +
+        "rnd(n_common / s1.n, 6) AS containment_12, " +
+        "rnd(n_common / s2.n, 6) AS containment_21 " +
+        "FROM com JOIN sz s1 ON s1.doc_id = doc_id1 JOIN sz s2 ON s2.doc_id = doc_id2 " +
+        "WHERE greatest(n_common / s1.n, n_common / s2.n) >= 0.2e0"),
   )
 }

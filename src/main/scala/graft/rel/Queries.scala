@@ -492,6 +492,25 @@ object Queries {
       .select(col("p_brand"), col("est_cnt"), col("true_cnt"))
   }
 
+  // agg_mode — deterministic modal value per group. Engine-native mode()
+  // breaks frequency ties arbitrarily in BOTH Spark and DuckDB — useless
+  // under a hash gate — so this is the window formulation with the total
+  // (cnt DESC, value ASC) order, the agg_argmax discipline. One keyed
+  // count + a group-count-sized window: the window input is |groups| ×
+  // |distinct values|, never corpus rows.
+  def modeBy(df: DataFrame, key: String, value: String): DataFrame = {
+    val counts = df.groupBy(col(key), col(value)).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(key)).orderBy(col("cnt").desc, col(value))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(key), col(value).as("mode_value"), col("cnt").as("mode_cnt"))
+  }
+
+  // declared row: most frequent o_orderpriority per order status
+  def aggMode(s: SparkSession, d: String): DataFrame =
+    modeBy(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")
+      .select(col("o_orderstatus"), col("mode_value").as("mode_priority"),
+        col("mode_cnt"))
+
   // pivot: per-user event-type counts as columns (EXPAND-free conditional
   // aggregation; the values list is pinned so both engines emit the same
   // schema).
@@ -947,6 +966,7 @@ object Queries {
     "join_bloom_prune" -> joinBloomPrune,
     "sql_exists" -> sqlExists,
     "agg_argmax" -> aggArgmax,
+    "agg_mode" -> aggMode,
     "reshape_unpivot" -> reshapeUnpivot,
     "sql_lateral" -> sqlLateral,
     "sql_recursive" -> sqlRecursive,
@@ -1319,5 +1339,15 @@ object Queries {
         "SELECT event_type, max(CASE WHEN rmax = 1 THEN event_id END) AS max_event, " +
         "max(CASE WHEN rmin = 1 THEN event_id END) AS min_event, " +
         "rnd(max(value), 6) AS max_v, rnd(min(value), 6) AS min_v FROM rk GROUP BY 1"),
+
+    "agg_mode" ->
+      // same total (cnt DESC, value ASC) tie-break as the Spark window —
+      // engine-native mode() is tie-arbitrary in both engines
+      ("WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
+        "FROM orders GROUP BY 1, 2), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY cnt DESC, o_orderpriority) AS rn FROM c) " +
+        "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt " +
+        "FROM rk WHERE rn = 1"),
   )
 }

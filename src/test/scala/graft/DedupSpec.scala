@@ -191,4 +191,34 @@ class DedupSpec extends SparkSpecBase {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("maxPerBlock"), s"unexpected failure: $msgs")
   }
+
+  test("containment is directional: embedded doc scores 1.0 where Jaccard dilutes") {
+    import spark.implicits._
+    // doc 2 = doc 1 plus 20 extra tokens; doc 3 disjoint
+    val short = (1 to 20).map(i => s"s$i").mkString(" ")
+    val long = short + " " + (1 to 20).map(i => s"x$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val rows = Dedup.containment(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    // all 18 of doc 1's 3-grams appear in doc 2 → C(1→2) = 1.0 exactly;
+    // doc 2 has 38 grams → C(2→1) = 18/38 < 0.5 — the Jaccard-diluted
+    // direction the asymmetric measure exists to expose
+    val (c12, c21) = rows((1L, 2L))
+    assert(c12 == 1.0 && c21 < 0.5, s"got ($c12, $c21)")
+    // disjoint doc never pairs (candidates come from the shared-gram join)
+    assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("modeBy: deterministic tie-break takes the smallest value") {
+    import spark.implicits._
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"),
+      ("h", "q")).toDF("k", "v")
+    val m = graft.rel.Queries.modeBy(df, "k", "v").collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getLong(2)))).toMap
+    // a and b tie at 2; the (cnt DESC, value ASC) total order picks a —
+    // engine-native mode() would be free to pick either
+    assert(m("g") == ("a", 2L) && m("h") == ("q", 1L))
+  }
 }
