@@ -294,37 +294,55 @@ object AnnSearch {
     * note, not a correctness risk). Prefer m | dim; the harness's
     * dim=16 runs m ∈ {4, 8}.
     */
-  def pqSearch(q: DataFrame, t: DataFrame, cb: DataFrame, m: Int, k: Int): DataFrame = {
-    // ONE codebook row: cbss[s+1][j+1] = codeword j's subspace-s slice
-    val cbRow = cb.groupBy()
+  /** ONE codebook row: cbss[s+1][j+1] = codeword j's subspace-s slice —
+    * m·k rows aggregated to a single nested array, the known-small
+    * broadcast every PQ pipeline stage shares.
+    */
+  private def pqCbRow(cb: DataFrame, m: Int): DataFrame =
+    cb.groupBy()
       .agg(expr("transform(array_sort(collect_list(struct(j, v))), p -> p.v)").as("cbv"))
       .select(expr(("transform(sequence(0, " + (m - 1) + "), s -> " +
         "transform(cbv, c -> slice(c, s * (size(c) div " + m + ") + 1, size(c) div " + m + ")))"))
         .as("cbss"))
-    val w = expr(s"size(v) div $m")
-    // the row's own subspace slices, computed once per vector
-    val vs = transform(sequence(lit(0), lit(m - 1)), s => slice(col("v"), s * w + 1, w))
 
-    // encode: per train vector, per subspace, argmin codeword by
-    // (dist, code) struct order — ties break to the lowest code, the
-    // exact semantics of the min(struct) aggregate it replaces. Codes
-    // are PRE-OFFSET (s·K + code) so the ADC gather needs no K and the
-    // per-query table can stay FLAT (see FusedAdc's allocation note).
+  // the row's own subspace slices, computed once per vector
+  private def pqSubspaces(m: Int): Column = {
+    val w = expr(s"size(v) div $m")
+    transform(sequence(lit(0), lit(m - 1)), s => slice(col("v"), s * w + 1, w))
+  }
+
+  /** Encode: per train vector, per subspace, argmin codeword by
+    * (dist, code) struct order — ties break to the lowest code, the
+    * exact semantics of the min(struct) aggregate it replaces. Codes
+    * are PRE-OFFSET (s·K + code) so the ADC gather needs no K and the
+    * per-query table can stay FLAT (see FusedAdc's allocation note).
+    */
+  private def pqCodes(t: DataFrame, cbRow: DataFrame, m: Int): DataFrame = {
+    val vs = pqSubspaces(m)
     val kSize = size(element_at(col("cbss"), lit(1)))
-    val codes = t.crossJoin(broadcast(cbRow))
+    t.crossJoin(broadcast(cbRow))
       .select(col("t_id"),
         transform(vs, (sv, s) =>
           s * kSize + array_min(transform(element_at(col("cbss"), s + 1), (cw, j) =>
             struct(ArrayDistance.l2sq(sv, cw).as("dist"), j.as("code"))))
             .getField("code"))
           .cast("array<int>").as("codes"))
+  }
 
-    // per-query m·K squared-distance table, flat subspace-major
-    val tables = q.crossJoin(broadcast(cbRow))
+  /** Per-query m·K squared-distance table, flat subspace-major. */
+  private def pqTables(q: DataFrame, cbRow: DataFrame, m: Int): DataFrame = {
+    val vs = pqSubspaces(m)
+    q.crossJoin(broadcast(cbRow))
       .select(col("q_id"),
         flatten(transform(vs, (sv, s) =>
           transform(element_at(col("cbss"), s + 1), cw => ArrayDistance.l2sq(sv, cw))))
           .as("tables"))
+  }
+
+  def pqSearch(q: DataFrame, t: DataFrame, cb: DataFrame, m: Int, k: Int): DataFrame = {
+    val cbRow = pqCbRow(cb, m)
+    val codes = pqCodes(t, cbRow, m)
+    val tables = pqTables(q, cbRow, m)
 
     // The table side is query-batch-proportional — un-hinted, AQE
     // broadcasts genuinely-small batches (big query sets chunk, kNN-IS).
@@ -415,6 +433,59 @@ object AnnSearch {
       cb = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
         .select((col("vec_id") - 20).as("j"), col("v")),
       m = 4, shortlist = 10, k = 3)
+  }
+
+  /** ann_ivf_pq — the production composite index: IVF coarse cells
+    * restrict WHICH vectors each query scans (a cell equi-join, the
+    * `ivfSearch` read path), PQ/ADC decides HOW each scanned vector's
+    * distance is computed (m table lookups over 2-byte codes, the
+    * `pqSearch` arithmetic). This is the memory-AND-compute shape real
+    * ANN services deploy (the Faiss IVFPQ lineage, here on raw-vector
+    * PQ): at 100 TB the corpus lives as codes (128× smaller than
+    * vectors), and a query touches only nprobe cells of it — the
+    * ADC pair count drops from |T| per query to Σ probed-cell sizes.
+    *
+    * Plan: encode + per-query tables are the shared PQ pure maps
+    * (broadcast codebook row); cell assignment is the shared argmin
+    * aggregate; candidates come from the probe-cells ⋈ train-cells
+    * equi-join (each train vector lives in exactly ONE cell, so the
+    * join cannot duplicate a (q, t) pair — no distinct); the ADC walk
+    * + bounded-heap top-k run only on candidates. No cross join
+    * anywhere — the full-scan form (`pqSearch`) exists for the corpus
+    * sizes where cells don't pay.
+    */
+  def ivfPqSearch(q: DataFrame, t: DataFrame, cent: DataFrame, cb: DataFrame,
+      m: Int, k: Int, nprobe: Int): DataFrame = {
+    val tCells = assignCells(
+      t.select(col("t_id"), col("v").as("t_v")), cent) // (t_id, cell)
+    val qCells = assignCellsMulti(
+      q.select(col("q_id").as("t_id"), col("v").as("t_v")), cent, nprobe)
+      .select(col("t_id").as("q_id"), col("cell"))
+    val cbRow = pqCbRow(cb, m)
+    val codes = pqCodes(t, cbRow, m)
+    val tables = pqTables(q, cbRow, m)
+    // candidate pairs by cell, then gather codes by t_id and the
+    // query's table by q_id — both equi-joins, AQE-gated sides
+    val adc = qCells.join(tCells, "cell")
+      .select(col("q_id"), col("t_id"))
+      .join(codes, "t_id")
+      .join(tables, "q_id")
+      .select(col("q_id"), col("t_id"),
+        ArrayDistance.adc(col("tables"), col("codes")).as("dist"))
+    graft.functions.TopKAgg.knn(adc, k)
+      .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
+  }
+
+  def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    ivfPqSearch(
+      q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v")),
+      t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v")),
+      cent = e.filter(col("vec_id") >= 20 && col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("c_v")),
+      cb = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+        .select((col("vec_id") - 20).as("j"), col("v")),
+      m = 4, k = 3, nprobe = 3)
   }
 
   /** Embedding-cosine near-dup: pairs among vec_id < 200 with cosine
@@ -613,6 +684,7 @@ object AnnSearch {
     "ann_pq" -> pqTopK,
     "ann_pq_chunked" -> pqChunkedTopK,
     "ann_rerank" -> pqRerankTopK,
+    "ann_ivf_pq" -> ivfPqTopK,
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic2" -> dedupSemantic2,
@@ -707,6 +779,27 @@ object AnnSearch {
       (s"WITH $pqChainSql, " +
         "qk AS (SELECT q_id, t_id, dist, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM ad) " +
+        "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "ann_ivf_pq" ->
+      // the PQ ADC chain restricted to the IVF candidate pairs: same
+      // cell/probe CTEs as ann_ivf, same ad CTE as ann_pq, top-k after
+      // the candidate filter
+      (s"WITH $pqChainSql, " +
+        "cent AS (SELECT vec_id AS c_id, v FROM e WHERE vec_id >= 20 AND vec_id % 40 = 0), " +
+        "asg AS (SELECT t_id, c_id, row_number() OVER (PARTITION BY t_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT e.vec_id AS t_id, c.c_id, ${l2Sql("e.v", "c.v")} AS dist " +
+        "FROM e CROSS JOIN cent c WHERE e.vec_id >= 20)), " +
+        "cells AS (SELECT t_id, c_id AS cell FROM asg WHERE rn = 1), " +
+        "probe AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT e.vec_id AS q_id, c.c_id, ${l2Sql("e.v", "c.v")} AS dist " +
+        "FROM e CROSS JOIN cent c WHERE e.vec_id < 20)), " +
+        "pr AS (SELECT q_id, c_id AS cell FROM probe WHERE rn <= 3), " +
+        "cand AS (SELECT p.q_id, ce.t_id FROM pr p JOIN cells ce ON ce.cell = p.cell), " +
+        "adf AS (SELECT ad.q_id, ad.t_id, ad.dist FROM ad " +
+        "JOIN cand ON cand.q_id = ad.q_id AND cand.t_id = ad.t_id), " +
+        "qk AS (SELECT q_id, t_id, dist, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM adf) " +
         "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
 
     // same oracle as ann_pq — the kNN-IS block split must be

@@ -402,6 +402,40 @@ object TextAnalysis {
   def qualityClassifier(s: SparkSession, d: String): DataFrame =
     qualityClassifierDocs(Tables.documents(s, d))
 
+  /** quality_gopher — the published Gopher-lineage document-quality rule
+    * set (Rae et al. 2021) as a declared filter row: word-count bounds,
+    * mean-word-length band, and the "contains ≥ 2 stopwords" requirement,
+    * each emitted as a signal plus the composite keep flag. The symbol-
+    * ratio and alpha-word rules from the same family are vacuous on this
+    * corpus (synthetic all-alphabetic tokens — every doc trivially
+    * passes) and are deliberately omitted rather than declared as
+    * always-true columns. Thresholds: word_count ≥ 50 (the published
+    * lower bound; this corpus's docs are 10-99 tokens so the 100 k upper
+    * bound cannot fire), 3 ≤ mean_word_len ≤ 10, stopword_hits ≥ 2 over
+    * the published 9-word list. One map over documents — no explode, no
+    * shuffle: the signals are array-HOF folds per row, embarrassingly
+    * parallel at any corpus size.
+    */
+  def qualityGopher(s: SparkSession, d: String): DataFrame =
+    qualityGopherDocs(Tables.documents(s, d))
+
+  def qualityGopherDocs(docs: DataFrame): DataFrame = {
+    val sw = GopherStopwords.map("'" + _ + "'").mkString(", ")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("word_count"),
+        rnd(expr("aggregate(w, 0L, (acc, x) -> acc + length(x))") / size(col("w")), 6)
+          .as("mean_word_len"),
+        size(expr(s"filter(w, x -> x IN ($sw))")).as("stopword_hits"))
+      .withColumn("keep",
+        col("word_count") >= 50 && col("mean_word_len").between(3.0, 10.0) &&
+          col("stopword_hits") >= 2)
+  }
+
+  private val GopherStopwords =
+    Seq("the", "a", "and", "to", "of", "be", "that", "have", "with")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tokenizer_bpe" -> bpe,
     "tokenizer_encode" -> bpeEncode,
@@ -416,6 +450,7 @@ object TextAnalysis {
     "corpus_zipf" -> corpusZipf,
     "quality_perplexity" -> perplexityProxy,
     "quality_classifier" -> qualityClassifier,
+    "quality_gopher" -> qualityGopher,
   )
 
   private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
@@ -471,6 +506,16 @@ object TextAnalysis {
   val rawOracles: Map[String, String] = Map(
     "tokenizer_bpe" -> bpeSql,
     "tokenizer_encode" -> bpeEncodeSql,
+    "quality_gopher" ->
+      // keep is derived from the ROUNDED mean in both engines so the
+      // band test cannot straddle a representation difference
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "s AS (SELECT doc_id, len(w)::INT AS word_count, " +
+        "rnd(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6) AS mean_word_len, " +
+        s"len(list_filter(w, x -> x IN ${inList(GopherStopwords)}))::INT AS stopword_hits FROM t) " +
+        "SELECT *, (word_count >= 50 AND mean_word_len BETWEEN 3e0 AND 10e0 " +
+        "AND stopword_hits >= 2) AS keep FROM s"),
+
     "text_quality" ->
       ("SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_types, " +
         "rnd(avg(length(tok)), 6) AS avg_len, " +

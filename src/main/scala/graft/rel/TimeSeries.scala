@@ -615,6 +615,55 @@ object TimeSeries {
   def retention(s: SparkSession, d: String): DataFrame =
     eventsRetention(Tables.events(s, d))
 
+  // ---- ts_decompose: additive seasonal decomposition --------------------
+
+  /** Classical additive decomposition of the per-type hourly series:
+    * trend = centered ±12 h moving average (a RANGE frame on the epoch
+    * key, so calendar gaps shrink the window instead of silently pulling
+    * in far-away rows — the row-frame trap on sparse series), seasonal =
+    * per-(type, hour-of-day) mean of the detrended series, remainder =
+    * observed − trend − seasonal. The STL-lite a monitoring pipeline
+    * runs before `ts_anomaly`-style residual scoring.
+    *
+    * Scale: one keyed hourly aggregation over raw events (map-side
+    * partials), then two window passes and one group mean over the
+    * BUCKET series — nothing past the first aggregate scales with event
+    * count. Per-type partitions are independent; a year of hourly
+    * buckets is ~9 k rows per key.
+    */
+  def decomposeHourly(events: DataFrame): DataFrame = {
+    // All window math runs in EXACT micro-unit integers. Averaging the
+    // 6-dp bucket means in doubles is systematically boundary-hostile:
+    // 25ths of a 1e-6 grid land exactly on half-ulps of the 6th decimal,
+    // so engine summation-order differences flip the rnd(6) output
+    // (observed at sf0.01 AND sf0.1). Integer window sums have no order
+    // sensitivity, the one division per output is IEEE-exact-rounded
+    // identically in both engines, and half-up is applied once via the
+    // shared floor(x + 0.5) formula.
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .withColumn("vu", floor(col("v") * 1e6 + 0.5).cast("long"))
+    val wTrend = Window.partitionBy("event_type").orderBy("hs")
+      .rangeBetween(-43200L, 43200L)
+    val wSeason = Window.partitionBy(col("event_type"), col("phase"))
+    b.withColumn("tu",
+        floor(sum(col("vu")).over(wTrend).cast("double") /
+          count(lit(1)).over(wTrend) + 0.5).cast("long"))
+      .withColumn("phase", expr("(hs div 3600) % 24"))
+      .withColumn("su",
+        floor(sum(col("vu") - col("tu")).over(wSeason).cast("double") /
+          count(lit(1)).over(wSeason) + 0.5).cast("long"))
+      .select(col("event_type"), col("hs"),
+        col("v"),
+        (col("tu") / 1e6).as("trend"),
+        (col("su") / 1e6).as("seasonal"),
+        ((col("vu") - col("tu") - col("su")) / 1e6).as("remainder"))
+  }
+
+  def decompose(s: SparkSession, d: String): DataFrame =
+    decomposeHourly(Tables.events(s, d))
+
   // ---- driver wiring ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -632,6 +681,7 @@ object TimeSeries {
     "ts_holt" -> holt,
     "ts_holt_winters" -> holtWinters,
     "ts_anomaly" -> anomaly,
+    "ts_decompose" -> decompose,
     "cdc_latest" -> latest,
     "cdc_merge" -> merge,
     "scd2_intervals" -> scd2,
@@ -639,6 +689,24 @@ object TimeSeries {
   )
 
   val rawOracles: Map[String, String] = Map(
+    "ts_decompose" ->
+      // same hourly buckets, same ±12h RANGE trend frame, same
+      // per-(type, hour-of-day) seasonal mean; remainder from unrounded
+      // parts in both engines
+      // identical micro-unit integer pipeline: exact window sums, one
+      // deterministic division + floor(x + 0.5) per output
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT *, floor(v * 1e6 + 0.5e0)::BIGINT AS vu FROM b), " +
+        "t AS (SELECT *, floor(sum(vu) OVER w ::DOUBLE / count(*) OVER w + 0.5e0)::BIGINT AS tu " +
+        "FROM u WINDOW w AS (PARTITION BY event_type ORDER BY hs " +
+        "RANGE BETWEEN 43200 PRECEDING AND 43200 FOLLOWING)), " +
+        "p AS (SELECT *, (hs // 3600) % 24 AS phase FROM t), " +
+        "se AS (SELECT *, floor(sum(vu - tu) OVER w2 ::DOUBLE / count(*) OVER w2 + 0.5e0)::BIGINT AS su " +
+        "FROM p WINDOW w2 AS (PARTITION BY event_type, phase)) " +
+        "SELECT event_type, hs, v, tu / 1e6 AS trend, su / 1e6 AS seasonal, " +
+        "(vu - tu - su) / 1e6 AS remainder FROM se"),
+
     "cdc_merge" ->
       // the oracle states MERGE semantics declaratively: NOT IN for the
       // anti join, the same op derivation and value bump

@@ -250,4 +250,33 @@ class AnnSearchSpec extends SparkSpecBase {
     // no single component may carry (almost) all the mass
     assert(p.map(r => math.abs(r.getDouble(1))).max < 0.999)
   }
+
+  test("ivfPqSearch probing every cell ≡ full-scan pqSearch; fewer probes never add pairs") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v"))
+    val t = e.filter(col("vec_id") >= 10 && col("vec_id") < 200)
+      .select(col("vec_id").as("t_id"), col("v"))
+    val cent = e.filter(col("vec_id") >= 10 && col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    val cb = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+      .select((col("vec_id") - 10).as("j"), col("v"))
+    val nCells = cent.count().toInt
+    // probe ALL cells → the candidate set is the whole corpus, so the
+    // composite must reproduce the full PQ scan row for row
+    val full = collectSet(AnnSearch.pqSearch(q, t, cb, m = 4, k = 3))
+    val all = collectSet(AnnSearch.ivfPqSearch(q, t, cent, cb, m = 4, k = 3, nprobe = nCells))
+    assert(all === full)
+    // nprobe=1 returns (q, t) pairs that are a subset of SOME cell's
+    // content — every returned pair must also appear under probe-all
+    // BEFORE the top-k cut, so its ADC dist must equal the full-scan
+    // dist for that pair (candidate restriction changes WHICH pairs
+    // rank, never a pair's distance)
+    val one = AnnSearch.ivfPqSearch(q, t, cent, cb, m = 4, k = 3, nprobe = 1)
+      .select("q_id", "t_id", "dist")
+    val fullAd = AnnSearch.pqSearch(q, t, cb, m = 4, k = 200)
+      .select("q_id", "t_id", "dist")
+    assert(one.join(fullAd, Seq("q_id", "t_id", "dist"), "left_anti").count() === 0)
+  }
 }

@@ -93,4 +93,18 @@ class TextAnalysisSpec extends SparkSpecBase {
       .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).sortBy(_._1)
     assert(r2.toSeq === Seq((1, "a a", 6L), (2, "aa aa", 2L)))
   }
+
+  test("qualityGopher: each rule drops exactly the doc that violates it") {
+    import spark.implicits._
+    val filler = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"the $filler with"),          // 62 words, 2 stopwords → keep
+      (1L, "the short with doc"),         // word_count 4 < 50 → drop
+      (2L, s"the $filler"),               // 1 stopword < 2 → drop
+      (3L, s"the $filler with " +         // mean word length < 3 → drop
+        (1 to 200).map(_ => "a").mkString(" "))).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityGopherDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(m === Map(0L -> true, 1L -> false, 2L -> false, 3L -> false))
+  }
 }

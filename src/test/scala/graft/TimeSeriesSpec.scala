@@ -281,4 +281,23 @@ class TimeSeriesSpec extends SparkSpecBase {
     // epoch-week-0 cohort: w0 → 2 users, w1 → 1 user; week-1 cohort: w0 → 1
     assert(out.toSeq === Seq((0L, 2L), (1L, 1L), (0L, 1L)))
   }
+
+  test("decomposeHourly: constant series decomposes to itself; reconstruction is exact") {
+    // constant value 5.0 every hour for 48 h → trend = 5, seasonal = 0,
+    // remainder = 0 at every bucket
+    val const = ev((0L until 48L).map(h =>
+      (h, h * 3600L, 1L, "click", 5.0)): _*)
+    val c = TimeSeries.decomposeHourly(const).collect()
+    assert(c.length === 48)
+    assert(c.forall(r => r.getDouble(3) === 5.0 && r.getDouble(4) === 0.0 &&
+      r.getDouble(5) === 0.0), "constant series must be pure trend")
+    // on real data: v == trend + seasonal + remainder exactly IN
+    // MICRO-UNITS — the integer pipeline makes the identity true on the
+    // 1e-6 grid (the double sum of the three parts can differ by an ulp,
+    // so the grid is where exactness lives)
+    val d = TimeSeries.decompose(spark, sfDir)
+      .filter(expr("floor(v * 1e6 + 0.5) != floor(trend * 1e6 + 0.5) + " +
+        "floor(seasonal * 1e6 + 0.5) + floor(remainder * 1e6 + 0.5)"))
+    assert(d.count() === 0, "micro-unit reconstruction identity must hold")
+  }
 }
