@@ -283,7 +283,46 @@ object Curation {
       "SELECT doc_id, shard, " +
       "row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::INT AS pos FROM sh"
 
+  /** corpus_curate — the END-TO-END keep/drop decision a curation
+    * pipeline produces per training doc, composing three independently
+    * oracle-gated families into one verdict row: the published Gopher
+    * quality rules (`TextAnalysis.qualityGopherDocs`), the 8-token
+    * repeated-window boilerplate ratio (`Dedup.substringDupDocs`,
+    * dropped above 0.2 — the threshold drops ~9 % of this corpus), and
+    * 13-gram eval-set decontamination (`decontaminateDocs(gram = 13)`,
+    * the published shingle). keep = quality ∧ ¬boilerplate ∧
+    * ¬contaminated; eval docs (doc_id % 10 = 0) are not training docs
+    * and are excluded from the verdict.
+    *
+    * Scale: three independent passes over documents — each already the
+    * validated at-scale shape (shuffle-free map / window-count join /
+    * gram equi-join) — composed by doc_id equi-joins whose inputs are
+    * one row per doc. Nothing here adds a new scaling dimension; the
+    * row exists so the COMPOSITION (the thing a real pipeline actually
+    * ships) is driver-visible and oracle-gated, not just its parts.
+    */
+  def corpusCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gopher = TextAnalysis.qualityGopherDocs(docs)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val boiler = Dedup.substringDupDocs(docs)
+      .select(col("doc_id"), col("dup_ratio"))
+    val contam = decontaminateDocs(docs, gram = 13)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    docs.filter(col("doc_id") % 10 =!= 0).select("doc_id")
+      .join(gopher, "doc_id")
+      .join(boiler, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("gopher_keep"),
+        // docs too short for an 8-token window have no windows → ratio 0
+        coalesce(col("dup_ratio"), lit(0.0)).as("dup_ratio"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .withColumn("keep",
+        col("gopher_keep") && col("dup_ratio") <= 0.2 && !col("contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curate" -> corpusCurate,
     "decontaminate" -> decontaminate,
     "decontaminate_13" -> ((ss, d) => decontaminateDocs(graft.Tables.documents(ss, d), gram = 13)),
     "seq_pack" -> seqPack,
@@ -296,6 +335,37 @@ object Curation {
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
   val rawOracles: Map[String, String] = Map(
+    "corpus_curate" -> {
+      val sw = TextAnalysis.GopherStopwords.map("'" + _ + "'").mkString("(", ", ", ")")
+      // the three families' own oracle CTEs (gopher signals, 8-token
+      // window dup ratio, 13-gram eval overlap) joined on doc_id
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "gq AS (SELECT doc_id, (len(w)::INT >= 50 " +
+        "AND rnd(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6) BETWEEN 3e0 AND 10e0 " +
+        s"AND len(list_filter(w, x -> x IN $sw))::INT >= 2) AS gopher_keep FROM t), " +
+        "wn AS (SELECT doc_id, array_to_string(w[(i + 1)::INT:(i + 8)::INT], ' ') AS wtext " +
+        "FROM (SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS i FROM t WHERE len(w) >= 8)), " +
+        "dup AS (SELECT wtext FROM (SELECT wtext, count(DISTINCT doc_id) AS nd " +
+        "FROM wn GROUP BY 1) WHERE nd >= 2), " +
+        "tot AS (SELECT doc_id, count(*) AS n_win FROM wn GROUP BY 1), " +
+        "dd AS (SELECT doc_id, count(*) AS n_dup FROM wn " +
+        "WHERE wtext IN (SELECT wtext FROM dup) GROUP BY 1), " +
+        "br AS (SELECT tot.doc_id, rnd(coalesce(n_dup, 0) / n_win, 6) AS dup_ratio " +
+        "FROM tot LEFT JOIN dd USING (doc_id)), " +
+        "g13 AS (SELECT DISTINCT doc_id, array_to_string(w[i::INT:(i + 12)::INT], ' ') AS g " +
+        "FROM (SELECT doc_id, w, unnest(range(1, len(w) - 11)) AS i FROM t WHERE len(w) >= 13)), " +
+        "ev AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 10 = 0), " +
+        "ct AS (SELECT DISTINCT doc_id FROM g13 JOIN ev USING (g) WHERE doc_id % 10 <> 0) " +
+        "SELECT b.doc_id, gq.gopher_keep, " +
+        "coalesce(br.dup_ratio, 0e0) AS dup_ratio, " +
+        "(ct.doc_id IS NOT NULL) AS contaminated, " +
+        "(gq.gopher_keep AND coalesce(br.dup_ratio, 0e0) <= 0.2e0 AND ct.doc_id IS NULL) AS keep " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) b " +
+        "JOIN gq ON gq.doc_id = b.doc_id " +
+        "LEFT JOIN br ON br.doc_id = b.doc_id " +
+        "LEFT JOIN ct ON ct.doc_id = b.doc_id"
+    },
+
     "corpus_shuffle" -> corpusShuffleSql(),
 
     "decontaminate" ->

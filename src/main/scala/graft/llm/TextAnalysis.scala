@@ -433,7 +433,7 @@ object TextAnalysis {
           col("stopword_hits") >= 2)
   }
 
-  private val GopherStopwords =
+  private[llm] val GopherStopwords =
     Seq("the", "a", "and", "to", "of", "be", "that", "have", "with")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

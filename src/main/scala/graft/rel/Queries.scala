@@ -511,6 +511,20 @@ object Queries {
       .select(col("o_orderstatus"), col("mode_value").as("mode_priority"),
         col("mode_cnt"))
 
+  // window_cume_dist — distribution-rank analytics: percent_rank =
+  // (rank−1)/(n−1) and cume_dist = |rows ≤ current|/n per event_type.
+  // Tied values share a rank in both engines, so the outputs are
+  // deterministic without an id tie-break; the integer-ratio division
+  // is identical double arithmetic on both sides. One partition-sort
+  // per key, the standard window shuffle.
+  def windowCumeDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        rnd(percent_rank().over(w), 6).as("pct_rank"),
+        rnd(cume_dist().over(w), 6).as("cume"))
+  }
+
   // pivot: per-user event-type counts as columns (EXPAND-free conditional
   // aggregation; the values list is pinned so both engines emit the same
   // schema).
@@ -967,6 +981,7 @@ object Queries {
     "sql_exists" -> sqlExists,
     "agg_argmax" -> aggArgmax,
     "agg_mode" -> aggMode,
+    "window_cume_dist" -> windowCumeDist,
     "reshape_unpivot" -> reshapeUnpivot,
     "sql_lateral" -> sqlLateral,
     "sql_recursive" -> sqlRecursive,
@@ -1349,5 +1364,11 @@ object Queries {
         "ORDER BY cnt DESC, o_orderpriority) AS rn FROM c) " +
         "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt " +
         "FROM rk WHERE rn = 1"),
+
+    "window_cume_dist" ->
+      ("SELECT event_id, event_type, " +
+        "rnd(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS pct_rank, " +
+        "rnd(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS cume " +
+        "FROM events"),
   )
 }

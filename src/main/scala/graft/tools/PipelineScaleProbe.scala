@@ -211,6 +211,36 @@ object PipelineScaleProbe {
     println(f"[scale] ann_rerank nVecs=$nVecs nQ=$nQ shortlist=100 rr=$rrRows rows in $tRr%.1f s " +
       f"(recall ${rrHits.toDouble / bruteRows}%.3f vs raw-PQ ${pqHits.toDouble / bruteRows}%.3f)")
 
+    // ---- ANN: IVF-PQ composite ------------------------------------------
+    // the production index: nprobe cells bound WHICH codes each query
+    // scans, ADC bounds the arithmetic per code. The ADC pair count is
+    // the scale lever — full-scan PQ pays |Q|·|T| pairs no matter how
+    // cheap each pair is; the cell join admits only Σ probed-cell sizes.
+    // Recall is capped by the raw-PQ ceiling (same codes), so the
+    // numbers to read are pairs and wall at recall ≈ the PQ baseline.
+    val cbPq = t.filter(col("t_id") < nQ + 64)
+      .select((col("t_id") - nQ).as("j"), col("t_v").as("v"))
+    for (np <- Seq(1, 4)) {
+      t0 = System.nanoTime()
+      val ip = AnnSearch.ivfPqSearch(
+        q.select(col("q_id"), col("q_v").as("v")),
+        t.select(col("t_id"), col("t_v").as("v")),
+        cent, cbPq, m = 4, k = 10, nprobe = np)
+        .select(col("q_id"), col("t_id")).persist()
+      val ipRows = ip.count()
+      val tIp = (System.nanoTime() - t0) / 1e9
+      val ipHits = ip.join(brute, Seq("q_id", "t_id"), "left_semi").count()
+      ip.unpersist()
+      val cand = AnnSearch.assignCellsMulti(
+          q.select(col("q_id").as("t_id"), col("q_v").as("t_v")), cent, np)
+        .select(col("t_id").as("q_id"), col("cell"))
+        .join(AnnSearch.assignCells(t, cent), "cell").count()
+      println(f"[scale] ann_ivfpq nVecs=$nVecs nQ=$nQ cells≈$nCells nprobe=$np rows=$ipRows " +
+        f"adc_pairs=$cand%,d (full-scan PQ pays ${nQ.toLong * (nVecs - nQ)}%,d) " +
+        f"wall=$tIp%.1f s recall=${ipHits.toDouble / bruteRows}%.3f " +
+        f"(raw-PQ ceiling ${pqHits.toDouble / bruteRows}%.3f)")
+    }
+
     // ---- ANN: PQ at production width (m=8, K=256) -----------------------
     // the declared row's 4×64 codebook is oracle-sized; this leg runs
     // the width real deployments use (8 subspaces × 256 codewords = one
