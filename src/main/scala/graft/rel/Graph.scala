@@ -232,13 +232,35 @@ object Graph {
   def edgeJaccardQuery(s: SparkSession, d: String): DataFrame =
     edgeJaccard(coOrderEdges(s, d))
 
+  /** graph_degree_dist — the degree histogram (degree → node count) of
+    * the customer↔supplier graph: the first diagnostic a graph pipeline
+    * prints (skew detection BEFORE committing to an orientation or a
+    * partitioning — the heavy-group guards elsewhere in this file exist
+    * because of exactly the tail this query exposes). Two keyed
+    * aggregations, both with map-side partials; nothing scales past the
+    * edge scan.
+    */
+  def degreeDistQuery(s: SparkSession, d: String): DataFrame =
+    custSuppEdges(s, d)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_dist" -> degreeDistQuery,
     "graph_pagerank" -> pageRankQuery,
     "graph_triangles" -> trianglesQuery,
     "graph_edge_jaccard" -> edgeJaccardQuery,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "graph_degree_dist" ->
+      // the same symmetrized edge list as graph_pagerank's oracle
+      ("WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw), " +
+        "dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1) " +
+        "SELECT deg, count(*) AS n_nodes FROM dg GROUP BY 1"),
+
     "graph_pagerank" -> {
       // the same three message-passing rounds, unrolled as CTEs
       def round(i: Int): String =

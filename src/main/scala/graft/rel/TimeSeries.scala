@@ -664,6 +664,42 @@ object TimeSeries {
   def decompose(s: SparkSession, d: String): DataFrame =
     decomposeHourly(Tables.events(s, d))
 
+  // ---- ts_autocorr: lag-k autocorrelation -------------------------------
+
+  /** Lag-1..3 autocorrelation of the per-type hourly series — the
+    * seasonality/persistence detector run before committing to a
+    * decomposition period. Pairs come from a TIME-lag equi-join
+    * (y.hs = x.hs + k·3600), not a row-offset window, so calendar gaps
+    * pair nothing instead of silently pairing non-adjacent hours.
+    * Pearson r over the matched pairs, assembled from explicit raw
+    * moments avg(x), avg(y), avg(x·y), avg(x²), avg(y²) in BOTH
+    * engines (the agg_corr discipline — no engine-internal one-pass
+    * co-moment merge orders), output bounded in [-1, 1] where rnd(6)
+    * is safe. Scale: the bucket series is calendar-bounded; three
+    * integer-keyed self-joins and one keyed aggregate.
+    */
+  def autocorrHourly(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+    val x = b.withColumn("lag", explode(array((1 to maxLag).map(lit): _*)))
+      .select(col("event_type"), col("lag"), col("hs"), col("v").as("x"))
+    val y = b.select(col("event_type"), col("hs").as("yhs"), col("v").as("y"))
+    val denom = (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))) *
+      (avg(col("y") * col("y")) - avg(col("y")) * avg(col("y")))
+    x.join(y, x("event_type") === y("event_type") &&
+        col("yhs") === col("hs") + col("lag") * 3600)
+      .drop(y("event_type"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        rnd(when(denom > 0,
+          (avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))) / sqrt(denom))
+          .otherwise(lit(0.0)), 6).as("r"))
+  }
+
+  def autocorr(s: SparkSession, d: String): DataFrame =
+    autocorrHourly(Tables.events(s, d))
+
   // ---- driver wiring ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -682,6 +718,7 @@ object TimeSeries {
     "ts_holt_winters" -> holtWinters,
     "ts_anomaly" -> anomaly,
     "ts_decompose" -> decompose,
+    "ts_autocorr" -> autocorr,
     "cdc_latest" -> latest,
     "cdc_merge" -> merge,
     "scd2_intervals" -> scd2,
@@ -689,6 +726,22 @@ object TimeSeries {
   )
 
   val rawOracles: Map[String, String] = Map(
+    "ts_autocorr" ->
+      // same time-lag pairing, same explicit raw moments, r in [-1, 1]
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "l AS (SELECT unnest(range(1, 4)) AS lag), " +
+        "p AS (SELECT x.event_type, l.lag::INT AS lag, x.v AS x, y.v AS y " +
+        "FROM b x CROSS JOIN l JOIN b y ON y.event_type = x.event_type " +
+        "AND y.hs = x.hs + l.lag * 3600), " +
+        "m AS (SELECT event_type, lag, count(*) AS n_pairs, " +
+        "avg(x) AS ax, avg(y) AS ay, avg(x * y) AS axy, " +
+        "avg(x * x) AS ax2, avg(y * y) AS ay2 FROM p GROUP BY 1, 2) " +
+        "SELECT event_type, lag, n_pairs, " +
+        "rnd(CASE WHEN (ax2 - ax * ax) * (ay2 - ay * ay) > 0 " +
+        "THEN (axy - ax * ay) / sqrt((ax2 - ax * ax) * (ay2 - ay * ay)) " +
+        "ELSE 0e0 END, 6) AS r FROM m"),
+
     "ts_decompose" ->
       // same hourly buckets, same ±12h RANGE trend frame, same
       // per-(type, hour-of-day) seasonal mean; remainder from unrounded

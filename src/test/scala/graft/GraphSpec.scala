@@ -93,4 +93,13 @@ class GraphSpec extends SparkSpecBase {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("maxPerGroup"), s"unexpected failure: $msgs")
   }
+
+  test("degree histogram mass equals the symmetrized edge count (handshake identity)") {
+    import org.apache.spark.sql.functions._
+    val edges = Graph.custSuppEdges(spark, sfDir)
+    val hist = Graph.degreeDistQuery(spark, sfDir)
+    val mass = hist.agg(sum(col("deg") * col("n_nodes"))).head().getLong(0)
+    assert(mass === edges.count(), "Σ deg·n_nodes must equal |symmetrized E|")
+    assert(hist.filter(col("deg") <= 0).count() === 0)
+  }
 }

@@ -300,4 +300,15 @@ class TimeSeriesSpec extends SparkSpecBase {
         "floor(seasonal * 1e6 + 0.5) + floor(remainder * 1e6 + 0.5)"))
     assert(d.count() === 0, "micro-unit reconstruction identity must hold")
   }
+
+  test("autocorrHourly: alternating series → r ≈ -1 at lag 1, +1 at lag 2") {
+    // 48 hourly buckets alternating 1, 9, 1, 9, … — period 2 exactly
+    val alt = ev((0L until 48L).map(h =>
+      (h, h * 3600L, 1L, "click", if (h % 2 == 0) 1.0 else 9.0)): _*)
+    val r = TimeSeries.autocorrHourly(alt).collect()
+      .map(x => x.getInt(1) -> x.getDouble(3)).toMap
+    assert(math.abs(r(1) + 1.0) < 1e-3, s"lag1 ${r(1)}")
+    assert(math.abs(r(2) - 1.0) < 1e-3, s"lag2 ${r(2)}")
+    assert(math.abs(r(3) + 1.0) < 1e-3, s"lag3 ${r(3)}")
+  }
 }
