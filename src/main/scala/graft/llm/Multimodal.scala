@@ -181,7 +181,32 @@ object Multimodal {
         expr("(448 * h + sh) div (2 * sh)").as("out_h"))
   }
 
+  /** Declared query: webdataset-style SHARD PACKING — the plan a
+    * multimodal dataloader executes before training: payloads stream
+    * per-modality in media_id order into fixed-byte shards (4 KiB here;
+    * production shards are ~100 MB-1 GB tar members, same math), each
+    * payload assigned the shard its FIRST byte lands in plus its offset
+    * (the `seqPackDocs` semantics on bytes instead of chars). One
+    * running sum per modality — windows parallelize across modalities;
+    * a global cross-modality pack would use the `seqPackGlobal`
+    * two-pass prefix-sum shape.
+    */
+  def mediaPack(s: SparkSession, d: String): DataFrame = {
+    val budget = 4096
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("modality")).orderBy(col("media_id"))
+      .rowsBetween(Long.MinValue, 0)
+    ingestDocuments(s, d)
+      .select(col("media_id"), col("modality"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+      .withColumn("cum", sum(col("n_bytes")).over(w))
+      .select(col("media_id"), col("modality"), col("n_bytes"),
+        expr(s"(cum - n_bytes) div $budget").as("shard_id"),
+        ((col("cum") - col("n_bytes")) % budget).as("shard_off"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_pack" -> mediaPack,
     "multimodal_meta" -> mediaMeta,
     "multimodal_sample" -> mediaSample,
     "multimodal_resize" -> mediaResize,
@@ -191,6 +216,16 @@ object Multimodal {
     "multimodal_meta" ->
       ("SELECT doc_id AS media_id, 'text' AS modality, " +
         "octet_length(encode(text))::INT AS n_bytes, md5(text) AS h FROM documents"),
+
+    "multimodal_pack" ->
+      // same running-sum packing; utf-8 byte length via encode()
+      ("WITH m AS (SELECT doc_id AS media_id, 'text' AS modality, " +
+        "octet_length(encode(text))::BIGINT AS n_bytes FROM documents), " +
+        "c AS (SELECT *, sum(n_bytes) OVER (PARTITION BY modality " +
+        "ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m) " +
+        "SELECT media_id, modality, n_bytes, " +
+        "(cum - n_bytes) // 4096 AS shard_id, " +
+        "(cum - n_bytes) % 4096 AS shard_off FROM c"),
 
     "multimodal_sample" ->
       ("SELECT media_id, length(sampled)::INT AS n_frames, md5(sampled) AS sample_hash FROM (" +
