@@ -2,28 +2,48 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Physical-plan audit harness: prints `.explain("formatted")` for the
-  * named queries (args, or a default set of the most recently added
-  * ones) against sf0.001. Used per the working rule "after each
-  * operator works, explain the plan and iterate until it's the plan
-  * you'd want" — run with `sbt "runMain graft.tools.PlanAudit q1 q2"`.
+import graft.SparkEntry
+
+/** Plan-shape sweep over EVERY declared query: counts Exchange /
+  * BroadcastExchange / CartesianProduct / BroadcastNestedLoopJoin
+  * operators in the executed plan WITHOUT running the query, and lists
+  * the queries carrying cartesian/BNLJ shapes so intentional ones (the
+  * pairwise-distance and PQ table×codes products, the one-row bloom
+  * collect) stay visibly intentional and an accidental one is loud.
+  * The per-operator specs (KnnSpec, BucketingSpec, SkewSpec) pin the
+  * load-bearing shapes; this is the inventory-wide smoke sweep.
+  *
+  * usage: tools/run.sh graft.tools.PlanAudit [sfdir]
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val qs =
-      if (args.nonEmpty) args.toSeq
-      else Seq("agg_topk_freq", "join_skew_salted", "embedding_normalize",
-        "embedding_centroid", "sample_stratified", "corpus_mix")
-    for (q <- qs) {
-      println(s"===== $q =====")
-      graft.SparkEntry.queries(q)(spark, d).explain("formatted")
+    var nCart = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        def c(tag: String) = plan.linesIterator.count(_.contains(tag))
+        val cart = c("CartesianProduct")
+        val bnl = c("BroadcastNestedLoopJoin")
+        if (cart + bnl > 0) {
+          nCart += 1
+          println(f"[plan] $name%-28s exchanges=${c("Exchange")}%2d " +
+            f"cartesian=$cart bnlj=$bnl  <-- verify intentional")
+        }
+      } catch {
+        case e: Throwable => println(s"[plan] $name FAILED to plan: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
     }
+    println(s"[plan] ${SparkEntry.queries.size} queries audited; " +
+      s"$nCart carry cartesian/BNLJ shapes (list above)")
     spark.stop()
   }
 }
