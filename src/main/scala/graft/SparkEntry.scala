@@ -117,6 +117,25 @@ object SparkEntry {
         .select(col("q_id"), col("t_id"), round(col("dist"), 6).as("dist"), col("rn"))
     },
 
+    // #21c knn_regress: inverse-distance-weighted kNN REGRESSION — the
+    // numeric-target sibling of knn_classify (same top-k kernel, a
+    // weighted mean instead of a majority vote). Target is the train
+    // vector's mean component (a deterministic smooth function of the
+    // embedding, so regression from neighbors is meaningful); weights
+    // 1/max(dist, 1e-9) guard exact-duplicate neighbors. The target
+    // fold is a left-to-right `aggregate` HOF ≡ DuckDB list_sum (the
+    // fused-distance element-order parity contract).
+    "knn_regress" -> { (s, d) =>
+      val tr = embTrain(s, d).select(col("vec_id"), col("v"),
+        expr("aggregate(v, 0D, (a, x) -> a + x) / size(v)").as("target"))
+      Knn.knn(embQueries(s, d), tr.select("vec_id", "v"), K)
+        .join(tr.select(col("vec_id").as("t_id"), col("target")), "t_id")
+        .withColumn("w", lit(1.0) / greatest(col("dist"), lit(1e-9)))
+        .groupBy(col("q_id"))
+        .agg(graft.rel.Queries.rnd(sum(col("w") * col("target")) / sum(col("w")), 6)
+          .as("pred"), count(lit(1)).as("k"))
+    },
+
     // #22 fknn_membership_init (CORE): Keller stage-1 CMD, long form.
     "fknn_membership_init" -> { (s, d) =>
       Fknn.membershipInit(embTrain(s, d), K, NClasses)
@@ -238,6 +257,17 @@ object SparkEntry {
         "FROM qs q CROSS JOIN tr b), " +
         "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp) " +
         s"SELECT q_id, t_id, round(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= $K"),
+
+    "knn_regress" ->
+      (s"WITH $embCte, " +
+        s"qp AS (SELECT q.vec_id AS q_id, b.vec_id AS t_id, ${distSql("q.v", "b.v")} AS dist " +
+        "FROM qs q CROSS JOIN tr b), " +
+        "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp), " +
+        "tg AS (SELECT vec_id, list_sum(v) / len(v) AS target FROM tr), " +
+        s"nb AS (SELECT q_id, 1e0 / greatest(dist, 1e-9) AS w, target " +
+        s"FROM qk JOIN tg ON tg.vec_id = qk.t_id WHERE rn <= $K) " +
+        "SELECT q_id, rnd(sum(w * target) / sum(w), 6) AS pred, count(*) AS k " +
+        "FROM nb GROUP BY 1"),
 
     "fknn_membership_init" ->
       (s"WITH $embCte, $memCte " +
