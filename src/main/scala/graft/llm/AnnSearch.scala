@@ -66,6 +66,34 @@ object AnnSearch {
       .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
   }
 
+  /** ann_range_search — RADIUS search: every train vector within cosine
+    * distance ε of each query, not a fixed top-k — the dedup/recall
+    * surface ("give me EVERYTHING this close") that top-k truncates.
+    * Candidates come from the same sign-LSH bucket equi-join as
+    * `ann_lsh_bucket` (a query probes only its own bucket), the radius
+    * predicate filters on the UNROUNDED fused distance — bit-identical
+    * across engines (DistanceSpec), so ε-boundary membership cannot
+    * flip. At 100 TB the bucket join is the scale path: pair count is
+    * Σ|bucket_q|·|bucket_t|/B, never |Q|·|T|, and buckets shuffle by
+    * key like any hash join; recall beyond one bucket is the declared
+    * multi-probe trade measured in SCALE.md (IVF nprobe table).
+    * ε = 0.8 is data-calibrated: the synthetic embeddings are near-
+    * orthogonal (same-bucket cosine distances min ≈ 0.6, median ≈ 0.89
+    * at every SF), so 0.8 ≈ the 25th percentile keeps the row
+    * non-vacuous at sf0.001/0.01/0.1 alike.
+    */
+  def rangeSearch(s: SparkSession, d: String, eps: Double = 0.8): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), bucketCol(col("v")).as("bucket"))
+    val t = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("t_id"), col("v").as("t_v"), bucketCol(col("v")).as("bucket"))
+    broadcast(q).join(t, "bucket")
+      .select(col("q_id"), col("t_id"), cosineDist(col("q_v"), col("t_v")).as("dist"))
+      .filter(col("dist") <= eps)
+      .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"))
+  }
+
   /** IVF-style ANN (L2): a deterministic coarse quantizer (every 40th
     * train vector is a centroid — a production build would run k-means;
     * the plan shape is identical and this keeps the oracle expressible),
@@ -679,6 +707,7 @@ object AnnSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> cosineTopK,
     "ann_lsh_bucket" -> lshBucketTopK,
+    "ann_range_search" -> ((s, d) => rangeSearch(s, d)),
     "ann_ivf" -> ivfTopK,
     "ann_ivf_kmeans" -> ivfKmeansTopK,
     "ann_pq" -> pqTopK,
@@ -756,6 +785,16 @@ object AnnSearch {
         "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id >= 20), " +
         "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM qp) " +
         "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "ann_range_search" ->
+      // same bucket candidates, radius predicate on the unrounded
+      // bit-identical fused distance (never the rounded output column)
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"eb AS (SELECT vec_id, v, $bucketSql AS bucket FROM e), " +
+        "qp AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, " +
+        s"${cosSql("a.v", "b.v")} AS dist " +
+        "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id >= 20) " +
+        "SELECT q_id, t_id, rnd(dist, 6) AS dist FROM qp WHERE dist <= 0.8e0"),
 
     "ann_ivf" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +

@@ -167,6 +167,29 @@ object Curation {
   def docChunk(s: SparkSession, d: String): DataFrame =
     docChunkDocs(Tables.documents(s, d))
 
+  /** doc_chunk_tokens — TOKEN-budget chunking with overlap (32 tokens,
+    * stride 24): the RAG/embedding-ingest split as embedding models
+    * actually bound it — by token count, not characters (`doc_chunk` is
+    * the byte-oriented sibling). Whitespace tokens (the repo-wide
+    * `split(text, ' ')` convention), chunks rejoined with a single
+    * space; the last chunk may be short, and the chunk count formula is
+    * the `doc_chunk` ceiling: (max(n−32, 0) + 23) div 24 + 1, so every
+    * token lands in ≥ 1 chunk and consecutive chunks share 8 tokens of
+    * context. Pure per-row map — the token array, index sequence, and
+    * slice stay in-engine; no shuffle, scans stream through.
+    */
+  def docChunkTokensDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, (greatest(size(toks) - 32, 0) + 23) div 24)")).as("i"))
+      .select(col("doc_id"), col("i").cast("int").as("chunk_id"),
+        expr("array_join(slice(toks, cast(i * 24 + 1 as int), 32), ' ')").as("chunk"),
+        expr("cast(least(32, size(toks) - i * 24) as int)").as("n_toks"))
+
+  def docChunkTokens(s: SparkSession, d: String): DataFrame =
+    docChunkTokensDocs(Tables.documents(s, d))
+
   /** pii_redact — pattern-based PII scrubbing (the pre-training privacy
     * pass): email-shaped tokens then digit runs masked, with a count of
     * masked spans per record. Pure map — codegen'd regexp over each
@@ -328,6 +351,7 @@ object Curation {
     "seq_pack" -> seqPack,
     "quality_repetition" -> qualityRepetition,
     "doc_chunk" -> docChunk,
+    "doc_chunk_tokens" -> docChunkTokens,
     "pii_redact" -> piiRedact,
     "corpus_line_dedup" -> lineDedup,
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
@@ -406,6 +430,17 @@ object Curation {
         "i AS (SELECT doc_id, text, unnest(range(0, (greatest(len - 64, 0) + 47) // 48 + 1)) AS i " +
         "FROM d) " +
         "SELECT doc_id, i::INT AS chunk_id, substr(text, (i * 48 + 1)::INT, 64) AS chunk FROM i"),
+
+    "doc_chunk_tokens" ->
+      // same 32/24 token budget; list_slice end is inclusive, so the
+      // window [i·24+1, i·24+32] matches Spark's slice(toks, i·24+1, 32)
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "len(string_split(text, ' ')) AS n FROM documents), " +
+        "i AS (SELECT doc_id, toks, n, " +
+        "unnest(range(0, (greatest(n - 32, 0) + 23) // 24 + 1)) AS i FROM d) " +
+        "SELECT doc_id, i::INT AS chunk_id, " +
+        "array_to_string(list_slice(toks, (i * 24 + 1)::INT, (i * 24 + 32)::INT), ' ') AS chunk, " +
+        "least(32, n - i * 24)::INT AS n_toks FROM i"),
 
     "pii_redact" ->
       ("WITH de AS (SELECT event_id, props, " +

@@ -151,6 +151,35 @@ object TextAnalysis {
     head.unionAll(tail)
   }
 
+  // corpus_mix_temperature — the published temperature-sampling mixture
+  // (mT5/XLM-R lineage): multilingual training corpora sample language l
+  // with probability q_l ∝ p_l^(1/T) so low-resource languages are
+  // up-weighted without flattening the mixture entirely. T = 2
+  // (α = 1/2) makes the re-weight a sqrt — IEEE-exact-rounded in both
+  // engines, unlike a general pow() whose last-ulp is libm-dependent —
+  // and because p_l = n_l/N shares the denominator N across languages,
+  // q_l = √n_l / Σ√n_m: the corpus size cancels and every input to the
+  // final division is a correctly-rounded sqrt of an exact integer.
+  // Output per language: doc count, natural share p, sampled share q,
+  // and the boost factor q/p a pipeline applies as a per-source repeat
+  // rate. Scale: one groupBy(lang) over the corpus (map-side partials),
+  // then a |langs|-row broadcast-joined normalizer — nothing after the
+  // first aggregate scales with corpus size.
+  def corpusMixTemperatureDocs(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(col("n_docs")).as("n_tot"),
+      sum(sqrt(col("n_docs").cast("double"))).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        rnd(col("n_docs").cast("double") / col("n_tot"), 6).as("p"),
+        rnd(sqrt(col("n_docs").cast("double")) / col("z"), 6).as("q"),
+        rnd(sqrt(col("n_docs").cast("double")) * col("n_tot") /
+          (col("z") * col("n_docs")), 6).as("boost"))
+  }
+
+  def corpusMixTemperature(s: SparkSession, d: String): DataFrame =
+    corpusMixTemperatureDocs(Tables.documents(s, d))
+
   // corpus_zipf — rank-frequency power-law fit: token counts ranked
   // desc, then the least-squares slope/intercept of ln(count) on
   // ln(rank) — the Zipf exponent, the one-number summary of corpus
@@ -447,6 +476,7 @@ object TextAnalysis {
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
+    "corpus_mix_temperature" -> corpusMixTemperature,
     "corpus_zipf" -> corpusZipf,
     "quality_perplexity" -> perplexityProxy,
     "quality_classifier" -> qualityClassifier,
@@ -558,6 +588,16 @@ object TextAnalysis {
         "substr(md5(doc_id::VARCHAR), 1, 1)) - 1)::INT AS bucket FROM documents) " +
         "SELECT 'head' AS source, doc_id FROM b WHERE doc_id < 500 AND bucket < 12 " +
         "UNION ALL SELECT 'tail', doc_id FROM b WHERE doc_id >= 500 AND bucket < 4"),
+
+    "corpus_mix_temperature" ->
+      // same T=2 sqrt re-weight: q = sqrt(n)/sum(sqrt(n)); sqrt is
+      // IEEE-exact-rounded in both engines (unlike general pow)
+      ("WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
+        "z AS (SELECT sum(n_docs)::BIGINT AS n_tot, sum(sqrt(n_docs::DOUBLE)) AS z FROM c) " +
+        "SELECT lang, n_docs, rnd(n_docs::DOUBLE / n_tot, 6) AS p, " +
+        "rnd(sqrt(n_docs::DOUBLE) / z, 6) AS q, " +
+        "rnd(sqrt(n_docs::DOUBLE) * n_tot / (z * n_docs), 6) AS boost " +
+        "FROM c CROSS JOIN z"),
 
     "corpus_zipf" ->
       ("WITH c AS (SELECT tok, count(*) AS n FROM (" +

@@ -700,6 +700,51 @@ object TimeSeries {
   def autocorr(s: SparkSession, d: String): DataFrame =
     autocorrHourly(Tables.events(s, d))
 
+  // ---- ts_changepoint: CUSUM max-deviation changepoint ------------------
+
+  /** CUSUM changepoint per event_type: over the hourly bucket series
+    * (6-dp means → micro-unit integers, the `ts_decompose` discipline),
+    * the cumulative deviation S_i = Σ_{j≤i}(v_j − v̄) peaks at the hour
+    * where the series' level shifts — the classic offline CUSUM
+    * estimator a monitoring pipeline runs when `ts_anomaly` keeps
+    * firing and someone asks "since WHEN". Everything up to the one
+    * final division is EXACT integer arithmetic scaled by n:
+    * n·1e6·S_i = n·prefix_i − i·total, so there is no engine
+    * summation-order difference to amplify (a naive double cumsum
+    * amplifies avg() jitter by i — boundary-hostile exactly like the
+    * ts_decompose trap). Argmax ties break to the earliest hour via
+    * lexicographic struct max on (|nS|, −hs).
+    *
+    * Scale: one keyed hourly aggregation over raw events (map-side
+    * partials), one per-type ordered window over the calendar-bounded
+    * bucket series, one 1-row-per-type argmax aggregate. Nothing past
+    * the first aggregate scales with event count.
+    */
+  def changepointHourly(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .withColumn("vu", floor(col("v") * 1e6 + 0.5).cast("long"))
+    val wOrd = Window.partitionBy("event_type").orderBy("hs")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    b.withColumn("i", count(lit(1)).over(wOrd))
+      .withColumn("pre", sum(col("vu")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("vu")).over(wAll))
+      .withColumn("ns", col("n") * col("pre") - col("i") * col("tot"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(abs(col("ns")).as("a"), (-col("hs")).as("nhs"),
+        col("ns").as("ns"), col("hs").as("hs"), col("n").as("n"))).as("m"))
+      .select(col("event_type"), col("m.hs").as("cp_hs"),
+        rnd(col("m.ns").cast("double") /
+          (col("m.n").cast("double") * 1e6), 6).as("cusum"),
+        col("m.n").as("n_buckets"))
+  }
+
+  def changepoint(s: SparkSession, d: String): DataFrame =
+    changepointHourly(Tables.events(s, d))
+
   // ---- driver wiring ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -719,6 +764,7 @@ object TimeSeries {
     "ts_anomaly" -> anomaly,
     "ts_decompose" -> decompose,
     "ts_autocorr" -> autocorr,
+    "ts_changepoint" -> changepoint,
     "cdc_latest" -> latest,
     "cdc_merge" -> merge,
     "scd2_intervals" -> scd2,
@@ -741,6 +787,25 @@ object TimeSeries {
         "rnd(CASE WHEN (ax2 - ax * ax) * (ay2 - ay * ay) > 0 " +
         "THEN (axy - ax * ay) / sqrt((ax2 - ax * ax) * (ay2 - ay * ay)) " +
         "ELSE 0e0 END, 6) AS r FROM m"),
+
+    "ts_changepoint" ->
+      // same micro-unit buckets; n·1e6·S_i = n·prefix − i·total kept
+      // integer end to end, one division + rnd at the argmax row only
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT *, floor(v * 1e6 + 0.5e0)::BIGINT AS vu FROM b), " +
+        "s AS (SELECT event_type, hs, " +
+        "(count(*) OVER wa)::BIGINT AS n, " +
+        "(row_number() OVER (PARTITION BY event_type ORDER BY hs))::BIGINT AS i, " +
+        "(sum(vu) OVER wo)::BIGINT AS pre, (sum(vu) OVER wa)::BIGINT AS tot " +
+        "FROM u WINDOW wo AS (PARTITION BY event_type ORDER BY hs " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wa AS (PARTITION BY event_type)), " +
+        "c AS (SELECT *, n * pre - i * tot AS ns FROM s), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY abs(ns) DESC, hs ASC) AS rk FROM c) " +
+        "SELECT event_type, hs AS cp_hs, rnd(ns::DOUBLE / (n::DOUBLE * 1e6), 6) AS cusum, " +
+        "n AS n_buckets FROM r WHERE rk = 1"),
 
     "ts_decompose" ->
       // same hourly buckets, same ±12h RANGE trend frame, same
