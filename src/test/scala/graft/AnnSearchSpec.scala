@@ -209,6 +209,20 @@ class AnnSearchSpec extends SparkSpecBase {
     assert(check.count() === 0)
   }
 
+  test("ann_range_search: non-vacuous, all pairs in-radius, ⊇ in-radius bucket top-3") {
+    val range = AnnSearch.rangeSearch(spark, sfDir)
+    assert(range.count() > 0, "ε = 0.8 must be non-vacuous on the harness data")
+    assert(range.filter(col("dist") > 0.8).count() === 0)
+    // the radius result must contain every bucket-top-3 pair inside ε
+    // (strictly inside — the top-k column is rounded to 6 dp, so pairs
+    // AT the boundary could round across it)
+    val top = AnnSearch.lshBucketTopK(spark, sfDir)
+      .filter(col("dist") <= 0.799).select("q_id", "t_id")
+    val missing = top.join(range.select("q_id", "t_id"),
+      Seq("q_id", "t_id"), "left_anti").count()
+    assert(missing === 0, "in-radius bucket top-3 pairs must appear in the range result")
+  }
+
   test("multi-probe semantic pairs: nprobe=1 matches single-cell, higher nprobe is a superset") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("t_id"), graft.core.Distance.asDouble(col("embedding")).as("t_v"))

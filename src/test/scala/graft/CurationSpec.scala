@@ -94,6 +94,27 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("doc_chunk_tokens: token coverage, 8-token overlap, short-tail n_toks") {
+    import spark.implicits._
+    val t = (1 to 75).map(i => s"w$i").mkString(" ") // 75 tokens
+    val docs = Seq((1L, "a b c"), (2L, t)).toDF("doc_id", "text")
+    val chunks = Curation.docChunkTokensDocs(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // short doc: one chunk, whole text, n_toks = 3
+    val short = chunks.filter(_._1 == 1L)
+    assert(short.toSeq === Seq((1L, 0, "a b c", 3)))
+    // 75 tokens -> chunks at 0, 24, 48; the last is the 27-token tail
+    val long = chunks.filter(_._1 == 2L).sortBy(_._2)
+    assert(long.map(_._2).toSeq === Seq(0, 1, 2))
+    assert(long.map(_._4).toSeq === Seq(32, 32, 27))
+    val toks = t.split(" ")
+    long.foreach { case (_, cid, c, _) =>
+      assert(c === toks.slice(cid * 24, cid * 24 + 32).mkString(" "))
+    }
+    // consecutive chunks share exactly 32 - 24 = 8 tokens of context
+    assert(toks.slice(24, 32).toSeq === long(0)._3.split(" ").takeRight(8).toSeq)
+  }
+
   test("seqPackGlobal (two-pass prefix sum) ≡ one-partition global window") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)

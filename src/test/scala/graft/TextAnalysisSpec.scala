@@ -27,6 +27,30 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out.getAs[Double]("zipf_slope") < 0.0)
   }
 
+  test("corpusMixTemperature: T=2 re-weight compresses shares toward uniform") {
+    import spark.implicits._
+    // 90/9/1 split: natural shares 0.9/0.09/0.01; sqrt re-weight gives
+    // q ∝ 9.487/3/1 — still ordered, but the tail's boost is largest
+    val docs = ((1 to 90).map(i => (i.toLong, s"d$i", "en")) ++
+      (91 to 99).map(i => (i.toLong, s"d$i", "fr")) ++
+      Seq((100L, "d100", "sw")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.corpusMixTemperatureDocs(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val z = math.sqrt(90.0) + math.sqrt(9.0) + 1.0
+    assert(out("en")._1 === 90L)
+    assert(math.abs(out("en")._3 - math.sqrt(90.0) / z) < 1e-6)
+    assert(math.abs(out("sw")._3 - 1.0 / z) < 1e-6)
+    // q sums to 1, order preserved, and boost is monotone DECREASING in n
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-5)
+    assert(out("en")._3 > out("fr")._3 && out("fr")._3 > out("sw")._3)
+    assert(out("sw")._4 > out("fr")._4 && out("fr")._4 > out("en")._4)
+    // high-resource languages are DOWN-sampled (boost < 1), the
+    // low-resource tail UP-sampled (boost > 1) — the point of the op
+    assert(out("en")._4 < 1.0 && out("sw")._4 > 1.0)
+  }
+
   test("quality_perplexity computes the hand-checked add-one bigram NLL") {
     import spark.implicits._
     // corpus: "a b a b" + "a b". Unigrams a:3, b:3; V=2.

@@ -311,4 +311,26 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(math.abs(r(2) - 1.0) < 1e-3, s"lag2 ${r(2)}")
     assert(math.abs(r(3) + 1.0) < 1e-3, s"lag3 ${r(3)}")
   }
+
+  test("changepointHourly finds a planted level shift at the shift hour") {
+    // 24 h at 2.0 then 24 h at 10.0: |CUSUM| peaks at the LAST bucket
+    // of the low regime (hour 23) — the classic step-change estimator
+    val step = ev((0L until 48L).map(h =>
+      (h, h * 3600L, 1L, "click", if (h < 24) 2.0 else 10.0)): _*)
+    val r = TimeSeries.changepointHourly(step).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 23L * 3600L, s"cp_hs ${r.head.getLong(1)}")
+    // v̄ = 6, so S at the last low bucket = Σ(2 − 6) over 24 buckets = −96
+    assert(math.abs(r.head.getDouble(2) + 96.0) < 1e-6, s"cusum ${r.head.getDouble(2)}")
+    assert(r.head.getLong(3) === 48L)
+  }
+
+  test("changepointHourly: constant series has zero CUSUM, tie breaks to first hour") {
+    val const = ev((0L until 10L).map(h =>
+      (h, h * 3600L, 1L, "click", 4.0)): _*)
+    val r = TimeSeries.changepointHourly(const).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 0L, "all-zero CUSUM must tie-break to the earliest hour")
+    assert(r.head.getDouble(2) === 0.0)
+  }
 }
