@@ -106,6 +106,30 @@ class KnnSpec extends SparkSpecBase {
       s"corpus_shuffle window must partition by shard, got:\n$csPlan")
   }
 
+  test("knn_regress: k neighbors per query; an exact-duplicate neighbor dominates the prediction") {
+    val out = SparkEntry.queries("knn_regress")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // every query used exactly k neighbors (the harness has >= k train rows)
+    assert(out.forall(_.getLong(2) === 5L), "k column must be 5 for every query")
+    // construct a duplicate pair: train vector == query vector ⇒ dist
+    // clamps to 1e-9, weight 1e9 swamps the other neighbors, so the
+    // prediction collapses to the duplicate's own target
+    import spark.implicits._
+    val mk = (id: Long, v: Seq[Double]) => (id, v)
+    val q = Seq(mk(1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
+    val t = Seq(mk(10L, Seq(1.0, 2.0, 3.0)), mk(11L, Seq(50.0, 50.0, 50.0)),
+        mk(12L, Seq(-40.0, 0.0, 40.0))).toDF("vec_id", "v")
+    val tr = t.select(col("vec_id"), col("v"),
+      expr("aggregate(v, 0D, (a, x) -> a + x) / size(v)").as("target"))
+    val pred = graft.core.Knn.knn(q, t.select("vec_id", "v"), 3)
+      .join(tr.select(col("vec_id").as("t_id"), col("target")), "t_id")
+      .withColumn("w", lit(1.0) / greatest(col("dist"), lit(1e-9)))
+      .groupBy(col("q_id"))
+      .agg((sum(col("w") * col("target")) / sum(col("w"))).as("pred"))
+      .collect().head.getDouble(1)
+    assert(math.abs(pred - 2.0) < 1e-6, s"duplicate neighbor must dominate: $pred")
+  }
+
   test("join_asof_nearest ≡ brute-force nearest click; ties break backward; no clicks → -1") {
     import org.apache.spark.sql.functions._
     val near = graft.rel.Queries.joinAsofNearest(spark, sfDir)
