@@ -136,6 +136,26 @@ object Multimodal {
       length(col("bytes")).as("n_bytes"),
       md5(col("bytes")).as("h"))
 
+  /** multimodal_dedup — exact payload dedup over the opaque binary
+    * column: content-hash each payload, group per (modality, hash),
+    * keep the lowest media_id — image/audio corpora are full of
+    * byte-identical re-uploads, and this hash-groupBy is the first
+    * pass every media pipeline runs BEFORE any perceptual/embedding
+    * near-dup stage (the `dedup_exact` semantics lifted to bytes).
+    * One row per distinct payload: keeper id, copy count, bytes
+    * reclaimed by dropping the copies. One hash shuffle with map-side
+    * partials; the 16-byte digest rides the exchange, never the
+    * payload (at 100 TB the payload column stays in the scan).
+    */
+  def mediaDedup(s: SparkSession, d: String): DataFrame =
+    ingestDocuments(s, d)
+      .select(col("media_id"), col("modality"),
+        md5(col("bytes")).as("h"), length(col("bytes")).cast("long").as("n_bytes"))
+      .groupBy(col("modality"), col("h"))
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        (sum(col("n_bytes")) - min(col("n_bytes"))).as("bytes_reclaimed"))
+
   /** Declared query: deterministic frame sampling as a relational op —
     * every 4th "frame" (character) of the payload, rematerialized and
     * content-hashed. The sampling index math runs inside the engine (no
@@ -207,12 +227,22 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_pack" -> mediaPack,
+    "multimodal_dedup" -> mediaDedup,
     "multimodal_meta" -> mediaMeta,
     "multimodal_sample" -> mediaSample,
     "multimodal_resize" -> mediaResize,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "multimodal_dedup" ->
+      // same digest-groupBy; utf-8 byte length via encode(); HUGEINT
+      // sum cast back to BIGINT
+      ("WITH m AS (SELECT doc_id AS media_id, 'text' AS modality, md5(text) AS h, " +
+        "octet_length(encode(text))::BIGINT AS n_bytes FROM documents) " +
+        "SELECT modality, h, min(media_id) AS keep_id, count(*) AS n_copies, " +
+        "(sum(n_bytes) - min(n_bytes))::BIGINT AS bytes_reclaimed " +
+        "FROM m GROUP BY 1, 2"),
+
     "multimodal_meta" ->
       ("SELECT doc_id AS media_id, 'text' AS modality, " +
         "octet_length(encode(text))::INT AS n_bytes, md5(text) AS h FROM documents"),

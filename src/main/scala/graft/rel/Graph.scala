@@ -245,7 +245,46 @@ object Graph {
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
 
+  /** graph_label_prop — synchronous majority label propagation
+    * (community detection): every node starts labeled with its own id;
+    * each round it adopts the most frequent label among its neighbors,
+    * ties to the SMALLEST label — the deterministic variant of LPA
+    * (classic async LPA is run-order-dependent; the sync + total-order
+    * tie-break here makes the fixture oracle-expressible). Two rounds
+    * declared: enough to collapse the dense co-order neighborhoods
+    * while keeping the unrolled oracle CTE chain shallow.
+    *
+    * Shape per round: one edge⋈labels equi-join, one (node, lbl) count
+    * aggregate (map-side partials), one per-node argmax as
+    * min(struct(-cnt, lbl)) — a two-phase hash aggregate, NO
+    * row_number window sort (the `assignCells` lesson). Rounds are
+    * `Ckpt.truncate`d so round r+1 plans against a constant-size tree.
+    * At 100 TB: labels shuffle by node key exactly like PageRank rank
+    * state; the heavy side is the edge join, same partitioning every
+    * round — one exchange reused across rounds.
+    */
+  def labelProp(edgesIn: DataFrame, iters: Int = 2): DataFrame = {
+    val edges = edgesIn.truncated()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.select(col("node").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+        .truncated()
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+
+  def labelPropQuery(s: SparkSession, d: String): DataFrame =
+    labelProp(custSuppEdges(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop" -> labelPropQuery,
     "graph_degree_dist" -> degreeDistQuery,
     "graph_pagerank" -> pageRankQuery,
     "graph_triangles" -> trianglesQuery,
@@ -253,6 +292,24 @@ object Graph {
   )
 
   val rawOracles: Map[String, String] = Map(
+    "graph_label_prop" -> {
+      // same sync rounds unrolled; argmax as row_number over
+      // (count DESC, label ASC) ≡ Spark's min(struct(-c, lbl))
+      def round(i: Int): String =
+        s"c$i AS (SELECT e.dst AS node, l${i - 1}.lbl, count(*) AS c " +
+          s"FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node GROUP BY 1, 2), " +
+          s"l$i AS (SELECT node, lbl FROM (SELECT node, lbl, " +
+          "row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rk " +
+          s"FROM c$i) WHERE rk = 1), "
+      "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw), " +
+        "v AS (SELECT DISTINCT src AS node FROM e), " +
+        "l0 AS (SELECT node, node AS lbl FROM v), " +
+        (round(1) + round(2)).stripSuffix(", ") +
+        " SELECT node, lbl AS label FROM l2"
+    },
+
     "graph_degree_dist" ->
       // the same symmetrized edge list as graph_pagerank's oracle
       ("WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +

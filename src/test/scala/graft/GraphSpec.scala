@@ -94,6 +94,27 @@ class GraphSpec extends SparkSpecBase {
     assert(msgs.contains("maxPerGroup"), s"unexpected failure: $msgs")
   }
 
+  test("labelProp: two triangle communities collapse to their min-id labels in 2 rounds") {
+    // disconnected triangles {1,2,3} and {10,11,12}: round 1 floods the
+    // min id into the neighborhood, round 2's (count DESC, label ASC)
+    // tie-break settles every member on its community minimum —
+    // hand-traced through both sync rounds
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val out = Graph.labelProp(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelProp is deterministic: two runs bit-identical, one label per node") {
+    val a = Graph.labelPropQuery(spark, sfDir)
+    val b = Graph.labelPropQuery(spark, sfDir)
+    assert(collectSet(a) === collectSet(b))
+    assert(a.count() === a.select("node").distinct().count())
+  }
+
   test("degree histogram mass equals the symmetrized edge count (handshake identity)") {
     import org.apache.spark.sql.functions._
     val edges = Graph.custSuppEdges(spark, sfDir)

@@ -54,6 +54,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r.getAs[String]("h").length === 32)
   }
 
+  test("mediaDedup: byte-identical payloads collapse to the lowest id with exact reclaim") {
+    val out = Multimodal.mediaDedup(spark, sfDir).collect()
+    // one output row per distinct (modality, digest); keeper never
+    // exceeds any member; reclaimed = (n_copies - 1) · payload bytes
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_copies")
+      val reclaimed = r.getAs[Long]("bytes_reclaimed")
+      assert(n >= 1L)
+      if (n == 1L) assert(reclaimed === 0L, "unique payload reclaims nothing")
+      else assert(reclaimed > 0L && reclaimed % (n - 1) === 0L,
+        "copies are byte-identical so reclaim divides evenly")
+    }
+    // keep_id is a real media_id and total output ≤ corpus size
+    val total = Multimodal.ingestDocuments(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_copies")).sum === total,
+      "every payload lands in exactly one digest group")
+  }
+
   test("sampleBytes: every stride-th byte, deterministic") {
     import spark.implicits._
     val df = Seq((1L, "abcdefghij")).toDF("id", "s")
