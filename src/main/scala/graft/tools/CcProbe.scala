@@ -131,6 +131,42 @@ object CcProbe {
     assert(ejRows == hubN + nRim)
     assert(cn1 == 3 * nRim, s"expected ${3 * nRim} cn=1 edges, got $cn1")
     ej.unpersist()
+
+    // ---- label-propagation legs (round-7) -----------------------------
+    // 1. Depth: per-round cost must stay FLAT as rounds grow (the same
+    //    Ckpt.truncate contract CC and PageRank carry) — 2 vs 8 rounds
+    //    on the harness graph; marginal s/round must not grow with
+    //    depth, or a production 30-round LPA run would unroll lineage.
+    val lpEdges = Graph.custSuppEdges(spark, sfDir).truncated()
+    val tLp2 = System.nanoTime()
+    Graph.labelProp(lpEdges, iters = 2).count()
+    val w2 = (System.nanoTime() - tLp2) / 1e9
+    val tLp8 = System.nanoTime()
+    Graph.labelProp(lpEdges, iters = 8).count()
+    val w8 = (System.nanoTime() - tLp8) / 1e9
+    val marginal = (w8 - w2) / 6.0
+    println(f"[lp-probe] sf=$sfDir rounds 2 -> 8: $w2%.2f s -> $w8%.2f s " +
+      f"marginal=${marginal}%.3f s/round (first-2-round avg ${w2 / 2}%.3f)")
+    assert(marginal < math.max(w2 / 2, 0.05) * 3,
+      s"per-round LPA cost grew with depth: marginal $marginal s vs early ${w2 / 2} s")
+
+    // 2. Hub safety: LPA's per-round aggregate is keyed by (node, lbl) —
+    //    a 100k-degree hub contributes 100k rows to ONE key's count, a
+    //    map-side-combinable aggregate, never a C(d,2) wedge blowup.
+    //    Sync LPA oscillates on a star (center and spokes swap labels
+    //    each round), so the assertion is structural, not value-level:
+    //    the run completes at 100k-degree and emits exactly one label
+    //    per node.
+    val lpStar = spark.range(1, 100001L)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val lpStarEdges = lpStar.unionAll(
+      lpStar.select(col("dst").as("src"), col("src").as("dst")))
+    val tLpH = System.nanoTime()
+    val lpOut = Graph.labelProp(lpStarEdges.truncated(), iters = 2)
+    val nLabels = lpOut.count()
+    println(f"[lp-stress] star 100k: rows=$nLabels (expect 100001) " +
+      f"wall=${(System.nanoTime() - tLpH) / 1e9}%.2f s")
+    assert(nLabels == 100001L, "LPA must emit exactly one label per node")
     spark.stop()
   }
 }
