@@ -74,9 +74,15 @@ object Streaming {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(dir).schema
     val raw = s.readStream.schema(schema).parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      // timestamp[us] parquet reads as TIMESTAMP_NTZ; normalize to
+      // TIMESTAMP (value-preserving under the pinned UTC session tz) so
+      // watermarks/windows behave identically to the batch loader
+      case _ => raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   // stream_dedup — keyed first-event dedup: one row per (user_id,
