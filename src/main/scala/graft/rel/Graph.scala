@@ -232,6 +232,49 @@ object Graph {
   def edgeJaccardQuery(s: SparkSession, d: String): DataFrame =
     edgeJaccard(coOrderEdges(s, d))
 
+  /** graph_resource_alloc — per-edge Resource Allocation link score
+    * Σ_{w ∈ CN(u,v)} 1/deg(w) (Zhou-Lü-Zhang 2009), the common-neighbor
+    * index that down-weights hub intermediaries — alongside
+    * `edgeJaccard` the standard cheap link-prediction / edge-strength
+    * pair. RA over Adamic-Adar (1/ln deg) deliberately: the fold is
+    * pure RATIONAL arithmetic (one exact-rounded division per term), so
+    * the cross-engine contract needs no transcendental-function parity.
+    *
+    * Physical shape: the SAME oriented-wedge triangle enumeration as
+    * `triangleCount`/`edgeJaccard` (hub-safe O(m^1.5) bound carries
+    * over); each closed triangle contributes its third vertex as a
+    * common neighbor to each of its three edges. The per-edge sum is a
+    * SORTED left-to-right fold over the collected neighbor degrees
+    * (sort_array + aggregate HOF ≡ DuckDB list_sort + list_transform +
+    * list_sum — the `knn_regress` element-order parity contract), so
+    * both engines add the identical sequence of doubles and the 6-dp
+    * gate can never see a summation-order boundary. Common-neighbor
+    * lists are triangle-bounded per edge, never corpus-bounded.
+    */
+  def resourceAlloc(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.truncated()
+    val deg = degrees(edges)
+    val tri = wedges(orientEdges(edges, deg)).join(
+      edges, col("v") === edges("p1") && col("w") === edges("p2"), "left_semi")
+    val contrib = tri.select(explode(array(
+        struct(least(col("src"), col("v")).as("e1"),
+          greatest(col("src"), col("v")).as("e2"), col("w").as("cn")),
+        struct(least(col("src"), col("w")).as("e1"),
+          greatest(col("src"), col("w")).as("e2"), col("v").as("cn")),
+        struct(col("v").as("e1"), col("w").as("e2"), col("src").as("cn")))).as("t"))
+      .select(col("t.e1").as("p1"), col("t.e2").as("p2"), col("t.cn").as("cn"))
+      .join(deg.select(col("node").as("cn"), col("d").as("dcn")), "cn")
+      .groupBy("p1", "p2")
+      .agg(expr("aggregate(sort_array(collect_list(dcn)), 0d, (acc, x) -> acc + 1d / x)")
+        .as("ra_raw"))
+    edges.join(contrib, Seq("p1", "p2"), "left")
+      .select(col("p1"), col("p2"),
+        graft.rel.Queries.rnd(coalesce(col("ra_raw"), lit(0.0)), 6).as("ra"))
+  }
+
+  def resourceAllocQuery(s: SparkSession, d: String): DataFrame =
+    resourceAlloc(coOrderEdges(s, d))
+
   /** graph_degree_dist — the degree histogram (degree → node count) of
     * the customer↔supplier graph: the first diagnostic a graph pipeline
     * prints (skew detection BEFORE committing to an orientation or a
@@ -289,6 +332,7 @@ object Graph {
     "graph_pagerank" -> pageRankQuery,
     "graph_triangles" -> trianglesQuery,
     "graph_edge_jaccard" -> edgeJaccardQuery,
+    "graph_resource_alloc" -> resourceAllocQuery,
   )
 
   val rawOracles: Map[String, String] = Map(
@@ -377,5 +421,24 @@ object Graph {
         "ELSE 0e0 END, 6) AS jaccard " +
         "FROM e LEFT JOIN cn ON cn.p1 = e.p1 AND cn.p2 = e.p2 " +
         "JOIN deg d1 ON d1.u = e.p1 JOIN deg d2 ON d2.u = e.p2"),
+
+    "graph_resource_alloc" ->
+      // semantic definition (adjacency self-join for common neighbors);
+      // the fold mirrors Spark's sort_array + aggregate HOF: sort the
+      // BIGINT degrees, then sum 1/d left-to-right — identical double
+      // sequence in both engines (knn_regress parity contract)
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem WHERE l_quantity >= 25), " +
+        "e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
+        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "adj AS (SELECT p1 AS u, p2 AS x FROM e UNION ALL SELECT p2, p1 FROM e), " +
+        "deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1), " +
+        "cn AS (SELECT e.p1, e.p2, a1.x AS w FROM e " +
+        "JOIN adj a1 ON a1.u = e.p1 JOIN adj a2 ON a2.u = e.p2 AND a2.x = a1.x), " +
+        "ra AS (SELECT p1, p2, " +
+        "list_sum(list_transform(list_sort(list(dw.d)), x -> 1e0 / x)) AS ra_raw " +
+        "FROM cn JOIN deg dw ON dw.u = cn.w GROUP BY 1, 2) " +
+        "SELECT e.p1, e.p2, rnd(coalesce(ra.ra_raw, 0e0), 6) AS ra " +
+        "FROM e LEFT JOIN ra ON ra.p1 = e.p1 AND ra.p2 = e.p2"),
   )
 }

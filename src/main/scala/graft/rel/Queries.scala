@@ -646,6 +646,43 @@ object Queries {
         rnd(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
         count(lit(1)).as("n"))
 
+  /** outlier_iqr — per-group Tukey-fence outlier detection: Q1/Q3 as
+    * DISCRETE quantiles (the value at rank ⌈q·n⌉ ordered by value — an
+    * actual data value, so both engines pick the identical double; the
+    * interpolated `percentile_cont` family mixes engine arithmetic into
+    * the quantile itself), fences at ±1.5·IQR, and the outlier count per
+    * group. The robust-statistics screen a feature pipeline runs before
+    * trusting min/max normalization (`normalize_minmax` is exactly the
+    * operator an undetected outlier poisons).
+    *
+    * Fence arithmetic is three exact-rounded IEEE ops on identical
+    * inputs — deterministic cross-engine, so the `v < lo` boundary
+    * cannot flip. Scale: one partition-sort per group for the ranks
+    * (the window shuffle every quantile needs), then a 3-row broadcast
+    * join back; nothing else touches corpus rows twice.
+    */
+  def outlierIqr(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+    val ranked = li
+      .withColumn("rn", row_number().over(Window.partitionBy("flag").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+    val q = ranked.groupBy("flag").agg(
+      max(when(col("rn") === ceil(col("n") * 0.25), col("v"))).as("q1"),
+      max(when(col("rn") === ceil(col("n") * 0.75), col("v"))).as("q3"))
+    li.join(broadcast(q), "flag")
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .groupBy("flag")
+      .agg(
+        rnd(max(col("q1")), 6).as("q1"),
+        rnd(max(col("q3")), 6).as("q3"),
+        rnd(max(col("lo")), 6).as("lo"),
+        rnd(max(col("hi")), 6).as("hi"),
+        count(when(col("v") < col("lo") || col("v") > col("hi"), 1)).as("n_out"))
+      .withColumnRenamed("flag", "l_returnflag")
+  }
+
   // agg_stats — second-moment statistics (stddev/variance/covariance/
   // correlation). Deliberately over SMALL-magnitude columns (quantity,
   // discount): second moments of ~1e5-scale values over 600k rows lose
@@ -981,6 +1018,7 @@ object Queries {
     "sql_exists" -> sqlExists,
     "agg_argmax" -> aggArgmax,
     "agg_mode" -> aggMode,
+    "outlier_iqr" -> outlierIqr,
     "window_cume_dist" -> windowCumeDist,
     "reshape_unpivot" -> reshapeUnpivot,
     "sql_lateral" -> sqlLateral,
@@ -1370,5 +1408,21 @@ object Queries {
         "rnd(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS pct_rank, " +
         "rnd(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS cume " +
         "FROM events"),
+
+    "outlier_iqr" ->
+      // same discrete rank-⌈q·n⌉ quantiles (actual data values, no
+      // interpolation arithmetic) and the same three-op fence formula —
+      // both engines compare against bit-identical doubles
+      ("WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS v FROM lineitem), " +
+        "r AS (SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY v) AS rn, " +
+        "count(*) OVER (PARTITION BY flag) AS n FROM li), " +
+        "q AS (SELECT flag, max(CASE WHEN rn = ceil(n * 0.25e0) THEN v END) AS q1, " +
+        "max(CASE WHEN rn = ceil(n * 0.75e0) THEN v END) AS q3 FROM r GROUP BY 1) " +
+        "SELECT li.flag AS l_returnflag, rnd(max(q1), 6) AS q1, rnd(max(q3), 6) AS q3, " +
+        "rnd(max(q1 - (q3 - q1) * 1.5e0), 6) AS lo, " +
+        "rnd(max(q3 + (q3 - q1) * 1.5e0), 6) AS hi, " +
+        "count(CASE WHEN v < q1 - (q3 - q1) * 1.5e0 " +
+        "OR v > q3 + (q3 - q1) * 1.5e0 THEN 1 END) AS n_out " +
+        "FROM li JOIN q ON li.flag = q.flag GROUP BY 1"),
   )
 }

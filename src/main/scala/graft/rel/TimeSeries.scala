@@ -615,6 +615,38 @@ object TimeSeries {
   def retention(s: SparkSession, d: String): DataFrame =
     eventsRetention(Tables.events(s, d))
 
+  // ---- events_paths: top-k 3-step behavior paths ------------------------
+
+  /** Sequential path mining lite: the top-10 most frequent 3-step
+    * event-type paths across all users — the "what do users actually do"
+    * query product analytics runs before any funnel is designed (funnels
+    * test a HYPOTHESIZED sequence; this surfaces the dominant observed
+    * ones). Per user, consecutive event triples via two `lead`s over the
+    * (ts, event_id) order; one keyed count.
+    *
+    * Scale: the per-user window is the same partition-sort every
+    * sessionize/SCD2 query already pays (users are independent — no
+    * global sort of events); the aggregate's key space is |event_type|³
+    * (125 here), so the final top-k ranking window runs on a
+    * vocabulary-sized frame, never on event rows. Tie-break is total:
+    * (count DESC, e1, e2, e3) — top-10 is deterministic.
+    */
+  def eventPaths(events: DataFrame, topK: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n_paths"))
+    val rk = Window.orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+    tri.withColumn("rn", row_number().over(rk)).filter(col("rn") <= topK)
+      .select(col("e1"), col("e2"), col("e3"), col("n_paths"))
+  }
+
+  def paths(s: SparkSession, d: String): DataFrame =
+    eventPaths(Tables.events(s, d))
+
   // ---- ts_decompose: additive seasonal decomposition --------------------
 
   /** Classical additive decomposition of the per-type hourly series:
@@ -769,9 +801,23 @@ object TimeSeries {
     "cdc_merge" -> merge,
     "scd2_intervals" -> scd2,
     "events_retention" -> retention,
+    "events_paths" -> paths,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "events_paths" ->
+      // same per-user lead pairing, same total (n DESC, e1, e2, e3)
+      // tie-break for the top-10
+      ("WITH s AS (SELECT event_type AS e1, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, " +
+        "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3 " +
+        "FROM events), " +
+        "c AS (SELECT e1, e2, e3, count(*) AS n_paths FROM s " +
+        "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3), " +
+        "rk AS (SELECT *, row_number() OVER " +
+        "(ORDER BY n_paths DESC, e1, e2, e3) AS rn FROM c) " +
+        "SELECT e1, e2, e3, n_paths FROM rk WHERE rn <= 10"),
+
     "ts_autocorr" ->
       // same time-lag pairing, same explicit raw moments, r in [-1, 1]
       ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +

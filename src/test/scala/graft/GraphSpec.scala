@@ -77,6 +77,27 @@ class GraphSpec extends SparkSpecBase {
       .count() === 0)
   }
 
+  test("resourceAlloc: hand-computed on two shared triangles; pendant scores 0") {
+    // two triangles sharing edge (2,3): {1,2,3}, {2,3,4}; pendant (4,5).
+    // deg: 1→2, 2→3, 3→3, 4→3, 5→1.
+    //  (2,3): cn {1,4} → 1/2 + 1/3 = 0.833333 (sorted fold: deg 2 first)
+    //  (1,2),(1,3): cn via the other triangle node of deg 3 → 1/3
+    //  (2,4),(3,4): cn of deg 3 → 1/3
+    //  (4,5): no common neighbor → 0
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("p1", "p2")
+    val r = Graph.resourceAlloc(edges).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r.size === 6)
+    assert(math.abs(r((2L, 3L)) - 0.833333) < 1e-9)
+    for (e <- Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+      assert(math.abs(r(e) - 0.333333) < 1e-9)
+    assert(r((4L, 5L)) === 0.0)
+    // a hub's spokes share no neighbors — every RA score is 0
+    val star = (2L to 30L).map(i => (1L, i)).toDF("p1", "p2")
+    assert(Graph.resourceAlloc(star).filter(col("ra") =!= 0.0).count() === 0)
+  }
+
   test("coOrderEdges guard: heavy group raises, sane groups pair normally") {
     // order 1: 3 parts → 3 pairs; order 2: 2 parts → 1 pair (cross-order
     // duplicates collapse via distinct)

@@ -152,6 +152,27 @@ class KnnSpec extends SparkSpecBase {
     assert(near.count() > 0)
   }
 
+  test("outlier_iqr ≡ driver-side brute force: discrete quartiles, Tukey fences, count") {
+    import org.apache.spark.sql.functions._
+    val out = graft.rel.Queries.outlierIqr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val vals = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(out.keySet === vals.keySet)
+    for ((flag, vs) <- vals) {
+      val q1 = vs(math.ceil(vs.size * 0.25).toInt - 1)
+      val q3 = vs(math.ceil(vs.size * 0.75).toInt - 1)
+      val lo = q1 - (q3 - q1) * 1.5
+      val hi = q3 + (q3 - q1) * 1.5
+      val r = out(flag)
+      assert(math.abs(r.getDouble(1) - q1) < 1e-6, s"$flag q1")
+      assert(math.abs(r.getDouble(2) - q3) < 1e-6, s"$flag q3")
+      assert(r.getLong(5) === vs.count(v => v < lo || v > hi).toLong, s"$flag n_out")
+    }
+  }
+
   test("scan_filter_prune pushes predicate and columns into the parquet scan") {
     val df = graft.rel.Queries.scanFilterPrune(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString

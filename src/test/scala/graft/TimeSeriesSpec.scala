@@ -333,4 +333,21 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(r.head.getLong(1) === 0L, "all-zero CUSUM must tie-break to the earliest hour")
     assert(r.head.getDouble(2) === 0.0)
   }
+
+  test("eventPaths: triples per user in (ts, event_id) order; counts merge across users") {
+    // user 1: A B C D → ABC, BCD; user 2: A B C → ABC. Paths never
+    // cross a user boundary (user 2's C is not followed by user 1's D).
+    val df = ev(
+      (1L, 100L, 1L, "A", 0.0), (2L, 200L, 1L, "B", 0.0),
+      (3L, 300L, 1L, "C", 0.0), (4L, 400L, 1L, "D", 0.0),
+      (5L, 150L, 2L, "A", 0.0), (6L, 250L, 2L, "B", 0.0),
+      (7L, 350L, 2L, "C", 0.0))
+    val out = TimeSeries.eventPaths(df).as[(String, String, String, Long)]
+      .collect().toSet
+    assert(out === Set(("A", "B", "C", 2L), ("B", "C", "D", 1L)))
+    // topK cuts on the total (count DESC, e1, e2, e3) order
+    val top1 = TimeSeries.eventPaths(df, topK = 1).as[(String, String, String, Long)]
+      .collect().toSeq
+    assert(top1 === Seq(("A", "B", "C", 2L)))
+  }
 }
