@@ -275,6 +275,73 @@ object Graph {
   def resourceAllocQuery(s: SparkSession, d: String): DataFrame =
     resourceAlloc(coOrderEdges(s, d))
 
+  /** graph_kcore — FIXED-ROUND k-core peeling: each round drops every
+    * node whose current degree is below k, plus its incident edges
+    * (the standard iterative 2-core/3-core reduction that strips
+    * pendant chains before community detection or triangle work). A
+    * fixed round count keeps the operator oracle-expressible — the
+    * DuckDB twin unrolls the same rounds as CTEs (the `graph_pagerank`
+    * / `graph_label_prop` precedent); peeling to the true fixpoint is
+    * the same loop run to convergence (chains longer than `rounds`
+    * peel one link per round — documented fixed-round semantics, not a
+    * bug). Output = surviving nodes with their degree IN the surviving
+    * subgraph.
+    *
+    * Shape per round: one keyed degree aggregate + two semi-joins on
+    * the endpoint keys — all shuffles on node/edge keys, nothing
+    * corpus-proportional broadcast; rounds are `Ckpt.truncate`d so
+    * round r+1 plans against a constant-size tree.
+    */
+  def kCorePeel(edgesIn: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    var edges = edgesIn.truncated()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter(col("d") >= k).select(col("node"))
+      edges = edges
+        .join(keep.withColumnRenamed("node", "p1"), Seq("p1"), "left_semi")
+        .join(keep.withColumnRenamed("node", "p2"), Seq("p2"), "left_semi")
+        .select(col("p1"), col("p2"))
+        .truncated()
+    }
+    degrees(edges).select(col("node"), col("d").as("core_deg"))
+  }
+
+  def kCoreQuery(s: SparkSession, d: String): DataFrame =
+    kCorePeel(coOrderEdges(s, d))
+
+  /** graph_bfs — multi-source breadth-first hop distance, `maxHops`
+    * synchronous frontier rounds: dist(source) = 0, each round relaxes
+    * dist(dst) = min(dist(dst), dist(src) + 1) over all edges. The
+    * reachability/radius primitive (who is within 3 hops of a seed
+    * set) — seeds here are the customer nodes with custkey ≡ 0
+    * (mod 50), a deterministic data-derived set. Unreached nodes are
+    * absent from the output (no sentinel rows).
+    *
+    * Shape per round: one edges⋈frontier equi-join + one min-aggregate
+    * over (node) — map-side partial min, same node-key shuffle every
+    * round (one exchange partitioning reused); rounds Ckpt-truncated.
+    * This is PageRank's message-passing skeleton with min instead of
+    * sum, so the 100 TB story is identical.
+    */
+  def bfsHops(edgesIn: DataFrame, sources: DataFrame, maxHops: Int = 3): DataFrame = {
+    val edges = edgesIn.truncated()
+    var dist = sources.select(col("node"), lit(0L).as("dist")).truncated()
+    for (_ <- 1 to maxHops) {
+      val nxt = edges.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionAll(nxt)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .truncated()
+    }
+    dist
+  }
+
+  def bfsQuery(s: SparkSession, d: String): DataFrame = {
+    val edges = custSuppEdges(s, d)
+    val sources = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 100 === 0)
+    bfsHops(edges, sources)
+  }
+
   /** graph_degree_dist — the degree histogram (degree → node count) of
     * the customer↔supplier graph: the first diagnostic a graph pipeline
     * prints (skew detection BEFORE committing to an orientation or a
@@ -333,6 +400,8 @@ object Graph {
     "graph_triangles" -> trianglesQuery,
     "graph_edge_jaccard" -> edgeJaccardQuery,
     "graph_resource_alloc" -> resourceAllocQuery,
+    "graph_kcore" -> kCoreQuery,
+    "graph_bfs" -> bfsQuery,
   )
 
   val rawOracles: Map[String, String] = Map(
@@ -440,5 +509,41 @@ object Graph {
         "FROM cn JOIN deg dw ON dw.u = cn.w GROUP BY 1, 2) " +
         "SELECT e.p1, e.p2, rnd(coalesce(ra.ra_raw, 0e0), 6) AS ra " +
         "FROM e LEFT JOIN ra ON ra.p1 = e.p1 AND ra.p2 = e.p2"),
+
+    "graph_kcore" -> {
+      // the same 4 peel rounds unrolled: degree over the surviving
+      // edges, keep nodes with d >= 2, keep edges with both ends kept
+      def round(i: Int): String =
+        s"d$i AS (SELECT node, count(*) AS d FROM (SELECT p1 AS node FROM e${i - 1} " +
+          s"UNION ALL SELECT p2 FROM e${i - 1}) t GROUP BY 1), " +
+          s"k$i AS (SELECT node FROM d$i WHERE d >= 2), " +
+          s"e$i AS (SELECT e.p1, e.p2 FROM e${i - 1} e " +
+          s"JOIN k$i a ON e.p1 = a.node JOIN k$i b ON e.p2 = b.node), "
+      "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem WHERE l_quantity >= 25), " +
+        "e0 AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
+        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        (1 to 4).map(round).mkString.stripSuffix(", ") +
+        " SELECT node, count(*) AS core_deg FROM (SELECT p1 AS node FROM e4 " +
+        "UNION ALL SELECT p2 FROM e4) t GROUP BY 1"
+    },
+
+    "graph_bfs" ->
+      // the same 3 min-relaxation frontier rounds unrolled
+      ("WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw), " +
+        "v AS (SELECT DISTINCT src AS node FROM e), " +
+        "h0 AS (SELECT node, 0::BIGINT AS dist FROM v WHERE node % 100 = 0), " +
+        ("t1 AS (SELECT node, dist FROM h0 UNION ALL " +
+          "SELECT e.dst AS node, h0.dist + 1 AS dist FROM e JOIN h0 ON e.src = h0.node), " +
+          "h1 AS (SELECT node, min(dist) AS dist FROM t1 GROUP BY 1), " +
+          "t2 AS (SELECT node, dist FROM h1 UNION ALL " +
+          "SELECT e.dst AS node, h1.dist + 1 AS dist FROM e JOIN h1 ON e.src = h1.node), " +
+          "h2 AS (SELECT node, min(dist) AS dist FROM t2 GROUP BY 1), " +
+          "t3 AS (SELECT node, dist FROM h2 UNION ALL " +
+          "SELECT e.dst AS node, h2.dist + 1 AS dist FROM e JOIN h2 ON e.src = h2.node), " +
+          "h3 AS (SELECT node, min(dist) AS dist FROM t3 GROUP BY 1) ") +
+        "SELECT node, dist FROM h3"),
   )
 }

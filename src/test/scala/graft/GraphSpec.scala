@@ -98,6 +98,36 @@ class GraphSpec extends SparkSpecBase {
     assert(Graph.resourceAlloc(star).filter(col("ra") =!= 0.0).count() === 0)
   }
 
+  test("kCorePeel: pendant chain strips one link per round; triangle core survives") {
+    // triangle {1,2,3} + chain 3-4-5-6: 2-core = the triangle. Chain
+    // peels from the free end, one link per round → 3 rounds clear it.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("p1", "p2")
+    val core = Graph.kCorePeel(edges, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // fixed-round semantics: 1 round only strips the current leaf (6)
+    // and its edge — 5 becomes the new leaf but survives this round
+    val one = Graph.kCorePeel(edges, k = 2, rounds = 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(one === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("bfsHops: hop distances relax through min; unreached nodes absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus isolated edge 8-9; source = {1}
+    val half = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)).toDF("src", "dst")
+    val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val src = Seq(1L).toDF("node")
+    val d = Graph.bfsHops(edges, src, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // two sources meet in the middle: min wins
+    val d2 = Graph.bfsHops(edges, Seq(1L, 5L).toDF("node"), maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("coOrderEdges guard: heavy group raises, sane groups pair normally") {
     // order 1: 3 parts → 3 pairs; order 2: 2 parts → 1 pair (cross-order
     // duplicates collapse via distinct)
