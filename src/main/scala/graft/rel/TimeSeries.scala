@@ -647,6 +647,110 @@ object TimeSeries {
   def paths(s: SparkSession, d: String): DataFrame =
     eventPaths(Tables.events(s, d))
 
+  // ---- ts_lttb: largest-triangle-three-buckets downsampling -------------
+
+  /** LTTB downsampling of the per-type hourly series (Steinarsson 2013)
+    * — the visual-fidelity decimation every observability/monitoring UI
+    * runs before plotting: keep, per fixed-size bucket, the point that
+    * forms the largest triangle with its neighbor buckets, plus the
+    * series endpoints. This is the PARALLEL variant: both anchors are
+    * the neighbor buckets' mean points (classic LTTB anchors the
+    * previously-SELECTED point, which makes bucket b depend on b-1 —
+    * a sequential chain; mean-anchoring makes every bucket independent,
+    * the published "LTTB with fixed anchors" simplification, and the
+    * one a distributed engine wants anyway).
+    *
+    * Determinism discipline: bucket means are FLOORED-integer anchors
+    * (`div` ≡ DuckDB `//`, both truncate toward zero) over exact
+    * micro-unit values, so the doubled-triangle-area |cross product| is
+    * pure BIGINT arithmetic — no float enters until the final /1e6
+    * display division, and the per-bucket argmax tie-breaks on
+    * earliest hour. Magnitudes: epoch-seconds ~2e9 × micro-values
+    * ~5e8 ⇒ products ~1e18 < 2^63 at these data ranges; the window
+    * deltas that actually enter the cross product are far smaller.
+    *
+    * Scale: one keyed hourly aggregate over raw events, then
+    * bucket-count-sized stats/joins — the mid-point join keys on
+    * (event_type, bucket), never corpus rows. Per-type partitions
+    * independent.
+    */
+  def lttbHourly(events: DataFrame, bucket: Int = 24): DataFrame = {
+    val base = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .withColumn("vu", floor(col("v") * 1e6 + 0.5).cast("long"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("hs")) - 1)
+      .withColumn("bk", expr(s"rn div $bucket").cast("long"))
+      .select(col("event_type"), col("bk"), col("hs"), col("vu"))
+    val stats = base.groupBy("event_type", "bk")
+      .agg(count(lit(1)).as("n"), sum("hs").as("sx"), sum("vu").as("sy"))
+    val anchors = stats.select(col("event_type"), col("bk"),
+      expr("sx div n").as("mx"), expr("sy div n").as("my"))
+    val bmax = stats.groupBy("event_type").agg(max("bk").as("bmax"))
+    val mid = base
+      .join(anchors.select(col("event_type"), (col("bk") + 1).as("bk"),
+        col("mx").as("xl"), col("my").as("yl")), Seq("event_type", "bk"))
+      .join(anchors.select(col("event_type"), (col("bk") - 1).as("bk"),
+        col("mx").as("xr"), col("my").as("yr")), Seq("event_type", "bk"))
+      .withColumn("a2", abs(
+        (col("xl") - col("xr")) * (col("vu") - col("yl")) -
+          (col("xl") - col("hs")) * (col("yl") - col("yr"))))
+      .groupBy("event_type", "bk")
+      .agg(min(struct((-col("a2")).as("na"), col("hs").as("h"), col("vu").as("u"))).as("m"))
+      .select(col("event_type"), col("m.h").as("hs"), col("m.u").as("vu"))
+    val first = base.filter(col("bk") === 0)
+      .groupBy("event_type")
+      .agg(min(struct(col("hs"), col("vu"))).as("m"))
+      .select(col("event_type"), col("m.hs").as("hs"), col("m.vu").as("vu"))
+    val last = base.join(bmax, "event_type").filter(col("bk") === col("bmax"))
+      .groupBy("event_type")
+      .agg(max(struct(col("hs"), col("vu"))).as("m"))
+      .select(col("event_type"), col("m.hs").as("hs"), col("m.vu").as("vu"))
+    mid.unionByName(first).unionByName(last).distinct()
+      .select(col("event_type"), col("hs"), (col("vu") / 1e6).as("v"))
+  }
+
+  def lttb(s: SparkSession, d: String): DataFrame =
+    lttbHourly(Tables.events(s, d))
+
+  // ---- events_attribution: last-touch conversion attribution ------------
+
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent non-purchase event by the same user within a 7-day
+    * lookback — the standard marketing-analytics credit assignment.
+    * Purchases with no candidate in the window credit `none`.
+    * Deterministic: the candidate argmax is max(struct(ct, cid, ...)),
+    * so an exact-timestamp tie breaks on the higher event_id.
+    *
+    * Shape: one user-keyed equi-join with the time predicate applied
+    * post-join (bounded per user — the `join_asof` family's shape),
+    * one per-purchase argmax aggregate (map-side partials), one
+    * vocabulary-sized channel count. Nothing corpus-proportional is
+    * broadcast.
+    */
+  def attributionLastTouch(events: DataFrame,
+      lookbackUs: Long = 7L * 24 * 3600 * 1000000): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("t"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("t").as("pt"))
+    val cand = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("event_id").as("cid"), col("t").as("ct"))
+    val best = purch.join(cand, Seq("user_id"))
+      .filter(col("ct") < col("pt") && col("ct") >= col("pt") - lookbackUs)
+      .groupBy("pid")
+      .agg(max(struct(col("ct"), col("cid"), col("channel"))).as("m"))
+      .select(col("pid"), col("m.channel").as("channel"))
+    purch.join(best, Seq("pid"), "left")
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  def attribution(s: SparkSession, d: String): DataFrame =
+    attributionLastTouch(Tables.events(s, d))
+
   // ---- ts_decompose: additive seasonal decomposition --------------------
 
   /** Classical additive decomposition of the per-type hourly series:
@@ -802,9 +906,56 @@ object TimeSeries {
     "scd2_intervals" -> scd2,
     "events_retention" -> retention,
     "events_paths" -> paths,
+    "events_attribution" -> attribution,
+    "ts_lttb" -> lttb,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "ts_lttb" ->
+      // identical integer pipeline: micro-unit values, truncating
+      // integer-division anchors (// ≡ Spark div), BIGINT cross
+      // products, (area DESC, hs) argmax, endpoint buckets kept
+      ("WITH b0 AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, hs, floor(v * 1e6 + 0.5)::BIGINT AS vu, " +
+        "((row_number() OVER (PARTITION BY event_type ORDER BY hs) - 1) // 24)::BIGINT AS bk " +
+        "FROM b0), " +
+        "st AS (SELECT event_type, bk, count(*) AS n, sum(hs) AS sx, sum(vu) AS sy " +
+        "FROM b GROUP BY 1, 2), " +
+        "an AS (SELECT event_type, bk, sx // n AS mx, sy // n AS my FROM st), " +
+        "nb AS (SELECT event_type, max(bk) AS bmax FROM st GROUP BY 1), " +
+        "mid AS (SELECT p.event_type, p.bk, p.hs, p.vu, " +
+        "abs((l.mx - r.mx) * (p.vu - l.my) - (l.mx - p.hs) * (l.my - r.my)) AS a2 " +
+        "FROM b p JOIN an l ON l.event_type = p.event_type AND l.bk = p.bk - 1 " +
+        "JOIN an r ON r.event_type = p.event_type AND r.bk = p.bk + 1), " +
+        "sel AS (SELECT event_type, hs, vu FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY event_type, bk ORDER BY a2 DESC, hs) AS rk FROM mid) WHERE rk = 1), " +
+        "fst AS (SELECT event_type, min(hs) AS hs FROM b WHERE bk = 0 GROUP BY 1), " +
+        "lst AS (SELECT b.event_type, max(b.hs) AS hs FROM b " +
+        "JOIN nb ON nb.event_type = b.event_type AND b.bk = nb.bmax GROUP BY 1), " +
+        "pts AS (SELECT event_type, hs, vu FROM sel UNION " +
+        "SELECT b.event_type, b.hs, b.vu FROM b JOIN fst " +
+        "ON fst.event_type = b.event_type AND fst.hs = b.hs UNION " +
+        "SELECT b.event_type, b.hs, b.vu FROM b JOIN lst " +
+        "ON lst.event_type = b.event_type AND lst.hs = b.hs) " +
+        "SELECT event_type, hs, vu / 1e6 AS v FROM pts"),
+
+    "events_attribution" ->
+      // same user-keyed join + (ct, cid) argmax; 'none' for purchases
+      // with no candidate in the 7-day lookback
+      ("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events), " +
+        "p AS (SELECT user_id, event_id AS pid, t AS pt FROM ev " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, event_type AS channel, event_id AS cid, t AS ct FROM ev " +
+        "WHERE event_type <> 'purchase'), " +
+        "rk AS (SELECT pid, channel, row_number() OVER (PARTITION BY pid " +
+        "ORDER BY ct DESC, cid DESC, channel DESC) AS rn " +
+        "FROM p JOIN c ON p.user_id = c.user_id " +
+        "WHERE ct < pt AND ct >= pt - 604800000000), " +
+        "b AS (SELECT pid, channel FROM rk WHERE rn = 1) " +
+        "SELECT coalesce(b.channel, 'none') AS channel, count(*) AS n_conversions " +
+        "FROM p LEFT JOIN b ON p.pid = b.pid GROUP BY 1"),
+
     "events_paths" ->
       // same per-user lead pairing, same total (n DESC, e1, e2, e3)
       // tie-break for the top-10

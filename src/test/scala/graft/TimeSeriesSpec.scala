@@ -334,6 +334,43 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(r.head.getDouble(2) === 0.0)
   }
 
+  test("lttbHourly: spike survives downsampling; endpoints always kept") {
+    // 72 hourly points = 3 buckets of 24; flat series except a spike at
+    // hour 30 (bucket 1). Output: first point, the spike (largest
+    // triangle vs the neighbor-bucket mean anchors), last point.
+    val df = ev((0L until 72L).map(h =>
+      (h, h * 3600L, 1L, "click", if (h == 30) 100.0 else 1.0)): _*)
+    val out = TimeSeries.lttbHourly(df).orderBy("hs")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("click", 0L, 1.0), ("click", 30L * 3600, 100.0), ("click", 71L * 3600, 1.0)))
+  }
+
+  test("lttbHourly: flat series ties break to the earliest hour per bucket") {
+    val df = ev((0L until 72L).map(h => (h, h * 3600L, 1L, "click", 5.0)): _*)
+    val out = TimeSeries.lttbHourly(df).orderBy("hs")
+      .as[(String, Long, Double)].collect().toSeq
+    // bucket 1's areas are all equal (zero) → min hs of the bucket wins
+    assert(out === Seq(
+      ("click", 0L, 5.0), ("click", 24L * 3600, 5.0), ("click", 71L * 3600, 5.0)))
+  }
+
+  test("attributionLastTouch: last event wins, ties break to higher id, outside-window is none") {
+    val df = ev(
+      // user 1: click then view before the purchase → view credited
+      (1L, 100L, 1L, "click", 0.0), (2L, 200L, 1L, "view", 0.0),
+      (3L, 300L, 1L, "purchase", 0.0),
+      // user 2: purchase with no prior event → none
+      (4L, 100L, 2L, "purchase", 0.0),
+      // user 3: candidate 8 days before the purchase → outside lookback
+      (5L, 0L, 3L, "error", 0.0), (6L, 8L * 86400, 3L, "purchase", 0.0),
+      // user 4: click and error at the SAME ts → higher event_id (error)
+      (10L, 500L, 4L, "click", 0.0), (11L, 500L, 4L, "error", 0.0),
+      (12L, 600L, 4L, "purchase", 0.0))
+    val out = TimeSeries.attributionLastTouch(df).as[(String, Long)].collect().toMap
+    assert(out === Map("view" -> 1L, "none" -> 2L, "error" -> 1L))
+  }
+
   test("eventPaths: triples per user in (ts, event_id) order; counts merge across users") {
     // user 1: A B C D → ABC, BCD; user 2: A B C → ABC. Paths never
     // cross a user boundary (user 2's C is not followed by user 1's D).
