@@ -683,6 +683,20 @@ object Queries {
       .withColumnRenamed("flag", "l_returnflag")
   }
 
+  /** agg_string_agg — deterministic listagg: the distinct values per
+    * group as one SORTED comma-joined string (reporting/export surface;
+    * engine-native string_agg is input-order-dependent, so the sort is
+    * the only hash-gateable form — the `agg_collect_sorted` discipline
+    * applied to strings). collect_set + array_sort keeps the aggregate
+    * map-side-combinable; the joined string is vocabulary-sized.
+    */
+  def aggStringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+
   // agg_stats — second-moment statistics (stddev/variance/covariance/
   // correlation). Deliberately over SMALL-magnitude columns (quantity,
   // discount): second moments of ~1e5-scale values over 600k rows lose
@@ -1018,6 +1032,7 @@ object Queries {
     "sql_exists" -> sqlExists,
     "agg_argmax" -> aggArgmax,
     "agg_mode" -> aggMode,
+    "agg_string_agg" -> aggStringAgg,
     "outlier_iqr" -> outlierIqr,
     "window_cume_dist" -> windowCumeDist,
     "reshape_unpivot" -> reshapeUnpivot,
@@ -1408,6 +1423,11 @@ object Queries {
         "rnd(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS pct_rank, " +
         "rnd(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS cume " +
         "FROM events"),
+
+    "agg_string_agg" ->
+      ("SELECT o_orderstatus, " +
+        "string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities, " +
+        "count(DISTINCT o_orderpriority) AS n_prio FROM orders GROUP BY 1"),
 
     "outlier_iqr" ->
       // same discrete rank-⌈q·n⌉ quantiles (actual data values, no

@@ -751,6 +751,81 @@ object TimeSeries {
   def attribution(s: SparkSession, d: String): DataFrame =
     attributionLastTouch(Tables.events(s, d))
 
+  // ---- ts_mad: median-absolute-deviation robust outlier screen ----------
+
+  /** Robust outlier detection via the modified z-score (Iglewicz-Hoaglin):
+    * flag |v − median| > 3.5 · 1.4826 · MAD per event_type — the screen
+    * that survives exactly the outliers that poison `ts_anomaly`'s
+    * mean/σ z-score (one 10⁶× spike inflates σ enough to mask every
+    * other anomaly; the median and MAD don't move). Both medians are
+    * DISCRETE rank-⌈n/2⌉ values (the `outlier_iqr` discipline — actual
+    * data values, no interpolation arithmetic), so the cutoff
+    * comparison runs against bit-identical doubles in both engines.
+    *
+    * Shape: two partition-sort rank passes (the unavoidable exact-
+    * median shuffles) + one broadcast join back per pass; at 100 TB
+    * an approx-percentile sketch replaces pass one and this exact form
+    * is the oracle semantics — same split as agg_quantiles vs
+    * agg_approx_quantiles.
+    */
+  def madOutliers(events: DataFrame, cutoff: Double = 3.5): DataFrame = {
+    val v = events.select(col("event_type"), col("value").as("v"))
+    val wS = Window.partitionBy("event_type").orderBy("v")
+    val wN = Window.partitionBy("event_type")
+    val med = v
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("v"))).as("med"))
+    val dev = v.join(broadcast(med), "event_type")
+      .withColumn("dv", abs(col("v") - col("med")))
+    val wD = Window.partitionBy("event_type").orderBy("dv")
+    val mad = dev
+      .withColumn("rn", row_number().over(wD))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("dv"))).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        rnd(max(col("med")), 6).as("med"),
+        rnd(max(col("mad")), 6).as("mad"),
+        count(when(col("dv") > lit(cutoff) * lit(1.4826) * col("mad"), 1)).as("n_out"))
+  }
+
+  def mad(s: SparkSession, d: String): DataFrame =
+    madOutliers(Tables.events(s, d))
+
+  // ---- ts_pattern: consecutive-decline sequence detection ---------------
+
+  /** Sequence-pattern alerting lite: per event_type, count the hourly
+    * buckets that complete THREE consecutive declines (vu < l1 < l2 < l3
+    * over the observed bucket order — the MATCH_RECOGNIZE-style
+    * monotone-run rule an alerting pipeline evaluates without needing a
+    * pattern engine), plus the first hour it happens. Comparisons run
+    * on the exact micro-unit integers of the 6-dp bucket means, so no
+    * float boundary exists; lags are ROW-based over observed buckets —
+    * a calendar gap joins its neighbors into one run (documented
+    * semantics; `ts_resample` is the gap-filling precursor if calendar
+    * adjacency is wanted). One keyed aggregate + one partition-sort.
+    */
+  def declineRuns(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hs")
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .withColumn("vu", floor(col("v") * 1e6 + 0.5).cast("long"))
+      .withColumn("l1", lag(col("vu"), 1).over(w))
+      .withColumn("l2", lag(col("vu"), 2).over(w))
+      .withColumn("l3", lag(col("vu"), 3).over(w))
+      .filter(col("vu") < col("l1") && col("l1") < col("l2") && col("l2") < col("l3"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_matches"), min("hs").as("first_hs"))
+  }
+
+  def pattern(s: SparkSession, d: String): DataFrame =
+    declineRuns(Tables.events(s, d))
+
   // ---- ts_decompose: additive seasonal decomposition --------------------
 
   /** Classical additive decomposition of the per-type hourly series:
@@ -908,9 +983,42 @@ object TimeSeries {
     "events_paths" -> paths,
     "events_attribution" -> attribution,
     "ts_lttb" -> lttb,
+    "ts_mad" -> mad,
+    "ts_pattern" -> pattern,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "ts_mad" ->
+      // same discrete rank-⌈n/2⌉ medians and the same literal cutoff
+      // product — the comparison sees bit-identical doubles
+      ("WITH v AS (SELECT event_type, value AS v FROM events), " +
+        "r1 AS (SELECT event_type, v, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY v) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM v), " +
+        "med AS (SELECT event_type, max(CASE WHEN rn = ceil(n * 0.5e0) THEN v END) AS med " +
+        "FROM r1 GROUP BY 1), " +
+        "dev AS (SELECT v.event_type, v.v, abs(v.v - med.med) AS dv, med.med " +
+        "FROM v JOIN med ON v.event_type = med.event_type), " +
+        "r2 AS (SELECT event_type, dv, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY dv) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM dev), " +
+        "mad AS (SELECT event_type, max(CASE WHEN rn = ceil(n * 0.5e0) THEN dv END) AS mad " +
+        "FROM r2 GROUP BY 1) " +
+        "SELECT dev.event_type, rnd(max(dev.med), 6) AS med, rnd(max(mad.mad), 6) AS mad, " +
+        "count(CASE WHEN dev.dv > 3.5e0 * 1.4826e0 * mad.mad THEN 1 END) AS n_out " +
+        "FROM dev JOIN mad ON dev.event_type = mad.event_type GROUP BY 1"),
+
+    "ts_pattern" ->
+      // same micro-unit bucket means, same row-based lags
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT event_type, hs, floor(v * 1e6 + 0.5)::BIGINT AS vu FROM b), " +
+        "l AS (SELECT event_type, hs, vu, lag(vu, 1) OVER w AS l1, " +
+        "lag(vu, 2) OVER w AS l2, lag(vu, 3) OVER w AS l3 FROM u " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY hs)) " +
+        "SELECT event_type, count(*) AS n_matches, min(hs) AS first_hs FROM l " +
+        "WHERE vu < l1 AND l1 < l2 AND l2 < l3 GROUP BY 1"),
+
     "ts_lttb" ->
       // identical integer pipeline: micro-unit values, truncating
       // integer-division anchors (// ≡ Spark div), BIGINT cross

@@ -173,6 +173,17 @@ class KnnSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_string_agg: sorted distinct join, count consistent with the split") {
+    val r = graft.rel.Queries.aggStringAgg(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val parts = row.getString(1).split(",").toSeq
+      assert(parts === parts.sorted, s"unsorted listagg: ${row.getString(1)}")
+      assert(parts.distinct.size === parts.size)
+      assert(row.getLong(2) === parts.size.toLong)
+    }
+  }
+
   test("scan_filter_prune pushes predicate and columns into the parquet scan") {
     val df = graft.rel.Queries.scanFilterPrune(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString

@@ -371,6 +371,37 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out === Map("view" -> 1L, "none" -> 2L, "error" -> 1L))
   }
 
+  test("madOutliers: hand-computed discrete medians; spike flagged, inliers not") {
+    // values 1,2,3,4,100: med = rank-3 value = 3; |v-med| sorted =
+    // [0,1,1,2,97] → mad = 1; cutoff 3.5*1.4826*1 ≈ 5.19 → only 100
+    val df = ev(
+      (1L, 100L, 1L, "click", 1.0), (2L, 200L, 1L, "click", 2.0),
+      (3L, 300L, 1L, "click", 3.0), (4L, 400L, 1L, "click", 4.0),
+      (5L, 500L, 1L, "click", 100.0))
+    val r = TimeSeries.madOutliers(df).collect()
+    assert(r.length === 1)
+    assert(r.head.getDouble(1) === 3.0)
+    assert(r.head.getDouble(2) === 1.0)
+    assert(r.head.getLong(3) === 1L)
+  }
+
+  test("declineRuns: strict three-step declines counted; plateaus break the run") {
+    // 5,4,3,2,1 → hours 3 and 4 complete 3 declines; the plateau series
+    // 5,5,4,3,2 never strictly declines three times in a row until hour 4
+    val down = ev((0L until 5L).map(h =>
+      (h, h * 3600L, 1L, "click", 5.0 - h)): _*)
+    val r = TimeSeries.declineRuns(down).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 2L)
+    assert(r.head.getLong(2) === 3L * 3600)
+    val plateau = ev(
+      (0L, 0L, 1L, "click", 5.0), (1L, 3600L, 1L, "click", 5.0),
+      (2L, 7200L, 1L, "click", 4.0), (3L, 10800L, 1L, "click", 3.0),
+      (4L, 14400L, 1L, "click", 2.0))
+    val r2 = TimeSeries.declineRuns(plateau).collect()
+    assert(r2.length === 1 && r2.head.getLong(1) === 1L && r2.head.getLong(2) === 4L * 3600)
+  }
+
   test("eventPaths: triples per user in (ts, event_id) order; counts merge across users") {
     // user 1: A B C D → ABC, BCD; user 2: A B C → ABC. Paths never
     // cross a user boundary (user 2's C is not followed by user 1's D).
