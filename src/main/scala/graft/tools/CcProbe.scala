@@ -167,6 +167,63 @@ object CcProbe {
     println(f"[lp-stress] star 100k: rows=$nLabels (expect 100001) " +
       f"wall=${(System.nanoTime() - tLpH) / 1e9}%.2f s")
     assert(nLabels == 100001L, "LPA must emit exactly one label per node")
+
+    // ---- k-core + BFS legs (round-7) ----------------------------------
+    // 1. Depth: both are per-round join+agg loops through Ckpt.truncate —
+    //    marginal s/round must stay flat as rounds grow, same contract
+    //    as CC/PageRank/LPA above.
+    val kcEdges = Graph.coOrderEdges(spark, sfDir).truncated()
+    val tKc2 = System.nanoTime()
+    Graph.kCorePeel(kcEdges, k = 2, rounds = 2).count()
+    val kw2 = (System.nanoTime() - tKc2) / 1e9
+    val tKc8 = System.nanoTime()
+    Graph.kCorePeel(kcEdges, k = 2, rounds = 8).count()
+    val kw8 = (System.nanoTime() - tKc8) / 1e9
+    val kcMarginal = (kw8 - kw2) / 6.0
+    println(f"[kcore-probe] sf=$sfDir rounds 2 -> 8: $kw2%.2f s -> $kw8%.2f s " +
+      f"marginal=$kcMarginal%.3f s/round")
+    assert(kcMarginal < math.max(kw2 / 2, 0.05) * 3,
+      s"per-round k-core cost grew with depth: marginal $kcMarginal s vs early ${kw2 / 2} s")
+
+    val bfsEdges = Graph.custSuppEdges(spark, sfDir).truncated()
+    val bfsSrc = bfsEdges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 100 === 0).truncated()
+    val tBf3 = System.nanoTime()
+    Graph.bfsHops(bfsEdges, bfsSrc, maxHops = 3).count()
+    val bw3 = (System.nanoTime() - tBf3) / 1e9
+    val tBf9 = System.nanoTime()
+    Graph.bfsHops(bfsEdges, bfsSrc, maxHops = 9).count()
+    val bw9 = (System.nanoTime() - tBf9) / 1e9
+    val bfMarginal = (bw9 - bw3) / 6.0
+    println(f"[bfs-probe] sf=$sfDir hops 3 -> 9: $bw3%.2f s -> $bw9%.2f s " +
+      f"marginal=$bfMarginal%.3f s/round")
+    assert(bfMarginal < math.max(bw3 / 3, 0.05) * 3,
+      s"per-round BFS cost grew with depth: marginal $bfMarginal s vs early ${bw3 / 3} s")
+
+    // 2. Hub safety: a 100k-degree hub is ONE frontier row whose join
+    //    fans out to |E| messages (row-per-edge, map-side min-combined) —
+    //    never a C(d,2) expansion. One round reaches every spoke.
+    val bfsStarSrc = spark.range(1).select(lit(0L).as("node"))
+    val tBfH = System.nanoTime()
+    val bfsOut = Graph.bfsHops(lpStarEdges.truncated(), bfsStarSrc.toDF(), maxHops = 2)
+    val nReached = bfsOut.count()
+    val maxDist = bfsOut.agg(max(col("dist"))).collect()(0).getLong(0)
+    println(f"[bfs-stress] star 100k: reached=$nReached (expect 100001) " +
+      f"maxDist=$maxDist (expect 1) wall=${(System.nanoTime() - tBfH) / 1e9}%.2f s")
+    assert(nReached == 100001L && maxDist == 1L)
+
+    // 3. k-core hub safety: the hub survives peeling (deg 100k), every
+    //    leaf is stripped in round 1 and the hub dies with them in
+    //    round 2 — per-round work is degree aggregation + semi-joins,
+    //    row-per-edge bounded.
+    val tKcH = System.nanoTime()
+    val kcStar = Graph.kCorePeel(
+      lpStar.select(col("src").as("p1"), col("dst").as("p2")).truncated(),
+      k = 2, rounds = 2)
+    val kcRows = kcStar.count()
+    println(f"[kcore-stress] star 100k: survivors=$kcRows (expect 0) " +
+      f"wall=${(System.nanoTime() - tKcH) / 1e9}%.2f s")
+    assert(kcRows == 0L, "a star has no 2-core")
     spark.stop()
   }
 }
