@@ -677,6 +677,29 @@ object AnnSearch {
       .agg(rnd(sqrt(sum((col("m0") - col("m1")) * (col("m0") - col("m1")))), 6).as("drift"))
   }
 
+  /** embedding_dim_stats — per-DIMENSION corpus health: n, mean,
+    * variance, min, max for each embedding coordinate — the feature
+    * screen that catches dead dimensions (variance ≈ 0), saturated
+    * ones (range pinned), and mean drift per coordinate before they
+    * poison a quantizer codebook or an IVF clustering
+    * (`embedding_centroid` is the per-LABEL view; this is the
+    * per-coordinate one). Variance via explicit raw moments
+    * avg(x²) − avg(x)² — the `agg_moments` discipline, so no
+    * engine-internal M2 merge order enters. One posexplode + one
+    * (dim)-keyed aggregation with map-side partials: d cells per
+    * partition regardless of corpus rows.
+    */
+  def embeddingDimStats(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(avg(col("x")), 6).as("mean"),
+        rnd(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")), 6).as("variance"),
+        rnd(min(col("x")), 6).as("mn"),
+        rnd(max(col("x")), 6).as("mx"))
+
   /** embedding_pca — one deterministic power-iteration step toward the
     * corpus's top principal direction (the dimensionality-reduction /
     * whitening primitive under SemDeDup-style pipelines and PQ rotation):
@@ -722,6 +745,7 @@ object AnnSearch {
     "embedding_centroid" -> embeddingCentroid,
     "embedding_drift" -> embeddingDrift,
     "embedding_pca" -> embeddingPca,
+    "embedding_dim_stats" -> embeddingDimStats,
   )
 
   private def dotSql(a: String, b: String): String = graft.rel.Queries.dotSql(a, b)
@@ -886,6 +910,16 @@ object AnnSearch {
         "c1 AS (SELECT label, pos, avg(x) AS m1 FROM long WHERE half = 1 GROUP BY 1, 2) " +
         "SELECT c0.label, rnd(sqrt(sum((m0 - m1) * (m0 - m1))), 6) AS drift " +
         "FROM c0 JOIN c1 USING (label, pos) GROUP BY 1"),
+
+    "embedding_dim_stats" ->
+      // same explicit raw moments; positions via the shared
+      // unnest(range) idiom
+      ("WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings), " +
+        "long AS (SELECT i::INT - 1 AS pos, v[i::INT] AS x " +
+        "FROM (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e)) " +
+        "SELECT pos, count(*) AS n, rnd(avg(x), 6) AS mean, " +
+        "rnd(avg(x * x) - avg(x) * avg(x), 6) AS variance, " +
+        "rnd(min(x), 6) AS mn, rnd(max(x), 6) AS mx FROM long GROUP BY 1"),
 
     "embedding_pca" ->
       // same seeded power step: score = list-sum/√d (the left-fold

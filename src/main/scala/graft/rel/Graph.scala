@@ -308,6 +308,36 @@ object Graph {
   def kCoreQuery(s: SparkSession, d: String): DataFrame =
     kCorePeel(coOrderEdges(s, d))
 
+  /** graph_clustering — per-node local clustering coefficient
+    * 2·t(v) / (d(v)·(d(v)−1)) (Watts-Strogatz): the fraction of a
+    * node's neighbor pairs that are themselves connected — the
+    * community-density diagnostic read next to `graph_degree_dist`
+    * before committing to an LPA/modularity pass. Per-node triangle
+    * counts come from the SAME hub-safe oriented enumeration as
+    * `triangleCount` (each closed triangle credits its three
+    * vertices — one explode, one keyed count), so the O(m^1.5) wedge
+    * bound carries over; degree-<2 nodes are defined 0. The one
+    * division is exact-rounded on identical operands cross-engine.
+    */
+  def clusteringCoeff(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.truncated()
+    val deg = degrees(edges)
+    val tri = wedges(orientEdges(edges, deg)).join(
+      edges, col("v") === edges("p1") && col("w") === edges("p2"), "left_semi")
+    val tcount = tri.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.join(tcount, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        graft.rel.Queries.rnd(
+          when(col("d") >= 2,
+            coalesce(col("t"), lit(0L)) * lit(2.0) / (col("d") * (col("d") - 1)))
+            .otherwise(lit(0.0)), 6).as("cc"))
+  }
+
+  def clusteringQuery(s: SparkSession, d: String): DataFrame =
+    clusteringCoeff(coOrderEdges(s, d))
+
   /** graph_bfs — multi-source breadth-first hop distance, `maxHops`
     * synchronous frontier rounds: dist(source) = 0, each round relaxes
     * dist(dst) = min(dist(dst), dist(src) + 1) over all edges. The
@@ -402,6 +432,7 @@ object Graph {
     "graph_resource_alloc" -> resourceAllocQuery,
     "graph_kcore" -> kCoreQuery,
     "graph_bfs" -> bfsQuery,
+    "graph_clustering" -> clusteringQuery,
   )
 
   val rawOracles: Map[String, String] = Map(
@@ -545,5 +576,24 @@ object Graph {
           "SELECT e.dst AS node, h2.dist + 1 AS dist FROM e JOIN h2 ON e.src = h2.node), " +
           "h3 AS (SELECT node, min(dist) AS dist FROM t3 GROUP BY 1) ") +
         "SELECT node, dist FROM h3"),
+
+    "graph_clustering" ->
+      // semantic per-node triangle count (connected neighbor pairs via
+      // the adjacency self-join) — the oriented enumeration is
+      // physical-only and must agree node for node
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem WHERE l_quantity >= 25), " +
+        "e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
+        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "adj AS (SELECT p1 AS u, p2 AS x FROM e UNION ALL SELECT p2, p1 FROM e), " +
+        "deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1), " +
+        "tc AS (SELECT a1.u AS node, count(*) AS t " +
+        "FROM adj a1 JOIN adj a2 ON a2.u = a1.u AND a1.x < a2.x " +
+        "JOIN e ON e.p1 = a1.x AND e.p2 = a2.x GROUP BY 1) " +
+        "SELECT deg.u AS node, deg.d AS degree, coalesce(tc.t, 0) AS n_tri, " +
+        "rnd(CASE WHEN deg.d >= 2 " +
+        "THEN coalesce(tc.t, 0) * 2e0 / (deg.d * (deg.d - 1)) " +
+        "ELSE 0e0 END, 6) AS cc " +
+        "FROM deg LEFT JOIN tc ON tc.node = deg.u"),
   )
 }

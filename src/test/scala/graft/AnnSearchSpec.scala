@@ -293,4 +293,21 @@ class AnnSearchSpec extends SparkSpecBase {
       .select("q_id", "t_id", "dist")
     assert(one.join(fullAd, Seq("q_id", "t_id", "dist"), "left_anti").count() === 0)
   }
+
+  test("embedding_dim_stats: one row per dimension, moment identities hold") {
+    import org.apache.spark.sql.functions._
+    val stats = AnnSearch.embeddingDimStats(spark, sfDir)
+    val dim = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val rows = stats.collect()
+    assert(rows.length === dim)
+    val n = Tables.embeddings(spark, sfDir).count()
+    for (r <- rows) {
+      assert(r.getLong(1) === n)
+      val (mean, variance, mn, mx) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(variance >= -1e-9, s"dim ${r.getInt(0)}: negative variance $variance")
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9)
+    }
+  }
 }

@@ -98,6 +98,20 @@ class GraphSpec extends SparkSpecBase {
     assert(Graph.resourceAlloc(star).filter(col("ra") =!= 0.0).count() === 0)
   }
 
+  test("clusteringCoeff: K4 nodes fully clustered; pendant dilutes its anchor") {
+    // K4 on {1,2,3,4} + pendant (4,5): nodes 1-3 sit in 3 of K4's 4
+    // triangles with deg 3 → cc = 1; node 4 has deg 4, t = 3 → cc = 0.5;
+    // node 5 deg 1 → cc = 0
+    val edges = ((for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)) :+ (4L, 5L))
+      .toDF("p1", "p2")
+    val r = Graph.clusteringCoeff(edges).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r.size === 5)
+    for (n <- 1L to 3L) assert(r(n) === ((3L, 3L, 1.0)))
+    assert(r(4L) === ((4L, 3L, 0.5)))
+    assert(r(5L) === ((1L, 0L, 0.0)))
+  }
+
   test("kCorePeel: pendant chain strips one link per round; triangle core survives") {
     // triangle {1,2,3} + chain 3-4-5-6: 2-core = the triangle. Chain
     // peels from the free end, one link per round → 3 rounds clear it.
