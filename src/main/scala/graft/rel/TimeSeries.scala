@@ -911,6 +911,75 @@ object TimeSeries {
   def autocorr(s: SparkSession, d: String): DataFrame =
     autocorrHourly(Tables.events(s, d))
 
+  // ---- ts_cross_corr: lagged cross-type correlation ---------------------
+
+  /** Lagged CROSS-correlation between two event-type series (does
+    * activity in series A lead series B by k hours?) — `ts_autocorr`'s
+    * two-series sibling and the lead-lag screen behind "did the error
+    * burst cause the purchase dip". Pairs x = typeA's hourly mean at
+    * hs with y = typeB's at hs + lag for lag 0..maxLag over TIME-lag
+    * equi-joins (calendar gaps pair nothing), Pearson r from explicit
+    * raw moments (the `agg_corr` discipline) — bounded in [−1, 1],
+    * degenerate variance defined 0.
+    *
+    * Scale: the join keys are (hs) over two calendar-bounded bucket
+    * series — everything after the first keyed aggregation is
+    * bucket-count-sized.
+    */
+  def crossCorrHourly(events: DataFrame, typeA: String, typeB: String,
+      maxLag: Int = 3): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+    val x = b.filter(col("event_type") === typeA)
+      .withColumn("lag", explode(array((0 to maxLag).map(lit): _*)))
+      .select(col("lag"), col("hs"), col("v").as("x"))
+    val y = b.filter(col("event_type") === typeB)
+      .select(col("hs").as("yhs"), col("v").as("y"))
+    val denom = (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))) *
+      (avg(col("y") * col("y")) - avg(col("y")) * avg(col("y")))
+    x.join(y, col("yhs") === col("hs") + col("lag") * 3600)
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        rnd(when(denom > 0,
+          (avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))) / sqrt(denom))
+          .otherwise(lit(0.0)), 6).as("r"))
+  }
+
+  def crossCorr(s: SparkSession, d: String): DataFrame =
+    crossCorrHourly(Tables.events(s, d), "click", "purchase")
+
+  // ---- ts_islands: gaps-and-islands coverage runs -----------------------
+
+  /** Gaps-and-islands over the hourly buckets: per event_type, the
+    * contiguous calendar runs where data EXISTS — island count, longest
+    * run, covered bucket count (the uptime/coverage report read before
+    * trusting any windowed aggregate over the feed; `ts_resample` fills
+    * these gaps, this row MEASURES them). The classic island key:
+    * hour-index − row_number is constant exactly within a contiguous
+    * run — pure integer arithmetic, no boundary to flip.
+    *
+    * Scale: the island window runs over the calendar-bounded bucket
+    * series (one partition-sort per type), never raw events; the
+    * double grouping after it is island-count-sized.
+    */
+  def hourlyIslands(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hs")
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("hs"))
+      .withColumn("grp", expr("hs div 3600") - row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("len"), min("hs").as("start_hs"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_islands"), max("len").as("longest"),
+        sum("len").as("n_buckets"), min("start_hs").as("first_hs"))
+  }
+
+  def islands(s: SparkSession, d: String): DataFrame =
+    hourlyIslands(Tables.events(s, d))
+
   // ---- ts_changepoint: CUSUM max-deviation changepoint ------------------
 
   /** CUSUM changepoint per event_type: over the hourly bucket series
@@ -985,9 +1054,41 @@ object TimeSeries {
     "ts_lttb" -> lttb,
     "ts_mad" -> mad,
     "ts_pattern" -> pattern,
+    "ts_cross_corr" -> crossCorr,
+    "ts_islands" -> islands,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "ts_cross_corr" ->
+      // same time-lag pairing between the two fixed series, same
+      // explicit raw moments
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "l AS (SELECT unnest(range(0, 4)) AS lag), " +
+        "p AS (SELECT l.lag::INT AS lag, x.v AS x, y.v AS y " +
+        "FROM (SELECT hs, v FROM b WHERE event_type = 'click') x CROSS JOIN l " +
+        "JOIN (SELECT hs, v FROM b WHERE event_type = 'purchase') y " +
+        "ON y.hs = x.hs + l.lag * 3600), " +
+        "m AS (SELECT lag, count(*) AS n_pairs, " +
+        "avg(x) AS ax, avg(y) AS ay, avg(x * y) AS axy, " +
+        "avg(x * x) AS ax2, avg(y * y) AS ay2 FROM p GROUP BY 1) " +
+        "SELECT lag, n_pairs, " +
+        "rnd(CASE WHEN (ax2 - ax * ax) * (ay2 - ay * ay) > 0 " +
+        "THEN (axy - ax * ay) / sqrt((ax2 - ax * ax) * (ay2 - ay * ay)) " +
+        "ELSE 0e0 END, 6) AS r FROM m"),
+
+    "ts_islands" ->
+      // same hour-index − row_number island key, pure integers
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs " +
+        "FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, hs, hs // 3600 - " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY hs) AS grp FROM b), " +
+        "isl AS (SELECT event_type, grp, count(*) AS len, min(hs) AS start_hs " +
+        "FROM g GROUP BY 1, 2) " +
+        "SELECT event_type, count(*) AS n_islands, max(len) AS longest, " +
+        "sum(len)::BIGINT AS n_buckets, min(start_hs) AS first_hs " +
+        "FROM isl GROUP BY 1"),
+
     "ts_mad" ->
       // same discrete rank-⌈n/2⌉ medians and the same literal cutoff
       // product — the comparison sees bit-identical doubles

@@ -371,6 +371,32 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out === Map("view" -> 1L, "none" -> 2L, "error" -> 1L))
   }
 
+  test("crossCorrHourly: anti-aligned lead-lag series scores r = -1 at the lag") {
+    // click 1,2,3,4 at hours 0-3; purchase 4,3,2,1 at hours 1-4 —
+    // at lag 1 the pairs are (1,4),(2,3),(3,2),(4,1): perfectly
+    // anti-correlated
+    val click = (0L until 4L).map(h => (h, h * 3600L, 1L, "click", 1.0 + h))
+    val purch = (0L until 4L).map(h => (10 + h, (h + 1) * 3600L, 1L, "purchase", 4.0 - h))
+    val df = ev((click ++ purch): _*)
+    val r = TimeSeries.crossCorrHourly(df, "click", "purchase").collect()
+      .map(x => x.getInt(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1) === ((4L, -1.0)))
+    // lag 0 overlaps hours 1-3: click (2,3,4) vs purchase (4,3,2) → -1
+    assert(r(0) === ((3L, -1.0)))
+  }
+
+  test("hourlyIslands: contiguous runs counted with length and coverage") {
+    // hours 0,1,2 | 5,6 | 10 → 3 islands, longest 3, 6 buckets
+    val df = ev(Seq(0L, 1L, 2L, 5L, 6L, 10L).zipWithIndex.map { case (h, i) =>
+      (i.toLong, h * 3600L, 1L, "click", 1.0) }: _*)
+    val r = TimeSeries.hourlyIslands(df).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 3L)
+    assert(r.head.getLong(2) === 3L)
+    assert(r.head.getLong(3) === 6L)
+    assert(r.head.getLong(4) === 0L)
+  }
+
   test("madOutliers: hand-computed discrete medians; spike flagged, inliers not") {
     // values 1,2,3,4,100: med = rank-3 value = 3; |v-med| sorted =
     // [0,1,1,2,97] → mad = 1; cutoff 3.5*1.4826*1 ≈ 5.19 → only 100
