@@ -980,6 +980,42 @@ object TimeSeries {
   def islands(s: SparkSession, d: String): DataFrame =
     hourlyIslands(Tables.events(s, d))
 
+  // ---- interval_merge: overlapping-interval union per key ---------------
+
+  /** Merge overlapping [s, e) intervals per user — the temporal-table
+    * compaction primitive (coverage union, on-call schedule flattening,
+    * downtime consolidation). Distinct from gap-sessionization: interval
+    * ENDS are variable (here duration scales with the event's value), so
+    * an interval can swallow several later ones and chain-merge through
+    * them — the running max-of-prior-ends is load-bearing, not just the
+    * previous row's end. A new merged group starts exactly when s >
+    * max(all prior e) (strict: touching intervals [a,b) [b,c) merge).
+    * All boundaries are exact integers (µs epochs + floor'd durations),
+    * so the group key is bit-identical cross-engine.
+    *
+    * Scale: one partition-sort per user (the window shuffle), then a
+    * keyed aggregate over (user, group) — never corpus-crossing.
+    */
+  def mergeIntervals(iv: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+    val prior = order.rowsBetween(Window.unboundedPreceding, -1)
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("pmax", max(col("e")).over(prior))
+      .withColumn("new_g",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("new_g")).over(run))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min("s").as("start_us"), max("e").as("end_us"),
+        count(lit(1)).as("n_merged"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_merged"))
+  }
+
+  def intervalMerge(s: SparkSession, d: String): DataFrame =
+    mergeIntervals(Tables.events(s, d).select(
+      col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + floor(col("value") * 6e7).cast("long")).as("e")))
+
   // ---- ts_changepoint: CUSUM max-deviation changepoint ------------------
 
   /** CUSUM changepoint per event_type: over the hourly bucket series
@@ -1056,9 +1092,24 @@ object TimeSeries {
     "ts_pattern" -> pattern,
     "ts_cross_corr" -> crossCorr,
     "ts_islands" -> islands,
+    "interval_merge" -> intervalMerge,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "interval_merge" ->
+      // same running max-of-prior-ends group key, exact integer
+      // boundaries (floor'd duration — Spark double→long cast truncates
+      // where DuckDB's ::BIGINT rounds, so floor() is explicit)
+      ("WITH iv AS (SELECT user_id, epoch_us(ts) AS s, " +
+        "epoch_us(ts) + floor(value * 6e7)::BIGINT AS e FROM events), " +
+        "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id " +
+        "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv), " +
+        "g AS (SELECT user_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax " +
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m) " +
+        "SELECT user_id, min(s) AS start_us, max(e) AS end_us, " +
+        "count(*) AS n_merged FROM g GROUP BY user_id, grp"),
+
     "ts_cross_corr" ->
       // same time-lag pairing between the two fixed series, same
       // explicit raw moments

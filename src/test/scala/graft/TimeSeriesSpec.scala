@@ -371,6 +371,22 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out === Map("view" -> 1L, "none" -> 2L, "error" -> 1L))
   }
 
+  test("mergeIntervals: chain-merge through a long interval; touching merges; gap splits") {
+    import spark.implicits._
+    // user 1: [0,100) swallows [10,20) and chains into [90,150);
+    // [150,160) touches e=150 → still merged (strict s > pmax splits);
+    // [200,210) is a gap → new group. user 2: disjoint singles.
+    val iv = Seq(
+      (1L, 0L, 100L), (1L, 10L, 20L), (1L, 90L, 150L), (1L, 150L, 160L),
+      (1L, 200L, 210L),
+      (2L, 0L, 10L), (2L, 50L, 60L)).toDF("user_id", "s", "e")
+    val out = TimeSeries.mergeIntervals(iv).as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(out === Set(
+      (1L, 0L, 160L, 4L), (1L, 200L, 210L, 1L),
+      (2L, 0L, 10L, 1L), (2L, 50L, 60L, 1L)))
+  }
+
   test("crossCorrHourly: anti-aligned lead-lag series scores r = -1 at the lag") {
     // click 1,2,3,4 at hours 0-3; purchase 4,3,2,1 at hours 1-4 —
     // at lag 1 the pairs are (1,4),(2,3),(3,2),(4,1): perfectly
