@@ -543,16 +543,20 @@ object Graph {
 
     "graph_kcore" -> {
       // the same 4 peel rounds unrolled: degree over the surviving
-      // edges, keep nodes with d >= 2, keep edges with both ends kept
+      // edges, keep nodes with d >= 2, keep edges with both ends kept.
+      // Every e_i is MATERIALIZED: DuckDB inlines plain CTEs, and each
+      // round references its predecessor 3× — inlining re-evaluates the
+      // e0 self-join 3^4 times and spilled a sf0.1 run to disk-full
+      // (Spark's side checkpoints each round for the same reason)
       def round(i: Int): String =
         s"d$i AS (SELECT node, count(*) AS d FROM (SELECT p1 AS node FROM e${i - 1} " +
           s"UNION ALL SELECT p2 FROM e${i - 1}) t GROUP BY 1), " +
           s"k$i AS (SELECT node FROM d$i WHERE d >= 2), " +
-          s"e$i AS (SELECT e.p1, e.p2 FROM e${i - 1} e " +
+          s"e$i AS MATERIALIZED (SELECT e.p1, e.p2 FROM e${i - 1} e " +
           s"JOIN k$i a ON e.p1 = a.node JOIN k$i b ON e.p2 = b.node), "
       "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
         "FROM lineitem WHERE l_quantity >= 25), " +
-        "e0 AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
         "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
         (1 to 4).map(round).mkString.stripSuffix(", ") +
         " SELECT node, count(*) AS core_deg FROM (SELECT p1 AS node FROM e4 " +
@@ -560,18 +564,21 @@ object Graph {
     },
 
     "graph_bfs" ->
-      // the same 3 min-relaxation frontier rounds unrolled
+      // the same 3 min-relaxation frontier rounds unrolled; e and each
+      // h_i MATERIALIZED — DuckDB inlines plain CTEs and every round
+      // references its predecessor twice (the graph_kcore lesson)
       ("WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw), " +
+        "e AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL " +
+        "SELECT dst, src FROM eraw), " +
         "v AS (SELECT DISTINCT src AS node FROM e), " +
-        "h0 AS (SELECT node, 0::BIGINT AS dist FROM v WHERE node % 100 = 0), " +
+        "h0 AS MATERIALIZED (SELECT node, 0::BIGINT AS dist FROM v WHERE node % 100 = 0), " +
         ("t1 AS (SELECT node, dist FROM h0 UNION ALL " +
           "SELECT e.dst AS node, h0.dist + 1 AS dist FROM e JOIN h0 ON e.src = h0.node), " +
-          "h1 AS (SELECT node, min(dist) AS dist FROM t1 GROUP BY 1), " +
+          "h1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM t1 GROUP BY 1), " +
           "t2 AS (SELECT node, dist FROM h1 UNION ALL " +
           "SELECT e.dst AS node, h1.dist + 1 AS dist FROM e JOIN h1 ON e.src = h1.node), " +
-          "h2 AS (SELECT node, min(dist) AS dist FROM t2 GROUP BY 1), " +
+          "h2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM t2 GROUP BY 1), " +
           "t3 AS (SELECT node, dist FROM h2 UNION ALL " +
           "SELECT e.dst AS node, h2.dist + 1 AS dist FROM e JOIN h2 ON e.src = h2.node), " +
           "h3 AS (SELECT node, min(dist) AS dist FROM t3 GROUP BY 1) ") +
