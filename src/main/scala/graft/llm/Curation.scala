@@ -344,7 +344,27 @@ object Curation {
         col("gopher_keep") && col("dup_ratio") <= 0.2 && !col("contaminated"))
   }
 
+  /** corpus_domain_cap — per-domain contribution cap: keep at most
+    * `cap` documents per source, preferring the longest (tie → lowest
+    * doc_id) — the C4/RefinedWeb-lineage guard against any single
+    * domain dominating the training mix (a crawl where one boilerplate
+    * site contributes 10⁸ pages would otherwise swamp every
+    * temperature-mixed ratio `corpus_mix_temperature` computes).
+    * One per-source window top-k; at scale the window input can be
+    * pre-pruned with a per-partition local top-cap (the grouped-top-k
+    * kernel `GroupedTopKRewrite` rewrites to), so the sort never sees
+    * more than cap × partitions rows per source.
+    */
+  def domainCap(s: SparkSession, d: String, cap: Int = 5): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_domain_cap" -> ((s, d) => domainCap(s, d)),
     "corpus_curate" -> corpusCurate,
     "decontaminate" -> decontaminate,
     "decontaminate_13" -> ((ss, d) => decontaminateDocs(graft.Tables.documents(ss, d), gram = 13)),
@@ -359,6 +379,11 @@ object Curation {
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
   val rawOracles: Map[String, String] = Map(
+    "corpus_domain_cap" ->
+      ("SELECT source, doc_id, n_chars, rn::INT AS rn FROM (" +
+        "SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source " +
+        "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) WHERE rn <= 5"),
+
     "corpus_curate" -> {
       val sw = TextAnalysis.GopherStopwords.map("'" + _ + "'").mkString("(", ", ", ")")
       // the three families' own oracle CTEs (gopher signals, 8-token

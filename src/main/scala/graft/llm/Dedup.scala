@@ -547,7 +547,42 @@ object Dedup {
   def substringDup50(s: SparkSession, d: String): DataFrame =
     substringDupDocs(Tables.documents(s, d), gram = 50)
 
+  /** dedup_norm_keep_best — normalized-key exact dedup with
+    * quality-aware retention: docs are grouped by the md5 of the SAME
+    * canonical form `text_normalize` derives (lowercase, strip
+    * non-alphanumerics, collapse whitespace), and each group keeps the
+    * LONGEST raw variant (tie → lowest doc_id) — the curation policy
+    * that prefers the least-mangled copy of case/punctuation-variant
+    * duplicates, where `dedup_exact`'s min-id keeper is
+    * content-agnostic. Normalized groups are a superset of exact
+    * groups, so the row is non-vacuous wherever `dedup_exact` is.
+    * Shape: one pure-projection key derivation + one keyed argmax
+    * aggregate (min-struct, map-side combinable) — no window sort,
+    * no shuffle beyond the group key.
+    */
+  def normKeepBestDocs(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+    docs
+      .select(col("doc_id"), md5(norm).as("nh"), length(col("text")).as("len"))
+      .groupBy(col("nh"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(struct((-col("len")).as("nl"), col("doc_id").as("id"))).as("m"))
+      .select(col("nh").as("norm_hash"), col("m.id").as("keeper_id"),
+        (-col("m.nl")).as("keeper_len"), col("n_dups"))
+  }
+
+  /** Declared row: the full retention map — singleton groups keep
+    * themselves (n_dups = 1), so the row is non-vacuous at every SF;
+    * the harness corpus only carries multi-doc normalized groups at
+    * sf0.1 (8 there, 0 below — checked, the `decontaminate`
+    * non-vacuity discipline), and the spec pins the argmax choice on a
+    * hand fixture. */
+  def normKeepBest(s: SparkSession, d: String): DataFrame =
+    normKeepBestDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_norm_keep_best" -> normKeepBest,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_cluster" -> minhashClusters,
     "dedup_simhash" -> simhashPairs,
@@ -631,6 +666,18 @@ object Dedup {
       "FROM tot t LEFT JOIN dd USING (doc_id)"
 
   val rawOracles: Map[String, String] = Map(
+    "dedup_norm_keep_best" ->
+      // same canonical form as text_normalize; keeper via the
+      // (len DESC, doc_id) total order ≡ Spark's min(struct(-len, id))
+      ("WITH n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(" +
+        "lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS nh, " +
+        "length(text)::INT AS len FROM documents), " +
+        "g AS (SELECT nh, count(*) AS n_dups FROM n GROUP BY 1), " +
+        "k AS (SELECT nh, doc_id, len, row_number() OVER (PARTITION BY nh " +
+        "ORDER BY len DESC, doc_id) AS rn FROM n) " +
+        "SELECT k.nh AS norm_hash, k.doc_id AS keeper_id, k.len AS keeper_len, " +
+        "g.n_dups FROM k JOIN g ON k.nh = g.nh WHERE k.rn = 1"),
+
     "dedup_minhash_lsh" ->
       s"WITH $minhashCtes, ${jaccardTailSql(candExists)}",
 

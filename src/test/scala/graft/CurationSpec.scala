@@ -169,4 +169,23 @@ class CurationSpec extends SparkSpecBase {
       assert(hashed === text, s"hash-keyed decontamination diverged at gram=$gram")
     }
   }
+
+  test("domainCap keeps the cap longest docs per source, ranked") {
+    val out = Curation.domainCap(spark, sfDir, cap = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val bySrc = out.groupBy(_._1)
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((src, kept) <- bySrc) {
+      assert(kept.length <= 5)
+      assert(kept.map(_._4).sorted.toSeq === (1 to kept.length))
+      // every kept doc outranks every dropped doc in the (len DESC, id) order
+      val keptIds = kept.map(_._2).toSet
+      val worstKept = kept.map(t => (-t._3, t._2)).max
+      for ((s2, id, len) <- docs if s2 == src && !keptIds.contains(id))
+        assert(Ordering[(Long, Long)].gt((-len, id), worstKept),
+          s"dropped $id outranks kept in $src")
+    }
+  }
 }

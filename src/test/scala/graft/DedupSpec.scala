@@ -221,4 +221,34 @@ class DedupSpec extends SparkSpecBase {
     // engine-native mode() would be free to pick either
     assert(m("g") == ("a", 2L) && m("h") == ("q", 1L))
   }
+
+  test("normKeepBest: case/punct variants collapse; longest raw wins, tie to lowest id") {
+    import spark.implicits._
+    // docs 1-3 normalize identically ("hello world"); 2 is the longest
+    // raw variant → keeper. docs 4-5 tie on length → lowest id keeps.
+    val docs = Seq(
+      (1L, "hello world"), (2L, "Hello,  WORLD!!"), (3L, "HELLO WORLD"),
+      (4L, "foo bar"), (5L, "FOO BAR"),
+      (6L, "unique")).toDF("doc_id", "text")
+    val out = Dedup.normKeepBestDocs(docs).collect()
+      .map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(out === Map(2L -> ((15, 3L)), 4L -> ((7, 2L)), 6L -> ((6, 1L))))
+  }
+
+  test("normKeepBest ≡ driver-side brute force on the harness corpus (all groups)") {
+    val out = Dedup.normKeepBest(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = docs
+      .groupBy { case (_, t) =>
+        t.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll("  +", " ").trim }
+      .values
+      .map { g =>
+        val keeper = g.minBy { case (id, t) => (-t.length, id) }
+        (keeper._1, keeper._2.length, g.size.toLong)
+      }.toSet
+    assert(out === brute)
+    assert(out.nonEmpty)
+  }
 }
