@@ -58,6 +58,29 @@ object Ckpt {
       out
     } else df.localCheckpoint()
 
+  /** Release the storage behind a frame previously returned by
+    * `truncate`. Iterative loops call this on round r−1 once round r
+    * has materialized: without it every round's `localCheckpoint`
+    * blocks stay pinned until JVM GC collects the Dataset, so storage
+    * memory grows O(rounds) and late rounds (or co-scheduled queries)
+    * spill — the round-7 driver bench showed untouched iterative
+    * queries swinging 2× under exactly this pressure. `localCheckpoint`
+    * blocks are the frame's ONLY copy (lineage is truncated), so the
+    * caller must guarantee no later computation reads the released
+    * frame — in the loop pattern round r is itself eagerly
+    * checkpointed before r−1 is released. Reliable `checkpoint()`
+    * frames live as files, not blocks (their cache is already
+    * unpersisted inside `truncate`), and non-checkpoint plans have
+    * nothing to release — both are no-ops here.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        if (lr.rdd.getStorageLevel != StorageLevel.NONE)
+          lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Postfix syntax so call sites keep the `.localCheckpoint()` shape:
     * `df.truncated()` ≡ `Ckpt.truncate(df)`.
     */

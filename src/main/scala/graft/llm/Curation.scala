@@ -87,7 +87,56 @@ object Curation {
     * source — the standard "concat then split at budget boundaries"
     * packing a trainer's data loader performs, made deterministic.
     */
-  def seqPackDocs(docs: DataFrame, budget: Int = 2048): DataFrame = {
+  /** Generic two-pass KEYED prefix-sum packer: the running sum of
+    * `size` within each `key` group ordered by `ord`, computed WITHOUT
+    * a per-key ordered window. A `Window.partitionBy(key)` serializes
+    * each key's whole history through one task — fatal when key
+    * cardinality is O(1) (source, modality) while the corpus is 100 TB.
+    * Here: range-repartition on (key, ord) → per-Spark-partition local
+    * running sums → per-(key, partition) totals (a ≤ parts×|keys| frame,
+    * where the ordered window is free) → broadcast the cross-partition
+    * base offsets back. Emits (key, ord, size, pack_id, pack_off);
+    * `CurationSpec`/`MultimodalSpec` assert ≡ the window twins.
+    */
+  def prefixPackBy(df: DataFrame, key: String, ord: String, size: String,
+                   budget: Int, partitions: Int = 0): DataFrame = {
+    val parts =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, col(key), col(ord))
+      .select(col(key), col(ord), col(size), spark_partition_id().as("pid"))
+    val inPart = Window.partitionBy(col("pid"), col(key)).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("cum_in", sum(col(size)).over(inPart))
+    val offsets = local.groupBy(col(key), col("pid"))
+      .agg(max(col("cum_in")).as("tot"))
+      .withColumn("base",
+        coalesce(sum(col("tot")).over(
+          Window.partitionBy(col(key)).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(key), col("pid"), col("base"))
+    local.join(broadcast(offsets), Seq(key, "pid"))
+      .select(col(key), col(ord), col(size),
+        floor((col("base") + col("cum_in") - col(size)) / budget)
+          .cast("long").as("pack_id"),
+        ((col("base") + col("cum_in") - col(size)) % budget).as("pack_off"))
+  }
+
+  /** seq_pack — the declared query ships the two-pass keyed prefix sum
+    * (`prefixPackBy`); `seqPackDocsWindow` is the oracle-literal window
+    * twin (spec-asserted ≡). Source cardinality does not grow with the
+    * corpus, so the window form is NOT the 100-TB plan.
+    */
+  def seqPackDocs(docs: DataFrame, budget: Int = 2048): DataFrame =
+    prefixPackBy(docs.select(col("source"), col("doc_id"), col("n_chars")),
+      "source", "doc_id", "n_chars", budget)
+      .select(col("source"), col("doc_id"),
+        col("pack_id").as("seq_id"), col("pack_off"))
+
+  /** Window twin of `seqPackDocs` — oracle semantics, O(1)-cardinality
+    * window key; kept only to pin the two-pass form in CurationSpec.
+    */
+  def seqPackDocsWindow(docs: DataFrame, budget: Int = 2048): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

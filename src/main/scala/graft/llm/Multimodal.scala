@@ -206,12 +206,40 @@ object Multimodal {
     * per-modality in media_id order into fixed-byte shards (4 KiB here;
     * production shards are ~100 MB-1 GB tar members, same math), each
     * payload assigned the shard its FIRST byte lands in plus its offset
-    * (the `seqPackDocs` semantics on bytes instead of chars). One
-    * running sum per modality — windows parallelize across modalities;
-    * a global cross-modality pack would use the `seqPackGlobal`
-    * two-pass prefix-sum shape.
+    * (the `seqPackDocs` semantics on bytes instead of chars).
+    *
+    * SCALE SHAPE: modality cardinality is O(1) — a `Window.partitionBy
+    * (modality)` running sum streams the whole corpus through a handful
+    * of window partitions at 100 TB. So the declared query ships the
+    * two-pass distributed prefix sum (the `Curation.seqPackGlobal`
+    * shape, per modality): range-repartition on (modality, media_id),
+    * a per-Spark-partition local running sum, then per-(modality,
+    * partition) totals — a tiny frame, numShufflePartitions ×
+    * |modalities| rows — carry the cross-partition base offsets through
+    * a broadcast join. `MultimodalSpec` asserts ≡ the window form
+    * (`mediaPackWindow`) row-for-row; `PipelineScaleProbe` measures the
+    * window form's single-partition ceiling vs this shape's scaling.
     */
-  def mediaPack(s: SparkSession, d: String): DataFrame = {
+  def mediaPack(s: SparkSession, d: String): DataFrame =
+    mediaPackScalable(
+      ingestDocuments(s, d)
+        .select(col("media_id"), col("modality"),
+          length(col("bytes")).cast("long").as("n_bytes")))
+
+  /** Two-pass prefix-sum pack over a (media_id, modality, n_bytes)
+    * frame (`Curation.prefixPackBy` keyed on modality); output ≡
+    * `mediaPackWindow` (spec-asserted).
+    */
+  def mediaPackScalable(sized: DataFrame, budget: Int = 4096, partitions: Int = 0): DataFrame =
+    Curation.prefixPackBy(sized, "modality", "media_id", "n_bytes", budget, partitions)
+      .select(col("media_id"), col("modality"), col("n_bytes"),
+        col("pack_id").as("shard_id"), col("pack_off").as("shard_off"))
+
+  /** The oracle-literal window form of `mediaPack` — O(1)-cardinality
+    * window key, so NOT the 100-TB plan; kept as the spec twin that
+    * pins `mediaPackScalable`'s semantics.
+    */
+  def mediaPackWindow(s: SparkSession, d: String): DataFrame = {
     val budget = 4096
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("modality")).orderBy(col("media_id"))
@@ -254,8 +282,8 @@ object Multimodal {
         "c AS (SELECT *, sum(n_bytes) OVER (PARTITION BY modality " +
         "ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m) " +
         "SELECT media_id, modality, n_bytes, " +
-        "(cum - n_bytes) // 4096 AS shard_id, " +
-        "(cum - n_bytes) % 4096 AS shard_off FROM c"),
+        "((cum - n_bytes) // 4096)::BIGINT AS shard_id, " +
+        "((cum - n_bytes) % 4096)::BIGINT AS shard_off FROM c"),
 
     "multimodal_sample" ->
       ("SELECT media_id, length(sampled)::INT AS n_frames, md5(sampled) AS sample_hash FROM (" +

@@ -115,6 +115,17 @@ class CurationSpec extends SparkSpecBase {
     assert(toks.slice(24, 32).toSeq === long(0)._3.split(" ").takeRight(8).toSeq)
   }
 
+  test("seqPackDocs (two-pass keyed prefix sum) ≡ per-source window twin") {
+    val docs = Tables.documents(spark, sfDir)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("seq_id"), r.getAs[Long]("pack_off")))
+    val got = Curation.seqPackDocs(docs).collect().map(key).toMap
+    val twin = Curation.seqPackDocsWindow(docs).collect().map(key).toMap
+    assert(got === twin)
+    assert(got.nonEmpty)
+  }
+
   test("seqPackGlobal (two-pass prefix sum) ≡ one-partition global window") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)

@@ -80,4 +80,16 @@ class MultimodalSpec extends SparkSpecBase {
     val out = Multimodal.sampleBytes(df, stride = 3).select("sampled").head().getSeq[Array[Byte]](0)
     assert(out.map(b => new String(b, "UTF-8")).toSeq === Seq("a", "d", "g", "j"))
   }
+
+  test("mediaPack (two-pass prefix sum) ≡ per-modality window twin") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      r.getAs[Long]("media_id") -> ((r.getAs[String]("modality"),
+        r.getAs[Long]("n_bytes"), r.getAs[Long]("shard_id"), r.getAs[Long]("shard_off")))
+    val got = Multimodal.mediaPack(spark, sfDir).collect().map(key).toMap
+    val twin = Multimodal.mediaPackWindow(spark, sfDir).collect().map(key).toMap
+    assert(got === twin)
+    assert(got.nonEmpty)
+    // offsets live inside the shard budget
+    assert(got.values.forall { case (_, _, _, off) => off >= 0 && off < 4096 })
+  }
 }
