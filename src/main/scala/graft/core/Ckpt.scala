@@ -68,18 +68,33 @@ object Ckpt {
     * blocks are the frame's ONLY copy (lineage is truncated), so the
     * caller must guarantee no later computation reads the released
     * frame — in the loop pattern round r is itself eagerly
-    * checkpointed before r−1 is released. Reliable `checkpoint()`
+    * checkpointed before r−1 is released. Deliberately NARROW: releases
+    * only when the frame IS a checkpoint — a bare LogicalRDD or one
+    * under a single projection (the loop-state shapes `truncated()` /
+    * `truncated().select(...)` produce). Anything else no-ops, because
+    * a derived frame's leaves can be checkpoints OTHER rounds still
+    * read (a round-0 state like `edges.select(...).distinct()` reaches
+    * the edge checkpoint every later round joins against — collecting
+    * leaves there killed GraphSpec with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Reliable `checkpoint()`
     * frames live as files, not blocks (their cache is already
     * unpersisted inside `truncate`), and non-checkpoint plans have
     * nothing to release — both are no-ops here.
     */
-  def release(df: DataFrame): Unit =
+  def release(df: DataFrame): Unit = {
+    def unp(lr: org.apache.spark.sql.execution.LogicalRDD): Unit =
+      if (lr.rdd.getStorageLevel != StorageLevel.NONE)
+        lr.rdd.unpersist(blocking = false)
     df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        if (lr.rdd.getStorageLevel != StorageLevel.NONE)
-          lr.rdd.unpersist(blocking = false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD => unp(lr)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.child match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => unp(lr)
+          case _ => ()
+        }
       case _ => ()
     }
+  }
 
   /** Postfix syntax so call sites keep the `.localCheckpoint()` shape:
     * `df.truncated()` ≡ `Ckpt.truncate(df)`.

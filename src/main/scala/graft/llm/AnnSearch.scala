@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Ckpt
 import graft.core.Ckpt.TruncateSyntax
 import graft.core.{Distance, Knn}
 import graft.functions.ArrayDistance
@@ -188,7 +189,7 @@ object AnnSearch {
     */
   def kmeansCentroids(t: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
     var cent = seed.select(col("c_id"), col("c_v"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val means = t.join(assignCells(t, cent), "t_id")
         .select(col("cell"), posexplode(col("t_v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -197,7 +198,12 @@ object AnnSearch {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("c_id"), expr("transform(pm, p -> p.m)").as("c_v"))
       val kept = cent.join(means.select(col("c_id")), Seq("c_id"), "left_anti")
+      val prev = cent
       cent = means.unionByName(kept).truncated()
+      // free the superseded round's checkpoint blocks — but never the
+      // caller's seed (round 0): the caller owns that frame and may
+      // reuse it (AnnSearchSpec runs two refinements off one seed)
+      if (i > 0) Ckpt.release(prev)
     }
     cent
   }

@@ -404,7 +404,12 @@ object Curation {
     * kernel `GroupedTopKRewrite` rewrites to), so the sort never sees
     * more than cap × partitions rows per source.
     */
-  def domainCap(s: SparkSession, d: String, cap: Int = 5): DataFrame = {
+  /** The one source of truth for the declared row's cap — interpolated
+    * into the oracle string below so Spark and DuckDB cannot drift.
+    */
+  private[graft] val DomainCapN = 5
+
+  def domainCap(s: SparkSession, d: String, cap: Int = DomainCapN): DataFrame = {
     val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
     Tables.documents(s, d)
       .withColumn("rn", row_number().over(w))
@@ -431,7 +436,7 @@ object Curation {
     "corpus_domain_cap" ->
       ("SELECT source, doc_id, n_chars, rn::INT AS rn FROM (" +
         "SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source " +
-        "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) WHERE rn <= 5"),
+        s"ORDER BY n_chars DESC, doc_id) AS rn FROM documents) WHERE rn <= $DomainCapN"),
 
     "corpus_curate" -> {
       val sw = TextAnalysis.GopherStopwords.map("'" + _ + "'").mkString("(", ", ", ")")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Ckpt
 import graft.core.Ckpt.TruncateSyntax
 import graft.rel.Queries.rnd
 
@@ -408,6 +409,9 @@ object Dedup {
       val nChanged = obs.get("nChanged").asInstanceOf[Long]
       converged = nChanged == 0
       stepped.unpersist()
+      // `next` is materialized — round r−1's checkpoint blocks are dead;
+      // release them so storage stays O(1) rounds, not O(rounds)
+      Ckpt.release(labels)
       labels = next.select(col("v"), col("lbl"))
       it += 1
       if (verbose)

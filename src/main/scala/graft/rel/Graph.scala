@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Ckpt
 import graft.core.Ckpt.TruncateSyntax
 import graft.rel.Queries.rnd
 
@@ -82,11 +83,15 @@ object Graph {
         .join(ranks, edges("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") / col("od")).as("c"))
+      val prev = ranks
       ranks = ranks.select(col("node"), col("od"), col("n"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"), col("od"), col("n"),
           (lit(teleport) / col("n") + lit(Damping) * coalesce(col("c"), lit(0.0))).as("r"))
         .truncated()
+      // round r is materialized (eager checkpoint) — round r−1's blocks
+      // are dead weight; without this, storage grows O(rounds)
+      Ckpt.release(prev)
     }
     ranks.select(col("node"), rnd(col("r"), 6).as("rank"))
   }
@@ -292,15 +297,25 @@ object Graph {
     * corpus-proportional broadcast; rounds are `Ckpt.truncate`d so
     * round r+1 plans against a constant-size tree.
     */
-  def kCorePeel(edgesIn: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+  /** Declared-row constants, interpolated into the oracle strings below
+    * so Spark and DuckDB read one source of truth (ADVICE r7).
+    */
+  private[graft] val KCoreK = 2
+  private[graft] val KCoreRounds = 4
+  private[graft] val BfsMaxHops = 3
+  private[graft] val BfsSeedMod = 100
+
+  def kCorePeel(edgesIn: DataFrame, k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
     var edges = edgesIn.truncated()
     for (_ <- 1 to rounds) {
       val keep = degrees(edges).filter(col("d") >= k).select(col("node"))
+      val prev = edges
       edges = edges
         .join(keep.withColumnRenamed("node", "p1"), Seq("p1"), "left_semi")
         .join(keep.withColumnRenamed("node", "p2"), Seq("p2"), "left_semi")
         .select(col("p1"), col("p2"))
         .truncated()
+      Ckpt.release(prev)
     }
     degrees(edges).select(col("node"), col("d").as("core_deg"))
   }
@@ -352,15 +367,17 @@ object Graph {
     * This is PageRank's message-passing skeleton with min instead of
     * sum, so the 100 TB story is identical.
     */
-  def bfsHops(edgesIn: DataFrame, sources: DataFrame, maxHops: Int = 3): DataFrame = {
+  def bfsHops(edgesIn: DataFrame, sources: DataFrame, maxHops: Int = BfsMaxHops): DataFrame = {
     val edges = edgesIn.truncated()
     var dist = sources.select(col("node"), lit(0L).as("dist")).truncated()
     for (_ <- 1 to maxHops) {
       val nxt = edges.join(dist.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      val prev = dist
       dist = dist.unionAll(nxt)
         .groupBy("node").agg(min("dist").as("dist"))
         .truncated()
+      Ckpt.release(prev)
     }
     dist
   }
@@ -368,7 +385,7 @@ object Graph {
   def bfsQuery(s: SparkSession, d: String): DataFrame = {
     val edges = custSuppEdges(s, d)
     val sources = edges.select(col("src").as("node")).distinct()
-      .filter(col("node") % 100 === 0)
+      .filter(col("node") % BfsSeedMod === 0)
     bfsHops(edges, sources)
   }
 
@@ -408,6 +425,7 @@ object Graph {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
+      val prev = labels
       labels = edges
         .join(labels.select(col("node").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("node"), col("lbl"))
@@ -416,6 +434,8 @@ object Graph {
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
         .select(col("node"), col("m.l").as("lbl"))
         .truncated()
+      // no-op on round 0 (prev is a plain derived frame, not a ckpt)
+      Ckpt.release(prev)
     }
     labels.select(col("node"), col("lbl").as("label"))
   }
@@ -551,38 +571,40 @@ object Graph {
       def round(i: Int): String =
         s"d$i AS (SELECT node, count(*) AS d FROM (SELECT p1 AS node FROM e${i - 1} " +
           s"UNION ALL SELECT p2 FROM e${i - 1}) t GROUP BY 1), " +
-          s"k$i AS (SELECT node FROM d$i WHERE d >= 2), " +
+          s"k$i AS (SELECT node FROM d$i WHERE d >= $KCoreK), " +
           s"e$i AS MATERIALIZED (SELECT e.p1, e.p2 FROM e${i - 1} e " +
           s"JOIN k$i a ON e.p1 = a.node JOIN k$i b ON e.p2 = b.node), "
       "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
         "FROM lineitem WHERE l_quantity >= 25), " +
         "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
         "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
-        (1 to 4).map(round).mkString.stripSuffix(", ") +
-        " SELECT node, count(*) AS core_deg FROM (SELECT p1 AS node FROM e4 " +
-        "UNION ALL SELECT p2 FROM e4) t GROUP BY 1"
+        (1 to KCoreRounds).map(round).mkString.stripSuffix(", ") +
+        s" SELECT node, count(*) AS core_deg FROM (SELECT p1 AS node FROM e$KCoreRounds " +
+        s"UNION ALL SELECT p2 FROM e$KCoreRounds) t GROUP BY 1"
     },
 
-    "graph_bfs" ->
-      // the same 3 min-relaxation frontier rounds unrolled; e and each
-      // h_i MATERIALIZED — DuckDB inlines plain CTEs and every round
-      // references its predecessor twice (the graph_kcore lesson)
-      ("WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+    "graph_bfs" -> {
+      // the same BfsMaxHops min-relaxation frontier rounds unrolled by
+      // the shared constant; e and each h_i MATERIALIZED — DuckDB
+      // inlines plain CTEs and every round references its predecessor
+      // twice (the graph_kcore lesson). The final hop stays plain (it
+      // is read once).
+      def hop(i: Int): String = {
+        val mat = if (i < BfsMaxHops) " MATERIALIZED" else ""
+        s"t$i AS (SELECT node, dist FROM h${i - 1} UNION ALL " +
+          s"SELECT e.dst AS node, h${i - 1}.dist + 1 AS dist FROM e " +
+          s"JOIN h${i - 1} ON e.src = h${i - 1}.node), " +
+          s"h$i AS$mat (SELECT node, min(dist) AS dist FROM t$i GROUP BY 1), "
+      }
+      "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
         "e AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL " +
         "SELECT dst, src FROM eraw), " +
         "v AS (SELECT DISTINCT src AS node FROM e), " +
-        "h0 AS MATERIALIZED (SELECT node, 0::BIGINT AS dist FROM v WHERE node % 100 = 0), " +
-        ("t1 AS (SELECT node, dist FROM h0 UNION ALL " +
-          "SELECT e.dst AS node, h0.dist + 1 AS dist FROM e JOIN h0 ON e.src = h0.node), " +
-          "h1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM t1 GROUP BY 1), " +
-          "t2 AS (SELECT node, dist FROM h1 UNION ALL " +
-          "SELECT e.dst AS node, h1.dist + 1 AS dist FROM e JOIN h1 ON e.src = h1.node), " +
-          "h2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM t2 GROUP BY 1), " +
-          "t3 AS (SELECT node, dist FROM h2 UNION ALL " +
-          "SELECT e.dst AS node, h2.dist + 1 AS dist FROM e JOIN h2 ON e.src = h2.node), " +
-          "h3 AS (SELECT node, min(dist) AS dist FROM t3 GROUP BY 1) ") +
-        "SELECT node, dist FROM h3"),
+        s"h0 AS MATERIALIZED (SELECT node, 0::BIGINT AS dist FROM v WHERE node % $BfsSeedMod = 0), " +
+        (1 to BfsMaxHops).map(hop).mkString.stripSuffix(", ") +
+        s" SELECT node, dist FROM h$BfsMaxHops"
+    },
 
     "graph_clustering" ->
       // semantic per-node triangle count (connected neighbor pairs via

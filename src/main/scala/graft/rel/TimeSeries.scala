@@ -37,6 +37,13 @@ object TimeSeries {
 
   private val WeekUs = 604800000000L // 7 * 86400 * 1e6
 
+  // Declared-row constants, interpolated into the oracle strings below
+  // so Spark and DuckDB read one source of truth (ADVICE r7)
+  private[graft] val LttbBucket = 24
+  private[graft] val CrossCorrTypeA = "click"
+  private[graft] val CrossCorrTypeB = "purchase"
+  private[graft] val CrossCorrMaxLag = 3
+
   // ---- ts_resample: hourly gap-fill + forward fill ----------------------
 
   /** Per-event_type hourly resample: every hour in [min, max] of that
@@ -674,7 +681,7 @@ object TimeSeries {
     * (event_type, bucket), never corpus rows. Per-type partitions
     * independent.
     */
-  def lttbHourly(events: DataFrame, bucket: Int = 24): DataFrame = {
+  def lttbHourly(events: DataFrame, bucket: Int = LttbBucket): DataFrame = {
     val base = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
       .agg(rnd(avg(col("value")), 6).as("v"))
@@ -728,14 +735,36 @@ object TimeSeries {
     * one per-purchase argmax aggregate (map-side partials), one
     * vocabulary-sized channel count. Nothing corpus-proportional is
     * broadcast.
+    *
+    * Heavy-user guard (the `coOrderEdgesFrom` discipline): the
+    * purchases⋈candidates expansion is quadratic in ONE user's event
+    * count — a bot account with 10⁴ purchases × 10⁵ clicks silently
+    * generates 10⁹ pre-filter rows in one task. A user whose
+    * purchases×candidates product exceeds `maxPairsPerUser` raises a
+    * descriptive error naming the knob; the check costs one per-user
+    * count window on the purchase side (same user_id key the join
+    * shuffles by) plus a user-keyed candidate count.
     */
   def attributionLastTouch(events: DataFrame,
-      lookbackUs: Long = 7L * 24 * 3600 * 1000000): DataFrame = {
+      lookbackUs: Long = WeekUs,
+      maxPairsPerUser: Long = 1000000L): DataFrame = {
     val ev = events.select(col("user_id"), col("event_id"),
       col("event_type"), unix_micros(col("ts")).as("t"))
+    val candAll = ev.filter(col("event_type") =!= "purchase")
+    val candCnt = candAll.groupBy("user_id").agg(count(lit(1)).as("nc"))
     val purch = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("pid"), col("t").as("pt"))
-    val cand = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("np", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .join(candCnt, Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id").as("pid"),
+        when(col("np") * coalesce(col("nc"), lit(0L)) > maxPairsPerUser,
+          raise_error(concat(
+            lit("attributionLastTouch: user "), col("user_id").cast("string"),
+            lit(" expands to "), (col("np") * col("nc")).cast("string"),
+            lit(s" purchase x candidate pairs > maxPairsPerUser=$maxPairsPerUser — " +
+              "sample or pre-aggregate heavy users first"))))
+          .otherwise(col("t")).as("pt"))
+    val cand = candAll
       .select(col("user_id"), col("event_type").as("channel"),
         col("event_id").as("cid"), col("t").as("ct"))
     val best = purch.join(cand, Seq("user_id"))
@@ -927,7 +956,7 @@ object TimeSeries {
     * bucket-count-sized.
     */
   def crossCorrHourly(events: DataFrame, typeA: String, typeB: String,
-      maxLag: Int = 3): DataFrame = {
+      maxLag: Int = CrossCorrMaxLag): DataFrame = {
     val b = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
       .agg(rnd(avg(col("value")), 6).as("v"))
@@ -947,7 +976,7 @@ object TimeSeries {
   }
 
   def crossCorr(s: SparkSession, d: String): DataFrame =
-    crossCorrHourly(Tables.events(s, d), "click", "purchase")
+    crossCorrHourly(Tables.events(s, d), CrossCorrTypeA, CrossCorrTypeB)
 
   // ---- ts_islands: gaps-and-islands coverage runs -----------------------
 
@@ -1115,10 +1144,10 @@ object TimeSeries {
       // explicit raw moments
       ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
         "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
-        "l AS (SELECT unnest(range(0, 4)) AS lag), " +
+        s"l AS (SELECT unnest(range(0, ${CrossCorrMaxLag + 1})) AS lag), " +
         "p AS (SELECT l.lag::INT AS lag, x.v AS x, y.v AS y " +
-        "FROM (SELECT hs, v FROM b WHERE event_type = 'click') x CROSS JOIN l " +
-        "JOIN (SELECT hs, v FROM b WHERE event_type = 'purchase') y " +
+        s"FROM (SELECT hs, v FROM b WHERE event_type = '$CrossCorrTypeA') x CROSS JOIN l " +
+        s"JOIN (SELECT hs, v FROM b WHERE event_type = '$CrossCorrTypeB') y " +
         "ON y.hs = x.hs + l.lag * 3600), " +
         "m AS (SELECT lag, count(*) AS n_pairs, " +
         "avg(x) AS ax, avg(y) AS ay, avg(x * y) AS axy, " +
@@ -1178,7 +1207,7 @@ object TimeSeries {
       ("WITH b0 AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
         "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
         "b AS (SELECT event_type, hs, floor(v * 1e6 + 0.5)::BIGINT AS vu, " +
-        "((row_number() OVER (PARTITION BY event_type ORDER BY hs) - 1) // 24)::BIGINT AS bk " +
+        s"((row_number() OVER (PARTITION BY event_type ORDER BY hs) - 1) // $LttbBucket)::BIGINT AS bk " +
         "FROM b0), " +
         "st AS (SELECT event_type, bk, count(*) AS n, sum(hs) AS sx, sum(vu) AS sy " +
         "FROM b GROUP BY 1, 2), " +
@@ -1211,7 +1240,7 @@ object TimeSeries {
         "rk AS (SELECT pid, channel, row_number() OVER (PARTITION BY pid " +
         "ORDER BY ct DESC, cid DESC, channel DESC) AS rn " +
         "FROM p JOIN c ON p.user_id = c.user_id " +
-        "WHERE ct < pt AND ct >= pt - 604800000000), " +
+        s"WHERE ct < pt AND ct >= pt - $WeekUs), " +
         "b AS (SELECT pid, channel FROM rk WHERE rn = 1) " +
         "SELECT coalesce(b.channel, 'none') AS channel, count(*) AS n_conversions " +
         "FROM p LEFT JOIN b ON p.pid = b.pid GROUP BY 1"),

@@ -23,6 +23,13 @@ object CcProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Wall-clock bands are machine-sensitive (JIT/GC on a loaded host
+    // can trip a 3× margin even when the plans are flat — ADVICE r7):
+    // timing checks WARN; structural checks (row counts, maxDist,
+    // survivors, wedge bounds) stay hard asserts.
+    def timingWarn(cond: Boolean, msg: => String): Unit =
+      if (!cond) System.err.println(s"[cc-probe][TIMING-WARN] $msg")
+
     val t0 = System.nanoTime()
     val pairs = graft.llm.Dedup.minhashLsh(spark, sfDir)
       .select(col("doc_id1"), col("doc_id2")).persist()
@@ -147,7 +154,7 @@ object CcProbe {
     val marginal = (w8 - w2) / 6.0
     println(f"[lp-probe] sf=$sfDir rounds 2 -> 8: $w2%.2f s -> $w8%.2f s " +
       f"marginal=${marginal}%.3f s/round (first-2-round avg ${w2 / 2}%.3f)")
-    assert(marginal < math.max(w2 / 2, 0.05) * 3,
+    timingWarn(marginal < math.max(w2 / 2, 0.05) * 3,
       s"per-round LPA cost grew with depth: marginal $marginal s vs early ${w2 / 2} s")
 
     // 2. Hub safety: LPA's per-round aggregate is keyed by (node, lbl) —
@@ -182,7 +189,7 @@ object CcProbe {
     val kcMarginal = (kw8 - kw2) / 6.0
     println(f"[kcore-probe] sf=$sfDir rounds 2 -> 8: $kw2%.2f s -> $kw8%.2f s " +
       f"marginal=$kcMarginal%.3f s/round")
-    assert(kcMarginal < math.max(kw2 / 2, 0.05) * 3,
+    timingWarn(kcMarginal < math.max(kw2 / 2, 0.05) * 3,
       s"per-round k-core cost grew with depth: marginal $kcMarginal s vs early ${kw2 / 2} s")
 
     val bfsEdges = Graph.custSuppEdges(spark, sfDir).truncated()
@@ -197,7 +204,7 @@ object CcProbe {
     val bfMarginal = (bw9 - bw3) / 6.0
     println(f"[bfs-probe] sf=$sfDir hops 3 -> 9: $bw3%.2f s -> $bw9%.2f s " +
       f"marginal=$bfMarginal%.3f s/round")
-    assert(bfMarginal < math.max(bw3 / 3, 0.05) * 3,
+    timingWarn(bfMarginal < math.max(bw3 / 3, 0.05) * 3,
       s"per-round BFS cost grew with depth: marginal $bfMarginal s vs early ${bw3 / 3} s")
 
     // 2. Hub safety: a 100k-degree hub is ONE frontier row whose join

@@ -55,6 +55,27 @@ object CkptProbe {
         val wall = (System.nanoTime() - t0) / 1e9
         (name, wall, sig)
       }
+      // storage-release audit (local path only — the reliable pass
+      // below pins a checkpoint dir, which persists files not blocks):
+      // an 8-round PageRank may leave only O(1) frames resident —
+      // `Ckpt.release` frees round r−1 as round r materializes. Delta
+      // counting (before vs after) isolates this run from earlier legs'
+      // still-GC-pinned final frames. Pre-release this delta was
+      // ~iters+2 (every round's blocks pinned until JVM GC).
+      if (pass == 1) {
+        def residentNow() = spark.sparkContext.getPersistentRDDs.values
+          .filter(_.getStorageLevel.useMemory).toSeq
+        val before = residentNow().map(_.id).toSet
+        graft.rel.Graph.pageRank(
+          graft.rel.Graph.custSuppEdges(spark, sfDir), iters = 8)
+          .agg(sum(abs(hash(col("node"), col("rank"))).cast("long"))).head()
+        val added = residentNow().filterNot(r => before.contains(r.id))
+        println(s"[ckpt-probe] release-audit: 8-round pageRank left " +
+          s"${added.length} new resident frames (edges + init + final expected)")
+        require(added.length <= 3,
+          s"release-audit: ${added.length} frames resident after 8 rounds — " +
+            "Ckpt.release regressed (expected <= 3: edges, init, final)")
+      }
       val bytes = ckptDir.map(dirBytes)
       ckptDir.foreach { d =>
         def rm(f: File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }

@@ -371,6 +371,23 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out === Map("view" -> 1L, "none" -> 2L, "error" -> 1L))
   }
 
+  test("attributionLastTouch guard: planted heavy user raises, sane users attribute normally") {
+    // user 1: 20 purchases × 30 candidates = 600 pairs
+    val heavy = ev(
+      ((0L until 30L).map(i => (i, 100L + i, 1L, "click", 0.0)) ++
+        (0L until 20L).map(i => (1000L + i, 500L + i, 1L, "purchase", 0.0))): _*)
+    // under the bound: normal result, guard invisible
+    val ok = TimeSeries.attributionLastTouch(heavy, maxPairsPerUser = 600L)
+      .as[(String, Long)].collect().toMap
+    assert(ok === Map("click" -> 20L))
+    // over the bound: descriptive raise_error names the knob
+    val e = intercept[Exception](
+      TimeSeries.attributionLastTouch(heavy, maxPairsPerUser = 599L).count())
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("maxPairsPerUser"), s"unexpected failure: $msgs")
+  }
+
   test("mergeIntervals: chain-merge through a long interval; touching merges; gap splits") {
     import spark.implicits._
     // user 1: [0,100) swallows [10,20) and chains into [90,150);
