@@ -323,6 +323,50 @@ object Graph {
   def kCoreQuery(s: SparkSession, d: String): DataFrame =
     kCorePeel(coOrderEdges(s, d))
 
+  /** graph_kcore_fixpoint — TRUE-fixpoint k-core: the `kCorePeel` loop
+    * run to convergence instead of a declared round count — the form a
+    * production peel actually runs (a pendant chain of length L needs L
+    * rounds; no fixed count is right for every graph). Convergence is
+    * detected by the surviving-edge count, observed DURING each round's
+    * eager checkpoint materialization (the `connectedComponents`
+    * Observation pattern — no extra job): peeling only removes edges,
+    * so an unchanged count IS the fixpoint. Like `ann_ivf_kmeans`,
+    * deliberately NO oracle twin (rows-only check): DuckDB cannot
+    * express loop-to-convergence without recursive CTEs re-deriving the
+    * whole prefix; instead GraphSpec pins ≡ `kCorePeel(rounds = n)` for
+    * every n ≥ the convergence depth. Per-round shape and the
+    * `Ckpt.release` storage bound are inherited unchanged.
+    */
+  def kCoreFixpoint(edgesIn: DataFrame, k: Int = KCoreK, maxRounds: Int = 50): DataFrame = {
+    var edges = edgesIn.truncated()
+    var prevEdgeCount = -1L
+    var converged = false
+    var it = 0
+    while (!converged && it < maxRounds) {
+      val keep = degrees(edges).filter(col("d") >= k).select(col("node"))
+      val obs = org.apache.spark.sql.Observation()
+      val prev = edges
+      edges = edges
+        .join(keep.withColumnRenamed("node", "p1"), Seq("p1"), "left_semi")
+        .join(keep.withColumnRenamed("node", "p2"), Seq("p2"), "left_semi")
+        .select(col("p1"), col("p2"))
+        .observe(obs, count(lit(1)).as("ne"))
+        .truncated()
+      val ne = obs.get("ne").asInstanceOf[Long]
+      converged = ne == prevEdgeCount || ne == 0L
+      prevEdgeCount = ne
+      Ckpt.release(prev)
+      it += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] kCoreFixpoint hit maxRounds=$maxRounds without " +
+        "converging — result is a partial peel, not the k-core")
+    degrees(edges).select(col("node"), col("d").as("core_deg"))
+  }
+
+  def kCoreFixpointQuery(s: SparkSession, d: String): DataFrame =
+    kCoreFixpoint(coOrderEdges(s, d))
+
   /** graph_clustering — per-node local clustering coefficient
     * 2·t(v) / (d(v)·(d(v)−1)) (Watts-Strogatz): the fraction of a
     * node's neighbor pairs that are themselves connected — the
@@ -443,6 +487,51 @@ object Graph {
   def labelPropQuery(s: SparkSession, d: String): DataFrame =
     labelProp(custSuppEdges(s, d))
 
+  /** Loop-to-fixpoint LPA: `labelProp` run until NO label changes,
+    * convergence observed during each round's checkpoint
+    * materialization (one job per round, the `connectedComponents`
+    * pattern; the changed-count join keys on the same node shuffle the
+    * argmax already pays). Spec-gated, NOT a declared row: synchronous
+    * LPA is not guaranteed to converge — on bipartite structures (the
+    * declared row's customer↔supplier graph included) the two sides
+    * can swap labels forever, which is exactly why the declared row
+    * pins a fixed round count. GraphSpec asserts ≡
+    * `labelProp(iters = n)` for n ≥ the convergence depth on a graph
+    * that does converge; the maxRounds escape warns on oscillation.
+    */
+  def labelPropFixpoint(edgesIn: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val edges = edgesIn.truncated()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxRounds) {
+      val obs = org.apache.spark.sql.Observation()
+      val prev = labels
+      val next = edges
+        .join(labels.select(col("node").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("new_lbl"))
+        .join(prev.select(col("node"), col("lbl").as("old_lbl")), Seq("node"), "left")
+        .select(col("node"), col("new_lbl").as("lbl"),
+          (col("new_lbl") =!= coalesce(col("old_lbl"), lit(Long.MinValue))).as("chg"))
+        .observe(obs, count(when(col("chg"), lit(1))).as("nChanged"))
+        .truncated()
+      converged = obs.get("nChanged").asInstanceOf[Long] == 0L
+      labels = next.select(col("node"), col("lbl"))
+      Ckpt.release(prev)
+      it += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] labelPropFixpoint hit maxRounds=$maxRounds without " +
+        "converging — sync LPA can oscillate (bipartite swap); labels are the " +
+        "last round's state")
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_label_prop" -> labelPropQuery,
     "graph_degree_dist" -> degreeDistQuery,
@@ -451,6 +540,10 @@ object Graph {
     "graph_edge_jaccard" -> edgeJaccardQuery,
     "graph_resource_alloc" -> resourceAllocQuery,
     "graph_kcore" -> kCoreQuery,
+    // rows-only by design (the ann_ivf_kmeans precedent): loop-to-
+    // convergence is not oracle-expressible without recursive CTEs;
+    // GraphSpec pins ≡ kCorePeel(rounds ≥ depth)
+    "graph_kcore_fixpoint" -> kCoreFixpointQuery,
     "graph_bfs" -> bfsQuery,
     "graph_clustering" -> clusteringQuery,
   )

@@ -231,6 +231,59 @@ object CcProbe {
     println(f"[kcore-stress] star 100k: survivors=$kcRows (expect 0) " +
       f"wall=${(System.nanoTime() - tKcH) / 1e9}%.2f s")
     assert(kcRows == 0L, "a star has no 2-core")
+
+    // ---- exchange-reuse audit (round-8) -------------------------------
+    // The graph scaladocs claim each round re-shuffles ONLY on the same
+    // node/edge keys — a constant number of shuffle-writing stages and
+    // ~flat shuffle bytes per round. Turn the claim into numbers: a
+    // stage-metrics listener totals shuffle-writing stages and bytes
+    // for iters=2 vs iters=6; the marginal per-round cost is the
+    // audit. Listener delivery is async, so totals are polled to
+    // stability (probe-only tool; the queries themselves carry no
+    // listener).
+    {
+      import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      class ShuffleTally extends SparkListener {
+        val stages = new AtomicInteger(0)
+        val bytes = new AtomicLong(0L)
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null && m.shuffleWriteMetrics.bytesWritten > 0) {
+            stages.incrementAndGet()
+            bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
+      }
+      def tally(run: () => Unit): (Int, Long) = {
+        val t = new ShuffleTally
+        spark.sparkContext.addSparkListener(t)
+        run()
+        // poll the async listener bus to stability (max ~5 s)
+        var last = (-1, -1L)
+        var cur = (t.stages.get, t.bytes.get)
+        var i = 0
+        while (cur != last && i < 10) {
+          Thread.sleep(500); last = cur; cur = (t.stages.get, t.bytes.get); i += 1
+        }
+        spark.sparkContext.removeSparkListener(t)
+        cur
+      }
+      val prEdges = Graph.custSuppEdges(spark, sfDir).truncated()
+      val (s2, b2) = tally(() => { Graph.pageRank(prEdges, iters = 2).count(); () })
+      val (s6, b6) = tally(() => { Graph.pageRank(prEdges, iters = 6).count(); () })
+      val mStages = (s6 - s2) / 4.0
+      val mBytes = (b6 - b2) / 4.0
+      println(f"[exchange-audit] pageRank shuffle-writing stages: iters2=$s2 " +
+        f"iters6=$s6 marginal=$mStages%.1f/round; bytes iters2=$b2%,d iters6=$b6%,d " +
+        f"marginal=${mBytes / 1e3}%.1f KB/round")
+      // structural bound: a round is one edges⋈ranks join + one keyed
+      // agg + the checkpoint — a handful of shuffle-writing stages, not
+      // a count that grows with round index (lineage re-execution would)
+      assert(mStages <= 5.0,
+        s"pageRank marginal shuffle stages/round = $mStages — exchange reuse regressed")
+    }
     spark.stop()
   }
 }

@@ -69,7 +69,46 @@ object CurationScaleProbe {
     println(f"[scale] decontaminate_13 key-shuffle ratio text/hash = ${d13TextMb / d13HashMb}%.1f x")
     assert(d13HashMb < d13TextMb,
       f"hash key must shuffle fewer bytes: $d13HashMb%.1f MB vs $d13TextMb%.1f MB")
-    leg("seq_pack")(Curation.seqPackDocs(docs).count())
+    // seq_pack: the O(1)-cardinality window key vs the two-pass prefix
+    // sum (round 8). 8 sources means the window form funnels the WHOLE
+    // corpus through 8 sort partitions — a parallelism ceiling no
+    // executor count lifts; the two-pass form range-partitions into
+    // `cpus` slices regardless of source cardinality. Forced through an
+    // agg over both outputs (count() lets ColumnPruning drop unused
+    // window exprs — the forceDup lesson below).
+    def forcePack(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("seq_id") + col("pack_off"))).collect()(0).getLong(0)
+    val (wWin, _) = legMb("seq_pack_window_8src")(
+      forcePack(Curation.seqPackDocsWindow(docs)))
+    val (wTp, _) = legMb("seq_pack_twopass_8src")(
+      forcePack(Curation.seqPackDocs(docs)))
+    // the ceiling is STRUCTURAL, not (local) wall: count the partitions
+    // that actually hold rows in each plan's packing stage — the window
+    // form can never use more than |sources| tasks however many
+    // executors exist; local in-memory shuffles hide that in wall time
+    // (the TsScaleProbe lesson, again)
+    // the pack columns must ride along or ColumnPruning drops the very
+    // window/join being measured (the forceDup trap, partition-id form)
+    // ...and the agg value must be COLLECTED, not count()ed — counting
+    // groups prunes sum(x), then x, then the window (found live: both
+    // forms read 32 = the scan's partitioning)
+    def busyParts(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(spark_partition_id().as("p"), (col("seq_id") + col("pack_off")).as("x"))
+        .groupBy("p").agg(sum("x")).collect().length.toLong
+    // AQE's partition coalescing hides the structure at probe sizes
+    // (3 MB of shuffle collapses BOTH forms to 2 partitions); at 100 TB
+    // partitions are advisory-size and no coalescing occurs — audit
+    // with coalescing off so the count reflects the plan, not the
+    // small-data rescue
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val bWin = busyParts(Curation.seqPackDocsWindow(docs))
+    val bTp = busyParts(Curation.seqPackDocs(docs))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    println(f"[scale] seq_pack window/two-pass wall ratio = ${wWin / wTp}%.2f x; " +
+      s"busy packing partitions: window=$bWin (≤ |sources|=8 forever) " +
+      s"two-pass=$bTp (scales with cluster)")
+    assert(bWin <= 8 && bTp > bWin,
+      s"expected window form capped at 8 busy partitions, two-pass above it: $bWin vs $bTp")
     leg("quality_repetition")(Curation.qualityRepetitionDocs(docs).count())
     leg("doc_chunk")(Curation.docChunkDocs(docs).count())
     // stride-1 windows: the heaviest fan-out in the family — 73 windows

@@ -127,6 +127,39 @@ class GraphSpec extends SparkSpecBase {
     assert(one === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("kCoreFixpoint ≡ kCorePeel at any rounds ≥ convergence depth; early exit on empty") {
+    // triangle {1,2,3} + chain 3-4-5-6: converges in 3 peel rounds
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("p1", "p2")
+    val fix = Graph.kCoreFixpoint(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ≡ the fixed-round row for every rounds ≥ the convergence depth
+    for (rounds <- Seq(3, 4, 7)) {
+      val fixed = Graph.kCorePeel(edges, k = 2, rounds = rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fix === fixed, s"fixpoint diverged from rounds=$rounds")
+    }
+    assert(fix === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a graph with NO 3-core empties out and the loop exits early
+    assert(Graph.kCoreFixpoint(edges, k = 3).count() === 0L)
+  }
+
+  test("labelPropFixpoint converges and ≡ labelProp at rounds ≥ depth on a converging graph") {
+    // two triangles bridged by one edge: labels collapse to each
+    // triangle's min id and STAY there (convergent, not oscillating)
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val edges = half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+    val fix = Graph.labelPropFixpoint(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (iters <- Seq(3, 5)) {
+      val fixed = Graph.labelProp(edges, iters = iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fix === fixed, s"fixpoint diverged from iters=$iters")
+    }
+    assert(fix.values.toSet.size <= 2, "two bridged triangles collapse to ≤2 labels")
+  }
+
   test("bfsHops: hop distances relax through min; unreached nodes absent") {
     import spark.implicits._
     // path 1-2-3-4-5 plus isolated edge 8-9; source = {1}
