@@ -980,6 +980,95 @@ object Queries {
       LIMIT 10""")
   }
 
+  // sql_q5 — local-supplier revenue by nation inside one region (TPC-H Q5
+  // shape): the five-way join where c_nationkey = s_nationkey is the
+  // load-bearing "customer bought from a LOCAL supplier" predicate.
+  // nation/region are broadcast (O(1) rows at any SF); customer⋈orders⋈
+  // lineitem⋈supplier shuffle on their keys. Revenue is summed in EXACT
+  // e4 integer units (price is 2-decimal, discount 2-decimal — checked
+  // against the generator: max |price*100 − round| < 1e-9 — so
+  // floor(x*100+0.5) snaps both engines to the identical BIGINT): a
+  // per-nation double sum at 100 TB accumulates order-dependent
+  // rounding that a BIGINT sum simply doesn't have.
+  def sqlQ5(s: SparkSession, d: String): DataFrame = {
+    val priceE2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val discE2 = floor(col("l_discount") * 100 + 0.5).cast("long")
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(priceE2 * (lit(100L) - discE2)).as("rev_e4"),
+        count(lit(1)).as("n"))
+      .select(col("n_name"), rnd(col("rev_e4") / 1e4, 2).as("revenue"), col("n"))
+  }
+
+  // sql_q17 — small-quantity-order revenue per brand (TPC-H Q17 shape):
+  // the correlated "quantity below 20 % of this part's average" subquery,
+  // written decorrelated (per-part avg aggregate + equi-join) — the form
+  // Catalyst's DecorrelateInnerQuery would produce, and the only form
+  // that scales: the correlated rewrite re-scans lineitem per part.
+  // avg(l_quantity) is exact (quantities are integer-valued doubles, sums
+  // < 2^53), so the 0.2·avg threshold is the identical double in both
+  // engines and the < comparison cannot flip at the boundary. Revenue
+  // sums in exact e2 integer units (see sqlQ5).
+  def sqlQ17(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val partAvg = li.groupBy(col("l_partkey").as("pa_partkey"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    li.join(Tables.part(s, d).filter(col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")),
+        col("l_partkey") === col("p_partkey"))
+      .join(partAvg, col("l_partkey") === col("pa_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .groupBy(col("p_brand"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("rev_e2"),
+        count(lit(1)).as("n"))
+      .select(col("p_brand"), rnd(col("rev_e2") / 100e0 / 7.0e0, 2).as("avg_yearly"), col("n"))
+  }
+
+  // agg_regression — per-group least-squares fit of extendedprice on
+  // quantity (the SQL:2003 regr_* family) assembled from EXPLICIT raw
+  // moments, the agg_corr discipline: engine-internal regr_slope
+  // co-moment merge orders differ, one shared raw-moment formula cannot.
+  // One hash aggregate, map-side partials — the classic "fit a trend per
+  // key" scan shape that is a single pass at any scale.
+  def aggRegression(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), avg(x).as("mx"), avg(y).as("my"),
+        avg(x * y).as("mxy"), avg(x * x).as("mxx"), avg(y * y).as("myy"))
+      .select(col("l_returnflag"), col("n"),
+        rnd(((col("mxy") - col("mx") * col("my")) /
+          (col("mxx") - col("mx") * col("mx"))), 6).as("slope"),
+        rnd(col("my") - (col("mxy") - col("mx") * col("my")) /
+          (col("mxx") - col("mx") * col("mx")) * col("mx"), 6).as("intercept"),
+        rnd(((col("mxy") - col("mx") * col("my")) * (col("mxy") - col("mx") * col("my"))) /
+          ((col("mxx") - col("mx") * col("mx")) * (col("myy") - col("my") * col("my"))), 6)
+          .as("r2"))
+  }
+
+  // sql_division — relational division ("customers who ordered at EVERY
+  // priority"): per-customer distinct-priority count matched against the
+  // global distinct count, which rides in as a broadcast one-row
+  // aggregate — the standard division-as-counting rewrite. The naive
+  // NOT EXISTS(EXCEPT) form re-correlates per customer; this form is two
+  // hash aggregates and never re-scans.
+  def sqlDivision(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val tot = broadcast(o.agg(countDistinct(col("o_orderpriority")).as("np")))
+    o.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("k"), count(lit(1)).as("n_orders"))
+      .crossJoin(tot)
+      .filter(col("k") === col("np"))
+      .select(col("o_custkey").as("custkey"), col("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_filter_prune" -> scanFilterPrune,
     "normalize_minmax" -> normalizeMinmax,
@@ -1038,6 +1127,10 @@ object Queries {
     "reshape_unpivot" -> reshapeUnpivot,
     "sql_lateral" -> sqlLateral,
     "sql_recursive" -> sqlRecursive,
+    "sql_q5" -> sqlQ5,
+    "sql_q17" -> sqlQ17,
+    "agg_regression" -> aggRegression,
+    "sql_division" -> sqlDivision,
   )
 
   /** DuckDB twins — same column names, rounding, tie-breaks (SURVEY §7.4).
@@ -1390,6 +1483,53 @@ object Queries {
         "WHERE nxt.t - w.t <= 1800000000 AND w.len < 64) " +
         "SELECT user_id, max(len)::BIGINT AS first_session_len " +
         "FROM walk GROUP BY user_id"),
+
+    "sql_q5" ->
+      // the same exact-e4-integer revenue sum — floor(x*100+0.5) snaps the
+      // 2-decimal generator values to identical BIGINTs in both engines
+      ("SELECT n_name, rnd(sum(floor(l_extendedprice * 100 + 0.5e0)::BIGINT * " +
+        "(100 - floor(l_discount * 100 + 0.5e0)::BIGINT)) / 1e4, 2) AS revenue, " +
+        "count(*) AS n " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY 1"),
+
+    "sql_q17" ->
+      // decorrelated form stated directly: per-part avg CTE + equi-join ≡
+      // the correlated subquery (avg is exact: integer-valued quantities)
+      ("WITH pa AS (SELECT l_partkey AS pa_partkey, avg(l_quantity) AS avg_qty " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT p_brand, rnd(sum(floor(l_extendedprice * 100 + 0.5e0)::BIGINT) " +
+        "/ 100e0 / 7.0e0, 2) AS avg_yearly, count(*) AS n " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN pa ON l_partkey = pa_partkey " +
+        "WHERE p_brand IN ('Brand#11', 'Brand#12', 'Brand#13') " +
+        "AND l_quantity < 0.2e0 * avg_qty GROUP BY 1"),
+
+    "agg_regression" ->
+      // identical raw-moment assembly as the Spark side (agg_corr
+      // discipline) — NOT regr_slope/regr_intercept, whose co-moment
+      // merge order is engine-internal
+      ("WITH m AS (SELECT l_returnflag, count(*) AS n, " +
+        "avg(l_quantity) AS mx, avg(l_extendedprice) AS my, " +
+        "avg(l_quantity * l_extendedprice) AS mxy, " +
+        "avg(l_quantity * l_quantity) AS mxx, " +
+        "avg(l_extendedprice * l_extendedprice) AS myy " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, n, " +
+        "rnd((mxy - mx * my) / (mxx - mx * mx), 6) AS slope, " +
+        "rnd(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) AS intercept, " +
+        "rnd(((mxy - mx * my) * (mxy - mx * my)) / " +
+        "((mxx - mx * mx) * (myy - my * my)), 6) AS r2 FROM m"),
+
+    "sql_division" ->
+      ("WITH tot AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders), " +
+        "g AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k, " +
+        "count(*) AS n_orders FROM orders GROUP BY 1) " +
+        "SELECT o_custkey AS custkey, n_orders FROM g, tot WHERE k = np"),
 
     "reshape_unpivot" ->
       ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value " +

@@ -1092,6 +1092,173 @@ object TimeSeries {
 
   // ---- driver wiring ----------------------------------------------------
 
+  // ---- events_rfm: recency/frequency/monetary user segmentation ---------
+
+  /** Classic RFM scoring: per user, days since last event (against the
+    * corpus max — a broadcast one-row aggregate, not a driver collect),
+    * event count, and exact micro-unit monetary sum; each metric then
+    * quartile-scored 1-4 by `ntile` with a total tie order
+    * (metric, user_id) so tile boundaries cannot wobble (`window_ntile`
+    * precedent). Each ordering puts the BEST users in tile 1 (fewest
+    * days / most events / most spend first); emitting 5 − tile makes
+    * 4 = best uniformly, the conventional RFM polarity.
+    *
+    * Scale: the scored frame is USER-cardinality (one row per user after
+    * one partial-agg shuffle); the three ntiles are global sorts of that
+    * user table — rank semantics are inherently global, and a sort of
+    * the user dimension (not the event fact table) is the cheapest total
+    * order available. Monetary sums in exact e6 integer units (value is
+    * 2-decimal; the `vu` discipline) so partial-agg order cannot shift a
+    * quartile boundary.
+    */
+  def eventsRfm(events: DataFrame): DataFrame = {
+    val per = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("vu"))
+      .groupBy("user_id")
+      .agg(max(col("tu")).as("last_us"), count(lit(1)).as("frequency"),
+        sum(col("vu")).as("monetary_e6"))
+    val corpusMax = broadcast(per.agg(max(col("last_us")).as("corpus_max_us")))
+    val base = per.crossJoin(corpusMax)
+      .withColumn("recency_days",
+        expr("(corpus_max_us - last_us) div 86400000000"))
+    val rW = Window.orderBy(col("recency_days"), col("user_id"))
+    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
+    val mW = Window.orderBy(col("monetary_e6").desc, col("user_id"))
+    base
+      .withColumn("r_score", (lit(5) - ntile(4).over(rW)).cast("int"))
+      .withColumn("f_score", (lit(5) - ntile(4).over(fW)).cast("int"))
+      .withColumn("m_score", (lit(5) - ntile(4).over(mW)).cast("int"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        rnd(col("monetary_e6") / 1e6, 6).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  def rfm(s: SparkSession, d: String): DataFrame =
+    eventsRfm(Tables.events(s, d))
+
+  // ---- events_session_stats: per-user session summary -------------------
+
+  /** Per-USER rollup of 30-minute-gap sessions: session count, busiest
+    * session's event count, longest session duration, total events —
+    * the engagement summary `stream_sessionize` (per-session rows) feeds
+    * but doesn't itself compute. Same lag/flag/running-sum session
+    * derivation (boundaries asserted equal by StreamingSpec's
+    * session_window twin), then two keyed aggregates. Durations are
+    * BIGINT micros end to end — no float touches this query, so the row
+    * hash cannot drift.
+    *
+    * Scale: one per-user window sort (users independent — the partition
+    * key IS the parallelism) + two hash aggregates that collapse to
+    * session- then user-cardinality immediately.
+    */
+  def eventsSessionStats(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("tu", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("tu"), 1).over(order))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("tu") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"), min(col("tu")).as("t0"), max(col("tu")).as("t1"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_ev")).as("max_session_events"),
+        max(col("t1") - col("t0")).as("longest_session_us"),
+        sum(col("n_ev")).as("n_events"))
+  }
+
+  def sessionStats(s: SparkSession, d: String): DataFrame =
+    eventsSessionStats(Tables.events(s, d))
+
+  // ---- ts_bollinger: rolling mean ± 2σ bands ----------------------------
+
+  /** Bollinger bands over the hourly 'view' feed: per hour, the trailing
+    * 24-hour rolling mean and population σ (current hour inclusive), and
+    * whether the hour's own mean escapes mean ± 2σ — the volatility
+    * screen `ts_anomaly` (z-score) and `ts_mad` (robust) sit beside.
+    *
+    * Numeric discipline: raw moments ride the rolling frame as exact
+    * BIGINT sums — per hour n, Σv in e6 units, Σv² in e2-squared (= e4)
+    * units (value is 2-decimal so e2 is exact and its square fits BIGINT
+    * at 10⁶× this feed; e6² would overflow). The window then sums
+    * INTEGERS — engines disagree on float window-sum association (DuckDB
+    * segment-tree vs Spark running frame), integers cannot disagree —
+    * and the mean/σ doubles are derived from identical BIGINTs at the
+    * edge. Frame is ROWS-bounded on the gapless hourly grid.
+    *
+    * Scale: one partial-agg shuffle to hour cardinality, then a window
+    * over the per-type CALENDAR-sized series (rows = hours in retention,
+    * not events) — the `anomalyZscore` shape with the same chunked
+    * escape hatch if one type dominates.
+    */
+  def tsBollinger(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    val hourly = events.filter(col("event_type") === "view")
+      .select(
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(3600000000L))).as("hour_us"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("v6"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v2"))
+      .groupBy("hour_us")
+      .agg(count(lit(1)).as("n"), sum(col("v6")).as("s1_e6"),
+        sum(col("v2") * col("v2")).as("s2_e4"))
+    val w = Window.orderBy(col("hour_us")).rowsBetween(-(windowHours - 1), 0)
+    hourly
+      .withColumn("rn", sum(col("n")).over(w))
+      .withColumn("rs1", sum(col("s1_e6")).over(w))
+      .withColumn("rs2", sum(col("s2_e4")).over(w))
+      .select(col("hour_us"),
+        rnd(col("s1_e6") / 1e6 / col("n"), 6).as("hour_mean"),
+        rnd(col("rs1") / 1e6 / col("rn"), 6).as("roll_mean"),
+        rnd(sqrt(col("rs2") / 1e4 / col("rn") -
+          (col("rs1") / 1e6 / col("rn")) * (col("rs1") / 1e6 / col("rn"))), 6).as("roll_sigma"),
+        (abs(col("s1_e6") / 1e6 / col("n") - col("rs1") / 1e6 / col("rn")) >
+          lit(2.0) * sqrt(col("rs2") / 1e4 / col("rn") -
+            (col("rs1") / 1e6 / col("rn")) * (col("rs1") / 1e6 / col("rn")))).as("breakout"))
+  }
+
+  def bollinger(s: SparkSession, d: String): DataFrame =
+    tsBollinger(Tables.events(s, d))
+
+  // ---- events_cooccur: event-type co-occurrence lift --------------------
+
+  /** Market-basket lift over event types: for each unordered type pair,
+    * how many users fired both, and the lift n_ab·N / (n_a·n_b) — the
+    * "does A predict B" screen run before any funnel or attribution
+    * model assumes a link. Per-user distinct types first (≤ |vocab| rows
+    * per user — the pair expansion is C(|vocab|,2)-bounded per user, no
+    * heavy-user quadratic like raw-event self-joins), then one
+    * self-equi-join on user_id, a pair-keyed count, and two
+    * vocabulary-sized marginal joins. Lift is one double expression over
+    * exact BIGINTs, rounded at the edge.
+    *
+    * Scale: everything after the first distinct is vocabulary-sized or
+    * user-keyed equi-join; the final pair table is |vocab|² rows at any
+    * corpus size. The marginal/total frames are broadcast.
+    */
+  def eventsCooccur(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val nUsers = broadcast(ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users")))
+    val marg = broadcast(ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t")))
+    val pairs = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(marg.select(col("event_type").as("type_a"), col("n_t").as("n_a")), "type_a")
+      .join(marg.select(col("event_type").as("type_b"), col("n_t").as("n_b")), "type_b")
+      .crossJoin(nUsers)
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+        rnd(col("n_ab") * col("n_users") / (col("n_a") * col("n_b")).cast("double"), 6)
+          .as("lift"))
+  }
+
+  def cooccur(s: SparkSession, d: String): DataFrame =
+    eventsCooccur(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample" -> resample,
     "ts_interpolate" -> interpolate,
@@ -1122,9 +1289,77 @@ object TimeSeries {
     "ts_cross_corr" -> crossCorr,
     "ts_islands" -> islands,
     "interval_merge" -> intervalMerge,
+    "events_rfm" -> rfm,
+    "events_session_stats" -> sessionStats,
+    "ts_bollinger" -> bollinger,
+    "events_cooccur" -> cooccur,
   )
 
   val rawOracles: Map[String, String] = Map(
+    "events_rfm" ->
+      // same user-keyed aggregate, micro-unit monetary, (metric, user_id)
+      // total tile orders; DuckDB windowed sum over BIGINT never enters
+      // (ntile only ranks); recency division is pure integer //
+      ("WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_us, " +
+        "count(*) AS frequency, " +
+        "sum(floor(value * 1e6 + 0.5e0)::BIGINT) AS monetary_e6 " +
+        "FROM events GROUP BY 1), " +
+        "cm AS (SELECT max(last_us) AS corpus_max_us FROM per), " +
+        "base AS (SELECT user_id, (corpus_max_us - last_us) // 86400000000 AS recency_days, " +
+        "frequency, monetary_e6 FROM per, cm) " +
+        "SELECT user_id, recency_days, frequency, rnd(monetary_e6 / 1e6, 6) AS monetary, " +
+        "(5 - ntile(4) OVER (ORDER BY recency_days, user_id))::INT AS r_score, " +
+        "(5 - ntile(4) OVER (ORDER BY frequency DESC, user_id))::INT AS f_score, " +
+        "(5 - ntile(4) OVER (ORDER BY monetary_e6 DESC, user_id))::INT AS m_score " +
+        "FROM base"),
+
+    "events_session_stats" ->
+      // identical lag/flag/running-sum session derivation; HUGEINT
+      // window sum cast back to BIGINT (the multimodal_dedup discipline)
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events), " +
+        "lg AS (SELECT *, lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS prev_us " +
+        "FROM ev), " +
+        "fl AS (SELECT *, CASE WHEN prev_us IS NULL OR tu - prev_us > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM lg), " +
+        "sg AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tu, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id FROM fl), " +
+        "ses AS (SELECT user_id, session_id, count(*) AS n_ev, min(tu) AS t0, max(tu) AS t1 " +
+        "FROM sg GROUP BY 1, 2) " +
+        "SELECT user_id, count(*) AS n_sessions, max(n_ev) AS max_session_events, " +
+        "max(t1 - t0) AS longest_session_us, sum(n_ev)::BIGINT AS n_events " +
+        "FROM ses GROUP BY 1"),
+
+    "ts_bollinger" ->
+      // integer moments through the rolling frame (window sums are
+      // HUGEINT → cast back); the derived doubles are the identical
+      // expressions over identical BIGINTs
+      ("WITH hourly AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us, " +
+        "count(*) AS n, sum(floor(value * 1e6 + 0.5e0)::BIGINT) AS s1_e6, " +
+        "sum(floor(value * 100 + 0.5e0)::BIGINT * floor(value * 100 + 0.5e0)::BIGINT) AS s2_e4 " +
+        "FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "roll AS (SELECT hour_us, n, s1_e6, s2_e4, " +
+        "sum(n) OVER w::BIGINT AS rn, sum(s1_e6) OVER w::BIGINT AS rs1, " +
+        "sum(s2_e4) OVER w::BIGINT AS rs2 FROM hourly " +
+        "WINDOW w AS (ORDER BY hour_us ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
+        "SELECT hour_us, rnd(s1_e6 / 1e6 / n, 6) AS hour_mean, " +
+        "rnd(rs1 / 1e6 / rn, 6) AS roll_mean, " +
+        "rnd(sqrt(rs2 / 1e4 / rn - (rs1 / 1e6 / rn) * (rs1 / 1e6 / rn)), 6) AS roll_sigma, " +
+        "abs(s1_e6 / 1e6 / n - rs1 / 1e6 / rn) > " +
+        "2e0 * sqrt(rs2 / 1e4 / rn - (rs1 / 1e6 / rn) * (rs1 / 1e6 / rn)) AS breakout " +
+        "FROM roll"),
+
+    "events_cooccur" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut), " +
+        "marg AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1), " +
+        "pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab " +
+        "FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, " +
+        "rnd(n_ab * n_users / (ma.n_t * mb.n_t)::DOUBLE, 6) AS lift " +
+        "FROM pairs JOIN marg ma ON type_a = ma.event_type " +
+        "JOIN marg mb ON type_b = mb.event_type, nu"),
+
     "interval_merge" ->
       // same running max-of-prior-ends group key, exact integer
       // boundaries (floor'd duration — Spark double→long cast truncates
