@@ -733,6 +733,105 @@ object AnnSearch {
       .select(col("pos"), rnd(col("c") / col("nrm"), 6).as("pc1"))
   }
 
+  // ---- ann_hamming: binary sign-sketch search ---------------------------
+
+  /** 64-bit sign signature of a 64-dim vector, as two 32-bit halves —
+    * bit i of half h set iff v[32h + i] ≥ 0. Two halves because bit 63
+    * of a single BIGINT signature is its sign bit (1L << 63 overflows
+    * the value range); two sub-2³² halves sidestep it and cost one
+    * extra xor/popcount.
+    */
+  private def signHalf(v: Column, half: Int): Column =
+    (0 until 32).map(i =>
+      when(element_at(v, 32 * half + i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** ann_hamming — brute-force top-3 by Hamming distance over binarized
+    * sign sketches: the memory-bandwidth end of the ANN spectrum (the
+    * float scan `ann_cosine_topk` reads 256 bytes/vector; this reads 8 —
+    * a 32× scan-rate gain, the binary-code regime of the ITQ/LSH
+    * literature). Distance = popcount(xor) per half, summed — pure
+    * integer, so the row is exactly reproducible and tie-break
+    * (dist, t_id) total. Candidates ride the kNN-IS bounded-heap
+    * aggregate (`TopKAgg`), queries broadcast: one linear scan of the
+    * code table per batch, no shuffle of the corpus. At 100 TB the
+    * code table is the only thing scanned — build it once, scan codes,
+    * rerank survivors against floats (`ann_rerank`'s shape).
+    */
+  def hammingTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+      .select(col("vec_id"), signHalf(col("v"), 0).as("lo"), signHalf(col("v"), 1).as("hi"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val t = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("t_id"), col("lo").as("t_lo"), col("hi").as("t_hi"))
+    val pairs = broadcast(q).crossJoin(t)
+      .select(col("q_id"), col("t_id"),
+        (expr("bit_count(q_lo ^ t_lo)") + expr("bit_count(q_hi ^ t_hi)"))
+          .cast("double").as("dist"))
+    graft.functions.TopKAgg.knn(pairs, 3)
+      .select(col("q_id"), col("t_id"), col("dist").cast("long").as("hamming"), col("rn"))
+  }
+
+  // ---- embedding_outliers: robust distance-to-median outlier screen -----
+
+  /** embedding_outliers — Iglewicz-Hoaglin modified z-score over each
+    * vector's L2 distance to the corpus MEDIAN vector (per-dimension
+    * discrete-rank medians): the embedding-space garbage detector run
+    * before centroids/codebooks are fit (a mean centroid is itself
+    * dragged by the outliers it should expose; `ts_mad`'s rationale).
+    *
+    * Every step is exactly reproducible, which a mean-centroid variant
+    * would NOT be: per-dim medians are rank-⌈n/2⌉ SELECTIONS of raw
+    * float values under the total order (x, vec_id) — no float sum
+    * whose partial-merge order the engine owns — the distance is the
+    * bit-identical fused left-fold (DistanceSpec), and med/MAD of the
+    * distances are again discrete-rank selections. The 3.5 cutoff
+    * compares doubles both engines derived from identical inputs.
+    *
+    * Scale: per-dim medians are d independent rank selections (one
+    * (pos)-keyed window over posexploded rows — d × n rows but the
+    * partition key is pos, so parallelism = d and no partition exceeds
+    * corpus rows); the 64-double median vector broadcasts; distances
+    * are a map; the global med/MAD selections sort the per-VECTOR
+    * distance table (one row per vector). At petabyte scale the exact
+    * global median would become `agg_approx_quantiles`' sketch — this
+    * row pins the exact semantics.
+    */
+  def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val dimW = Window.partitionBy(col("pos")).orderBy(col("x"), col("vec_id"))
+    val medVec = broadcast(
+      e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("rk", row_number().over(dimW))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pos"))))
+        // Column `/` is double division — `div` keeps the ⌊(n+1)/2⌋ rank integral
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, x))), p -> p.x)")
+          .as("medv")))
+    val dists = e.crossJoin(medVec)
+      .select(col("vec_id"), Distance.l2(col("v"), col("medv")).as("dist"))
+      .truncated()
+    val n1 = broadcast(dists.agg(count(lit(1)).as("n")))
+    def rankMedian(df: DataFrame, c: String): DataFrame =
+      df.crossJoin(n1)
+        .withColumn("rk", row_number().over(Window.orderBy(col(c), col("vec_id"))))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col(c).as("m"))
+    val med = broadcast(rankMedian(dists, "dist").select(col("m").as("med")))
+    val absdev = dists.crossJoin(med)
+      .withColumn("ad", abs(col("dist") - col("med")))
+    val mad = broadcast(rankMedian(absdev.select(col("vec_id"), col("ad")), "ad")
+      .select(col("m").as("mad")))
+    absdev.crossJoin(mad)
+      .withColumn("mz",
+        when(col("mad") === 0, lit(0.0))
+          .otherwise(lit(0.6745) * (col("dist") - col("med")) / col("mad")))
+      .select(col("vec_id"), rnd(col("dist"), 6).as("dist"),
+        rnd(col("mz"), 6).as("mz"), (col("mz") > 3.5).as("is_outlier"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> cosineTopK,
     "ann_lsh_bucket" -> lshBucketTopK,
@@ -752,6 +851,8 @@ object AnnSearch {
     "embedding_drift" -> embeddingDrift,
     "embedding_pca" -> embeddingPca,
     "embedding_dim_stats" -> embeddingDimStats,
+    "ann_hamming" -> hammingTopK,
+    "embedding_outliers" -> embeddingOutliers,
   )
 
   private def dotSql(a: String, b: String): String = graft.rel.Queries.dotSql(a, b)
@@ -798,7 +899,50 @@ object AnnSearch {
       "FROM enc JOIN dt ON dt.s = enc.s AND dt.j = enc.code GROUP BY 1, 2), " +
       "ad AS (SELECT q_id, t_id, sqrt(p0 + p1 + p2 + p3) AS dist FROM adc)"
 
+  /** Sign-signature half in DuckDB — identical bit assembly to
+    * `signHalf` (list_sum over BIGINT shifts; cast back from HUGEINT).
+    */
+  private def signHalfSql(v: String, half: Int): String =
+    s"list_sum(list_transform(range(0, 32), i -> CASE WHEN $v[${32 * half} + i + 1] >= 0 " +
+      "THEN 1::BIGINT << i ELSE 0::BIGINT END))::BIGINT"
+
   val rawOracles: Map[String, String] = Map(
+    "ann_hamming" ->
+      // same two-half popcount(xor) integer distance; DuckDB ^ is POWER
+      // so xor() is spelled out; bit_count is TINYINT → the sum casts
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"sg AS (SELECT vec_id, ${signHalfSql("v", 0)} AS lo, " +
+        s"${signHalfSql("v", 1)} AS hi FROM e), " +
+        "qp AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, " +
+        "(bit_count(xor(a.lo, b.lo))::BIGINT + bit_count(xor(a.hi, b.hi))::BIGINT) AS hamming " +
+        "FROM sg a CROSS JOIN sg b WHERE a.vec_id < 20 AND b.vec_id >= 20), " +
+        "qk AS (SELECT q_id, t_id, hamming, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, t_id) AS rn FROM qp) " +
+        "SELECT q_id, t_id, hamming, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "embedding_outliers" ->
+      // per-dim rank-selection medians under (x, vec_id); fused-fold L2
+      // against the median vector; rank-selection med/MAD of distances;
+      // identical ⌊(n+1)/2⌋ rank rule throughout
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "px AS (SELECT vec_id, i AS pos, v[i] AS x FROM e, " +
+        "(SELECT unnest(range(1, 65)) AS i) idx), " +
+        "rk AS (SELECT pos, x, row_number() OVER (PARTITION BY pos ORDER BY x, vec_id) AS r, " +
+        "count(*) OVER (PARTITION BY pos) AS n FROM px), " +
+        "md AS (SELECT pos, x FROM rk WHERE r = (n + 1) // 2), " +
+        "mv AS (SELECT list(x ORDER BY pos) AS medv FROM md), " +
+        s"ds AS (SELECT vec_id, ${l2Sql("v", "medv")} AS dist FROM e, mv), " +
+        "nn AS (SELECT count(*) AS n FROM ds), " +
+        "dr AS (SELECT vec_id, dist, row_number() OVER (ORDER BY dist, vec_id) AS r FROM ds), " +
+        "med AS (SELECT dist AS med FROM dr, nn WHERE r = (n + 1) // 2), " +
+        "ad AS (SELECT vec_id, dist, abs(dist - med) AS ad FROM ds, med), " +
+        "ar AS (SELECT vec_id, ad, row_number() OVER (ORDER BY ad, vec_id) AS r FROM ad), " +
+        "mad AS (SELECT ad AS mad FROM ar, nn WHERE r = (n + 1) // 2), " +
+        "fin AS (SELECT vec_id, dist, CASE WHEN mad = 0e0 THEN 0e0 " +
+        "ELSE 0.6745e0 * (dist - med) / mad END AS mz FROM ad, med, mad) " +
+        "SELECT vec_id, rnd(dist, 6) AS dist, rnd(mz, 6) AS mz, " +
+        "mz > 3.5e0 AS is_outlier FROM fin"),
+
     "ann_cosine_topk" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "qp AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, " +

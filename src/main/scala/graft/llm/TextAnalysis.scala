@@ -465,6 +465,128 @@ object TextAnalysis {
   private[llm] val GopherStopwords =
     Seq("the", "a", "and", "to", "of", "be", "that", "have", "with")
 
+  // ---- text_bm25: Okapi BM25 retrieval scoring --------------------------
+
+  /** BM25 terms/parameters: shared between the Spark build and the
+    * oracle string so there is one source of truth (the ADVICE r7
+    * interpolation discipline). */
+  private[llm] val Bm25Terms = Seq("join", "merge", "spark")
+  private[llm] val Bm25K1 = "1.2e0"
+  private[llm] val Bm25B = "0.75e0"
+
+  /** Okapi BM25 scoring of the corpus against a fixed term set — the
+    * retrieval ranking every RAG pipeline runs next to its ANN index
+    * (`ann_cosine_topk`'s lexical sibling). Lucene's idf variant
+    * ln(1 + (N − df + ½)/(df + ½)), k1 = 1.2, b = 0.75.
+    *
+    * Determinism: per-doc score = Σ over terms, assembled as EXPLICIT
+    * per-term conditional sums added in fixed textual order — never a
+    * float `sum()` whose partial-merge order the engine owns (the
+    * query-term set is fixed, so the pivot is static). Ranking orders on
+    * the UNROUNDED score (identical per-doc expression both engines,
+    * `ann_range_search` discipline), doc_id tie-break.
+    *
+    * Scale: tf is one explode + (doc, term)-keyed count with the IN
+    * filter pushed below the explode; df and the corpus stats are
+    * term-cardinality broadcasts; top-k is TakeOrderedAndProject (no
+    * global sort materialization).
+    */
+  def bm25Docs(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = broadcast(base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = broadcast(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+    val contrib = tf.join(dft, "tok").crossJoin(stats)
+      .withColumn("c",
+        expr(s"ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * " +
+          s"(tf * ($Bm25K1 + 1e0)) / " +
+          s"(tf + $Bm25K1 * (1e0 - $Bm25B + $Bm25B * dl / avgdl))"))
+    val perTerm = Bm25Terms.map(t =>
+      sum(when(col("tok") === t, col("c"))).as(s"c_$t"))
+    val score = Bm25Terms.map(t => coalesce(col(s"c_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    contrib.groupBy(col("doc_id"), col("dl"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score_raw", score)
+      .orderBy(col("score_raw").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("dl"), rnd(col("score_raw"), 6).as("bm25"))
+  }
+
+  def bm25(s: SparkSession, d: String): DataFrame =
+    bm25Docs(Tables.documents(s, d))
+
+  // ---- text_collocations: PMI-ranked bigrams ----------------------------
+
+  /** Pointwise mutual information over adjacent-token bigrams —
+    * collocation mining (`text_bigrams` counts them; this ranks them by
+    * association): PMI = ln(n_ab · T / (n_a · n_b)) with T = total
+    * bigram count, unigram marginals counted over the SAME bigram
+    * positions (first element) so the probability space is consistent.
+    * Min-count floor of 5 drops the noise tail, the standard practice.
+    * PMI is one ln over a ratio of exact BIGINTs — both engines evaluate
+    * the identical double. Top-20 by (PMI unrounded, bigram) via
+    * TakeOrderedAndProject.
+    *
+    * Scale: bigram construction is the per-row array transform
+    * (`text_bigrams` shape, no position self-join); everything after is
+    * vocabulary²-bounded counts; marginals broadcast.
+    */
+  def collocationsDocs(docs: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val pairs = docs
+      .select(split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(a) - 1), i -> " +
+          "struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val total = broadcast(pairs.agg(count(lit(1)).as("t")))
+    val m1 = broadcast(pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_a")))
+    val m2 = broadcast(pairs.groupBy(col("w2")).agg(count(lit(1)).as("n_b")))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .join(m1, "w1").join(m2, "w2").crossJoin(total)
+      .withColumn("pmi_raw",
+        log(col("n_ab") * col("t") / (col("n_a") * col("n_b")).cast("double")))
+      .orderBy(col("pmi_raw").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("n_ab"), rnd(col("pmi_raw"), 6).as("pmi"))
+  }
+
+  def collocations(s: SparkSession, d: String): DataFrame =
+    collocationsDocs(Tables.documents(s, d))
+
+  // ---- text_hapax: vocabulary growth / lexical-diversity health ---------
+
+  /** Per-source lexical-diversity report: token count, vocabulary size,
+    * hapax legomena (frequency-1 types), and type-token ratio — the
+    * Heaps'-law corpus-health diagnostic next to `corpus_zipf`'s
+    * rank-frequency row: a source whose TTR or hapax share collapses is
+    * template/boilerplate spam, one that explodes is mojibake.
+    *
+    * Scale: one explode + (source, token)-keyed count (partial-agg
+    * collapses to vocabulary cardinality map-side), then one
+    * source-keyed rollup. TTR division is the only double, derived from
+    * exact BIGINTs at the edge.
+    */
+  def hapaxDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        rnd(col("vocab") / col("n_tokens").cast("double"), 6).as("ttr"))
+
+  def hapax(s: SparkSession, d: String): DataFrame =
+    hapaxDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tokenizer_bpe" -> bpe,
     "tokenizer_encode" -> bpeEncode,
@@ -481,6 +603,9 @@ object TextAnalysis {
     "quality_perplexity" -> perplexityProxy,
     "quality_classifier" -> qualityClassifier,
     "quality_gopher" -> qualityGopher,
+    "text_bm25" -> bm25,
+    "text_collocations" -> collocations,
+    "text_hapax" -> hapax,
   )
 
   private def inList(items: Seq[String]) = items.map("'" + _ + "'").mkString("(", ", ", ")")
@@ -534,6 +659,58 @@ object TextAnalysis {
       "FROM dw JOIN wt USING (word) WHERE length(word) > 0 GROUP BY 1"
 
   val rawOracles: Map[String, String] = Map(
+    "text_bm25" ->
+      // same fixed-order per-term assembly; ranking on the unrounded
+      // score; shared term/parameter constants interpolated
+      ("WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "len(string_split(text, ' '))::BIGINT AS dl FROM documents), " +
+        "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base), " +
+        "tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM " +
+        "(SELECT doc_id, dl, unnest(toks) AS tok FROM base) " +
+        s"WHERE tok IN ${inList(Bm25Terms)} GROUP BY 1, 2, 3), " +
+        "dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), " +
+        "c AS (SELECT doc_id, dl, tf.tok, " +
+        "ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * " +
+        s"(tf * ($Bm25K1 + 1e0)) / " +
+        s"(tf + $Bm25K1 * (1e0 - $Bm25B + $Bm25B * dl / avgdl)) AS c " +
+        "FROM tf JOIN dft ON tf.tok = dft.tok, st), " +
+        "sc AS (SELECT doc_id, dl, " +
+        Bm25Terms.map(t => s"sum(CASE WHEN tok = '$t' THEN c END) AS c_$t")
+          .mkString(", ") + " FROM c GROUP BY 1, 2), " +
+        "fin AS (SELECT doc_id, dl, " +
+        Bm25Terms.map(t => s"coalesce(c_$t, 0e0)").mkString(" + ") +
+        " AS score_raw FROM sc) " +
+        "SELECT doc_id, dl, rnd(score_raw, 6) AS bm25 FROM fin " +
+        "ORDER BY score_raw DESC, doc_id LIMIT 20"),
+
+    "text_collocations" ->
+      // identical bigram space (adjacent positions), first/second-slot
+      // marginals, exact-integer ratio into one ln
+      ("WITH t AS (SELECT string_split(text, ' ') AS a FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2), " +
+        "pz AS (SELECT unnest(list_transform(range(1, len(a)), " +
+        "i -> {'w1': a[i], 'w2': a[i + 1]})) AS p FROM t), " +
+        "pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pz), " +
+        "tot AS (SELECT count(*) AS tt FROM pairs), " +
+        "m1 AS (SELECT w1, count(*) AS n_a FROM pairs GROUP BY 1), " +
+        "m2 AS (SELECT w2, count(*) AS n_b FROM pairs GROUP BY 1), " +
+        "pc AS (SELECT w1, w2, count(*) AS n_ab FROM pairs GROUP BY 1, 2), " +
+        "j AS (SELECT pc.w1, pc.w2, n_ab, " +
+        "ln(n_ab * tt / (n_a * n_b)::DOUBLE) AS pmi_raw " +
+        "FROM pc JOIN m1 ON pc.w1 = m1.w1 JOIN m2 ON pc.w2 = m2.w2, tot " +
+        "WHERE n_ab >= 5) " +
+        "SELECT w1, w2, n_ab, rnd(pmi_raw, 6) AS pmi FROM j " +
+        "ORDER BY pmi_raw DESC, w1, w2 LIMIT 20"),
+
+    "text_hapax" ->
+      ("WITH tc AS (SELECT source, tok, count(*) AS n FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY 1, 2) " +
+        "SELECT source, sum(n)::BIGINT AS n_tokens, count(*) AS vocab, " +
+        "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax, " +
+        "rnd(count(*) / sum(n)::DOUBLE, 6) AS ttr " +
+        "FROM tc GROUP BY 1"),
+
     "tokenizer_bpe" -> bpeSql,
     "tokenizer_encode" -> bpeEncodeSql,
     "quality_gopher" ->
