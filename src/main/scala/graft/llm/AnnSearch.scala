@@ -798,9 +798,14 @@ object AnnSearch {
     * global median would become `agg_approx_quantiles`' sketch — this
     * row pins the exact semantics.
     */
-  def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+  def embeddingOutliers(s: SparkSession, d: String): DataFrame =
+    embeddingOutliersOf(emb(s, d))
+
+  /** Core of `embeddingOutliers` over any (vec_id, v: array<double>)
+    * frame — split out so specs can plant a known outlier.
+    */
+  def embeddingOutliersOf(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb(s, d)
     val dimW = Window.partitionBy(col("pos")).orderBy(col("x"), col("vec_id"))
     val medVec = broadcast(
       e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))

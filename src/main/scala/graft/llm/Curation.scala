@@ -417,7 +417,39 @@ object Curation {
       .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))
   }
 
+  /** corpus_dedup_report — per-source duplication audit: the summary a
+    * curation run publishes BEFORE committing to a dedup pass (how much
+    * would exact dedup reclaim? how much more does normalization
+    * expose?). Per source: doc count, exact-distinct texts (md5), and
+    * normalized-distinct (the SAME canonical form `text_normalize`
+    * derives and `dedup_norm_keep_best` groups by — one shared
+    * definition, so the report's numbers predict exactly what those
+    * operators would do), plus the two dup-rate ratios derived from
+    * exact BIGINTs at the edge.
+    *
+    * Scale: two count-distincts per source over 16-byte digests — the
+    * digest rides the exchange, never the payload (`multimodal_dedup`
+    * discipline); one partial-agg shuffle at source cardinality.
+    */
+  def dedupReportDocs(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+    docs
+      .select(col("source"), md5(col("text")).as("eh"), md5(norm).as("nh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("eh")).as("n_exact"),
+        countDistinct(col("nh")).as("n_norm"))
+      .select(col("source"), col("n_docs"), col("n_exact"), col("n_norm"),
+        rnd(lit(1.0) - col("n_exact") / col("n_docs").cast("double"), 6).as("exact_dup_rate"),
+        rnd(lit(1.0) - col("n_norm") / col("n_docs").cast("double"), 6).as("norm_dup_rate"))
+  }
+
+  def dedupReport(s: SparkSession, d: String): DataFrame =
+    dedupReportDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dedup_report" -> dedupReport,
     "corpus_domain_cap" -> ((s, d) => domainCap(s, d)),
     "corpus_curate" -> corpusCurate,
     "decontaminate" -> decontaminate,
@@ -433,6 +465,17 @@ object Curation {
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
   val rawOracles: Map[String, String] = Map(
+    "corpus_dedup_report" ->
+      // same md5 digests; the normalized key is text_normalize's exact
+      // regex pipeline (the 'g' flag = Spark's replace-all)
+      ("WITH k AS (SELECT source, md5(text) AS eh, " +
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +
+        "'  +', ' ', 'g'))) AS nh FROM documents), " +
+        "g AS (SELECT source, count(*) AS n_docs, count(DISTINCT eh) AS n_exact, " +
+        "count(DISTINCT nh) AS n_norm FROM k GROUP BY 1) " +
+        "SELECT source, n_docs, n_exact, n_norm, " +
+        "rnd(1e0 - n_exact / n_docs::DOUBLE, 6) AS exact_dup_rate, " +
+        "rnd(1e0 - n_norm / n_docs::DOUBLE, 6) AS norm_dup_rate FROM g"),
     "corpus_domain_cap" ->
       ("SELECT source, doc_id, n_chars, rn::INT AS rn FROM (" +
         "SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source " +

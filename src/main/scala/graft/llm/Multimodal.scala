@@ -253,13 +253,44 @@ object Multimodal {
         ((col("cum") - col("n_bytes")) % budget).as("shard_off"))
   }
 
+  /** multimodal_manifest — the per-shard manifest a packed media store
+    * ships next to its shards (what a reader opens FIRST): per
+    * (modality, shard), item count, payload bytes, first/last item id
+    * and the tail offset. Derived from the same two-pass
+    * `mediaPackScalable` placement the pack row emits, collapsed by one
+    * (modality, shard)-keyed aggregate — shard cardinality output,
+    * BIGINT throughout.
+    */
+  def mediaManifest(s: SparkSession, d: String): DataFrame =
+    mediaPack(s, d)
+      .groupBy(col("modality"), col("shard_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("shard_bytes"),
+        min(col("media_id")).as("first_id"), max(col("media_id")).as("last_id"),
+        max(col("shard_off") + col("n_bytes")).as("end_off"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_manifest" -> mediaManifest,
     "multimodal_pack" -> mediaPack,
     "multimodal_dedup" -> mediaDedup,
     "multimodal_meta" -> mediaMeta,
     "multimodal_sample" -> mediaSample,
     "multimodal_resize" -> mediaResize,
   )
+
+  /** Shared packing oracle — the `multimodal_pack` row verbatim, and the
+    * base CTE `multimodal_manifest` rolls up (one definition so the
+    * manifest can never drift from the pack it describes). Running-sum
+    * window form ≡ the two-pass Spark placement (spec-asserted);
+    * HUGEINT-derived columns cast back to BIGINT.
+    */
+  private val PackSql: String =
+    "WITH m AS (SELECT doc_id AS media_id, 'text' AS modality, " +
+      "octet_length(encode(text))::BIGINT AS n_bytes FROM documents), " +
+      "c AS (SELECT *, sum(n_bytes) OVER (PARTITION BY modality " +
+      "ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m) " +
+      "SELECT media_id, modality, n_bytes, " +
+      "((cum - n_bytes) // 4096)::BIGINT AS shard_id, " +
+      "((cum - n_bytes) % 4096)::BIGINT AS shard_off FROM c"
 
   val rawOracles: Map[String, String] = Map(
     "multimodal_dedup" ->
@@ -275,15 +306,17 @@ object Multimodal {
       ("SELECT doc_id AS media_id, 'text' AS modality, " +
         "octet_length(encode(text))::INT AS n_bytes, md5(text) AS h FROM documents"),
 
-    "multimodal_pack" ->
-      // same running-sum packing; utf-8 byte length via encode()
-      ("WITH m AS (SELECT doc_id AS media_id, 'text' AS modality, " +
-        "octet_length(encode(text))::BIGINT AS n_bytes FROM documents), " +
-        "c AS (SELECT *, sum(n_bytes) OVER (PARTITION BY modality " +
-        "ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m) " +
-        "SELECT media_id, modality, n_bytes, " +
-        "((cum - n_bytes) // 4096)::BIGINT AS shard_id, " +
-        "((cum - n_bytes) % 4096)::BIGINT AS shard_off FROM c"),
+    "multimodal_pack" -> PackSql,
+
+    "multimodal_manifest" ->
+      // one (modality, shard)-keyed rollup over the same packing CTE;
+      // HUGEINT sums cast back
+      (s"WITH packed AS ($PackSql) " +
+        "SELECT modality, shard_id, count(*) AS n_items, " +
+        "sum(n_bytes)::BIGINT AS shard_bytes, " +
+        "min(media_id) AS first_id, max(media_id) AS last_id, " +
+        "max(shard_off + n_bytes) AS end_off " +
+        "FROM packed GROUP BY 1, 2"),
 
     "multimodal_sample" ->
       ("SELECT media_id, length(sampled)::INT AS n_frames, md5(sampled) AS sample_hash FROM (" +

@@ -980,6 +980,35 @@ object Queries {
       LIMIT 10""")
   }
 
+  /** sketch_kmv — K-Minimum-Values distinct-count estimator (k = 64)
+    * over part keys: keep the k smallest 60-bit hashes of the distinct
+    * values; estimate = (k−1)/h₍ₖ₎ with h normalized to [0,1). Like
+    * `sketch_countmin` (and unlike `agg_hll`, rows-only by design), KMV
+    * is DETERMINISTIC given its hash — md5 hex, the `sample_hash`
+    * cross-engine discipline; 15 hex chars = 60 bits fits BIGINT, and
+    * fixed-width hex sorts lexicographically ≡ numerically, so the
+    * "k smallest" selection needs no numeric conversion until the ONE
+    * selected hash. Sketch state is k values per partition merged by
+    * re-selection (a sort-limit): mergeable, constant-size, streamable —
+    * the estimator family production count-distinct sketches
+    * (HLL/KMV/theta) come from, here in its exactly-reproducible form.
+    * True count rides along to make the row self-checking.
+    */
+  def sketchKmv(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val distinctKeys = Tables.lineitem(s, d).select(col("l_partkey")).distinct()
+    val hashed = distinctKeys
+      .select(substring(md5(col("l_partkey").cast("string")), 1, 15).as("hx"))
+    val kth = hashed.orderBy(col("hx")).limit(k)
+      .agg(max(col("hx")).as("hk"), count(lit(1)).as("kk"))
+    val truth = broadcast(distinctKeys.agg(count(lit(1)).as("true_distinct")))
+    kth.crossJoin(truth)
+      .select(lit(k.toLong).as("k"), col("true_distinct"),
+        rnd(when(col("kk") < k, col("kk").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976e0) /
+            conv(col("hk"), 16, 10).cast("double")), 4).as("est_distinct"))
+  }
+
   // sql_q5 — local-supplier revenue by nation inside one region (TPC-H Q5
   // shape): the five-way join where c_nationkey = s_nationkey is the
   // load-bearing "customer bought from a LOCAL supplier" predicate.
@@ -1127,6 +1156,7 @@ object Queries {
     "reshape_unpivot" -> reshapeUnpivot,
     "sql_lateral" -> sqlLateral,
     "sql_recursive" -> sqlRecursive,
+    "sketch_kmv" -> sketchKmv,
     "sql_q5" -> sqlQ5,
     "sql_q17" -> sqlQ17,
     "agg_regression" -> aggRegression,
@@ -1483,6 +1513,19 @@ object Queries {
         "WHERE nxt.t - w.t <= 1800000000 AND w.len < 64) " +
         "SELECT user_id, max(len)::BIGINT AS first_session_len " +
         "FROM walk GROUP BY user_id"),
+
+    "sketch_kmv" ->
+      // same md5-hex 60-bit hash, lexicographic k-smallest selection,
+      // hex→BIGINT only on the selected boundary hash
+      ("WITH dk AS (SELECT DISTINCT l_partkey FROM lineitem), " +
+        "hh AS (SELECT substr(md5(l_partkey::VARCHAR), 1, 15) AS hx FROM dk), " +
+        "tk AS (SELECT hx FROM hh ORDER BY hx LIMIT 64), " +
+        "ag AS (SELECT max(hx) AS hk, count(*) AS kk FROM tk), " +
+        "tr AS (SELECT count(*) AS true_distinct FROM dk) " +
+        "SELECT 64::BIGINT AS k, true_distinct, " +
+        "rnd(CASE WHEN kk < 64 THEN kk::DOUBLE " +
+        "ELSE 63e0 * 1152921504606846976e0 / ('0x' || hk)::BIGINT END, 4) AS est_distinct " +
+        "FROM ag, tr"),
 
     "sql_q5" ->
       // the same exact-e4-integer revenue sum — floor(x*100+0.5) snaps the

@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.rel.TimeSeries
+import graft.llm.{AnnSearch, Curation, Streaming, TextAnalysis}
+
+/** Invariant specs for the round-8 analytics wave: the oracle gate pins
+  * exact values; these pin the SEMANTIC claims the oracles can't state
+  * (equivalence to naive forms, planted-case behavior, conservation).
+  */
+class AnalyticsOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("sql_division ≡ brute-force set cover (every priority present per kept customer)") {
+    val kept = SparkEntry.queries("sql_division")(spark, sfDir)
+      .select("custkey").as[Long].collect().toSet
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as[Long], col("o_orderpriority").as[String]).collect()
+    val allP = o.map(_._2).toSet
+    val byCust = o.groupBy(_._1).map { case (c, rows) => c -> rows.map(_._2).toSet }
+    val expect = byCust.collect { case (c, ps) if ps == allP => c }.toSet
+    assert(kept === expect)
+  }
+
+  test("agg_regression r2 is corr² (against agg_corr) per group") {
+    val r2 = SparkEntry.queries("agg_regression")(spark, sfDir)
+      .select("l_returnflag", "r2").as[(String, Double)].collect().toMap
+    val corr = SparkEntry.queries("agg_corr")(spark, sfDir)
+      .select("l_returnflag", "corr_qp").as[(String, Double)].collect().toMap
+    corr.foreach { case (g, c) =>
+      assert(math.abs(r2(g) - c * c) < 5e-6, s"group $g: r2=${r2(g)} corr²=${c * c}")
+    }
+  }
+
+  test("sql_q5 exact-integer revenue matches the float sum within a cent") {
+    val exact = SparkEntry.queries("sql_q5")(spark, sfDir)
+      .select("n_name", "revenue").as[(String, Double)].collect().toMap
+    assert(exact.nonEmpty)
+    val floatSum = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .select("n_name", "rev").as[(String, Double)].collect().toMap
+    exact.foreach { case (n, r) => assert(math.abs(r - floatSum(n)) < 0.01) }
+  }
+
+  test("sql_q17: every surviving lineitem is below 20% of its part's average quantity") {
+    val li = Tables.lineitem(spark, sfDir)
+    val avgQ = li.groupBy("l_partkey").agg(avg("l_quantity").as("aq"))
+    val viol = li.join(Tables.part(spark, sfDir)
+        .filter(col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQ, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .filter(col("l_quantity") >= lit(0.2) * col("aq"))
+    assert(viol.count() === 0)
+    assert(SparkEntry.queries("sql_q17")(spark, sfDir).count() > 0)
+  }
+
+  test("events_session_stats conserves events and session counts vs stream_sessionize") {
+    val stats = TimeSeries.sessionStats(spark, sfDir)
+      .select("user_id", "n_sessions", "n_events").as[(Long, Long, Long)].collect()
+    val sess = Streaming.sessionize(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("ns"), sum("n_events").as("ne"))
+      .select("user_id", "ns", "ne").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val total = Tables.events(spark, sfDir).count()
+    assert(stats.map(_._3).sum === total)
+    stats.foreach { case (u, ns, ne) =>
+      assert(sess(u) === ((ns, ne)), s"user $u: stats=($ns,$ne) sessionize=${sess(u)}")
+    }
+  }
+
+  test("events_rfm: scores in 1..4 with balanced quartiles, recency non-negative") {
+    val rows = SparkEntry.queries("events_rfm")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L) // recency_days
+      Seq(4, 5, 6).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 4))
+    }
+    Seq(4, 5, 6).foreach { i =>
+      val sizes = rows.groupBy(_.getInt(i)).view.mapValues(_.length).values
+      assert(sizes.max - sizes.min <= 1, s"ntile col $i unbalanced: $sizes")
+    }
+  }
+
+  test("ts_bollinger rolling moments equal a brute 24-hour recompute") {
+    val rows = SparkEntry.queries("ts_bollinger")(spark, sfDir).orderBy("hour_us").collect()
+    // brute per-hour moments straight off the fact table
+    val hourly = Tables.events(spark, sfDir).filter(col("event_type") === "view")
+      .select((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(3600000000L)))
+        .as("h"), col("value"))
+      .groupBy("h").agg(count(lit(1)).as("n"), sum("value").as("s1"))
+      .select("h", "n", "s1").as[(Long, Long, Double)].collect().sortBy(_._1)
+    val hs = hourly.map(_._1)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val h = r.getLong(0)
+      val idx = hs.indexOf(h)
+      val win = hourly.slice(math.max(0, idx - 23), idx + 1)
+      val rollMean = win.map(_._3).sum / win.map(_._2).sum
+      assert(math.abs(r.getDouble(2) - rollMean) < 1e-4,
+        s"hour $h roll_mean ${r.getDouble(2)} vs brute $rollMean")
+      if (i > 0) assert(h > rows(i - 1).getLong(0))
+    }
+  }
+
+  test("events_cooccur: pair counts bounded by marginals, lift consistent") {
+    SparkEntry.queries("events_cooccur")(spark, sfDir).collect().foreach { r =>
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nab <= math.min(na, nb))
+      assert(r.getString(0) < r.getString(1), "pairs must be canonically ordered")
+    }
+  }
+
+  test("text_bm25 planted: the doc saturated with query terms outranks a one-hit doc") {
+    val docs = Seq(
+      (1L, "join merge spark join merge spark join merge"),
+      (2L, "spark alpha beta gamma delta epsilon zeta eta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "noise words only here nothing relevant at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25Docs(docs, topK = 4).collect()
+    assert(r.head.getLong(0) === 1L, s"expected doc 1 first, got ${r.head}")
+    assert(r.map(_.getLong(0)).toSet === Set(1L, 2L)) // only docs containing terms score
+  }
+
+  test("text_collocations planted: an always-adjacent pair tops free-floating words") {
+    // spacer tokens prevent the wrap-around (apple, red) bigram from
+    // scoring higher than the planted pair
+    val base = (1 to 6).map(i => s"red apple x$i").mkString(" ")
+    val noise = "the cat the dog the cow the pig the hen the fox"
+    val docs = Seq((1L, base), (2L, noise), (3L, noise)).toDF("doc_id", "text")
+    val r = TextAnalysis.collocationsDocs(docs, minCount = 5, topK = 5).collect()
+    assert(r.nonEmpty)
+    assert((r.head.getString(0), r.head.getString(1)) === (("red", "apple")))
+  }
+
+  test("text_hapax planted: exact vocab/hapax/ttr on a known corpus") {
+    val docs = Seq((1L, "a a b c", "s1"), (2L, "b d", "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.hapaxDocs(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(1) === 6L)   // tokens
+    assert(row.getLong(2) === 4L)   // vocab a b c d
+    assert(row.getLong(3) === 2L)   // hapax c d
+    assert(math.abs(row.getDouble(4) - 4.0 / 6.0) < 1e-6)
+  }
+
+  test("ann_hamming: distances in [0,64], exactly 3 neighbors per query, ranked") {
+    val r = SparkEntry.queries("ann_hamming")(spark, sfDir).collect()
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.size === 20)
+    byQ.values.foreach { g =>
+      assert(g.length === 3)
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getLong(2)).sliding(2).forall(p => p.head <= p.last))
+      sorted.foreach(x => assert(x.getLong(2) >= 0 && x.getLong(2) <= 64))
+    }
+  }
+
+  test("embedding_outliers planted: only the far vector is flagged") {
+    val dim = 8
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i * 7 + j * 3) % 10) / 10.0))
+    } :+ (99L, Array.fill(dim)(1000.0))
+    val e = rows.toDF("vec_id", "v")
+    val out = AnnSearch.embeddingOutliersOf(e)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(99L), "planted far vector must be flagged")
+    assert(out.count(_._2) === 1, s"only the planted vector should flag: $out")
+  }
+
+  test("corpus_dedup_report planted: normalization exposes dups exact hashing misses") {
+    val docs = Seq(
+      (1L, "Hello, World!", "s1"), (2L, "hello world", "s1"), (3L, "unique text", "s1")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.dedupReportDocs(docs).collect().head
+    assert(r.getLong(1) === 3L) // n_docs
+    assert(r.getLong(2) === 3L) // exact: all distinct
+    assert(r.getLong(3) === 2L) // normalized: 1+2 collapse
+  }
+
+  test("multimodal_manifest conserves items and bytes against the pack") {
+    val pack = SparkEntry.queries("multimodal_pack")(spark, sfDir)
+    val man = SparkEntry.queries("multimodal_manifest")(spark, sfDir)
+    val (pn, pb) = pack.agg(count(lit(1)), sum("n_bytes")).as[(Long, Long)].head()
+    val (mn, mb) = man.agg(sum("n_items"), sum("shard_bytes")).as[(Long, Long)].head()
+    assert((mn, mb) === ((pn, pb)))
+    // every manifest row's end_off is reachable by some packed item
+    man.collect().foreach(r => assert(r.getLong(6) > 0L))
+  }
+}

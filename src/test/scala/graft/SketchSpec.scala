@@ -67,4 +67,15 @@ class SketchSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("sketch_kmv: estimate within 40% of the exact distinct count, deterministic") {
+    // k=64 ⇒ KMV relative error σ ≈ 1/√(k−2) ≈ 12.7%; the 40% bound is
+    // >3σ — a failure means broken selection/normalization, not noise
+    val r1 = SparkEntry.queries("sketch_kmv")(spark, sfDir).head()
+    val exact = r1.getLong(1).toDouble
+    val est = r1.getDouble(2)
+    assert(math.abs(est - exact) / exact <= 0.40, s"est=$est exact=$exact")
+    val r2 = SparkEntry.queries("sketch_kmv")(spark, sfDir).head()
+    assert(r1 === r2, "KMV must be bit-deterministic across runs")
+  }
 }
