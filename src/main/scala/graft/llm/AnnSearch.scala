@@ -773,6 +773,30 @@ object AnnSearch {
       .select(col("q_id"), col("t_id"), col("dist").cast("long").as("hamming"), col("rn"))
   }
 
+  // ---- embedding_knn_graph: bucketed all-corpus k-NN graph --------------
+
+  /** embedding_knn_graph — the k-nearest-neighbor GRAPH over the whole
+    * corpus (every vector a query, k = 3, within its sign-LSH bucket):
+    * the build step under SemDeDup clustering, label propagation over
+    * embeddings, and graph-based ANN — `ann_lsh_bucket` answers 20
+    * queries; this materializes the all-pairs-quotient structure
+    * downstream graph ops consume. Same bucket equi-join scale shape
+    * (Σ|b|² pairs, never n²), self-pairs excluded, bounded-heap top-k
+    * per source vector. Isolated vectors (alone in their bucket) have
+    * no rows — the consumer's signal to widen probes, same contract as
+    * the bucket search itself.
+    */
+  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"), col("v"), bucketCol(col("v")).as("bucket"))
+    val pairs = e.select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
+      .join(e.select(col("vec_id").as("t_id"), col("v").as("t_v"), col("bucket")), "bucket")
+      .filter(col("q_id") =!= col("t_id"))
+      .select(col("q_id"), col("t_id"), cosineDist(col("q_v"), col("t_v")).as("dist"))
+    graft.functions.TopKAgg.knn(pairs, k)
+      .select(col("q_id").as("src"), col("t_id").as("dst"),
+        rnd(col("dist"), 6).as("dist"), col("rn"))
+  }
+
   // ---- embedding_outliers: robust distance-to-median outlier screen -----
 
   /** embedding_outliers — Iglewicz-Hoaglin modified z-score over each
@@ -858,6 +882,7 @@ object AnnSearch {
     "embedding_dim_stats" -> embeddingDimStats,
     "ann_hamming" -> hammingTopK,
     "embedding_outliers" -> embeddingOutliers,
+    "embedding_knn_graph" -> ((s, d) => knnGraph(s, d)),
   )
 
   private def dotSql(a: String, b: String): String = graft.rel.Queries.dotSql(a, b)
@@ -924,6 +949,18 @@ object AnnSearch {
         "qk AS (SELECT q_id, t_id, hamming, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY hamming, t_id) AS rn FROM qp) " +
         "SELECT q_id, t_id, hamming, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "embedding_knn_graph" ->
+      // the ann_lsh_bucket oracle over ALL vectors with self-pairs
+      // excluded, k = 3
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"eb AS (SELECT vec_id, v, $bucketSql AS bucket FROM e), " +
+        "qp AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+        s"${cosSql("a.v", "b.v")} AS dist " +
+        "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+        "qk AS (SELECT src, dst, dist, " +
+        "row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM qp) " +
+        "SELECT src, dst, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
 
     "embedding_outliers" ->
       // per-dim rank-selection medians under (x, vec_id); fused-fold L2

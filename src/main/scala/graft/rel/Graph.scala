@@ -99,6 +99,81 @@ object Graph {
   def pageRankQuery(s: SparkSession, d: String): DataFrame =
     pageRank(custSuppEdges(s, d), iters = 3)
 
+  /** graph_ppr — PERSONALIZED PageRank: teleport lands on a seed set
+    * (node ≡ 0 mod `BfsSeedMod`, the `graph_bfs` seed rule) instead of
+    * uniformly — the "importance relative to THESE nodes" ranking that
+    * drives seed-based recommendation and trust propagation, where
+    * global PageRank answers a different question. Same message-passing
+    * skeleton as `pageRank` (one equi-join + keyed sum + project per
+    * round, same node-key exchange, per-round truncate/release); the
+    * only deltas are the seed-indicator teleport and the r₀ mass
+    * concentrated on seeds. Seed count rides in the rank state like n
+    * does in `pageRank` — no driver-side collect.
+    */
+  def personalizedPageRank(edgesIn: DataFrame, seedMod: Int = BfsSeedMod,
+      iters: Int = 3): DataFrame = {
+    val edges = edgesIn.truncated()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val ns1 = broadcast(
+      deg.filter(col("src") % seedMod === 0)
+        .agg(count(lit(1)).cast("double").as("ns")))
+    val seedInd = when(col("node") % seedMod === 0, lit(1.0)).otherwise(lit(0.0))
+    var ranks = deg.crossJoin(ns1)
+      .select(col("src").as("node"), col("od"), col("ns"))
+      .select(col("node"), col("od"), col("ns"), (seedInd / col("ns")).as("r"))
+      .truncated()
+    val teleport = (BigDecimal(1) - BigDecimal(Damping.toString)).toDouble
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") / col("od")).as("c"))
+      val prev = ranks
+      ranks = ranks.select(col("node"), col("od"), col("ns"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("od"), col("ns"),
+          (lit(teleport) * seedInd / col("ns") +
+            lit(Damping) * coalesce(col("c"), lit(0.0))).as("r"))
+        .truncated()
+      Ckpt.release(prev)
+    }
+    ranks.select(col("node"), rnd(col("r"), 6).as("ppr"))
+  }
+
+  def pprQuery(s: SparkSession, d: String): DataFrame =
+    personalizedPageRank(custSuppEdges(s, d))
+
+  /** graph_conn_comp — fixed-round connected components by synchronous
+    * min-label propagation: every node starts as its own component;
+    * each round it takes the min of its own and its neighbors' labels.
+    * `CcRounds` rounds keep the row oracle-expressible (the
+    * `graph_bfs`/`graph_kcore` fixed-round discipline — label reach
+    * grows one hop per round, the spec pins the semantics); the
+    * PRODUCTION loop-to-fixpoint form with pointer-jumping (doubling,
+    * not one-hop) is `Dedup.connectedComponents`, which this row's
+    * fixture-scale twin certifies. Per round: one edge⋈labels equi-join
+    * + one min aggregate on the reused node-key exchange;
+    * truncate/release per round.
+    */
+  def connCompRounds(edgesIn: DataFrame, rounds: Int = CcRounds): DataFrame = {
+    val edges = edgesIn.truncated()
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")).truncated()
+    for (_ <- 1 to rounds) {
+      val msgs = edges.join(lbl.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("comp"))
+      val prev = lbl
+      lbl = lbl.unionAll(msgs)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .truncated()
+      Ckpt.release(prev)
+    }
+    lbl
+  }
+
+  def connCompQuery(s: SparkSession, d: String): DataFrame =
+    connCompRounds(custSuppEdges(s, d))
+
   /** Undirected part↔part co-order edges: distinct part pairs that
     * appear in the same order (canonical p1 < p2). The quantity filter
     * keeps harness-SF density sane — it is semantics (shared with the
@@ -304,6 +379,7 @@ object Graph {
   private[graft] val KCoreRounds = 4
   private[graft] val BfsMaxHops = 3
   private[graft] val BfsSeedMod = 100
+  private[graft] val CcRounds = 3
 
   def kCorePeel(edgesIn: DataFrame, k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
     var edges = edgesIn.truncated()
@@ -546,6 +622,8 @@ object Graph {
     "graph_kcore_fixpoint" -> kCoreFixpointQuery,
     "graph_bfs" -> bfsQuery,
     "graph_clustering" -> clusteringQuery,
+    "graph_ppr" -> pprQuery,
+    "graph_conn_comp" -> connCompQuery,
   )
 
   val rawOracles: Map[String, String] = Map(
@@ -596,6 +674,49 @@ object Graph {
         "r3 AS (SELECT v.node, 0.15e0 / nn.n + 0.85e0 * coalesce(c3.c, 0e0) AS r " +
         "FROM v CROSS JOIN nn LEFT JOIN c3 ON v.node = c3.node) " +
         "SELECT node, rnd(r, 6) AS rank FROM r3"
+    },
+
+    "graph_ppr" -> {
+      // the same three personalized rounds unrolled (the graph_pagerank
+      // oracle with the seed-indicator teleport)
+      def round(i: Int): String =
+        s"c$i AS (SELECT e.dst AS node, sum(r${i - 1}.r / deg.od) AS c " +
+          s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node " +
+          "JOIN deg ON e.src = deg.src GROUP BY 1), " +
+          s"r$i AS (SELECT v.node, 0.15e0 * (CASE WHEN v.node % $BfsSeedMod = 0 " +
+          "THEN 1e0 ELSE 0e0 END) / ns.ns + " +
+          s"0.85e0 * coalesce(c$i.c, 0e0) AS r " +
+          s"FROM v CROSS JOIN ns LEFT JOIN c$i ON v.node = c$i.node), "
+      "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw), " +
+        "v AS (SELECT DISTINCT src AS node FROM e), " +
+        "deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1), " +
+        s"ns AS (SELECT count(*)::DOUBLE AS ns FROM v WHERE node % $BfsSeedMod = 0), " +
+        s"r0 AS (SELECT node, (CASE WHEN node % $BfsSeedMod = 0 THEN 1e0 ELSE 0e0 END) " +
+        "/ ns.ns AS r FROM v CROSS JOIN ns), " +
+        round(1) + round(2) + round(3).stripSuffix(", ") +
+        " SELECT node, rnd(r, 6) AS ppr FROM r3"
+    },
+
+    "graph_conn_comp" -> {
+      // min-label rounds unrolled; each l_i is referenced twice by its
+      // successor → MATERIALIZED (the graph_bfs lesson)
+      def round(i: Int): String = {
+        val mat = if (i < CcRounds) " MATERIALIZED" else ""
+        s"t$i AS (SELECT node, comp FROM l${i - 1} UNION ALL " +
+          s"SELECT e.dst AS node, l${i - 1}.comp FROM e " +
+          s"JOIN l${i - 1} ON e.src = l${i - 1}.node), " +
+          s"l$i AS$mat (SELECT node, min(comp) AS comp FROM t$i GROUP BY 1), "
+      }
+      "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL " +
+        "SELECT dst, src FROM eraw), " +
+        "v AS (SELECT DISTINCT src AS node FROM e), " +
+        "l0 AS MATERIALIZED (SELECT node, node AS comp FROM v), " +
+        (1 to CcRounds).map(round).mkString.stripSuffix(", ") +
+        s" SELECT node, comp FROM l$CcRounds"
     },
 
     "graph_triangles" ->

@@ -1082,6 +1082,45 @@ object Queries {
           .as("r2"))
   }
 
+  /** join_spatial_grid — 2D radius join via grid bucketing: all customer
+    * pairs within Euclidean distance r of each other in a synthetic
+    * plane (x = account balance, y = a deterministic key-derived
+    * coordinate — the harness has no geo columns; the OPERATOR is the
+    * standard geospatial neighbor-join shape). Each point lands in one
+    * r×r grid cell; the LEFT side expands to its 3×3 neighborhood of
+    * cells (a 9× generator, constant), the join is a cell EQUI-join,
+    * and the exact distance predicate filters survivors. This replaces
+    * the O(n²) cross join with Σ|cell|·|neighborhood| pairs — the 2D
+    * sibling of the 1D `join_interval_bin` binning and the geohash
+    * pattern every spatial engine ships. Canonical a < b keeps pairs
+    * unique (the self-join visits each unordered pair once from the
+    * smaller id's neighborhood expansion).
+    *
+    * Distance compares on doubles both engines derive from identical
+    * 2-decimal inputs with the identical expression — no boundary flip.
+    */
+  def joinSpatialGrid(s: SparkSession, d: String, r: Double = 100.0): DataFrame = {
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey").as("id"), col("c_acctbal").as("x"),
+      (pmod(col("c_custkey"), lit(89)) * 50.0).as("y"))
+    val cell = pts
+      .withColumn("cx", floor(col("x") / r).cast("long"))
+      .withColumn("cy", floor(col("y") / r).cast("long"))
+    val probe = cell.select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        explode(expr("transform(sequence(-1, 1), dx -> dx)")).as("dx"), col("cx"), col("cy"))
+      .select(col("a_id"), col("ax"), col("ay"), (col("cx") + col("dx")).as("gx"),
+        explode(expr("transform(sequence(-1, 1), dy -> dy)")).as("dy"), col("cy"))
+      .select(col("a_id"), col("ax"), col("ay"), col("gx"), (col("cy") + col("dy")).as("gy"))
+    val build = cell.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+      col("cx").as("gx"), col("cy").as("gy"))
+    probe.join(build, Seq("gx", "gy"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", sqrt((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by"))))
+      .filter(col("dist") <= r)
+      .select(col("a_id"), col("b_id"), rnd(col("dist"), 6).as("dist"))
+  }
+
   // sql_division — relational division ("customers who ordered at EVERY
   // priority"): per-customer distinct-priority count matched against the
   // global distinct count, which rides in as a broadcast one-row
@@ -1161,6 +1200,7 @@ object Queries {
     "sql_q17" -> sqlQ17,
     "agg_regression" -> aggRegression,
     "sql_division" -> sqlDivision,
+    "join_spatial_grid" -> ((s, d) => joinSpatialGrid(s, d)),
   )
 
   /** DuckDB twins — same column names, rounding, tie-breaks (SURVEY §7.4).
@@ -1567,6 +1607,22 @@ object Queries {
         "rnd(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) AS intercept, " +
         "rnd(((mxy - mx * my) * (mxy - mx * my)) / " +
         "((mxx - mx * mx) * (myy - my * my)), 6) AS r2 FROM m"),
+
+    "join_spatial_grid" ->
+      // same grid form (identical arithmetic); the naive O(n²) radius
+      // predicate is pinned ≡ by AnalyticsOpsSpec on sf0.001
+      ("WITH pts AS (SELECT c_custkey AS id, c_acctbal AS x, " +
+        "(c_custkey % 89) * 50.0e0 AS y FROM customer), " +
+        "cells AS (SELECT *, floor(x / 100e0)::BIGINT AS cx, " +
+        "floor(y / 100e0)::BIGINT AS cy FROM pts), " +
+        "probe AS (SELECT id AS a_id, x AS ax, y AS ay, cx + dx.g AS gx, cy + dy.g AS gy " +
+        "FROM cells, (SELECT unnest([-1, 0, 1]) AS g) dx, " +
+        "(SELECT unnest([-1, 0, 1]) AS g) dy), " +
+        "j AS (SELECT a_id, b.id AS b_id, " +
+        "sqrt((ax - b.x) * (ax - b.x) + (ay - b.y) * (ay - b.y)) AS dist " +
+        "FROM probe JOIN cells b ON probe.gx = b.cx AND probe.gy = b.cy " +
+        "WHERE a_id < b.id) " +
+        "SELECT a_id, b_id, rnd(dist, 6) AS dist FROM j WHERE dist <= 100e0"),
 
     "sql_division" ->
       ("WITH tot AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders), " +

@@ -190,6 +190,30 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(r.getLong(3) === 2L) // normalized: 1+2 collapse
   }
 
+  test("join_spatial_grid ≡ the naive O(n²) radius join") {
+    val grid = SparkEntry.queries("join_spatial_grid")(spark, sfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val pts = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as[Long], col("c_acctbal").as[Double]).collect()
+      .map { case (id, bal) => (id, bal, (id % 89) * 50.0) }
+    val naive = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib && math.sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)) <= 100.0
+    } yield (ia, ib)).toSet
+    assert(grid === naive)
+  }
+
+  test("embedding_knn_graph: ≤3 ranked neighbors per vector, no self-loops") {
+    val rows = SparkEntry.queries("embedding_knn_graph")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) !== r.getLong(1)))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.length <= 3)
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p.head <= p.last))
+    }
+  }
+
   test("multimodal_manifest conserves items and bytes against the pack") {
     val pack = SparkEntry.queries("multimodal_pack")(spark, sfDir)
     val man = SparkEntry.queries("multimodal_manifest")(spark, sfDir)

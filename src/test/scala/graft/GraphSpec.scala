@@ -221,4 +221,36 @@ class GraphSpec extends SparkSpecBase {
     assert(mass === edges.count(), "Σ deg·n_nodes must equal |symmetrized E|")
     assert(hist.filter(col("deg") <= 0).count() === 0)
   }
+
+  test("connCompRounds ≡ min label over the ≤rounds-hop neighborhood (brute BFS)") {
+    import org.apache.spark.sql.functions._
+    val got = Graph.connCompQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = Graph.custSuppEdges(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (node, comp) =>
+      var frontier = Set(node); var seen = Set(node)
+      (1 to Graph.CcRounds).foreach { _ =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      assert(comp === seen.min, s"node $node: got $comp, brute ${seen.min}")
+    }
+  }
+
+  test("personalized PageRank conserves unit mass and concentrates it on/near seeds") {
+    import org.apache.spark.sql.functions._
+    val ppr = Graph.pprQuery(spark, sfDir)
+    val total = ppr.agg(sum("ppr")).head().getDouble(0)
+    // no dangling nodes (symmetrized edges) → mass conserved up to the
+    // per-node rnd(…,6) rounding
+    assert(math.abs(total - 1.0) < 1e-3, s"mass $total")
+    val seedMean = ppr.filter(col("node") % Graph.BfsSeedMod === 0)
+      .agg(avg("ppr")).head().getDouble(0)
+    val otherMean = ppr.filter(col("node") % Graph.BfsSeedMod =!= 0)
+      .agg(avg("ppr")).head().getDouble(0)
+    assert(seedMean > otherMean,
+      s"teleport must favor seeds: seed mean $seedMean vs other $otherMean")
+  }
 }
