@@ -585,7 +585,57 @@ object Dedup {
   def normKeepBest(s: SparkSession, d: String): DataFrame =
     normKeepBestDocs(Tables.documents(s, d))
 
+  /** similarity_minhash_est — the ESTIMATOR read-out of the MinHash
+    * machinery: for each LSH candidate pair, the fraction of agreeing
+    * signature rows (the unbiased Jaccard estimate the sketch exists to
+    * provide) next to the exact Jaccard — the self-checking row that
+    * makes signature quality measurable (`sketch_countmin`/`sketch_kmv`
+    * discipline: deterministic hash family ⇒ fully oracle-gated, unlike
+    * engine-internal sketches). Same signature build (`minHashRow`),
+    * same band candidates as `dedup_minhash_lsh`; agreement is an
+    * integer sum over the NumHashes fixed columns; exact J from the one
+    * shared candidate-driven verify. At corpus scale everything rides
+    * the band equi-join — the estimator adds one signature-row join.
+    */
+  /** Estimator slice bound — tighter than `docSlice`'s 500: the fixture
+    * corpus is near-duplicate-saturated, and 500 docs yield ~93 k
+    * candidate pairs at est ≥ ½; 200 keeps the declared read-out
+    * result-set-sized. The operator is slice-independent. */
+  private val MinhashEstBound = 200
+
+  def minhashEst(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.docTokens(
+      Tables.documents(s, d).filter(col("doc_id") < MinhashEstBound))
+    val sigs = minHashRow(toks, NumHashes)
+    val nBands = NumHashes / RowsPerBand
+    val bands = sigs.select(col("doc_id"), explode(array((0 until nBands).map(b =>
+      concat(lit(s"$b|"), col(s"m${RowsPerBand * b}"), col(s"m${RowsPerBand * b + 1}"))): _*))
+      .as("sig"))
+    val cand = bands.select(col("doc_id").as("d1"), col("sig"))
+      .join(bands.select(col("doc_id").as("d2"), col("sig")), "sig")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val a = sigs.toDF("d1" +: (0 until NumHashes).map(i => s"a$i"): _*)
+    val b = sigs.toDF("d2" +: (0 until NumHashes).map(i => s"b$i"): _*)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(a, "d1").join(b, "d2").withColumn("agree_n", agree)
+      .select(col("d1"), col("d2"), col("agree_n"))
+    val exact = TextOps.jaccardVerify(cand, toks, 0.0)
+      .select(col("doc_id1").as("d1"), col("doc_id2").as("d2"), col("j"))
+    // report the est ≥ ½ range: band collision alone (1 band = est ¼)
+    // floods the low end with noise pairs the sketch itself would
+    // never act on — the read-out is for pairs the bands vote on
+    est.filter(col("agree_n") >= NumHashes / 2)
+      .join(exact, Seq("d1", "d2"))
+      .select(col("d1").as("doc_id1"), col("d2").as("doc_id2"), col("agree_n"),
+        rnd(col("agree_n") / lit(NumHashes.toDouble), 6).as("est_jaccard"),
+        rnd(col("j"), 6).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "similarity_minhash_est" -> minhashEst,
     "dedup_norm_keep_best" -> normKeepBest,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_cluster" -> minhashClusters,
@@ -598,9 +648,11 @@ object Dedup {
     "doc_fingerprint" -> fingerprint,
   )
 
-  private val toksCte =
+  private def toksCteFor(bound: Int): String =
     "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok " +
-      "FROM documents WHERE doc_id < 500)"
+      s"FROM documents WHERE doc_id < $bound)"
+
+  private val toksCte = toksCteFor(500)
 
   private def jaccardCtes(candWhere: String): String =
     "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1), " +
@@ -615,8 +667,8 @@ object Dedup {
 
   /** The MinHash signature + candidate CTE chain (toks → cand), shared by
     * the pair oracle and the cluster oracle. */
-  private val minhashCtes =
-    s"$toksCte, " +
+  private def minhashCtesFor(bound: Int): String =
+    s"${toksCteFor(bound)}, " +
       s"seeds AS (SELECT unnest(range($NumHashes))::INT AS seed), " +
       "mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || tok)) AS mh " +
       "FROM toks CROSS JOIN seeds GROUP BY 1, 2), " +
@@ -625,6 +677,8 @@ object Dedup {
       s"FROM mh GROUP BY doc_id, seed // $RowsPerBand), " +
       "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 " +
       "FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id)"
+
+  private val minhashCtes = minhashCtesFor(500)
 
   private val candExists =
     "WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = a.doc_id AND c.d2 = b.doc_id)"
@@ -670,6 +724,19 @@ object Dedup {
       "FROM tot t LEFT JOIN dd USING (doc_id)"
 
   val rawOracles: Map[String, String] = Map(
+    "similarity_minhash_est" ->
+      // the shared minhash/candidate chain + per-seed agreement join +
+      // the one jaccard verify, all on the same CTE fragments
+      (s"WITH ${minhashCtesFor(MinhashEstBound)}, " +
+        "ag AS (SELECT c.d1, c.d2, " +
+        "sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT AS agree_n " +
+        "FROM cand c JOIN mh ma ON ma.doc_id = c.d1 " +
+        "JOIN mh mb ON mb.doc_id = c.d2 AND ma.seed = mb.seed GROUP BY 1, 2), " +
+        jaccardCtes(candExists) +
+        " SELECT ag.d1 AS doc_id1, ag.d2 AS doc_id2, agree_n, " +
+        s"rnd(agree_n / ${NumHashes}e0, 6) AS est_jaccard, rnd(j, 6) AS jaccard " +
+        s"FROM ag JOIN jj ON ag.d1 = jj.d1 AND ag.d2 = jj.d2 " +
+        s"WHERE agree_n >= ${NumHashes / 2}"),
     "dedup_norm_keep_best" ->
       // same canonical form as text_normalize; keeper via the
       // (len DESC, doc_id) total order ≡ Spark's min(struct(-len, id))

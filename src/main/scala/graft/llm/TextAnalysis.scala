@@ -587,7 +587,47 @@ object TextAnalysis {
   def hapax(s: SparkSession, d: String): DataFrame =
     hapaxDocs(Tables.documents(s, d))
 
+  // ---- corpus_apportion: largest-remainder token-budget allocation ------
+
+  /** Shared budget constant — interpolated into the oracle string (the
+    * ADVICE r7 single-source discipline). */
+  private[llm] val ApportionBudget = 1000000L
+
+  /** Hamilton (largest-remainder) apportionment of a global token
+    * budget across sources proportional to their token mass — the step
+    * AFTER `corpus_mix`/`corpus_mix_temperature` decide ideal weights:
+    * a sampler needs an INTEGER document/token quota per source that
+    * sums exactly to the budget, and naive per-source rounding
+    * over- or under-shoots. Base quota = ⌊budget·tokᵢ/total⌋ (pure
+    * integer — no float ever enters), the leftover seats go to the
+    * largest remainders (tie: source asc). Σ alloc ≡ budget exactly
+    * (spec-pinned).
+    *
+    * Scale: one source-keyed aggregate; the ranking window runs on the
+    * SOURCE table (vocabulary-sized at any corpus scale); budget·tokᵢ
+    * stays in BIGINT up to ~9·10¹² tokens per source at this budget.
+    */
+  def apportionDocs(docs: DataFrame, budget: Long = ApportionBudget): DataFrame = {
+    val bySrc = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy(col("source")).agg(sum(col("ntok")).as("tok_n"))
+    val tot = broadcast(bySrc.agg(sum(col("tok_n")).as("total")))
+    val base = bySrc.crossJoin(tot)
+      .withColumn("base", expr(s"($budget * tok_n) div total"))
+      .withColumn("rem", expr(s"($budget * tok_n) % total"))
+    val left = broadcast(base.agg((lit(budget) - sum(col("base"))).as("leftover")))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    base.crossJoin(left)
+      .withColumn("rk", row_number().over(w))
+      .select(col("source"), col("tok_n"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+  }
+
+  def apportion(s: SparkSession, d: String): DataFrame =
+    apportionDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_apportion" -> apportion,
     "tokenizer_bpe" -> bpe,
     "tokenizer_encode" -> bpeEncode,
     "text_quality" -> quality,
@@ -659,6 +699,18 @@ object TextAnalysis {
       "FROM dw JOIN wt USING (word) WHERE length(word) > 0 GROUP BY 1"
 
   val rawOracles: Map[String, String] = Map(
+    "corpus_apportion" ->
+      // identical integer base/remainder split; HUGEINT sums cast back
+      (s"WITH b AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS tok_n " +
+        "FROM documents GROUP BY 1), " +
+        "t AS (SELECT sum(tok_n)::BIGINT AS total FROM b), " +
+        s"q AS (SELECT source, tok_n, ($ApportionBudget * tok_n) // total AS base, " +
+        s"($ApportionBudget * tok_n) % total AS rem FROM b, t), " +
+        s"l AS (SELECT $ApportionBudget - sum(base)::BIGINT AS leftover FROM q), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q) " +
+        "SELECT source, tok_n, " +
+        "(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc FROM r, l"),
+
     "text_bm25" ->
       // same fixed-order per-term assembly; ranking on the unrounded
       // score; shared term/parameter constants interpolated

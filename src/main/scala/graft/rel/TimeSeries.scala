@@ -1259,7 +1259,36 @@ object TimeSeries {
   def cooccur(s: SparkSession, d: String): DataFrame =
     eventsCooccur(Tables.events(s, d))
 
+  // ---- events_transition: first-order Markov transition matrix ----------
+
+  /** First-order behavior model: P(next event type | current) with the
+    * supporting counts — `events_paths` surfaces the dominant 3-step
+    * sequences; this is the full one-step transition matrix a
+    * simulation, anomaly screen, or next-action model consumes. Per
+    * user one `lead` over the (ts, event_id) order (the shared
+    * sessionize window — users independent, no global sort), then a
+    * |vocab|²-bounded pair count; row totals come from RE-AGGREGATING
+    * the pair table (vocabulary-sized), not a second pass over events.
+    * P is one exact-BIGINT ratio rounded at the edge.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy(col("cur")).agg(sum(col("n")).as("row_n"))
+    pairs.join(rowTot, "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        rnd(col("n") / col("row_n").cast("double"), 6).as("p"))
+  }
+
+  def transition(s: SparkSession, d: String): DataFrame =
+    transitionMatrix(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transition" -> transition,
     "ts_resample" -> resample,
     "ts_interpolate" -> interpolate,
     "ts_ohlc" -> ohlc,
@@ -1296,6 +1325,17 @@ object TimeSeries {
   )
 
   val rawOracles: Map[String, String] = Map(
+    "events_transition" ->
+      // HUGEINT row-total sum cast back; exact-BIGINT ratio into rnd
+      ("WITH ev AS (SELECT user_id, event_type AS cur, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt " +
+        "FROM events), " +
+        "pc AS (SELECT cur, nxt, count(*) AS n FROM ev WHERE nxt IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "rt AS (SELECT cur, sum(n)::BIGINT AS row_n FROM pc GROUP BY 1) " +
+        "SELECT pc.cur, nxt, n, rnd(n / row_n::DOUBLE, 6) AS p " +
+        "FROM pc JOIN rt ON pc.cur = rt.cur"),
+
     "events_rfm" ->
       // same user-keyed aggregate, micro-unit monetary, (metric, user_id)
       // total tile orders; DuckDB windowed sum over BIGINT never enters

@@ -214,6 +214,42 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("similarity_minhash_est: full agreement ⟺ est 1.0; exact-duplicate pairs agree fully") {
+    val rows = SparkEntry.queries("similarity_minhash_est")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (agree, est, j) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(est === agree.toDouble / 8.0)
+      // identical token sets hash identically under every seed
+      if (j === 1.0) assert(agree === 8L, s"J=1 pair with agree=$agree: $r")
+    }
+  }
+
+  test("corpus_apportion: allocations sum exactly to the budget, each within 1 of ideal") {
+    val rows = SparkEntry.queries("corpus_apportion")(spark, sfDir)
+      .select("source", "tok_n", "alloc").as[(String, Long, Long)].collect()
+    val budget = 1000000L
+    assert(rows.map(_._3).sum === budget, "Hamilton apportionment must hit the budget exactly")
+    val total = rows.map(_._2).sum
+    rows.foreach { case (src, tok, alloc) =>
+      val ideal = budget.toDouble * tok / total
+      assert(math.abs(alloc - ideal) < 1.0 + 1e-9, s"$src alloc $alloc vs ideal $ideal")
+    }
+  }
+
+  test("events_transition: per-state probabilities sum to 1, transitions conserved") {
+    val rows = SparkEntry.queries("events_transition")(spark, sfDir)
+      .select("cur", "n", "p").as[(String, Long, Double)].collect()
+    rows.groupBy(_._1).values.foreach { g =>
+      val psum = g.map(_._3).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"row ${g.head._1} sums to $psum")
+    }
+    val nEvents = Tables.events(spark, sfDir).count()
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.map(_._2).sum === nEvents - nUsers,
+      "each user contributes exactly (events−1) transitions")
+  }
+
   test("multimodal_manifest conserves items and bytes against the pack") {
     val pack = SparkEntry.queries("multimodal_pack")(spark, sfDir)
     val man = SparkEntry.queries("multimodal_manifest")(spark, sfDir)
