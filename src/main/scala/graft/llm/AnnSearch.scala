@@ -773,6 +773,47 @@ object AnnSearch {
       .select(col("q_id"), col("t_id"), col("dist").cast("long").as("hamming"), col("rn"))
   }
 
+  // ---- ann_recall: measured index quality as a query --------------------
+
+  /** ann_recall — recall@3 of the sign-LSH bucket index against the
+    * exact brute-force ranking, per query: |LSH top-3 ∩ exact top-3|/3.
+    * The `similarity_minhash_est` discipline applied to ANN: the
+    * SCALE.md nprobe recall table is a probe artifact; this row makes
+    * index quality a FIRST-CLASS, oracle-gated query a pipeline can
+    * alert on (recall collapse = embedding drift or bucket skew —
+    * `embedding_drift`'s actionable sibling). Both rankings use the
+    * shared (dist, t_id) total order, so the set intersection is exact
+    * and deterministic. Queries missing from the LSH output (alone in
+    * their bucket) surface with recall 0 via the left join — exactly
+    * the alert case.
+    *
+    * Scale: the two rankings are the two declared operators' plans
+    * (broadcast query block × map-scan + bucket equi-join); the
+    * intersection joins two 20×3-row frames.
+    */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 20)
+    val t = e.filter(col("vec_id") >= 20)
+    val brute = Knn.knn(q, t, k = 3, dist = cosineDist)
+      .select(col("q_id"), col("t_id"))
+    val qb = q.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+      bucketCol(col("v")).as("bucket"))
+    val tb = t.select(col("vec_id").as("t_id"), col("v").as("t_v"),
+      bucketCol(col("v")).as("bucket"))
+    val lsh = graft.functions.TopKAgg.knn(
+        broadcast(qb).join(tb, "bucket")
+          .select(col("q_id"), col("t_id"),
+            cosineDist(col("q_v"), col("t_v")).as("dist")), 3)
+      .select(col("q_id"), col("t_id"))
+    val hits = brute.join(lsh, Seq("q_id", "t_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    brute.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        rnd(coalesce(col("n_hit"), lit(0L)) / lit(3.0), 6).as("recall"))
+  }
+
   // ---- embedding_knn_graph: bucketed all-corpus k-NN graph --------------
 
   /** embedding_knn_graph — the k-nearest-neighbor GRAPH over the whole
@@ -883,6 +924,7 @@ object AnnSearch {
     "ann_hamming" -> hammingTopK,
     "embedding_outliers" -> embeddingOutliers,
     "embedding_knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "ann_recall" -> annRecall,
   )
 
   private def dotSql(a: String, b: String): String = graft.rel.Queries.dotSql(a, b)
@@ -949,6 +991,30 @@ object AnnSearch {
         "qk AS (SELECT q_id, t_id, hamming, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY hamming, t_id) AS rn FROM qp) " +
         "SELECT q_id, t_id, hamming, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "ann_recall" ->
+      // both rankings restated; left join keeps bucket-isolated
+      // queries at recall 0
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "bq AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, " +
+        s"${cosSql("a.v", "b.v")} AS dist " +
+        "FROM e a CROSS JOIN e b WHERE a.vec_id < 20 AND b.vec_id >= 20), " +
+        "brute AS (SELECT q_id, t_id FROM (SELECT q_id, t_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM bq) " +
+        "WHERE rn <= 3), " +
+        s"eb AS (SELECT vec_id, v, $bucketSql AS bucket FROM e), " +
+        "lp AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, " +
+        s"${cosSql("a.v", "b.v")} AS dist " +
+        "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id >= 20), " +
+        "lsh AS (SELECT q_id, t_id FROM (SELECT q_id, t_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM lp) " +
+        "WHERE rn <= 3), " +
+        "hits AS (SELECT brute.q_id, count(*) AS n_hit FROM brute " +
+        "JOIN lsh ON brute.q_id = lsh.q_id AND brute.t_id = lsh.t_id GROUP BY 1), " +
+        "qs AS (SELECT DISTINCT q_id FROM brute) " +
+        "SELECT qs.q_id, coalesce(n_hit, 0)::BIGINT AS n_hit, " +
+        "rnd(coalesce(n_hit, 0) / 3e0, 6) AS recall " +
+        "FROM qs LEFT JOIN hits ON qs.q_id = hits.q_id"),
 
     "embedding_knn_graph" ->
       // the ann_lsh_bucket oracle over ALL vectors with self-pairs

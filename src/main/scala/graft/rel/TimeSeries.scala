@@ -1287,7 +1287,49 @@ object TimeSeries {
   def transition(s: SparkSession, d: String): DataFrame =
     transitionMatrix(Tables.events(s, d))
 
+  // ---- events_time_to_convert: signup→purchase latency distribution -----
+
+  /** Conversion-latency report: for each user with a signup, the time
+    * to their FIRST purchase at-or-after it; one summary row with the
+    * signup cohort size, converted count, and the min / discrete-rank
+    * median / max latency — the growth metric `events_funnel` (did
+    * they?) and `events_attribution` (what drove it?) sit beside
+    * (how LONG did it take?). Latencies are BIGINT micros end to end;
+    * the median is the rank-⌊(n+1)/2⌋ SELECTION under (delta, user_id)
+    * — the `outlier_iqr` discipline, no interpolation, no float.
+    *
+    * Scale: two filtered user-keyed aggregates + one user equi-join
+    * (the purchases side pre-aggregates to first-at-or-after via
+    * min-on-filtered-join — never a per-user sort); the median
+    * selection sorts the CONVERTED-USER table, one row per user.
+    */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val su = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("su_us"))
+    val pu = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pu_us"))
+    val conv = su.join(pu, "user_id")
+      .filter(col("pu_us") >= col("su_us"))
+      .groupBy(col("user_id"), col("su_us")).agg(min(col("pu_us")).as("first_pu"))
+      .select(col("user_id"), (col("first_pu") - col("su_us")).as("delta_us"))
+    val nSignup = broadcast(su.agg(count(lit(1)).as("n_signup")))
+    val nConv = broadcast(conv.agg(count(lit(1)).as("n_converted"),
+      min(col("delta_us")).as("min_us"), max(col("delta_us")).as("max_us")))
+    val med = broadcast(conv.crossJoin(nConv.select(col("n_converted").as("nc")))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("delta_us"), col("user_id"))))
+      .filter(col("rk") === expr("(nc + 1) div 2"))
+      .select(col("delta_us").as("median_us")))
+    nSignup.crossJoin(nConv).crossJoin(med)
+      .select(col("n_signup"), col("n_converted"), col("min_us"),
+        col("median_us"), col("max_us"))
+  }
+
+  def timeToConvertQuery(s: SparkSession, d: String): DataFrame =
+    timeToConvert(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_time_to_convert" -> timeToConvertQuery,
     "events_transition" -> transition,
     "ts_resample" -> resample,
     "ts_interpolate" -> interpolate,
@@ -1325,6 +1367,23 @@ object TimeSeries {
   )
 
   val rawOracles: Map[String, String] = Map(
+    "events_time_to_convert" ->
+      // identical first-at-or-after join and ⌊(n+1)/2⌋ rank median
+      ("WITH su AS (SELECT user_id, min(epoch_us(ts)) AS su_us FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1), " +
+        "pu AS (SELECT user_id, epoch_us(ts) AS pu_us FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "conv AS (SELECT su.user_id, min(pu_us) - su_us AS delta_us " +
+        "FROM su JOIN pu ON su.user_id = pu.user_id AND pu_us >= su_us " +
+        "GROUP BY su.user_id, su_us), " +
+        "ns AS (SELECT count(*) AS n_signup FROM su), " +
+        "nc AS (SELECT count(*) AS n_converted, min(delta_us) AS min_us, " +
+        "max(delta_us) AS max_us FROM conv), " +
+        "md AS (SELECT delta_us AS median_us FROM " +
+        "(SELECT delta_us, row_number() OVER (ORDER BY delta_us, user_id) AS rk " +
+        "FROM conv), nc WHERE rk = (n_converted + 1) // 2) " +
+        "SELECT n_signup, n_converted, min_us, median_us, max_us FROM ns, nc, md"),
+
     "events_transition" ->
       // HUGEINT row-total sum cast back; exact-BIGINT ratio into rnd
       ("WITH ev AS (SELECT user_id, event_type AS cur, " +

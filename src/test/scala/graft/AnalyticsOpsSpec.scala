@@ -250,6 +250,29 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       "each user contributes exactly (events−1) transitions")
   }
 
+  test("ann_recall agrees with a recount from the two declared rankings") {
+    val brute = SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
+      .filter(col("rn") <= 3).select("q_id", "t_id").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("ann_lsh_bucket")(spark, sfDir)
+      .select("q_id", "t_id").as[(Long, Long)].collect().toSet
+    val recall = SparkEntry.queries("ann_recall")(spark, sfDir)
+      .select("q_id", "n_hit").as[(Long, Long)].collect().toMap
+    assert(recall.size === 20)
+    recall.foreach { case (q, hit) =>
+      val expect = brute.count { case (bq, bt) => bq == q && lsh((bq, bt)) }
+      assert(hit === expect, s"query $q: reported $hit, recount $expect")
+      assert(hit >= 0 && hit <= 3)
+    }
+  }
+
+  test("events_time_to_convert: ordering invariants, converted ⊆ signups") {
+    val r = SparkEntry.queries("events_time_to_convert")(spark, sfDir).head()
+    val (ns, nc) = (r.getLong(0), r.getLong(1))
+    val (mn, md, mx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nc <= ns)
+    assert(mn >= 0 && mn <= md && md <= mx)
+  }
+
   test("multimodal_manifest conserves items and bytes against the pack") {
     val pack = SparkEntry.queries("multimodal_pack")(spark, sfDir)
     val man = SparkEntry.queries("multimodal_manifest")(spark, sfDir)
