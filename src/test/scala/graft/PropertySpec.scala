@@ -361,4 +361,65 @@ class PropertySpec extends SparkSpecBase {
       }
     }, min = 15)
   }
+
+  test("Hamilton apportionment: Σalloc = budget and every alloc within 1 of ideal, any weights") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 100000L))
+      budget <- Gen.choose(100L, 1000000L)
+    } yield (toks, budget)
+    check(Prop.forAll(gen) { case (toks, budget) =>
+      // one doc per source whose whitespace token count IS the drawn
+      // mass (capped so the text stays materializable)
+      val capped = toks.map(t => math.min(t, 2000L))
+      val df = capped.zipWithIndex.map { case (t, i) =>
+        (i.toLong, Seq.fill(t.toInt)("x").mkString(" "), f"s$i%02d")
+      }.toDF("doc_id", "text", "source")
+      val out = graft.llm.TextAnalysis.apportionDocs(df, budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val total = capped.sum
+      val sumOk = out.map(_._3).sum == budget
+      val boundOk = out.forall { case (_, tok, alloc) =>
+        math.abs(alloc - budget.toDouble * tok / total) < 1.0 + 1e-9
+      }
+      sumOk && boundOk
+    }, min = 12)
+  }
+
+  test("grid spatial join ≡ naive radius join for arbitrary point clouds") {
+    import spark.implicits._
+    // exercises the arithmetic via a custkey/acctbal-shaped frame: the
+    // query derives (x, y) from (c_acctbal, c_custkey % 89)
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      pts <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L), Gen.chooseNum(-900.0, 900.0)))
+    } yield pts.groupBy(_._1).map(_._2.head).toList // unique ids
+    check(Prop.forAll(gen) { pts =>
+      val df = pts.map { case (id, bal) =>
+        (id, s"c$id", 0, math.floor(bal * 100 + 0.5) / 100, "SEG")
+      }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val dir = java.nio.file.Files.createTempDirectory("gridprop").toString
+      df.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val got = graft.rel.Queries.joinSpatialGrid(spark, dir)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val coords = pts.map { case (id, bal) =>
+        (id, math.floor(bal * 100 + 0.5) / 100, (id % 89) * 50.0)
+      }
+      val naive = (for {
+        (ia, xa, ya) <- coords; (ib, xb, yb) <- coords
+        if ia < ib && math.sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)) <= 100.0
+      } yield (ia, ib)).toSet
+      got == naive
+    }, min = 10)
+  }
+
+  test("transition matrix: per-state probability rows sum to 1 on random event streams") {
+    check(Prop.forAll(eventsGen suchThat (_.nonEmpty)) { rows =>
+      val tm = graft.rel.TimeSeries.transitionMatrix(eventsDf(rows)).collect()
+      tm.isEmpty || tm.groupBy(_.getString(0)).values.forall { g =>
+        math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-4
+      }
+    }, min = 12)
+  }
 }
