@@ -1099,10 +1099,16 @@ object Queries {
     * Distance compares on doubles both engines derive from identical
     * 2-decimal inputs with the identical expression — no boundary flip.
     */
-  def joinSpatialGrid(s: SparkSession, d: String, r: Double = 100.0): DataFrame = {
-    val pts = Tables.customer(s, d).select(
-      col("c_custkey").as("id"), col("c_acctbal").as("x"),
-      (pmod(col("c_custkey"), lit(89)) * 50.0).as("y"))
+  def joinSpatialGrid(s: SparkSession, d: String, r: Double = 100.0): DataFrame =
+    spatialGridJoinPts(
+      Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_acctbal").as("x"),
+        (pmod(col("c_custkey"), lit(89)) * 50.0).as("y")), r)
+
+  /** Core of `join_spatial_grid` over any (id, x, y) frame — the probe
+    * (`tools.GeoAnnProbe`) drives this at 10⁵-10⁶ points.
+    */
+  private[graft] def spatialGridJoinPts(pts: DataFrame, r: Double): DataFrame = {
     val cell = pts
       .withColumn("cx", floor(col("x") / r).cast("long"))
       .withColumn("cy", floor(col("y") / r).cast("long"))
