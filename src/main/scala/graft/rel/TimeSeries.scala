@@ -1328,7 +1328,37 @@ object TimeSeries {
   def timeToConvertQuery(s: SparkSession, d: String): DataFrame =
     timeToConvert(Tables.events(s, d))
 
+  // ---- events_stickiness: DAU / trailing-7-day WAU ----------------------
+
+  /** The product-health ratio DAU/WAU per active day. The WAU side is
+    * the interesting plan: a trailing-7-day DISTINCT count per day is
+    * a rolling set-union no window aggregate expresses cheaply — the
+    * standard rewrite EXPLODES each (user, day) activity row into the
+    * 7 report days it contributes to, dedups, and counts: O(7·user-days)
+    * map work, two hash aggregates, no window at all (the
+    * `events_retention` (user, week)-dedup-first discipline, then the
+    * offset trick). Integer day arithmetic end to end; one exact ratio
+    * rounded at the edge.
+    */
+  def eventsStickiness(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        rnd(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+  }
+
+  def stickiness(s: SparkSession, d: String): DataFrame =
+    eventsStickiness(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_stickiness" -> stickiness,
     "events_time_to_convert" -> timeToConvertQuery,
     "events_transition" -> transition,
     "ts_resample" -> resample,
@@ -1367,6 +1397,18 @@ object TimeSeries {
   )
 
   val rawOracles: Map[String, String] = Map(
+    "events_stickiness" ->
+      // same offset-explode rewrite; DuckDB range() end-exclusive =
+      // Spark sequence(day, day+6) inclusive
+      ("WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day " +
+        "FROM events), " +
+        "dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1), " +
+        "c AS (SELECT DISTINCT user_id, rd AS day FROM " +
+        "(SELECT user_id, unnest(range(day, day + 7)) AS rd FROM ud)), " +
+        "wau AS (SELECT day, count(*) AS wau FROM c GROUP BY 1) " +
+        "SELECT dau.day, dau, wau, rnd(dau / wau::DOUBLE, 6) AS stickiness " +
+        "FROM dau JOIN wau ON dau.day = wau.day"),
+
     "events_time_to_convert" ->
       // identical first-at-or-after join and ⌊(n+1)/2⌋ rank median
       ("WITH su AS (SELECT user_id, min(epoch_us(ts)) AS su_us FROM events " +

@@ -273,6 +273,21 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(mn >= 0 && mn <= md && md <= mx)
   }
 
+  test("events_stickiness: DAU ≤ WAU, ratio in (0,1], WAU ≥ max window DAU (brute check)") {
+    val rows = SparkEntry.queries("events_stickiness")(spark, sfDir)
+      .select("day", "dau", "wau", "stickiness").as[(Long, Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    rows.foreach { case (day, dau, wau, st) =>
+      assert(dau <= wau && st > 0 && st <= 1.0)
+      val brute = ud.filter(p => p._2 <= day && p._2 > day - 7).map(_._1).distinct.length
+      assert(wau === brute, s"day $day wau $wau brute $brute")
+    }
+  }
+
   test("multimodal_manifest conserves items and bytes against the pack") {
     val pack = SparkEntry.queries("multimodal_pack")(spark, sfDir)
     val man = SparkEntry.queries("multimodal_manifest")(spark, sfDir)
