@@ -634,8 +634,22 @@ object Dedup {
         rnd(col("j"), 6).as("jaccard"))
   }
 
+  /** dedup_cluster_hist — the cluster-SIZE histogram of the near-dup
+    * components: the number the dedup POLICY actually reads (a corpus
+    * whose dup mass sits in a few giant clusters wants boilerplate
+    * removal; one with many pairs wants keep-best) — `dedup_cluster`
+    * emits the assignment, this emits its shape. Two keyed counts over
+    * the same checkpointed-CC output; histogram cardinality = distinct
+    * cluster sizes.
+    */
+  def clusterHist(s: SparkSession, d: String): DataFrame =
+    minhashClusters(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_minhash_est" -> minhashEst,
+    "dedup_cluster_hist" -> clusterHist,
     "dedup_norm_keep_best" -> normKeepBest,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_cluster" -> minhashClusters,
@@ -682,6 +696,16 @@ object Dedup {
 
   private val candExists =
     "WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = a.doc_id AND c.d2 = b.doc_id)"
+
+  /** The recursive connected-components chain through `lbl(doc_id,
+    * cluster_id)` — shared by the cluster row and its histogram. */
+  private lazy val ClusterCtes: String =
+    s"WITH RECURSIVE $minhashCtes, ${jaccardCtes(candExists)}, " +
+      "dups AS (SELECT d1, d2 FROM jj WHERE j >= 0.8e0), " +
+      "edges AS (SELECT d1 AS a, d2 AS b FROM dups UNION ALL SELECT d2, d1 FROM dups), " +
+      "reach(a, b) AS (SELECT a, b FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b), " +
+      "lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)"
 
   /** SimHash oracle for an arbitrary width ≤ 64 — identical vote math to
     * `simhashSigs`. Bit accumulation is `1::BIGINT << j` with the signed
@@ -756,13 +780,14 @@ object Dedup {
     // components make the closure cheap in the oracle; the Spark side
     // uses min-label propagation (same fixed point, proven unique)
     "dedup_cluster" ->
-      (s"WITH RECURSIVE $minhashCtes, ${jaccardCtes(candExists)}, " +
-        "dups AS (SELECT d1, d2 FROM jj WHERE j >= 0.8e0), " +
-        "edges AS (SELECT d1 AS a, d2 AS b FROM dups UNION ALL SELECT d2, d1 FROM dups), " +
-        "reach(a, b) AS (SELECT a, b FROM edges " +
-        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b), " +
-        "lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) " +
-        "SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM lbl"),
+      (s"$ClusterCtes SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM lbl"),
+
+    "dedup_cluster_hist" ->
+      // one rollup over the SAME recursive-CC chain (shared CTE string,
+      // so the histogram cannot drift from the clustering it describes)
+      (s"$ClusterCtes, cs AS (SELECT cluster_id, count(*) AS cluster_size " +
+        "FROM lbl GROUP BY 1) " +
+        "SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1"),
 
     "dedup_simhash" -> simhashOracleSql(SimBits, 3),
 

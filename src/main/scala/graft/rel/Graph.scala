@@ -174,6 +174,45 @@ object Graph {
   def connCompQuery(s: SparkSession, d: String): DataFrame =
     connCompRounds(custSuppEdges(s, d))
 
+  /** graph_assortativity — degree assortativity (Newman 2002): the
+    * Pearson correlation of endpoint degrees over all edges — one
+    * scalar that says whether hubs attach to hubs (r > 0, social-style)
+    * or to leaves (r < 0, hub-and-spoke; bipartite commerce graphs like
+    * this one skew negative). Raw moments accumulate as EXACT BIGINT
+    * sums (degree products fit comfortably), combined into the one
+    * double formula at the edge — n·Σxy − Σx·Σy would overflow BIGINT,
+    * so the COMBINATION happens in doubles over identical integer
+    * inputs (deterministic both engines; the `agg_corr` discipline one
+    * step later). Two degree joins on the same node key + one total
+    * aggregate: nothing outlives the edge scan.
+    */
+  def assortativity(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.truncated()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select(col("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n"), rnd(
+        // cast each exact BIGINT to double BEFORE combining: n·Σxy
+        // overflows 64-bit as an integer product, and DuckDB would
+        // error on the overflow rather than wrap
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+        .as("assortativity"))
+  }
+
+  def assortativityQuery(s: SparkSession, d: String): DataFrame =
+    assortativity(custSuppEdges(s, d))
+
   /** Undirected part↔part co-order edges: distinct part pairs that
     * appear in the same order (canonical p1 < p2). The quantity filter
     * keeps harness-SF density sane — it is semantics (shared with the
@@ -624,6 +663,7 @@ object Graph {
     "graph_clustering" -> clusteringQuery,
     "graph_ppr" -> pprQuery,
     "graph_conn_comp" -> connCompQuery,
+    "graph_assortativity" -> assortativityQuery,
   )
 
   val rawOracles: Map[String, String] = Map(
@@ -675,6 +715,21 @@ object Graph {
         "FROM v CROSS JOIN nn LEFT JOIN c3 ON v.node = c3.node) " +
         "SELECT node, rnd(r, 6) AS rank FROM r3"
     },
+
+    "graph_assortativity" ->
+      // identical BIGINT moments; identical cast-before-combine
+      ("WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw), " +
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1), " +
+        "m AS (SELECT count(*) AS n, sum(a.d)::BIGINT AS sx, sum(b.d)::BIGINT AS sy, " +
+        "sum(a.d * b.d)::BIGINT AS sxy, sum(a.d * a.d)::BIGINT AS sxx, " +
+        "sum(b.d * b.d)::BIGINT AS syy " +
+        "FROM e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src) " +
+        "SELECT n, rnd((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / " +
+        "sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
+        "(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS assortativity " +
+        "FROM m"),
 
     "graph_ppr" -> {
       // the same three personalized rounds unrolled (the graph_pagerank

@@ -288,6 +288,14 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_cluster_hist conserves the cluster assignment's mass") {
+    val hist = SparkEntry.queries("dedup_cluster_hist")(spark, sfDir)
+      .select("cluster_size", "n_clusters").as[(Long, Long)].collect()
+    val members = SparkEntry.queries("dedup_cluster")(spark, sfDir).count()
+    assert(hist.map(h => h._1 * h._2).sum === members)
+    hist.foreach { case (sz, _) => assert(sz >= 2, "CC emits only clustered docs") }
+  }
+
   test("multimodal_manifest conserves items and bytes against the pack") {
     val pack = SparkEntry.queries("multimodal_pack")(spark, sfDir)
     val man = SparkEntry.queries("multimodal_manifest")(spark, sfDir)

@@ -239,6 +239,18 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("assortativity: -1 on a perfect star, in [-1, 1] on the declared graph") {
+    import org.apache.spark.sql.functions._
+    // star K_{1,5}: every edge pairs the degree-5 hub with a degree-1
+    // leaf — endpoint degrees are perfectly anti-correlated
+    val half = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val star = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val r = Graph.assortativity(star).head().getDouble(1)
+    assert(math.abs(r - (-1.0)) < 1e-6, s"star assortativity $r")
+    val declared = Graph.assortativityQuery(spark, sfDir).head().getDouble(1)
+    assert(declared >= -1.0 - 1e-9 && declared <= 1.0 + 1e-9)
+  }
+
   test("personalized PageRank conserves unit mass and concentrates it on/near seeds") {
     import org.apache.spark.sql.functions._
     val ppr = Graph.pprQuery(spark, sfDir)
