@@ -806,6 +806,47 @@ object AnnSearch {
       .select(col("q_id"), col("t_id"), col("dist").cast("long").as("hamming"), col("rn"))
   }
 
+  // ---- ann_pq_distortion: quantization error read-out -------------------
+
+  /** ann_pq_distortion — the reconstruction-error distribution of the
+    * PQ codebook over the train corpus: per vector, the L2 distance to
+    * its quantized reconstruction (√Σ per-subspace min codeword
+    * distance²), summarized as n / min / discrete-rank median / max —
+    * codebook quality as an alertable row (`ann_recall`'s sibling for
+    * the PQ leg: distortion creep = the codebook no longer fits the
+    * corpus, retrain before recall silently decays). Same m = 4
+    * codebook slicing as `ann_pq`; the per-subspace min is a pure
+    * selection, the 4-term sum folds in fixed subspace order (the adc
+    * p0+p1+p2+p3 discipline), and the median is the rank-⌊(n+1)/2⌋
+    * selection under (dist, t_id). Encode is the same broadcast-
+    * codebook map as the PQ index build — one corpus scan, three
+    * one-row aggregates.
+    */
+  def pqDistortion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v"))
+    val cb = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select((col("vec_id") - 20).as("j"), col("v"))
+    val m = 4
+    val vs = pqSubspaces(m)
+    val dists = t.crossJoin(broadcast(pqCbRow(cb, m)))
+      .select(col("t_id"),
+        transform(vs, (sv, s) =>
+          array_min(transform(element_at(col("cbss"), s + 1),
+            cw => ArrayDistance.l2sq(sv, cw)))).as("mins"))
+      .select(col("t_id"), sqrt(expr("aggregate(mins, 0d, (a, x) -> a + x)")).as("dist"))
+    val agg = broadcast(dists.agg(count(lit(1)).as("n"),
+      min(col("dist")).as("mn"), max(col("dist")).as("mx")))
+    val med = broadcast(dists.crossJoin(agg.select(col("n").as("nn")))
+      .withColumn("rk", row_number().over(Window.orderBy(col("dist"), col("t_id"))))
+      .filter(col("rk") === expr("(nn + 1) div 2"))
+      .select(col("dist").as("median_dist")))
+    agg.crossJoin(med)
+      .select(col("n"), rnd(col("mn"), 6).as("min_dist"),
+        rnd(col("median_dist"), 6).as("median_dist"), rnd(col("mx"), 6).as("max_dist"))
+  }
+
   // ---- ann_recall: measured index quality as a query --------------------
 
   /** ann_recall — recall@3 of the sign-LSH bucket index against the
@@ -958,6 +999,7 @@ object AnnSearch {
     "embedding_outliers" -> embeddingOutliers,
     "embedding_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "ann_recall" -> annRecall,
+    "ann_pq_distortion" -> pqDistortion,
   )
 
   private def dotSql(a: String, b: String): String = graft.rel.Queries.dotSql(a, b)
@@ -1024,6 +1066,23 @@ object AnnSearch {
         "qk AS (SELECT q_id, t_id, hamming, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY hamming, t_id) AS rn FROM qp) " +
         "SELECT q_id, t_id, hamming, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "ann_pq_distortion" ->
+      // the pqChainSql encd CTE's min per (t_id, s), summed in fixed
+      // subspace order (the adc p0..p3 discipline), rank-selected
+      // median
+      (s"WITH $pqChainSql, " +
+        "mind AS (SELECT t_id, s, min(dist) AS md FROM encd GROUP BY 1, 2), " +
+        "dd AS (SELECT t_id, sqrt(" +
+        "sum(CASE WHEN s = 0 THEN md END) + sum(CASE WHEN s = 1 THEN md END) + " +
+        "sum(CASE WHEN s = 2 THEN md END) + sum(CASE WHEN s = 3 THEN md END)) AS dist " +
+        "FROM mind GROUP BY 1), " +
+        "ag AS (SELECT count(*) AS n, min(dist) AS mn, max(dist) AS mx FROM dd), " +
+        "md2 AS (SELECT dist AS median_dist FROM " +
+        "(SELECT dist, row_number() OVER (ORDER BY dist, t_id) AS rk FROM dd), ag " +
+        "WHERE rk = (n + 1) // 2) " +
+        "SELECT n, rnd(mn, 6) AS min_dist, rnd(median_dist, 6) AS median_dist, " +
+        "rnd(mx, 6) AS max_dist FROM ag, md2"),
 
     "ann_recall" ->
       // both rankings restated; left join keeps bucket-isolated

@@ -904,6 +904,36 @@ object TimeSeries {
   def decompose(s: SparkSession, d: String): DataFrame =
     decomposeHourly(Tables.events(s, d))
 
+  /** ts_seasonality_strength — Hyndman's seasonal-strength read-out of
+    * the decomposition: Fₛ = max(0, 1 − Var(R)/Var(S+R)) per type —
+    * ≈ 1 when the seasonal component explains the detrended series,
+    * ≈ 0 when the "seasonality" is noise. THE number that decides
+    * whether `ts_holt_winters` (seasonal) or `ts_holt` (trend-only)
+    * models a feed. Components come from the SAME `decomposeHourly`
+    * chain (shared oracle CTEs, so the score cannot drift from the
+    * decomposition); variances from explicit raw moments over the
+    * exact micro-unit-derived doubles (`agg_corr` discipline), output
+    * bounded in [0, 1] where rnd(6) is safe. One calendar-bounded
+    * aggregate over the bucket series.
+    */
+  def seasonalityStrength(events: DataFrame): DataFrame = {
+    val comp = decomposeHourly(events)
+      .select(col("event_type"), col("remainder").as("r"),
+        (col("seasonal") + col("remainder")).as("sr"))
+    comp.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("r")).as("mr"), avg(col("r") * col("r")).as("mrr"),
+        avg(col("sr")).as("msr"), avg(col("sr") * col("sr")).as("msrsr"))
+      .select(col("event_type"), col("n"),
+        rnd(when(col("msrsr") - col("msr") * col("msr") === 0.0, lit(0.0))
+          .otherwise(greatest(lit(0.0),
+            lit(1.0) - (col("mrr") - col("mr") * col("mr")) /
+              (col("msrsr") - col("msr") * col("msr")))), 6)
+          .as("seasonal_strength"))
+  }
+
+  def seasonalityStrengthQuery(s: SparkSession, d: String): DataFrame =
+    seasonalityStrength(Tables.events(s, d))
+
   // ---- ts_autocorr: lag-k autocorrelation -------------------------------
 
   /** Lag-1..3 autocorrelation of the per-type hourly series — the
@@ -1376,6 +1406,7 @@ object TimeSeries {
     "ts_holt_winters" -> holtWinters,
     "ts_anomaly" -> anomaly,
     "ts_decompose" -> decompose,
+    "ts_seasonality_strength" -> seasonalityStrengthQuery,
     "ts_autocorr" -> autocorr,
     "ts_changepoint" -> changepoint,
     "cdc_latest" -> latest,
@@ -1395,6 +1426,21 @@ object TimeSeries {
     "ts_bollinger" -> bollinger,
     "events_cooccur" -> cooccur,
   )
+
+  /** The decomposition CTE chain through `se(event_type, hs, v, vu, tu,
+    * su)` — shared by the decompose row and its seasonality-strength
+    * rollup (one definition, so the read-out cannot drift from the
+    * decomposition it scores). */
+  private val DecomposeCtes: String =
+    "b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+      "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+      "u AS (SELECT *, floor(v * 1e6 + 0.5e0)::BIGINT AS vu FROM b), " +
+      "t AS (SELECT *, floor(sum(vu) OVER w ::DOUBLE / count(*) OVER w + 0.5e0)::BIGINT AS tu " +
+      "FROM u WINDOW w AS (PARTITION BY event_type ORDER BY hs " +
+      "RANGE BETWEEN 43200 PRECEDING AND 43200 FOLLOWING)), " +
+      "p AS (SELECT *, (hs // 3600) % 24 AS phase FROM t), " +
+      "se AS (SELECT *, floor(sum(vu - tu) OVER w2 ::DOUBLE / count(*) OVER w2 + 0.5e0)::BIGINT AS su " +
+      "FROM p WINDOW w2 AS (PARTITION BY event_type, phase))"
 
   val rawOracles: Map[String, String] = Map(
     "events_stickiness" ->
@@ -1675,17 +1721,25 @@ object TimeSeries {
       // parts in both engines
       // identical micro-unit integer pipeline: exact window sums, one
       // deterministic division + floor(x + 0.5) per output
-      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
-        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
-        "u AS (SELECT *, floor(v * 1e6 + 0.5e0)::BIGINT AS vu FROM b), " +
-        "t AS (SELECT *, floor(sum(vu) OVER w ::DOUBLE / count(*) OVER w + 0.5e0)::BIGINT AS tu " +
-        "FROM u WINDOW w AS (PARTITION BY event_type ORDER BY hs " +
-        "RANGE BETWEEN 43200 PRECEDING AND 43200 FOLLOWING)), " +
-        "p AS (SELECT *, (hs // 3600) % 24 AS phase FROM t), " +
-        "se AS (SELECT *, floor(sum(vu - tu) OVER w2 ::DOUBLE / count(*) OVER w2 + 0.5e0)::BIGINT AS su " +
-        "FROM p WINDOW w2 AS (PARTITION BY event_type, phase)) " +
+      (s"WITH $DecomposeCtes " +
         "SELECT event_type, hs, v, tu / 1e6 AS trend, su / 1e6 AS seasonal, " +
         "(vu - tu - su) / 1e6 AS remainder FROM se"),
+
+    "ts_seasonality_strength" ->
+      // the same decomposition chain, rolled up into Hyndman's
+      // Fs = max(0, 1 − Var(R)/Var(S+R)) per type with agg_corr-style
+      // explicit raw moments over the exact micro-unit components
+      (s"WITH $DecomposeCtes, " +
+        // sr mirrors the Spark assembly EXACTLY: seasonal + remainder
+        // as the SUM OF TWO QUOTIENTS — (vu-tu)/1e6 in one division is
+        // up to an ulp different
+        "comp AS (SELECT event_type, (vu - tu - su) / 1e6 AS r, " +
+        "su / 1e6 + (vu - tu - su) / 1e6 AS sr FROM se), " +
+        "m AS (SELECT event_type, count(*) AS n, avg(r) AS mr, avg(r * r) AS mrr, " +
+        "avg(sr) AS msr, avg(sr * sr) AS msrsr FROM comp GROUP BY 1) " +
+        "SELECT event_type, n, rnd(CASE WHEN msrsr - msr * msr = 0e0 THEN 0e0 " +
+        "ELSE greatest(0e0, 1e0 - (mrr - mr * mr) / (msrsr - msr * msr)) END, 6) " +
+        "AS seasonal_strength FROM m"),
 
     "cdc_merge" ->
       // the oracle states MERGE semantics declaratively: NOT IN for the

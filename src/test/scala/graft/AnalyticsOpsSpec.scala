@@ -296,6 +296,36 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     hist.foreach { case (sz, _) => assert(sz >= 2, "CC emits only clustered docs") }
   }
 
+  test("ts_seasonality_strength in [0,1]; a planted pure-seasonal feed scores ≈ 1") {
+    SparkEntry.queries("ts_seasonality_strength")(spark, sfDir).collect().foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // 14 days of a clean 24h sine-ish cycle (integer amplitudes), one
+    // event per hour: remainder ≈ 0 ⇒ strength ≈ 1
+    val rows = (0 until 14 * 24).map { h =>
+      (h.toLong, new java.sql.Timestamp(1700000000000L + h * 3600000L),
+        1L, "view", 100.0 + 50.0 * (h % 24 match {
+          case p if p < 12 => p
+          case p => 24 - p
+        }), "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val st = TimeSeries.seasonalityStrength(df)
+      .filter(col("event_type") === "view").head().getDouble(2)
+    assert(st > 0.95, s"pure-seasonal feed scored $st")
+  }
+
+  test("ann_pq_distortion: codebook members reconstruct exactly (min = 0), ordering holds") {
+    val r = SparkEntry.queries("ann_pq_distortion")(spark, sfDir).head()
+    val (n, mn, md, mx) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // vectors 20..35 ARE the codebook — their reconstruction error is 0
+    assert(mn === 0.0)
+    assert(mn <= md && md <= mx)
+    assert(n === Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 20).count())
+  }
+
   test("multimodal_manifest conserves items and bytes against the pack") {
     val pack = SparkEntry.queries("multimodal_pack")(spark, sfDir)
     val man = SparkEntry.queries("multimodal_manifest")(spark, sfDir)
