@@ -626,7 +626,44 @@ object TextAnalysis {
   def apportion(s: SparkSession, d: String): DataFrame =
     apportionDocs(Tables.documents(s, d))
 
+  // ---- quality_ks_drift: exact two-sample KS statistic ------------------
+
+  /** Kolmogorov-Smirnov distance between the doc-length distributions
+    * of two corpus slices (even vs odd doc_ids stand in for "reference
+    * vs current ingest", the `embedding_drift` convention) — the
+    * distribution-drift alarm for ANY numeric quality signal, here on
+    * `n_chars`. EXACT-INTEGER formulation: D = max |F₁−F₂| over pooled
+    * values ≡ max |c₁·n₂ − c₂·n₁| / (n₁·n₂) where c are cumulative
+    * counts — so the max is over BIGINTs and the single division
+    * happens once at the edge (no per-point float CDFs whose rounding
+    * could reorder the argmax). One full-outer join on distinct
+    * values, one cumulative window over VALUE cardinality (bounded by
+    * the signal's domain, not corpus rows), one max.
+    */
+  def ksDriftDocs(docs: DataFrame): DataFrame = {
+    def side(mod: Int, cnt: String) = docs
+      .filter(pmod(col("doc_id"), lit(2)) === mod)
+      .groupBy(col("n_chars").as("x")).agg(count(lit(1)).as(cnt))
+    val merged = side(0, "c1x").join(side(1, "c2x"), Seq("x"), "full_outer")
+      .select(col("x"), coalesce(col("c1x"), lit(0L)).as("c1x"),
+        coalesce(col("c2x"), lit(0L)).as("c2x"))
+    val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = merged
+      .withColumn("c1", sum(col("c1x")).over(w))
+      .withColumn("c2", sum(col("c2x")).over(w))
+    val tot = broadcast(cum.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2")))
+    cum.crossJoin(tot)
+      .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"),
+        rnd(col("d_num") / (col("n1") * col("n2")).cast("double"), 6).as("ks_stat"))
+  }
+
+  def ksDrift(s: SparkSession, d: String): DataFrame =
+    ksDriftDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_ks_drift" -> ksDrift,
     "corpus_apportion" -> apportion,
     "tokenizer_bpe" -> bpe,
     "tokenizer_encode" -> bpeEncode,
@@ -699,6 +736,20 @@ object TextAnalysis {
       "FROM dw JOIN wt USING (word) WHERE length(word) > 0 GROUP BY 1"
 
   val rawOracles: Map[String, String] = Map(
+    "quality_ks_drift" ->
+      // same integer cumulative counts; HUGEINT window sums cast back
+      ("WITH a AS (SELECT n_chars AS x, count(*) AS c1x FROM documents " +
+        "WHERE doc_id % 2 = 0 GROUP BY 1), " +
+        "b AS (SELECT n_chars AS x, count(*) AS c2x FROM documents " +
+        "WHERE doc_id % 2 = 1 GROUP BY 1), " +
+        "m AS (SELECT coalesce(a.x, b.x) AS x, coalesce(c1x, 0) AS c1x, " +
+        "coalesce(c2x, 0) AS c2x FROM a FULL OUTER JOIN b ON a.x = b.x), " +
+        "cum AS (SELECT x, sum(c1x) OVER w::BIGINT AS c1, sum(c2x) OVER w::BIGINT AS c2 " +
+        "FROM m WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "tot AS (SELECT max(c1) AS n1, max(c2) AS n2 FROM cum) " +
+        "SELECT n1, n2, rnd(max(abs(c1 * n2 - c2 * n1)) / (n1 * n2)::DOUBLE, 6) AS ks_stat " +
+        "FROM cum, tot GROUP BY 1, 2"),
+
     "corpus_apportion" ->
       // identical integer base/remainder split; HUGEINT sums cast back
       (s"WITH b AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS tok_n " +

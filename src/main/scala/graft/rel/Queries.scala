@@ -1127,6 +1127,45 @@ object Queries {
       .select(col("a_id"), col("b_id"), rnd(col("dist"), 6).as("dist"))
   }
 
+  // sql_q4 — order-priority checking (TPC-H Q4 shape): orders in a
+  // quarter with at least one lineitem shipped after the order date,
+  // counted per priority. The EXISTS correlation plans as a LEFT SEMI
+  // join (one pass over each side, no row duplication however many
+  // lineitems match) — the decorrelation Catalyst applies and the only
+  // shape that scales.
+  def sqlQ4(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val late = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1995-01-01").cast("timestamp"))
+    o.join(late, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** agg_gini — Gini coefficient of the order-value distribution: the
+    * revenue-concentration scalar ("do 1 % of orders carry half the
+    * money?") every marketplace/corpus-balance report leads with.
+    * Exact rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over x sorted
+    * ascending with the (x, key) total order; prices in exact e2
+    * integer units so Σ i·xᵢ is a BIGINT (no float until the one
+    * closing expression). The rank is a global window over orders —
+    * rank semantics are global (`events_rfm` note); everything else is
+    * one aggregate.
+    */
+  def aggGini(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("p"))
+    val w = Window.orderBy(col("p"), col("o_orderkey"))
+    o.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("i") * col("p")).as("sip"))
+      .select(col("n"),
+        rnd(lit(2.0) * col("sip").cast("double") /
+          (col("n").cast("double") * col("sp").cast("double")) -
+          (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6).as("gini"))
+  }
+
   // sql_division — relational division ("customers who ordered at EVERY
   // priority"): per-customer distinct-priority count matched against the
   // global distinct count, which rides in as a broadcast one-row
@@ -1207,6 +1246,8 @@ object Queries {
     "agg_regression" -> aggRegression,
     "sql_division" -> sqlDivision,
     "join_spatial_grid" -> ((s, d) => joinSpatialGrid(s, d)),
+    "sql_q4" -> sqlQ4,
+    "agg_gini" -> aggGini,
   )
 
   /** DuckDB twins — same column names, rounding, tie-breaks (SURVEY §7.4).
@@ -1629,6 +1670,24 @@ object Queries {
         "FROM probe JOIN cells b ON probe.gx = b.cx AND probe.gy = b.cy " +
         "WHERE a_id < b.id) " +
         "SELECT a_id, b_id, rnd(dist, 6) AS dist FROM j WHERE dist <= 100e0"),
+
+    "sql_q4" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1995-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1995-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > TIMESTAMP '1995-01-01' AND l_shipdate > o_orderdate) " +
+        "GROUP BY 1"),
+
+    "agg_gini" ->
+      // identical (p, key) rank order and exact e2-integer sums;
+      // HUGEINT sums cast back before the one double expression
+      ("WITH r AS (SELECT floor(o_totalprice * 100 + 0.5e0)::BIGINT AS p, " +
+        "row_number() OVER (ORDER BY floor(o_totalprice * 100 + 0.5e0)::BIGINT, o_orderkey) AS i " +
+        "FROM orders), " +
+        "m AS (SELECT count(*) AS n, sum(p)::BIGINT AS sp, sum(i * p)::BIGINT AS sip FROM r) " +
+        "SELECT n, rnd(2e0 * sip::DOUBLE / (n::DOUBLE * sp::DOUBLE) - " +
+        "(n + 1)::DOUBLE / n::DOUBLE, 6) AS gini FROM m"),
 
     "sql_division" ->
       ("WITH tot AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders), " +

@@ -1387,7 +1387,45 @@ object TimeSeries {
   def stickiness(s: SparkSession, d: String): DataFrame =
     eventsStickiness(Tables.events(s, d))
 
+  // ---- events_error_rate: hourly error rate with Wilson bounds ----------
+
+  /** Per-hour error rate with the 95 % Wilson score interval — the
+    * ops-health row an alerting rule should read INSTEAD of the raw
+    * rate: at 3 events/hour a single error is "33 % errors" but the
+    * Wilson lower bound stays near zero, which is exactly the
+    * low-volume false-page the interval exists to suppress. Counts are
+    * exact BIGINTs from one hour-keyed aggregate; the interval is one
+    * closed-form double expression per row (both engines evaluate the
+    * identical formula over identical integers — no iteration, no
+    * sampling). z = 1.96 stated once, shared with the oracle.
+    */
+  private val WilsonZ = "1.96e0"
+
+  def errorRateHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(3600000000L)))
+        .as("hour_us"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+      .groupBy(col("hour_us"))
+      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("n_err"))
+    hourly.select(col("hour_us"), col("n"), col("n_err"),
+      rnd(expr(
+        s"""(n_err / cast(n AS double) + $WilsonZ * $WilsonZ / (2e0 * n)
+           |  - $WilsonZ * sqrt(n_err / cast(n AS double) * (1e0 - n_err / cast(n AS double)) / n
+           |    + $WilsonZ * $WilsonZ / (4e0 * n * n)))
+           | / (1e0 + $WilsonZ * $WilsonZ / n)""".stripMargin), 6).as("wilson_lo"),
+      rnd(expr(
+        s"""(n_err / cast(n AS double) + $WilsonZ * $WilsonZ / (2e0 * n)
+           |  + $WilsonZ * sqrt(n_err / cast(n AS double) * (1e0 - n_err / cast(n AS double)) / n
+           |    + $WilsonZ * $WilsonZ / (4e0 * n * n)))
+           | / (1e0 + $WilsonZ * $WilsonZ / n)""".stripMargin), 6).as("wilson_hi"))
+  }
+
+  def errorRate(s: SparkSession, d: String): DataFrame =
+    errorRateHourly(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_error_rate" -> errorRate,
     "events_stickiness" -> stickiness,
     "events_time_to_convert" -> timeToConvertQuery,
     "events_transition" -> transition,
@@ -1443,6 +1481,18 @@ object TimeSeries {
       "FROM p WINDOW w2 AS (PARTITION BY event_type, phase))"
 
   val rawOracles: Map[String, String] = Map(
+    "events_error_rate" -> {
+      def wilson(sign: String): String =
+        s"(n_err / n::DOUBLE + $WilsonZ * $WilsonZ / (2e0 * n) " +
+          s"$sign $WilsonZ * sqrt(n_err / n::DOUBLE * (1e0 - n_err / n::DOUBLE) / n " +
+          s"+ $WilsonZ * $WilsonZ / (4e0 * n * n))) / (1e0 + $WilsonZ * $WilsonZ / n)"
+      "WITH h AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us, " +
+        "count(*) AS n, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_err " +
+        "FROM events GROUP BY 1) " +
+        s"SELECT hour_us, n, n_err, rnd(${wilson("-")}, 6) AS wilson_lo, " +
+        s"rnd(${wilson("+")}, 6) AS wilson_hi FROM h"
+    },
+
     "events_stickiness" ->
       // same offset-explode rewrite; DuckDB range() end-exclusive =
       // Spark sequence(day, day+6) inclusive

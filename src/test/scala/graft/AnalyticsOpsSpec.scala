@@ -326,6 +326,64 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       .filter(col("vec_id") >= 20).count())
   }
 
+  test("agg_gini: 0 on equal values, → 1 on total concentration, declared in [0,1)") {
+    import graft.rel.Queries
+    def giniOf(prices: Seq[Double]): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("gini").toString
+      prices.zipWithIndex.map { case (p, i) =>
+        (i.toLong, i.toLong, "O", p,
+          new java.sql.Timestamp(1700000000000L), "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Queries.aggGini(spark, dir).head().getDouble(1)
+    }
+    assert(math.abs(giniOf(Seq.fill(10)(100.0))) < 1e-6)
+    assert(giniOf(Seq.fill(99)(0.01) :+ 1e6) > 0.95)
+    val declared = SparkEntry.queries("agg_gini")(spark, sfDir).head().getDouble(1)
+    assert(declared >= 0.0 && declared < 1.0)
+  }
+
+  test("quality_ks_drift: 0 for identical slices, 1 for disjoint supports") {
+    def ks(aLens: Seq[Long], bLens: Seq[Long]): Double = {
+      val docs = (aLens.zipWithIndex.map { case (l, i) =>
+        (2L * i, "t", "en", "s", l)
+      } ++ bLens.zipWithIndex.map { case (l, i) =>
+        (2L * i + 1, "t", "en", "s", l)
+      }).toDF("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.ksDriftDocs(docs).head().getDouble(2)
+    }
+    assert(math.abs(ks(Seq(10, 20, 30), Seq(10, 20, 30))) < 1e-9)
+    assert(math.abs(ks(Seq(1, 2, 3), Seq(100, 200)) - 1.0) < 1e-9)
+    val declared = SparkEntry.queries("quality_ks_drift")(spark, sfDir).head().getDouble(2)
+    assert(declared >= 0.0 && declared <= 1.0)
+  }
+
+  test("events_error_rate: Wilson interval brackets the point rate, inside [0,1]") {
+    SparkEntry.queries("events_error_rate")(spark, sfDir).collect().foreach { r =>
+      val (n, e, lo, hi) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val p = e.toDouble / n
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9)
+      assert(lo <= p + 1e-6 && p <= hi + 1e-6, s"p=$p outside [$lo, $hi]")
+    }
+  }
+
+  test("sql_q4 ≡ brute distinct-orders-with-late-lineitem recount") {
+    val got = SparkEntry.queries("sql_q4")(spark, sfDir)
+      .select("o_orderpriority", "order_count").as[(String, Long)].collect().toMap
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val brute = o.join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") > col("o_orderdate"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    assert(got === brute)
+  }
+
   test("multimodal_manifest conserves items and bytes against the pack") {
     val pack = SparkEntry.queries("multimodal_pack")(spark, sfDir)
     val man = SparkEntry.queries("multimodal_manifest")(spark, sfDir)
