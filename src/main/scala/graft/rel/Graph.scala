@@ -213,6 +213,41 @@ object Graph {
   def assortativityQuery(s: SparkSession, d: String): DataFrame =
     assortativity(custSuppEdges(s, d))
 
+  /** graph_modularity — Newman modularity of the `labelProp`
+    * communities: Q = Σ_c [L_c/2m − (D_c/2m)²] — THE read-out that says
+    * whether the detected communities beat random wiring (Q ≈ 0) —
+    * evaluated via the algebraic regrouping
+    * Q = W/2m − (Σ_c D_c²)/(2m)² so BOTH accumulations are EXACT
+    * BIGINTs (W = within-community directed edges, one labeled-edge
+    * count; Σ D_c² from one community-keyed degree sum). Per-community
+    * FLOAT terms summed across c would ride an engine-owned
+    * aggregation order; two integer totals combined in one closing
+    * double expression cannot. Cost on top of LPA: two label joins and
+    * two keyed aggregates on the node-key exchange LPA already built.
+    */
+  def modularity(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.truncated()
+    val labels = labelProp(edges).select(col("node"), col("label"))
+    val lblSrc = labels.select(col("node").as("src"), col("label").as("la"))
+    val lblDst = labels.select(col("node").as("dst"), col("label").as("lb"))
+    val ec = edges.join(lblSrc, "src").join(lblDst, "dst")
+      .agg(count(lit(1)).as("two_m"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("w"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val dc = deg.join(lblSrc, "src")
+      .groupBy(col("la")).agg(sum(col("d")).as("dcm"))
+      .agg(sum(col("dcm") * col("dcm")).as("sdsq"), count(lit(1)).as("n_comm"))
+    broadcast(ec).crossJoin(dc)
+      .select(col("n_comm"),
+        rnd(col("w").cast("double") / col("two_m") -
+          col("sdsq").cast("double") /
+            (col("two_m").cast("double") * col("two_m").cast("double")), 6)
+          .as("modularity"))
+  }
+
+  def modularityQuery(s: SparkSession, d: String): DataFrame =
+    modularity(custSuppEdges(s, d))
+
   /** Undirected part↔part co-order edges: distinct part pairs that
     * appear in the same order (canonical p1 < p2). The quantity filter
     * keeps harness-SF density sane — it is semantics (shared with the
@@ -664,26 +699,48 @@ object Graph {
     "graph_ppr" -> pprQuery,
     "graph_conn_comp" -> connCompQuery,
     "graph_assortativity" -> assortativityQuery,
+    "graph_modularity" -> modularityQuery,
   )
 
+  /** The 2-round sync-LPA chain through `l2(node, lbl)` — shared by the
+    * label-prop row and the modularity read-out (argmax as row_number
+    * over (count DESC, label ASC) ≡ Spark's min(struct)). */
+  private val LpaCtes: String = {
+    def round(i: Int): String =
+      s"c$i AS (SELECT e.dst AS node, l${i - 1}.lbl, count(*) AS c " +
+        s"FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node GROUP BY 1, 2), " +
+        s"l$i AS (SELECT node, lbl FROM (SELECT node, lbl, " +
+        "row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rk " +
+        s"FROM c$i) WHERE rk = 1), "
+    "eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw), " +
+      "v AS (SELECT DISTINCT src AS node FROM e), " +
+      "l0 AS (SELECT node, node AS lbl FROM v), " +
+      (round(1) + round(2)).stripSuffix(", ")
+  }
+
   val rawOracles: Map[String, String] = Map(
-    "graph_label_prop" -> {
-      // same sync rounds unrolled; argmax as row_number over
-      // (count DESC, label ASC) ≡ Spark's min(struct(-c, lbl))
-      def round(i: Int): String =
-        s"c$i AS (SELECT e.dst AS node, l${i - 1}.lbl, count(*) AS c " +
-          s"FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node GROUP BY 1, 2), " +
-          s"l$i AS (SELECT node, lbl FROM (SELECT node, lbl, " +
-          "row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rk " +
-          s"FROM c$i) WHERE rk = 1), "
-      "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
-        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw), " +
-        "v AS (SELECT DISTINCT src AS node FROM e), " +
-        "l0 AS (SELECT node, node AS lbl FROM v), " +
-        (round(1) + round(2)).stripSuffix(", ") +
-        " SELECT node, lbl AS label FROM l2"
-    },
+    "graph_label_prop" ->
+      (s"WITH $LpaCtes SELECT node, lbl AS label FROM l2"),
+
+    "graph_modularity" ->
+      // the same LPA chain rolled up: W = within-community directed
+      // edges and ΣD_c² are EXACT BIGINTs, combined in the one double
+      // expression (per-community float terms would sum in
+      // engine-owned order; the algebraic regrouping needs no
+      // per-community float at all)
+      (s"WITH $LpaCtes, " +
+        "ec AS (SELECT count(*) AS two_m, " +
+        "sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END)::BIGINT AS w " +
+        "FROM e JOIN l2 la ON e.src = la.node JOIN l2 lb ON e.dst = lb.node), " +
+        "dc AS (SELECT sum(dsq)::BIGINT AS sdsq, count(*) AS n_comm FROM (" +
+        "SELECT l2.lbl, sum(deg.d)::BIGINT * sum(deg.d)::BIGINT AS dsq " +
+        "FROM (SELECT src, count(*) AS d FROM e GROUP BY 1) deg " +
+        "JOIN l2 ON deg.src = l2.node GROUP BY 1)) " +
+        "SELECT n_comm, rnd(w::DOUBLE / two_m - " +
+        "sdsq::DOUBLE / (two_m::DOUBLE * two_m::DOUBLE), 6) AS modularity " +
+        "FROM ec, dc"),
 
     "graph_degree_dist" ->
       // the same symmetrized edge list as graph_pagerank's oracle

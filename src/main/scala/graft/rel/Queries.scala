@@ -1166,6 +1166,27 @@ object Queries {
           (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6).as("gini"))
   }
 
+  // sql_q19 — disjunctive-predicate revenue (TPC-H Q19 shape): three
+  // brand/size/quantity bands OR-ed together. The planner surface under
+  // test: the brand/size arms push to the part scan, the quantity arms
+  // to the lineitem scan (common-factor extraction), and the join
+  // carries only the residual disjunction — a predicate shape naive
+  // engines evaluate post-join on the full pair stream. Revenue in
+  // exact e4 integer units (sqlQ5 discipline).
+  def sqlQ19(s: SparkSession, d: String): DataFrame = {
+    val priceE2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val discE2 = floor(col("l_discount") * 100 + 0.5).cast("long")
+    def arm(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#12", 1, 5, 1, 11) || arm("Brand#23", 1, 10, 10, 20) ||
+        arm("Brand#34", 1, 15, 20, 30))
+      .agg(sum(priceE2 * (lit(100L) - discE2)).as("rev_e4"), count(lit(1)).as("n"))
+      .select(rnd(col("rev_e4") / 1e4, 2).as("revenue"), col("n"))
+  }
+
   // sql_division — relational division ("customers who ordered at EVERY
   // priority"): per-customer distinct-priority count matched against the
   // global distinct count, which rides in as a broadcast one-row
@@ -1247,6 +1268,7 @@ object Queries {
     "sql_division" -> sqlDivision,
     "join_spatial_grid" -> ((s, d) => joinSpatialGrid(s, d)),
     "sql_q4" -> sqlQ4,
+    "sql_q19" -> sqlQ19,
     "agg_gini" -> aggGini,
   )
 
@@ -1678,6 +1700,17 @@ object Queries {
         "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
         "AND l_shipdate > TIMESTAMP '1995-01-01' AND l_shipdate > o_orderdate) " +
         "GROUP BY 1"),
+
+    "sql_q19" ->
+      ("SELECT rnd(sum(floor(l_extendedprice * 100 + 0.5e0)::BIGINT * " +
+        "(100 - floor(l_discount * 100 + 0.5e0)::BIGINT)) / 1e4, 2) AS revenue, " +
+        "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 " +
+        "AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 " +
+        "AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 " +
+        "AND l_quantity BETWEEN 20 AND 30)"),
 
     "agg_gini" ->
       // identical (p, key) rank order and exact e2-integer sums;

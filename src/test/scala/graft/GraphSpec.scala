@@ -251,6 +251,18 @@ class GraphSpec extends SparkSpecBase {
     assert(declared >= -1.0 - 1e-9 && declared <= 1.0 + 1e-9)
   }
 
+  test("modularity: exactly 0.5 for two disjoint triangles (hand-computed)") {
+    // two K₃ communities: LPA labels each triangle by its min id;
+    // W = 2m = 12 directed edges all within, D_c = 6 each →
+    // Q = 12/12 − (36 + 36)/144 = 0.5 exactly
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val r = Graph.modularity(edges).head()
+    assert(r.getLong(0) === 2L)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-9)
+  }
+
   test("personalized PageRank conserves unit mass and concentrates it on/near seeds") {
     import org.apache.spark.sql.functions._
     val ppr = Graph.pprQuery(spark, sfDir)
