@@ -1203,6 +1203,84 @@ object Queries {
       .select(col("o_custkey").as("custkey"), col("n_orders"))
   }
 
+  // sql_q7 — cross-nation shipping volume (TPC-H Q7 shape): revenue
+  // flowing between two named nations, keyed (supplier nation, customer
+  // nation, ship year). The nation filter applies to BOTH endpoints
+  // before the fact joins (each endpoint dim broadcast, O(1) rows), so
+  // the big lineitem⋈orders⋈customer/supplier shuffles carry only the
+  // two-nation slice, not the world. Revenue in exact e4 integer units
+  // (sqlQ5 discipline); year() is INT32 in both engines.
+  def sqlQ7(s: SparkSession, d: String): DataFrame = {
+    val priceE2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val discE2 = floor(col("l_discount") * 100 + 0.5).cast("long")
+    val n1 = "NATION_20"; val n2 = "NATION_11"
+    val nat = Tables.nation(s, d).filter(col("n_name").isin(n1, n2))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(priceE2 * (lit(100L) - discE2)).as("rev_e4"), count(lit(1)).as("n"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        rnd(col("rev_e4") / 1e4, 2).as("revenue"), col("n"))
+  }
+
+  // sql_q10 — returned-revenue top customers (TPC-H Q10 shape): who cost
+  // us the most in returns last quarter. orders window-filter pushes to
+  // the orders scan; the returnflag filter to lineitem; customer joins
+  // AFTER the per-custkey aggregate so the wide name/acctbal columns ride
+  // a c_custkey-cardinality frame, not the lineitem stream. Top-20 by
+  // (rev_e4 DESC, custkey) — a total order, so LIMIT cannot tie-flip.
+  def sqlQ10(s: SparkSession, d: String): DataFrame = {
+    val priceE2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val discE2 = floor(col("l_discount") * 100 + 0.5).cast("long")
+    val perCust = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d).filter(
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(priceE2 * (lit(100L) - discE2)).as("rev_e4"), count(lit(1)).as("n"))
+    perCust
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev_e4").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("n_name").as("nation"), rnd(col("rev_e4") / 1e4, 2).as("revenue"),
+        col("n"))
+  }
+
+  // sql_q12 — late-shipment priority audit (TPC-H Q12 shape, adapted to
+  // this schema's dates: the generator carries l_shipdate and
+  // o_orderdate but no commit/receipt dates, so "late" = shipped > 90
+  // days after order). Per delay band: how many URGENT/HIGH orders got
+  // caught vs everything else — the "did slow logistics hit priority
+  // customers" audit. One join + one hash aggregate, counts only (no
+  // float anywhere); date_diff on microsecond timestamps is exact.
+  def sqlQ12(s: SparkSession, d: String): DataFrame = {
+    val delayDays = datediff(col("l_shipdate"), col("o_orderdate"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_band",
+        when(delayDays <= 30, "0-30").when(delayDays <= 90, "31-90")
+          .otherwise("90+"))
+      .groupBy(col("delay_band"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_filter_prune" -> scanFilterPrune,
     "normalize_minmax" -> normalizeMinmax,
@@ -1270,6 +1348,9 @@ object Queries {
     "sql_q4" -> sqlQ4,
     "sql_q19" -> sqlQ19,
     "agg_gini" -> aggGini,
+    "sql_q7" -> sqlQ7,
+    "sql_q10" -> sqlQ10,
+    "sql_q12" -> sqlQ12,
   )
 
   /** DuckDB twins — same column names, rounding, tie-breaks (SURVEY §7.4).
@@ -1721,6 +1802,48 @@ object Queries {
         "m AS (SELECT count(*) AS n, sum(p)::BIGINT AS sp, sum(i * p)::BIGINT AS sip FROM r) " +
         "SELECT n, rnd(2e0 * sip::DOUBLE / (n::DOUBLE * sp::DOUBLE) - " +
         "(n + 1)::DOUBLE / n::DOUBLE, 6) AS gini FROM m"),
+
+    "sql_q7" ->
+      // exact e4-integer revenue (sqlQ5 discipline); year() is INT32
+      ("SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
+        "year(l_shipdate)::INT AS l_year, " +
+        "rnd(sum(floor(l_extendedprice * 100 + 0.5e0)::BIGINT * " +
+        "(100 - floor(l_discount * 100 + 0.5e0)::BIGINT)) / 1e4, 2) AS revenue, " +
+        "count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "WHERE sn.n_name IN ('NATION_20', 'NATION_11') " +
+        "AND cn.n_name IN ('NATION_20', 'NATION_11') " +
+        "AND sn.n_name <> cn.n_name GROUP BY 1, 2, 3"),
+
+    "sql_q10" ->
+      // (rev_e4 DESC, custkey) total order so the LIMIT is deterministic;
+      // HUGEINT revenue sum cast back before the ORDER BY
+      ("WITH pc AS (SELECT o_custkey, " +
+        "sum(floor(l_extendedprice * 100 + 0.5e0)::BIGINT * " +
+        "(100 - floor(l_discount * 100 + 0.5e0)::BIGINT))::BIGINT AS rev_e4, " +
+        "count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_returnflag = 'R' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1) " +
+        "SELECT c_custkey AS custkey, c_name AS name, n_name AS nation, " +
+        "rnd(rev_e4 / 1e4, 2) AS revenue, n " +
+        "FROM pc JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "ORDER BY rev_e4 DESC, c_custkey LIMIT 20"),
+
+    "sql_q12" ->
+      // counts only; date_diff on midnight-aligned timestamps is exact
+      ("SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30' " +
+        "WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '31-90' " +
+        "ELSE '90+' END AS delay_band, " +
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count, " +
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"),
 
     "sql_division" ->
       ("WITH tot AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders), " +

@@ -393,4 +393,44 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     // every manifest row's end_off is reachable by some packed item
     man.collect().foreach(r => assert(r.getLong(6) > 0L))
   }
+
+  test("sql_q7 is symmetric-slice-complete: both directions present and disjoint") {
+    val rows = SparkEntry.queries("sql_q7")(spark, sfDir)
+      .select("supp_nation", "cust_nation", "n").as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sn, cn, n) => assert(sn != cn && n > 0) }
+    // recount the full slice without the year split — totals must match
+    val tot = rows.map(_._3).sum
+    val brute = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir).select(col("n_nationkey").as("snk"), col("n_name").as("sn")),
+        col("s_nationkey") === col("snk"))
+      .join(Tables.nation(spark, sfDir).select(col("n_nationkey").as("cnk"), col("n_name").as("cn")),
+        col("c_nationkey") === col("cnk"))
+      .filter(col("sn").isin("NATION_20", "NATION_11") && col("cn").isin("NATION_20", "NATION_11") &&
+        col("sn") =!= col("cn"))
+      .count()
+    assert(tot === brute)
+  }
+
+  test("sql_q10 rows are the true top-20 by exact returned revenue") {
+    val got = SparkEntry.queries("sql_q10")(spark, sfDir)
+      .select("custkey", "revenue").as[(Long, Double)].collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    // revenues non-increasing in emitted order modulo the custkey tie-break
+    val revs = got.map(_._2)
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("sql_q12 conserves the lineitem⋈orders row count across bands") {
+    val got = SparkEntry.queries("sql_q12")(spark, sfDir)
+    val total = got.agg(sum(col("high_line_count") + col("low_line_count")))
+      .as[Long].head()
+    val joined = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(total === joined)
+  }
 }
