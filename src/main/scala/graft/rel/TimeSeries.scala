@@ -1424,6 +1424,91 @@ object TimeSeries {
   def errorRate(s: SparkSession, d: String): DataFrame =
     errorRateHourly(Tables.events(s, d))
 
+  // ---- events_power_users: Pareto concentration by decile ---------------
+
+  /** Event-volume concentration: per-user counts cut into deciles (1 =
+    * heaviest), each decile's user count, event total, and share of all
+    * events — the "do 10 % of users generate half the traffic" read-out
+    * that sizes rate limits and capacity. The decile cut is a global
+    * ntile over the USER-cardinality frame (one row per user — already
+    * aggregated, so the single-partition window holds u rows, not
+    * events; the `events_rfm` note), ordered (n DESC, user_id) so the
+    * cut is a total order. Counts exact; the one double is the share.
+    */
+  def eventsPowerUsers(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    per.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("events"))
+      .withColumn("share",
+        rnd(col("events") / sum(col("events")).over(Window.partitionBy()), 6))
+  }
+
+  def powerUsers(s: SparkSession, d: String): DataFrame =
+    eventsPowerUsers(Tables.events(s, d))
+
+  // ---- events_churn: week-over-week active/retained/new/churned ---------
+
+  /** Week-over-week lifecycle accounting: per epoch-week (µs-day div 7 —
+    * pure integer arithmetic, no calendar), how many users were active,
+    * how many of them were already active the prior week (retained), how
+    * many are new to that week, and how many of the PRIOR week's actives
+    * vanished (churned). retention_rate = retained / prev_active. Shape:
+    * one distinct on (user, week) — the only events-cardinality pass —
+    * then a self-equi-join on (user, week−1) and two week-keyed
+    * aggregates; at 100 TB every step shuffles on user or week keys,
+    * never wider.
+    */
+  def eventsChurn(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+      .distinct()
+    val prev = uw.select(col("user_id").as("p_user"), (col("week") + 1).as("p_week"))
+    val flagged = uw.join(prev,
+        col("user_id") === col("p_user") && col("week") === col("p_week"), "left")
+      .select(col("week"), col("user_id"), col("p_user").isNotNull.as("was_prev"))
+    val perWeek = flagged.groupBy(col("week"))
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("was_prev"), 1L).otherwise(0L)).as("retained"),
+        sum(when(col("was_prev"), 0L).otherwise(1L)).as("new_users"))
+    val prevActive = perWeek.select((col("week") + 1).as("week"),
+      col("active").as("prev_active"))
+    perWeek.join(prevActive, Seq("week"), "left")
+      .select(col("week"), col("active"), col("retained"), col("new_users"),
+        coalesce(col("prev_active") - col("retained"), lit(0L)).as("churned"),
+        rnd(col("retained") / col("prev_active").cast("double"), 6).as("retention_rate"))
+  }
+
+  def churn(s: SparkSession, d: String): DataFrame =
+    eventsChurn(Tables.events(s, d))
+
+  // ---- events_hourly_profile: day-of-week × hour-of-day heatmap ---------
+
+  /** The traffic heatmap behind every on-call staffing chart: per
+    * (day-of-week, hour-of-day) cell, event count, share of all events,
+    * and mean event value in exact e6 micro-units until the one closing
+    * divide. Day-of-week from epoch days ((d+4) % 7, 0=Sunday — epoch
+    * day 0 was a Thursday); hour from µs — integer arithmetic both
+    * engines, immune to session-timezone drift. One hash aggregate over
+    * a 168-cell key space: map-side partials collapse it regardless of
+    * corpus size.
+    */
+  def eventsHourlyProfile(events: DataFrame): DataFrame = {
+    val per = events
+      .select(expr("pmod(unix_micros(ts) div 86400000000 + 4, 7)").as("dow"),
+        expr("unix_micros(ts) div 3600000000 % 24").as("hour"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("vu"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("vu")).as("svu"))
+    per.select(col("dow"), col("hour"), col("n"),
+      rnd(col("n") / sum(col("n")).over(Window.partitionBy()).cast("double"), 6).as("share"),
+      rnd(col("svu") / col("n") / 1e6, 6).as("avg_value"))
+  }
+
+  def hourlyProfile(s: SparkSession, d: String): DataFrame =
+    eventsHourlyProfile(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_error_rate" -> errorRate,
     "events_stickiness" -> stickiness,
@@ -1463,6 +1548,9 @@ object TimeSeries {
     "events_session_stats" -> sessionStats,
     "ts_bollinger" -> bollinger,
     "events_cooccur" -> cooccur,
+    "events_power_users" -> powerUsers,
+    "events_churn" -> churn,
+    "events_hourly_profile" -> hourlyProfile,
   )
 
   /** The decomposition CTE chain through `se(event_type, hs, v, vu, tu,
@@ -1596,6 +1684,43 @@ object TimeSeries {
         "rnd(n_ab * n_users / (ma.n_t * mb.n_t)::DOUBLE, 6) AS lift " +
         "FROM pairs JOIN marg ma ON type_a = ma.event_type " +
         "JOIN marg mb ON type_b = mb.event_type, nu"),
+
+    "events_power_users" ->
+      // ntile over the user-cardinality frame with the (n DESC, user)
+      // total order; counts exact, share the one double
+      ("WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1), " +
+        "d AS (SELECT user_id, n, ntile(10) OVER (ORDER BY n DESC, user_id) AS decile FROM per), " +
+        "g AS (SELECT decile::INT AS decile, count(*) AS n_users, sum(n)::BIGINT AS events FROM d GROUP BY 1) " +
+        "SELECT decile, n_users, events, " +
+        "rnd(events / sum(events) OVER () ::DOUBLE, 6) AS share FROM g"),
+
+    "events_churn" ->
+      // epoch-week = µs-day div 7 (integer, no calendar); HUGEINT sums
+      // cast back; retention_rate NULL on the first week both engines
+      ("WITH uw AS (SELECT DISTINCT user_id, " +
+        "epoch_us(ts) // 86400000000 // 7 AS week FROM events), " +
+        "f AS (SELECT a.week, a.user_id, " +
+        "(b.user_id IS NOT NULL) AS was_prev FROM uw a " +
+        "LEFT JOIN uw b ON a.user_id = b.user_id AND a.week = b.week + 1), " +
+        "pw AS (SELECT week, count(*) AS active, " +
+        "sum(CASE WHEN was_prev THEN 1 ELSE 0 END)::BIGINT AS retained, " +
+        "sum(CASE WHEN was_prev THEN 0 ELSE 1 END)::BIGINT AS new_users FROM f GROUP BY 1) " +
+        "SELECT pw.week, pw.active, pw.retained, pw.new_users, " +
+        "coalesce(pv.active - pw.retained, 0)::BIGINT AS churned, " +
+        "rnd(pw.retained / pv.active::DOUBLE, 6) AS retention_rate " +
+        "FROM pw LEFT JOIN pw pv ON pw.week = pv.week + 1"),
+
+    "events_hourly_profile" ->
+      // integer dow/hour from epoch µs (tz-immune); e6 micro-unit value
+      // sum, HUGEINT cast back before the closing divides
+      ("WITH per AS (SELECT " +
+        "(epoch_us(ts) // 86400000000 + 4) % 7 AS dow, " +
+        "epoch_us(ts) // 3600000000 % 24 AS hour, " +
+        "count(*) AS n, sum(floor(value * 1e6 + 0.5e0)::BIGINT)::BIGINT AS svu " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT dow, hour, n, " +
+        "rnd(n / sum(n) OVER () ::DOUBLE, 6) AS share, " +
+        "rnd(svu / n / 1e6, 6) AS avg_value FROM per"),
 
     "interval_merge" ->
       // same running max-of-prior-ends group key, exact integer

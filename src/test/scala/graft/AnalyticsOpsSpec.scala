@@ -424,6 +424,46 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("events_power_users conserves events and users; shares sum to 1") {
+    val got = SparkEntry.queries("events_power_users")(spark, sfDir)
+      .select("n_users", "events", "share").as[(Long, Long, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+    assert(got.map(_._1).sum === ev.select("user_id").distinct().count())
+    assert(got.map(_._2).sum === ev.count())
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4)
+    // decile 1 (heaviest) carries at least an average share
+    val byDecile = SparkEntry.queries("events_power_users")(spark, sfDir)
+      .orderBy("decile").select("events").as[Long].collect()
+    assert(byDecile.head >= byDecile.last)
+  }
+
+  test("events_churn lifecycle identities hold per week") {
+    val rows = SparkEntry.queries("events_churn")(spark, sfDir)
+      .select("week", "active", "retained", "new_users", "churned")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, active, retained, nw, _) =>
+      assert(retained + nw === active)
+    }
+    // churned(w) = active(w-1) - retained(w) for consecutive weeks
+    val byWeek = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (w, _, retained, _, churned) =>
+      byWeek.get(w - 1).foreach { case (_, prevActive, _, _, _) =>
+        assert(churned === prevActive - retained)
+      }
+    }
+    // first week: everyone is new
+    assert(rows.head._3 === 0L && rows.head._4 === rows.head._2)
+  }
+
+  test("events_hourly_profile covers the grid and conserves counts") {
+    val got = SparkEntry.queries("events_hourly_profile")(spark, sfDir)
+      .select("dow", "hour", "n", "share").as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._3).sum === Tables.events(spark, sfDir).count())
+    got.foreach { case (d, h, _, _) => assert(d >= 0 && d <= 6 && h >= 0 && h <= 23) }
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-3)
+  }
+
   test("sql_q12 conserves the lineitem⋈orders row count across bands") {
     val got = SparkEntry.queries("sql_q12")(spark, sfDir)
     val total = got.agg(sum(col("high_line_count") + col("low_line_count")))
