@@ -583,6 +583,96 @@ object Graph {
     bfsHops(edges, sources)
   }
 
+  /** graph_harmonic — per-seed harmonic centrality within `BfsMaxHops`
+    * hops: h(s) = Σ_{v ≠ s, d(s,v) ≤ 3} 1/d(s,v), the centrality that
+    * stays finite on disconnected graphs (closeness does not). Seeds
+    * follow the `graph_bfs` rule (node ≡ 0 mod `BfsSeedMod`).
+    *
+    * Shape: multi-source BFS with (seed, node) keyed min-relaxation
+    * state — `bfsHops`'s skeleton with the seed riding in the key, so
+    * the per-round exchange partitions on the same composite key every
+    * round and state is |seeds|·|reach|-bounded, not all-pairs. The
+    * harmonic fold is CLOSED-FORM over the exact per-distance counts
+    * (n₁/1 + n₂/2 + n₃/3 — one double expression over BIGINTs), never
+    * an order-dependent float sum over rows.
+    */
+  def harmonicPerSeed(edgesIn: DataFrame, seeds: DataFrame): DataFrame = {
+    val edges = edgesIn.truncated()
+    var dist = seeds.select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+      .truncated()
+    for (_ <- 1 to BfsMaxHops) {
+      val nxt = edges.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("seed"), col("dst").as("node"), (col("dist") + 1).as("dist"))
+      val prev = dist
+      dist = dist.unionAll(nxt)
+        .groupBy("seed", "node").agg(min("dist").as("dist"))
+        .truncated()
+      Ckpt.release(prev)
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n3"))
+      .select(col("seed"), col("n_reached"),
+        rnd(col("n1") / lit(1.0) + col("n2") / lit(2.0) + col("n3") / lit(3.0), 6)
+          .as("harmonic"))
+  }
+
+  def harmonicQuery(s: SparkSession, d: String): DataFrame = {
+    val edges = custSuppEdges(s, d)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % BfsSeedMod === 0)
+    harmonicPerSeed(edges, seeds)
+  }
+
+  /** graph_link_pred — common-neighbor link prediction over NON-edges:
+    * the top candidate pairs at distance 2 ranked by shared-neighbor
+    * count — what `edgeJaccard`/`resourceAlloc` score for pairs that
+    * already ARE edges, this scores for pairs a recommender would
+    * propose. (cn DESC, p1, p2) is a total order so the top-k is
+    * deterministic.
+    *
+    * Shape: adjacency self-join on the CENTER node (each common
+    * neighbor u emits its C(deg(u), 2) neighbor pairs) → one keyed
+    * count → anti-join against the edge set → global top-k. The
+    * expansion is quadratic PER CENTER, so the same runtime guard as
+    * `coOrderEdgesFrom` raises on any center past `maxDeg` — at 100 TB
+    * a hub would silently generate deg² pairs; the production move for
+    * legitimate hubs is a per-center top-degree neighbor cap before
+    * the pair expansion, not the raw self-join. The guard's window
+    * partitions on the same center key the self-join shuffles by.
+    */
+  def linkPredCandidates(edgesIn: DataFrame, topK: Int = 100,
+      maxDeg: Int = 1000): DataFrame = {
+    val edges = edgesIn.truncated()
+    val adjRaw = edges.select(col("p1").as("u"), col("p2").as("x"))
+      .unionAll(edges.select(col("p2").as("u"), col("p1").as("x")))
+    val adj = adjRaw
+      .withColumn("du", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")))
+      .select(col("u"),
+        when(col("du") > maxDeg,
+          raise_error(concat(
+            lit("linkPredCandidates: center "), col("u").cast("string"),
+            lit(" has degree "), col("du").cast("string"),
+            lit(s" > maxDeg=$maxDeg — the pair expansion is quadratic per " +
+              "center; cap each hub's neighbor list first"))))
+          .otherwise(col("x")).as("x"))
+    val pairs = adj.select(col("u"), col("x").as("a"))
+      .join(adj.select(col("u"), col("x").as("b")), "u")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("p1"), col("b").as("p2"))
+      .agg(count(lit(1)).as("cn"))
+    pairs.join(edges, Seq("p1", "p2"), "left_anti")
+      .orderBy(col("cn").desc, col("p1"), col("p2"))
+      .limit(topK)
+  }
+
+  def linkPredQuery(s: SparkSession, d: String): DataFrame =
+    linkPredCandidates(coOrderEdges(s, d))
+
   /** graph_degree_dist — the degree histogram (degree → node count) of
     * the customer↔supplier graph: the first diagnostic a graph pipeline
     * prints (skew detection BEFORE committing to an orientation or a
@@ -700,6 +790,8 @@ object Graph {
     "graph_conn_comp" -> connCompQuery,
     "graph_assortativity" -> assortativityQuery,
     "graph_modularity" -> modularityQuery,
+    "graph_harmonic" -> harmonicQuery,
+    "graph_link_pred" -> linkPredQuery,
   )
 
   /** The 2-round sync-LPA chain through `l2(node, lbl)` — shared by the
@@ -931,6 +1023,48 @@ object Graph {
         (1 to BfsMaxHops).map(hop).mkString.stripSuffix(", ") +
         s" SELECT node, dist FROM h$BfsMaxHops"
     },
+
+    "graph_harmonic" -> {
+      // the graph_bfs hop chain with the seed in the state key; the
+      // harmonic fold is the same closed-form over exact per-distance
+      // counts (n1/1 + n2/2 + n3/3), one double expression per seed
+      def hop(i: Int): String = {
+        val mat = if (i < BfsMaxHops) " MATERIALIZED" else ""
+        s"t$i AS (SELECT seed, node, dist FROM h${i - 1} UNION ALL " +
+          s"SELECT h.seed, e.dst AS node, h.dist + 1 AS dist FROM e " +
+          s"JOIN h${i - 1} h ON e.src = h.node), " +
+          s"h$i AS$mat (SELECT seed, node, min(dist) AS dist FROM t$i GROUP BY 1, 2), "
+      }
+      "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL " +
+        "SELECT dst, src FROM eraw), " +
+        "v AS (SELECT DISTINCT src AS node FROM e), " +
+        "h0 AS MATERIALIZED (SELECT node AS seed, node, 0::BIGINT AS dist " +
+        s"FROM v WHERE node % $BfsSeedMod = 0), " +
+        (1 to BfsMaxHops).map(hop).mkString.stripSuffix(", ") +
+        s", f AS (SELECT seed, count(*) AS n_reached, " +
+        "sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END)::BIGINT AS n1, " +
+        "sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END)::BIGINT AS n2, " +
+        "sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END)::BIGINT AS n3 " +
+        s"FROM h$BfsMaxHops WHERE dist > 0 GROUP BY 1) " +
+        "SELECT seed, n_reached, " +
+        "rnd(n1 / 1.0e0 + n2 / 2.0e0 + n3 / 3.0e0, 6) AS harmonic FROM f"
+    },
+
+    "graph_link_pred" ->
+      // semantic statement: center self-join pair counts, anti-join
+      // against edges, (cn DESC, p1, p2) total-order top-k
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem WHERE l_quantity >= 25), " +
+        "e AS MATERIALIZED (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
+        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "adj AS (SELECT p1 AS u, p2 AS x FROM e UNION ALL SELECT p2, p1 FROM e), " +
+        "p AS (SELECT a.x AS p1, b.x AS p2, count(*) AS cn FROM adj a " +
+        "JOIN adj b ON a.u = b.u AND a.x < b.x GROUP BY 1, 2) " +
+        "SELECT p.p1, p.p2, p.cn FROM p LEFT JOIN e " +
+        "ON p.p1 = e.p1 AND p.p2 = e.p2 WHERE e.p1 IS NULL " +
+        "ORDER BY p.cn DESC, p.p1, p.p2 LIMIT 100"),
 
     "graph_clustering" ->
       // semantic per-node triangle count (connected neighbor pairs via

@@ -277,4 +277,48 @@ class GraphSpec extends SparkSpecBase {
     assert(seedMean > otherMean,
       s"teleport must favor seeds: seed mean $seedMean vs other $otherMean")
   }
+
+  test("harmonicPerSeed: path graph distances give the exact closed-form score") {
+    // path 0-1-2-3-4, seed 0: dists 1,2,3 within 3 hops → h = 1 + 1/2 + 1/3
+    val half = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Seq(0L).toDF("node")
+    val r = Graph.harmonicPerSeed(edges, seeds).head()
+    assert(r.getLong(1) === 3L)  // nodes 1,2,3 reached (4 is 4 hops away)
+    assert(math.abs(r.getDouble(2) - (1.0 + 0.5 + 1.0 / 3)) < 2e-6)
+  }
+
+  test("harmonicPerSeed: star center reaches all leaves at distance 1") {
+    val half = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val r = Graph.harmonicPerSeed(edges, Seq(0L).toDF("node")).head()
+    assert(r.getLong(1) === 6L && math.abs(r.getDouble(2) - 6.0) < 1e-9)
+  }
+
+  test("linkPredCandidates: scores distance-2 pairs, excludes edges, guards hubs") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) share 2 common neighbors
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("p1", "p2")
+    val got = Graph.linkPredCandidates(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set((1L, 3L, 2L), (2L, 4L, 2L)))
+    // a hub past maxDeg raises instead of silently expanding deg² pairs
+    val hub = (1L to 30L).map(i => (0L, i)).toDF("p1", "p2")
+    val err = intercept[Exception] {
+      Graph.linkPredCandidates(hub, maxDeg = 10).collect()
+    }
+    assert(err.getMessage.contains("maxDeg"))
+  }
+
+  test("graph_link_pred harness rows are non-adjacent and ranked") {
+    val edges = Graph.coOrderEdges(spark, sfDir).select("p1", "p2")
+      .as[(Long, Long)].collect().toSet
+    val got = SparkEntry.queries("graph_link_pred")(spark, sfDir)
+      .select("p1", "p2", "cn").as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, cn) =>
+      assert(!edges.contains((a, b)) && a < b && cn >= 1)
+    }
+    val cns = got.map(_._3)
+    assert(cns.zip(cns.tail).forall { case (x, y) => x >= y })
+  }
 }
