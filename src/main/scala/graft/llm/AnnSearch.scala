@@ -976,7 +976,38 @@ object AnnSearch {
         rnd(col("mz"), 6).as("mz"), (col("mz") > 3.5).as("is_outlier"))
   }
 
+  /** embedding_cell_balance — IVF index health read-out: per-cell
+    * vector count, share of the corpus, and ratio to the mean cell
+    * size. The imbalance this surfaces is the ann_ivf latency model:
+    * probe cost is proportional to the PROBED cells' sizes, so a 10×
+    * hot cell makes every query that probes it 10× slower — rebalance
+    * (re-train centroids, split hot cells) when ratio_to_mean drifts.
+    * Same stride centroids + `assignCells` min(struct) assignment as
+    * the declared `ann_ivf` row; one cell-keyed count on top (cells
+    * with zero vectors still report, via the left join from the
+    * centroid table — an empty cell is an index defect worth seeing).
+    */
+  def cellBalance(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val t = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("t_id"), col("v").as("t_v"))
+    val cent = e.filter(col("vec_id") >= 20 && col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    val sizes = cent.select(col("c_id").as("cell"))
+      .join(assignCells(t, cent).groupBy("cell").agg(count(lit(1)).as("nv")),
+        Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("nv"), lit(0L)).as("n"))
+    val tot = broadcast(sizes.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_cells")))
+    sizes.crossJoin(tot)
+      .select(col("cell"), col("n"),
+        rnd(col("n") / col("total").cast("double"), 6).as("share"),
+        rnd(col("n") * col("n_cells") / col("total").cast("double"), 6)
+          .as("ratio_to_mean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_cell_balance" -> cellBalance,
     "ann_cosine_topk" -> cosineTopK,
     "ann_lsh_bucket" -> lshBucketTopK,
     "ann_range_search" -> ((s, d) => rangeSearch(s, d)),
@@ -1169,6 +1200,22 @@ object AnnSearch {
         s"${cosSql("a.v", "b.v")} AS dist " +
         "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id >= 20) " +
         "SELECT q_id, t_id, rnd(dist, 6) AS dist FROM qp WHERE dist <= 0.8e0"),
+
+    "embedding_cell_balance" ->
+      // same stride centroids and (dist, c_id) argmin as ann_ivf; the
+      // left join keeps empty cells; counts exact to the two closing
+      // doubles
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "tr AS (SELECT vec_id AS t_id, v FROM e WHERE vec_id >= 20), " +
+        "cent AS (SELECT vec_id AS c_id, v FROM e WHERE vec_id >= 20 AND vec_id % 40 = 0), " +
+        "asg AS (SELECT t_id, c_id, row_number() OVER (PARTITION BY t_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT t.t_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM tr t CROSS JOIN cent c)), " +
+        "cells AS (SELECT t_id, c_id AS cell FROM asg WHERE rn = 1), " +
+        "sz AS (SELECT c.c_id AS cell, count(ce.t_id)::BIGINT AS n " +
+        "FROM cent c LEFT JOIN cells ce ON ce.cell = c.c_id GROUP BY 1), " +
+        "tot AS (SELECT sum(n)::BIGINT AS total, count(*) AS n_cells FROM sz) " +
+        "SELECT cell, n, rnd(n / total::DOUBLE, 6) AS share, " +
+        "rnd(n * n_cells / total::DOUBLE, 6) AS ratio_to_mean FROM sz, tot"),
 
     "ann_ivf" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +

@@ -448,6 +448,40 @@ object Curation {
   def dedupReport(s: SparkSession, d: String): DataFrame =
     dedupReportDocs(Tables.documents(s, d))
 
+  /** corpus_overlap_matrix — cross-source contamination matrix: for
+    * every source pair, how many distinct word 3-grams they share, each
+    * side's distinct-gram total, and the Jaccard of the two gram sets —
+    * the "is source B a mirror of source A" triage that decides which
+    * pairs deserve a full doc-level dedup pass. Shape: one distinct
+    * (source, gram) projection (the only corpus-cardinality pass), then
+    * a gram-keyed self-join — per-gram fan-out is bounded by SOURCE
+    * cardinality (the gram list is already distinct per source), never
+    * by corpus size, so a shared boilerplate gram costs |sources|²
+    * pairs, not docs². Counts exact; Jaccard is the one closing double.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, gram: Int = 3): DataFrame = {
+    val sg = docs.select(col("source"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= gram)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, size(a) - ${gram - 1}), i -> " +
+          s"array_join(slice(a, i, $gram), ' '))")).as("g"))
+      .distinct()
+    val totals = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    sg.select(col("g"), col("source").as("src_a"))
+      .join(sg.select(col("g"), col("source").as("src_b")), "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(totals.select(col("source").as("src_a"), col("n_grams").as("grams_a")), "src_a")
+      .join(totals.select(col("source").as("src_b"), col("n_grams").as("grams_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("grams_a"), col("grams_b"),
+        rnd(col("shared") / (col("grams_a") + col("grams_b") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  def overlapMatrix(s: SparkSession, d: String): DataFrame =
+    sourceOverlapMatrix(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_dedup_report" -> dedupReport,
     "corpus_domain_cap" -> ((s, d) => domainCap(s, d)),
@@ -461,6 +495,7 @@ object Curation {
     "pii_redact" -> piiRedact,
     "corpus_line_dedup" -> lineDedup,
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
+    "corpus_overlap_matrix" -> overlapMatrix,
   )
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
@@ -513,6 +548,20 @@ object Curation {
     },
 
     "corpus_shuffle" -> corpusShuffleSql(),
+
+    "corpus_overlap_matrix" ->
+      // same distinct (source, 3-gram) projection and gram-keyed
+      // self-join; Jaccard is the one closing double
+      ("WITH t AS (SELECT source, string_split(text, ' ') AS a FROM documents), " +
+        "g AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(a) - 1), " +
+        "i -> a[i::INT] || ' ' || a[(i + 1)::INT] || ' ' || a[(i + 2)::INT])) AS g " +
+        "FROM t WHERE len(a) >= 3), " +
+        "tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1), " +
+        "p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared " +
+        "FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, shared, ta.n_grams AS grams_a, tb.n_grams AS grams_b, " +
+        "rnd(shared / (ta.n_grams + tb.n_grams - shared)::DOUBLE, 6) AS jaccard " +
+        "FROM p JOIN tot ta ON src_a = ta.source JOIN tot tb ON src_b = tb.source"),
 
     "decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +

@@ -397,6 +397,34 @@ object TextAnalysis {
   def bpeEncode(s: SparkSession, d: String): DataFrame =
     bpeEncodeDocs(Tables.documents(s, d))
 
+  /** tokenizer_fertility — per-SOURCE tokenizer efficiency: mean BPE
+    * tokens per word (fertility — the multilingual-tokenizer health
+    * metric; a source with fertility ≫ corpus mean is being shredded
+    * into characters and will train poorly per byte) plus the share of
+    * word occurrences the vocab covers whole (n_tok = 1). Same trained
+    * merge table as `tokenizer_encode` (one `bpeTrain`, word-keyed
+    * equi-join — the word-cardinality table never rides the doc
+    * stream), one source-keyed aggregate on top; counts exact to the
+    * two closing divides.
+    */
+  def bpeFertilityBySource(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val wtoks = bpeTrain(docs, rounds)._2
+      .select(col("word"), size(col("syms")).as("n_tok"))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wtoks, "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        sum(when(col("n_tok") === 1, 1L).otherwise(0L)).as("whole_words"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("whole_words"),
+        rnd(col("n_tokens") / col("n_words").cast("double"), 6).as("fertility"),
+        rnd(col("whole_words") / col("n_words").cast("double"), 6).as("whole_word_rate"))
+  }
+
+  def bpeFertility(s: SparkSession, d: String): DataFrame =
+    bpeFertilityBySource(Tables.documents(s, d))
+
   /** quality_classifier — hashed-feature linear quality scorer (the
     * fastText-style MODEL-based filter a curation pipeline runs after
     * the heuristic ones; CCNet/RefinedWeb lineage): each token hashes
@@ -667,6 +695,7 @@ object TextAnalysis {
     "corpus_apportion" -> apportion,
     "tokenizer_bpe" -> bpe,
     "tokenizer_encode" -> bpeEncode,
+    "tokenizer_fertility" -> bpeFertility,
     "text_quality" -> quality,
     "text_entropy" -> entropy,
     "token_count" -> tokenCount,
@@ -816,6 +845,14 @@ object TextAnalysis {
 
     "tokenizer_bpe" -> bpeSql,
     "tokenizer_encode" -> bpeEncodeSql,
+    "tokenizer_fertility" -> (bpeChainSql + ", " +
+      "wt AS (SELECT word, len(syms)::INT AS n_tok FROM s4), " +
+      "dw AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "SELECT source, count(*) AS n_words, sum(n_tok)::BIGINT AS n_tokens, " +
+      "sum(CASE WHEN n_tok = 1 THEN 1 ELSE 0 END)::BIGINT AS whole_words, " +
+      "rnd(sum(n_tok) / count(*)::DOUBLE, 6) AS fertility, " +
+      "rnd(sum(CASE WHEN n_tok = 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS whole_word_rate " +
+      "FROM dw JOIN wt USING (word) WHERE length(word) > 0 GROUP BY 1"),
     "quality_gopher" ->
       // keep is derived from the ROUNDED mean in both engines so the
       // band test cannot straddle a representation difference

@@ -310,4 +310,18 @@ class AnnSearchSpec extends SparkSpecBase {
       assert(mn <= mean + 1e-9 && mean <= mx + 1e-9)
     }
   }
+
+  test("embedding_cell_balance conserves vectors, covers every centroid cell") {
+    val rows = SparkEntry.queries("embedding_cell_balance")(spark, sfDir).collect()
+    val nTrain = Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 20).count()
+    val nCent = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 20 && col("vec_id") % 40 === 0).count()
+    assert(rows.length === nCent)
+    assert(rows.map(_.getLong(1)).sum === nTrain)
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    // ratio_to_mean averages to ~1 across cells
+    val meanRatio = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(meanRatio - 1.0) < 1e-3)
+  }
 }

@@ -199,4 +199,29 @@ class CurationSpec extends SparkSpecBase {
           s"dropped $id outranks kept in $src")
     }
   }
+
+  test("sourceOverlapMatrix: planted mirror sources share grams, disjoint pair absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "A"),
+      (2L, "alpha beta gamma delta", "B"),      // mirror of A
+      (3L, "zeta eta theta iota kappa", "C")    // disjoint
+    ).toDF("doc_id", "text", "source")
+    val m = Curation.sourceOverlapMatrix(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(5)))).toMap
+    // A and B: 2 shared 3-grams out of 2 each -> jaccard 1.0
+    assert(m(("A", "B")) === ((2L, 1.0)))
+    // pairs with zero overlap emit no row (inner gram join)
+    assert(!m.contains(("A", "C")) && !m.contains(("B", "C")))
+  }
+
+  test("corpus_overlap_matrix harness rows: shared <= min(grams) and jaccard in (0,1]") {
+    val rows = SparkEntry.queries("corpus_overlap_matrix")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (shared, ga, gb, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(shared >= 1 && shared <= math.min(ga, gb))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
 }

@@ -131,4 +131,23 @@ class TextAnalysisSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(m === Map(0L -> true, 1L -> false, 2L -> false, 3L -> false))
   }
+
+  test("tokenizer_fertility: identities vs tokenizer_encode, bounds hold") {
+    val fert = SparkEntry.queries("tokenizer_fertility")(spark, sfDir).collect()
+    assert(fert.nonEmpty)
+    val enc = SparkEntry.queries("tokenizer_encode")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_words"),
+        org.apache.spark.sql.functions.sum("n_tokens")).head()
+    // per-source totals re-sum to the per-doc totals (same merge table)
+    assert(fert.map(_.getLong(1)).sum === enc.getLong(0))
+    assert(fert.map(_.getLong(2)).sum === enc.getLong(1))
+    fert.foreach { r =>
+      val (nw, nt, ww) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt >= nw, "a word is at least one token")
+      assert(ww <= nw)
+      assert(r.getDouble(4) >= 1.0 - 1e-9)
+      val rate = r.getDouble(5)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }
