@@ -1281,6 +1281,28 @@ object Queries {
           .otherwise(1L)).as("low_line_count"))
   }
 
+  // data_skew_report — per-join-key skew profile of the fact table: for
+  // each key a join or aggregation would shuffle on, the row count,
+  // distinct-key count, the heaviest key's row count, and the skew
+  // factor max·keys/rows (1.0 = perfectly uniform; ≫1 = salt this key
+  // before joining). This is the diagnostic that decides between a
+  // plain shuffle join and `join_skew_salted` BEFORE the 100-TB run —
+  // three hash aggregates with map-side partials, one per candidate
+  // key, union'd; nothing wider than a key scan.
+  def dataSkewReport(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def keyStats(k: String) =
+      li.groupBy(col(k).as("key")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_key_rows"))
+        .select(lit(k).as("join_key"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          rnd(col("max_key_rows") * col("n_keys") / col("n_rows").cast("double"), 6)
+            .as("skew_factor"))
+    keyStats("l_orderkey").unionAll(keyStats("l_partkey"))
+      .unionAll(keyStats("l_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_filter_prune" -> scanFilterPrune,
     "normalize_minmax" -> normalizeMinmax,
@@ -1351,6 +1373,7 @@ object Queries {
     "sql_q7" -> sqlQ7,
     "sql_q10" -> sqlQ10,
     "sql_q12" -> sqlQ12,
+    "data_skew_report" -> dataSkewReport,
   )
 
   /** DuckDB twins — same column names, rounding, tie-breaks (SURVEY §7.4).
@@ -1802,6 +1825,19 @@ object Queries {
         "m AS (SELECT count(*) AS n, sum(p)::BIGINT AS sp, sum(i * p)::BIGINT AS sip FROM r) " +
         "SELECT n, rnd(2e0 * sip::DOUBLE / (n::DOUBLE * sp::DOUBLE) - " +
         "(n + 1)::DOUBLE / n::DOUBLE, 6) AS gini FROM m"),
+
+    "data_skew_report" ->
+      // per-key grouped counts re-aggregated; HUGEINT sums cast back
+      ("WITH o AS (SELECT 'l_orderkey' AS join_key, sum(c)::BIGINT AS n_rows, " +
+        "count(*) AS n_keys, max(c)::BIGINT AS max_key_rows " +
+        "FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)), " +
+        "p AS (SELECT 'l_partkey', sum(c)::BIGINT, count(*), max(c)::BIGINT " +
+        "FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)), " +
+        "su AS (SELECT 'l_suppkey', sum(c)::BIGINT, count(*), max(c)::BIGINT " +
+        "FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey)), " +
+        "u AS (SELECT * FROM o UNION ALL SELECT * FROM p UNION ALL SELECT * FROM su) " +
+        "SELECT join_key, n_rows, n_keys, max_key_rows, " +
+        "rnd(max_key_rows * n_keys / n_rows::DOUBLE, 6) AS skew_factor FROM u"),
 
     "sql_q7" ->
       // exact e4-integer revenue (sqlQ5 discipline); year() is INT32

@@ -1250,6 +1250,70 @@ object TimeSeries {
   def bollinger(s: SparkSession, d: String): DataFrame =
     tsBollinger(Tables.events(s, d))
 
+  // ---- ts_drawdown: running peak and drawdown-from-peak -----------------
+
+  /** Per-type hourly drawdown: the running all-time-high of the hourly
+    * mean and each hour's fractional drop from it — the risk read-out
+    * ("how far below the best hour are we, and when did we crater")
+    * that complements `ts_bollinger`'s volatility bands. The running
+    * max rides the exact e6 micro-unit integers of the 6-dp bucket
+    * means (integer window max cannot disagree between engines); the
+    * drawdown ratio is the one closing double. Window is per-type over
+    * the CALENDAR-sized hourly series (the `declineRuns` shape).
+    */
+  def tsDrawdown(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hs")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .withColumn("vu", floor(col("v") * 1e6 + 0.5).cast("long"))
+      .withColumn("peak", max(col("vu")).over(w))
+      .select(col("event_type"), col("hs"), col("v"),
+        rnd(col("peak") / 1e6, 6).as("peak_v"),
+        rnd((col("peak") - col("vu")) / col("peak").cast("double"), 6).as("drawdown"))
+  }
+
+  def drawdown(s: SparkSession, d: String): DataFrame =
+    tsDrawdown(Tables.events(s, d))
+
+  // ---- ts_rsi: Cutler's 14-period relative strength index ---------------
+
+  /** Cutler's RSI over the hourly 'view' feed: rolling 14-bucket sums
+    * of up-moves and down-moves of the hourly mean, RSI = 100·SG/(SG+SL).
+    * Cutler's variant (simple moving sums) over Wilder's deliberately:
+    * the fold is pure integer arithmetic on the e6 micro-unit deltas —
+    * window sums of BIGINTs, engines cannot disagree — where Wilder's
+    * exponential recursion would need the containerized-fold treatment
+    * for a marginal smoothing difference. Emitted only when the full 14
+    * deltas exist (count guard, not null-poisoning). Flat markets
+    * (SG = SL = 0) emit NULL RSI in both engines via the 0/0 guard.
+    */
+  def tsRsi(events: DataFrame, periods: Int = 14): DataFrame = {
+    val hourly = events.filter(col("event_type") === "view")
+      .groupBy((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(3600000000L)))
+        .as("hour_us"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .withColumn("vu", floor(col("v") * 1e6 + 0.5).cast("long"))
+    val wLag = Window.orderBy("hour_us")
+    val wRoll = Window.orderBy("hour_us").rowsBetween(-(periods - 1), 0)
+    hourly
+      .withColumn("delta", col("vu") - lag(col("vu"), 1).over(wLag))
+      .filter(col("delta").isNotNull)
+      .withColumn("gain", when(col("delta") > 0, col("delta")).otherwise(lit(0L)))
+      .withColumn("loss", when(col("delta") < 0, -col("delta")).otherwise(lit(0L)))
+      .withColumn("sg", sum(col("gain")).over(wRoll))
+      .withColumn("sl", sum(col("loss")).over(wRoll))
+      .withColumn("nd", count(lit(1)).over(wRoll))
+      .filter(col("nd") === periods)
+      .select(col("hour_us"), col("sg"), col("sl"),
+        rnd(when(col("sg") + col("sl") > 0,
+          lit(100.0) * col("sg") / (col("sg") + col("sl")).cast("double")), 6).as("rsi"))
+  }
+
+  def rsi(s: SparkSession, d: String): DataFrame =
+    tsRsi(Tables.events(s, d))
+
   // ---- events_cooccur: event-type co-occurrence lift --------------------
 
   /** Market-basket lift over event types: for each unordered type pair,
@@ -1551,6 +1615,8 @@ object TimeSeries {
     "events_power_users" -> powerUsers,
     "events_churn" -> churn,
     "events_hourly_profile" -> hourlyProfile,
+    "ts_drawdown" -> drawdown,
+    "ts_rsi" -> rsi,
   )
 
   /** The decomposition CTE chain through `se(event_type, hs, v, vu, tu,
@@ -1684,6 +1750,32 @@ object TimeSeries {
         "rnd(n_ab * n_users / (ma.n_t * mb.n_t)::DOUBLE, 6) AS lift " +
         "FROM pairs JOIN marg ma ON type_a = ma.event_type " +
         "JOIN marg mb ON type_b = mb.event_type, nu"),
+
+    "ts_drawdown" ->
+      // running integer max over the e6 bucket means; one closing double
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT *, floor(v * 1e6 + 0.5e0)::BIGINT AS vu FROM b), " +
+        "m AS (SELECT *, max(vu) OVER (PARTITION BY event_type ORDER BY hs " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM u) " +
+        "SELECT event_type, hs, v, rnd(peak / 1e6, 6) AS peak_v, " +
+        "rnd((peak - vu) / peak::DOUBLE, 6) AS drawdown FROM m"),
+
+    "ts_rsi" ->
+      // integer rolling up/down sums (HUGEINT cast back); the 0/0 flat
+      // guard yields NULL in both engines; count guard = full window
+      ("WITH h AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us, " +
+        "rnd(avg(value), 6) AS v FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "u AS (SELECT hour_us, floor(v * 1e6 + 0.5e0)::BIGINT AS vu FROM h), " +
+        "d AS (SELECT hour_us, vu - lag(vu, 1) OVER (ORDER BY hour_us) AS delta FROM u), " +
+        "g AS (SELECT hour_us, CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain, " +
+        "CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss FROM d WHERE delta IS NOT NULL), " +
+        "r AS (SELECT hour_us, sum(gain) OVER w::BIGINT AS sg, sum(loss) OVER w::BIGINT AS sl, " +
+        "count(*) OVER w AS nd FROM g WINDOW w AS (ORDER BY hour_us " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT hour_us, sg, sl, " +
+        "rnd(CASE WHEN sg + sl > 0 THEN 100e0 * sg / (sg + sl)::DOUBLE END, 6) AS rsi " +
+        "FROM r WHERE nd = 14"),
 
     "events_power_users" ->
       // ntile over the user-cardinality frame with the (n DESC, user)

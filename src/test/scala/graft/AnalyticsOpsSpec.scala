@@ -473,4 +473,40 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       .count()
     assert(total === joined)
   }
+
+  test("ts_drawdown: planted series gives exact peak and drawdown") {
+    import spark.implicits._
+    // one type, four hours: 10, 20, 5, 20 -> peaks 10,20,20,20; dd 0,0,.75,0
+    val ev = Seq(
+      (1L, "2024-01-01 00:10:00", "x", 10.0), (2L, "2024-01-01 01:10:00", "x", 20.0),
+      (3L, "2024-01-01 02:10:00", "x", 5.0), (4L, "2024-01-01 03:10:00", "x", 20.0)
+    ).toDF("event_id", "s", "event_type", "value")
+      .select($"event_id", $"s".cast("timestamp").as("ts"), $"event_type", $"value")
+    val got = graft.rel.TimeSeries.tsDrawdown(ev).orderBy("hs")
+      .select("peak_v", "drawdown").as[(Double, Double)].collect()
+    assert(got === Array((10.0, 0.0), (20.0, 0.0), (20.0, 0.75), (20.0, 0.0)))
+  }
+
+  test("ts_rsi: monotone rise pins RSI at 100, and rows need a full window") {
+    import spark.implicits._
+    val ev = (0 until 20).map { i =>
+      (i.toLong, s"2024-01-01 ${"%02d".format(i)}:10:00", "view", 10.0 + i)
+    }.toDF("event_id", "s", "event_type", "value")
+      .select($"event_id", $"s".cast("timestamp").as("ts"), $"event_type", $"value")
+    val got = graft.rel.TimeSeries.tsRsi(ev).collect()
+    // 19 deltas, need 14 per row -> 6 emitted rows, all RSI = 100
+    assert(got.length === 6)
+    got.foreach { r => assert(r.getLong(2) === 0L && r.getDouble(3) === 100.0) }
+  }
+
+  test("data_skew_report: exact stats per key on the harness table") {
+    val got = SparkEntry.queries("data_skew_report")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set("l_orderkey", "l_partkey", "l_suppkey"))
+    val n = Tables.lineitem(spark, sfDir).count()
+    got.values.foreach { case (rows, keys, mx, skew) =>
+      assert(rows === n && mx >= 1 && keys <= n)
+      assert(skew >= 1.0 - 1e-6, "max key is at least the mean")
+    }
+  }
 }
