@@ -1303,6 +1303,298 @@ object Queries {
       .unionAll(keyStats("l_suppkey"))
   }
 
+  // ---- TPC-H closure wave: the remaining canonical query shapes, -------
+  // adapted to this generator's schema (no partsupp / commit-receipt
+  // dates / comments — each adaptation keeps the PLAN shape the
+  // canonical query exists to exercise). All money flows through the
+  // exact e2/e4/e6 integer-unit discipline (sqlQ5): per-row floor-snap
+  // to BIGINT, integer sums, ONE closing float expression. At extreme
+  // SF (≫ sf100) the e6 charge sums would want DECIMAL(38,0) — noted
+  // per query where it applies.
+
+  // sql_q1 — pricing summary report (TPC-H Q1): THE scan-heavy
+  // aggregate: one pass over lineitem, 4 running sums + 3 averages per
+  // (returnflag, linestatus) — at most 6 groups, so the aggregate is
+  // all map-side partials and the exchange carries 6 rows. charge sums
+  // in e6 units (price·(1−disc)·(1+tax)): |row| ≤ 1e11, safe in BIGINT
+  // to ~sf1000 per group; DECIMAL(38,0) beyond.
+  def sqlQ1(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val pe2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val de2 = floor(col("l_discount") * 100 + 0.5).cast("long")
+    val te2 = floor(col("l_tax") * 100 + 0.5).cast("long")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(q).as("sum_qty"), sum(pe2).as("base_e2"),
+        sum(pe2 * (lit(100L) - de2)).as("disc_e4"),
+        sum(pe2 * (lit(100L) - de2) * (lit(100L) + te2)).as("charge_e6"),
+        sum(de2).as("dsum_e2"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        rnd(col("base_e2") / 1e2, 2).as("sum_base"),
+        rnd(col("disc_e4") / 1e4, 2).as("sum_disc"),
+        rnd(col("charge_e6") / 1e6, 2).as("sum_charge"),
+        rnd(col("sum_qty") / col("n"), 6).as("avg_qty"),
+        rnd(col("base_e2") / (lit(100.0) * col("n")), 6).as("avg_price"),
+        rnd(col("dsum_e2") / (lit(100.0) * col("n")), 6).as("avg_disc"),
+        col("n"))
+  }
+
+  // sql_q2 — min-cost supplier (TPC-H Q2 shape): the correlated
+  // "price = (SELECT min(price) for this part)" subquery, decorrelated
+  // to a keyed min-STRUCT argmin — (price, suppkey) lexicographic min
+  // in ONE hash aggregate, no window sort, total order so ties cannot
+  // flip. partsupp doesn't exist here; lineitem rows are the offers.
+  def sqlQ2(s: SparkSession, d: String): DataFrame = {
+    val pe2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val best = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_size") === 15), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), struct(pe2.as("p"), col("l_suppkey").as("sk")).as("o"))
+      .groupBy(col("l_partkey")).agg(min(col("o")).as("m"))
+      .select(col("l_partkey"), col("m.p").as("pe2"), col("m.sk").as("sk"))
+    best
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("sk") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("partkey"), col("p_name").as("part_name"),
+        col("s_name").as("supp_name"), col("n_name").as("nation"),
+        rnd(col("pe2") / 1e2, 2).as("min_price"))
+  }
+
+  // sql_q6 — forecasting revenue change (TPC-H Q6): the pure
+  // filter-and-sum — every predicate pushes to the parquet scan and the
+  // plan is scan → one-row partial aggregates. The discount band is
+  // tested on the SNAPPED e2 integer (5..7), so the float boundary
+  // (0.05 ≤ x ≤ 0.07 on binary doubles) cannot flip cross-engine.
+  def sqlQ6(s: SparkSession, d: String): DataFrame = {
+    val pe2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val de2 = floor(col("l_discount") * 100 + 0.5).cast("long")
+    Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1996 && col("l_quantity") < 24)
+      .filter(de2.between(5, 7))
+      .agg(sum(pe2 * de2).as("rev_e4"), count(lit(1)).as("n"))
+      .select(rnd(col("rev_e4") / 1e4, 2).as("revenue"), col("n"))
+  }
+
+  // sql_q8 — national market share (TPC-H Q8): share of one supplier
+  // nation in a region's revenue, per order year. Both nation roles
+  // (customer side for the region slice, supplier side for the share
+  // numerator) ride broadcast dims; numerator/denominator are exact e4
+  // BIGINTs, so the share is ONE float division at the end.
+  def sqlQ8(s: SparkSession, d: String): DataFrame = {
+    val rev = floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+    val cn = Tables.nation(s, d).select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+    val sn = Tables.nation(s, d).select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_20", rev).otherwise(0L)).as("num_e4"),
+        sum(rev).as("den_e4"), count(lit(1)).as("n"))
+      .select(col("o_year"), rnd(col("num_e4") / col("den_e4"), 6).as("mkt_share"), col("n"))
+  }
+
+  // sql_q9 — product-type profit (TPC-H Q9 shape): profit attributed to
+  // the supplier's nation per order year. No ps_supplycost in this
+  // schema, so cost = p_retailprice·quantity (the same
+  // revenue-minus-cost plan shape). Profit can be negative — everything
+  // stays in signed e4 BIGINTs until the one closing division.
+  def sqlQ9(s: SparkSession, d: String): DataFrame = {
+    val pe2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val de2 = floor(col("l_discount") * 100 + 0.5).cast("long")
+    val retE2 = floor(col("p_retailprice") * 100 + 0.5).cast("long")
+    val profit = pe2 * (lit(100L) - de2) - retE2 * col("l_quantity").cast("long") * 100L
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(profit).as("profit_e4"), count(lit(1)).as("n"))
+      .select(col("n_name").as("nation"), col("o_year"),
+        rnd(col("profit_e4") / 1e4, 2).as("profit"), col("n"))
+  }
+
+  // sql_q11 — important stock (TPC-H Q11 shape): parts whose inventory
+  // value (for one nation's suppliers) exceeds 1.5× the mean part value.
+  // The global threshold rides in as a broadcast ONE-ROW aggregate and
+  // the comparison is all-BIGINT (v·n·2 > 3·t — no float fraction that
+  // could flip at the boundary, and SF-invariant where the canonical
+  // absolute 0.0001 fraction is not). v·n ≲ 1e20 needs DECIMAL(38,0)
+  // only past ~sf1000.
+  def sqlQ11(s: SparkSession, d: String): DataFrame = {
+    val pe2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val pv = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey")).agg(sum(pe2).as("v"))
+    val g = broadcast(pv.agg(sum(col("v")).as("t"), count(lit(1)).as("np")))
+    pv.crossJoin(g)
+      .filter(col("v") * col("np") * lit(2L) > lit(3L) * col("t"))
+      .select(col("l_partkey").as("partkey"), rnd(col("v") / 1e2, 2).as("value"))
+  }
+
+  // sql_q13 — customer order-count distribution (TPC-H Q13): the LEFT
+  // OUTER join whose whole point is keeping 0-order customers, with the
+  // priority filter INSIDE the join condition (a WHERE would silently
+  // turn it inner), then the double aggregate (per-customer count →
+  // histogram of counts).
+  def sqlQ13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+
+  // sql_q14 — promotion effect (TPC-H Q14): promo share of one ship
+  // year's revenue. Numerator and denominator are exact e4 BIGINTs from
+  // the same aggregate pass; the 100·num/den percentage is the one
+  // closing float expression (left-assoc in both engines).
+  def sqlQ14(s: SparkSession, d: String): DataFrame = {
+    val rev = floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+    Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).as("num_e4"),
+        sum(rev).as("den_e4"), count(lit(1)).as("n"))
+      .select(rnd(lit(100.0) * col("num_e4") / col("den_e4"), 6).as("promo_share"), col("n"))
+  }
+
+  // sql_q15 — top supplier (TPC-H Q15): revenue = max(revenue) over a
+  // quarter, the view-plus-max shape. The max rides in as a broadcast
+  // one-row aggregate and the equality is on the e4 BIGINT — exact, so
+  // EVERY tied-for-max supplier surfaces (the canonical query's
+  // documented tie semantics), with no float-equality lottery.
+  def sqlQ15(s: SparkSession, d: String): DataFrame = {
+    val rev = floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+    val sr = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey")).agg(sum(rev).as("rev_e4"), count(lit(1)).as("n"))
+    val mx = broadcast(sr.agg(max(col("rev_e4")).as("m")))
+    sr.crossJoin(mx).filter(col("rev_e4") === col("m"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name").as("name"),
+        rnd(col("rev_e4") / 1e4, 2).as("total_revenue"), col("n"))
+  }
+
+  // sql_q16 — parts/supplier relationship count (TPC-H Q16 shape): how
+  // many qualified suppliers serve each (brand, type, size) bucket,
+  // EXCLUDING flagged suppliers — the NOT IN subquery planned as what it
+  // is at scale: a semi-join against the small qualified-supplier set
+  // (negative acctbal is this schema's complaint flag), then
+  // count(DISTINCT suppkey) per bucket.
+  def sqlQ16(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_size").isin(5, 15, 25, 35) &&
+          col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d).filter(col("s_acctbal") >= 0).select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  // sql_q18 — large-volume customers (TPC-H Q18): orders whose total
+  // quantity clears a threshold — the IN(group-by-having) subquery as a
+  // direct join against the having aggregate. Quantities sum as BIGINTs
+  // (integer-valued doubles snapped per row), so the > 250 boundary is
+  // exact in both engines.
+  def sqlQ18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("o_orderkey").as("orderkey"), col("o_orderdate").as("orderdate"),
+        rnd(floor(col("o_totalprice") * 100 + 0.5).cast("long") / 1e2, 2).as("totalprice"),
+        col("sum_qty"))
+  }
+
+  // sql_q20 — potential part promotion (TPC-H Q20 shape): the nested
+  // IN(suppliers with excess stock of the filtered parts) subquery. No
+  // partsupp here, so "excess" = a DOMINANT position: this supplier
+  // shipped more than 3× the part's fair per-supplier share
+  // (sq·ns > 3·tq, exact BIGINT — the canonical query's half-sum
+  // threshold re-expressed relative to supplier count, because an
+  // absolute share is NOT SF-stable: more suppliers per part at higher
+  // SF dilutes every share). The inner per-(part, supplier) aggregate
+  // RE-AGGREGATES to the per-part total — one extra keyed sum, never a
+  // second lineitem scan.
+  def sqlQ20(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_name").like("%red%")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+    val pt = ps.groupBy(col("l_partkey"))
+      .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+    ps.join(pt, "l_partkey")
+      .filter(col("sq") * col("ns") > lit(3L) * col("tq"))
+      .select(col("l_suppkey")).distinct()
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name").as("name"),
+        col("n_name").as("nation"))
+  }
+
+  // sql_q21 — suppliers who kept orders waiting (TPC-H Q21 shape): the
+  // EXISTS(another supplier) ∧ NOT EXISTS(another LATE supplier) double
+  // correlation, decorrelated into per-(order, supplier) late flags +
+  // one per-order aggregate — each correlated branch becomes a count
+  // the filter reads, nothing re-scans. "Late" = shipped > 60 days
+  // after order (no receipt/commit dates in this schema). Attribution
+  // rolls up to the supplier's nation, so the output is bounded at any
+  // SF.
+  def sqlQ21(s: SparkSession, d: String): DataFrame = {
+    val flags = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, 1L)
+        .otherwise(0L)).as("late"))
+    val per = flags.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ns"), sum(col("late")).as("nl"))
+    flags.join(per, "l_orderkey")
+      .filter(col("ns") >= 2 && col("nl") === 1 && col("late") === 1)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .select(col("n_name").as("nation"), col("numwait"))
+  }
+
+  // sql_q22 — global sales opportunity (TPC-H Q22 shape): high-balance
+  // customers with no RECENT orders, by country. The average-balance
+  // threshold is the classic scalar subquery — but compared in exact
+  // integer form (acct_e2·count > sum_e2 ⟺ acctbal > avg), because a
+  // float avg of doubles is summation-order-dependent and the boundary
+  // could flip cross-engine. The no-recent-orders branch is a left ANTI
+  // join (never NOT IN, which at scale would broadcast-collect the
+  // whole order set and trip on NULLs).
+  def sqlQ22(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("a_e2"))
+    val stats = broadcast(cust.filter(col("a_e2") > 0)
+      .agg(sum(col("a_e2")).as("se2"), count(lit(1)).as("c")))
+    cust.crossJoin(stats)
+      .filter(col("a_e2") * col("c") > col("se2"))
+      .join(Tables.orders(s, d).filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"), sum(col("a_e2")).as("t_e2"))
+      .select(col("cntry"), col("numcust"), rnd(col("t_e2") / 1e2, 2).as("totacctbal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_filter_prune" -> scanFilterPrune,
     "normalize_minmax" -> normalizeMinmax,
@@ -1373,6 +1665,20 @@ object Queries {
     "sql_q7" -> sqlQ7,
     "sql_q10" -> sqlQ10,
     "sql_q12" -> sqlQ12,
+    "sql_q1" -> sqlQ1,
+    "sql_q2" -> sqlQ2,
+    "sql_q6" -> sqlQ6,
+    "sql_q8" -> sqlQ8,
+    "sql_q9" -> sqlQ9,
+    "sql_q11" -> sqlQ11,
+    "sql_q13" -> sqlQ13,
+    "sql_q14" -> sqlQ14,
+    "sql_q15" -> sqlQ15,
+    "sql_q16" -> sqlQ16,
+    "sql_q18" -> sqlQ18,
+    "sql_q20" -> sqlQ20,
+    "sql_q21" -> sqlQ21,
+    "sql_q22" -> sqlQ22,
     "data_skew_report" -> dataSkewReport,
   )
 
@@ -1880,6 +2186,169 @@ object Queries {
         "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count, " +
         "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"),
+
+    "sql_q1" ->
+      // every money column snapped per row to e2/e4/e6 BIGINTs; the three
+      // averages are ONE float division each over exact integer sums
+      ("WITH b AS (SELECT l_returnflag, l_linestatus, l_quantity::BIGINT AS q, " +
+        "floor(l_extendedprice * 100 + 0.5e0)::BIGINT AS pe2, " +
+        "floor(l_discount * 100 + 0.5e0)::BIGINT AS de2, " +
+        "floor(l_tax * 100 + 0.5e0)::BIGINT AS te2 " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01') " +
+        "SELECT l_returnflag, l_linestatus, sum(q)::BIGINT AS sum_qty, " +
+        "rnd(sum(pe2)::BIGINT / 1e2, 2) AS sum_base, " +
+        "rnd(sum(pe2 * (100 - de2))::BIGINT / 1e4, 2) AS sum_disc, " +
+        "rnd(sum(pe2 * (100 - de2) * (100 + te2))::BIGINT / 1e6, 2) AS sum_charge, " +
+        "rnd(sum(q)::BIGINT / count(*), 6) AS avg_qty, " +
+        "rnd(sum(pe2)::BIGINT / (100e0 * count(*)), 6) AS avg_price, " +
+        "rnd(sum(de2)::BIGINT / (100e0 * count(*)), 6) AS avg_disc, " +
+        "count(*) AS n FROM b GROUP BY 1, 2"),
+
+    "sql_q2" ->
+      // the same (price, suppkey) total order as the Spark min-struct —
+      // row_number is its window spelling
+      ("WITH offers AS (SELECT l_partkey, l_suppkey, " +
+        "floor(l_extendedprice * 100 + 0.5e0)::BIGINT AS pe2 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size = 15), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY l_partkey " +
+        "ORDER BY pe2, l_suppkey) AS rn FROM offers) " +
+        "SELECT l_partkey AS partkey, p_name AS part_name, s_name AS supp_name, " +
+        "n_name AS nation, rnd(pe2 / 1e2, 2) AS min_price " +
+        "FROM rk JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey WHERE rn = 1"),
+
+    "sql_q6" ->
+      // discount band tested on the SNAPPED integer — no float boundary
+      ("SELECT rnd(sum(floor(l_extendedprice * 100 + 0.5e0)::BIGINT * " +
+        "floor(l_discount * 100 + 0.5e0)::BIGINT)::BIGINT / 1e4, 2) AS revenue, " +
+        "count(*) AS n FROM lineitem " +
+        "WHERE year(l_shipdate) = 1996 AND l_quantity < 24 " +
+        "AND floor(l_discount * 100 + 0.5e0)::BIGINT BETWEEN 5 AND 7"),
+
+    "sql_q8" ->
+      ("WITH f AS (SELECT year(o_orderdate) AS o_year, sn.n_name AS sname, " +
+        "floor(l_extendedprice * 100 + 0.5e0)::BIGINT * " +
+        "(100 - floor(l_discount * 100 + 0.5e0)::BIGINT) AS rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "JOIN region ON cn.n_regionkey = r_regionkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "WHERE r_name = 'ASIA') " +
+        "SELECT o_year, rnd(sum(CASE WHEN sname = 'NATION_20' THEN rev ELSE 0 END)::BIGINT " +
+        "/ sum(rev)::BIGINT, 6) AS mkt_share, count(*) AS n FROM f GROUP BY 1"),
+
+    "sql_q9" ->
+      // profit = revenue − retailprice·qty, signed e4 BIGINTs throughout
+      ("SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
+        "rnd(sum(floor(l_extendedprice * 100 + 0.5e0)::BIGINT * " +
+        "(100 - floor(l_discount * 100 + 0.5e0)::BIGINT) - " +
+        "floor(p_retailprice * 100 + 0.5e0)::BIGINT * l_quantity::BIGINT * 100)::BIGINT " +
+        "/ 1e4, 2) AS profit, count(*) AS n " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_type = 'ECONOMY' GROUP BY 1, 2"),
+
+    "sql_q11" ->
+      // all-BIGINT threshold: v·n·2 > 3·t ⟺ v > 1.5·mean, no float
+      ("WITH pv AS (SELECT l_partkey, " +
+        "sum(floor(l_extendedprice * 100 + 0.5e0)::BIGINT)::BIGINT AS v " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_7' GROUP BY 1), " +
+        "g AS (SELECT sum(v)::BIGINT AS t, count(*) AS np FROM pv) " +
+        "SELECT l_partkey AS partkey, rnd(v / 1e2, 2) AS value " +
+        "FROM pv CROSS JOIN g WHERE v * np * 2 > 3 * t"),
+
+    "sql_q13" ->
+      // priority filter INSIDE the left join condition — WHERE would
+      // silently make it inner and drop the 0-order customers
+      ("WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "AND o_orderpriority <> '1-URGENT' GROUP BY 1) " +
+        "SELECT c_count, count(*) AS custdist FROM co GROUP BY 1"),
+
+    "sql_q14" ->
+      ("WITH f AS (SELECT p_type, floor(l_extendedprice * 100 + 0.5e0)::BIGINT * " +
+        "(100 - floor(l_discount * 100 + 0.5e0)::BIGINT) AS rev " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE year(l_shipdate) = 1997) " +
+        "SELECT rnd(100e0 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::BIGINT " +
+        "/ sum(rev)::BIGINT, 6) AS promo_share, count(*) AS n FROM f"),
+
+    "sql_q15" ->
+      // exact e4 BIGINT equality — every tied-for-max supplier surfaces
+      ("WITH sr AS (SELECT l_suppkey, " +
+        "sum(floor(l_extendedprice * 100 + 0.5e0)::BIGINT * " +
+        "(100 - floor(l_discount * 100 + 0.5e0)::BIGINT))::BIGINT AS rev_e4, " +
+        "count(*) AS n FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1), " +
+        "mx AS (SELECT max(rev_e4) AS m FROM sr) " +
+        "SELECT s_suppkey AS suppkey, s_name AS name, " +
+        "rnd(rev_e4 / 1e4, 2) AS total_revenue, n " +
+        "FROM sr CROSS JOIN mx JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE rev_e4 = m"),
+
+    "sql_q16" ->
+      ("SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_size IN (5, 15, 25, 35) AND p_brand <> 'Brand#5' AND p_type <> 'PROMO' " +
+        "AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0) " +
+        "GROUP BY 1, 2, 3"),
+
+    "sql_q18" ->
+      // quantities snapped to BIGINT per row — the > 250 boundary is exact
+      ("WITH big AS (SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS sum_qty " +
+        "FROM lineitem GROUP BY 1 HAVING sum(l_quantity::BIGINT) > 250) " +
+        "SELECT c_custkey AS custkey, c_name AS name, o_orderkey AS orderkey, " +
+        "o_orderdate AS orderdate, " +
+        "rnd(floor(o_totalprice * 100 + 0.5e0)::BIGINT / 1e2, 2) AS totalprice, sum_qty " +
+        "FROM big JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey"),
+
+    "sql_q20" ->
+      // fair-share threshold in exact BIGINTs: sq·ns > 3·tq ⟺ share > 3/ns
+      ("WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity::BIGINT)::BIGINT AS sq " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_name LIKE '%red%' GROUP BY 1, 2), " +
+        "pt AS (SELECT l_partkey, sum(sq)::BIGINT AS tq, count(*) AS ns FROM ps GROUP BY 1) " +
+        "SELECT DISTINCT s_suppkey AS suppkey, s_name AS name, n_name AS nation " +
+        "FROM ps JOIN pt USING (l_partkey) " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey WHERE sq * ns > 3 * tq"),
+
+    "sql_q21" ->
+      // EXISTS ∧ NOT-EXISTS decorrelated into per-order counts the
+      // filter reads — ns ≥ 2 (another supplier exists), nl = 1 (no
+      // OTHER late supplier), late = 1 (this one was it)
+      ("WITH ls AS (SELECT l_orderkey AS ok, l_suppkey AS sk, " +
+        "max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 1 ELSE 0 END) AS late " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+        "ag AS (SELECT ok, count(*) AS ns, sum(late)::BIGINT AS nl FROM ls GROUP BY 1) " +
+        "SELECT n_name AS nation, count(*) AS numwait " +
+        "FROM ls JOIN ag USING (ok) " +
+        "JOIN supplier ON sk = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE ns >= 2 AND nl = 1 AND late = 1 GROUP BY 1"),
+
+    "sql_q22" ->
+      // integer avg comparison: a_e2·c > s_e2 ⟺ acctbal > avg, immune to
+      // float-sum order; anti-join for "no recent orders"
+      ("WITH c2 AS (SELECT c_custkey, c_nationkey, " +
+        "floor(c_acctbal * 100 + 0.5e0)::BIGINT AS a_e2 FROM customer), " +
+        "a AS (SELECT sum(a_e2)::BIGINT AS se2, count(*) AS c FROM c2 WHERE a_e2 > 0), " +
+        "act AS (SELECT DISTINCT o_custkey FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "SELECT c_nationkey AS cntry, count(*) AS numcust, " +
+        "rnd(sum(a_e2)::BIGINT / 1e2, 2) AS totacctbal " +
+        "FROM c2 CROSS JOIN a " +
+        "WHERE a_e2 * c > se2 " +
+        "AND c_custkey NOT IN (SELECT o_custkey FROM act) GROUP BY 1"),
 
     "sql_division" ->
       ("WITH tot AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders), " +
