@@ -230,6 +230,48 @@ object SparkEntry {
       val pred = Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
       Metrics.classReport(pred, emb(s, d).select("vec_id", "label"), NClasses)
     },
+
+    // #20d metrics_logloss (EXT): proper-scoring-rule eval of the fuzzy
+    // probabilities — the metric a training-data pipeline alerts on when
+    // a classifier drifts but accuracy hasn't moved yet.
+    "metrics_logloss" -> { (s, d) =>
+      val t = embTrain(s, d)
+      val mem = Fknn.membershipInit(t, K, NClasses).persist()
+      Metrics.logLoss(Fknn.classifyScores(mem, t, embQueries(s, d), K),
+        emb(s, d).select("vec_id", "label"))
+    },
+
+    // #20e metrics_brier (EXT): squared-error proper score, same frame.
+    "metrics_brier" -> { (s, d) =>
+      val t = embTrain(s, d)
+      val mem = Fknn.membershipInit(t, K, NClasses).persist()
+      Metrics.brier(Fknn.classifyScores(mem, t, embQueries(s, d), K),
+        emb(s, d).select("vec_id", "label"))
+    },
+
+    // #20f metrics_kappa (EXT): chance-corrected agreement in exact
+    // integer form — (diag·n − Σrc)/(n² − Σrc), one closing division.
+    "metrics_kappa" -> { (s, d) =>
+      val pred = Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
+      Metrics.cohenKappa(pred, emb(s, d).select("vec_id", "label"))
+    },
+
+    // #20g metrics_mcc (EXT): multi-class Matthews correlation (R_k).
+    "metrics_mcc" -> { (s, d) =>
+      val pred = Fknn.classifyPipeline(embTrain(s, d), embQueries(s, d), K, NClasses)
+      Metrics.mcc(pred, emb(s, d).select("vec_id", "label"))
+    },
+
+    // #20h metrics_calibration (EXT): reliability bins over top-1
+    // confidence — "when the model says 0.9, is it right 90% of the
+    // time". Confidence rounded 6dp BEFORE binning so bin edges compare
+    // identical doubles cross-engine.
+    "metrics_calibration" -> { (s, d) =>
+      val t = embTrain(s, d)
+      val mem = Fknn.membershipInit(t, K, NClasses).persist()
+      Metrics.calibrationBins(Fknn.classifyScores(mem, t, embQueries(s, d), K),
+        emb(s, d).select("vec_id", "label"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -344,5 +386,63 @@ object SparkEntry {
         "CASE WHEN tp + fn = 0 THEN 0e0 ELSE tp / (tp + fn) END AS r FROM st) " +
         "SELECT class, tp, fp, fn, rnd(p, 6) AS precision, rnd(r, 6) AS recall, " +
         "rnd(CASE WHEN p + r = 0 THEN 0e0 ELSE 2e0 * p * r / (p + r) END, 6) AS f1 FROM pr"),
+
+    "metrics_logloss" ->
+      (s"WITH $classifyCte, " +
+        "tu AS (SELECT q_id, sum(u) AS tu FROM sc GROUP BY 1), " +
+        "pl AS (SELECT s.q_id, s.u / t.tu AS p FROM sc s JOIN tu t ON s.q_id = t.q_id " +
+        "JOIN embeddings e ON e.vec_id = s.q_id AND s.class = e.label) " +
+        "SELECT rnd(-avg(ln(greatest(p, 1e-15))), 6) AS logloss, count(*) AS n FROM pl"),
+
+    "metrics_brier" ->
+      (s"WITH $classifyCte, " +
+        "tu AS (SELECT q_id, sum(u) AS tu FROM sc GROUP BY 1), " +
+        "dv AS (SELECT s.q_id, sum((s.u / t.tu - CASE WHEN s.class = e.label THEN 1e0 ELSE 0e0 END) * " +
+        "(s.u / t.tu - CASE WHEN s.class = e.label THEN 1e0 ELSE 0e0 END)) AS b " +
+        "FROM sc s JOIN tu t ON s.q_id = t.q_id " +
+        "JOIN embeddings e ON e.vec_id = s.q_id GROUP BY 1) " +
+        "SELECT rnd(avg(b), 6) AS brier, count(*) AS n FROM dv"),
+
+    "metrics_kappa" ->
+      // exact integer rewrite: (diag·n − Σ r_k c_k)/(n² − Σ r_k c_k)
+      (s"WITH $classifyCte, " +
+        "pred AS (SELECT q_id, class AS predicted FROM rk WHERE rn = 1), " +
+        "j AS (SELECT e.label, p.predicted FROM pred p JOIN embeddings e ON e.vec_id = p.q_id), " +
+        "tot AS (SELECT count(*) AS n, " +
+        "sum(CASE WHEN label = predicted THEN 1 ELSE 0 END)::BIGINT AS diag FROM j), " +
+        "rm AS (SELECT label AS k, count(*) AS rl FROM j GROUP BY 1), " +
+        "cm AS (SELECT predicted AS k, count(*) AS cl FROM j GROUP BY 1), " +
+        "pe AS (SELECT sum(rl * cl)::BIGINT AS rc FROM rm JOIN cm USING (k)) " +
+        "SELECT rnd((diag * n - rc) / (n * n - rc), 6) AS kappa, n " +
+        "FROM tot CROSS JOIN pe"),
+
+    "metrics_mcc" ->
+      // R_k: factors cast to double BEFORE multiplying (s⁴-scale product)
+      (s"WITH $classifyCte, " +
+        "pred AS (SELECT q_id, class AS predicted FROM rk WHERE rn = 1), " +
+        "j AS (SELECT e.label, p.predicted FROM pred p JOIN embeddings e ON e.vec_id = p.q_id), " +
+        "tot AS (SELECT count(*) AS n, " +
+        "sum(CASE WHEN label = predicted THEN 1 ELSE 0 END)::BIGINT AS diag FROM j), " +
+        "rm AS (SELECT label AS k, count(*) AS rl FROM j GROUP BY 1), " +
+        "cm AS (SELECT predicted AS k, count(*) AS cl FROM j GROUP BY 1), " +
+        "mtt AS (SELECT sum(rl * rl)::BIGINT AS tt FROM rm), " +
+        "mpp AS (SELECT sum(cl * cl)::BIGINT AS pp FROM cm), " +
+        "mpt AS (SELECT sum(rl * cl)::BIGINT AS pt FROM rm JOIN cm USING (k)) " +
+        "SELECT rnd((diag * n - pt) / sqrt((n * n - pp)::DOUBLE * (n * n - tt)::DOUBLE), 6) AS mcc, n " +
+        "FROM tot CROSS JOIN mtt CROSS JOIN mpp CROSS JOIN mpt"),
+
+    "metrics_calibration" ->
+      // conf rounded 6dp BEFORE the bin-edge floor — identical doubles
+      // cross-engine, so bin membership cannot flip by one ulp
+      (s"WITH $classifyCte, " +
+        "tu AS (SELECT q_id, sum(u) AS tu FROM sc GROUP BY 1), " +
+        "top AS (SELECT r.q_id, r.class AS predicted, rnd(s.u / t.tu, 6) AS conf " +
+        "FROM rk r JOIN sc s ON s.q_id = r.q_id AND s.class = r.class " +
+        "JOIN tu t ON t.q_id = r.q_id WHERE r.rn = 1), " +
+        "j AS (SELECT conf, CASE WHEN t.predicted = e.label THEN 1e0 ELSE 0e0 END AS acc, " +
+        "least(floor(conf * 10), 9)::INT AS bin " +
+        "FROM top t JOIN embeddings e ON e.vec_id = t.q_id) " +
+        "SELECT bin, count(*) AS n, rnd(avg(conf), 6) AS conf_avg, " +
+        "rnd(avg(acc), 6) AS acc_avg FROM j GROUP BY 1"),
   )
 }

@@ -127,4 +127,103 @@ object Metrics {
       rnd(r, 6).as("recall"),
       rnd(when(p + r === 0, 0.0).otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
   }
+
+  /** Per-query probability normalizer over the fuzzy score table:
+    * p(class) = u / Σ_c u. One keyed sum per query + a re-join — the
+    * probability frame every proper-scoring metric below shares.
+    */
+  private def probs(scores: DataFrame): DataFrame = {
+    val tot = scores.groupBy(col("q_id")).agg(sum(col("u")).as("tu"))
+    scores.join(tot, "q_id").select(col("q_id"), col("class"), (col("u") / col("tu")).as("p"))
+  }
+
+  /** Multi-class log loss −mean(ln p_label) over normalized fuzzy
+    * scores, clamped at 1e-15 (the sklearn convention — a zero
+    * probability on the true class would otherwise be −∞). Everything
+    * up to the final mean is per-row arithmetic on identically-built
+    * doubles; rnd(…, 6) absorbs the engines' float-sum association
+    * difference on the closing average.
+    */
+  def logLoss(scores: DataFrame, truth: DataFrame): DataFrame =
+    probs(scores)
+      .join(truth, col("q_id") === col("vec_id") && col("class") === col("label"))
+      .agg(rnd(-avg(log(greatest(col("p"), lit(1e-15)))), 6).as("logloss"),
+        count(lit(1)).as("n"))
+
+  /** Multi-class Brier score: mean over queries of Σ_c (p_c − y_c)².
+    * The inner sum runs over the C classes of ONE query (bounded, keyed
+    * by q_id); squared via x·x — not pow() — so both engines evaluate
+    * the identical expression tree.
+    */
+  def brier(scores: DataFrame, truth: DataFrame): DataFrame = {
+    val dev = probs(scores)
+      .join(truth, col("q_id") === col("vec_id"))
+      .select(col("q_id"),
+        ((col("p") - when(col("class") === col("label"), 1.0).otherwise(0.0)) *
+          (col("p") - when(col("class") === col("label"), 1.0).otherwise(0.0))).as("sq"))
+      .groupBy(col("q_id")).agg(sum(col("sq")).as("b"))
+    dev.agg(rnd(avg(col("b")), 6).as("brier"), count(lit(1)).as("n"))
+  }
+
+  /** Cohen's kappa in EXACT integer form: κ = (po − pe)/(1 − pe)
+    * rewritten as (diag·n − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k) — every
+    * term a BIGINT (diagonal count, row/column marginal products), ONE
+    * closing float division. The float po/pe forms would hinge the
+    * result on two engines' double sums; this hinges it on nothing.
+    */
+  def cohenKappa(predictions: DataFrame, truth: DataFrame): DataFrame = {
+    val j = predictions.join(truth, predictions("q_id") === truth("vec_id"))
+      .select(col("label"), col("predicted"))
+    val tot = j.agg(count(lit(1)).as("n"),
+      sum(when(col("label") === col("predicted"), 1L).otherwise(0L)).as("diag"))
+    val rm = j.groupBy(col("label").as("k")).agg(count(lit(1)).as("rl"))
+    val cm = j.groupBy(col("predicted").as("k")).agg(count(lit(1)).as("cl"))
+    val pe = rm.join(cm, "k").agg(sum(col("rl") * col("cl")).as("rc"))
+    tot.crossJoin(broadcast(pe))
+      .select(rnd((col("diag") * col("n") - col("rc")) /
+        (col("n") * col("n") - col("rc")), 6).as("kappa"), col("n"))
+  }
+
+  /** Multi-class Matthews correlation (the R_k statistic):
+    * (c·s − Σ p_k t_k) / √((s² − Σp²)(s² − Σt²)) — numerator and the
+    * three marginal sums all BIGINT, the two denominator factors cast
+    * to double BEFORE multiplying (their product overflows int64 long
+    * before either factor does).
+    */
+  def mcc(predictions: DataFrame, truth: DataFrame): DataFrame = {
+    val j = predictions.join(truth, predictions("q_id") === truth("vec_id"))
+      .select(col("label"), col("predicted"))
+    val tot = j.agg(count(lit(1)).as("n"),
+      sum(when(col("label") === col("predicted"), 1L).otherwise(0L)).as("diag"))
+    val rm = j.groupBy(col("label").as("k")).agg(count(lit(1)).as("rl"))
+    val cm = j.groupBy(col("predicted").as("k")).agg(count(lit(1)).as("cl"))
+    val tt = rm.agg(sum(col("rl") * col("rl")).as("tt"))
+    val pp = cm.agg(sum(col("cl") * col("cl")).as("pp"))
+    val pt = rm.join(cm, "k").agg(sum(col("rl") * col("cl")).as("pt"))
+    tot.crossJoin(broadcast(tt)).crossJoin(broadcast(pp)).crossJoin(broadcast(pt))
+      .select(rnd((col("diag") * col("n") - col("pt")) /
+        sqrt((col("n") * col("n") - col("pp")).cast("double") *
+          (col("n") * col("n") - col("tt")).cast("double")), 6).as("mcc"), col("n"))
+  }
+
+  /** Reliability diagram: top-1 confidence (normalized, ROUNDED to 6dp
+    * BEFORE binning — the bin edge comparison then runs on identical
+    * doubles in both engines, where an unrounded confidence could
+    * straddle an edge by one ulp) bucketed into `bins`; per bin the
+    * count, mean confidence, and empirical accuracy.
+    */
+  def calibrationBins(scores: DataFrame, truth: DataFrame, bins: Int = 10): DataFrame = {
+    val tot = scores.groupBy(col("q_id")).agg(sum(col("u")).as("tu"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
+    val top = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(tot, "q_id")
+      .select(col("q_id"), col("class").as("predicted"), rnd(col("u") / col("tu"), 6).as("conf"))
+    top.join(truth, col("q_id") === col("vec_id"))
+      .select(col("conf"),
+        when(col("predicted") === col("label"), 1.0).otherwise(0.0).as("acc"),
+        least(floor(col("conf") * bins), lit(bins - 1)).cast("int").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), rnd(avg(col("conf")), 6).as("conf_avg"),
+        rnd(avg(col("acc")), 6).as("acc_avg"))
+  }
 }

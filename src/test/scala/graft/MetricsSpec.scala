@@ -76,4 +76,59 @@ class MetricsSpec extends SparkSpecBase {
     // class 2: absent everywhere → densified zeros
     assert(rep(2) === ((0L, 0L, 0L, 0.0, 0.0, 0.0)))
   }
+
+  test("cohenKappa matches the textbook po/pe form on a planted confusion matrix") {
+    import spark.implicits._
+    // 2×2: diag = 5 of n = 8; rows (5, 3), cols (4, 4)
+    val pred = Seq(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 0, 7L -> 1, 8L -> 1)
+      .toDF("q_id", "predicted")
+    val truth = Seq(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0, 6L -> 1, 7L -> 1, 8L -> 1)
+      .toDF("vec_id", "label")
+    val got = Metrics.cohenKappa(pred, truth).collect().head.getDouble(0)
+    val po = 5.0 / 8; val pe = (5.0 * 4 + 3.0 * 4) / 64
+    assert(math.abs(got - (po - pe) / (1 - pe)) < 1e-9)
+  }
+
+  test("mcc reduces to the binary Matthews formula on a 2×2 matrix") {
+    import spark.implicits._
+    // tp=3 tn=2 fp=2 fn=1 (positive = class 1)
+    val pred = Seq(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 1, 6L -> 1, 7L -> 0, 8L -> 0)
+      .toDF("q_id", "predicted")
+    val truth = Seq(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 0, 6L -> 0, 7L -> 0, 8L -> 0)
+      .toDF("vec_id", "label")
+    val got = Metrics.mcc(pred, truth).collect().head.getDouble(0)
+    val (tp, tn, fp, fn) = (3.0, 2.0, 2.0, 1.0)
+    val expect = (tp * tn - fp * fn) /
+      math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    // output is rnd(…, 6) — half-ulp-of-6dp tolerance
+    assert(math.abs(got - expect) < 1e-6)
+  }
+
+  test("logLoss and brier are proper: perfect probabilities score 0, uniform scores ln(C)/consistently") {
+    import spark.implicits._
+    // u rows for 2 queries over 2 classes: q1 certain-correct, q2 uniform
+    val scores = Seq((1L, 0, 1.0), (1L, 1, 0.0), (2L, 0, 0.5), (2L, 1, 0.5))
+      .toDF("q_id", "class", "u")
+    val truth = Seq(1L -> 0, 2L -> 0).toDF("vec_id", "label")
+    val ll = Metrics.logLoss(scores, truth).collect().head.getDouble(0)
+    // mean of (0, ln 2): clamp keeps the certain query at −ln(1)=0
+    assert(math.abs(ll - math.log(2.0) / 2) < 1e-6)
+    val br = Metrics.brier(scores, truth).collect().head.getDouble(0)
+    // q1 contributes 0; q2 contributes (0.5² + 0.5²) = 0.5
+    assert(math.abs(br - 0.25) < 1e-9)
+  }
+
+  test("calibrationBins: bin counts partition the eval set and confidence sits inside its bin") {
+    val t = Tables.embeddings(spark, sfDir).count() // touch fixture
+    assert(t > 0)
+    val q = SparkEntry.queries("metrics_calibration")(spark, sfDir).collect()
+    val n = q.map(_.getAs[Long]("n")).sum
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0).count()
+    assert(n === queries)
+    q.foreach { r =>
+      val bin = r.getAs[Int]("bin"); val conf = r.getAs[Double]("conf_avg")
+      assert(conf >= bin / 10.0 - 1e-6 && conf <= (bin + 1) / 10.0 + 1e-6)
+    }
+  }
 }
