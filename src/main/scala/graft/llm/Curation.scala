@@ -261,6 +261,28 @@ object Curation {
   def piiRedact(s: SparkSession, d: String): DataFrame =
     piiRedactProps(Tables.events(s, d))
 
+  /** pii_stats — the audit row next to `pii_redact`: per event type,
+    * how many email-shaped tokens and digit runs the redaction pass
+    * WOULD mask, and how many records carry any. This is the report a
+    * privacy review reads before approving a corpus release — same
+    * patterns as `piiRedactProps` (one definition of "PII-shaped"
+    * repo-wide), one map + one keyed aggregate, zero extra scans.
+    */
+  def piiStatsProps(events: DataFrame): DataFrame = {
+    val emailPat = "[A-Za-z0-9.%+-]+@[A-Za-z0-9.-]+"
+    val de = regexp_replace(col("props"), emailPat, "<EMAIL>")
+    events.select(col("event_type"),
+        regexp_count(col("props"), lit(emailPat)).as("em"),
+        regexp_count(de, lit("[0-9]+")).as("nm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("em").cast("long")).as("emails"),
+        sum(col("nm").cast("long")).as("digit_runs"),
+        sum(when(col("em") + col("nm") > 0, 1L).otherwise(0L)).as("affected"))
+  }
+
+  def piiStats(s: SparkSession, d: String): DataFrame =
+    piiStatsProps(Tables.events(s, d))
+
   /** corpus_line_dedup — C4/RefinedWeb-style repeated-line removal:
     * drop every "line" whose exact text occurs in ≥ `minDocs` distinct
     * documents (navigation chrome, licence boilerplate, cookie
@@ -493,6 +515,7 @@ object Curation {
     "doc_chunk" -> docChunk,
     "doc_chunk_tokens" -> docChunkTokens,
     "pii_redact" -> piiRedact,
+    "pii_stats" -> piiStats,
     "corpus_line_dedup" -> lineDedup,
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "corpus_overlap_matrix" -> overlapMatrix,
@@ -500,6 +523,17 @@ object Curation {
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
   val rawOracles: Map[String, String] = Map(
+    "pii_stats" ->
+      // same two patterns as pii_redact; counts all exact integers
+      ("WITH de AS (SELECT event_type, " +
+        "len(regexp_extract_all(props, '[A-Za-z0-9.%+-]+@[A-Za-z0-9.-]+'))::INT AS em, " +
+        "len(regexp_extract_all(regexp_replace(props, " +
+        "'[A-Za-z0-9.%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+'))::INT AS nm " +
+        "FROM events) " +
+        "SELECT event_type, count(*) AS n, sum(em)::BIGINT AS emails, " +
+        "sum(nm)::BIGINT AS digit_runs, " +
+        "sum(CASE WHEN em + nm > 0 THEN 1 ELSE 0 END)::BIGINT AS affected " +
+        "FROM de GROUP BY 1"),
     "corpus_dedup_report" ->
       // same md5 digests; the normalized key is text_normalize's exact
       // regex pipeline (the 'g' flag = Spark's replace-all)

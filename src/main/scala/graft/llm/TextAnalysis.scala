@@ -690,7 +690,31 @@ object TextAnalysis {
   def ksDrift(s: SparkSession, d: String): DataFrame =
     ksDriftDocs(Tables.documents(s, d))
 
+  /** text_readability — Flesch reading-ease per document from three
+    * regex counts (word runs, sentence-final punctuation runs, vowel
+    * groups as the classic syllable heuristic). Pure map, codegen'd
+    * regexp — the same shuffle-free shape as `pii_redact`, and both
+    * patterns are RE2-and-Java-regex compatible so the DuckDB twin
+    * applies the identical expressions. The synthetic corpus carries no
+    * sentence punctuation, so the `greatest(1, …)` floor (which any
+    * robust readability scorer needs for fragments anyway) keeps the
+    * words-per-sentence term defined. Counts are INTs; the score is one
+    * closing float expression over exact integer ratios.
+    */
+  def readabilityDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))").as("words"),
+        expr("greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))").as("sentences"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))").as("syllables"))
+      .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+        rnd(lit(206.835) - lit(1.015) * (col("words") / col("sentences")) -
+          lit(84.6) * (col("syllables") / greatest(lit(1), col("words"))), 4).as("flesch"))
+
+  def readability(s: SparkSession, d: String): DataFrame =
+    readabilityDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> readability,
     "quality_ks_drift" -> ksDrift,
     "corpus_apportion" -> apportion,
     "tokenizer_bpe" -> bpe,
@@ -765,6 +789,18 @@ object TextAnalysis {
       "FROM dw JOIN wt USING (word) WHERE length(word) > 0 GROUP BY 1"
 
   val rawOracles: Map[String, String] = Map(
+    "text_readability" ->
+      // identical regexes (RE2 ∩ Java dialect); len() cast to INT to
+      // match Spark's size(); the score is one shared float expression
+      ("WITH c AS (SELECT doc_id, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+'))::INT AS words, " +
+        "greatest(1, len(regexp_extract_all(text, '[.!?]+')))::INT AS sentences, " +
+        "len(regexp_extract_all(lower(text), '[aeiouy]+'))::INT AS syllables " +
+        "FROM documents) " +
+        "SELECT doc_id, words, sentences, syllables, " +
+        "rnd(206.835e0 - 1.015e0 * (words / sentences) - " +
+        "84.6e0 * (syllables / greatest(1, words)), 4) AS flesch FROM c"),
+
     "quality_ks_drift" ->
       // same integer cumulative counts; HUGEINT window sums cast back
       ("WITH a AS (SELECT n_chars AS x, count(*) AS c1x FROM documents " +

@@ -1595,6 +1595,24 @@ object Queries {
       .select(col("cntry"), col("numcust"), rnd(col("t_e2") / 1e2, 2).as("totacctbal"))
   }
 
+  // join_null_aware_anti — NOT IN against a NULLABLE subquery column:
+  // the one anti-join variant with different semantics from left_anti
+  // (one NULL in the subquery empties the whole result, and a
+  // non-matching probe row is NULL-compared, not false-compared).
+  // Catalyst must plan the null-aware anti join (single-column NAAJ →
+  // broadcast with null-key tracking) rather than a hash anti join —
+  // the nullif() below makes the column nullable WITHOUT producing a
+  // NULL at any SF (custkey −1 doesn't exist), so the declared row
+  // stays populated while exercising the NAAJ path; the planted-NULL
+  // empties-everything semantic is spec-pinned in TpchClosureSpec.
+  def joinNullAwareAnti(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT c_custkey AS custkey, c_name AS name
+         |FROM parquet.`$d/customer.parquet`
+         |WHERE c_custkey NOT IN
+         |  (SELECT nullif(o_custkey, -1) FROM parquet.`$d/orders.parquet`
+         |   WHERE o_orderstatus = 'F')""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_filter_prune" -> scanFilterPrune,
     "normalize_minmax" -> normalizeMinmax,
@@ -1679,6 +1697,7 @@ object Queries {
     "sql_q20" -> sqlQ20,
     "sql_q21" -> sqlQ21,
     "sql_q22" -> sqlQ22,
+    "join_null_aware_anti" -> joinNullAwareAnti,
     "data_skew_report" -> dataSkewReport,
   )
 
@@ -2335,6 +2354,13 @@ object Queries {
         "JOIN supplier ON sk = s_suppkey " +
         "JOIN nation ON s_nationkey = n_nationkey " +
         "WHERE ns >= 2 AND nl = 1 AND late = 1 GROUP BY 1"),
+
+    "join_null_aware_anti" ->
+      // DuckDB's NOT IN is natively null-aware — the same nullif keeps
+      // the column nullable without a NULL in the data
+      ("SELECT c_custkey AS custkey, c_name AS name FROM customer " +
+        "WHERE c_custkey NOT IN " +
+        "(SELECT nullif(o_custkey, -1) FROM orders WHERE o_orderstatus = 'F')"),
 
     "sql_q22" ->
       // integer avg comparison: a_e2·c > s_e2 ⟺ acctbal > avg, immune to

@@ -1573,6 +1573,84 @@ object TimeSeries {
   def hourlyProfile(s: SparkSession, d: String): DataFrame =
     eventsHourlyProfile(Tables.events(s, d))
 
+  // ---- ts_macd: MACD fast/slow/signal EWMA triplet ----------------------
+
+  /** One seeded EWMA fold over a keyed (bucket, value) frame — the
+    * `ewmaHourly` recursion with the value column and smoothing factor
+    * parameterized, so MACD's three folds share one definition.
+    * Factors come from decimal STRINGS (the `ewmaHourly` parity rule:
+    * `1 − 0.15` in binary doubles is one ulp off the `0.85` the oracle
+    * literal parses to).
+    */
+  private def ewmaFoldOf(keyed: DataFrame, alpha: String, out: String): DataFrame = {
+    val compl = (BigDecimal(1) - BigDecimal(alpha)).toString
+    keyed.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hs"), col("v")))).as("xs"))
+      .select(col("event_type"), explode(expr(
+        s"""aggregate(xs, cast(array() as array<struct<hs:bigint,e:double>>),
+           |  (acc, x) -> acc || array(struct(x.hs as hs,
+           |    if(size(acc) = 0, x.v,
+           |       ${alpha}D * x.v + ${compl}D * element_at(acc, -1).e) as e)))"""
+          .stripMargin)).as("s"))
+      .select(col("event_type"), col("s.hs").as("hs"), col("s.e").as(out))
+  }
+
+  /** ts_macd — the MACD trend indicator per event type over hourly
+    * means: fast EWMA − slow EWMA, plus a signal EWMA OF the macd
+    * series and the histogram (macd − signal). Smoothing factors are
+    * EXACT decimal literals (0.15/0.075/0.2) rather than the classic
+    * 2/(n+1) values — 2/13 is a non-terminating decimal whose
+    * two-engine parse parity is exactly the hazard the decimal-string
+    * discipline exists to avoid. Three folds + two (type, hour)
+    * equi-joins; per-key state is calendar-bounded like `ts_ewma`, and
+    * the linear `ewmaScan` container remains the multi-year path.
+    */
+  def macdHourly(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(avg(col("value")).as("v"))
+    val fast = ewmaFoldOf(b, "0.15", "ef")
+    val slow = ewmaFoldOf(b, "0.075", "es")
+    val macd = fast.join(slow, Seq("event_type", "hs"))
+      .select(col("event_type"), col("hs"), (col("ef") - col("es")).as("v"))
+    val signal = ewmaFoldOf(macd, "0.2", "sig")
+    macd.withColumnRenamed("v", "macd").join(signal, Seq("event_type", "hs"))
+      .select(col("event_type"), col("hs"), rnd(col("macd"), 6).as("macd"),
+        rnd(col("sig"), 6).as("signal"), rnd(col("macd") - col("sig"), 6).as("hist"))
+  }
+
+  def macd(s: SparkSession, d: String): DataFrame = macdHourly(Tables.events(s, d))
+
+  // ---- events_cohort_ltv: weekly cohort lifetime-value matrix -----------
+
+  /** events_cohort_ltv — the cohort LTV triangle: users bucketed by
+    * first-seen week, their spend accumulated per week-of-age. The
+    * canonical growth read-out ("is week-3 revenue per cohort
+    * improving"). Cohort assignment is ONE per-user min aggregate
+    * joined back (no window over the event stream); ages are exact
+    * integer week arithmetic on epoch seconds; value sums in exact e2
+    * integer units (events.value is 2-decimal, checked like the TPC-H
+    * money columns). Weeks ride as epoch-second BIGINTs — raw
+    * timestamp output columns are a cross-engine hazard (Tables.events
+    * gotcha), epoch seconds are not.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val wk = date_trunc("week", col("ts")).cast("long")
+    val base = events.select(col("user_id"), wk.as("wk"),
+      floor(col("value") * 100 + 0.5).cast("long").as("v_e2"))
+    val cohort = base.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    base.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        ((col("wk") - col("cw")) / 604800L).cast("long").as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n_events"),
+        sum(col("v_e2")).as("v_e2"))
+      .select(col("cohort_week"), col("age_weeks"), col("users"), col("n_events"),
+        rnd(col("v_e2") / 1e2, 2).as("ltv"))
+  }
+
+  def cohortLtvQuery(s: SparkSession, d: String): DataFrame =
+    cohortLtv(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_error_rate" -> errorRate,
     "events_stickiness" -> stickiness,
@@ -1617,6 +1695,8 @@ object TimeSeries {
     "events_hourly_profile" -> hourlyProfile,
     "ts_drawdown" -> drawdown,
     "ts_rsi" -> rsi,
+    "ts_macd" -> macd,
+    "events_cohort_ltv" -> cohortLtvQuery,
   )
 
   /** The decomposition CTE chain through `se(event_type, hs, v, vu, tu,
@@ -1776,6 +1856,44 @@ object TimeSeries {
         "SELECT hour_us, sg, sl, " +
         "rnd(CASE WHEN sg + sl > 0 THEN 100e0 * sg / (sg + sl)::DOUBLE END, 6) AS rsi " +
         "FROM r WHERE nd = 14"),
+
+    "ts_macd" ->
+      // three seeded recursive folds (the ts_ewma recursion thrice);
+      // signal folds the DERIVED macd series, joined back on rn. b and
+      // m MATERIALIZED — DuckDB inlines plain CTEs, so the recursion
+      // referencing m would re-evaluate the rf×rs join PER ITERATION
+      // (the graph_kcore 3^rounds pitfall; un-materialized this oracle
+      // ran past 7 minutes at sf0.01, materialized it runs in ~3 s)
+      ("WITH RECURSIVE b AS MATERIALIZED (SELECT event_type, " +
+        "epoch(date_trunc('hour', ts))::BIGINT AS hs, avg(value) AS v, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY date_trunc('hour', ts)) AS rn " +
+        "FROM events GROUP BY 1, 2, date_trunc('hour', ts)), " +
+        "rf AS (SELECT event_type, rn, hs, v AS e FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT b.event_type, b.rn, b.hs, 0.15e0 * b.v + 0.85e0 * rf.e " +
+        "FROM b JOIN rf ON b.event_type = rf.event_type AND b.rn = rf.rn + 1), " +
+        "rs AS (SELECT event_type, rn, hs, v AS e FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT b.event_type, b.rn, b.hs, 0.075e0 * b.v + 0.925e0 * rs.e " +
+        "FROM b JOIN rs ON b.event_type = rs.event_type AND b.rn = rs.rn + 1), " +
+        "m AS MATERIALIZED (SELECT f.event_type, f.rn, f.hs, f.e - s.e AS v " +
+        "FROM rf f JOIN rs s ON f.event_type = s.event_type AND f.rn = s.rn), " +
+        "rg AS (SELECT event_type, rn, hs, v AS e FROM m WHERE rn = 1 " +
+        "UNION ALL SELECT m.event_type, m.rn, m.hs, 0.2e0 * m.v + 0.8e0 * rg.e " +
+        "FROM m JOIN rg ON m.event_type = rg.event_type AND m.rn = rg.rn + 1) " +
+        "SELECT m.event_type, m.hs, rnd(m.v, 6) AS macd, rnd(rg.e, 6) AS signal, " +
+        "rnd(m.v - rg.e, 6) AS hist " +
+        "FROM m JOIN rg ON m.event_type = rg.event_type AND m.rn = rg.rn"),
+
+    "events_cohort_ltv" ->
+      // exact integer week arithmetic on epoch seconds (both engines
+      // truncate weeks to Monday); e2 money; HUGEINT sum cast back
+      ("WITH base AS (SELECT user_id, epoch(date_trunc('week', ts))::BIGINT AS wk, " +
+        "floor(value * 100 + 0.5e0)::BIGINT AS v_e2 FROM events), " +
+        "ch AS (SELECT user_id, min(wk) AS cw FROM base GROUP BY 1) " +
+        "SELECT cw AS cohort_week, ((wk - cw) // 604800)::BIGINT AS age_weeks, " +
+        "count(DISTINCT user_id) AS users, count(*) AS n_events, " +
+        "rnd(sum(v_e2)::BIGINT / 1e2, 2) AS ltv " +
+        "FROM base JOIN ch USING (user_id) GROUP BY 1, 2"),
 
     "events_power_users" ->
       // ntile over the user-cardinality frame with the (n DESC, user)

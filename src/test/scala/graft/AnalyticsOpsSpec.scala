@@ -13,6 +13,79 @@ import graft.llm.{AnnSearch, Curation, Streaming, TextAnalysis}
 class AnalyticsOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("join_null_aware_anti: a planted NULL in the subquery empties the result") {
+    // the declared row's nullif(o_custkey, -1) never fires; flip it to a
+    // custkey that EXISTS and NOT IN must return zero rows — the
+    // null-aware semantic a hash anti join would get wrong
+    val k = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+      .select("o_custkey").as[Long].head()
+    val empt = spark.sql(
+      s"""SELECT c_custkey FROM parquet.`$sfDir/customer.parquet`
+         |WHERE c_custkey NOT IN
+         |  (SELECT nullif(o_custkey, ${k}L) FROM parquet.`$sfDir/orders.parquet`
+         |   WHERE o_orderstatus = 'F')""".stripMargin)
+    assert(empt.count() === 0)
+    // and the declared row (no NULL produced) ≡ the plain anti join
+    val declared = SparkEntry.queries("join_null_aware_anti")(spark, sfDir)
+      .select("custkey").as[Long].collect().toSet
+    val plain = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").as[Long].collect().toSet
+    assert(declared === plain)
+  }
+
+  test("ts_macd: macd = fast − slow and the first point per type has signal = macd") {
+    val out = SparkEntry.queries("ts_macd")(spark, sfDir)
+      .select("event_type", "hs", "macd", "signal", "hist")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    // hist is macd − signal everywhere (6dp outputs, 1e-5 slack)
+    out.foreach { case (_, _, m, sg, h) => assert(math.abs(h - (m - sg)) < 1e-5) }
+    // seed: at each type's first hour the signal equals macd → hist 0
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val first = rows.minBy(_._2)
+      assert(math.abs(first._5) < 1e-5)
+    }
+  }
+
+  test("events_cohort_ltv re-aggregates to the full event count and age-0 cell exists per cohort") {
+    val out = SparkEntry.queries("events_cohort_ltv")(spark, sfDir)
+      .select("cohort_week", "age_weeks", "n_events")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._3).sum === Tables.events(spark, sfDir).count())
+    // every user's first event is in their cohort week → age 0 present
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.exists(_._2 == 0L))
+    }
+    assert(out.forall(_._2 >= 0L))
+  }
+
+  test("text_readability matches the hand-computed Flesch on a planted doc") {
+    val df = Seq((1L, "the cat sat. it ran!")).toDF("doc_id", "text")
+    val r = graft.llm.TextAnalysis.readabilityDocs(df).collect().head
+    assert(r.getAs[Int]("words") === 5)
+    assert(r.getAs[Int]("sentences") === 2)
+    assert(r.getAs[Int]("syllables") === 5)
+    val expect = 206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5)
+    assert(math.abs(r.getAs[Double]("flesch") - expect) < 1e-3)
+  }
+
+  test("pii_stats counts planted emails and digit runs without double-counting") {
+    val df = Seq(
+      (1L, "click", "contact a@b.com or c.d@e.org ref 12345"),
+      (2L, "click", "no pii here"),
+      (3L, "view", "id 7 code 99")).toDF("event_id", "event_type", "props")
+    val out = graft.llm.Curation.piiStatsProps(df)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("emails"), r.getAs[Long]("digit_runs"),
+          r.getAs[Long]("affected"))).toMap
+    // the email digits are masked before the digit-run count — only the
+    // standalone 12345 run remains
+    assert(out("click") === ((2L, 2L, 1L, 1L)))
+    assert(out("view") === ((1L, 0L, 2L, 1L)))
+  }
+
   test("sql_division ≡ brute-force set cover (every priority present per kept customer)") {
     val kept = SparkEntry.queries("sql_division")(spark, sfDir)
       .select("custkey").as[Long].collect().toSet
