@@ -133,8 +133,12 @@ object Metrics {
     * probability frame every proper-scoring metric below shares.
     */
   private def probs(scores: DataFrame): DataFrame = {
-    val tot = scores.groupBy(col("q_id")).agg(sum(col("u")).as("tu"))
-    scores.join(tot, "q_id").select(col("q_id"), col("class"), (col("u") / col("tu")).as("p"))
+    // the score pipeline feeds both the normalizer aggregate and the
+    // re-join — persisted so the FkNN classify chain runs once
+    // (caller releases via clearCache, the Verify/Bench convention)
+    val sc = scores.persist()
+    val tot = sc.groupBy(col("q_id")).agg(sum(col("u")).as("tu"))
+    sc.join(tot, "q_id").select(col("q_id"), col("class"), (col("u") / col("tu")).as("p"))
   }
 
   /** Multi-class log loss −mean(ln p_label) over normalized fuzzy
@@ -172,8 +176,12 @@ object Metrics {
     * result on two engines' double sums; this hinges it on nothing.
     */
   def cohenKappa(predictions: DataFrame, truth: DataFrame): DataFrame = {
+    // persisted: three downstream aggregates (totals + both marginals)
+    // would otherwise each recompute the full classify pipeline
+    // (PlanAudit showed 59 exchanges unpersisted); lifecycle is the
+    // caller's (Verify/Bench clearCache between queries)
     val j = predictions.join(truth, predictions("q_id") === truth("vec_id"))
-      .select(col("label"), col("predicted"))
+      .select(col("label"), col("predicted")).persist()
     val tot = j.agg(count(lit(1)).as("n"),
       sum(when(col("label") === col("predicted"), 1L).otherwise(0L)).as("diag"))
     val rm = j.groupBy(col("label").as("k")).agg(count(lit(1)).as("rl"))
@@ -191,8 +199,11 @@ object Metrics {
     * before either factor does).
     */
   def mcc(predictions: DataFrame, truth: DataFrame): DataFrame = {
+    // persisted: five downstream aggregates over j (PlanAudit showed
+    // 101 exchanges / 18 BNLJ shapes with the classify pipeline
+    // recomputed per marginal); caller releases via clearCache
     val j = predictions.join(truth, predictions("q_id") === truth("vec_id"))
-      .select(col("label"), col("predicted"))
+      .select(col("label"), col("predicted")).persist()
     val tot = j.agg(count(lit(1)).as("n"),
       sum(when(col("label") === col("predicted"), 1L).otherwise(0L)).as("diag"))
     val rm = j.groupBy(col("label").as("k")).agg(count(lit(1)).as("rl"))
@@ -213,9 +224,10 @@ object Metrics {
     * count, mean confidence, and empirical accuracy.
     */
   def calibrationBins(scores: DataFrame, truth: DataFrame, bins: Int = 10): DataFrame = {
-    val tot = scores.groupBy(col("q_id")).agg(sum(col("u")).as("tu"))
+    val sc = scores.persist() // normalizer + argmax window share one run
+    val tot = sc.groupBy(col("q_id")).agg(sum(col("u")).as("tu"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
-    val top = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val top = sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .join(tot, "q_id")
       .select(col("q_id"), col("class").as("predicted"), rnd(col("u") / col("tu"), 6).as("conf"))
     top.join(truth, col("q_id") === col("vec_id"))

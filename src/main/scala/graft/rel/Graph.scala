@@ -772,7 +772,53 @@ object Graph {
     labels.select(col("node"), col("lbl").as("label"))
   }
 
+  /** graph_bipartite_proj — one-mode projection of the bipartite
+    * customer–supplier graph: supplier pairs weighted by shared
+    * customers (the "also supplied by" co-occurrence network, the
+    * standard first step before community detection on bipartite
+    * data). Same quadratic-per-group shape as `coOrderEdges`, so the
+    * same discipline: membership deduped FIRST (one (cust, supp) row
+    * however many lineitems), heavy-customer guard raises before the
+    * pair expansion can go quadratic, pairs canonical (s1 < s2), and
+    * the weight is the pair count from the equi-join on the customer
+    * key — never an all-pairs supplier join.
+    *
+    * Output cardinality is DATA-density-bound: this uniform generator
+    * connects every supplier pair (the projection is complete at every
+    * SF), where a real sparse bipartite graph projects sparsely.
+    * `minShared` is the production pruning lever (keep pairs with ≥ k
+    * shared neighbors — the noise floor cut every projection paper
+    * applies); the declared row keeps 1 so the oracle sees the full
+    * projection.
+    */
+  def bipartiteProjFrom(membership: DataFrame, maxPerGroup: Int = 1000,
+      minShared: Long = 1L): DataFrame = {
+    val m = membership.select(col("ok"), col("pk")).distinct()
+      .withColumn("nm",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("ok")))
+      .select(col("ok"),
+        when(col("nm") > maxPerGroup,
+          raise_error(concat(
+            lit("bipartiteProj: group "), col("ok").cast("string"),
+            lit(" holds "), col("nm").cast("string"),
+            lit(s" members > maxPerGroup=$maxPerGroup — the pair expansion is " +
+              "quadratic per group; sample or reduce heavy groups first"))))
+          .otherwise(col("pk")).as("pk"))
+    m.select(col("ok"), col("pk").as("s1"))
+      .join(m.select(col("ok"), col("pk").as("s2")), "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  def bipartiteProjQuery(s: SparkSession, d: String): DataFrame =
+    bipartiteProjFrom(Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ok"), col("l_suppkey").as("pk")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bipartite_proj" -> bipartiteProjQuery,
     "graph_label_prop" -> labelPropQuery,
     "graph_degree_dist" -> degreeDistQuery,
     "graph_pagerank" -> pageRankQuery,
@@ -813,6 +859,13 @@ object Graph {
   }
 
   val rawOracles: Map[String, String] = Map(
+    "graph_bipartite_proj" ->
+      // same dedup-first + canonical-pair + customer-key equi-join
+      ("WITH m AS (SELECT DISTINCT o_custkey AS ok, l_suppkey AS pk " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey) " +
+        "SELECT a.pk AS s1, b.pk AS s2, count(*) AS shared " +
+        "FROM m a JOIN m b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2"),
+
     "graph_label_prop" ->
       (s"WITH $LpaCtes SELECT node, lbl AS label FROM l2"),
 

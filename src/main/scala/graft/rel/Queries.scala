@@ -1613,7 +1613,33 @@ object Queries {
          |  (SELECT nullif(o_custkey, -1) FROM parquet.`$d/orders.parquet`
          |   WHERE o_orderstatus = 'F')""".stripMargin)
 
+  // agg_weighted_median — revenue-weighted median quantity per return
+  // flag: the order statistic where half the MONEY sits below, not half
+  // the rows (the "what quantity does the median dollar buy" read-out).
+  // Lower weighted median by the discrete rule 2·cumw ≥ totw over the
+  // (quantity, orderkey, linenumber) total order — weights in exact e2
+  // BIGINTs, cumulative sums integer, the selection is a pure integer
+  // comparison + one min(struct) argmin (no float anywhere).
+  def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val we2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("q"), we2.as("we2"))
+      .withColumn("cumw", sum(col("we2")).over(w))
+      .withColumn("totw", sum(col("we2")).over(g))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("q")).as("wmedian_qty"), max(col("totw")).as("tot_we2"))
+      .select(col("l_returnflag"), col("wmedian_qty"),
+        rnd(col("tot_we2") / 1e2, 2).as("total_weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_median" -> aggWeightedMedian,
     "scan_filter_prune" -> scanFilterPrune,
     "normalize_minmax" -> normalizeMinmax,
     "scalar_math" -> scalarMath,
@@ -2354,6 +2380,20 @@ object Queries {
         "JOIN supplier ON sk = s_suppkey " +
         "JOIN nation ON s_nationkey = n_nationkey " +
         "WHERE ns >= 2 AND nl = 1 AND late = 1 GROUP BY 1"),
+
+    "agg_weighted_median" ->
+      // integer cumulative weights; the same (q, orderkey, linenumber)
+      // total order; lower-median rule 2*cumw >= totw
+      ("WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber, " +
+        "l_quantity::BIGINT AS q, floor(l_extendedprice * 100 + 0.5e0)::BIGINT AS we2 " +
+        "FROM lineitem), " +
+        "c AS (SELECT *, sum(we2) OVER (PARTITION BY l_returnflag " +
+        "ORDER BY q, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumw, " +
+        "sum(we2) OVER (PARTITION BY l_returnflag)::BIGINT AS totw FROM b) " +
+        "SELECT l_returnflag, min(q) AS wmedian_qty, " +
+        "rnd(max(totw) / 1e2, 2) AS total_weight " +
+        "FROM c WHERE cumw * 2 >= totw GROUP BY 1"),
 
     "join_null_aware_anti" ->
       // DuckDB's NOT IN is natively null-aware — the same nullif keeps

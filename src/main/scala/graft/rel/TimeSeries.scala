@@ -1651,7 +1651,40 @@ object TimeSeries {
   def cohortLtvQuery(s: SparkSession, d: String): DataFrame =
     cohortLtv(Tables.events(s, d))
 
+  /** ts_winsorize — per-type p5/p95 winsorization of event values: the
+    * robust-statistics preprocessing that caps (not drops) tail
+    * outliers before any mean-based aggregate. Fences are DISCRETE
+    * rank selections over the (value_e2, event_id) total order (the
+    * `ts_mad` rule — no interpolation, so both engines pick the
+    * identical element), found with two rank comparisons against
+    * ceil-free integer arithmetic: rank r is the p-th percentile iff
+    * 20·r ≥ n and 20·(r−1) < n (p5; mirrored for p95). Values clip in
+    * exact e2 integers; one window for ranks + one ≤2-row-per-type
+    * broadcast join back.
+    */
+  def winsorize(events: DataFrame): DataFrame = {
+    val ve2 = floor(col("value") * 100 + 0.5).cast("long")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ve2"), col("event_id"))
+    val g = Window.partitionBy(col("event_type"))
+    val ranked = events.select(col("event_id"), col("event_type"), ve2.as("ve2"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(g))
+    val fences = ranked
+      .groupBy(col("event_type"))
+      .agg(min(when(col("r") * 20 >= col("n"), col("ve2"))).as("lo_e2"),
+        max(when((col("r") - 1) * 20 < col("n") * 19, col("ve2"))).as("hi_e2"))
+    ranked.join(broadcast(fences), "event_type")
+      .select(col("event_id"), col("event_type"),
+        rnd(col("ve2") / 1e2, 2).as("value"),
+        rnd(greatest(col("lo_e2"), least(col("hi_e2"), col("ve2"))) / 1e2, 2)
+          .as("clipped"))
+  }
+
+  def winsorizeQuery(s: SparkSession, d: String): DataFrame =
+    winsorize(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_winsorize" -> winsorizeQuery,
     "events_error_rate" -> errorRate,
     "events_stickiness" -> stickiness,
     "events_time_to_convert" -> timeToConvertQuery,
@@ -1856,6 +1889,19 @@ object TimeSeries {
         "SELECT hour_us, sg, sl, " +
         "rnd(CASE WHEN sg + sl > 0 THEN 100e0 * sg / (sg + sl)::DOUBLE END, 6) AS rsi " +
         "FROM r WHERE nd = 14"),
+
+    "ts_winsorize" ->
+      // identical discrete-rank fences and integer clip
+      ("WITH b AS (SELECT event_id, event_type, " +
+        "floor(value * 100 + 0.5e0)::BIGINT AS ve2 FROM events), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY ve2, event_id) AS r, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM b), " +
+        "f AS (SELECT event_type, min(CASE WHEN r * 20 >= n THEN ve2 END) AS lo, " +
+        "max(CASE WHEN (r - 1) * 20 < n * 19 THEN ve2 END) AS hi FROM r GROUP BY 1) " +
+        "SELECT event_id, r.event_type, rnd(ve2 / 1e2, 2) AS value, " +
+        "rnd(greatest(lo, least(hi, ve2)) / 1e2, 2) AS clipped " +
+        "FROM r JOIN f ON r.event_type = f.event_type"),
 
     "ts_macd" ->
       // three seeded recursive folds (the ts_ewma recursion thrice);

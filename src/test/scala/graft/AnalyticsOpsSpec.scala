@@ -13,6 +13,57 @@ import graft.llm.{AnnSearch, Curation, Streaming, TextAnalysis}
 class AnalyticsOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("agg_weighted_median: half the weight sits at or below the reported median") {
+    val got = SparkEntry.queries("agg_weighted_median")(spark, sfDir)
+      .select("l_returnflag", "wmedian_qty").as[(String, Long)].collect().toMap
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as[String], col("l_quantity").as[Double],
+        col("l_extendedprice").as[Double]).collect()
+    rows.groupBy(_._1).foreach { case (rf, rs) =>
+      val m = got(rf)
+      val tot = rs.map(r => math.floor(r._3 * 100 + 0.5).toLong).sum
+      val below = rs.filter(_._2.toLong <= m).map(r => math.floor(r._3 * 100 + 0.5).toLong).sum
+      val strictlyBelow = rs.filter(_._2.toLong < m).map(r => math.floor(r._3 * 100 + 0.5).toLong).sum
+      assert(below * 2 >= tot, s"$rf: weight ≤ median must reach half")
+      assert(strictlyBelow * 2 < tot, s"$rf: median must be the FIRST value reaching half")
+    }
+  }
+
+  test("ts_winsorize: clipped values sit inside the per-type p5/p95 fences, ~10% of rows clip") {
+    val out = SparkEntry.queries("ts_winsorize")(spark, sfDir)
+      .select("event_type", "value", "clipped").as[(String, Double, Double)].collect()
+    assert(out.length === Tables.events(spark, sfDir).count())
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      val clippedShare = rs.count(r => r._2 != r._3).toDouble / rs.length
+      // p5/p95 winsorization touches at most ~10% of rows (ties can shrink it)
+      assert(clippedShare <= 0.11, s"clipped $clippedShare")
+      val lo = rs.map(_._3).min; val hi = rs.map(_._3).max
+      rs.foreach { r => assert(r._3 >= lo && r._3 <= hi && (r._2 == r._3 || r._3 == lo || r._3 == hi)) }
+    }
+  }
+
+  test("graph_bipartite_proj: weights match brute-force shared-customer counts; heavy guard fires") {
+    val got = SparkEntry.queries("graph_bipartite_proj")(spark, sfDir)
+      .select("s1", "s2", "shared").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val m = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as[Long], col("l_suppkey").as[Long]).collect().toSet
+    val bySupp = m.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._1).toSet }
+    val supps = bySupp.keys.toSeq.sorted
+    val expect = (for {
+      i <- supps; j <- supps if i < j
+      c = (bySupp(i) & bySupp(j)).size if c > 0
+    } yield (i, j) -> c.toLong).toMap
+    assert(got === expect)
+    // planted heavy group trips the guard before the pair expansion
+    val heavy = spark.range(1100).select(lit(1L).as("ok"), col("id").as("pk"))
+    val e = intercept[Exception] {
+      graft.rel.Graph.bipartiteProjFrom(heavy, maxPerGroup = 1000).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("join_null_aware_anti: a planted NULL in the subquery empties the result") {
     // the declared row's nullif(o_custkey, -1) never fires; flip it to a
     // custkey that EXISTS and NOT IN must return zero rows — the
