@@ -1616,21 +1616,30 @@ object Queries {
   // agg_weighted_median — revenue-weighted median quantity per return
   // flag: the order statistic where half the MONEY sits below, not half
   // the rows (the "what quantity does the median dollar buy" read-out).
-  // Lower weighted median by the discrete rule 2·cumw ≥ totw over the
-  // (quantity, orderkey, linenumber) total order — weights in exact e2
-  // BIGINTs, cumulative sums integer, the selection is a pure integer
-  // comparison + one min(struct) argmin (no float anywhere).
+  // Lower weighted median by the discrete rule 2·cumw ≥ totw — weights
+  // in exact e2 BIGINTs, the selection a pure integer comparison.
+  //
+  // SCALE SHAPE: the row-level window form would partition on
+  // l_returnflag — an O(1)-cardinality key, so the whole fact table
+  // serializes through ≤3 window partitions (the seq_pack hazard class
+  // from round 7). Instead the weights AGGREGATE per (flag, quantity)
+  // first — one map-side-combining keyed sum — and the cumulative
+  // window runs over that frame, whose size is bounded by the VALUE
+  // DOMAIN (≤ flags·50 rows at any corpus size), not the row count.
+  // The oracle keeps the row-level window (identical result: the
+  // cumulative weight at the last row of each quantity run is the same
+  // either way, and the median rule only reads run boundaries).
   def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
     val we2 = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+    val byQ = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"), we2.as("we2"))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(sum(col("we2")).as("w"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val g = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("long").as("q"), we2.as("we2"))
-      .withColumn("cumw", sum(col("we2")).over(w))
-      .withColumn("totw", sum(col("we2")).over(g))
+    byQ.withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("totw", sum(col("w")).over(g))
       .filter(col("cumw") * 2 >= col("totw"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("q")).as("wmedian_qty"), max(col("totw")).as("tot_we2"))

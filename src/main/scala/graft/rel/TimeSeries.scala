@@ -1662,18 +1662,30 @@ object TimeSeries {
     * exact e2 integers; one window for ranks + one ≤2-row-per-type
     * broadcast join back.
     */
+  // SCALE SHAPE: a per-row rank window would partition on event_type —
+  // an O(1)-cardinality key serializing the whole stream through a
+  // handful of window partitions (the seq_pack hazard class). The
+  // fences only need the VALUE HISTOGRAM: one map-side-combining
+  // (type, value) count, a cumulative window over that
+  // value-domain-bounded frame, then fences as min-value-where-
+  // cum·20 ≥ {n, 19n} (≡ the rank rule: the row at rank ⌈p·n⌉ carries
+  // the smallest value whose cumulative count reaches p·n). The clip
+  // itself is a map + ≤|types|-row broadcast join. Oracle keeps the
+  // row-rank window form — identical fences by the equivalence above.
   def winsorize(events: DataFrame): DataFrame = {
     val ve2 = floor(col("value") * 100 + 0.5).cast("long")
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ve2"), col("event_id"))
+    val base = events.select(col("event_id"), col("event_type"), ve2.as("ve2"))
+    val hist = base.groupBy(col("event_type"), col("ve2")).agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("ve2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val g = Window.partitionBy(col("event_type"))
-    val ranked = events.select(col("event_id"), col("event_type"), ve2.as("ve2"))
-      .withColumn("r", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(g))
-    val fences = ranked
+    val fences = hist
+      .withColumn("cumc", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(g))
       .groupBy(col("event_type"))
-      .agg(min(when(col("r") * 20 >= col("n"), col("ve2"))).as("lo_e2"),
-        max(when((col("r") - 1) * 20 < col("n") * 19, col("ve2"))).as("hi_e2"))
-    ranked.join(broadcast(fences), "event_type")
+      .agg(min(when(col("cumc") * 20 >= col("n"), col("ve2"))).as("lo_e2"),
+        min(when(col("cumc") * 20 >= col("n") * 19, col("ve2"))).as("hi_e2"))
+    base.join(broadcast(fences), "event_type")
       .select(col("event_id"), col("event_type"),
         rnd(col("ve2") / 1e2, 2).as("value"),
         rnd(greatest(col("lo_e2"), least(col("hi_e2"), col("ve2"))) / 1e2, 2)
