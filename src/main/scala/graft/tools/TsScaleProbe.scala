@@ -149,6 +149,44 @@ object TsScaleProbe {
       BloomPrune.prune(events, events("user_id"), bloom).hint("merge")
         .join(small, events("user_id") === small("k")).count()
     }
+
+    // winsorize: the row-rank window form partitions on event_type —
+    // 5 window partitions at ANY corpus size, each sorting nEvents/5
+    // rows on one task. The shipped histogram form's cumulative window
+    // reads the (type, value) count frame instead — its size is the
+    // VALUE DOMAIN (≤ 5 × 10⁴ e2-cents here), corpus-size-independent.
+    // Wall on a local in-memory shuffle understates the gap (the
+    // packing-probe lesson); the structural number is the window-input
+    // row count printed below.
+    def winsorizeRowWindow(ev: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val ve2 = floor(col("value") * 100 + 0.5).cast("long")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ve2"), col("event_id"))
+      val g = Window.partitionBy(col("event_type"))
+      val ranked = ev.select(col("event_id"), col("event_type"), ve2.as("ve2"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(g))
+      val fences = ranked.groupBy(col("event_type"))
+        .agg(min(when(col("r") * 20 >= col("n"), col("ve2"))).as("lo_e2"),
+          min(when(col("r") * 20 >= col("n") * 19, col("ve2"))).as("hi_e2"))
+      ranked.join(broadcast(fences), "event_type")
+        .select(col("event_id"), col("event_type"),
+          graft.rel.Queries.rnd(col("ve2") / 1e2, 2).as("value"),
+          graft.rel.Queries.rnd(
+            greatest(col("lo_e2"), least(col("hi_e2"), col("ve2"))) / 1e2, 2)
+            .as("clipped"))
+    }
+    leg("winsorize_row_window")(winsorizeRowWindow(events).count())
+    leg("winsorize_histogram")(TimeSeries.winsorize(events).count())
+    val histRows = events
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("ve2"))
+      .distinct().count()
+    println(s"[scale] winsorize window-input rows: row_window=$nEvents " +
+      s"histogram=$histRows (value-domain-bounded)")
+    val diff = winsorizeRowWindow(events)
+      .except(TimeSeries.winsorize(events)).count()
+    assert(diff == 0, s"winsorize forms diverge on $diff rows")
+    println("[scale] winsorize row-window ≡ histogram: asserted")
     spark.stop()
   }
 }
