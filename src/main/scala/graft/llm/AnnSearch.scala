@@ -706,6 +706,24 @@ object AnnSearch {
         rnd(min(col("x")), 6).as("mn"),
         rnd(max(col("x")), 6).as("mx"))
 
+  /** embedding_norm_hist — distribution of vector L2 norms in 0.1-wide
+    * buckets: the third index-health read-out next to
+    * `embedding_cell_balance` (occupancy) and `embedding_dim_stats`
+    * (per-coordinate) — a bimodal or drifting norm histogram is the
+    * first sign a corpus mixes unnormalized embedding versions, which
+    * silently breaks dot-product ≈ cosine assumptions in IVF/PQ. Norm
+    * via the left-fold `aggregate` HOF (≡ DuckDB list_sum — the fused
+    * element-order parity contract), ROUNDED 6dp before the bucket
+    * floor (the calibration-bins rule: bin edges compare identical
+    * doubles). One map + one ≤O(norm-range) keyed aggregate.
+    */
+  def embeddingNormHist(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(rnd(sqrt(expr("aggregate(v, 0d, (a, x) -> a + x * x)")), 6).as("nrm"))
+      .select(floor(col("nrm") * 10).cast("long").as("bucket"), col("nrm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), rnd(avg(col("nrm")), 6).as("avg_norm"))
+
   /** embedding_pca — one deterministic power-iteration step toward the
     * corpus's top principal direction (the dimensionality-reduction /
     * whitening primitive under SemDeDup-style pipelines and PQ rotation):
@@ -1026,6 +1044,7 @@ object AnnSearch {
     "embedding_drift" -> embeddingDrift,
     "embedding_pca" -> embeddingPca,
     "embedding_dim_stats" -> embeddingDimStats,
+    "embedding_norm_hist" -> embeddingNormHist,
     "ann_hamming" -> hammingTopK,
     "embedding_outliers" -> embeddingOutliers,
     "embedding_knn_graph" -> ((s, d) => knnGraph(s, d)),
@@ -1317,6 +1336,14 @@ object AnnSearch {
         "SELECT pos, count(*) AS n, rnd(avg(x), 6) AS mean, " +
         "rnd(avg(x * x) - avg(x) * avg(x), 6) AS variance, " +
         "rnd(min(x), 6) AS mn, rnd(max(x), 6) AS mx FROM long GROUP BY 1"),
+
+    "embedding_norm_hist" ->
+      // list_sum ≡ the left-fold (element-order parity contract);
+      // norm rounded 6dp BEFORE the bucket floor
+      ("WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings), " +
+        "nr AS (SELECT rnd(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS nrm FROM e) " +
+        "SELECT floor(nrm * 10)::BIGINT AS bucket, count(*) AS n, " +
+        "rnd(avg(nrm), 6) AS avg_norm FROM nr GROUP BY 1"),
 
     "embedding_pca" ->
       // same seeded power step: score = list-sum/√d (the left-fold

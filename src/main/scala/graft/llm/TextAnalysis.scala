@@ -121,6 +121,23 @@ object TextAnalysis {
       .select(col("doc_id"), h1.as("bucket"), length(col("text")).as("n_chars"))
   }
 
+  // sample_importance — quality-proportional deterministic sampling:
+  // keep each doc with probability p = min(1, n_chars/2000) — longer
+  // documents are likelier training keeps (the importance-sampling
+  // shape every quality-weighted mixture uses) — decided by comparing
+  // an md5-derived uniform (first TWO hex digits → 0..255) against
+  // floor(p·256). Deterministic across engines, runs, and
+  // partitionings like sample_hash; p is the identical double
+  // expression on both sides so the floor threshold cannot differ.
+  def sampleImportance(s: SparkSession, d: String): DataFrame = {
+    val p = least(lit(1.0), col("n_chars") / lit(2000.0))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), p.as("p"), u.as("u"))
+      .filter(col("u") < floor(col("p") * 256))
+      .select(col("doc_id"), col("n_chars"), rnd(col("p"), 6).as("p"))
+  }
+
   // sample_stratified — per-stratum deterministic rate sampling: the
   // class-rebalancing sampler every training pipeline runs (downsample
   // dominant strata, keep more of rare ones). Stratum = embedding label;
@@ -726,6 +743,7 @@ object TextAnalysis {
     "lang_id" -> langId,
     "text_normalize" -> normalize,
     "sample_hash" -> sampleHash,
+    "sample_importance" -> sampleImportance,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
     "corpus_mix_temperature" -> corpusMixTemperature,
@@ -929,6 +947,16 @@ object TextAnalysis {
       ("SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 1) AS bucket, " +
         "length(text)::INT AS n_chars FROM documents " +
         "WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2', '3')"),
+
+    "sample_importance" ->
+      // same two-hex-digit uniform via the instr digit trick; identical
+      // double p so the floor threshold matches bit-for-bit
+      ("WITH b AS (SELECT doc_id, n_chars, " +
+        "least(1e0, n_chars / 2000e0) AS p, " +
+        "(instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) AS u " +
+        "FROM documents) " +
+        "SELECT doc_id, n_chars, rnd(p, 6) AS p FROM b WHERE u < floor(p * 256)"),
 
     "sample_stratified" ->
       ("SELECT vec_id, label, bucket FROM (" +

@@ -13,6 +13,29 @@ import graft.llm.{AnnSearch, Curation, Streaming, TextAnalysis}
 class AnalyticsOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("sample_importance ≡ brute-force md5-threshold decisions") {
+    val kept = SparkEntry.queries("sample_importance")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as[Long], col("n_chars").as[Long]).collect()
+    val expect = docs.filter { case (id, nc) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val u = java.lang.Integer.parseInt(f"${h(0) & 0xff}%02x", 16)
+      val p = math.min(1.0, nc / 2000.0)
+      u < math.floor(p * 256)
+    }.map(_._1).toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty)
+  }
+
+  test("embedding_norm_hist buckets partition the corpus") {
+    val out = SparkEntry.queries("embedding_norm_hist")(spark, sfDir)
+      .select("bucket", "n").as[(Long, Long)].collect()
+    assert(out.map(_._2).sum === Tables.embeddings(spark, sfDir).count())
+    assert(out.forall(_._1 >= 0))
+  }
+
   test("agg_weighted_median: half the weight sits at or below the reported median") {
     val got = SparkEntry.queries("agg_weighted_median")(spark, sfDir)
       .select("l_returnflag", "wmedian_qty").as[(String, Long)].collect().toMap
