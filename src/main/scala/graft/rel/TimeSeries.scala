@@ -1695,7 +1695,45 @@ object TimeSeries {
   def winsorizeQuery(s: SparkSession, d: String): DataFrame =
     winsorize(Tables.events(s, d))
 
+  /** ts_theil_sen — Theil-Sen robust trend estimate per event type:
+    * the median of all pairwise slopes over the hourly-mean series, the
+    * trend statistic a single outlier hour cannot move (OLS can be
+    * dragged arbitrarily; the breakdown point here is 29%). Pairs are
+    * O(T²) in the BUCKET count — calendar-bounded like every fold in
+    * this family, never corpus-row-bounded (2 M events in a month is
+    * still 720 buckets = 259 k pairs/type). Slopes are
+    * (Δe6-int / Δhour-int) — identical double divisions of exact
+    * integers in both engines, so the (slope, hs1, hs2) total order
+    * and the discrete lower-median rank selection (2·r ≥ n, the
+    * `ts_mad` rule) cannot diverge cross-engine.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .select(col("event_type"), col("hs"),
+        floor(col("v") * 1e6 + 0.5).cast("long").as("vu"))
+    val a = b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1"))
+    val c = b.select(col("event_type"), col("hs").as("h2"), col("vu").as("v2"))
+    val pairs = a.join(c, Seq("event_type")).filter(col("h1") < col("h2"))
+      .select(col("event_type"), col("h1"), col("h2"),
+        ((col("v2") - col("v1")) / ((col("h2") - col("h1")) / lit(3600L))).as("slope"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope"), col("h1"), col("h2"))
+    val g = Window.partitionBy(col("event_type"))
+    pairs.withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(g))
+      .filter(col("r") * 2 >= col("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("slope")).as("med"), max(col("n")).as("n_pairs"))
+      .select(col("event_type"), col("n_pairs"),
+        rnd(col("med") / 1e6, 6).as("slope_per_hour"))
+  }
+
+  def theilSenQuery(s: SparkSession, d: String): DataFrame =
+    theilSen(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_theil_sen" -> theilSenQuery,
     "ts_winsorize" -> winsorizeQuery,
     "events_error_rate" -> errorRate,
     "events_stickiness" -> stickiness,
@@ -1901,6 +1939,21 @@ object TimeSeries {
         "SELECT hour_us, sg, sl, " +
         "rnd(CASE WHEN sg + sl > 0 THEN 100e0 * sg / (sg + sl)::DOUBLE END, 6) AS rsi " +
         "FROM r WHERE nd = 14"),
+
+    "ts_theil_sen" ->
+      // identical integer-ratio slopes and discrete lower-median rank
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "floor(rnd(avg(value), 6) * 1e6 + 0.5e0)::BIGINT AS vu " +
+        "FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT a.event_type, a.hs AS h1, c.hs AS h2, " +
+        "(c.vu - a.vu) / ((c.hs - a.hs) / 3600) AS slope " +
+        "FROM b a JOIN b c ON a.event_type = c.event_type AND a.hs < c.hs), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY slope, h1, h2) AS r, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM p) " +
+        "SELECT event_type, max(n)::BIGINT AS n_pairs, " +
+        "rnd(min(slope) / 1e6, 6) AS slope_per_hour " +
+        "FROM r WHERE r * 2 >= n GROUP BY 1"),
 
     "ts_winsorize" ->
       // identical discrete-rank fences and integer clip

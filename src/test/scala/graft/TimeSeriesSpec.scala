@@ -477,4 +477,20 @@ class TimeSeriesSpec extends SparkSpecBase {
       .collect().toSeq
     assert(top1 === Seq(("A", "B", "C", 2L)))
   }
+
+  test("ts_theil_sen: a linear series recovers its slope, one planted outlier cannot move it") {
+    // v = 2.0·hour + 1, hourly buckets; slope per hour must be exactly 2
+    def mk(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 3600L)),
+        1L, "t", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val lin = mk((0 until 24).map(h => 2.0 * h + 1))
+    val got = TimeSeries.theilSen(lin).select("slope_per_hour").as[Double].head()
+    assert(math.abs(got - 2.0) < 1e-6)
+    // one wild outlier hour: the median pairwise slope is unmoved
+    val dirty = mk((0 until 24).map(h => if (h == 12) 1e6 else 2.0 * h + 1))
+    val rob = TimeSeries.theilSen(dirty).select("slope_per_hour").as[Double].head()
+    assert(math.abs(rob - 2.0) < 0.1, s"robust slope was $rob")
+  }
 }
