@@ -1732,7 +1732,37 @@ object TimeSeries {
   def theilSenQuery(s: SparkSession, d: String): DataFrame =
     theilSen(Tables.events(s, d))
 
+  /** events_forecast_naive — seasonal-naive backtest per event type:
+    * forecast(h) = value(h − 24h), scored by MAE over every hour with
+    * a day-earlier observation. The canonical forecasting BASELINE —
+    * any model that can't beat seasonal-naive is noise, so this row is
+    * the yardstick every forecast evaluation starts from. Shape: one
+    * hourly aggregate + one self EQUI-join on the lagged hour key (no
+    * window, no sequential scan — the lag is an exact epoch-second
+    * offset); errors are exact e6-integer |Δ|, summed as BIGINTs with
+    * ONE closing division.
+    */
+  def forecastNaive(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .select(col("event_type"), col("hs"),
+        floor(col("v") * 1e6 + 0.5).cast("long").as("vu"))
+    val prev = b.select(col("event_type"), (col("hs") + 86400L).as("hs"),
+      col("vu").as("vu_prev"))
+    b.join(prev, Seq("event_type", "hs"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("vu") - col("vu_prev"))).as("ae"))
+      .select(col("event_type"), col("n"),
+        rnd(col("ae") / col("n") / 1e6, 6).as("mae"))
+  }
+
+  def forecastNaiveQuery(s: SparkSession, d: String): DataFrame =
+    forecastNaive(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_forecast_naive" -> forecastNaiveQuery,
     "ts_theil_sen" -> theilSenQuery,
     "ts_winsorize" -> winsorizeQuery,
     "events_error_rate" -> errorRate,
@@ -1939,6 +1969,17 @@ object TimeSeries {
         "SELECT hour_us, sg, sl, " +
         "rnd(CASE WHEN sg + sl > 0 THEN 100e0 * sg / (sg + sl)::DOUBLE END, 6) AS rsi " +
         "FROM r WHERE nd = 14"),
+
+    "events_forecast_naive" ->
+      // same e6 hourly means; lag as an exact epoch offset equi-join;
+      // HUGEINT error sum cast back, one closing division
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "floor(rnd(avg(value), 6) * 1e6 + 0.5e0)::BIGINT AS vu " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT a.event_type, count(*) AS n, " +
+        "rnd(sum(abs(a.vu - p.vu))::BIGINT / count(*) / 1e6, 6) AS mae " +
+        "FROM b a JOIN b p ON a.event_type = p.event_type AND a.hs = p.hs + 86400 " +
+        "GROUP BY 1"),
 
     "ts_theil_sen" ->
       // identical integer-ratio slopes and discrete lower-median rank

@@ -493,4 +493,16 @@ class TimeSeriesSpec extends SparkSpecBase {
     val rob = TimeSeries.theilSen(dirty).select("slope_per_hour").as[Double].head()
     assert(math.abs(rob - 2.0) < 0.1, s"robust slope was $rob")
   }
+
+  test("events_forecast_naive: a perfectly 24h-periodic series backtests at MAE 0") {
+    val rows = (0 until 48).map { h =>
+      (h.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L)),
+        1L, "t", (h % 24).toDouble)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TimeSeries.forecastNaive(rows)
+      .select("n", "mae").as[(Long, Double)].head()
+    assert(out._1 === 24L) // second day scored against the first
+    assert(out._2 === 0.0)
+  }
 }
