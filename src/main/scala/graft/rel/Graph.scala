@@ -564,15 +564,30 @@ object Graph {
   def bfsHops(edgesIn: DataFrame, sources: DataFrame, maxHops: Int = BfsMaxHops): DataFrame = {
     val edges = edgesIn.truncated()
     var dist = sources.select(col("node"), lit(0L).as("dist")).truncated()
-    for (_ <- 1 to maxHops) {
-      val nxt = edges.join(dist.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      val prev = dist
-      dist = dist.unionAll(nxt)
-        .groupBy("node").agg(min("dist").as("dist"))
+    // FRONTIER expansion, not full-state re-relaxation: in unweighted
+    // BFS a node's distance settles the round it first appears, so only
+    // LAST round's new nodes can discover anything — joining edges
+    // against the whole settled set re-expands every settled node's
+    // neighborhood every round (round r cost grew with the CUMULATIVE
+    // reach; graph_harmonic paid 8.5-11.7 s at sf0.1 on exactly this
+    // before the same rewrite). newly = frontier-neighbors ∖ settled,
+    // one anti-join; distances need no min-reagg because each node
+    // enters exactly once.
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val newly = edges.join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("dist"))
         .truncated()
-      Ckpt.release(prev)
+      val prevDist = dist
+      val prevFrontier = frontier
+      dist = dist.unionAll(newly).truncated()
+      if (prevFrontier ne prevDist) Ckpt.release(prevFrontier)
+      Ckpt.release(prevDist)
+      frontier = newly
     }
+    if (frontier ne dist) Ckpt.release(frontier)
     dist
   }
 
@@ -600,15 +615,27 @@ object Graph {
     val edges = edgesIn.truncated()
     var dist = seeds.select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
       .truncated()
-    for (_ <- 1 to BfsMaxHops) {
-      val nxt = edges.join(dist.withColumnRenamed("node", "src"), "src")
-        .select(col("seed"), col("dst").as("node"), (col("dist") + 1).as("dist"))
-      val prev = dist
-      dist = dist.unionAll(nxt)
-        .groupBy("seed", "node").agg(min("dist").as("dist"))
+    // frontier expansion on the (seed, node) composite key — the bfsHops
+    // rewrite's rationale doubled: with seeds riding in the key, the
+    // full-state join's round-r cost was |seeds|·|cumulative reach|
+    // (8.5-11.7 s at sf0.1); the frontier form only expands last
+    // round's discoveries.
+    var frontier = dist
+    for (h <- 1 to BfsMaxHops) {
+      val newly = edges
+        .join(frontier.select(col("seed"), col("node").as("src")), "src")
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(dist, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
         .truncated()
-      Ckpt.release(prev)
+      val prevDist = dist
+      val prevFrontier = frontier
+      dist = dist.unionAll(newly).truncated()
+      if (prevFrontier ne prevDist) Ckpt.release(prevFrontier)
+      Ckpt.release(prevDist)
+      frontier = newly
     }
+    if (frontier ne dist) Ckpt.release(frontier)
     dist.filter(col("dist") > 0)
       .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"),
