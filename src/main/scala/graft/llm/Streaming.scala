@@ -63,6 +63,38 @@ object Streaming {
   def tumblingStream(events: DataFrame): DataFrame =
     tumblingTransform(events.withWatermark("ts", "10 minutes"))
 
+  /** stream_unique_users — hourly unique visitors: the metric every
+    * dashboard leads with, and the canonical exactly-once streaming
+    * aggregation shape (dropDuplicates on the (window, user) key + a
+    * plain count, NOT count(distinct …) — streaming doesn't support
+    * distinct aggregates, so the dedup-then-count rewrite IS the
+    * streaming-correct form, and it's also the better batch plan: the
+    * dedup is a map-side-combining aggregate keyed on (hour, user),
+    * where countDistinct holds per-group sets). Batch and stream run
+    * the same transform; the streaming twin adds the watermark and is
+    * exercised in StreamingSpec.
+    */
+  def uniqueUsersTransform(events: DataFrame): DataFrame =
+    events
+      .select(date_trunc("hour", col("ts")).cast("long").as("ws"), col("user_id"))
+      .dropDuplicates("ws", "user_id")
+      .groupBy(col("ws"))
+      .agg(count(lit(1)).as("unique_users"))
+
+  def uniqueUsers(s: SparkSession, d: String): DataFrame =
+    uniqueUsersTransform(Tables.events(s, d))
+
+  /** Streaming twin: watermark bounds the dedup state; late (> 1 h)
+    * duplicates would re-count — the documented at-scale trade. */
+  def uniqueUsersStream(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), date_trunc("hour", col("ts")).cast("long").as("ws"), col("user_id"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("ws", "user_id")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("unique_users"))
+      .select(col("window.start").cast("long").as("ws"), col("unique_users"))
+
   /** File-source streaming ingest: a DIRECTORY of events parquet files as
     * a stream (readStream → transform → writeStream; file sources watch
     * directories). Same nanos→µs handling as the batch loader; schema
@@ -483,6 +515,7 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> tumbling,
+    "stream_unique_users" -> uniqueUsers,
     "stream_sliding" -> sliding,
     "stream_sessionize" -> sessionize,
     "stream_dedup" -> dedupFirst,
@@ -493,6 +526,10 @@ object Streaming {
   )
 
   val rawOracles: Map[String, String] = Map(
+    "stream_unique_users" ->
+      ("SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, " +
+        "count(DISTINCT user_id) AS unique_users FROM events GROUP BY 1"),
+
     "stream_enrich" ->
       ("SELECT c_mktsegment AS segment, event_type, count(*) AS n, " +
         "rnd(sum(value), 6) AS sv FROM events " +

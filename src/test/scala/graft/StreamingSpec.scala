@@ -426,4 +426,26 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
     assert(got == Map(1L -> 3, 2L -> 2, 4L -> 1))
   }
+
+  test("unique-users stream (append + watermark) ≡ batch transform on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.uniqueUsersStream(mem.toDF())
+      .writeStream.format("memory").queryName("uu").outputMode("append").start()
+    try {
+      // duplicate user 1 inside hour 10 must count once; the 13:00 row
+      // advances the watermark past hours 10/11 so they emit
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("uu")
+      .select("ws", "unique_users").as[(Long, Long)].collect().toMap
+    val batch = Streaming.uniqueUsersTransform(evs.toDF())
+      .select("ws", "unique_users").as[(Long, Long)].collect().toMap
+    // emitted (closed) windows must agree with the batch answer
+    streamed.foreach { case (ws, n) => assert(batch(ws) === n, s"window $ws") }
+    val h10 = ts("2024-01-01 10:00:00").getTime / 1000
+    assert(streamed(h10) === 2L, "dup user within the hour counted once")
+  }
 }
