@@ -1154,12 +1154,26 @@ object Queries {
     * rank semantics are global (`events_rfm` note); everything else is
     * one aggregate.
     */
+  // SCALE SHAPE (the weighted-median/winsorize rewrite applied to the
+  // remaining global-rank row): the row-level form ranks EVERY order
+  // through one partition-less window. The rank-weighted sum only needs
+  // per-VALUE counts — within a tied-value group the ranks are
+  // consecutive integers whatever the tie order, so their sum is the
+  // closed form c·(2C − c + 1)/2 (C = inclusive cumulative count), an
+  // exact integer (c or 2C−c+1 is even). The cumulative window runs
+  // over the DISTINCT-price frame — bounded by the price domain, not
+  // the order count. Oracle keeps the row-rank window; the hash match
+  // at three SFs is the identity's proof.
   def aggGini(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
-      .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("p"))
-    val w = Window.orderBy(col("p"), col("o_orderkey"))
-    o.withColumn("i", row_number().over(w).cast("long"))
-      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("i") * col("p")).as("sip"))
+    val h = Tables.orders(s, d)
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("p")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cc", sum(col("c")).over(w))
+      .agg(sum(col("c")).as("n"), sum(col("p") * col("c")).as("sp"),
+        // integer `div`, not `/`: the rank-sum product approaches n² and
+        // a double division would lose exactness past 2^53
+        sum(col("p") * expr("(c * (2 * cc - c + 1)) div 2")).as("sip"))
       .select(col("n"),
         rnd(lit(2.0) * col("sip").cast("double") /
           (col("n").cast("double") * col("sp").cast("double")) -
