@@ -107,7 +107,13 @@ object Curation {
       .select(col(key), col(ord), col(size), spark_partition_id().as("pid"))
     val inPart = Window.partitionBy(col("pid"), col(key)).orderBy(col(ord))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // materialized before the offsets/join fan-out — the two subtrees
+    // otherwise re-evaluate the range exchange independently, and the
+    // boundary sample is only deterministic off stable input order
+    // (the Rank.globalRank lesson: re-evaluated upstream shuffles
+    // fetch in varying order)
     val local = ranged.withColumn("cum_in", sum(col(size)).over(inPart))
+      .truncated()
     val offsets = local.groupBy(col(key), col("pid"))
       .agg(max(col("cum_in")).as("tot"))
       .withColumn("base",

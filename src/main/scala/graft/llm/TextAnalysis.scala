@@ -236,7 +236,9 @@ object TextAnalysis {
       .repartitionByRange(parts, col("n").desc, col("tok"))
       .select(col("tok"), col("n"), spark_partition_id().as("pid"))
     val inPart = Window.partitionBy(col("pid")).orderBy(col("n").desc, col("tok"))
+    // materialized before the offsets/join fan-out (Rank.globalRank lesson)
     val local = ranged.withColumn("r_in", row_number().over(inPart))
+      .truncated()
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .withColumn("base", coalesce(sum(col("cnt")).over(
         Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -1,0 +1,72 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact GLOBAL ranks without a single-partition window.
+  *
+  * `Window.orderBy(...)` with no partition key moves the whole frame
+  * through ONE task — acceptable when the frame is domain- or
+  * calendar-bounded (distinct prices, hourly buckets, eval slices),
+  * fatal when it scales with the corpus (per-USER frames under
+  * `events_rfm` / `events_power_users`). This is the general container
+  * for that case, the `corpusZipfScalable` shape promoted to a shared
+  * seam: range-repartition on the sort key (each task sorts only its
+  * range slice), per-partition `row_number`, then per-partition counts
+  * prefix-summed over a partitions-count-sized frame and broadcast back
+  * as base offsets. Ranks are IDENTICAL to the global window whenever
+  * the sort key is a total order (every caller here ends its key in a
+  * unique id) — partition boundaries shift which pid a row lands in,
+  * never its rank.
+  */
+object Rank {
+
+  /** Append `grank` (1-based global row_number by `sort`) to `df`.
+    * `sort` must be a total order for cross-run determinism.
+    */
+  def globalRank(df: DataFrame, sort: Seq[Column], parts: Int = 0): DataFrame = {
+    import graft.core.Ckpt.TruncateSyntax
+    val n =
+      if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, sort: _*)
+      .withColumn("pid", spark_partition_id())
+    val inPart = Window.partitionBy(col("pid")).orderBy(sort: _*)
+    // MATERIALIZED once (Ckpt seam) before fanning out to the offsets
+    // aggregate AND the join back: the two subtrees otherwise
+    // re-evaluate the range exchange independently, and
+    // RangePartitioner's boundary SAMPLE depends on the input rows'
+    // within-partition order — deterministic off a parquet scan, but
+    // NOT across re-evaluations of upstream shuffles (reduce-side fetch
+    // order varies run to run). Found live: three chained globalRanks
+    // in events_rfm produced pid assignments that disagreed between the
+    // offsets and join evaluations at 4 threads — unique-but-wrong
+    // ranks, 63 misplaced quartile scores at sf0.1.
+    val local = ranged.withColumn("r_in", row_number().over(inPart).cast("long"))
+      .truncated()
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("base"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("grank", col("base") + col("r_in"))
+      .drop("pid", "r_in", "base")
+  }
+
+  /** Standard SQL ntile from a 1-based global rank: n rows cut into k
+    * tiles, the first (n mod k) tiles one row larger — the exact
+    * bucketing Spark's and DuckDB's `ntile` both implement, in closed
+    * form so it composes with `globalRank` instead of a window. All
+    * integer `div`/`%` arithmetic (rank·k products stay far below 2^63
+    * for any real corpus because k is small).
+    */
+  def ntileOf(rank: Column, nTotal: Column, k: Int): Column = {
+    val q = nTotal.divide(k).cast("long") // n div k: exact (k small, n < 2^53)
+    val m = nTotal % k
+    val threshold = m * (q + 1)
+    when(q === 0, rank) // n < k: rank i goes to tile i
+      .when(rank <= threshold, (rank + q).divide(q + 1).cast("long"))
+      .otherwise(m + (rank - threshold + q - 1).divide(q).cast("long"))
+  }
+}

@@ -1152,16 +1152,24 @@ object TimeSeries {
     val base = per.crossJoin(corpusMax)
       .withColumn("recency_days",
         expr("(corpus_max_us - last_us) div 86400000000"))
-    val rW = Window.orderBy(col("recency_days"), col("user_id"))
-    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
-    val mW = Window.orderBy(col("monetary_e6").desc, col("user_id"))
-    base
-      .withColumn("r_score", (lit(5) - ntile(4).over(rW)).cast("int"))
-      .withColumn("f_score", (lit(5) - ntile(4).over(fW)).cast("int"))
-      .withColumn("m_score", (lit(5) - ntile(4).over(mW)).cast("int"))
-      .select(col("user_id"), col("recency_days"), col("frequency"),
-        rnd(col("monetary_e6") / 1e6, 6).as("monetary"),
-        col("r_score"), col("f_score"), col("m_score"))
+    // three quartile cuts over the corpus-scaled user frame — each a
+    // distributed global rank + closed-form ntile (the
+    // events_power_users rewrite ×3; one range exchange per dimension,
+    // no single-partition sort). Identical scores: same total orders,
+    // same standard ntile bucketing (oracle unchanged).
+    val tot = broadcast(base.select(col("user_id")).agg(count(lit(1)).as("n_total")))
+    def score(df: DataFrame, sort: Seq[org.apache.spark.sql.Column], name: String): DataFrame =
+      Rank.globalRank(df, sort).crossJoin(tot)
+        .withColumn(name,
+          (lit(5) - Rank.ntileOf(col("grank"), col("n_total"), 4)).cast("int"))
+        .drop("grank", "n_total")
+    val scored = score(score(score(base,
+      Seq(col("recency_days"), col("user_id")), "r_score"),
+      Seq(col("frequency").desc, col("user_id")), "f_score"),
+      Seq(col("monetary_e6").desc, col("user_id")), "m_score")
+    scored.select(col("user_id"), col("recency_days"), col("frequency"),
+      rnd(col("monetary_e6") / 1e6, 6).as("monetary"),
+      col("r_score"), col("f_score"), col("m_score"))
   }
 
   def rfm(s: SparkSession, d: String): DataFrame =
@@ -1501,8 +1509,16 @@ object TimeSeries {
     */
   def eventsPowerUsers(events: DataFrame): DataFrame = {
     val per = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("user_id"))
-    per.withColumn("decile", ntile(10).over(w))
+    // decile = closed-form ntile over a DISTRIBUTED global rank
+    // (Rank.globalRank — range-repartitioned row_number + broadcast
+    // offsets): the user frame scales with the corpus, so the previous
+    // single-partition ntile window was this family's one remaining
+    // corpus-scaled global sort. Same (n DESC, user_id) total order,
+    // identical tiles (oracle unchanged, hash-green at 3 SFs).
+    val tot = broadcast(per.agg(count(lit(1)).as("n_total")))
+    Rank.globalRank(per, Seq(col("n").desc, col("user_id")))
+      .crossJoin(tot)
+      .withColumn("decile", Rank.ntileOf(col("grank"), col("n_total"), 10).cast("int"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("n")).as("events"))
       .withColumn("share",
