@@ -660,7 +660,46 @@ object Dedup {
     "similarity_ngram" -> ngramJaccard,
     "similarity_containment" -> containmentPairs,
     "doc_fingerprint" -> fingerprint,
+    "dedup_winnowing" -> winnowingQuery,
   )
+
+  /** dedup_winnowing — Schleimer-Wilkerson-Aiken winnowing (the MOSS
+    * fingerprinting algorithm): hash every token k-gram, slide a
+    * w-wide window over the hash sequence, keep each window's MINIMUM
+    * hash — the selected fingerprints are position-robust (an
+    * insertion shifts positions but local minima re-select), and every
+    * match of length ≥ w+k−1 tokens is GUARANTEED to share a
+    * fingerprint (the winnowing theorem). Ties break to the LEFTMOST
+    * minimal hash (min over the window — canonical MOSS takes
+    * rightmost; either is a valid winnowing, ours is the one a plain
+    * min() expresses in both engines). Hashes are md5 HEX STRINGS
+    * compared lexicographically — identical total order cross-engine,
+    * no integer parse. Candidate pairs come from the fingerprint
+    * equi-join (the `decontaminate` shape — never all-pairs); the
+    * per-doc window partitions on doc_id and holds one doc's grams
+    * (document-length-bounded, the `ts_mad` class).
+    */
+  def winnowingPairs(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= k + w - 1)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(a) - ${k - 1}), i -> " +
+          s"struct(i as i, md5(array_join(slice(a, i, $k), ' ')) as h))")).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(-(w - 1), 0)
+    val fp = g.withColumn("mh", min(col("h")).over(win))
+      .filter(col("i") >= w)
+      .select(col("doc_id"), col("mh")).distinct()
+    fp.join(fp.select(col("doc_id").as("doc_id2"), col("mh")), "mh")
+      .filter(col("doc_id") < col("doc_id2"))
+      .groupBy(col("doc_id").as("doc_id1"), col("doc_id2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  def winnowingQuery(s: SparkSession, d: String): DataFrame =
+    winnowingPairs(Tables.documents(s, d).filter(col("doc_id") < 300))
 
   private def toksCteFor(bound: Int): String =
     "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok " +
@@ -748,6 +787,20 @@ object Dedup {
       "FROM tot t LEFT JOIN dd USING (doc_id)"
 
   val rawOracles: Map[String, String] = Map(
+    "dedup_winnowing" ->
+      // same md5-hex lexicographic minima over the same gram positions;
+      // i >= w keeps only FULL windows in both engines
+      ("WITH g AS (SELECT doc_id, i::INT AS i, " +
+        "md5(array_to_string(a[i::INT:i::INT + 2], ' ')) AS h " +
+        "FROM (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents " +
+        "WHERE doc_id < 300) WHERE len(a) >= 6)), " +
+        "mw AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh FROM g), " +
+        "fp AS (SELECT DISTINCT doc_id, mh FROM mw WHERE i >= 4) " +
+        "SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_shared " +
+        "FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id GROUP BY 1, 2"),
+
     "similarity_minhash_est" ->
       // the shared minhash/candidate chain + per-seed agreement join +
       // the one jaccard verify, all on the same CTE fragments

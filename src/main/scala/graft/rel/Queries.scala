@@ -1661,7 +1661,34 @@ object Queries {
         rnd(col("tot_we2") / 1e2, 2).as("total_weight"))
   }
 
+  // agg_trimmed_mean — 10%-trimmed mean of order values: the robust
+  // location estimate (drop the cheapest and priciest deciles, average
+  // the middle 80%). Same scale shape as agg_gini: per-VALUE counts +
+  // one cumulative window over the price-domain-bounded distinct frame.
+  // A value v with count c occupies ranks (C−c, C]; its contribution to
+  // the trimmed sum is the overlap of that rank run with (t, n−t]
+  // (t = n div 10) — pure integer interval arithmetic, one closing
+  // division.
+  def aggTrimmedMean(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.orders(s, d)
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("p")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = broadcast(h.agg(sum(col("c")).as("n")))
+    h.withColumn("cc", sum(col("c")).over(w))
+      .crossJoin(tot)
+      .withColumn("t", expr("n div 10"))
+      .withColumn("cnt_in",
+        greatest(lit(0L), least(col("cc"), col("n") - col("t")) -
+          greatest(col("cc") - col("c"), col("t"))))
+      .agg(max(col("n")).as("n"), max(col("t")).as("trimmed_each_side"),
+        sum(col("p") * col("cnt_in")).as("s_in"), sum(col("cnt_in")).as("n_in"))
+      .select(col("n"), col("trimmed_each_side"),
+        rnd(col("s_in") / col("n_in") / 1e2, 6).as("trimmed_mean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_trimmed_mean" -> aggTrimmedMean,
     "agg_weighted_median" -> aggWeightedMedian,
     "scan_filter_prune" -> scanFilterPrune,
     "normalize_minmax" -> normalizeMinmax,
@@ -2403,6 +2430,20 @@ object Queries {
         "JOIN supplier ON sk = s_suppkey " +
         "JOIN nation ON s_nationkey = n_nationkey " +
         "WHERE ns >= 2 AND nl = 1 AND late = 1 GROUP BY 1"),
+
+    "agg_trimmed_mean" ->
+      // identical rank-interval overlap arithmetic over the same
+      // distinct-price cumulative frame; HUGEINT sums cast back
+      ("WITH h AS (SELECT floor(o_totalprice * 100 + 0.5e0)::BIGINT AS p, " +
+        "count(*) AS c FROM orders GROUP BY 1), " +
+        "cum AS (SELECT p, c, sum(c) OVER (ORDER BY p " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cc FROM h), " +
+        "tot AS (SELECT sum(c)::BIGINT AS n, (sum(c)::BIGINT // 10) AS t FROM h), " +
+        "ov AS (SELECT p, greatest(0, least(cc, n - t) - greatest(cc - c, t)) AS cnt_in " +
+        "FROM cum CROSS JOIN tot) " +
+        "SELECT max(n)::BIGINT AS n, max(t)::BIGINT AS trimmed_each_side, " +
+        "rnd(sum(p * cnt_in)::BIGINT / sum(cnt_in)::BIGINT / 1e2, 6) AS trimmed_mean " +
+        "FROM ov CROSS JOIN tot"),
 
     "agg_weighted_median" ->
       // integer cumulative weights; the same (q, orderkey, linenumber)

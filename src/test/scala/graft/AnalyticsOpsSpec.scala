@@ -13,6 +13,33 @@ import graft.llm.{AnnSearch, Curation, Streaming, TextAnalysis}
 class AnalyticsOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("agg_trimmed_mean equals the brute-force sorted-slice mean") {
+    val got = SparkEntry.queries("agg_trimmed_mean")(spark, sfDir)
+      .select("trimmed_mean").as[Double].head()
+    val ps = Tables.orders(spark, sfDir)
+      .select(col("o_totalprice").as[Double]).collect()
+      .map(v => math.floor(v * 100 + 0.5).toLong).sorted
+    val t = ps.length / 10
+    val mid = ps.slice(t, ps.length - t)
+    val expect = mid.sum.toDouble / mid.length / 100.0
+    assert(math.abs(got - expect) < 1e-4)
+  }
+
+  test("dedup_winnowing guarantee: two docs sharing a long run share a fingerprint") {
+    // w + k - 1 = 6 tokens guaranteed; plant an 8-token shared run in
+    // otherwise-disjoint docs
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven"),
+      (3L, "completely different words nothing in common here at all")
+    ).toDF("doc_id", "text")
+    val pairs = graft.llm.Dedup.winnowingPairs(df)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "shared 8-token run must collide")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "disjoint doc must not")
+  }
+
   test("sample_importance ≡ brute-force md5-threshold decisions") {
     val kept = SparkEntry.queries("sample_importance")(spark, sfDir)
       .select("doc_id").as[Long].collect().toSet
