@@ -234,19 +234,27 @@ object SparkEntry {
     // #20d metrics_logloss (EXT): proper-scoring-rule eval of the fuzzy
     // probabilities — the metric a training-data pipeline alerts on when
     // a classifier drifts but accuracy hasn't moved yet.
+    // The metrics_* lambdas release their stage-1 persist after the
+    // metric returns — safe because the scalar metrics are now EAGER
+    // (Metrics.materialized truncates the ≤ bins-row result before
+    // returning; round-9, ADVICE r8), so nothing lazy still reads mem.
     "metrics_logloss" -> { (s, d) =>
       val t = embTrain(s, d)
       val mem = Fknn.membershipInit(t, K, NClasses).persist()
-      Metrics.logLoss(Fknn.classifyScores(mem, t, embQueries(s, d), K),
+      val out = Metrics.logLoss(Fknn.classifyScores(mem, t, embQueries(s, d), K),
         emb(s, d).select("vec_id", "label"))
+      mem.unpersist(blocking = false)
+      out
     },
 
     // #20e metrics_brier (EXT): squared-error proper score, same frame.
     "metrics_brier" -> { (s, d) =>
       val t = embTrain(s, d)
       val mem = Fknn.membershipInit(t, K, NClasses).persist()
-      Metrics.brier(Fknn.classifyScores(mem, t, embQueries(s, d), K),
+      val out = Metrics.brier(Fknn.classifyScores(mem, t, embQueries(s, d), K),
         emb(s, d).select("vec_id", "label"))
+      mem.unpersist(blocking = false)
+      out
     },
 
     // #20f metrics_kappa (EXT): chance-corrected agreement in exact
@@ -269,8 +277,10 @@ object SparkEntry {
     "metrics_calibration" -> { (s, d) =>
       val t = embTrain(s, d)
       val mem = Fknn.membershipInit(t, K, NClasses).persist()
-      Metrics.calibrationBins(Fknn.classifyScores(mem, t, embQueries(s, d), K),
+      val out = Metrics.calibrationBins(Fknn.classifyScores(mem, t, embQueries(s, d), K),
         emb(s, d).select("vec_id", "label"))
+      mem.unpersist(blocking = false)
+      out
     },
   )
 

@@ -128,17 +128,30 @@ object Metrics {
       rnd(when(p + r === 0, 0.0).otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
   }
 
-  /** Per-query probability normalizer over the fuzzy score table:
-    * p(class) = u / Σ_c u. One keyed sum per query + a re-join — the
-    * probability frame every proper-scoring metric below shares.
+  /** Per-query probability normalizer over an ALREADY-persisted score
+    * frame: p(class) = u / Σ_c u. One keyed sum per query + a re-join —
+    * the probability frame every proper-scoring metric below shares.
+    * Persist/release is the caller's (the `materialized` discipline).
     */
-  private def probs(scores: DataFrame): DataFrame = {
-    // the score pipeline feeds both the normalizer aggregate and the
-    // re-join — persisted so the FkNN classify chain runs once
-    // (caller releases via clearCache, the Verify/Bench convention)
-    val sc = scores.persist()
+  private def probsOf(sc: DataFrame): DataFrame = {
     val tot = sc.groupBy(col("q_id")).agg(sum(col("u")).as("tu"))
     sc.join(tot, "q_id").select(col("q_id"), col("class"), (col("u") / col("tu")).as("p"))
+  }
+
+  /** Persist-consume-release for the scalar metrics below (round-9,
+    * ADVICE r8): the input pipeline is persisted so its N downstream
+    * aggregates run it once, the (≤ bins rows) result is EAGERLY
+    * materialized via `Ckpt.truncate`, and the intermediate is
+    * unpersisted before returning — a library caller composing several
+    * metrics in one session no longer accumulates leaked cached plans,
+    * and no clearCache convention is required of them. The returned
+    * frame is the materialized result (checkpoint-backed, lazy-free).
+    */
+  private def materialized(shared: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    val cached = shared.persist()
+    val out = Ckpt.truncate(build(cached))
+    cached.unpersist(blocking = false)
+    out
   }
 
   /** Multi-class log loss −mean(ln p_label) over normalized fuzzy
@@ -147,27 +160,41 @@ object Metrics {
     * up to the final mean is per-row arithmetic on identically-built
     * doubles; rnd(…, 6) absorbs the engines' float-sum association
     * difference on the closing average.
+    *
+    * PRECONDITION (ADVICE r8): `scores` must contain a row for every
+    * query's true class — the truth join is inner, so a (q_id, label)
+    * pair absent from the score table silently drops that query from
+    * the mean instead of clamp-penalizing it as sklearn does. The wired
+    * FkNN pipeline densifies all classes (membershipFromNn's class
+    * cross join), so this holds by construction there; direct library
+    * callers with sparse score tables must densify first (join the
+    * class range with u = 0) or accept dropped-query semantics.
     */
   def logLoss(scores: DataFrame, truth: DataFrame): DataFrame =
-    probs(scores)
-      .join(truth, col("q_id") === col("vec_id") && col("class") === col("label"))
-      .agg(rnd(-avg(log(greatest(col("p"), lit(1e-15)))), 6).as("logloss"),
-        count(lit(1)).as("n"))
+    materialized(scores) { sc =>
+      probsOf(sc)
+        .join(truth, col("q_id") === col("vec_id") && col("class") === col("label"))
+        .agg(rnd(-avg(log(greatest(col("p"), lit(1e-15)))), 6).as("logloss"),
+          count(lit(1)).as("n"))
+    }
 
   /** Multi-class Brier score: mean over queries of Σ_c (p_c − y_c)².
     * The inner sum runs over the C classes of ONE query (bounded, keyed
     * by q_id); squared via x·x — not pow() — so both engines evaluate
-    * the identical expression tree.
+    * the identical expression tree. Same densified-scores PRECONDITION
+    * as `logLoss`: a class row absent from `scores` loses its
+    * (0 − 1)² / (0 − 0)² term rather than being penalized.
     */
-  def brier(scores: DataFrame, truth: DataFrame): DataFrame = {
-    val dev = probs(scores)
-      .join(truth, col("q_id") === col("vec_id"))
-      .select(col("q_id"),
-        ((col("p") - when(col("class") === col("label"), 1.0).otherwise(0.0)) *
-          (col("p") - when(col("class") === col("label"), 1.0).otherwise(0.0))).as("sq"))
-      .groupBy(col("q_id")).agg(sum(col("sq")).as("b"))
-    dev.agg(rnd(avg(col("b")), 6).as("brier"), count(lit(1)).as("n"))
-  }
+  def brier(scores: DataFrame, truth: DataFrame): DataFrame =
+    materialized(scores) { sc =>
+      probsOf(sc)
+        .join(truth, col("q_id") === col("vec_id"))
+        .select(col("q_id"),
+          ((col("p") - when(col("class") === col("label"), 1.0).otherwise(0.0)) *
+            (col("p") - when(col("class") === col("label"), 1.0).otherwise(0.0))).as("sq"))
+        .groupBy(col("q_id")).agg(sum(col("sq")).as("b"))
+        .agg(rnd(avg(col("b")), 6).as("brier"), count(lit(1)).as("n"))
+    }
 
   /** Cohen's kappa in EXACT integer form: κ = (po − pe)/(1 − pe)
     * rewritten as (diag·n − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k) — every
@@ -175,22 +202,22 @@ object Metrics {
     * closing float division. The float po/pe forms would hinge the
     * result on two engines' double sums; this hinges it on nothing.
     */
-  def cohenKappa(predictions: DataFrame, truth: DataFrame): DataFrame = {
-    // persisted: three downstream aggregates (totals + both marginals)
-    // would otherwise each recompute the full classify pipeline
-    // (PlanAudit showed 59 exchanges unpersisted); lifecycle is the
-    // caller's (Verify/Bench clearCache between queries)
-    val j = predictions.join(truth, predictions("q_id") === truth("vec_id"))
-      .select(col("label"), col("predicted")).persist()
-    val tot = j.agg(count(lit(1)).as("n"),
-      sum(when(col("label") === col("predicted"), 1L).otherwise(0L)).as("diag"))
-    val rm = j.groupBy(col("label").as("k")).agg(count(lit(1)).as("rl"))
-    val cm = j.groupBy(col("predicted").as("k")).agg(count(lit(1)).as("cl"))
-    val pe = rm.join(cm, "k").agg(sum(col("rl") * col("cl")).as("rc"))
-    tot.crossJoin(broadcast(pe))
-      .select(rnd((col("diag") * col("n") - col("rc")) /
-        (col("n") * col("n") - col("rc")), 6).as("kappa"), col("n"))
-  }
+  def cohenKappa(predictions: DataFrame, truth: DataFrame): DataFrame =
+    // persisted via `materialized`: three downstream aggregates (totals
+    // + both marginals) would otherwise each recompute the full
+    // classify pipeline (PlanAudit showed 59 exchanges unpersisted);
+    // the intermediate is released before return (round-9, ADVICE r8)
+    materialized(predictions.join(truth, predictions("q_id") === truth("vec_id"))
+        .select(col("label"), col("predicted"))) { j =>
+      val tot = j.agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("predicted"), 1L).otherwise(0L)).as("diag"))
+      val rm = j.groupBy(col("label").as("k")).agg(count(lit(1)).as("rl"))
+      val cm = j.groupBy(col("predicted").as("k")).agg(count(lit(1)).as("cl"))
+      val pe = rm.join(cm, "k").agg(sum(col("rl") * col("cl")).as("rc"))
+      tot.crossJoin(broadcast(pe))
+        .select(rnd((col("diag") * col("n") - col("rc")) /
+          (col("n") * col("n") - col("rc")), 6).as("kappa"), col("n"))
+    }
 
   /** Multi-class Matthews correlation (the R_k statistic):
     * (c·s − Σ p_k t_k) / √((s² − Σp²)(s² − Σt²)) — numerator and the
@@ -198,24 +225,25 @@ object Metrics {
     * to double BEFORE multiplying (their product overflows int64 long
     * before either factor does).
     */
-  def mcc(predictions: DataFrame, truth: DataFrame): DataFrame = {
-    // persisted: five downstream aggregates over j (PlanAudit showed
-    // 101 exchanges / 18 BNLJ shapes with the classify pipeline
-    // recomputed per marginal); caller releases via clearCache
-    val j = predictions.join(truth, predictions("q_id") === truth("vec_id"))
-      .select(col("label"), col("predicted")).persist()
-    val tot = j.agg(count(lit(1)).as("n"),
-      sum(when(col("label") === col("predicted"), 1L).otherwise(0L)).as("diag"))
-    val rm = j.groupBy(col("label").as("k")).agg(count(lit(1)).as("rl"))
-    val cm = j.groupBy(col("predicted").as("k")).agg(count(lit(1)).as("cl"))
-    val tt = rm.agg(sum(col("rl") * col("rl")).as("tt"))
-    val pp = cm.agg(sum(col("cl") * col("cl")).as("pp"))
-    val pt = rm.join(cm, "k").agg(sum(col("rl") * col("cl")).as("pt"))
-    tot.crossJoin(broadcast(tt)).crossJoin(broadcast(pp)).crossJoin(broadcast(pt))
-      .select(rnd((col("diag") * col("n") - col("pt")) /
-        sqrt((col("n") * col("n") - col("pp")).cast("double") *
-          (col("n") * col("n") - col("tt")).cast("double")), 6).as("mcc"), col("n"))
-  }
+  def mcc(predictions: DataFrame, truth: DataFrame): DataFrame =
+    // persisted via `materialized`: five downstream aggregates over j
+    // (PlanAudit showed 101 exchanges / 18 BNLJ shapes with the
+    // classify pipeline recomputed per marginal); released before
+    // return (round-9, ADVICE r8)
+    materialized(predictions.join(truth, predictions("q_id") === truth("vec_id"))
+        .select(col("label"), col("predicted"))) { j =>
+      val tot = j.agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("predicted"), 1L).otherwise(0L)).as("diag"))
+      val rm = j.groupBy(col("label").as("k")).agg(count(lit(1)).as("rl"))
+      val cm = j.groupBy(col("predicted").as("k")).agg(count(lit(1)).as("cl"))
+      val tt = rm.agg(sum(col("rl") * col("rl")).as("tt"))
+      val pp = cm.agg(sum(col("cl") * col("cl")).as("pp"))
+      val pt = rm.join(cm, "k").agg(sum(col("rl") * col("cl")).as("pt"))
+      tot.crossJoin(broadcast(tt)).crossJoin(broadcast(pp)).crossJoin(broadcast(pt))
+        .select(rnd((col("diag") * col("n") - col("pt")) /
+          sqrt((col("n") * col("n") - col("pp")).cast("double") *
+            (col("n") * col("n") - col("tt")).cast("double")), 6).as("mcc"), col("n"))
+    }
 
   /** Reliability diagram: top-1 confidence (normalized, ROUNDED to 6dp
     * BEFORE binning — the bin edge comparison then runs on identical
@@ -223,19 +251,19 @@ object Metrics {
     * straddle an edge by one ulp) bucketed into `bins`; per bin the
     * count, mean confidence, and empirical accuracy.
     */
-  def calibrationBins(scores: DataFrame, truth: DataFrame, bins: Int = 10): DataFrame = {
-    val sc = scores.persist() // normalizer + argmax window share one run
-    val tot = sc.groupBy(col("q_id")).agg(sum(col("u")).as("tu"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
-    val top = sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .join(tot, "q_id")
-      .select(col("q_id"), col("class").as("predicted"), rnd(col("u") / col("tu"), 6).as("conf"))
-    top.join(truth, col("q_id") === col("vec_id"))
-      .select(col("conf"),
-        when(col("predicted") === col("label"), 1.0).otherwise(0.0).as("acc"),
-        least(floor(col("conf") * bins), lit(bins - 1)).cast("int").as("bin"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), rnd(avg(col("conf")), 6).as("conf_avg"),
-        rnd(avg(col("acc")), 6).as("acc_avg"))
-  }
+  def calibrationBins(scores: DataFrame, truth: DataFrame, bins: Int = 10): DataFrame =
+    materialized(scores) { sc => // normalizer + argmax window share one run
+      val tot = sc.groupBy(col("q_id")).agg(sum(col("u")).as("tu"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))
+      val top = sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(tot, "q_id")
+        .select(col("q_id"), col("class").as("predicted"), rnd(col("u") / col("tu"), 6).as("conf"))
+      top.join(truth, col("q_id") === col("vec_id"))
+        .select(col("conf"),
+          when(col("predicted") === col("label"), 1.0).otherwise(0.0).as("acc"),
+          least(floor(col("conf") * bins), lit(bins - 1)).cast("int").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), rnd(avg(col("conf")), 6).as("conf_avg"),
+          rnd(avg(col("acc")), 6).as("acc_avg"))
+    }
 }

@@ -84,14 +84,23 @@ object Streaming {
   def uniqueUsers(s: SparkSession, d: String): DataFrame =
     uniqueUsersTransform(Tables.events(s, d))
 
-  /** Streaming twin: watermark bounds the dedup state; late (> 1 h)
-    * duplicates would re-count — the documented at-scale trade. */
+  /** Streaming twin. The dedup key is the WINDOW column, not a derived
+    * long: `window(ts, …)` on a watermarked column carries the
+    * event-time metadata, so the state store evicts a (window, user)
+    * entry once the watermark passes the window end — dedup state is
+    * bounded by (in-flight windows)·(users/hour), not stream lifetime.
+    * (Round-9 fix, ADVICE r8: the previous `ws`-long key carried no
+    * event-time metadata, so dedup state was NEVER evicted — it grew
+    * with hours×users forever while the comment claimed otherwise.)
+    * Rows later than the 1 h watermark are dropped before they reach
+    * the dedup — the documented at-scale trade.
+    */
   def uniqueUsersStream(events: DataFrame): DataFrame =
     events
-      .select(col("ts"), date_trunc("hour", col("ts")).cast("long").as("ws"), col("user_id"))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("ws", "user_id")
-      .groupBy(window(col("ts"), "1 hour"))
+      .select(window(col("ts"), "1 hour").as("window"), col("user_id"))
+      .dropDuplicates("window", "user_id")
+      .groupBy(col("window"))
       .agg(count(lit(1)).as("unique_users"))
       .select(col("window.start").cast("long").as("ws"), col("unique_users"))
 

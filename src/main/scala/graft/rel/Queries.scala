@@ -1172,8 +1172,14 @@ object Queries {
     h.withColumn("cc", sum(col("c")).over(w))
       .agg(sum(col("c")).as("n"), sum(col("p") * col("c")).as("sp"),
         // integer `div`, not `/`: the rank-sum product approaches n² and
-        // a double division would lose exactness past 2^53
-        sum(col("p") * expr("(c * (2 * cc - c + 1)) div 2")).as("sip"))
+        // a double division would lose exactness past 2^53. The SUM runs
+        // in DECIMAL(38,0) (round-9, ADVICE r8): Σ p·ranksum ≈ p̄·n²/2
+        // ≈ 1.7e19 at sf1 — past Long.MaxValue, where Spark's non-ANSI
+        // BIGINT sum would wrap silently while DuckDB sums in HUGEINT.
+        // Each factor is cast to DECIMAL(19,0) so the product is the
+        // exact DECIMAL(38,0) — no envelope left to document.
+        sum(col("p").cast("decimal(19,0)") *
+          expr("(c * (2 * cc - c + 1)) div 2").cast("decimal(19,0)")).as("sip"))
       .select(col("n"),
         rnd(lit(2.0) * col("sip").cast("double") /
           (col("n").cast("double") * col("sp").cast("double")) -

@@ -494,6 +494,43 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(math.abs(rob - 2.0) < 0.1, s"robust slope was $rob")
   }
 
+  test("ts_theil_sen: bucketed rank selection ≡ the row-rank window form (round-9 rewrite pin)") {
+    // the old form ranked every pair through one window per event_type;
+    // the rewrite selects the median by bucket histogram + in-bucket
+    // cumulative. This pins them equal on a messy multi-type series
+    // (ties, negative slopes, a type with a single pair).
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(42)
+    val rows = (for {
+      t <- Seq("a", "b", "c")
+      h <- 0 until (if (t == "c") 2 else 48)
+    } yield (rng.nextLong().abs, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L)),
+      1L, t, math.round(rng.nextDouble() * 50) / 10.0)) // coarse values → slope ties
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // reference: the pre-rewrite row-rank window form, verbatim
+    val b = df.groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(graft.rel.Queries.rnd(avg(col("value")), 6).as("v"))
+      .select(col("event_type"), col("hs"), floor(col("v") * 1e6 + 0.5).cast("long").as("vu"))
+    val a1 = b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1"))
+    val c1 = b.select(col("event_type"), col("hs").as("h2"), col("vu").as("v2"))
+    val pairs = a1.join(c1, Seq("event_type")).filter(col("h1") < col("h2"))
+      .select(col("event_type"), col("h1"), col("h2"),
+        ((col("v2") - col("v1")) / ((col("h2") - col("h1")) / lit(3600L))).as("slope"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope"), col("h1"), col("h2"))
+    val g = Window.partitionBy(col("event_type"))
+    val ref = pairs.withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(g))
+      .filter(col("r") * 2 >= col("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("slope")).as("med"), max(col("n")).as("n_pairs"))
+      .select(col("event_type"), col("n_pairs"),
+        graft.rel.Queries.rnd(col("med") / 1e6, 6).as("slope_per_hour"))
+      .as[(String, Long, Double)].collect().toSet
+    val got = TimeSeries.theilSen(df).as[(String, Long, Double)].collect().toSet
+    assert(got === ref)
+  }
+
   test("events_forecast_naive: a perfectly 24h-periodic series backtests at MAE 0") {
     val rows = (0 until 48).map { h =>
       (h.toLong, java.sql.Timestamp.from(
