@@ -654,6 +654,83 @@ object Graph {
     harmonicPerSeed(edges, seeds)
   }
 
+  /** graph_harmonic_hll — SKETCHED harmonic centrality
+    * (HyperBall/ANF; Boldi-Vigna 2013, Palmer-Gibbons-Faloutsos ANF
+    * 2002): per-node HLL neighborhood sketches replace per-seed BFS
+    * state. This is the engine's 100× path for `graph_harmonic`
+    * (VERDICT r8 #1 — the exact form's state is |seeds|·|reach|, and
+    * with seeds ≡ 0 (mod `BfsSeedMod`) the seed count grows linearly
+    * with the graph, making exact per-seed BFS effectively O(n·m/50)
+    * at scale; it remains the verification twin and the oracle row).
+    *
+    * State here is ONE |V|-row frame per hop regardless of seed count:
+    * node → (HLL sketch of its ≤ h-hop reach set, previous ball size,
+    * harmonic accumulator). Per hop: one edges⋈state equi-join
+    * (messages = neighbor sketches keyed to dst) + one node-keyed
+    * `hll_union_agg` — HLL union is max-per-register, so the merge is
+    * associative/commutative and gets map-side partial combine like
+    * any sum; the exchange partitions on the same node key every
+    * round (the `pageRank` skeleton). The HyperBall fold
+    * harmonic(v) = Σ_{h=1..H} (|B(v,h)| − |B(v,h−1)|)/h RIDES IN THE
+    * STATE (message rows carry null accumulators; `max` recovers the
+    * node's own — every node is in the hop-0 state, so it's always
+    * present), so each hop is exactly one Ckpt-truncated frame — no
+    * separate per-hop estimate materializations. Seeds filter ONLY
+    * the read-out: the sketch state never keys on seeds, which is
+    * the whole point.
+    *
+    * Like `agg_hll`/`ann_ivf_kmeans`, deliberately NO oracle twin
+    * (rows-only): DataSketches HLL internals are engine-specific.
+    * Determinism still holds (fixed hash, order-independent
+    * max-per-register union), and GraphSpec pins per-seed estimates
+    * against exact `harmonicPerSeed` within HLL sparse-mode accuracy
+    * (lgK = 10 keeps small reach sets in EXACT sparse mode — the
+    * fixture/sf0.001 regime — while dense-mode relative error is
+    * 1.04/√2¹⁰ ≈ 3.3 %; HyperBall itself ships lgK 4-7 at
+    * billion-node scale, and each halving of lgK halves the per-round
+    * message shuffle, the operator's dominant cost). `tools.CcProbe`'s harmonic
+    * leg measures per-round state rows at two seed densities — O(|V|)
+    * both, the scaling claim made measurable.
+    */
+  def harmonicHll(edgesIn: DataFrame, seedMod: Int = BfsSeedMod,
+      maxHops: Int = BfsMaxHops, lgK: Int = 10): DataFrame = {
+    val edges = edgesIn.truncated()
+    // state: (node, sk, cprev = |B(node, h−1)| estimate, hacc)
+    var state = edges.select(col("src").as("node")).distinct()
+      .groupBy(col("node"))
+      .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
+      .select(col("node"), col("sk"),
+        hll_sketch_estimate(col("sk")).as("cprev"), lit(0.0).as("hacc"))
+      .truncated()
+    for (h <- 1 to maxHops) {
+      val msgs = edges.join(state.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("sk"),
+          lit(null).cast("double").as("cprev"), lit(null).cast("double").as("hacc"))
+      val prev = state
+      state = state.unionAll(msgs)
+        .groupBy(col("node"))
+        .agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = false).as("sk"),
+          max(col("cprev")).as("cp"), max(col("hacc")).as("ha"))
+        .select(col("node"), col("sk"), hll_sketch_estimate(col("sk")).as("c"),
+          col("cp"), col("ha"))
+        .select(col("node"), col("sk"), col("c").as("cprev"),
+          (col("ha") + (col("c") - col("cp")) / lit(h.toDouble)).as("hacc"))
+        .truncated()
+      Ckpt.release(prev)
+    }
+    val out = state.filter(col("node") % seedMod === 0)
+      .select(col("node").as("seed"),
+        // cprev now holds |B(node, maxHops)|; the ball includes the node
+        rnd(col("cprev") - lit(1.0), 2).as("n_reached_est"),
+        rnd(col("hacc"), 6).as("harmonic_est"))
+      .truncated()
+    Ckpt.release(state)
+    out
+  }
+
+  def harmonicHllQuery(s: SparkSession, d: String): DataFrame =
+    harmonicHll(custSuppEdges(s, d))
+
   /** graph_link_pred — common-neighbor link prediction over NON-edges:
     * the top candidate pairs at distance 2 ranked by shared-neighbor
     * count — what `edgeJaccard`/`resourceAlloc` score for pairs that
@@ -864,6 +941,9 @@ object Graph {
     "graph_assortativity" -> assortativityQuery,
     "graph_modularity" -> modularityQuery,
     "graph_harmonic" -> harmonicQuery,
+    // rows-only by design (the agg_hll precedent): DataSketches HLL
+    // internals are engine-specific; GraphSpec pins vs harmonicPerSeed
+    "graph_harmonic_hll" -> harmonicHllQuery,
     "graph_link_pred" -> linkPredQuery,
   )
 

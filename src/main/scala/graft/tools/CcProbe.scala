@@ -284,6 +284,45 @@ object CcProbe {
       assert(mStages <= 5.0,
         s"pageRank marginal shuffle stages/round = $mStages — exchange reuse regressed")
     }
+    // ---- harmonic sketch-vs-exact state leg (round-9) -----------------
+    // The VERDICT-r8 claim under test: exact per-seed BFS state is
+    // |seeds|·|reach| (grows linearly with seed density — the one
+    // 100×-hostile plan), while HyperBall's sketch state is O(|V|)
+    // INDEPENDENT of seed count (seeds only filter the read-out).
+    // Exact runs at mod=100 ONLY: at mod=10 its ~36.5 M-row
+    // (seed, node) state OOMs this probe's 8 GiB heap outright (an
+    // executor OOM kills the local SparkContext — measured in this
+    // round's first probe run, and exactly the failure mode the
+    // sketch retires). The sketch leg runs at BOTH densities; its
+    // wall must stay flat.
+    {
+      val hEdges = Graph.custSuppEdges(spark, sfDir).truncated()
+      val nV = hEdges.select(col("src")).distinct().count()
+      val seeds100 = hEdges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 100 === 0)
+      val tEx = System.nanoTime()
+      val ex = Graph.harmonicPerSeed(hEdges, seeds100)
+        .agg(count(lit(1)).as("ns"), sum(col("n_reached")).as("stateRows"))
+        .collect()(0)
+      val exW = (System.nanoTime() - tEx) / 1e9
+      println(f"[harmonic-probe] exact mod=100 seeds=${ex.getLong(0)} " +
+        f"final_state_rows=${ex.getLong(1)} wall=$exW%.2f s " +
+        f"(mod=10 would be ~10x the state — OOMs an 8 GiB heap at this SF)")
+      var walls = Map.empty[Int, Double]
+      for (m <- Seq(100, 10)) {
+        val tHl = System.nanoTime()
+        Graph.harmonicHll(hEdges, seedMod = m).count()
+        val hlW = (System.nanoTime() - tHl) / 1e9
+        walls += m -> hlW
+        println(f"[harmonic-probe] hll mod=$m state_rows=$nV wall=$hlW%.2f s")
+      }
+      timingWarn(walls(10) < walls(100) * 2,
+        f"HLL wall grew with seed density (${walls(100)}%.2f -> ${walls(10)}%.2f s) — " +
+          "state should be seed-independent")
+      timingWarn(exW > walls(100),
+        f"exact ($exW%.2f s) beat HLL (${walls(100)}%.2f s) at sparse seeds — " +
+          "sketch overhead dominates at this SF")
+    }
     spark.stop()
   }
 }

@@ -295,6 +295,34 @@ class GraphSpec extends SparkSpecBase {
     assert(r.getLong(1) === 6L && math.abs(r.getDouble(2) - 6.0) < 1e-9)
   }
 
+  test("harmonicHll: HyperBall estimates pin to exact harmonicPerSeed per seed (sparse-mode accuracy)") {
+    // the sketched scale path vs its verification twin on the harness
+    // graph: small per-seed reach sets stay in DataSketches' EXACT
+    // sparse mode at lgK=12, so estimates must track exact within 2%
+    val edges = Graph.custSuppEdges(spark, sfDir)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % Graph.BfsSeedMod === 0)
+    val exact = Graph.harmonicPerSeed(edges, seeds)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val est = Graph.harmonicHll(edges)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(est.keySet === exact.keySet, "one read-out row per seed, same seeds")
+    est.foreach { case (seed, (nEst, hEst)) =>
+      val (nEx, hEx) = exact(seed)
+      assert(math.abs(nEst - nEx) <= math.max(1.0, 0.02 * nEx),
+        s"seed $seed: n_reached_est $nEst vs exact $nEx")
+      assert(math.abs(hEst - hEx) <= math.max(0.02, 0.02 * hEx),
+        s"seed $seed: harmonic_est $hEst vs exact $hEx")
+    }
+  }
+
+  test("harmonicHll: star center — exact small-reach sketches recover the closed form") {
+    val half = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val r = Graph.harmonicHll(edges, seedMod = 100).head() // node 0 ≡ 0 (mod 100)
+    assert(math.abs(r.getDouble(1) - 6.0) < 0.2 && math.abs(r.getDouble(2) - 6.0) < 0.2)
+  }
+
   test("linkPredCandidates: scores distance-2 pairs, excludes edges, guards hubs") {
     // square 1-2-3-4-1: diagonals (1,3) and (2,4) share 2 common neighbors
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("p1", "p2")
