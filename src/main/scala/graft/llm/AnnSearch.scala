@@ -410,11 +410,15 @@ object AnnSearch {
     * the same seam the fknn chunked paths expose for stage-1 state.
     */
   def pqSearchChunked(q: DataFrame, t: DataFrame, cb: DataFrame,
-      m: Int, k: Int, blocks: Int, eager: Boolean = false): DataFrame =
-    (0 until blocks).map { b =>
-      val blk = pqSearch(q.filter(pmod(col("q_id"), lit(blocks)) === b), t, cb, m, k)
+      m: Int, k: Int, blocks: Int, eager: Boolean = false): DataFrame = {
+    // blocks = -1 → auto-size from the query side's estimated bytes
+    // (the kNN-IS `numIterations = -1` parity, shared with Fknn)
+    val nb = if (blocks == -1) graft.core.Fknn.autoBlocks(q) else blocks
+    (0 until nb).map { b =>
+      val blk = pqSearch(q.filter(pmod(col("q_id"), lit(nb)) === b), t, cb, m, k)
       if (eager) blk.truncated() else blk
     }.reduce(_ unionAll _)
+  }
 
   def pqChunkedTopK(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)

@@ -480,11 +480,13 @@ object Graph {
     * detected by the surviving-edge count, observed DURING each round's
     * eager checkpoint materialization (the `connectedComponents`
     * Observation pattern — no extra job): peeling only removes edges,
-    * so an unchanged count IS the fixpoint. Like `ann_ivf_kmeans`,
-    * deliberately NO oracle twin (rows-only check): DuckDB cannot
-    * express loop-to-convergence without recursive CTEs re-deriving the
-    * whole prefix; instead GraphSpec pins ≡ `kCorePeel(rounds = n)` for
-    * every n ≥ the convergence depth. Per-round shape and the
+    * so an unchanged count IS the fixpoint. Oracle-gated since round 9
+    * (VERDICT r8 #5): the fixpoint equals ANY unrolled peel of depth ≥
+    * the convergence depth (converged rounds are no-ops), so the twin
+    * is the 6-round unrolled CTE — depth measured at 1 round on all
+    * three harness SFs, 6 leaves margin. GraphSpec additionally pins ≡
+    * `kCorePeel(rounds = n)` for every n ≥ the convergence depth on
+    * graphs that peel deeper than the fixture. Per-round shape and the
     * `Ckpt.release` storage bound are inherited unchanged.
     */
   def kCoreFixpoint(edgesIn: DataFrame, k: Int = KCoreK, maxRounds: Int = 50): DataFrame = {
@@ -930,9 +932,10 @@ object Graph {
     "graph_edge_jaccard" -> edgeJaccardQuery,
     "graph_resource_alloc" -> resourceAllocQuery,
     "graph_kcore" -> kCoreQuery,
-    // rows-only by design (the ann_ivf_kmeans precedent): loop-to-
-    // convergence is not oracle-expressible without recursive CTEs;
-    // GraphSpec pins ≡ kCorePeel(rounds ≥ depth)
+    // oracle-gated since round 9: the fixpoint ≡ any unrolled depth ≥
+    // the convergence depth (converged rounds no-op), so the oracle is
+    // the 6-round unrolled CTE; GraphSpec still pins the semantic
+    // contract ≡ kCorePeel(rounds ≥ depth) on deeper-peeling graphs
     "graph_kcore_fixpoint" -> kCoreFixpointQuery,
     "graph_bfs" -> bfsQuery,
     "graph_clustering" -> clusteringQuery,
@@ -963,6 +966,27 @@ object Graph {
       "v AS (SELECT DISTINCT src AS node FROM e), " +
       "l0 AS (SELECT node, node AS lbl FROM v), " +
       (round(1) + round(2)).stripSuffix(", ")
+  }
+
+  /** The k-core peel unrolled to `rounds` DuckDB CTE rounds over the
+    * co-order graph — shared by the fixed-round row (4 rounds) and the
+    * fixpoint row (6 rounds ≥ the measured convergence depth, so the
+    * unrolled result IS the fixpoint; see the registration comments).
+    */
+  private def kCoreUnrolledSql(rounds: Int): String = {
+    def round(i: Int): String =
+      s"d$i AS (SELECT node, count(*) AS d FROM (SELECT p1 AS node FROM e${i - 1} " +
+        s"UNION ALL SELECT p2 FROM e${i - 1}) t GROUP BY 1), " +
+        s"k$i AS (SELECT node FROM d$i WHERE d >= $KCoreK), " +
+        s"e$i AS MATERIALIZED (SELECT e.p1, e.p2 FROM e${i - 1} e " +
+        s"JOIN k$i a ON e.p1 = a.node JOIN k$i b ON e.p2 = b.node), "
+    "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+      "FROM lineitem WHERE l_quantity >= 25), " +
+      "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
+      "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+      (1 to rounds).map(round).mkString.stripSuffix(", ") +
+      s" SELECT node, count(*) AS core_deg FROM (SELECT p1 AS node FROM e$rounds " +
+      s"UNION ALL SELECT p2 FROM e$rounds) t GROUP BY 1"
   }
 
   val rawOracles: Map[String, String] = Map(
@@ -1139,27 +1163,24 @@ object Graph {
         "SELECT e.p1, e.p2, rnd(coalesce(ra.ra_raw, 0e0), 6) AS ra " +
         "FROM e LEFT JOIN ra ON ra.p1 = e.p1 AND ra.p2 = e.p2"),
 
-    "graph_kcore" -> {
-      // the same 4 peel rounds unrolled: degree over the surviving
-      // edges, keep nodes with d >= 2, keep edges with both ends kept.
-      // Every e_i is MATERIALIZED: DuckDB inlines plain CTEs, and each
-      // round references its predecessor 3× — inlining re-evaluates the
-      // e0 self-join 3^4 times and spilled a sf0.1 run to disk-full
-      // (Spark's side checkpoints each round for the same reason)
-      def round(i: Int): String =
-        s"d$i AS (SELECT node, count(*) AS d FROM (SELECT p1 AS node FROM e${i - 1} " +
-          s"UNION ALL SELECT p2 FROM e${i - 1}) t GROUP BY 1), " +
-          s"k$i AS (SELECT node FROM d$i WHERE d >= $KCoreK), " +
-          s"e$i AS MATERIALIZED (SELECT e.p1, e.p2 FROM e${i - 1} e " +
-          s"JOIN k$i a ON e.p1 = a.node JOIN k$i b ON e.p2 = b.node), "
-      "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
-        "FROM lineitem WHERE l_quantity >= 25), " +
-        "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
-        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
-        (1 to KCoreRounds).map(round).mkString.stripSuffix(", ") +
-        s" SELECT node, count(*) AS core_deg FROM (SELECT p1 AS node FROM e$KCoreRounds " +
-        s"UNION ALL SELECT p2 FROM e$KCoreRounds) t GROUP BY 1"
-    },
+    // the peel rounds unrolled: degree over the surviving edges, keep
+    // nodes with d >= 2, keep edges with both ends kept. Every e_i is
+    // MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    // references its predecessor 3× — inlining re-evaluates the e0
+    // self-join 3^rounds times and spilled a sf0.1 run to disk-full
+    // (Spark's side checkpoints each round for the same reason)
+    "graph_kcore" -> kCoreUnrolledSql(KCoreRounds),
+    // graph_kcore_fixpoint's oracle (round-9, VERDICT r8 #5 — was
+    // rows-only): the TRUE fixpoint equals ANY unrolled depth ≥ the
+    // convergence depth, because converged rounds are no-ops. Measured
+    // convergence on the harness co-order graph: 1 peel round at sf
+    // 0.001/0.01/0.1 (the uniform generator's graph is nearly its own
+    // 2-core); 6 unrolled rounds leave a 5-round margin for future
+    // data generations. The SEMANTIC loop-to-convergence contract on
+    // graphs with longer pendant chains stays GraphSpec's (≡
+    // kCorePeel(n) for every n ≥ depth) — this oracle hash-gates the
+    // declared row's data path.
+    "graph_kcore_fixpoint" -> kCoreUnrolledSql(6),
 
     "graph_bfs" -> {
       // the same BfsMaxHops min-relaxation frontier rounds unrolled by

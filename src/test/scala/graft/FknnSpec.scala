@@ -104,6 +104,43 @@ class FknnSpec extends SparkSpecBase {
     } finally mem.unpersist()
   }
 
+  test("autoBlocks: scales with estimated bytes, floors at 1, and blocks=-1 ≡ manual output") {
+    val train = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+      .filter(col("vec_id") < 150)
+    // a huge budget → 1 block (tiny inputs run unchunked); shrinking the
+    // budget must grow the count monotonically, ~linearly in 1/budget
+    assert(Fknn.autoBlocks(train, budgetBytes = 1L << 40) === 1)
+    val b64k = Fknn.autoBlocks(train, budgetBytes = 64L << 10)
+    val b16k = Fknn.autoBlocks(train, budgetBytes = 16L << 10)
+    assert(b16k >= b64k && b16k >= 1)
+    // the auto path must be output-invisible, exactly like manual chunking
+    val manual = collectSet(Fknn.membershipInit(train, 5, 10))
+    assert(collectSet(Fknn.membershipInitChunked(train, 5, 10, blocks = -1)) === manual)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+    val tr = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") < 300)
+    val q = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 300)
+    val mem = Fknn.membershipInit(tr, 5, 10).persist()
+    try {
+      assert(collectSet(Fknn.classifyChunked(mem, tr, q, 5, blocks = -1)) ===
+        collectSet(Fknn.classify(mem, tr, q, 5)))
+    } finally mem.unpersist()
+  }
+
+  test("distType=l1 threads through both stages and changes the metric, not the shape") {
+    val (train, queries) = fixture
+    val l1: Fknn.Dist = graft.functions.ArrayDistance.l1
+    val mem1 = Fknn.membershipInit(train, 3, 2, dist = l1)
+    // membership invariant holds under any metric
+    val sums = mem1.groupBy("vec_id").agg(sum("membership").as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    val pred = Fknn.classify(mem1, train, queries, 3, dist = l1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the fixture is cleanly separated — l1 must classify it like l2
+    assert(pred === Map(10L -> 0, 11L -> 1))
+  }
+
   test("d=0 guard: an exact-match neighbor dominates the vote") {
     val (train, _) = fixture
     // query identical to train point 2 (class B) → must predict B (1)
