@@ -1474,13 +1474,21 @@ object TimeSeries {
     */
   private val WilsonZ = "1.96e0"
 
-  def errorRateHourly(events: DataFrame): DataFrame = {
-    val hourly = events
+  def errorRateHourly(events: DataFrame): DataFrame =
+    wilsonBounds(events
       .select((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(3600000000L)))
         .as("hour_us"),
         when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
       .groupBy(col("hour_us"))
-      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("n_err"))
+      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("n_err")))
+
+  /** The Wilson-interval projection over an (hour_us, n, n_err) counts
+    * frame — shared by the batch row above and the watermarked
+    * streaming twin (`Streaming.errorRateStream`), which builds the
+    * same counts through a `window()` aggregate so late data is
+    * governed by the watermark instead of silently mutating history.
+    */
+  private[graft] def wilsonBounds(hourly: DataFrame): DataFrame =
     hourly.select(col("hour_us"), col("n"), col("n_err"),
       rnd(expr(
         s"""(n_err / cast(n AS double) + $WilsonZ * $WilsonZ / (2e0 * n)
@@ -1492,7 +1500,6 @@ object TimeSeries {
            |  + $WilsonZ * sqrt(n_err / cast(n AS double) * (1e0 - n_err / cast(n AS double)) / n
            |    + $WilsonZ * $WilsonZ / (4e0 * n * n)))
            | / (1e0 + $WilsonZ * $WilsonZ / n)""".stripMargin), 6).as("wilson_hi"))
-  }
 
   def errorRate(s: SparkSession, d: String): DataFrame =
     errorRateHourly(Tables.events(s, d))
@@ -1575,13 +1582,23 @@ object TimeSeries {
     * a 168-cell key space: map-side partials collapse it regardless of
     * corpus size.
     */
-  def eventsHourlyProfile(events: DataFrame): DataFrame = {
-    val per = events
+  /** The 168-cell (dow, hour) counts aggregate — shared by the batch
+    * read-out below and the streaming twin
+    * (`Streaming.hourlyProfileStream`, which runs exactly this
+    * aggregate in update mode: state is bounded by the 168-cell KEY
+    * SPACE, not stream length, so no watermark is needed — the profile
+    * deliberately accumulates all history).
+    */
+  private[graft] def hourlyProfileCells(events: DataFrame): DataFrame =
+    events
       .select(expr("pmod(unix_micros(ts) div 86400000000 + 4, 7)").as("dow"),
         expr("unix_micros(ts) div 3600000000 % 24").as("hour"),
         floor(col("value") * 1e6 + 0.5).cast("long").as("vu"))
       .groupBy(col("dow"), col("hour"))
       .agg(count(lit(1)).as("n"), sum(col("vu")).as("svu"))
+
+  def eventsHourlyProfile(events: DataFrame): DataFrame = {
+    val per = hourlyProfileCells(events)
     per.select(col("dow"), col("hour"), col("n"),
       rnd(col("n") / sum(col("n")).over(Window.partitionBy()).cast("double"), 6).as("share"),
       rnd(col("svu") / col("n") / 1e6, 6).as("avg_value"))

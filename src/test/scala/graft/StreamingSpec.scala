@@ -448,4 +448,58 @@ class StreamingSpec extends SparkSpecBase {
     val h10 = ts("2024-01-01 10:00:00").getTime / 1000
     assert(streamed(h10) === 2L, "dup user within the hour counted once")
   }
+
+  test("error-rate stream (append + watermark) ≡ batch errorRateHourly; planted late row dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val errEvs = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "error", 1.0),
+      Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 10:40:00"), 2, "click", 3.0),
+      Ev(4, ts("2024-01-01 11:10:00"), 1, "error", 4.0),
+      Ev(5, ts("2024-01-01 13:00:00"), 2, "view", 5.0))
+    val mem = MemoryStream[Ev]
+    val q = Streaming.errorRateStream(mem.toDF())
+      .writeStream.format("memory").queryName("errs").outputMode("append").start()
+    try {
+      // the 13:00 row advances the watermark to 12:00 → hours 10/11 close
+      mem.addData(errEvs: _*)
+      q.processAllAvailable()
+      // planted LATE error in the already-closed hour 10: watermark-dropped,
+      // must NOT mutate the already-emitted Wilson bound
+      mem.addData(Ev(6, ts("2024-01-01 10:30:00"), 3, "error", 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("errs")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val batch = graft.rel.TimeSeries.errorRateHourly(errEvs.toDF())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // every emitted (closed) hour matches the batch Wilson row exactly
+    streamed.foreach { case (h, row) => assert(batch(h) === row, s"hour $h") }
+    val h10us = ts("2024-01-01 10:00:00").getTime * 1000L
+    assert(streamed(h10us)._2 === 1L, "late error must not re-count into hour 10")
+  }
+
+  test("hourly-profile stream (update mode, 168-cell bounded state) ≡ batch cells") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.hourlyProfileStream(mem.toDF())
+      .writeStream.format("memory").queryName("prof").outputMode("complete").start()
+    try {
+      mem.addData(evs.take(3): _*); q.processAllAvailable()
+      mem.addData(evs.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = collectSet(spark.table("prof"))
+    val batch = collectSet(graft.rel.TimeSeries.hourlyProfileCells(evs.toDF()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))))
+    assert(streamed === batch)
+    // the full read-out (share/avg) is a projection over these cells —
+    // pin the batch row derives from exactly this frame
+    val full = graft.rel.TimeSeries.eventsHourlyProfile(evs.toDF()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")))
+    assert(full.count() === spark.table("prof").count())
+  }
 }
