@@ -89,22 +89,31 @@ object Dedup {
     * 64-128 hashes — same plan shape, only the broadcast seed range and
     * the per-band concat width change.
     *
-    * `maxBandBucket` (round-5, off by default so the declared row's
-    * semantics are untouched): a band signature shared by B docs
-    * yields B² candidate pairs, and real corpora have degenerate
-    * buckets (empty docs, boilerplate templates) where B is huge —
-    * the classic LSH hot-bucket blowup. With the cap set, band buckets
-    * larger than the cap are EXCLUDED from candidate generation: a
-    * bucket that size means near-identical members, which belong to
-    * exact dedup (`dedupExact` collapses them for free) — and pairs
-    * genuinely at J ≥ threshold still surface through their other,
-    * less-degenerate bands. An explicit opt-in knob, not a silent
-    * cap: recall loss is confined to pairs ALL of whose matching
-    * bands are oversized.
+    * `maxBandBucket` (round-5 opt-in; DEFAULT-ON since round 9,
+    * VERDICT r8 #7): a band signature shared by B docs yields B²
+    * candidate pairs, and real corpora have degenerate buckets (empty
+    * docs, boilerplate templates) where B is huge — the classic LSH
+    * hot-bucket blowup, and the one failure mode that stops a 100 TB
+    * run cold. Band buckets larger than the cap are EXCLUDED from
+    * candidate generation — cap-then-continue, never a crash: a bucket
+    * that size means near-identical members, which belong to exact
+    * dedup (`dedupExact` collapses them for free), and pairs genuinely
+    * at J ≥ threshold still surface through their other, less-
+    * degenerate bands. Recall loss is confined to pairs ALL of whose
+    * matching bands are oversized — measured ZERO on the
+    * boilerplate-corpus probe's genuine near-dups (SCALE.md round-9
+    * hot-bucket table: the 2 000-doc degenerate bucket's identical
+    * members drop, every mutated near-dup pair survives through its
+    * clean bands). The default (`DefaultMaxBandBucket` = 1000) is
+    * output-invisible on the declared row at every harness SF — the
+    * doc slice is 500 docs, so no bucket can reach the cap; pass 0 to
+    * run uncapped (the audit-everything mode).
     */
+  private[graft] val DefaultMaxBandBucket = 1000
+
   def minhashLshPairs(s: SparkSession, docs: DataFrame,
       numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand,
-      maxBandBucket: Int = 0): DataFrame = {
+      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be a multiple of rowsPerBand")
     // The (doc, tok) stream feeds the signature build, the vocabulary,
     // and the exact verify. Deliberately NOT persisted: measured slower

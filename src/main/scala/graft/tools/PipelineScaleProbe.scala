@@ -114,15 +114,34 @@ object PipelineScaleProbe {
         .as("text"))
       .write.mode("overwrite").parquet(boilPath)
     val boilDocs = spark.read.parquet(boilPath)
-    t0 = System.nanoTime()
-    val uncapped = Dedup.minhashLshPairs(spark, boilDocs).count()
-    val tUncap = (System.nanoTime() - t0) / 1e9
-    t0 = System.nanoTime()
-    val capped = Dedup.minhashLshPairs(spark, boilDocs, maxBandBucket = 100).count()
-    val tCap = (System.nanoTime() - t0) / 1e9
+    // uncapped = audit mode (maxBandBucket = 0); the default cap is ON
+    // since round 9 — this leg is the recall-cost evidence behind that
+    // default. Decomposition: j = 1.0 pairs are identical members of
+    // the degenerate bucket (exact dedup's job — dedupExact collapses
+    // them without pair enumeration); j < 1.0 pairs are the GENUINE
+    // near-dups LSH exists for, and the cap must not lose them.
+    def pairBreakdown(maxBucket: Int): (Long, Long, Double) = {
+      val t = System.nanoTime()
+      val p = Dedup.minhashLshPairs(spark, boilDocs, maxBandBucket = maxBucket)
+        .persist()
+      val exact = p.filter(col("jaccard") >= 1.0).count()
+      val near = p.filter(col("jaccard") < 1.0).count()
+      val w = (System.nanoTime() - t) / 1e9
+      p.unpersist()
+      (exact, near, w)
+    }
+    val (exUncap, nearUncap, tUncap) = pairBreakdown(0)
+    val (exCap, nearCap, tCap) = pairBreakdown(Dedup.DefaultMaxBandBucket)
+    val (exCap100, nearCap100, tCap100) = pairBreakdown(100)
     println(f"[scale] minhash_hotbucket nDocs=$nBoil boiler=${nBoil / 5} " +
-      f"uncapped=$uncapped pairs in $tUncap%.1f s; capped(100)=$capped in $tCap%.1f s " +
-      f"(degenerate bucket alone = ${(nBoil / 5).toLong * (nBoil / 5 - 1) / 2}%,d pairs)")
+      f"(degenerate bucket alone = ${(nBoil / 5).toLong * (nBoil / 5 - 1) / 2}%,d pairs): " +
+      f"uncapped exact=$exUncap near=$nearUncap in $tUncap%.1f s; " +
+      f"cap(${Dedup.DefaultMaxBandBucket}) exact=$exCap near=$nearCap in $tCap%.1f s; " +
+      f"cap(100) exact=$exCap100 near=$nearCap100 in $tCap100%.1f s")
+    assert(nearCap100 == nearUncap && (nearCap == nearUncap),
+      s"hot-bucket cap lost genuine near-dup pairs: uncapped $nearUncap, " +
+        s"capped $nearCap / $nearCap100 — recall loss must be confined to " +
+        "the degenerate bucket's identical members")
 
     // ---- ANN: IVF over N vectors ---------------------------------------
     val vecPath = s"/tmp/scale_vecs_$nVecs"

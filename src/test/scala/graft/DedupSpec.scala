@@ -47,13 +47,14 @@ class DedupSpec extends SparkSpecBase {
     } finally sigs.unpersist()
   }
 
-  test("LSH hot-bucket cap: generous cap is output-invisible, cap=1 kills all candidates") {
+  test("LSH hot-bucket cap: default-on cap is output-invisible vs uncapped audit, cap=1 kills all") {
     // planted-dup corpus: every band bucket is small (≤ a handful of
-    // docs), so a generous cap must change nothing...
-    val uncapped = collectSet(Dedup.minhashLshPairs(spark, docs))
-    assert(uncapped.nonEmpty)
-    assert(collectSet(Dedup.minhashLshPairs(spark, docs, maxBandBucket = 1000))
-      === uncapped)
+    // docs), so the DEFAULT cap (1000, on since round 9) must equal
+    // the uncapped audit mode (maxBandBucket = 0) exactly...
+    val default = collectSet(Dedup.minhashLshPairs(spark, docs))
+    assert(default.nonEmpty)
+    assert(collectSet(Dedup.minhashLshPairs(spark, docs, maxBandBucket = 0))
+      === default)
     // ...while cap=1 excludes every ≥2-doc bucket — no candidates at all
     assert(collectSet(Dedup.minhashLshPairs(spark, docs, maxBandBucket = 1)).isEmpty)
     // same knob on the SimHash path: generous cap invisible, cap=1 empty
