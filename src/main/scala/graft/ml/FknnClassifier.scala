@@ -18,9 +18,12 @@ import graft.core.Fknn
   * [LINEAGE]): `k`, `nClasses`, plus `version` ("global" exact /
   * "local" per-block approximate — the reference's EP-3 option) and
   * `numIterations` (the kNN-IS memory bound: > 1 chunks BOTH stages
-  * into that many id-hash blocks, each individually broadcast; for
-  * version=local it is the block count). Defaults reproduce the exact
-  * single-pass pipeline.
+  * into that many id-hash blocks, each individually broadcast; -1
+  * auto-sizes from Catalyst statistics, the reference's
+  * `numIterations = -1`; for version=local it is the block count) and
+  * `distType` ("l2" Euclidean / "l1" Manhattan — the reference CLI's
+  * metric option, threaded through both stages). Defaults reproduce
+  * the exact single-pass Euclidean pipeline.
   *
   * Input contract (both stages): columns `vec_id BIGINT`,
   * `v ARRAY<DOUBLE>`, `label INT` — the engine's classification-relation
@@ -33,13 +36,22 @@ trait FknnParams extends Params {
     "classification variant: global (exact) or local (per-block approximate)",
     ParamValidators.inArray(Array("global", "local")))
   final val numIterations = new IntParam(this, "numIterations",
-    "kNN-IS chunk count (1 = single pass; > 1 bounds per-broadcast memory at |Q|/n)",
-    ParamValidators.gt(0))
+    "kNN-IS chunk count (1 = single pass; > 1 bounds per-broadcast memory at |Q|/n; " +
+      "-1 auto-sizes from Catalyst statistics)",
+    (v: Int) => v > 0 || v == -1)
+  final val distType = new Param[String](this, "distType",
+    "distance metric: l2 (Euclidean) or l1 (Manhattan)",
+    ParamValidators.inArray(Array("l2", "l1")))
   def getK: Int = $(k)
   def getNClasses: Int = $(nClasses)
   def getVersion: String = $(version)
   def getNumIterations: Int = $(numIterations)
-  setDefault(k -> 5, nClasses -> 10, version -> "global", numIterations -> 1)
+  def getDistType: String = $(distType)
+  protected def distFn: Fknn.Dist =
+    if (getDistType == "l1") graft.functions.ArrayDistance.l1
+    else graft.functions.ArrayDistance.l2
+  setDefault(k -> 5, nClasses -> 10, version -> "global", numIterations -> 1,
+    distType -> "l2")
 
   protected def validate(schema: StructType): StructType = {
     require(Seq("vec_id", "v", "label").forall(n => schema.fieldNames.contains(n)),
@@ -55,13 +67,15 @@ class FknnClassifier(override val uid: String) extends Estimator[FknnModel] with
   def setNClasses(value: Int): this.type = set(nClasses, value)
   def setVersion(value: String): this.type = set(version, value)
   def setNumIterations(value: Int): this.type = set(numIterations, value)
+  def setDistType(value: String): this.type = set(distType, value)
 
   override def fit(dataset: Dataset[_]): FknnModel = {
     val train = dataset.select(col("vec_id"), col("v"), col("label"))
     val memberships =
-      if (getNumIterations > 1)
-        Fknn.membershipInitChunked(train, getK, getNClasses, blocks = getNumIterations)
-      else Fknn.membershipInit(train, getK, getNClasses)
+      if (getNumIterations != 1)
+        Fknn.membershipInitChunked(train, getK, getNClasses, blocks = getNumIterations,
+          dist = distFn)
+      else Fknn.membershipInit(train, getK, getNClasses, dist = distFn)
     val model = new FknnModel(uid, train, memberships)
     copyValues(model.setParent(this))
   }
@@ -79,12 +93,15 @@ class FknnModel(
   override def transform(dataset: Dataset[_]): DataFrame = {
     val queries = dataset.select(col("vec_id"), col("v"), col("label"))
     val pred = (getVersion, getNumIterations) match {
+      case ("local", -1) =>
+        Fknn.classifyLocal(memberships, train, queries, getK, blocks = -1, dist = distFn)
       case ("local", n) =>
-        Fknn.classifyLocal(memberships, train, queries, getK, blocks = math.max(n, 2))
-      case ("global", n) if n > 1 =>
-        Fknn.classifyChunked(memberships, train, queries, getK, blocks = n)
+        Fknn.classifyLocal(memberships, train, queries, getK, blocks = math.max(n, 2),
+          dist = distFn)
+      case ("global", n) if n > 1 || n == -1 =>
+        Fknn.classifyChunked(memberships, train, queries, getK, blocks = n, dist = distFn)
       case _ =>
-        Fknn.classify(memberships, train, queries, getK)
+        Fknn.classify(memberships, train, queries, getK, dist = distFn)
     }
     dataset.toDF().join(pred.withColumnRenamed("q_id", "vec_id"), "vec_id")
   }

@@ -109,4 +109,30 @@ class KeelAndMlSpec extends SparkSpecBase {
       new FknnClassifier().setVersion("turbo")
     }
   }
+
+  test("FknnClassifier distType=l1 and numIterations=-1 (auto) mirror the CLI options") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+    val train = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") < 300)
+    val queries = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 300)
+
+    // auto chunking (numIterations = -1) is output-invisible
+    val auto = new FknnClassifier().setK(5).setNClasses(10)
+      .setNumIterations(-1).fit(train).transform(queries)
+      .select(col("vec_id").as("q_id"), col("predicted"))
+    val exact = Fknn.classify(Fknn.membershipInit(train, 5, 10), train, queries, 5)
+    assert(collectSet(auto) === collectSet(exact))
+
+    // distType threads through: ≡ the direct l1 pipeline
+    val l1: Fknn.Dist = graft.functions.ArrayDistance.l1
+    val viaMl = new FknnClassifier().setK(5).setNClasses(10)
+      .setDistType("l1").fit(train).transform(queries)
+      .select(col("vec_id").as("q_id"), col("predicted"))
+    val direct = Fknn.classify(Fknn.membershipInit(train, 5, 10, dist = l1),
+      train, queries, 5, dist = l1)
+    assert(collectSet(viaMl) === collectSet(direct))
+
+    intercept[IllegalArgumentException] { new FknnClassifier().setDistType("cosine") }
+    intercept[IllegalArgumentException] { new FknnClassifier().setNumIterations(0) }
+  }
 }

@@ -482,6 +482,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed(h10us)._2 === 1L, "late error must not re-count into hour 10")
   }
 
+  test("drawdown state stream ≡ batch tsDrawdown on every closed hour across multi-batch feeds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hourly means 10, 20 (new peak), 14 (drawdown 0.3), 16; the final
+    // 14:00 row only closes hour 13 — it stays open and unemitted
+    val series = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "view", 8.0),
+      Ev(2, ts("2024-01-01 10:25:00"), 1, "view", 12.0),
+      Ev(3, ts("2024-01-01 11:10:00"), 1, "view", 20.0),
+      Ev(4, ts("2024-01-01 12:15:00"), 1, "view", 14.0),
+      Ev(5, ts("2024-01-01 13:05:00"), 1, "view", 16.0),
+      Ev(6, ts("2024-01-01 14:00:00"), 1, "view", 999.0))
+    val mem = MemoryStream[Ev]
+    val q = Streaming.drawdownStream(mem.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      // split mid-hour-12 so the open-hour state must carry across triggers
+      mem.addData(series.take(3): _*); q.processAllAvailable()
+      mem.addData(series.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dd")
+      .select("event_type", "hs", "v", "peak_v", "drawdown")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.rel.TimeSeries.tsDrawdown(series.toDF()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")))
+      .filter(col("hs") < ts("2024-01-01 14:00:00").getTime / 1000) // open hour unemitted
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    // the planted shape: hour 12 is 30% below the hour-11 peak
+    val dd12 = spark.table("dd")
+      .filter(col("hs") === ts("2024-01-01 12:00:00").getTime / 1000)
+      .select("drawdown").as[Double].head()
+    assert(math.abs(dd12 - 0.3) < 1e-9)
+  }
+
   test("hourly-profile stream (update mode, 168-cell bounded state) ≡ batch cells") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
