@@ -565,7 +565,6 @@ object Graph {
     */
   def bfsHops(edgesIn: DataFrame, sources: DataFrame, maxHops: Int = BfsMaxHops): DataFrame = {
     val edges = edgesIn.truncated()
-    var dist = sources.select(col("node"), lit(0L).as("dist")).truncated()
     // FRONTIER expansion, not full-state re-relaxation: in unweighted
     // BFS a node's distance settles the round it first appears, so only
     // LAST round's new nodes can discover anything — joining edges
@@ -575,22 +574,29 @@ object Graph {
     // before the same rewrite). newly = frontier-neighbors ∖ settled,
     // one anti-join; distances need no min-reagg because each node
     // enters exactly once.
-    var frontier = dist
+    //
+    // Settled state is the UNION OF PER-ROUND CHECKPOINTS (round 9):
+    // each round materializes ONLY its discoveries — the previous form
+    // re-checkpointed the whole cumulative frame every round, writing
+    // Σ_h |B(h)| rows across the loop where this writes |B(maxHops)|
+    // once; the anti-join and the final read scan the union of
+    // lineage-free checkpoints, which costs the same as one big one.
+    // Total resident storage is identical (the parts sum to the old
+    // final frame), so no release is needed until the caller drops
+    // the result.
+    var parts = List(sources.select(col("node"), lit(0L).as("dist")).truncated())
+    var frontier = parts.head
     for (h <- 1 to maxHops) {
+      val settled = parts.reduce(_ unionAll _)
       val newly = edges.join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("dist"))
         .truncated()
-      val prevDist = dist
-      val prevFrontier = frontier
-      dist = dist.unionAll(newly).truncated()
-      if (prevFrontier ne prevDist) Ckpt.release(prevFrontier)
-      Ckpt.release(prevDist)
+      parts ::= newly
       frontier = newly
     }
-    if (frontier ne dist) Ckpt.release(frontier)
-    dist
+    parts.reduce(_ unionAll _)
   }
 
   def bfsQuery(s: SparkSession, d: String): DataFrame = {
@@ -615,30 +621,31 @@ object Graph {
     */
   def harmonicPerSeed(edgesIn: DataFrame, seeds: DataFrame): DataFrame = {
     val edges = edgesIn.truncated()
-    var dist = seeds.select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
-      .truncated()
     // frontier expansion on the (seed, node) composite key — the bfsHops
     // rewrite's rationale doubled: with seeds riding in the key, the
     // full-state join's round-r cost was |seeds|·|cumulative reach|
     // (8.5-11.7 s at sf0.1); the frontier form only expands last
-    // round's discoveries.
-    var frontier = dist
+    // round's discoveries. Settled state is the union of per-round
+    // checkpoints (round 9, the bfsHops note): each round writes ONLY
+    // its discoveries instead of re-checkpointing the cumulative
+    // (seed, node) frame — at sf0.1 that frame is 3.65 M rows by round
+    // 3, and the old form rewrote ~7 M cumulative rows across the loop
+    // for zero information.
+    var parts = List(
+      seeds.select(col("node").as("seed"), col("node"), lit(0L).as("dist")).truncated())
+    var frontier = parts.head
     for (h <- 1 to BfsMaxHops) {
+      val settled = parts.reduce(_ unionAll _)
       val newly = edges
         .join(frontier.select(col("seed"), col("node").as("src")), "src")
         .select(col("seed"), col("dst").as("node")).distinct()
-        .join(dist, Seq("seed", "node"), "left_anti")
+        .join(settled, Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
         .truncated()
-      val prevDist = dist
-      val prevFrontier = frontier
-      dist = dist.unionAll(newly).truncated()
-      if (prevFrontier ne prevDist) Ckpt.release(prevFrontier)
-      Ckpt.release(prevDist)
+      parts ::= newly
       frontier = newly
     }
-    if (frontier ne dist) Ckpt.release(frontier)
-    dist.filter(col("dist") > 0)
+    parts.reduce(_ unionAll _).filter(col("dist") > 0)
       .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"),
         sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
