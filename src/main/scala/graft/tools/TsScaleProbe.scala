@@ -187,6 +187,56 @@ object TsScaleProbe {
       .except(TimeSeries.winsorize(events)).count()
     assert(diff == 0, s"winsorize forms diverge on $diff rows")
     println("[scale] winsorize row-window ≡ histogram: asserted")
+
+    // ---- theil_sen: row-rank window vs distributed selection (round-9)
+    // The r8 verdict's calendar hazard made concrete: ONE event type
+    // over a full year = 8 760 hourly buckets → 38.4 M pairwise slopes,
+    // ALL of which the pre-rewrite form sorted through one
+    // Window.partitionBy(event_type) task (an O(1)-cardinality key).
+    // The round-9 rewrite selects the median via per-slope-value counts
+    // + a 4096-bin histogram + an in-bucket cumulative — no window ever
+    // sees the pair stream. Both forms run here on the same series;
+    // outputs asserted identical. (Wall favors whichever shape the
+    // local allocator likes at this size — the cluster argument is the
+    // single-task ceiling, which only the window form carries.)
+    val nHours = 8760
+    val thPath = s"/tmp/scale_theil_$nHours"
+    spark.range(nHours)
+      .select(col("id").as("event_id"),
+        timestamp_seconds(lit(1704067200L) + col("id") * 3600L).as("ts"),
+        lit(1L).as("user_id"), lit("t0").as("event_type"),
+        (col("id") * 0.001 + (abs(hash(col("id"))) % 100) / 10.0).as("value"))
+      .write.mode("overwrite").parquet(thPath)
+    val thEvents = spark.read.parquet(thPath)
+    def theilSenRowWindow(ev: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val b = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("long").as("hs"))
+        .agg(graft.rel.Queries.rnd(avg(col("value")), 6).as("v"))
+        .select(col("event_type"), col("hs"),
+          floor(col("v") * 1e6 + 0.5).cast("long").as("vu"))
+      val a = b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1"))
+      val c = b.select(col("event_type"), col("hs").as("h2"), col("vu").as("v2"))
+      val pairs = a.join(c, Seq("event_type")).filter(col("h1") < col("h2"))
+        .select(col("event_type"), col("h1"), col("h2"),
+          ((col("v2") - col("v1")) / ((col("h2") - col("h1")) / lit(3600L))).as("slope"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slope"), col("h1"), col("h2"))
+      val g = Window.partitionBy(col("event_type"))
+      pairs.withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(g))
+        .filter(col("r") * 2 >= col("n"))
+        .groupBy(col("event_type"))
+        .agg(min(col("slope")).as("med"), max(col("n")).as("n_pairs"))
+        .select(col("event_type"), col("n_pairs"),
+          graft.rel.Queries.rnd(col("med") / 1e6, 6).as("slope_per_hour"))
+    }
+    legN("theil_sen_row_window_1y", nHours)(theilSenRowWindow(thEvents).count())
+    legN("theil_sen_distributed_1y", nHours)(TimeSeries.theilSen(thEvents).count())
+    val diffT = theilSenRowWindow(thEvents)
+      .except(TimeSeries.theilSen(thEvents)).count()
+    assert(diffT == 0, s"theil-sen forms diverge on $diffT rows")
+    println("[scale] theil_sen row-window ≡ distributed selection over " +
+      s"${nHours.toLong * (nHours - 1) / 2}%s pairs: asserted".format(""))
     spark.stop()
   }
 }
