@@ -174,6 +174,28 @@ object Graph {
   def connCompQuery(s: SparkSession, d: String): DataFrame =
     connCompRounds(custSuppEdges(s, d))
 
+  /** graph_cc_fixpoint — TRUE-fixpoint connected components (round 9):
+    * the PRODUCTION loop-to-convergence CC with pointer jumping
+    * (`Dedup.connectedComponents` — neighbor-min + path halving per
+    * round, O(log diameter) rounds, convergence observed during the
+    * checkpoint job), declared and HASH-GATED as a graph row over the
+    * customer↔supplier graph. Until round 9 that machinery was only
+    * fixture-certified via the fixed-round row's spec twin; this row
+    * puts the real fixpoint under the DuckDB oracle, the
+    * `graph_kcore_fixpoint` conversion's precedent: the fixpoint ≡ ANY
+    * unrolled one-hop min-label depth ≥ the convergence depth
+    * (converged rounds are no-ops; min-label's fixed point is unique,
+    * so the JUMP steps change the round count, never the answer).
+    * Measured one-hop convergence depth on this graph: 2/3/4 rounds at
+    * sf0.001/0.01/0.1 — the oracle unrolls 8 (double margin). Output =
+    * (node, comp = min node id in the component), one row per node.
+    */
+  def ccFixpointQuery(s: SparkSession, d: String): DataFrame =
+    graft.llm.Dedup.connectedComponents(
+      custSuppEdges(s, d).filter(col("src") < col("dst"))
+        .select(col("src").as("doc_id1"), col("dst").as("doc_id2")))
+      .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+
   /** graph_assortativity — degree assortativity (Newman 2002): the
     * Pearson correlation of endpoint degrees over all edges — one
     * scalar that says whether hubs attach to hubs (r > 0, social-style)
@@ -948,6 +970,9 @@ object Graph {
     "graph_clustering" -> clusteringQuery,
     "graph_ppr" -> pprQuery,
     "graph_conn_comp" -> connCompQuery,
+    // the production pointer-jumping CC run to convergence, hash-gated
+    // via the unrolled-depth oracle (the graph_kcore_fixpoint precedent)
+    "graph_cc_fixpoint" -> ccFixpointQuery,
     "graph_assortativity" -> assortativityQuery,
     "graph_modularity" -> modularityQuery,
     "graph_harmonic" -> harmonicQuery,
@@ -980,6 +1005,31 @@ object Graph {
     * fixpoint row (6 rounds ≥ the measured convergence depth, so the
     * unrolled result IS the fixpoint; see the registration comments).
     */
+  /** Min-label propagation unrolled to `rounds` one-hop DuckDB CTE
+    * rounds over the customer↔supplier graph — shared by the
+    * fixed-round row (`CcRounds`) and the fixpoint row (8 rounds ≥ the
+    * measured convergence depth at every harness SF). Each l_i is
+    * referenced twice by its successor → MATERIALIZED (the graph_bfs
+    * lesson).
+    */
+  private def ccUnrolledSql(rounds: Int): String = {
+    def round(i: Int): String = {
+      val mat = if (i < rounds) " MATERIALIZED" else ""
+      s"t$i AS (SELECT node, comp FROM l${i - 1} UNION ALL " +
+        s"SELECT e.dst AS node, l${i - 1}.comp FROM e " +
+        s"JOIN l${i - 1} ON e.src = l${i - 1}.node), " +
+        s"l$i AS$mat (SELECT node, min(comp) AS comp FROM t$i GROUP BY 1), "
+    }
+    "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "e AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL " +
+      "SELECT dst, src FROM eraw), " +
+      "v AS (SELECT DISTINCT src AS node FROM e), " +
+      "l0 AS MATERIALIZED (SELECT node, node AS comp FROM v), " +
+      (1 to rounds).map(round).mkString.stripSuffix(", ") +
+      s" SELECT node, comp FROM l$rounds"
+  }
+
   private def kCoreUnrolledSql(rounds: Int): String = {
     def round(i: Int): String =
       s"d$i AS (SELECT node, count(*) AS d FROM (SELECT p1 AS node FROM e${i - 1} " +
@@ -1094,25 +1144,13 @@ object Graph {
         " SELECT node, rnd(r, 6) AS ppr FROM r3"
     },
 
-    "graph_conn_comp" -> {
-      // min-label rounds unrolled; each l_i is referenced twice by its
-      // successor → MATERIALIZED (the graph_bfs lesson)
-      def round(i: Int): String = {
-        val mat = if (i < CcRounds) " MATERIALIZED" else ""
-        s"t$i AS (SELECT node, comp FROM l${i - 1} UNION ALL " +
-          s"SELECT e.dst AS node, l${i - 1}.comp FROM e " +
-          s"JOIN l${i - 1} ON e.src = l${i - 1}.node), " +
-          s"l$i AS$mat (SELECT node, min(comp) AS comp FROM t$i GROUP BY 1), "
-      }
-      "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
-        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "e AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL " +
-        "SELECT dst, src FROM eraw), " +
-        "v AS (SELECT DISTINCT src AS node FROM e), " +
-        "l0 AS MATERIALIZED (SELECT node, node AS comp FROM v), " +
-        (1 to CcRounds).map(round).mkString.stripSuffix(", ") +
-        s" SELECT node, comp FROM l$CcRounds"
-    },
+    "graph_conn_comp" -> ccUnrolledSql(CcRounds),
+    // graph_cc_fixpoint's oracle: min-label one-hop propagation
+    // converges at depth 2/3/4 on sf0.001/0.01/0.1 (measured); 8
+    // unrolled rounds leave double margin, and converged rounds are
+    // no-ops, so the unrolled result IS the pointer-jumping fixpoint
+    // (unique fixed point; jumps change round count, not the answer)
+    "graph_cc_fixpoint" -> ccUnrolledSql(8),
 
     "graph_triangles" ->
       // identical edge derivation, degree ordering, orientation, wedge

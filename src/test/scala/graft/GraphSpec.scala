@@ -295,6 +295,23 @@ class GraphSpec extends SparkSpecBase {
     assert(r.getLong(1) === 6L && math.abs(r.getDouble(2) - 6.0) < 1e-9)
   }
 
+  test("ccFixpointQuery: true fixpoint where the fixed-round row is a refinement (chain graph)") {
+    // a 12-link chain: one-hop min-label needs 11 rounds, so the
+    // CcRounds=3 fixed-round form leaves multiple labels; the
+    // pointer-jumping fixpoint closes it in O(log) rounds to ONE comp
+    val half = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val fixed = Graph.connCompRounds(edges, rounds = Graph.CcRounds)
+      .select("comp").distinct().count()
+    assert(fixed > 1, "fixed-round form should NOT close a 12-chain in 3 rounds")
+    val fp = graft.llm.Dedup.connectedComponents(
+      half.toDF("doc_id1", "doc_id2"))
+      .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+    assert(fp.select("comp").distinct().count() === 1L)
+    assert(fp.agg(min("comp")).head().getLong(0) === 0L, "component label = min node id")
+    assert(fp.count() === 13L, "one row per node")
+  }
+
   test("harmonicHll: HyperBall estimates pin to exact harmonicPerSeed per seed (sparse-mode accuracy)") {
     // the sketched scale path vs its verification twin on the harness
     // graph: small per-seed reach sets stay in DataSketches' EXACT
