@@ -109,6 +109,60 @@ object Streaming {
       .agg(count(lit(1)).as("unique_users"))
       .select(col("window.start").cast("long").as("ws"), col("unique_users"))
 
+  /** stream_dedup_horizon — HORIZON-BOUNDED ingestion dedup (round 9):
+    * one row per (hour, user, event_type), the earliest by
+    * (ts, event_id) — the at-scale variant of `stream_dedup`'s
+    * "first event EVER per key": event logs re-deliver within minutes,
+    * not months, so deduping within a 1-hour horizon gives the same
+    * cleaning with state that EXPIRES. Batch form is a window top-1
+    * keyed by (hour, user, type) — the same map-side-combining shape
+    * as `uniqueUsersTransform`'s dedup.
+    */
+  def dedupHorizonTransform(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ws"), col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(date_trunc("hour", col("ts")).cast("long").as("ws"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("ws"), col("user_id"), col("event_type"), col("event_id"))
+  }
+
+  def dedupHorizon(s: SparkSession, d: String): DataFrame =
+    dedupHorizonTransform(Tables.events(s, d))
+
+  /** Streaming twin: dedup keyed on the WINDOW column (the
+    * `uniqueUsersStream` discipline — event-time metadata in the key,
+    * so the state store evicts each (window, user, type) entry once
+    * the watermark passes the window; state is in-flight-windows ×
+    * keys/hour, never stream lifetime). Keeps the first-ARRIVED row =
+    * first-by-ts on in-order sources (the `dedupStream` contract;
+    * StreamingSpec pins ≡ batch on an ordered MemoryStream).
+    */
+  def dedupHorizonStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(window(col("ts"), "1 hour").as("window"),
+        col("user_id"), col("event_type"), col("event_id"))
+      .dropDuplicates("window", "user_id", "event_type")
+      .select(col("window.start").cast("long").as("ws"),
+        col("user_id"), col("event_type"), col("event_id"))
+
+  /** The `dropDuplicatesWithinWatermark` form — dedup within a SLIDING
+    * event-time horizon rather than aligned hour windows: a duplicate
+    * arriving within the watermark delay of the first-seen row is
+    * dropped, state expires once the watermark passes first-seen + δ.
+    * DIFFERENT semantics from both `dedupStream` (forever) and
+    * `dedupHorizonStream` (aligned windows) — two duplicates
+    * straddling an hour BOUNDARY dedup here but not there; spec-pinned
+    * behaviorally, not declared (no batch twin is exactly equivalent,
+    * which is the point of documenting all three).
+    */
+  def dedupSlidingHorizonStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Streaming twin of `events_error_rate` (round-9, VERDICT r8 #6):
     * the hourly Wilson-bound error rate as a watermarked stream — a
     * real monitoring user runs this read-out as a stream FIRST and
@@ -618,6 +672,7 @@ object Streaming {
     "stream_sliding" -> sliding,
     "stream_sessionize" -> sessionize,
     "stream_dedup" -> dedupFirst,
+    "stream_dedup_horizon" -> dedupHorizon,
     "stream_topk" -> topkPerWindow,
     "stream_enrich" -> enrich,
     "stream_join" -> clickPurchase,
@@ -661,6 +716,13 @@ object Streaming {
         "SELECT user_id, event_type, event_id, row_number() OVER (" +
         "PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn " +
         "FROM events) WHERE rn = 1"),
+
+    "stream_dedup_horizon" ->
+      ("SELECT ws, user_id, event_type, event_id FROM (" +
+        "SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, user_id, " +
+        "event_type, event_id, row_number() OVER (" +
+        "PARTITION BY date_trunc('hour', ts), user_id, event_type " +
+        "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"),
 
     "stream_topk" ->
       ("WITH agg AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS ws, event_type, " +

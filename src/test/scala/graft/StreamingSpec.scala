@@ -449,6 +449,65 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed(h10) === 2L, "dup user within the hour counted once")
   }
 
+  test("horizon dedup stream (window-keyed, evictable state) ≡ batch per-hour first-event dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 clicks twice in hour 10 (dup within horizon — second drops)
+    // and once in hour 11 (NEW horizon — kept, unlike stream_dedup's
+    // forever-dedup which would drop it)
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = Streaming.dedupHorizonStream(mem.toDF())
+      .writeStream.format("memory").queryName("ddh").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = collectSet(spark.table("ddh"))
+    val batch = collectSet(Streaming.dedupHorizonTransform(evs.toDF()))
+    assert(streamed === batch)
+    // the semantic split vs forever-dedup: hour-11 click IS in horizon
+    // output, NOT in stream_dedup's
+    val h11 = ts("2024-01-01 11:00:00").getTime / 1000
+    assert(spark.table("ddh").filter(col("ws") === h11 && col("event_id") === 4).count() === 1)
+    assert(Streaming.dedupFirstTransform(evs.toDF())
+      .filter(col("event_id") === 4).count() === 0)
+  }
+
+  test("dropDuplicatesWithinWatermark: sliding-horizon dedup drops in-delay dups across hour boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 10:50 and 11:05 straddle the hour boundary: the WINDOW-keyed form
+    // keeps both (different hours); the sliding form drops the second
+    // (within 1 h of first-seen). Eviction lags ONE BATCH behind event
+    // time — the watermark only advances at batch end, so e3 (13:00)
+    // still meets live state (watermark 10:05 < expiry 11:50) and is
+    // dropped; e4 in the NEXT batch sees the advanced watermark
+    // (12:00 > 11:50, state evicted) and is re-admitted. Exactly the
+    // operational surprise this pin documents.
+    val feed = Seq(
+      Ev(1, ts("2024-01-01 10:50:00"), 7, "click", 1.0),
+      Ev(2, ts("2024-01-01 11:05:00"), 7, "click", 2.0),
+      Ev(3, ts("2024-01-01 13:00:00"), 7, "click", 3.0),
+      Ev(4, ts("2024-01-01 13:30:00"), 7, "click", 4.0))
+    val mem = MemoryStream[Ev]
+    val q = Streaming.dedupSlidingHorizonStream(mem.toDF())
+      .writeStream.format("memory").queryName("ddw").outputMode("append").start()
+    try {
+      mem.addData(feed.take(2): _*); q.processAllAvailable()
+      mem.addData(feed(2)); q.processAllAvailable()
+      mem.addData(feed(3)); q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("ddw").select("event_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 4L),
+      s"expected in-delay dup e2 AND watermark-lagged e3 dropped, e4 re-admitted; got $ids")
+    // the window-keyed horizon form keeps BOTH boundary events
+    val mem2 = MemoryStream[Ev]
+    mem2.addData(feed: _*)
+    val q2 = Streaming.dedupHorizonStream(mem2.toDF())
+      .writeStream.format("memory").queryName("ddh2").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("ddh2").select("event_id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+  }
+
   test("error-rate stream (append + watermark) ≡ batch errorRateHourly; planted late row dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
