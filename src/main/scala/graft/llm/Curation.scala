@@ -510,7 +510,50 @@ object Curation {
   def overlapMatrix(s: SparkSession, d: String): DataFrame =
     sourceOverlapMatrix(Tables.documents(s, d))
 
+  /** corpus_snapshot_diff — keyed diff between two corpus SNAPSHOTS
+    * (round 9): per doc_id, added / removed / changed / unchanged,
+    * rolled up to per-status doc and char counts — the crawl-refresh
+    * read-out every recurring ingestion runs before reprocessing ("2 %
+    * changed, 0.5 % new → incremental curation, not a full rerun").
+    * Change detection is md5(text) equality — digests ride the one
+    * full-outer shuffle join on doc_id, never payload-vs-payload
+    * comparison (the `dedup_exact` digest discipline), so the join
+    * carries two hashes + a length per row regardless of document
+    * size. Counts are map-side-combining aggregates over the ≤ 4-row
+    * status key.
+    */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), md5(col("text")).as("h_prev"),
+      length(col("text")).cast("long").as("len_prev"))
+    val c = curr.select(col("doc_id"), md5(col("text")).as("h_curr"),
+      length(col("text")).cast("long").as("len_curr"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h_prev").isNull, "added")
+          .when(col("h_curr").isNull, "removed")
+          .when(col("h_prev") =!= col("h_curr"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("len_curr"), col("len_prev")).as("len"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+  }
+
+  /** Declared-row derivation: both snapshots from the one documents
+    * table — prev drops doc_id ≡ 0 (mod 7), curr drops ≡ 0 (mod 5)
+    * (adds + removes), and curr upper-cases doc_id ≡ 0 (mod 11)
+    * (changes) — deterministic in both engines.
+    */
+  def snapshotDiffQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val prev = docs.filter(col("doc_id") % 7 =!= 0)
+    val curr = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, upper(col("text"))).otherwise(col("text")).as("text"))
+    snapshotDiff(prev, curr)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_snapshot_diff" -> snapshotDiffQuery,
     "corpus_dedup_report" -> dedupReport,
     "corpus_domain_cap" -> ((s, d) => domainCap(s, d)),
     "corpus_curate" -> corpusCurate,
@@ -529,6 +572,20 @@ object Curation {
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
   val rawOracles: Map[String, String] = Map(
+    "corpus_snapshot_diff" ->
+      ("WITH p AS (SELECT doc_id, md5(text) AS h_prev, length(text)::BIGINT AS len_prev " +
+        "FROM documents WHERE doc_id % 7 <> 0), " +
+        "c AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h_curr, " +
+        "length(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)::BIGINT AS len_curr " +
+        "FROM documents WHERE doc_id % 5 <> 0), " +
+        "j AS (SELECT CASE WHEN h_prev IS NULL THEN 'added' " +
+        "WHEN h_curr IS NULL THEN 'removed' " +
+        "WHEN h_prev <> h_curr THEN 'changed' ELSE 'unchanged' END AS status, " +
+        "coalesce(len_curr, len_prev) AS len " +
+        "FROM p FULL OUTER JOIN c USING (doc_id)) " +
+        "SELECT status, count(*) AS n_docs, sum(len)::BIGINT AS n_chars " +
+        "FROM j GROUP BY 1"),
+
     "pii_stats" ->
       // same two patterns as pii_redact; counts all exact integers
       ("WITH de AS (SELECT event_type, " +

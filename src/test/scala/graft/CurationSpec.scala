@@ -224,4 +224,16 @@ class CurationSpec extends SparkSpecBase {
       assert(j > 0.0 && j <= 1.0)
     }
   }
+
+  test("snapshotDiff: keyed add/remove/change/unchanged classification with char totals") {
+    import spark.implicits._
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val curr = Seq((2L, "beta"), (3L, "GAMMA!"), (4L, "delta")).toDF("doc_id", "text")
+    val out = graft.llm.Curation.snapshotDiff(prev, curr)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("added") === (1L, 5L))      // delta
+    assert(out("removed") === (1L, 5L))    // alpha (prev length counted)
+    assert(out("changed") === (1L, 6L))    // GAMMA! (curr length counted)
+    assert(out("unchanged") === (1L, 4L))  // beta
+  }
 }
