@@ -422,4 +422,59 @@ class PropertySpec extends SparkSpecBase {
       }
     }, min = 12)
   }
+
+  test("theil-sen distributed selection ≡ row-rank window form on random event streams") {
+    // the round-9 rewrite's identity, property-checked beyond the fixed
+    // fixture: the bucketed two-level rank selection must equal the
+    // pre-rewrite global window rank for ANY value/tie/type pattern
+    import org.apache.spark.sql.expressions.Window
+    def windowForm(ev: org.apache.spark.sql.DataFrame) = {
+      val b = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("long").as("hs"))
+        .agg(graft.rel.Queries.rnd(avg(col("value")), 6).as("v"))
+        .select(col("event_type"), col("hs"),
+          floor(col("v") * 1e6 + 0.5).cast("long").as("vu"))
+      val a = b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1"))
+      val c = b.select(col("event_type"), col("hs").as("h2"), col("vu").as("v2"))
+      val pairs = a.join(c, Seq("event_type")).filter(col("h1") < col("h2"))
+        .select(col("event_type"), col("h1"), col("h2"),
+          ((col("v2") - col("v1")) / ((col("h2") - col("h1")) / lit(3600L))).as("slope"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slope"), col("h1"), col("h2"))
+      val g = Window.partitionBy(col("event_type"))
+      pairs.withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(g))
+        .filter(col("r") * 2 >= col("n"))
+        .groupBy(col("event_type"))
+        .agg(min(col("slope")).as("med"), max(col("n")).as("n_pairs"))
+        .select(col("event_type"), col("n_pairs"),
+          graft.rel.Queries.rnd(col("med") / 1e6, 6).as("slope_per_hour"))
+    }
+    check(Prop.forAll(eventsGen suchThat (_.nonEmpty)) { rows =>
+      val ev = eventsDf(rows).withColumn("user_id", lit(1L))
+      val got = graft.rel.TimeSeries.theilSen(ev).collect().map(_.toSeq).toSet
+      val ref = windowForm(ev).collect().map(_.toSeq).toSet
+      got == ref
+    }, min = 10)
+  }
+
+  test("snapshotDiff: statuses partition the key union; added/removed match set differences") {
+    val gen = for {
+      pIds <- Gen.listOf(Gen.choose(0L, 30L)).map(_.distinct)
+      cIds <- Gen.listOf(Gen.choose(0L, 30L)).map(_.distinct)
+      mutated <- Gen.listOf(Gen.choose(0L, 30L)).map(_.toSet)
+    } yield (pIds, cIds, mutated)
+    check(Prop.forAll(gen) { case (pIds, cIds, mutated) =>
+      import spark.implicits._
+      val prev = pIds.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val curr = cIds.map(i => (i, if (mutated(i)) s"DOC $i!" else s"doc $i"))
+        .toDF("doc_id", "text")
+      val out = graft.llm.Curation.snapshotDiff(prev, curr)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (p, c) = (pIds.toSet, cIds.toSet)
+      out.getOrElse("added", 0L) == (c -- p).size.toLong &&
+        out.getOrElse("removed", 0L) == (p -- c).size.toLong &&
+        out.getOrElse("changed", 0L) == (p & c).count(mutated).toLong &&
+        out.values.sum == (p ++ c).size.toLong
+    }, min = 12)
+  }
 }
