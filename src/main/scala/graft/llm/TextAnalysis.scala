@@ -709,6 +709,43 @@ object TextAnalysis {
   def ksDrift(s: SparkSession, d: String): DataFrame =
     ksDriftDocs(Tables.documents(s, d))
 
+  /** quality_psi_drift — Population Stability Index between the same
+    * two corpus halves `quality_ks_drift` compares (doc_id parity; the
+    * deterministic stand-in for "last week vs this week"): binned
+    * length distributions, PSI = Σ_bins (p−q)·ln(p/q) — THE standard
+    * drift scalar risk teams alert on next to KS (PSI < 0.1 stable,
+    * 0.1-0.25 shifting, > 0.25 act). Bins are FIXED-WIDTH
+    * (`least(n_chars div 200, 9)` — data-independent edges, so both
+    * engines bin identically with no min/max pass), and the
+    * proportions carry +0.5 Laplace smoothing per bin (an empty bin
+    * would make ln(p/q) ±∞; the smoothed form is the standard
+    * production guard and keeps the scalar defined on any split).
+    * Shape: two 10-key aggregates + one 10-row join + one closing
+    * fold — nothing outlives the scan.
+    */
+  def psiDriftDocs(docs: DataFrame, binWidth: Int = 200, bins: Int = 10): DataFrame = {
+    // `div`, not `/` — Spark's `/` on integers is double division
+    val bin = expr(s"least(CAST(n_chars AS BIGINT) div $binWidth, ${bins - 1})").cast("int")
+    def side(mod: Int, cnt: String) = docs
+      .filter(pmod(col("doc_id"), lit(2)) === mod)
+      .groupBy(bin.as("b")).agg(count(lit(1)).as(cnt))
+    val merged = side(0, "c1").join(side(1, "c2"), Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = broadcast(merged.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2")))
+    merged.crossJoin(tot)
+      .select(col("n1"), col("n2"),
+        (((col("c1") + 0.5) / (col("n1") + 0.5 * bins)) -
+          ((col("c2") + 0.5) / (col("n2") + 0.5 * bins))).as("dpq"),
+        log(((col("c1") + 0.5) / (col("n1") + 0.5 * bins)) /
+          ((col("c2") + 0.5) / (col("n2") + 0.5 * bins))).as("lr"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        rnd(sum(col("dpq") * col("lr")), 6).as("psi"))
+  }
+
+  def psiDrift(s: SparkSession, d: String): DataFrame =
+    psiDriftDocs(Tables.documents(s, d))
+
   /** text_readability — Flesch reading-ease per document from three
     * regex counts (word runs, sentence-final punctuation runs, vowel
     * groups as the classic syllable heuristic). Pure map, codegen'd
@@ -735,6 +772,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_readability" -> readability,
     "quality_ks_drift" -> ksDrift,
+    "quality_psi_drift" -> psiDrift,
     "corpus_apportion" -> apportion,
     "tokenizer_bpe" -> bpe,
     "tokenizer_encode" -> bpeEncode,
@@ -834,6 +872,22 @@ object TextAnalysis {
         "tot AS (SELECT max(c1) AS n1, max(c2) AS n2 FROM cum) " +
         "SELECT n1, n2, rnd(max(abs(c1 * n2 - c2 * n1)) / (n1 * n2)::DOUBLE, 6) AS ks_stat " +
         "FROM cum, tot GROUP BY 1, 2"),
+
+    "quality_psi_drift" ->
+      // fixed-width bins, +0.5 Laplace per bin; identical double
+      // expressions over identical integer counts in both engines
+      ("WITH a AS (SELECT least(n_chars::BIGINT // 200, 9) AS b, count(*) AS c1 " +
+        "FROM documents WHERE doc_id % 2 = 0 GROUP BY 1), " +
+        "bb AS (SELECT least(n_chars::BIGINT // 200, 9) AS b, count(*) AS c2 " +
+        "FROM documents WHERE doc_id % 2 = 1 GROUP BY 1), " +
+        "m AS (SELECT coalesce(a.b, bb.b) AS b, coalesce(c1, 0)::BIGINT AS c1, " +
+        "coalesce(c2, 0)::BIGINT AS c2 FROM a FULL OUTER JOIN bb ON a.b = bb.b), " +
+        "tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM m), " +
+        "terms AS (SELECT n1, n2, " +
+        "((c1 + 0.5e0) / (n1 + 5e0)) - ((c2 + 0.5e0) / (n2 + 5e0)) AS dpq, " +
+        "ln(((c1 + 0.5e0) / (n1 + 5e0)) / ((c2 + 0.5e0) / (n2 + 5e0))) AS lr " +
+        "FROM m, tot) " +
+        "SELECT max(n1) AS n1, max(n2) AS n2, rnd(sum(dpq * lr), 6) AS psi FROM terms"),
 
     "corpus_apportion" ->
       // identical integer base/remainder split; HUGEINT sums cast back

@@ -1504,6 +1504,46 @@ object TimeSeries {
   def errorRate(s: SparkSession, d: String): DataFrame =
     errorRateHourly(Tables.events(s, d))
 
+  /** events_slo_burn — multi-window SLO burn rate (round 9; the
+    * Google-SRE alerting pattern next to `events_error_rate`'s Wilson
+    * row): per hour, the 1 h and rolling 6 h error rates expressed as
+    * BURN RATES (error rate ÷ error budget, budget = 1 − SLO), plus
+    * the two-window alert flag — fast burn must show in BOTH windows
+    * before paging (the short window catches the spike, the long one
+    * suppresses the blip). Rates are exact-integer ratios: the 6 h
+    * window sums BIGINT counts (rowsBetween −5..0 over the
+    * calendar-bounded hourly frame — the `quality_ks_drift` cumulative
+    * discipline: window input is hours, never events), and each burn
+    * is one closing double division. SLO/thresholds are declared
+    * constants shared with the oracle. The first 5 hours still emit
+    * (their 6 h window is a partial prefix — standard for a burn
+    * monitor warming up).
+    */
+  private[graft] val SloTarget = "0.75e0"      // synthetic feed: ~20 % 'error'
+  private[graft] val BurnFast = "1.2e0"        // 1 h burn must exceed
+  private[graft] val BurnSlow = "1.0e0"        // 6 h burn must exceed
+
+  def sloBurn(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(3600000000L)))
+        .as("hour_us"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+      .groupBy(col("hour_us"))
+      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("n_err"))
+    val w6 = Window.orderBy(col("hour_us")).rowsBetween(-5, 0)
+    hourly
+      .withColumn("n6", sum(col("n")).over(w6))
+      .withColumn("e6", sum(col("n_err")).over(w6))
+      .select(col("hour_us"), col("n"), col("n_err"),
+        rnd(expr(s"(n_err / cast(n AS double)) / (1e0 - $SloTarget)"), 6).as("burn_1h"),
+        rnd(expr(s"(e6 / cast(n6 AS double)) / (1e0 - $SloTarget)"), 6).as("burn_6h"),
+        expr(s"(n_err / cast(n AS double)) / (1e0 - $SloTarget) > $BurnFast AND " +
+          s"(e6 / cast(n6 AS double)) / (1e0 - $SloTarget) > $BurnSlow").as("page"))
+  }
+
+  def sloBurnQuery(s: SparkSession, d: String): DataFrame =
+    sloBurn(Tables.events(s, d))
+
   // ---- events_power_users: Pareto concentration by decile ---------------
 
   /** Event-volume concentration: per-user counts cut into deciles (1 =
@@ -1848,6 +1888,7 @@ object TimeSeries {
     "ts_theil_sen" -> theilSenQuery,
     "ts_winsorize" -> winsorizeQuery,
     "events_error_rate" -> errorRate,
+    "events_slo_burn" -> sloBurnQuery,
     "events_stickiness" -> stickiness,
     "events_time_to_convert" -> timeToConvertQuery,
     "events_transition" -> transition,
@@ -1921,6 +1962,21 @@ object TimeSeries {
         s"SELECT hour_us, n, n_err, rnd(${wilson("-")}, 6) AS wilson_lo, " +
         s"rnd(${wilson("+")}, 6) AS wilson_hi FROM h"
     },
+
+    "events_slo_burn" ->
+      // same hourly-count base as events_error_rate; identical 6-row
+      // window sums of BIGINTs and identical double burn expressions
+      ("WITH h AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us, " +
+        "count(*) AS n, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_err " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT hour_us, n, n_err, " +
+        "sum(n) OVER w::BIGINT AS n6, sum(n_err) OVER w::BIGINT AS e6 FROM h " +
+        "WINDOW w AS (ORDER BY hour_us ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) " +
+        s"SELECT hour_us, n, n_err, " +
+        s"rnd((n_err / n::DOUBLE) / (1e0 - $SloTarget), 6) AS burn_1h, " +
+        s"rnd((e6 / n6::DOUBLE) / (1e0 - $SloTarget), 6) AS burn_6h, " +
+        s"(n_err / n::DOUBLE) / (1e0 - $SloTarget) > $BurnFast AND " +
+        s"(e6 / n6::DOUBLE) / (1e0 - $SloTarget) > $BurnSlow AS page FROM r"),
 
     "events_stickiness" ->
       // same offset-explode rewrite; DuckDB range() end-exclusive =

@@ -533,6 +533,23 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(declared >= 0.0 && declared <= 1.0)
   }
 
+  test("quality_psi_drift: ~0 for identical halves, past the 0.25 action line for a shifted one") {
+    def psi(aLens: Seq[Long], bLens: Seq[Long]): Double = {
+      val docs = (aLens.zipWithIndex.map { case (l, i) =>
+        (2L * i, "t", "en", "s", l)
+      } ++ bLens.zipWithIndex.map { case (l, i) =>
+        (2L * i + 1, "t", "en", "s", l)
+      }).toDF("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.psiDriftDocs(docs).head().getDouble(2)
+    }
+    // identical length distributions → PSI ≈ 0 (smoothing keeps it tiny)
+    assert(math.abs(psi(Seq(100, 300, 500), Seq(100, 300, 500))) < 1e-9)
+    // fully shifted support (bin 0 vs bin 9) → well past the 0.25 line
+    assert(psi(Seq.fill(20)(50L), Seq.fill(20)(1900L)) > 0.25)
+    val declared = SparkEntry.queries("quality_psi_drift")(spark, sfDir).head().getDouble(2)
+    assert(!declared.isNaN && !declared.isInfinite)
+  }
+
   test("events_error_rate: Wilson interval brackets the point rate, inside [0,1]") {
     SparkEntry.queries("events_error_rate")(spark, sfDir).collect().foreach { r =>
       val (n, e, lo, hi) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))

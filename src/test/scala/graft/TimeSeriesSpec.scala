@@ -531,6 +531,36 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got === ref)
   }
 
+  test("events_slo_burn: one bad hour trips the fast window but the slow window suppresses the page") {
+    // 11 hours of 1-in-10 errors, then one ALL-ERROR hour. SLO=0.75 →
+    // budget 0.25: steady burn = 0.4 (quiet); the bad hour's 1h burn =
+    // 4.0 > 1.2 but the 6h window still averages ~0.46 < 1.0 → page
+    // stays FALSE (the blip suppression the two-window pattern buys).
+    val rows = (0 until 12).flatMap { h =>
+      (0 until 10).map { i =>
+        val typ = if (h == 11) "error" else if (i == 0) "error" else "view"
+        ((h * 10 + i).toLong, h * 3600L, 1L, typ, 1.0)
+      }
+    }
+    val out = TimeSeries.sloBurn(ev(rows: _*))
+      .orderBy("hour_us").collect()
+    val bad = out.last
+    assert(math.abs(bad.getDouble(3) - 4.0) < 1e-6, s"1h burn: ${bad.getDouble(3)}")
+    // e6 = 5·1 + 10 = 15 of n6 = 60 → rate 0.25 → burn exactly 1.0,
+    // NOT strictly over the slow threshold
+    assert(bad.getDouble(4) <= 1.0, s"6h burn should not exceed slow threshold: ${bad.getDouble(4)}")
+    assert(!bad.getBoolean(5), "single-hour blip must not page")
+    // sustained burn: six all-error hours page on both windows
+    val sustained = (0 until 12).flatMap { h =>
+      (0 until 10).map { i =>
+        val typ = if (h >= 6) "error" else "view"
+        ((h * 10 + i).toLong, h * 3600L, 1L, typ, 1.0)
+      }
+    }
+    val out2 = TimeSeries.sloBurn(ev(sustained: _*)).orderBy("hour_us").collect()
+    assert(out2.last.getBoolean(5), "six sustained all-error hours must page")
+  }
+
   test("events_forecast_naive: a perfectly 24h-periodic series backtests at MAE 0") {
     val rows = (0 until 48).map { h =>
       (h.toLong, java.sql.Timestamp.from(
