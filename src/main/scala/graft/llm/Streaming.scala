@@ -29,6 +29,12 @@ case class DdEvent(event_id: Long, ts: java.sql.Timestamp, event_type: String, v
 case class DdState(hs: Long, sum: Double, n: Long, peakE6: Long)
 case class DdOut(event_type: String, hs: Long, v: Double, peak_v: Double, drawdown: Double)
 
+/** Row types for the SLO burn-rate stream (`Streaming.sloBurnStream`). */
+case class SloEvent(event_id: Long, ts: java.sql.Timestamp, event_type: String)
+case class SloState(hs: Long, n: Long, nErr: Long, ring: Seq[(Long, Long)])
+case class SloOut(hour_us: Long, n: Long, n_err: Long,
+    burn_1h: Double, burn_6h: Double, page: Boolean)
+
 /** Row types for the keep-latest CDC stream (`Streaming.latestStream`). */
 case class CdcEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
@@ -380,6 +386,57 @@ object Streaming {
             val hs = math.floorDiv(ev.ts.getTime, 3600000L) * 3600L
             if (hs != st.hs) { closeHour(); st = st.copy(hs = hs, sum = 0.0, n = 0L) }
             st = st.copy(sum = st.sum + ev.value, n = st.n + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of `TimeSeries.sloBurn` (round 9): the two-window
+    * burn-rate pager as a single-group `flatMapGroupsWithState` scan —
+    * the form the alert router actually subscribes to. State is the
+    * open hour's (n, n_err) plus a ≤ 5-entry ring of the last closed
+    * hours' counts (the 6 h window's tail) — a dozen longs total,
+    * constant regardless of stream length. An hour emits when it
+    * CLOSES (the `drawdownStream` discipline — a burn alert on a
+    * half-elapsed hour would page on partial denominators); the burn
+    * arithmetic is the batch row's exact expression over the same
+    * integer counts, so StreamingSpec pins stream ≡ batch on every
+    * closed hour. Single global group by design: the hourly totals ARE
+    * global (one state entry, trivially partitionable by service key
+    * if a `ws` column is added — the `tumblingTransform` shape).
+    */
+  def sloBurnStream(events: DataFrame): Dataset[SloOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slo = graft.rel.TimeSeries.SloTarget.dropRight(2).toDouble
+    val fast = graft.rel.TimeSeries.BurnFast.dropRight(2).toDouble
+    val slow = graft.rel.TimeSeries.BurnSlow.dropRight(2).toDouble
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    events
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .as[SloEvent]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[SloState, SloOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, evs: Iterator[SloEvent], state: GroupState[SloState]) =>
+          var st = state.getOption.getOrElse(SloState(Long.MinValue, 0L, 0L, Nil))
+          val out = Seq.newBuilder[SloOut]
+          def closeHour(): Unit = if (st.n > 0) {
+            val tail = st.ring.takeRight(5)
+            val n6 = tail.map(_._1).sum + st.n
+            val e6 = tail.map(_._2).sum + st.nErr
+            val burn1 = (st.nErr.toDouble / st.n) / (1.0 - slo)
+            val burn6 = (e6.toDouble / n6) / (1.0 - slo)
+            out += SloOut(st.hs * 1000000L, st.n, st.nErr,
+              rnd6(burn1), rnd6(burn6), burn1 > fast && burn6 > slow)
+            st = SloState(st.hs, 0L, 0L, (tail :+ (st.n, st.nErr)).takeRight(5))
+          }
+          evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id)).foreach { ev =>
+            val hs = math.floorDiv(ev.ts.getTime, 3600000L) * 3600L
+            if (hs != st.hs) { closeHour(); st = st.copy(hs = hs, n = 0L, nErr = 0L) }
+            st = st.copy(n = st.n + 1,
+              nErr = st.nErr + (if (ev.event_type == "error") 1L else 0L))
           }
           state.update(st)
           out.result().iterator

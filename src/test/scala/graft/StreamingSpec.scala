@@ -576,6 +576,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(math.abs(dd12 - 0.3) < 1e-9)
   }
 
+  test("SLO burn stream (ring state) ≡ batch sloBurn on closed hours; blip does not page") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch spec's scenario: 11 quiet hours (1 error in 10), one
+    // all-error hour, then a sentinel event that closes it
+    val rows = (0 until 12).flatMap { h =>
+      (0 until 10).map { i =>
+        val typ = if (h == 11) "error" else if (i == 0) "error" else "view"
+        Ev((h * 10 + i).toLong, new Timestamp(h * 3600000L), 1L, typ, 1.0)
+      }
+    } :+ Ev(999L, new Timestamp(12 * 3600000L), 1L, "view", 1.0)
+    val mem = MemoryStream[Ev]
+    val q = Streaming.sloBurnStream(mem.toDF())
+      .writeStream.format("memory").queryName("slo").outputMode("append").start()
+    try {
+      // split mid-hour-6 so both the open hour AND the ring carry over
+      mem.addData(rows.take(65): _*); q.processAllAvailable()
+      mem.addData(rows.drop(65): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("slo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    val batch = graft.rel.TimeSeries.sloBurn(rows.toDF()
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")))
+      .filter(col("hour_us") < 12L * 3600000000L) // open sentinel hour unemitted
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    assert(streamed === batch)
+    // the bad hour trips the fast window but not the page (blip suppression)
+    val bad = streamed(11L * 3600000000L)
+    assert(math.abs(bad._3 - 4.0) < 1e-6 && !bad._5)
+  }
+
   test("hourly-profile stream (update mode, 168-cell bounded state) ≡ batch cells") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
