@@ -457,6 +457,23 @@ class PropertySpec extends SparkSpecBase {
     }, min = 10)
   }
 
+  test("PSI: non-negative on any split (same-sign terms) and symmetric under half swap") {
+    // each term (p−q)·ln(p/q) has matching signs, so PSI ≥ 0 always;
+    // and swapping the halves negates both factors → identical scalar
+    val gen = Gen.listOf(Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 2100L)))
+      .suchThat(_.size >= 2)
+    check(Prop.forAll(gen) { rows =>
+      import spark.implicits._
+      val docs = rows.zipWithIndex.map { case ((id, len), i) =>
+        (id * 100 + i, "t", "en", "s", len)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ab = graft.llm.TextAnalysis.psiDriftDocs(docs).head().getDouble(2)
+      val swapped = docs.withColumn("doc_id", col("doc_id") + 1)
+      val ba = graft.llm.TextAnalysis.psiDriftDocs(swapped).head().getDouble(2)
+      ab >= -1e-12 && math.abs(ab - ba) < 1e-9
+    }, min = 10)
+  }
+
   test("snapshotDiff: statuses partition the key union; added/removed match set differences") {
     val gen = for {
       pIds <- Gen.listOf(Gen.choose(0L, 30L)).map(_.distinct)
