@@ -230,11 +230,19 @@ object AnnSearch {
       k = 3, nprobe = 3)
   }
 
-  def ivfSearch(q: DataFrame, t: DataFrame, cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cells = t.join(assignCells(t, cent), "t_id")
-      .select(col("t_id"), col("t_v"), col("cell"))
+  def ivfSearch(q: DataFrame, t: DataFrame, cent: DataFrame, k: Int, nprobe: Int): DataFrame =
+    ivfSearchCells(q,
+      t.join(assignCells(t, cent), "t_id").select(col("t_id"), col("t_v"), col("cell")),
+      cent, k, nprobe)
 
+  /** IVF search over an ALREADY-ASSIGNED (t_id, t_v, cell) frame — the
+    * shared tail of the inline path above and the persisted-index path
+    * (`loadIvfIndex`), where the assignment was computed once at build
+    * time instead of per search.
+    */
+  private[graft] def ivfSearchCells(q: DataFrame, cells: DataFrame, cent: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pw = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
     val probes = q.crossJoin(broadcast(cent))
       .select(col("q_id"), col("q_v"), col("c_id"),
@@ -249,6 +257,40 @@ object AnnSearch {
         ArrayDistance.l2(col("q_v"), col("t_v")).as("dist"))
     graft.functions.TopKAgg.knn(pairs, k)
       .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
+  }
+
+  /** PERSISTED IVF index (round 9) — build once, search many: the
+    * centroid table plus the (t_id, t_v, cell) assignment written as
+    * CELL-PARTITIONED parquet. A real vector-search deployment never
+    * re-assigns the corpus per query batch; it materializes the index
+    * and lets each search touch only the probed cells. Partitioning by
+    * `cell` is the disk analogue of the cell equi-join: a search's
+    * probe set names ≤ |Q|·nprobe distinct cells, so the cells⋈probes
+    * join is eligible for dynamic partition pruning — at 100 TB the
+    * scan reads nprobe/C of the corpus instead of all of it (and a
+    * single-cell lookup prunes to ONE directory). `loadIvfIndex`
+    * returns lazy frames over the files; searches compose with
+    * `ivfSearch`'s exact tail, so AnnSearchSpec pins
+    * save → load → search ≡ the inline path bit-for-bit.
+    */
+  def saveIvfIndex(t: DataFrame, cent: DataFrame, path: String): Unit = {
+    t.join(assignCells(t, cent), "t_id")
+      .select(col("t_id"), col("t_v"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvfIndex(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val cells = s.read.parquet(s"$path/cells")
+      .select(col("t_id"), col("t_v"), col("cell").cast("long"))
+    val cent = s.read.parquet(s"$path/centroids")
+    (cells, cent)
+  }
+
+  def ivfSearchIndexed(s: SparkSession, path: String, q: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val (cells, cent) = loadIvfIndex(s, path)
+    ivfSearchCells(q, cells, cent, k, nprobe)
   }
 
   /** ann_pq — product quantization with asymmetric distance computation

