@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param.{IntParam, Param, ParamMap, ParamValidators, Params}
 import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
@@ -109,4 +109,44 @@ class FknnModel(
   override def transformSchema(schema: StructType): StructType = validate(schema)
   override def copy(extra: ParamMap): FknnModel =
     copyValues(new FknnModel(uid, train, memberships)).setParent(parent)
+
+  /** Persist the fitted model — fit once, serve later (round 9, the
+    * `saveIvfIndex` discipline applied to the classifier): the train
+    * frame and the stage-1 membership table as parquet plus the params
+    * as one JSON row. Parquet/JSON via Spark writers, so the model
+    * round-trips on any storage a cluster can reach (object store,
+    * HDFS), not just the local FS.
+    */
+  def save(path: String): Unit = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    train.write.mode("overwrite").parquet(s"$path/train")
+    memberships.write.mode("overwrite").parquet(s"$path/memberships")
+    Seq((uid, getK, getNClasses, getVersion, getNumIterations, getDistType))
+      .toDF("uid", "k", "nClasses", "version", "numIterations", "distType")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+  }
+
+  private[ml] def withParams(kV: Int, ncV: Int, verV: String, nitV: Int,
+      dtV: String): this.type = {
+    set(k, kV); set(nClasses, ncV); set(version, verV)
+    set(numIterations, nitV); set(distType, dtV); this
+  }
+}
+
+object FknnModel {
+  /** Load a model previously written by `FknnModel.save`. The returned
+    * frames are lazy over the parquet files — `transform` composes
+    * against them exactly as against the fit-time frames
+    * (KeelAndMlSpec pins save → load → transform ≡ the original).
+    */
+  def load(spark: SparkSession, path: String): FknnModel = {
+    val p = spark.read.json(s"$path/params").head()
+    new FknnModel(p.getAs[String]("uid"),
+      spark.read.parquet(s"$path/train"),
+      spark.read.parquet(s"$path/memberships"))
+      .withParams(p.getAs[Long]("k").toInt, p.getAs[Long]("nClasses").toInt,
+        p.getAs[String]("version"), p.getAs[Long]("numIterations").toInt,
+        p.getAs[String]("distType"))
+  }
 }

@@ -135,4 +135,22 @@ class KeelAndMlSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { new FknnClassifier().setDistType("cosine") }
     intercept[IllegalArgumentException] { new FknnClassifier().setNumIterations(0) }
   }
+
+  test("FknnModel save → load → transform ≡ the original fitted model") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Distance.asDouble(col("embedding")).as("v"), col("label"))
+    val train = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") < 300)
+    val queries = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 300)
+    val model = new FknnClassifier().setK(5).setNClasses(10)
+      .setVersion("global").setNumIterations(3).setDistType("l2").fit(train)
+    val path = java.nio.file.Files.createTempDirectory("fknnmodel").toString
+    model.save(path)
+    val loaded = graft.ml.FknnModel.load(spark, path)
+    assert(loaded.getK === 5 && loaded.getNClasses === 10 &&
+      loaded.getVersion === "global" && loaded.getNumIterations === 3 &&
+      loaded.getDistType === "l2")
+    assert(collectSet(loaded.transform(queries)
+        .select(col("vec_id"), col("predicted"))) ===
+      collectSet(model.transform(queries).select(col("vec_id"), col("predicted"))))
+  }
 }
