@@ -196,6 +196,31 @@ object PipelineScaleProbe {
         f"recall=${nHits.toDouble / bruteRows}%.3f wall=$tNp%.1f s")
     }
 
+    // ---- ANN: persisted index vs inline (round-9) -----------------------
+    // build-once/search-many: the inline path re-assigns the corpus to
+    // cells on EVERY search (a |T|×C distance stream); the persisted
+    // index pays assignment once at build time and each search reads the
+    // cell-partitioned parquet. Measured: per-search wall drops by
+    // roughly the assignment cost; results bit-identical.
+    {
+      val idxPath = s"/tmp/scale_ivfidx_$nVecs"
+      t0 = System.nanoTime()
+      AnnSearch.saveIvfIndex(t, cent, idxPath)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val rIdx = AnnSearch.ivfSearchIndexed(spark, idxPath, q, k = 10, nprobe = 4)
+        .select(col("q_id"), col("t_id")).persist()
+      val nIdx = rIdx.count()
+      val tIdx = (System.nanoTime() - t0) / 1e9
+      val sameRows = rIdx.join(ivf, Seq("q_id", "t_id"), "left_semi").count()
+      rIdx.unpersist()
+      println(f"[scale] ann_indexed nVecs=$nVecs build=$tBuild%.1f s " +
+        f"search_indexed=$tIdx%.1f s vs inline=$tIvf%.1f s " +
+        f"(rows $nIdx, ${sameRows}/${ivfRows} shared with inline)")
+      assert(nIdx == ivfRows && sameRows == ivfRows,
+        "indexed search must be bit-identical to the inline path")
+    }
+
     // ---- ANN: PQ/ADC over the same vectors ------------------------------
     // the compression path: encode once (corpus pass vs a broadcast
     // 4×64 codebook), then distance = 4 table lookups per pair instead
