@@ -457,6 +457,34 @@ class PropertySpec extends SparkSpecBase {
     }, min = 10)
   }
 
+  test("harmonicHll ≡ exact harmonicPerSeed on random graphs (sparse-exact regime)") {
+    // random sparse graphs stay far under the lgK=10 coupon threshold,
+    // so the sketch must track the exact BFS fold essentially exactly —
+    // for EVERY node (seedMod = 1), not just the declared seed set
+    val gen = for {
+      n <- Gen.choose(4, 20)
+      m <- Gen.choose(3, 40)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield es.filter { case (a, b) => a != b }
+    check(Prop.forAll(gen suchThat (_.nonEmpty)) { es =>
+      import spark.implicits._
+      val half = es.toDF("src", "dst")
+      val edges = half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("node")).distinct()
+      val exact = graft.rel.Graph.harmonicPerSeed(edges, seeds)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1).toDouble, r.getDouble(2))).toMap
+      val est = graft.rel.Graph.harmonicHll(edges, seedMod = 1)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      // exact omits zero-reach seeds; est emits every node — compare on
+      // exact's support and require est ≈ 0 elsewhere
+      exact.forall { case (s, (nEx, hEx)) =>
+        est.contains(s) &&
+          math.abs(est(s)._1 - nEx) <= math.max(0.5, 0.02 * nEx) &&
+          math.abs(est(s)._2 - hEx) <= math.max(0.02, 0.02 * hEx)
+      } && (est.keySet -- exact.keySet).forall(s => est(s)._2 < 0.02)
+    }, min = 10)
+  }
+
   test("PSI: non-negative on any split (same-sign terms) and symmetric under half swap") {
     // each term (p−q)·ln(p/q) has matching signs, so PSI ≥ 0 always;
     // and swapping the halves negates both factors → identical scalar
