@@ -1693,7 +1693,35 @@ object Queries {
         rnd(col("s_in") / col("n_in") / 1e2, 6).as("trimmed_mean"))
   }
 
+  // agg_benford — Benford first-significant-digit audit of the order
+  // values: observed vs expected (log10(1+1/d)) digit shares — the
+  // data-quality/fraud read-out an ingestion audit runs over any
+  // naturally-generated numeric column (fabricated or truncated feeds
+  // flunk it; uniform synthetic generators like this one also deviate,
+  // which is exactly what the row demonstrates). First digit extracted
+  // in EXACT integer-string space: price → e2 BIGINT (the house
+  // rounding), cast to string, first char — no log10/pow on doubles in
+  // the digit path, so both engines bucket identically (a float
+  // log10(1000.0) can land at 2.9999… and shift the digit). The
+  // expected share IS log10 — evaluated over the exact integer d in
+  // both engines (the `metrics_logloss` ln precedent), rounded at the
+  // edge. One 9-key aggregate + a broadcast one-row total.
+  def aggBenford(s: SparkSession, d: String): DataFrame = {
+    val digit = substring(
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val byDigit = Tables.orders(s, d)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(byDigit.agg(sum(col("n")).as("nt")))
+    byDigit.crossJoin(tot)
+      .select(col("digit"), col("n"),
+        rnd(col("n") / col("nt").cast("double"), 6).as("obs_share"),
+        rnd(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("exp_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_benford" -> aggBenford,
     "agg_trimmed_mean" -> aggTrimmedMean,
     "agg_weighted_median" -> aggWeightedMedian,
     "scan_filter_prune" -> scanFilterPrune,
@@ -2436,6 +2464,16 @@ object Queries {
         "JOIN supplier ON sk = s_suppkey " +
         "JOIN nation ON s_nationkey = n_nationkey " +
         "WHERE ns >= 2 AND nl = 1 AND late = 1 GROUP BY 1"),
+
+    "agg_benford" ->
+      // identical e2-integer-string first digit; log10 over exact
+      // integers (the ln-in-logloss precedent), rounded at the edge
+      ("WITH b AS (SELECT (floor(o_totalprice * 100 + 0.5e0)::BIGINT::VARCHAR)[1:1]::INT " +
+        "AS digit FROM orders), " +
+        "g AS (SELECT digit, count(*) AS n FROM b GROUP BY 1), " +
+        "t AS (SELECT sum(n)::BIGINT AS nt FROM g) " +
+        "SELECT digit, n, rnd(n / nt::DOUBLE, 6) AS obs_share, " +
+        "rnd(log10(1e0 + 1e0 / digit), 6) AS exp_share FROM g, t"),
 
     "agg_trimmed_mean" ->
       // identical rank-interval overlap arithmetic over the same

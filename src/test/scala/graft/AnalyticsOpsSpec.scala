@@ -533,6 +533,31 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(declared >= 0.0 && declared <= 1.0)
   }
 
+  test("agg_benford: digit domain 1-9, shares sum to 1, expected = Benford constants") {
+    val rows = SparkEntry.queries("agg_benford")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3, "observed shares sum to 1")
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / d)) < 1e-6,
+        s"expected share for digit $d")
+    }
+    // a synthetic log-uniform sample IS Benford-distributed: max
+    // |obs − exp| stays small where the harness's uniform prices won't
+    import spark.implicits._
+    val logUniform = (1 to 5000).map { i =>
+      (i.toLong, math.pow(10.0, (i * 2654435761L % 100000) / 100000.0 * 4))
+    }.toDF("o_orderkey", "o_totalprice")
+    val digit = substring(
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string"), 1, 1).cast("int")
+    val g = logUniform.select(digit.as("d")).groupBy("d").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = g.values.sum.toDouble
+    val maxDev = (1 to 9).map(d =>
+      math.abs(g.getOrElse(d, 0L) / n - math.log10(1.0 + 1.0 / d))).max
+    assert(maxDev < 0.02, s"log-uniform sample should be Benford: max dev $maxDev")
+  }
+
   test("quality_psi_drift: ~0 for identical halves, past the 0.25 action line for a shifted one") {
     def psi(aLens: Seq[Long], bLens: Seq[Long]): Double = {
       val docs = (aLens.zipWithIndex.map { case (l, i) =>
