@@ -205,6 +205,15 @@ object Fknn {
       .agg((sum(col("membership") * col("w")) / sum(col("w"))).as("u"))
   }
 
+  /** argmax over an externally-built (q_id, class, u) score table — the
+    * public seam the shared-metrics materialization uses (round 10,
+    * VERDICT r9 #1): `predictedFromScores(classifyScores(...))` ≡
+    * `classify(...)` by construction, so callers that already hold a
+    * materialized score frame derive predictions without re-running the
+    * O(N²) stage-2 pipeline.
+    */
+  def predictedFromScores(scores: DataFrame): DataFrame = argmaxPredicted(scores)
+
   /** argmax with deterministic tie-break: highest u, then lowest class. */
   private def argmaxPredicted(scores: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("u").desc, col("class"))

@@ -147,12 +147,30 @@ object Metrics {
     * and no clearCache convention is required of them. The returned
     * frame is the materialized result (checkpoint-backed, lazy-free).
     */
-  private def materialized(shared: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
-    val cached = shared.persist()
-    val out = Ckpt.truncate(build(cached))
-    cached.unpersist(blocking = false)
-    out
-  }
+  private def materialized(shared: DataFrame)(build: DataFrame => DataFrame): DataFrame =
+    if (isCheckpointBacked(shared)) Ckpt.truncate(build(shared))
+    else {
+      val cached = shared.persist()
+      val out = Ckpt.truncate(build(cached))
+      cached.unpersist(blocking = false)
+      out
+    }
+
+  /** An input that IS a bare checkpoint (or a projection of one — the
+    * shapes `Ckpt.truncate` produces) is already materialized storage:
+    * re-persisting it buys nothing and costs a cache round-trip per
+    * metric (round 10 — the shared metrics materialization feeds every
+    * scalar metric from one checkpointed score frame, so this skip is
+    * the common path there; expensive lazy pipelines still get the
+    * persist). Same narrow plan match as `Ckpt.release`.
+    */
+  private def isCheckpointBacked(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.child.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+      case _ => false
+    }
 
   /** Multi-class log loss −mean(ln p_label) over normalized fuzzy
     * scores, clamped at 1e-15 (the sklearn convention — a zero

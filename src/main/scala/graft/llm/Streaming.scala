@@ -27,7 +27,8 @@ case class EwmaOut(event_type: String, event_id: Long, ewma: Double)
 /** Row types for the drawdown state stream (`Streaming.drawdownStream`). */
 case class DdEvent(event_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
 case class DdState(hs: Long, sum: Double, n: Long, peakE6: Long)
-case class DdOut(event_type: String, hs: Long, v: Double, peak_v: Double, drawdown: Double)
+case class DdOut(event_type: String, hs: Long, v: Double, peak_v: Double,
+  drawdown: Option[Double])
 
 /** Row types for the SLO burn-rate stream (`Streaming.sloBurnStream`). */
 case class SloEvent(event_id: Long, ts: java.sql.Timestamp, event_type: String)
@@ -378,8 +379,11 @@ object Streaming {
             val v = rnd6(st.sum / st.n)
             val vu = math.floor(v * 1e6 + 0.5).toLong
             val peak = math.max(st.peakE6, vu)
-            out += DdOut(etype, st.hs, v, rnd6(peak / 1e6),
-              rnd6((peak - vu) / peak.toDouble))
+            // peak == 0 guard (ADVICE r9): the batch twin's Spark division
+            // by zero yields NULL where JVM arithmetic would yield NaN —
+            // emit None so stream ≡ batch holds on zero/negative series too
+            val dd = if (peak == 0L) None else Some(rnd6((peak - vu) / peak.toDouble))
+            out += DdOut(etype, st.hs, v, rnd6(peak / 1e6), dd)
             st = DdState(st.hs, 0.0, 0L, peak)
           }
           evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id)).foreach { ev =>

@@ -726,8 +726,14 @@ object Graph {
   def harmonicHll(edgesIn: DataFrame, seedMod: Int = BfsSeedMod,
       maxHops: Int = BfsMaxHops, lgK: Int = 10): DataFrame = {
     val edges = edgesIn.truncated()
-    // state: (node, sk, cprev = |B(node, h−1)| estimate, hacc)
-    var state = edges.select(col("src").as("node")).distinct()
+    // state: (node, sk, cprev = |B(node, h−1)| estimate, hacc).
+    // Hop-0 nodes = src ∪ dst (ADVICE r9): on non-symmetrized edge input
+    // a dst-only node would otherwise have no hop-0 row, and the
+    // max(cprev)/max(hacc) recovery over its (all-null-accumulator)
+    // message rows would yield a null harmonic_est. All wired callers
+    // pass symmetrized edges, where src ∪ dst ≡ src — output unchanged.
+    var state = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
       .groupBy(col("node"))
       .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
       .select(col("node"), col("sk"),

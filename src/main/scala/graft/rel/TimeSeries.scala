@@ -1280,7 +1280,13 @@ object TimeSeries {
       .withColumn("peak", max(col("vu")).over(w))
       .select(col("event_type"), col("hs"), col("v"),
         rnd(col("peak") / 1e6, 6).as("peak_v"),
-        rnd((col("peak") - col("vu")) / col("peak").cast("double"), 6).as("drawdown"))
+        // peak == 0 guard (ADVICE r9): a zero/negative value series can
+        // put the all-time peak at exactly 0 — under ANSI mode the bare
+        // division THROWS there; emit NULL (drawdown from a zero peak is
+        // undefined) and the streaming twin emits None on the same hour
+        rnd(when(col("peak") === 0L, lit(null).cast("double"))
+          .otherwise((col("peak") - col("vu")) / col("peak").cast("double")), 6)
+          .as("drawdown"))
   }
 
   def drawdown(s: SparkSession, d: String): DataFrame =
@@ -1518,6 +1524,18 @@ object TimeSeries {
     * constants shared with the oracle. The first 5 hours still emit
     * (their 6 h window is a partial prefix — standard for a burn
     * monitor warming up).
+    *
+    * POPULATED-HOURS SEMANTICS (ADVICE r9): the "6 h" window is
+    * rowsBetween(−5, 0) over hours that HAVE events — across a total
+    * traffic gap (zero events for an hour) the slow window spans more
+    * than 6 wall-clock hours, so recovery after an outage gap reads
+    * slower than a calendar window would. This is deliberate: an
+    * hour with n = 0 has an undefined error RATE (0/0), and
+    * rate-of-populated-hours is what the exact-integer form and the
+    * streaming twin's 5-entry ring both compute (batch ≡ stream pinned
+    * either way). Callers needing strict calendar hours should densify
+    * the hourly frame first (`tsResample`'s calendar spine) with an
+    * explicit n = 0 convention.
     */
   private[graft] val SloTarget = "0.75e0"      // synthetic feed: ~20 % 'error'
   private[graft] val BurnFast = "1.2e0"        // 1 h burn must exceed

@@ -77,10 +77,15 @@ object PipelineScaleProbe {
     // stay ≈ true near-dups. Planted-pair recall must hold at both.
     for ((bits, bands) <- Seq((16, 4), (64, 8))) {
       t0 = System.nanoTime()
+      // audit mode (cap = 0): the width sweep measures what BANDING WIDTH
+      // alone does to candidates — the round-10 default cap would mask
+      // the 16-bit saturation this table exists to show
       val simSigs = Dedup.simhashSigs(spark, docs, simBits = bits).persist()
-      val nCand = Dedup.simhashBandCandidates(spark, simSigs, bits, bands).count()
+      val nCand = Dedup.simhashBandCandidates(spark, simSigs, bits, bands,
+        maxBandBucket = 0).count()
       val simPairs = Dedup.simhashBandedPairs(spark, simSigs,
-        maxHamming = bands - 1, simBits = bits, simBands = bands)
+        maxHamming = bands - 1, simBits = bits, simBands = bands,
+        maxBandBucket = 0)
       val planted2 = simPairs.filter(col("doc_id2") === col("doc_id1") + 1 &&
         col("doc_id2") % 20 === 1).count()
       val nPairs = simPairs.count()
@@ -138,6 +143,30 @@ object PipelineScaleProbe {
       f"uncapped exact=$exUncap near=$nearUncap in $tUncap%.1f s; " +
       f"cap(${Dedup.DefaultMaxBandBucket}) exact=$exCap near=$nearCap in $tCap%.1f s; " +
       f"cap(100) exact=$exCap100 near=$nearCap100 in $tCap100%.1f s")
+
+    // ---- dedup: hot-bucket cap on the SimHash path (round 10) ----------
+    // the SimHash cap went DEFAULT-ON this round (VERDICT r9 #3); this is
+    // the boilerplate-corpus evidence row behind it, mirroring the
+    // MinHash round-9 leg: all boilerplate docs share one 64-bit
+    // signature → every band bucket holds all of them → B² candidates
+    // uncapped; the cap drops that bucket while every planted near-dup
+    // (tiny Hamming distance, clean buckets) must survive.
+    def simBreakdown(maxBucket: Int): (Long, Long, Double) = {
+      val t = System.nanoTime()
+      val sigs64 = Dedup.simhashSigs(spark, boilDocs, simBits = 64).persist()
+      val p = Dedup.simhashBandedPairs(spark, sigs64, maxHamming = 3,
+        simBits = 64, simBands = 8, maxBandBucket = maxBucket).persist()
+      val exact = p.filter(col("hamming") === 0).count()
+      val near = p.filter(col("hamming") > 0).count()
+      val w = (System.nanoTime() - t) / 1e9
+      p.unpersist(); sigs64.unpersist()
+      (exact, near, w)
+    }
+    val (sExUncap, sNearUncap, sTUncap) = simBreakdown(0)
+    val (sExCap, sNearCap, sTCap) = simBreakdown(Dedup.DefaultMaxBandBucket)
+    println(f"[scale] simhash_hotbucket nDocs=$nBoil boiler=${nBoil / 5}: " +
+      f"uncapped ham0=$sExUncap near=$sNearUncap in $sTUncap%.1f s; " +
+      f"cap(${Dedup.DefaultMaxBandBucket}) ham0=$sExCap near=$sNearCap in $sTCap%.1f s")
     assert(nearCap100 == nearUncap && (nearCap == nearUncap),
       s"hot-bucket cap lost genuine near-dup pairs: uncapped $nearUncap, " +
         s"capped $nearCap / $nearCap100 — recall loss must be confined to " +

@@ -26,24 +26,33 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var nCart = 0
+    var nGw = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val qe = fn(spark, sfDir).queryExecution
+        val plan = qe.executedPlan.toString
         def c(tag: String) = plan.linesIterator.count(_.contains(tag))
         val cart = c("CartesianProduct")
         val bnl = c("BroadcastNestedLoopJoin")
-        if (cart + bnl > 0) {
-          nCart += 1
+        // global-order windows (empty partitionSpec + an orderSpec): the
+        // Rank.scala:9 rule — these are single-task sorts, legal only
+        // over provably bounded inputs (bin counts, per-class rows)
+        val gw = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w
+        }.size
+        if (gw > 0) nGw += 1
+        if (cart + bnl + gw > 0)
           println(f"[plan] $name%-28s exchanges=${c("Exchange")}%2d " +
-            f"cartesian=$cart bnlj=$bnl  <-- verify intentional")
-        }
+            f"cartesian=$cart bnlj=$bnl global_windows=$gw  <-- verify intentional")
+        if (cart + bnl > 0) nCart += 1
       } catch {
         case e: Throwable => println(s"[plan] $name FAILED to plan: ${e.getMessage}")
       }
       spark.catalog.clearCache()
     }
     println(s"[plan] ${SparkEntry.queries.size} queries audited; " +
-      s"$nCart carry cartesian/BNLJ shapes (list above)")
+      s"$nCart carry cartesian/BNLJ shapes, $nGw carry global-order windows (list above)")
     spark.stop()
   }
 }

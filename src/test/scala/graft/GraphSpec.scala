@@ -315,7 +315,8 @@ class GraphSpec extends SparkSpecBase {
   test("harmonicHll: HyperBall estimates pin to exact harmonicPerSeed per seed (sparse-mode accuracy)") {
     // the sketched scale path vs its verification twin on the harness
     // graph: small per-seed reach sets stay in DataSketches' EXACT
-    // sparse mode at lgK=12, so estimates must track exact within 2%
+    // sparse mode at lgK=10 (harmonicHll's default, which this test
+    // exercises), so estimates must track exact within 2%
     val edges = Graph.custSuppEdges(spark, sfDir)
     val seeds = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % Graph.BfsSeedMod === 0)

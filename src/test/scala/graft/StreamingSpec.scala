@@ -576,6 +576,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(math.abs(dd12 - 0.3) < 1e-9)
   }
 
+  test("drawdown stream ≡ batch when the all-time peak is exactly 0 (NULL, not NaN)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // zero/negative value series: hour-10 mean −5 (peak −5e6, drawdown 0),
+    // hour-11 mean 0 (peak 0 → unguarded, the batch ANSI division THROWS
+    // and the stream's JVM arithmetic yields NaN; both now emit NULL —
+    // ADVICE r9)
+    val series = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "view", -5.0),
+      Ev(2, ts("2024-01-01 11:10:00"), 1, "view", 0.0),
+      Ev(3, ts("2024-01-01 12:00:00"), 1, "view", 999.0)) // closes hour 11
+    val mem = MemoryStream[Ev]
+    val q = Streaming.drawdownStream(mem.toDF())
+      .writeStream.format("memory").queryName("ddz").outputMode("append").start()
+    try { mem.addData(series: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("ddz")
+      .select("event_type", "hs", "v", "peak_v", "drawdown")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.rel.TimeSeries.tsDrawdown(series.toDF()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")))
+      .filter(col("hs") < ts("2024-01-01 12:00:00").getTime / 1000)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    val h11 = spark.table("ddz")
+      .filter(col("hs") === ts("2024-01-01 11:00:00").getTime / 1000)
+      .select("drawdown").collect().head
+    assert(h11.isNullAt(0), "peak==0 hour must emit NULL drawdown, not NaN")
+  }
+
   test("SLO burn stream (ring state) ≡ batch sloBurn on closed hours; blip does not page") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
