@@ -11,12 +11,16 @@ import graft.Tables
   *
   * The Spark-side machinery — schema, partitioning, typed batch iteration
   * via `mapPartitions` (the JVM analogue of `mapInPandas` batch UDFs) —
-  * is real and tested (`MultimodalSpec`). The codec itself is STUBBED:
-  * this container ships no image/audio libraries, so `decodeStub`
-  * produces a deterministic fake decode (dimensions derived from the
-  * payload bytes). Swapping in a real codec is a one-function change; the
-  * distributed shape (no driver-side collect, per-partition batching,
-  * fixed output schema) is the part that has to be right at 100 TB.
+  * is real and tested (`MultimodalSpec`). Codecs behind the seam, all
+  * pure JVM (this container ships no native image/audio libraries):
+  * `ImageIoCodec` (real BMP/PNG/GIF/JPEG header decode + `resizeImage`
+  * raster resize via `javax.imageio`, magic-dispatched), `PpmCodec`
+  * (netpbm P6 header parse), and `decodeStub` — the deterministic fake
+  * that non-image modalities (audio/video, whose codecs are NOT in the
+  * JDK) fall through to. Swapping in a further codec is a one-function
+  * change; the distributed shape (no driver-side collect, per-partition
+  * batching, fixed output schema) is the part that has to be right at
+  * 100 TB.
   */
 object Multimodal {
 
@@ -95,6 +99,89 @@ object Multimodal {
       var j = 0
       while (j < b.length) { acc = (acc * 131 + (b(j) & 0xff)) % 1000000007L; j += 1 }
       MediaMeta(m.media_id, m.modality, b.length.toLong, w, h, acc)
+    }
+  }
+
+  /** A REAL image codec behind the same seam (round 10, VERDICT r9 #7):
+    * `javax.imageio` ships readers for BMP/PNG/GIF/JPEG/WBMP in the bare
+    * JDK — no new dependencies. Selection is by payload MAGIC: image
+    * payloads get a real header decode, anything else falls through to
+    * the deterministic stub, so a mixed-modality corpus decodes without
+    * per-row configuration. Dimensions come from
+    * `ImageReader.getWidth/getHeight(0)` — the reader parses the format
+    * HEADER only, never the pixel raster, so the per-payload meta cost
+    * is a few bytes regardless of image size (the at-scale metadata
+    * pass; full raster decode is `decodeImage`/`resizeImage` below and
+    * is opt-in per stage). Malformed-but-magic payloads yield
+    * width = height = 0 rather than throwing (the `PpmCodec` poison
+    * discipline — one corrupt blob must not kill a 100-TB decode
+    * stage). Checksum stays the rolling byte hash (payload identity).
+    */
+  object ImageIoCodec extends MediaCodec {
+    private[Multimodal] def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 8 && (
+        (b(0) == 'B' && b(1) == 'M') ||                                        // BMP
+        ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // GIF
+        ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8))                      // JPEG
+
+    def decode(m: Media): MediaMeta =
+      if (!looksLikeImage(m.bytes)) StubCodec.decode(m)
+      else {
+        val (w, h) =
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(m.bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (readers.hasNext) {
+                val r = readers.next()
+                try { r.setInput(iis, true, true); (r.getWidth(0), r.getHeight(0)) }
+                finally r.dispose()
+              } else (0, 0)
+            } finally iis.close()
+          } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+        var acc = 0L
+        var i = 0
+        while (i < m.bytes.length) { acc = (acc * 131 + (m.bytes(i) & 0xff)) % 1000000007L; i += 1 }
+        MediaMeta(m.media_id, m.modality, m.bytes.length.toLong, w, h, acc)
+      }
+  }
+
+  /** Full raster decode (null on failure) — the expensive opt-in stage,
+    * separate from the header-only metadata pass above.
+    */
+  def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Real aspect-preserving resize to `shortSide`, re-encoded as PNG —
+    * the pixel counterpart of `mediaResize`'s planning math (same
+    * round-half-up integer formula, so planned dims ≡ produced dims;
+    * MultimodalSpec pins this on a generated BMP). Returns None for
+    * undecodable payloads — the poison row skips, the stage continues.
+    * Ships inside `mapPartitions` closures like any codec (pure JVM,
+    * no native state).
+    */
+  def resizeImage(bytes: Array[Byte], shortSide: Int = 224): Option[Array[Byte]] = {
+    val img = decodeImage(bytes)
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else {
+      val sh = math.min(img.getWidth, img.getHeight)
+      // round(w·shortSide/sh) in pure integer math — the mediaResize plan
+      val ow = ((2L * shortSide * img.getWidth + sh) / (2L * sh)).toInt
+      val oh = ((2L * shortSide * img.getHeight + sh) / (2L * sh)).toInt
+      val out = new java.awt.image.BufferedImage(ow, oh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow, oh, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
     }
   }
 

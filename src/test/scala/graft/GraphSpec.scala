@@ -312,6 +312,30 @@ class GraphSpec extends SparkSpecBase {
     assert(fp.count() === 13L, "one row per node")
   }
 
+  test("harmonicPerSeed maxSeeds: capped run ≡ uncapped on every kept seed; cap actually refines") {
+    // per-seed independence makes the seed cap a pure sample: rows for
+    // surviving seeds must be byte-identical to the uncapped run's
+    // denser seed rule than the declared row's (sf0.001 has only 3 seeds
+    // at mod 50) — the cap must refine a real population
+    val edges = Graph.custSuppEdges(spark, sfDir)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 5 === 0)
+    val nSeeds = seeds.count()
+    assert(nSeeds > 4, s"fixture needs enough seeds to refine, got $nSeeds")
+    val uncapped = Graph.harmonicPerSeed(edges, seeds)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val capped = Graph.harmonicPerSeed(edges, seeds, maxSeeds = (nSeeds / 2).toInt)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(capped.nonEmpty && capped.size < uncapped.size,
+      s"cap must refine: ${capped.size} of ${uncapped.size}")
+    capped.foreach { case (seed, row) =>
+      assert(uncapped(seed) === row, s"seed $seed diverged under the cap")
+    }
+    // maxSeeds ≥ seed count is the identity
+    assert(Graph.harmonicPerSeed(edges, seeds, maxSeeds = nSeeds.toInt * 2)
+      .count() === uncapped.size.toLong)
+  }
+
   test("harmonicHll: HyperBall estimates pin to exact harmonicPerSeed per seed (sparse-mode accuracy)") {
     // the sketched scale path vs its verification twin on the harness
     // graph: small per-seed reach sets stay in DataSketches' EXACT

@@ -46,6 +46,42 @@ class MultimodalSpec extends SparkSpecBase {
     assert(stub.map(_.media_id).sorted.toSeq === out.map(_.media_id).toSeq)
   }
 
+  test("ImageIO codec: generated BMP decodes real dims via the seam; magic dispatch; resize ≡ plan") {
+    import spark.implicits._
+    // generate a real 37×21 BMP with the JDK encoder — no fixtures on disk
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    val payload = bmp(37, 21)
+    val media = Seq(
+      Media(1L, "image", payload),
+      Media(2L, "text", "just some text".getBytes("UTF-8")), // magic miss → stub
+      Media(3L, "image", Array[Byte]('B', 'M', 1, 2, 3, 4, 5, 6, 7))) // corrupt
+      .toDS()
+    val out = Multimodal.extractMeta(media, Multimodal.ImageIoCodec)
+      .collect().sortBy(_.media_id)
+    assert(out(0).width === 37 && out(0).height === 21, "real header decode")
+    assert(out(0).n_bytes === payload.length.toLong)
+    // non-image magic falls through to the stub's deterministic fake
+    assert(out(1) === Multimodal.decodeStub(Media(2L, "text", "just some text".getBytes("UTF-8"))))
+    // magic matches but payload is corrupt: 0×0 poison row, no throw
+    assert(out(2).width === 0 && out(2).height === 0)
+
+    // real raster resize: produced dims ≡ mediaResize's integer plan
+    val resized = Multimodal.resizeImage(payload, shortSide = 224).get
+    val back = Multimodal.decodeImage(resized)
+    val sh = math.min(37, 21)
+    assert(back.getWidth === ((2L * 224 * 37 + sh) / (2L * sh)).toInt) // 395
+    assert(back.getHeight === 224, "short side lands exactly on target")
+    assert(Multimodal.resizeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("ingest + mediaMeta: binary payload with byte-exact length and hash") {
     val df = Multimodal.mediaMeta(spark, sfDir)
     val r = df.filter(col("media_id") === 0).head()
