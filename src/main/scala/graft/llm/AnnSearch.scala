@@ -47,6 +47,73 @@ object AnnSearch {
       .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn"))
   }
 
+  /** embedding_mmr — maximal-marginal-relevance diversified retrieval
+    * (Carbonell-Goldstein 1998), round 10: greedily pick `MmrK` results
+    * per query from the cosine top-`MmrShortlist`, each step maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s) — the de-redundancy
+    * pass a retrieval/RAG pipeline runs after ANN (a dup-heavy corpus
+    * returns k copies of one page without it; this is the library's
+    * near-dup machinery turned into a retrieval feature). Round 1 has
+    * no picked set, so score = λ·sim(q,d) (the standard convention).
+    *
+    * Scale: the shortlist bounds everything downstream — the
+    * corpus-scale work is the top-k (any ANN row here produces it);
+    * the MMR loop touches ≤ shortlist² rows per query and runs MmrK
+    * tiny join+argmax rounds, never re-reading the corpus.
+    * Cross-engine: sims are written `1 − dist` in BOTH engines
+    * (1 − (1 − x) is not an IEEE identity below x = 0.5, so the oracle
+    * mirrors the double-negation instead of algebraically simplifying),
+    * and (1 − λ) is computed — not the 0.3 literal, which differs from
+    * IEEE 1 − 0.7 by one ulp. Tie-break (score DESC, t_id).
+    */
+  private[graft] val MmrLambda = "0.7e0"
+  private[graft] val MmrK = 3
+  private[graft] val MmrShortlist = 8
+
+  def mmrSelect(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val lam = expr(MmrLambda)
+    val t = e.filter(col("vec_id") >= 20)
+    val cand = Knn.knn(e.filter(col("vec_id") < 10), t,
+        k = MmrShortlist, dist = cosineDist)
+      .select(col("q_id"), col("t_id"), (lit(1.0) - col("dist")).as("simq"))
+    val tv = t.select(col("vec_id").as("t_id"), col("v"))
+    val cv = cand.join(tv, "t_id")
+      .select(col("q_id"), col("t_id"), col("simq"), col("v"))
+    // shortlist-member pairwise sims: ≤ shortlist² rows per query
+    val pair = cv.select(col("q_id"), col("t_id").as("a_id"), col("v").as("a_v"))
+      .join(cv.select(col("q_id"), col("t_id").as("b_id"),
+        col("simq").as("b_simq"), col("v").as("b_v")), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"), col("b_simq"),
+        (lit(1.0) - cosineDist(col("a_v"), col("b_v"))).as("sim"))
+    var picked = cand
+      .groupBy(col("q_id"))
+      .agg(max_by(struct(col("t_id"), (lam * col("simq")).as("score")),
+        struct((lam * col("simq")).as("s"), (-col("t_id")).as("nt"))).as("m"))
+      .select(col("q_id"), col("m.t_id").as("t_id"),
+        lit(1).as("rank"), col("m.score").as("score"))
+    for (r <- 2 to MmrK) {
+      val sel = picked.select(col("q_id"), col("t_id"))
+      val scored = pair
+        .join(sel.select(col("q_id"), col("t_id").as("a_id")), Seq("q_id", "a_id"))
+        .join(sel.select(col("q_id"), col("t_id").as("b_id")),
+          Seq("q_id", "b_id"), "left_anti")
+        .groupBy(col("q_id"), col("b_id"))
+        .agg(max(col("sim")).as("maxsim"), max(col("b_simq")).as("simq"))
+        .select(col("q_id"), col("b_id").as("t_id"),
+          (lam * col("simq") - (lit(1.0) - lam) * col("maxsim")).as("score"))
+      val next = scored.groupBy(col("q_id"))
+        .agg(max_by(struct(col("t_id"), col("score")),
+          struct(col("score").as("s"), (-col("t_id")).as("nt"))).as("m"))
+        .select(col("q_id"), col("m.t_id").as("t_id"),
+          lit(r).as("rank"), col("m.score").as("score"))
+      picked = picked.unionAll(next)
+    }
+    picked.select(col("q_id"), col("t_id"), col("rank"),
+      rnd(col("score"), 6).as("score"))
+  }
+
   /** Sign-LSH bucket expression: bit i set iff v[i] ≥ 0, i = 0..7. */
   private def bucketCol(v: Column): Column =
     (0 until 8).map(i => when(element_at(v, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
@@ -1073,6 +1140,7 @@ object AnnSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_cell_balance" -> cellBalance,
     "ann_cosine_topk" -> cosineTopK,
+    "embedding_mmr" -> mmrSelect,
     "ann_lsh_bucket" -> lshBucketTopK,
     "ann_range_search" -> ((s, d) => rangeSearch(s, d)),
     "ann_ivf" -> ivfTopK,
@@ -1238,6 +1306,44 @@ object AnnSearch {
         "ELSE 0.6745e0 * (dist - med) / mad END AS mz FROM ad, med, mad) " +
         "SELECT vec_id, rnd(dist, 6) AS dist, rnd(mz, 6) AS mz, " +
         "mz > 3.5e0 AS is_outlier FROM fin"),
+
+    "embedding_mmr" -> {
+      // shortlist + pair sims, then MmrK unrolled greedy rounds, each
+      // MATERIALIZED; sims as 1 − (1 − cos) and weights as λ / (1 − λ)
+      // computed — mirroring the Spark expression trees exactly
+      val lam = MmrLambda
+      val head =
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "qp AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, b.v AS t_v, " +
+          s"1e0 - (${cosSql("a.v", "b.v")}) AS simq, " +
+          s"row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cosSql("a.v", "b.v")}, b.vec_id) AS rn " +
+          "FROM e a CROSS JOIN e b WHERE a.vec_id < 10 AND b.vec_id >= 20), " +
+          s"cand AS MATERIALIZED (SELECT q_id, t_id, t_v, simq FROM qp WHERE rn <= $MmrShortlist), " +
+          "pr AS MATERIALIZED (SELECT x.q_id, x.t_id AS a_id, y.t_id AS b_id, " +
+          s"y.simq AS b_simq, 1e0 - (${cosSql("x.t_v", "y.t_v")}) AS sim " +
+          "FROM cand x JOIN cand y ON x.q_id = y.q_id AND x.t_id <> y.t_id), " +
+          s"p1 AS MATERIALIZED (SELECT q_id, t_id, 1 AS rank, $lam * simq AS score FROM " +
+          s"(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY $lam * simq DESC, t_id) AS rk " +
+          "FROM cand) WHERE rk = 1), " +
+          "sel1 AS MATERIALIZED (SELECT q_id, t_id FROM p1), "
+      val rounds = (2 to MmrK).map { r =>
+        val sel = s"sel${r - 1}"
+        s"s$r AS MATERIALIZED (SELECT pr.q_id, pr.b_id, max(pr.sim) AS maxsim, " +
+          s"max(pr.b_simq) AS simq FROM pr JOIN $sel ON pr.q_id = $sel.q_id " +
+          s"AND pr.a_id = $sel.t_id WHERE NOT EXISTS (SELECT 1 FROM $sel z " +
+          "WHERE z.q_id = pr.q_id AND z.t_id = pr.b_id) GROUP BY 1, 2), " +
+          s"c$r AS MATERIALIZED (SELECT q_id, b_id AS t_id, " +
+          s"$lam * simq - (1e0 - $lam) * maxsim AS score FROM s$r), " +
+          s"p$r AS MATERIALIZED (SELECT q_id, t_id, $r AS rank, score FROM " +
+          s"(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, t_id) AS rk " +
+          s"FROM c$r) WHERE rk = 1), " +
+          s"sel$r AS MATERIALIZED (SELECT q_id, t_id FROM sel${r - 1} " +
+          s"UNION ALL SELECT q_id, t_id FROM p$r), "
+      }.mkString
+      val unionAll = (1 to MmrK).map(r => s"SELECT * FROM p$r").mkString(" UNION ALL ")
+      head + rounds.stripSuffix(", ") + " " +
+        s"SELECT q_id, t_id, rank::INT AS rank, rnd(score, 6) AS score FROM ($unionAll)"
+    },
 
     "ann_cosine_topk" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +

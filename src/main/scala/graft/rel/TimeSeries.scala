@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Ckpt
 import graft.core.Ckpt.TruncateSyntax
 import graft.rel.Queries.rnd
 
@@ -1121,6 +1122,91 @@ object TimeSeries {
   def changepoint(s: SparkSession, d: String): DataFrame =
     changepointHourly(Tables.events(s, d))
 
+  // ---- ts_cusum: one-sided CUSUM drift statistic with reset -------------
+
+  /** ts_cusum — the ONLINE drift detector next to `ts_changepoint`'s
+    * offline argmax (round 10): per (type, hour) the one-sided upper
+    * CUSUM S⁺_i = max(0, S⁺_{i−1} + (v_i − v̄)) — the page-when-it-
+    * crosses statistic a monitor tracks continuously, where
+    * changepoint answers "since WHEN" after the fact. The textbook
+    * recurrence is sequential, but it has a closed form over two stock
+    * windows: S⁺_i = P_i − min(0, min_{j≤i} P_j) with prefix deviations
+    * P_i = Σ_{j≤i}(v_j − v̄) — a reset-at-zero is just subtracting the
+    * running minimum of the prefix walk. Integer discipline identical
+    * to `ts_changepoint`: n·1e6·P_i = n·pre_i − i·tot, all BIGINT; the
+    * one double division happens per output row. `alarm` flags hours
+    * where the statistic exceeds `CusumThreshold` value-units (shared
+    * Spark/oracle literal). Scale: one keyed hourly aggregate over raw
+    * events, then two windows over the calendar-bounded bucket series.
+    */
+  private[graft] val CusumThreshold = "10e0"
+
+  def cusumHourly(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .withColumn("vu", floor(col("v") * 1e6 + 0.5).cast("long"))
+    val wOrd = Window.partitionBy("event_type").orderBy("hs")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    b.withColumn("i", count(lit(1)).over(wOrd))
+      .withColumn("pre", sum(col("vu")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("vu")).over(wAll))
+      .withColumn("ns", col("n") * col("pre") - col("i") * col("tot"))
+      .withColumn("runmin", least(lit(0L), min(col("ns")).over(wOrd)))
+      .select(col("event_type"), col("hs"), col("v"),
+        rnd((col("ns") - col("runmin")).cast("double") /
+          (col("n").cast("double") * 1e6), 6).as("cusum_pos"))
+      .withColumn("alarm", col("cusum_pos") > expr(CusumThreshold))
+  }
+
+  def cusum(s: SparkSession, d: String): DataFrame =
+    cusumHourly(Tables.events(s, d))
+
+  // ---- events_burstiness: inter-arrival burstiness per event type -------
+
+  /** events_burstiness — Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of the
+    * inter-arrival gaps per event type (round 10), with the coefficient
+    * of variation σ/μ alongside: B → −1 for a metronome, 0 for a
+    * Poisson stream, → 1 for heavy bursts — the one-number answer to
+    * "is this feed event-driven or scheduled" that sizes stream state
+    * and batch windows. Gaps are floor-second integers from the
+    * (ts, event_id)-ordered lag per type (partitioned window — types
+    * independent, no global sort); Σd and Σd² stay BIGINT (seconds
+    * keep Σd² < 2⁶³ where micro-unit gaps would overflow), and the
+    * moment algebra runs as the identical double expression tree in
+    * both engines: μ = Σd/n, σ² = Σd²/n − μ². σ = μ = 0 (all gaps
+    * sub-second) yields NULL burstiness, not 0/0.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    val gaps = events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_s", expr("(us - lag(us, 1) OVER (PARTITION BY event_type " +
+        "ORDER BY ts, event_id)) div 1000000"))
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("s1"),
+        sum(col("gap_s") * col("gap_s")).as("s2"))
+      .select(col("event_type"), col("n_gaps"),
+        rnd(col("s1") / col("n_gaps").cast("double"), 6).as("mean_gap_s"),
+        rnd(sqrt(col("s2") / col("n_gaps").cast("double") -
+          (col("s1") / col("n_gaps").cast("double")) *
+            (col("s1") / col("n_gaps").cast("double"))), 6).as("sd_gap_s"))
+      .withColumn("cv",
+        when(col("mean_gap_s") === 0, lit(null).cast("double"))
+          .otherwise(rnd(col("sd_gap_s") / col("mean_gap_s"), 6)))
+      .withColumn("burstiness",
+        when(col("sd_gap_s") + col("mean_gap_s") === 0, lit(null).cast("double"))
+          .otherwise(rnd((col("sd_gap_s") - col("mean_gap_s")) /
+            (col("sd_gap_s") + col("mean_gap_s")), 6)))
+  }
+
+  def burstinessQuery(s: SparkSession, d: String): DataFrame =
+    burstiness(Tables.events(s, d))
+
   // ---- driver wiring ----------------------------------------------------
 
   // ---- events_rfm: recency/frequency/monetary user segmentation ---------
@@ -1395,6 +1481,61 @@ object TimeSeries {
 
   def transition(s: SparkSession, d: String): DataFrame =
     transitionMatrix(Tables.events(s, d))
+
+  /** events_markov_stationary — the stationary distribution π of the
+    * `events_transition` chain by `MarkovIters` synchronous power-
+    * iteration rounds from a uniform start (round 10): where the
+    * transition row answers "what happens NEXT", π answers "where does
+    * the behavior SETTLE" — the long-run type mix a capacity model or
+    * simulator consumes. Each round is one join + one keyed sum over
+    * the |types|²-bounded matrix (`graph_pagerank`'s shape on a far
+    * smaller graph — the matrix is vocabulary-sized, so the loop costs
+    * nothing at any corpus size; the corpus-scale work happens once in
+    * `transitionMatrix`'s pair count). π is RENORMALIZED each round
+    * (one broadcast one-row sum, the pageRank node-count discipline):
+    * the 6-dp-rounded matrix rows don't sum to exactly 1, and mass
+    * stepping onto a type with no outgoing observations would
+    * otherwise leak; π is rounded to 12 dp per round so both engines
+    * iterate identical doubles (the oracle unrolls the same rounds).
+    */
+  private[graft] val MarkovIters = 10
+
+  def markovStationary(events: DataFrame): DataFrame = {
+    // the matrix is truncated ONCE: it is the only corpus-scale subtree,
+    // and a lazy pm would be re-derived from raw events by every one of
+    // the MarkovIters round jobs (measured 6.5 s/row at sf0.1 → 10×
+    // the window-lead pair count; checkpointed ≤ |types|² rows it is
+    // one pass + ten trivial round jobs)
+    val pm = Ckpt.truncate(
+      transitionMatrix(events).select(col("cur"), col("nxt"), col("p")))
+    val states = pm.select(col("cur").as("state")).distinct()
+    var pi = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+      .select(col("state"), (lit(1.0) / col("k")).as("pi"))
+    for (_ <- 1 to MarkovIters) {
+      // truncated per round: `stepped` feeds BOTH the renormalizing
+      // total and the next π, so a lazy tree would double every round
+      // (the Ckpt scaladoc's exponential-analysis trap — this loop hung
+      // Catalyst before truncation despite the 6-row frames)
+      // repartition(1) before the checkpoint: the frame is |types| rows,
+      // and materializing it as 32 shuffle partitions × 10 rounds × 2
+      // bench runs is pure task-scheduling overhead (measured 5.8 s/row
+      // at sf0.1 — dropping to one partition per round removes ~97 % of
+      // the tasks; the corpus-scale work all happened in transitionMatrix)
+      val stepped = Ckpt.truncate(
+        pi.join(pm, pi("state") === pm("cur"))
+          .groupBy(col("nxt"))
+          .agg(sum(col("pi") * col("p")).as("w"))
+          .repartition(1))
+      pi = stepped
+        .crossJoin(broadcast(stepped.agg(sum(col("w")).as("tw"))))
+        .select(col("nxt").as("state"), rnd(col("w") / col("tw"), 12).as("pi"))
+    }
+    pi.select(col("state"), rnd(col("pi"), 6).as("pi"))
+  }
+
+  def markovStationaryQuery(s: SparkSession, d: String): DataFrame =
+    markovStationary(Tables.events(s, d))
 
   // ---- events_time_to_convert: signup→purchase latency distribution -----
 
@@ -1821,12 +1962,44 @@ object TimeSeries {
     */
   private[graft] val TheilSenBuckets = 4096
 
-  def theilSen(events: DataFrame): DataFrame = {
-    val b = events
+  def theilSen(events: DataFrame): DataFrame = theilSenImpl(events, 0)
+
+  /** SUBSAMPLED Theil-Sen — the follow-up the round-10 composite sweep
+    * named: the distributed rank selection bounded the RANKING, but pair
+    * GENERATION is inherently O(T²) in the hourly-bucket count, so a
+    * feed whose calendar grows 10× pays 100× in the pair self-join
+    * (SuiteScaleProbe: 12.6 s at 2× → 226.5 s at 10×, 18× wall for 5×
+    * data). The standard scale move is POINT subsampling (Theil-Sen
+    * over a random subset of points is a consistent estimator of the
+    * same median slope — its breakdown/efficiency degrade smoothly with
+    * the subsample size): `maxBucketsPerType` caps the per-type hourly
+    * series by deterministic hash-mod refinement
+    * (`xxhash64(type, hs) % ceil(T/max) = 0` — the `harmonicPerSeed`
+    * maxSeeds discipline), after which pairs ≤ max²/2 regardless of
+    * calendar span. `maxBucketsPerType ≥ T` is the identity (spec-
+    * pinned); the declared row runs exact (0) — the oracle is
+    * unchanged. n_pairs reports the SAMPLED pair count (honest
+    * denominator, not a fake exact one).
+    */
+  def theilSenSampled(events: DataFrame, maxBucketsPerType: Int): DataFrame =
+    theilSenImpl(events, maxBucketsPerType)
+
+  private def theilSenImpl(events: DataFrame, maxBucketsPerType: Int): DataFrame = {
+    val bAll = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
       .agg(rnd(avg(col("value")), 6).as("v"))
       .select(col("event_type"), col("hs"),
         floor(col("v") * 1e6 + 0.5).cast("long").as("vu"))
+    val b =
+      if (maxBucketsPerType <= 0) bAll
+      else {
+        val m = bAll.groupBy(col("event_type")).agg(count(lit(1)).as("t"))
+          .select(col("event_type"), greatest(lit(1L),
+            ceil(col("t") / maxBucketsPerType.toDouble).cast("long")).as("m"))
+        bAll.join(broadcast(m), "event_type")
+          .filter(pmod(xxhash64(col("event_type"), col("hs")), col("m")) === 0)
+          .select(col("event_type"), col("hs"), col("vu"))
+      }
     val a = b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1"))
     val c = b.select(col("event_type"), col("hs").as("h2"), col("vu").as("v2"))
     val pairs = a.join(c, Seq("event_type")).filter(col("h1") < col("h2"))
@@ -1903,6 +2076,9 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_forecast_naive" -> forecastNaiveQuery,
+    "ts_cusum" -> cusum,
+    "events_burstiness" -> burstinessQuery,
+    "events_markov_stationary" -> markovStationaryQuery,
     "ts_theil_sen" -> theilSenQuery,
     "ts_winsorize" -> winsorizeQuery,
     "events_error_rate" -> errorRate,
@@ -2024,6 +2200,68 @@ object TimeSeries {
         "(SELECT delta_us, row_number() OVER (ORDER BY delta_us, user_id) AS rk " +
         "FROM conv), nc WHERE rk = (n_converted + 1) // 2) " +
         "SELECT n_signup, n_converted, min_us, median_us, max_us FROM ns, nc, md"),
+
+    "ts_cusum" ->
+      // the changepoint integer chain + one more window: the reset is
+      // ns − least(0, running min of ns); alarm compares the ROUNDED
+      // statistic in both engines
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT *, floor(v * 1e6 + 0.5e0)::BIGINT AS vu FROM b), " +
+        "s AS (SELECT event_type, hs, v, " +
+        "(count(*) OVER wa)::BIGINT AS n, " +
+        "(row_number() OVER (PARTITION BY event_type ORDER BY hs))::BIGINT AS i, " +
+        "(sum(vu) OVER wo)::BIGINT AS pre, (sum(vu) OVER wa)::BIGINT AS tot " +
+        "FROM u WINDOW wo AS (PARTITION BY event_type ORDER BY hs " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wa AS (PARTITION BY event_type)), " +
+        "c AS (SELECT *, n * pre - i * tot AS ns FROM s), " +
+        "m AS (SELECT *, least(0, min(ns) OVER (PARTITION BY event_type ORDER BY hs " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS runmin FROM c), " +
+        "o AS (SELECT event_type, hs, v, " +
+        "rnd((ns - runmin)::DOUBLE / (n::DOUBLE * 1e6), 6) AS cusum_pos FROM m) " +
+        s"SELECT event_type, hs, v, cusum_pos, cusum_pos > $CusumThreshold AS alarm FROM o"),
+
+    "events_burstiness" ->
+      // floor-second integer gaps (Σd² stays in BIGINT where micro-unit
+      // gaps would overflow); moment algebra from the ROUNDED mean/sd
+      // columns so both engines divide identical doubles
+      ("WITH g AS (SELECT event_type, (epoch_us(ts) - lag(epoch_us(ts)) " +
+        "OVER (PARTITION BY event_type ORDER BY ts, event_id)) // 1000000 AS gap_s " +
+        "FROM events), " +
+        "a AS (SELECT event_type, count(*) AS n_gaps, sum(gap_s)::BIGINT AS s1, " +
+        "sum(gap_s * gap_s)::BIGINT AS s2 FROM g WHERE gap_s IS NOT NULL GROUP BY 1), " +
+        "m AS (SELECT event_type, n_gaps, rnd(s1 / n_gaps::DOUBLE, 6) AS mean_gap_s, " +
+        "rnd(sqrt(s2 / n_gaps::DOUBLE - (s1 / n_gaps::DOUBLE) * (s1 / n_gaps::DOUBLE)), 6) " +
+        "AS sd_gap_s FROM a) " +
+        "SELECT event_type, n_gaps, mean_gap_s, sd_gap_s, " +
+        "CASE WHEN mean_gap_s = 0 THEN NULL ELSE rnd(sd_gap_s / mean_gap_s, 6) END AS cv, " +
+        "CASE WHEN sd_gap_s + mean_gap_s = 0 THEN NULL " +
+        "ELSE rnd((sd_gap_s - mean_gap_s) / (sd_gap_s + mean_gap_s), 6) END AS burstiness " +
+        "FROM m"),
+
+    "events_markov_stationary" ->
+      // the transition chain feeding MarkovIters unrolled power-iteration
+      // rounds, each MATERIALIZED (the kcore unroll discipline) and
+      // renormalized + 12-dp-rounded exactly like the Spark loop
+      ("WITH ev AS (SELECT user_id, event_type AS cur, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt " +
+        "FROM events), " +
+        "pc AS (SELECT cur, nxt, count(*) AS n FROM ev WHERE nxt IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "rt AS (SELECT cur, sum(n)::BIGINT AS row_n FROM pc GROUP BY 1), " +
+        "pm AS MATERIALIZED (SELECT pc.cur, nxt, rnd(n / row_n::DOUBLE, 6) AS p " +
+        "FROM pc JOIN rt ON pc.cur = rt.cur), " +
+        "st AS MATERIALIZED (SELECT DISTINCT cur AS state FROM pm), " +
+        "p0 AS MATERIALIZED (SELECT state, 1e0 / (SELECT count(*) FROM st) AS pi FROM st), " +
+        (1 to MarkovIters).map { r =>
+          val prev = s"p${r - 1}"
+          s"s$r AS MATERIALIZED (SELECT nxt AS state, sum(pi * p) AS w " +
+            s"FROM $prev JOIN pm ON $prev.state = pm.cur GROUP BY 1), " +
+            s"p$r AS MATERIALIZED (SELECT state, " +
+            s"rnd(w / (SELECT sum(w) FROM s$r), 12) AS pi FROM s$r), "
+        }.mkString.stripSuffix(", ") + " " +
+        s"SELECT state, rnd(pi, 6) AS pi FROM p$MarkovIters"),
 
     "events_transition" ->
       // HUGEINT row-total sum cast back; exact-BIGINT ratio into rnd

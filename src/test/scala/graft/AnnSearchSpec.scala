@@ -24,6 +24,41 @@ class AnnSearchSpec extends SparkSpecBase {
     hit.toDouble / exact.count()
   }
 
+  test("embedding_mmr: diversification skips the redundant near-copy pure top-k would return") {
+    import spark.implicits._
+    // q = x-axis; the two most q-similar vectors (22 then 21) are
+    // near-copies of each other sitting OFF-axis (+y), while 23 mirrors
+    // them at −y: equally relevant to q, dissimilar to the picked one.
+    // Pure top-2 = {22, 21}; MMR round 2 scores
+    // 21: 0.7·0.800 − 0.3·0.9994 ≈ 0.260 vs 23: 0.7·0.800 − 0.3·0.314
+    // ≈ 0.466 → rank 2 must be the mirror 23, and 21 returns at rank 3.
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),            // q (vec_id < 10)
+      (21L, Array(0.8, 0.6, 0.0)),           // relevant, +y
+      (22L, Array(0.82, 0.57, 0.0)),         // near-copy of 21, most relevant
+      (23L, Array(0.8, -0.6, 0.0)),          // equally relevant, −y mirror
+      (24L, Array(0.0, 1.0, 0.0)),           // fillers (shortlist padding)
+      (25L, Array(0.0, 0.9, 0.1)),
+      (26L, Array(0.1, 0.8, 0.2)),
+      (27L, Array(0.0, 0.0, 1.0)),
+      (28L, Array(0.2, 0.0, 0.9)))
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", expr("transform(embedding, x -> x::FLOAT)"))
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = AnnSearch.mmrSelect(spark, dir)
+      .orderBy("rank").select("t_id", "rank")
+      .as[(Long, Int)].collect()
+    assert(got.length === 3)
+    assert(got(0)._1 === 22L, "rank 1 = pure relevance")
+    assert(got(1)._1 === 23L, s"rank 2 must diversify away from the near-copy, got ${got(1)._1}")
+    assert(got(2)._1 === 21L, "the near-copy returns once diversity is served")
+    // ranks are 1..k and picks are distinct
+    assert(got.map(_._2).toSeq === Seq(1, 2, 3))
+    assert(got.map(_._1).distinct.length === 3)
+  }
+
   test("IVF ANN recalls >= 40% of exact L2 top-3 with nprobe=3") {
     val r = recallVsExact(AnnSearch.ivfTopK(spark, sfDir), 3)
     assert(r >= 0.4, s"IVF recall $r below floor")

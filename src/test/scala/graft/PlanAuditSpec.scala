@@ -42,8 +42,12 @@ class PlanAuditSpec extends SparkSpecBase {
     // simhash: the broadcast band-range frame (simBands rows)
     "dedup_simhash", "dedup_simhash64",
     "embedding_cell_balance", "embedding_outliers", "embedding_pca",
+    // mmr: the ≤10-row literal-bounded query block (Knn.knn hint)
+    "embedding_mmr",
     "events_cooccur", "events_power_users", "events_rfm",
     "events_time_to_convert",
+    // markov: one-row renormalization total + state-count broadcasts
+    "events_markov_stationary",
     // FkNN/kNN: the class-range frame (nClasses rows) and the
     // literal-bounded (≤20-row) hinted query block
     "fknn_classify", "fknn_classify_chunked", "fknn_classify_local",

@@ -531,6 +531,95 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got === ref)
   }
 
+  test("ts_theil_sen sampled: budget ≥ T is the identity; subsample recovers the trend and caps pairs") {
+    // long linear series with noise: the subsampled estimator must land
+    // on the same trend while enumerating quadratically fewer pairs
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 500).map { h =>
+      (h.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L)),
+        1L, "t", 2.0 * h + 1 + rng.nextGaussian() * 0.5)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val exact = TimeSeries.theilSen(rows)
+      .as[(String, Long, Double)].collect().head
+    // identity: budget above the bucket count changes nothing
+    val ident = TimeSeries.theilSenSampled(rows, maxBucketsPerType = 1000)
+      .as[(String, Long, Double)].collect().head
+    assert(ident === exact)
+    // real subsample: ~1/4 of the buckets → ≤ ~1/16 of the pairs,
+    // trend within 1% of the exact estimate (deterministic: hash-mod)
+    val samp = TimeSeries.theilSenSampled(rows, maxBucketsPerType = 125)
+      .as[(String, Long, Double)].collect().head
+    assert(samp._2 <= exact._2 / 8, s"pairs must shrink quadratically: ${samp._2} vs ${exact._2}")
+    assert(math.abs(samp._3 - exact._3) < 0.02 * exact._3.abs,
+      s"sampled slope ${samp._3} vs exact ${exact._3}")
+  }
+
+  test("ts_cusum: closed form ≡ the sequential S⁺ recurrence; planted drift alarms, noise does not") {
+    // 20 flat hours at 10, then 20 hours at 13 — a +3 level shift whose
+    // CUSUM ramps past the 10-unit threshold only after the shift
+    val vals = (0 until 20).map(_ => 10.0) ++ (0 until 20).map(_ => 13.0)
+    val rows = vals.zipWithIndex.map { case (v, h) =>
+      (h.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L)),
+        1L, "t", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TimeSeries.cusumHourly(rows)
+      .orderBy("hs").select("cusum_pos", "alarm")
+      .as[(Double, Boolean)].collect()
+    // reference: the textbook sequential recurrence over the same means
+    val mean = vals.sum / vals.length
+    val ref = vals.scanLeft(0.0)((s, v) => math.max(0.0, s + (v - mean))).tail
+    got.map(_._1).zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(math.abs(g - r) < 1e-6, s"hour $i: closed form $g vs recurrence $r")
+    }
+    assert(!got.take(20).exists(_._2), "no alarm before the shift")
+    // drift ramps +1.5/hour from hour 20 → crosses the 10-unit threshold
+    // at hour 26 (S = 10.5)
+    assert(got.drop(26).forall(_._2), "sustained drift must alarm")
+  }
+
+  test("events_burstiness: a metronome scores −1, a bursty feed scores positive") {
+    def mk(offsetsSec: Seq[Long], typ: String) = offsetsSec.zipWithIndex.map {
+      case (o, i) => ((typ.hashCode.toLong << 20) + i, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(o)),
+        1L, typ, 1.0)
+    }
+    // metronome: exact 60 s gaps → σ = 0 → B = −1, cv = 0
+    val metro = mk((0 until 50).map(_ * 60L), "metro")
+    // bursty: tight 1 s volleys separated by 1-hour silences
+    val bursty = mk((0 until 10).flatMap(b =>
+      (0 until 5).map(i => b * 3600L + i)), "bursty")
+    val got = TimeSeries.burstiness((metro ++ bursty)
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("metro")._2 === -1.0)
+    assert(got("metro")._1 === 0.0)
+    // analytic B for this fixture ≈ 0.356 (σ ≈ 1393 s, μ ≈ 661 s)
+    assert(got("bursty")._2 > 0.3, s"bursty B was ${got("bursty")._2}")
+  }
+
+  test("events_markov_stationary: two-state chain converges to the analytic π") {
+    // chain a→b always, b→a half the time: P = [[0,1],[.5,.5]] whose
+    // stationary distribution is π = (1/3, 2/3); the event feed plays
+    // the chain deterministically (a b b a b b …) for one user
+    val seq = Iterator.continually(Seq("a", "b", "b")).flatten.take(300).toSeq
+    val rows = seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i.toLong)),
+        1L, t, 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pi = TimeSeries.markovStationary(rows)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // empirical P(b→a) = 99/199 ≈ 0.4975 (not exactly 0.5 — the feed is
+    // finite), so π lands ~1e-3 off the ideal (1/3, 2/3)
+    assert(math.abs(pi("a") - 1.0 / 3) < 5e-3, s"π(a) = ${pi("a")}")
+    assert(math.abs(pi("b") - 2.0 / 3) < 5e-3, s"π(b) = ${pi("b")}")
+    // entries are 6-dp rounded at the edge; renormalization holds to that
+    assert(math.abs(pi.values.sum - 1.0) < 2e-6, "renormalized each round")
+  }
+
   test("events_slo_burn: one bad hour trips the fast window but the slow window suppresses the page") {
     // 11 hours of 1-in-10 errors, then one ALL-ERROR hour. SLO=0.75 →
     // budget 0.25: steady burn = 0.4 (quiet); the bad hour's 1h burn =
