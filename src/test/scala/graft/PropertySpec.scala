@@ -522,4 +522,88 @@ class PropertySpec extends SparkSpecBase {
         out.values.sum == (p ++ c).size.toLong
     }, min = 12)
   }
+
+  test("cusum closed form ≡ the sequential S⁺ recurrence on random hourly series") {
+    // S⁺_i = P_i − min(0, min_{j≤i} P_j) must equal the textbook
+    // max(0, S⁺_{i−1} + d_i) fold for ANY series — the identity the
+    // two-window plan rests on. Values land on 1dp so the 6dp bucket
+    // rounding is exact and the reference fold sees identical inputs.
+    val gen = Gen.nonEmptyListOf(Gen.choose(-300, 300).map(_ / 10.0))
+      .map(_.take(40))
+    check(Prop.forAll(gen) { vals =>
+      import spark.implicits._
+      val rows = vals.zipWithIndex.map { case (v, h) =>
+        (h.toLong, new Timestamp(h * 3600000L), 1L, "t", v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = graft.rel.TimeSeries.cusumHourly(rows)
+        .orderBy("hs").select("cusum_pos").as[Double].collect()
+      val mean = vals.map(v => math.floor(v * 1e6 + 0.5)).sum / vals.length / 1e6
+      val ref = vals.scanLeft(0.0)((s, v) => math.max(0.0, s + (v - mean))).tail
+      got.zip(ref).forall { case (g, r) => math.abs(g - r) < 1e-4 }
+    }, min = 12)
+  }
+
+  test("burstiness ∈ [−1, 1) with cv ≥ 0 for arbitrary event spacings") {
+    val gen = Gen.listOfN(12, Gen.choose(0L, 7200L)).map(_.distinct)
+      .suchThat(_.size >= 3)
+    check(Prop.forAll(gen) { offs =>
+      import spark.implicits._
+      val rows = offs.sorted.zipWithIndex.map { case (o, i) =>
+        (i.toLong, new Timestamp(o * 1000L), 1L, "t", 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val r = graft.rel.TimeSeries.burstiness(rows).collect().head
+      val (cv, b) = (Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))
+      // all-identical sub-second gaps yield NULLs (0/0 guarded), else
+      // σ ≥ 0 pins B ∈ [−1, 1) and cv ≥ 0
+      b.forall(x => x >= -1.0 && x < 1.0) && cv.forall(_ >= 0.0)
+    }, min = 12)
+  }
+
+  test("theilSenSampled: budget ≥ bucket count is the identity on random series") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(-500, 500).map(_ / 10.0))
+      .map(_.take(30)).suchThat(_.size >= 2)
+    check(Prop.forAll(gen) { vals =>
+      import spark.implicits._
+      val rows = vals.zipWithIndex.map { case (v, h) =>
+        (h.toLong, new Timestamp(h * 3600000L), 1L, "t", v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val exact = graft.rel.TimeSeries.theilSen(rows).collect().map(_.toSeq).toSet
+      val capped = graft.rel.TimeSeries.theilSenSampled(rows, vals.length + 1)
+        .collect().map(_.toSeq).toSet
+      capped == exact
+    }, min = 8)
+  }
+
+  test("mmr: rank 1 is the pure-relevance argmax; picks distinct, from the shortlist") {
+    val gen = for {
+      n <- Gen.choose(4, 9)
+      vecs <- Gen.listOfN(n, Gen.listOfN(3, Gen.choose(-100, 100).map(_ / 100.0)))
+        .suchThat(_.forall(v => v.exists(_ != 0.0)))
+      q <- Gen.listOfN(3, Gen.choose(-100, 100).map(_ / 100.0))
+        .suchThat(_.exists(_ != 0.0))
+    } yield (q, vecs)
+    check(Prop.forAll(gen) { case (q, vecs) =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("mmrp").toString
+      val rows = ((1L, q) +: vecs.zipWithIndex.map { case (v, i) => ((21 + i).toLong, v) })
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", expr("transform(embedding, x -> x::FLOAT)"))
+        .withColumn("label", lit(0))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = graft.llm.AnnSearch.mmrSelect(spark, dir)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val sims = vecs.zipWithIndex.map { case (v, i) => (21 + i).toLong -> cos(q, v) }
+      // rank-1 = argmax relevance (ties → lowest id), ranks 1..k, distinct
+      val best = sims.maxBy { case (id, s) => (s, -id) }._1
+      got.headOption.forall(_._1 == best) &&
+        got.map(_._1).distinct.length == got.length &&
+        got.map(_._2).toSeq == (1 to got.length)
+    }, min = 8)
+  }
 }
