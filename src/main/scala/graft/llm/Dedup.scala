@@ -112,6 +112,23 @@ object Dedup {
     */
   private[graft] val DefaultMaxBandBucket = 1000
 
+  /** (doc_id, sig) banded signature rows: band b's signature =
+    * band|m(b·r)…m(b·r+r−1), a PURE MAP over the one-row-per-doc
+    * signature frame (the old (doc, seed) long form needed a second
+    * (doc, band)-keyed shuffle to regroup rows the transposed aggregate
+    * keeps side by side). Shared by the batch pair path and the
+    * persisted-index path — one signature definition repo-wide.
+    */
+  private[graft] def bandSigs(toks: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sigCols = (0 until numHashes / rowsPerBand).map { b =>
+      concat(lit(b.toString) +: lit("|") +:
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    minHashRow(toks, numHashes)
+      .select(col("doc_id"), explode(array(sigCols: _*)).as("sig"))
+  }
+
   def minhashLshPairs(s: SparkSession, docs: DataFrame,
       numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand,
       maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
@@ -126,16 +143,7 @@ object Dedup {
     // is O(N²) and persist wins 8× — persist the EXPENSIVE subtree, not
     // every shared one.
     val toks = TextOps.docTokens(docs)
-    // band b's signature = band|m(b·r)…m(b·r+r-1), a PURE MAP over the
-    // one-row-per-doc signature frame (the old (doc, seed) long form
-    // needed a second (doc, band)-keyed shuffle to regroup rows the
-    // transposed aggregate now keeps side by side)
-    val sigCols = (0 until numHashes / rowsPerBand).map { b =>
-      concat(lit(b.toString) +: lit("|") +:
-        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-    }
-    val sigsAll = minHashRow(toks, numHashes)
-      .select(col("doc_id"), explode(array(sigCols: _*)).as("sig"))
+    val sigsAll = bandSigs(toks, numHashes, rowsPerBand)
     // round 10 (VERDICT r9 #2): the bucket-size test rides the ONE
     // sig-keyed shuffle the candidate self-join pays anyway — a count
     // window over sig instead of the round-9 separate aggregate +
@@ -165,6 +173,68 @@ object Dedup {
     // has the scale argument and the probe-found co-occurrence trap)
     TextOps.jaccardVerify(cand, toks, 0.8)
       .select(col("doc_id1"), col("doc_id2"), rnd(col("j"), 6).as("jaccard"))
+  }
+
+  /** PERSISTED near-dup index (round 10) — build once, dedup each NEW
+    * batch against it: the incremental-recuration shape a daily crawl
+    * runs. `corpus_snapshot_diff` answers the digest-level question
+    * (byte-identical refreshes); this answers the near-dup one WITHOUT
+    * re-pairing the whole corpus — per batch the cost is
+    * O(batch signatures + cross collisions), never index × index. The
+    * index stores (a) the banded MinHash signature table and (b) the
+    * raw docs — the verify leg's token source, re-tokenized ONLY for
+    * candidate docs (the `minhashLshPairs` deliberate-non-persist
+    * discipline: filters push into the stored-docs scan). The
+    * `saveIvfIndex`/`FknnModel` persistence precedent applied to dedup.
+    */
+  def saveLshIndex(docs: DataFrame, path: String,
+      numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand): Unit = {
+    bandSigs(TextOps.docTokens(docs), numHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    docs.select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Near-dup pairs between a NEW batch and the persisted index:
+    * (new_id, indexed_id, jaccard) for every cross pair at
+    * J ≥ `threshold`. New-batch signatures equi-join the STORED
+    * signature table on the band signature — cross pairs only; pairs
+    * WITHIN the new batch are `minhashLshPairs`' job (run it on the
+    * batch first), and index-internal pairs were resolved when the
+    * index was built. The hot-bucket cap applies to the COMBINED
+    * (stored + new) bucket, same default and `observe` metric as the
+    * batch path. PRECONDITION: new-batch doc_ids are disjoint from
+    * indexed ones (crawl ids are; the verify-leg token union keys on
+    * doc_id). Output ≡ the batch pipeline over the union restricted to
+    * (new × indexed) — DedupSpec pins it; signature parameters must
+    * match the ones the index was built with.
+    */
+  def nearDupsAgainstIndex(s: SparkSession, path: String, newDocs: DataFrame,
+      numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand,
+      threshold: Double = 0.8,
+      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    val newToks = TextOps.docTokens(newDocs)
+    val tagged = s.read.parquet(s"$path/sigs").withColumn("is_new", lit(false))
+      .unionAll(bandSigs(newToks, numHashes, rowsPerBand).withColumn("is_new", lit(true)))
+    val sigs =
+      if (maxBandBucket <= 0) tagged
+      else tagged
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("sig"))))
+        .observe("lsh_index_cap",
+          sum(when(col("bsz") > maxBandBucket, 1L).otherwise(0L)).as("capped_sig_rows"))
+        .filter(col("bsz") <= maxBandBucket)
+        .drop("bsz")
+    val cand = sigs.filter(col("is_new")).select(col("doc_id").as("d1"), col("sig"))
+      .join(sigs.filter(!col("is_new")).select(col("doc_id").as("d2"), col("sig")), "sig")
+      .select(col("d1"), col("d2")).distinct()
+    // tokens only for docs that actually appear in a candidate pair:
+    // the stored-docs scan is filtered by the (small) candidate id set
+    val oldToks = TextOps.docTokens(
+      s.read.parquet(s"$path/docs")
+        .join(cand.select(col("d2").as("doc_id")).distinct(), "doc_id"))
+    TextOps.jaccardVerify(cand, newToks.unionAll(oldToks), threshold)
+      .select(col("doc_id1").as("new_id"), col("doc_id2").as("indexed_id"),
+        rnd(col("j"), 6).as("jaccard"))
   }
 
   /** 16-bit SimHash per doc from md5 hex digits of each distinct token:

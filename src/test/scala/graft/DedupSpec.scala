@@ -47,6 +47,30 @@ class DedupSpec extends SparkSpecBase {
     } finally sigs.unpersist()
   }
 
+  test("persisted LSH index: nearDupsAgainstIndex ≡ batch pairs on the union, cross pairs only") {
+    // index the first 40 harness docs, present the next 20 as the new
+    // batch: the incremental path must surface exactly the (new ×
+    // indexed) pairs the one-shot batch pipeline finds on the union —
+    // no index-internal pairs, no within-batch pairs
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    val indexed = corpus.filter(col("doc_id") < 40)
+    val batch = corpus.filter(col("doc_id") >= 40)
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Dedup.saveLshIndex(indexed, dir)
+    val got = collectSet(Dedup.nearDupsAgainstIndex(spark, dir, batch))
+    // reference: batch pipeline over the union; its d1 < d2 order means
+    // cross pairs carry (indexed, new) — remap to the index output shape
+    val ref = collectSet(Dedup.minhashLshPairs(spark, corpus)
+      .filter(col("doc_id1") < 40 && col("doc_id2") >= 40)
+      .select(col("doc_id2").as("new_id"), col("doc_id1").as("indexed_id"),
+        col("jaccard")))
+    assert(got === ref)
+    assert(got.nonEmpty, "fixture must contain cross-boundary near-dups")
+    // no within-batch or index-internal ids on the wrong side
+    assert(got.forall(r => r(0).asInstanceOf[Long] >= 40 && r(1).asInstanceOf[Long] < 40))
+  }
+
   test("LSH hot-bucket cap: default-on cap is output-invisible vs uncapped audit, cap=1 kills all") {
     // planted-dup corpus: every band bucket is small (≤ a handful of
     // docs), so the DEFAULT cap (1000, on since round 9) must equal
