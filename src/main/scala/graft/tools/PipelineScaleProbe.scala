@@ -167,6 +167,31 @@ object PipelineScaleProbe {
     println(f"[scale] simhash_hotbucket nDocs=$nBoil boiler=${nBoil / 5}: " +
       f"uncapped ham0=$sExUncap near=$sNearUncap in $sTUncap%.1f s; " +
       f"cap(${Dedup.DefaultMaxBandBucket}) ham0=$sExCap near=$sNearCap in $sTCap%.1f s")
+
+    // ---- dedup: persisted LSH index vs union re-pair (round 10) --------
+    // incremental recuration: 90 % of the corpus indexed once, the 10 %
+    // "daily batch" deduped against it. The comparison a pipeline owner
+    // makes: per-batch wall through the index vs re-running the batch
+    // pipeline over the full union (the no-index alternative). Every
+    // planted pair (i−1, i) with i ≡ 1 (mod 20) crosses the %10 split,
+    // so cross-pair counts must agree between the two paths.
+    val idxPath = s"/tmp/scale_lshidx_$nDocs"
+    val indexedDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 10 === 0)
+    t0 = System.nanoTime()
+    Dedup.saveLshIndex(indexedDocs, idxPath)
+    val tIdxBuild = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nCross = Dedup.nearDupsAgainstIndex(spark, idxPath, batchDocs).count()
+    val tIncr = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nUnionCross = Dedup.minhashLshPairs(spark, docs)
+      .filter((col("doc_id1") % 10 === 0) =!= (col("doc_id2") % 10 === 0))
+      .count()
+    val tUnion = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] lsh_index nDocs=$nDocs indexed=${nDocs * 9 / 10} batch=${nDocs / 10}: " +
+      f"build=$tIdxBuild%.1f s once, incremental=$tIncr%.1f s/batch " +
+      f"(cross=$nCross) vs union re-pair=$tUnion%.1f s (cross=$nUnionCross)")
     assert(nearCap100 == nearUncap && (nearCap == nearUncap),
       s"hot-bucket cap lost genuine near-dup pairs: uncapped $nearUncap, " +
         s"capped $nearCap / $nearCap100 — recall loss must be confined to " +
