@@ -432,10 +432,31 @@ object Dedup {
     * doc_id — the canonical keeper (`keep = doc_id == cluster_id`). This
     * is the step between "find dup pairs" and "drop all but one per
     * group" that a real curation pipeline runs.
+    *
+    * Memoized per (session, dir) — the `SparkEntry.scoresShared`
+    * precedent: `dedup_cluster` emits this frame and
+    * `dedup_cluster_hist` aggregates it, and before the memo each row
+    * re-ran the whole LSH → checkpointed-CC pipeline from scratch
+    * (2 × ~3.3 s driver at sf0.1). `connectedComponents` returns a
+    * checkpoint-backed result (lineage already truncated, blocks RDD-
+    * level persists `clearCache()` does not evict), so the memo retains
+    * only the bounded assignment frame (clustered docs, not pairs);
+    * long-lived sessions call `releaseShared()`.
     */
+  private val sharedClusters =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def minhashClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(
-      minhashLsh(s, d).select(col("doc_id1"), col("doc_id2")))
+    sharedClusters.getOrElseUpdate((s, d),
+      connectedComponents(
+        minhashLsh(s, d).select(col("doc_id1"), col("doc_id2"))))
+
+  /** Release the memoized cluster assignments (test hygiene / long
+    * sessions — the `SparkEntry.releaseShared` contract). */
+  def releaseShared(): Unit = {
+    sharedClusters.values.foreach(Ckpt.release)
+    sharedClusters.clear()
+  }
 
   /** Distributed connected components by iterative min-label propagation:
     * each round every vertex takes the min of its own label and its

@@ -769,7 +769,54 @@ object TextAnalysis {
   def readability(s: SparkSession, d: String): DataFrame =
     readabilityDocs(Tables.documents(s, d))
 
+  // ---- text_rake: RAKE keyword extraction -------------------------------
+
+  /** text_rake — Rapid Automatic Keyword Extraction (Rose et al. 2010):
+    * candidate phrases are maximal runs of content tokens between
+    * stopword delimiters; word score = deg(w)/freq(w) where deg sums the
+    * lengths of every phrase containing w; phrase score sums its words'
+    * scores. Top 20 by (rounded score DESC, phrase ASC) — ranking on the
+    * ROUNDED score because same-multiset phrases are mathematically
+    * tied and an unrounded float cut could order them differently per
+    * engine. Scale shape: the island assignment is one window over the
+    * doc-partitioned token stream (per-doc frames); word stats and
+    * per-phrase sums are keyed aggregates on content-token / phrase-id
+    * keys; nothing is all-pairs. The shared island frame is truncated
+    * once instead of re-deriving the corpus explode per consumer (the
+    * `perplexityProxyDocs` rule).
+    */
+  def rakeDocs(docs: DataFrame): DataFrame = {
+    val stop = Seq("a", "the")
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(!col("tok").isin(stop: _*))
+      .withColumn("isl", col("pos") - row_number().over(wIsl))
+      .truncated()
+    val ph = isl.groupBy(col("doc_id"), col("isl"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("phrase"),
+        count(lit(1)).as("len"))
+      .truncated()
+    val wl = isl.join(ph.select(col("doc_id"), col("isl"), col("len")),
+      Seq("doc_id", "isl")).truncated()
+    val ws = wl.groupBy(col("tok"))
+      .agg((sum(col("len")).cast("double") / count(lit(1))).as("wscore"))
+    val inst = wl.join(ws, "tok")
+      .groupBy(col("doc_id"), col("isl")).agg(sum(col("wscore")).as("score_raw"))
+    inst.join(ph.select(col("doc_id"), col("isl"), col("phrase")), Seq("doc_id", "isl"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), rnd(max(col("score_raw")), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(20)
+  }
+
+  def rake(s: SparkSession, d: String): DataFrame =
+    rakeDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake" -> rake,
     "text_readability" -> readability,
     "quality_ks_drift" -> ksDrift,
     "quality_psi_drift" -> psiDrift,
@@ -847,6 +894,29 @@ object TextAnalysis {
       "FROM dw JOIN wt USING (word) WHERE length(word) > 0 GROUP BY 1"
 
   val rawOracles: Map[String, String] = Map(
+    "text_rake" ->
+      // identical island construction (pos − content-rank), exact-integer
+      // word scores (sum of BIGINT lens / count), rounded-score ranking
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+        "tok AS (SELECT doc_id, p.tok AS tok, p.pos AS pos FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(a) + 1), " +
+        "i -> {'tok': a[i], 'pos': i})) AS p FROM t)), " +
+        "ct AS (SELECT doc_id, tok, pos, " +
+        "pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl " +
+        "FROM tok WHERE tok NOT IN ('a', 'the')), " +
+        "ph AS (SELECT doc_id, isl, string_agg(tok, ' ' ORDER BY pos) AS phrase, " +
+        "count(*) AS len FROM ct GROUP BY 1, 2), " +
+        "wl AS (SELECT ct.doc_id, ct.isl, ct.tok, len FROM ct " +
+        "JOIN ph ON ct.doc_id = ph.doc_id AND ct.isl = ph.isl), " +
+        "ws AS (SELECT tok, sum(len)::DOUBLE / count(*) AS wscore FROM wl GROUP BY 1), " +
+        "inst AS (SELECT wl.doc_id, wl.isl, sum(wscore) AS score_raw FROM wl " +
+        "JOIN ws ON wl.tok = ws.tok GROUP BY 1, 2), " +
+        "outp AS (SELECT phrase, count(*) AS n_occurrences, " +
+        "rnd(max(score_raw), 6) AS score FROM inst " +
+        "JOIN ph ON inst.doc_id = ph.doc_id AND inst.isl = ph.isl GROUP BY 1) " +
+        "SELECT phrase, n_occurrences, score FROM outp " +
+        "ORDER BY score DESC, phrase LIMIT 20"),
+
     "text_readability" ->
       // identical regexes (RE2 ∩ Java dialect); len() cast to INT to
       // match Spark's size(); the score is one shared float expression

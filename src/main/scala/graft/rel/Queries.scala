@@ -1720,7 +1720,185 @@ object Queries {
         rnd(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("exp_share"))
   }
 
+  // ---- stats_chisq: chi-squared test of independence --------------------
+
+  /** stats_chisq — Pearson χ² test of independence between event_type and
+    * time-of-day quadrant (hour div 6): the "does behavior depend on time
+    * of day" read-out. The contingency grid is reconstructed as
+    * row-marginals × col-marginals (tiny: |types| × 4) so EMPTY cells
+    * still contribute their expected count — an obs-only sum would
+    * silently understate χ² the day a cell empties. Scale shape: ONE
+    * corpus-scale keyed aggregate (map-side combine) produces the
+    * observed table; everything downstream is marginal-sized with
+    * broadcast one-row totals. Output: a single (chi2, dof, n) row.
+    */
+  def statsChisq(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .select(col("event_type").as("t"), expr("hour(ts) div 6").cast("int").as("q"))
+      .groupBy(col("t"), col("q")).agg(count(lit(1)).as("o"))
+    val rm = obs.groupBy("t").agg(sum("o").as("rt"))
+    val cm = obs.groupBy("q").agg(sum("o").as("ct"))
+    val n = obs.agg(sum("o").as("n"))
+    val dims = rm.agg(count(lit(1)).as("nr"))
+      .crossJoin(broadcast(cm.agg(count(lit(1)).as("nc"))))
+    broadcast(rm).crossJoin(broadcast(cm))
+      .join(obs, Seq("t", "q"), "left")
+      .crossJoin(broadcast(n))
+      .select(coalesce(col("o"), lit(0L)).as("o"),
+        (col("rt") * col("ct") / col("n").cast("double")).as("e"), col("n"))
+      .agg(
+        rnd(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6).as("chi2"),
+        max(col("n")).as("n"))
+      .crossJoin(broadcast(dims))
+      .select(col("chi2"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"), col("n"))
+  }
+
+  // ---- stats_ttest: Welch two-sample t-test -----------------------------
+
+  /** stats_ttest — Welch's unequal-variance t-test comparing `value`
+    * between the 'click' and 'purchase' cohorts: the A/B-experiment
+    * read-out. Moments via explicit sums (n, Σx, Σx²) so both engines run
+    * the identical arithmetic (the `zipfRegression` rule); the
+    * Welch–Satterthwaite df comes from the same four sums. One
+    * corpus-scale aggregate with map-side combine → one row; nothing
+    * shuffles but six numbers, at any SF.
+    */
+  def statsTtest(s: SparkSession, d: String): DataFrame = {
+    val isA = col("event_type") === "click"
+    val m = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sum(when(isA, col("value"))).as("sa"),
+        sum(when(isA, col("value") * col("value"))).as("qa"),
+        sum(when(!isA, 1L).otherwise(0L)).as("nb"),
+        sum(when(!isA, col("value"))).as("sb"),
+        sum(when(!isA, col("value") * col("value"))).as("qb"))
+    m.withColumn("va", (col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1))
+      .withColumn("vb", (col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1))
+      .withColumn("sea", col("va") / col("na"))
+      .withColumn("seb", col("vb") / col("nb"))
+      .select(
+        col("na"), col("nb"),
+        rnd(col("sa") / col("na"), 6).as("mean_a"),
+        rnd(col("sb") / col("nb"), 6).as("mean_b"),
+        rnd((col("sa") / col("na") - col("sb") / col("nb")) /
+          sqrt(col("sea") + col("seb")), 6).as("t_welch"),
+        rnd((col("sea") + col("seb")) * (col("sea") + col("seb")) /
+          (col("sea") * col("sea") / (col("na") - 1) +
+            col("seb") * col("seb") / (col("nb") - 1)), 6).as("df_welch"))
+  }
+
+  // ---- anon_kanon: k-anonymity audit ------------------------------------
+
+  /** anon_kanon — k-anonymity audit of the customer table under two
+    * quasi-identifier generalization levels: (nationkey, mktsegment) and
+    * the coarser (regionkey, mktsegment) — the privacy gate run before a
+    * dataset ships. Per level: minimum equivalence-class size k, class
+    * count, classes under K = 10, and rows at re-identification risk.
+    * The per-class aggregate is the only corpus-scale pass (keyed,
+    * map-side combinable); the report is an aggregate OF that aggregate
+    * (≤ |nations|·|segments| rows). nation→region is a broadcast dim join.
+    */
+  def anonKanon(s: SparkSession, d: String): DataFrame = {
+    val K = 10
+    val cust = Tables.customer(s, d)
+    def level(name: String, df: DataFrame, qi: Seq[Column]): DataFrame =
+      df.groupBy(qi: _*).agg(count(lit(1)).as("cn"))
+        .agg(
+          sum(col("cn")).as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          min(col("cn")).as("k_min"),
+          sum(when(col("cn") < K, 1L).otherwise(0L)).as("classes_lt_k"),
+          sum(when(col("cn") < K, col("cn")).otherwise(0L)).as("rows_at_risk"))
+        .select(lit(name).as("qi_level"), col("n_rows"), col("n_classes"),
+          col("k_min"), col("classes_lt_k"), col("rows_at_risk"))
+    val withRegion = cust.join(
+      broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))),
+      col("c_nationkey") === col("n_nationkey"))
+    level("nation_segment", cust, Seq(col("c_nationkey"), col("c_mktsegment")))
+      .unionAll(level("region_segment", withRegion,
+        Seq(col("n_regionkey"), col("c_mktsegment"))))
+  }
+
+  // ---- skyline_pareto: Pareto-frontier (skyline) query ------------------
+
+  /** skyline_pareto — the skyline of part maximizing p_size while
+    * minimizing p_retailprice: points no other part dominates (size ≥,
+    * price ≤, one strict). Distributed shape: reduce per size group FIRST
+    * (min price + count — a corpus-scale keyed agg with map-side
+    * combine), then sweep the ≤|distinct sizes| frame (TPC-H: 50) with a
+    * running min over strictly larger sizes — (s, p) survives iff p is
+    * its size's minimum AND beats every larger size's minimum. The
+    * classic sort-sweep with the corpus never leaving its aggregate: the
+    * grid reduction that keeps a 100 TB skyline shuffle-light (the
+    * all-pairs dominance join never exists). The global-order window is
+    * over the per-size frame only (bounded — Rank.scala:9 rule).
+    */
+  def skylinePareto(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.part(s, d)
+      .groupBy(col("p_size"))
+      .agg(min(col("p_retailprice")).as("best_price"), count(lit(1)).as("n_at_size"))
+    val sweep = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.withColumn("m_gt", min(col("best_price")).over(sweep))
+      .filter(col("m_gt").isNull || col("best_price") < col("m_gt"))
+      .select(col("p_size"), col("best_price").as("skyline_price"), col("n_at_size"))
+  }
+
+  // ---- data_constraints: declarative constraint validation report -------
+
+  /** data_constraints — the data-quality gate a pipeline runs before
+    * training: six declarative constraints (two FK closures, PK
+    * uniqueness, a domain check, a range check, a derived-column
+    * consistency check), each one corpus-scale pass emitting a
+    * (constraint_name, n_checked, n_violations) row. FK legs are left
+    * joins on the key (AQE broadcasts the dim side when it is small);
+    * violating rows are never materialized — counts only, so the report
+    * costs one scan per leg regardless of SF. Zero violations on the
+    * synthetic tables IS the expected read-out (the machinery is the
+    * operator); the spec proves the counters move on planted violations.
+    */
+  def constraintReport(orders: DataFrame, customer: DataFrame, lineitem: DataFrame,
+      events: DataFrame, documents: DataFrame): DataFrame = {
+    def leg(name: String, df: DataFrame, viol: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("constraint_name"), col("n_checked"), col("n_violations"))
+    val fkOrders = leg("fk_orders_custkey",
+      orders.join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left"),
+      col("c_custkey").isNull)
+    val fkLineitem = leg("fk_lineitem_orderkey",
+      lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left"),
+      col("o_orderkey").isNull)
+    val pkOrders = orders
+      .agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+      .select(lit("pk_orders_unique").as("constraint_name"),
+        col("n_checked"), col("n_violations"))
+    val rangeQty = leg("range_lineitem_quantity", lineitem,
+      col("l_quantity") < 1 || col("l_quantity") > 50)
+    val domainEvents = leg("domain_events_type", events,
+      !col("event_type").isin("click", "view", "purchase", "signup", "error"))
+    val derivedDocs = leg("derived_documents_nchars", documents,
+      col("n_chars") =!= length(col("text")))
+    fkOrders.unionAll(fkLineitem).unionAll(pkOrders)
+      .unionAll(rangeQty).unionAll(domainEvents).unionAll(derivedDocs)
+  }
+
+  def dataConstraints(s: SparkSession, d: String): DataFrame =
+    constraintReport(Tables.orders(s, d), Tables.customer(s, d),
+      Tables.lineitem(s, d), Tables.events(s, d), Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_chisq" -> statsChisq,
+    "stats_ttest" -> statsTtest,
+    "anon_kanon" -> anonKanon,
+    "skyline_pareto" -> skylinePareto,
+    "data_constraints" -> dataConstraints,
     "agg_benford" -> aggBenford,
     "agg_trimmed_mean" -> aggTrimmedMean,
     "agg_weighted_median" -> aggWeightedMedian,
@@ -1819,6 +1997,81 @@ object Queries {
   lazy val oracles: Map[String, String] = rawOracles.view.mapValues(duckify).toMap
 
   private val rawOracles: Map[String, String] = Map(
+    "stats_chisq" ->
+      // same full grid (empty cells contribute expected), same double
+      // expected expression; dof from marginal counts
+      ("WITH ev AS (SELECT event_type AS t, (hour(ts) // 6)::INT AS q FROM events), " +
+        "obs AS (SELECT t, q, count(*) AS o FROM ev GROUP BY 1, 2), " +
+        "rm AS (SELECT t, sum(o)::BIGINT AS rt FROM obs GROUP BY 1), " +
+        "cm AS (SELECT q, sum(o)::BIGINT AS ct FROM obs GROUP BY 1), " +
+        "n AS (SELECT sum(o)::BIGINT AS n FROM obs), " +
+        "cells AS (SELECT coalesce(o, 0) AS o, rt * ct / n::DOUBLE AS e, n " +
+        "FROM rm CROSS JOIN cm LEFT JOIN obs ON rm.t = obs.t AND cm.q = obs.q, n), " +
+        "dims AS (SELECT (SELECT count(*) FROM rm) AS nr, (SELECT count(*) FROM cm) AS nc) " +
+        "SELECT rnd(sum((o - e) * (o - e) / e), 6) AS chi2, " +
+        "(nr - 1) * (nc - 1) AS dof, max(n)::BIGINT AS n FROM cells, dims GROUP BY nr, nc"),
+
+    "stats_ttest" ->
+      // identical explicit-sum moments and Welch-Satterthwaite formula
+      ("WITH m AS (SELECT " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na, " +
+        "sum(CASE WHEN event_type = 'click' THEN value END) AS sa, " +
+        "sum(CASE WHEN event_type = 'click' THEN value * value END) AS qa, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN value END) AS sb, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN value * value END) AS qb " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "v AS (SELECT *, (qa - sa * sa / na) / (na - 1) AS va, " +
+        "(qb - sb * sb / nb) / (nb - 1) AS vb FROM m), " +
+        "se AS (SELECT *, va / na AS sea, vb / nb AS seb FROM v) " +
+        "SELECT na, nb, rnd(sa / na, 6) AS mean_a, rnd(sb / nb, 6) AS mean_b, " +
+        "rnd((sa / na - sb / nb) / sqrt(sea + seb), 6) AS t_welch, " +
+        "rnd((sea + seb) * (sea + seb) / (sea * sea / (na - 1) + " +
+        "seb * seb / (nb - 1)), 6) AS df_welch FROM se"),
+
+    "anon_kanon" ->
+      ("WITH l1 AS (SELECT c_nationkey, c_mktsegment, count(*) AS cn " +
+        "FROM customer GROUP BY 1, 2), " +
+        "l2 AS (SELECT n_regionkey, c_mktsegment, count(*) AS cn FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "r1 AS (SELECT 'nation_segment' AS qi_level, sum(cn)::BIGINT AS n_rows, " +
+        "count(*) AS n_classes, min(cn) AS k_min, " +
+        "sum(CASE WHEN cn < 10 THEN 1 ELSE 0 END)::BIGINT AS classes_lt_k, " +
+        "sum(CASE WHEN cn < 10 THEN cn ELSE 0 END)::BIGINT AS rows_at_risk FROM l1), " +
+        "r2 AS (SELECT 'region_segment' AS qi_level, sum(cn)::BIGINT AS n_rows, " +
+        "count(*) AS n_classes, min(cn) AS k_min, " +
+        "sum(CASE WHEN cn < 10 THEN 1 ELSE 0 END)::BIGINT AS classes_lt_k, " +
+        "sum(CASE WHEN cn < 10 THEN cn ELSE 0 END)::BIGINT AS rows_at_risk FROM l2) " +
+        "SELECT * FROM r1 UNION ALL SELECT * FROM r2"),
+
+    "skyline_pareto" ->
+      // same per-size reduction then descending-size sweep; min picks a
+      // stored double so equality is exact across engines
+      ("WITH per AS (SELECT p_size, min(p_retailprice) AS best_price, " +
+        "count(*) AS n_at_size FROM part GROUP BY 1), " +
+        "sw AS (SELECT *, min(best_price) OVER (ORDER BY p_size DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt FROM per) " +
+        "SELECT p_size, best_price AS skyline_price, n_at_size FROM sw " +
+        "WHERE m_gt IS NULL OR best_price < m_gt"),
+
+    "data_constraints" ->
+      ("SELECT 'fk_orders_custkey' AS constraint_name, count(*) AS n_checked, " +
+        "sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations " +
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey " +
+        "UNION ALL SELECT 'fk_lineitem_orderkey', count(*), " +
+        "sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT " +
+        "FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey " +
+        "UNION ALL SELECT 'pk_orders_unique', count(*), " +
+        "(count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders " +
+        "UNION ALL SELECT 'range_lineitem_quantity', count(*), " +
+        "sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT " +
+        "FROM lineitem " +
+        "UNION ALL SELECT 'domain_events_type', count(*), " +
+        "sum(CASE WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error') " +
+        "THEN 1 ELSE 0 END)::BIGINT FROM events " +
+        "UNION ALL SELECT 'derived_documents_nchars', count(*), " +
+        "sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT FROM documents"),
+
     "scan_filter_prune" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45",
 

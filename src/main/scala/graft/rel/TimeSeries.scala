@@ -1164,6 +1164,49 @@ object TimeSeries {
   def cusum(s: SparkSession, d: String): DataFrame =
     cusumHourly(Tables.events(s, d))
 
+  /** CUSUM against a FIXED trained baseline — the ONLINE form of
+    * `cusumHourly`, whose reference mean is the series' own global mean
+    * (inherently offline: the last hour moves every deviation). A
+    * production detector trains μ₀ on a reference window and monitors
+    * against it; with μ₀ held as an exact e6 integer the recurrence
+    * S⁺ = max(0, S⁺ + (v̄ − μ₀)) stays in BIGINT, written here in closed
+    * form (prefix-deviation minus running-min, the `cusumHourly`
+    * identity) — two stock windows over the calendar-bounded hourly
+    * frame. `Streaming.cusumStream` is the constant-state online twin;
+    * StreamingSpec pins stream ≡ batch on every closed hour.
+    */
+  def cusumFixedBaselineHourly(events: DataFrame,
+      baselineE6: Map[String, Long]): DataFrame = {
+    val s = events.sparkSession
+    val base = s.createDataFrame(baselineE6.toSeq).toDF("event_type", "mu_e6")
+    val wOrd = Window.partitionBy("event_type").orderBy("hs")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .withColumn("vu", floor(col("v") * 1e6 + 0.5).cast("long"))
+      .join(broadcast(base), "event_type")
+      .withColumn("dev", col("vu") - col("mu_e6"))
+      .withColumn("pre", sum(col("dev")).over(wOrd))
+      .withColumn("runmin", least(lit(0L), min(col("pre")).over(wOrd)))
+      .select(col("event_type"), col("hs"), col("v"),
+        rnd((col("pre") - col("runmin")).cast("double") / 1e6, 6).as("cusum_pos"))
+      .withColumn("alarm", col("cusum_pos") > expr(CusumThreshold))
+  }
+
+  /** Train the e6-integer baseline `cusumFixedBaselineHourly` monitors
+    * against: per type, the mean of the hourly means over the reference
+    * feed (collected — one row per type, the broadcast-dim scale of
+    * `RunMonitor`'s launch step).
+    */
+  def cusumBaselineE6(events: DataFrame): Map[String, Long] =
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .groupBy(col("event_type"))
+      .agg(floor(avg(col("v")) * 1e6 + 0.5).cast("long").as("mu_e6"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   // ---- events_burstiness: inter-arrival burstiness per event type -------
 
   /** events_burstiness — Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of the
@@ -2074,7 +2117,78 @@ object TimeSeries {
   def forecastNaiveQuery(s: SparkSession, d: String): DataFrame =
     forecastNaive(Tables.events(s, d))
 
+  // ---- ts_sax: symbolic aggregate approximation -------------------------
+
+  /** ts_sax — SAX symbolization of each event-type's hourly series: the
+    * classic motif/shape index for massive time-series stores (Lin et
+    * al.). Hourly means (edge-rounded, the `ts_resample` bucket) →
+    * 8-hour PAA segments on epoch-aligned boundaries → z-score against
+    * the series' own mean/σ (explicit sums, `zipfRegression` rule) →
+    * 4-letter Gaussian-breakpoint alphabet (±0.6745, 0) → one 3-symbol
+    * word per epoch day. The breakpoint CASE compares the ROUNDED z in
+    * both engines, so classification is identical by construction.
+    * Scale shape: every step is a keyed aggregate narrower than the one
+    * before (hours → 8 h segments → days); the word assembly sorts ≤3
+    * structs per group. PAA segments average the POPULATED hours of the
+    * window (the `events_slo_burn` populated-hours semantics — gap
+    * hours are absent, not zero).
+    */
+  def saxHourly(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+    val st = b.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("q"))
+    val paa = b.groupBy(col("event_type"), expr("hs div 28800").as("pa"))
+      .agg(avg(col("v")).as("pv"), count(lit(1)).as("nh"))
+    val z = paa.join(st, "event_type")
+      .select(col("event_type"), col("pa"), col("nh"),
+        rnd((col("pv") - col("s") / col("n")) /
+          sqrt((col("q") - col("s") * col("s") / col("n")) / col("n")), 6).as("z"))
+    z.select(col("event_type"), col("pa"), col("nh"),
+        when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
+          .when(col("z") < 0.6745, "c").otherwise("d").as("sym"))
+      .groupBy(col("event_type"), expr("pa div 3").as("day_idx"))
+      .agg(
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("pa"), col("sym")))),
+          e => e.getField("sym"))).as("sax_word"),
+        sum(col("nh")).as("n_hours"))
+  }
+
+  def saxQuery(s: SparkSession, d: String): DataFrame =
+    saxHourly(Tables.events(s, d))
+
+  // ---- events_seq_mining: frequent consecutive 3-sequences --------------
+
+  /** events_seq_mining — sequential-pattern mining over per-user event
+    * streams: every consecutive event-type 3-gram with its support
+    * (distinct users exhibiting it) and total occurrence count — the
+    * funnel-discovery precursor to `events_funnel`'s fixed pattern.
+    * Scale shape: two `lead`s over the user-partitioned stream (the
+    * `events_transition` window — no self-join on position), then one
+    * keyed aggregate on the pattern; output bounded by |alphabet|³.
+    */
+  def seqMining(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("t1"), col("t2"), col("t3")).as("pattern"))
+      .groupBy("pattern")
+      .agg(countDistinct(col("user_id")).as("support"),
+        count(lit(1)).as("n_occurrences"))
+  }
+
+  def seqMiningQuery(s: SparkSession, d: String): DataFrame =
+    seqMining(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_sax" -> saxQuery,
+    "events_seq_mining" -> seqMiningQuery,
     "events_forecast_naive" -> forecastNaiveQuery,
     "ts_cusum" -> cusum,
     "events_burstiness" -> burstinessQuery,
@@ -2145,6 +2259,34 @@ object TimeSeries {
       "FROM p WINDOW w2 AS (PARTITION BY event_type, phase))"
 
   val rawOracles: Map[String, String] = Map(
+    "ts_sax" ->
+      // identical hourly rounding, epoch-aligned 28 800 s PAA segments,
+      // explicit-sum z, breakpoint CASE over the rounded z
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, count(*) AS n, sum(v) AS s, sum(v * v) AS q " +
+        "FROM b GROUP BY 1), " +
+        "paa AS (SELECT event_type, hs // 28800 AS pa, avg(v) AS pv, count(*) AS nh " +
+        "FROM b GROUP BY 1, 2), " +
+        "z AS (SELECT paa.event_type, pa, nh, " +
+        "rnd((pv - s / n) / sqrt((q - s * s / n) / n), 6) AS z " +
+        "FROM paa JOIN st ON paa.event_type = st.event_type), " +
+        "sym AS (SELECT event_type, pa, nh, CASE WHEN z < -0.6745e0 THEN 'a' " +
+        "WHEN z < 0e0 THEN 'b' WHEN z < 0.6745e0 THEN 'c' ELSE 'd' END AS sym FROM z) " +
+        "SELECT event_type, pa // 3 AS day_idx, " +
+        "string_agg(sym, '' ORDER BY pa) AS sax_word, sum(nh)::BIGINT AS n_hours " +
+        "FROM sym GROUP BY 1, 2"),
+
+    "events_seq_mining" ->
+      ("WITH ev AS (SELECT user_id, event_type AS t1, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2, " +
+        "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3 " +
+        "FROM events), " +
+        "tri AS (SELECT user_id, t1 || '>' || t2 || '>' || t3 AS pattern " +
+        "FROM ev WHERE t3 IS NOT NULL) " +
+        "SELECT pattern, count(DISTINCT user_id) AS support, " +
+        "count(*) AS n_occurrences FROM tri GROUP BY 1"),
+
     "events_error_rate" -> {
       def wilson(sign: String): String =
         s"(n_err / n::DOUBLE + $WilsonZ * $WilsonZ / (2e0 * n) " +

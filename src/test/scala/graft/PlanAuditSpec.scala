@@ -58,6 +58,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "normalize_minmax", "pairwise_distance", "pairwise_distance_l1",
     "quality_ks_drift", "quality_perplexity", "quality_psi_drift",
     "sketch_kmv", "sql_q11", "sql_q22",
+    // chisq: marginal-grid cross (|types|·|buckets| rows) + one-row
+    // total/dims broadcasts
+    "stats_chisq",
     "text_bm25", "text_collocations", "text_tfidf")
 
   /** Global-order-window whitelist — every input provably bounded. */
@@ -75,6 +78,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "events_slo_burn",     // hourly frame (calendar-bounded)
     "events_time_to_convert", // per-bin quantile frame
     "quality_ks_drift",    // cumulative dist over fixed histogram bins (×2)
+    "skyline_pareto",      // sweep over the per-size frame (≤ |p_size| = 50 rows)
     "ts_bollinger",        // hourly frame (calendar-bounded)
     "ts_rsi")              // hourly frame (calendar-bounded, ×2)
 

@@ -1,0 +1,164 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.rel.{Queries, TimeSeries}
+import graft.llm.TextAnalysis
+
+/** Semantic pins for the round-10 stats/governance wave (stats_chisq,
+  * stats_ttest, anon_kanon, skyline_pareto, data_constraints, ts_sax,
+  * events_seq_mining, text_rake). The oracle gate pins exact values;
+  * these pin the claims the oracles can't state: dominance laws,
+  * planted-violation behavior, brute-force equivalence, crafted-case
+  * read-outs.
+  */
+class StatsOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(us: Long): Timestamp = new Timestamp(us / 1000L)
+
+  test("skyline_pareto output is mutually non-dominated and covers every part") {
+    val sky = SparkEntry.queries("skyline_pareto")(spark, sfDir)
+      .select(col("p_size").as[Int], col("skyline_price").as[Double]).collect()
+    // no skyline point dominates another (size ≥ ∧ price ≤ with one strict)
+    for (a <- sky; b <- sky if a != b)
+      assert(!(a._1 >= b._1 && a._2 <= b._2 && (a._1 > b._1 || a._2 < b._2)),
+        s"$a dominates $b inside the skyline")
+    // every part is dominated-or-equal by some skyline point
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_size").as[Int], col("p_retailprice").as[Double]).collect()
+    parts.foreach { case (sz, pr) =>
+      assert(sky.exists { case (ss, sp) => ss >= sz && sp <= pr },
+        s"part ($sz, $pr) escapes the skyline")
+    }
+  }
+
+  test("stats_chisq matches the brute-force contingency computation") {
+    val got = SparkEntry.queries("stats_chisq")(spark, sfDir)
+      .select(col("chi2").as[Double], col("dof").as[Long], col("n").as[Long]).head()
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type").as[String],
+        (hour(col("ts")) / 6).cast("int").as[Int]).collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = cells.keys.map(_._1).toSet.toSeq.sorted
+    val cols = cells.keys.map(_._2).toSet.toSeq.sorted
+    val n = cells.values.sum.toDouble
+    val rt = rows.map(r => r -> cells.collect { case ((rr, _), v) if rr == r => v }.sum).toMap
+    val ct = cols.map(c => c -> cells.collect { case ((_, cc), v) if cc == c => v }.sum).toMap
+    val chi2 = (for (r <- rows; c <- cols) yield {
+      val o = cells.getOrElse((r, c), 0L).toDouble
+      val e = rt(r) * ct(c) / n
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(got._1 - chi2) < 1e-3)
+    assert(got._2 === (rows.size - 1).toLong * (cols.size - 1))
+    assert(got._3 === n.toLong)
+  }
+
+  test("stats_ttest matches the brute-force Welch computation") {
+    val got = SparkEntry.queries("stats_ttest")(spark, sfDir)
+      .select(col("t_welch").as[Double], col("df_welch").as[Double]).head()
+    def mo(t: String): (Long, Double, Double) = {
+      val v = Tables.events(spark, sfDir).filter(col("event_type") === t)
+        .select(col("value").as[Double]).collect()
+      val m = v.sum / v.length
+      (v.length.toLong, m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+    }
+    val (na, ma, va) = mo("click"); val (nb, mb, vb) = mo("purchase")
+    val sea = va / na; val seb = vb / nb
+    val t = (ma - mb) / math.sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    assert(math.abs(got._1 - t) < 1e-4)
+    assert(math.abs(got._2 - df) < 1e-2)
+  }
+
+  test("anon_kanon invariants: totals conserve and generalization cannot lower k") {
+    val rows = SparkEntry.queries("anon_kanon")(spark, sfDir)
+      .select("qi_level", "n_rows", "n_classes", "k_min", "classes_lt_k", "rows_at_risk")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val nCust = Tables.customer(spark, sfDir).count()
+    rows.values.foreach { r =>
+      assert(r._2 === nCust)
+      assert(r._4 >= 1 && r._5 <= r._3 && r._6 <= r._2)
+    }
+    // a region class is a union of nation classes, so its min size can't shrink
+    assert(rows("region_segment")._4 >= rows("nation_segment")._4)
+    assert(rows("region_segment")._3 <= rows("nation_segment")._3)
+  }
+
+  test("data_constraints: clean tables report zero; planted violations are counted") {
+    val clean = SparkEntry.queries("data_constraints")(spark, sfDir)
+      .select(col("constraint_name").as[String], col("n_violations").as[Long])
+      .collect().toMap
+    assert(clean.size === 6)
+    assert(clean.values.forall(_ == 0L), s"synthetic tables must be clean: $clean")
+
+    val orders = Seq((1L, 10L), (2L, 10L), (2L, 99L))
+      .toDF("o_orderkey", "o_custkey") // dup PK + orphan custkey
+    val customer = Seq(Tuple1(10L)).toDF("c_custkey")
+    val lineitem = Seq((1L, 5.0), (7L, 99.0)).toDF("l_orderkey", "l_quantity")
+    val events = Seq(("click", 1L), ("BAD", 2L)).toDF("event_type", "event_id")
+    val docs = Seq((1L, "ab", 2L), (2L, "ab", 5L)).toDF("doc_id", "text", "n_chars")
+    val planted = Queries.constraintReport(orders, customer, lineitem, events, docs)
+      .select(col("constraint_name").as[String], col("n_violations").as[Long])
+      .collect().toMap
+    assert(planted("fk_orders_custkey") === 1L)
+    assert(planted("fk_lineitem_orderkey") === 1L)
+    assert(planted("pk_orders_unique") === 1L)
+    assert(planted("range_lineitem_quantity") === 1L)
+    assert(planted("domain_events_type") === 1L)
+    assert(planted("derived_documents_nchars") === 1L)
+  }
+
+  test("ts_sax: crafted low/high series symbolizes to the expected word") {
+    // one event type, 24 hours: 16 low hours then 8 high hours →
+    // PAA segments (epoch-aligned day): low, low, high → z-scores
+    // below/below/above the mean → word like 'aad'/'bbd'
+    val ev = (0 until 24).map { h =>
+      val v = if (h < 16) 1.0 else 100.0
+      (h.toLong, ts(h * 3600L * 1000000L), "t", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = TimeSeries.saxHourly(ev)
+      .select(col("sax_word").as[String], col("n_hours").as[Long]).collect()
+    assert(out.length === 1)
+    val (word, nh) = out.head
+    assert(nh === 24L)
+    assert(word.length === 3)
+    assert(word(0) === word(1), "two identical low segments must share a symbol")
+    assert(word(2) > word(1), "the high segment must map to a later symbol")
+    // every symbol within the 4-letter alphabet
+    assert(word.forall(c => c >= 'a' && c <= 'd'))
+  }
+
+  test("events_seq_mining: crafted streams yield exact supports") {
+    val ev = Seq(
+      // user 1: A B C D → A>B>C, B>C>D
+      (1L, 1L, "A"), (2L, 1L, "B"), (3L, 1L, "C"), (4L, 1L, "D"),
+      // user 2: A B C → A>B>C (support joins user 1)
+      (5L, 2L, "A"), (6L, 2L, "B"), (7L, 2L, "C"),
+      // user 3: too short for any 3-gram
+      (8L, 3L, "A"), (9L, 3L, "B"))
+      .map { case (id, u, t) => (id, ts(id * 1000000L), u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.seqMining(ev)
+      .select(col("pattern").as[String], col("support").as[Long],
+        col("n_occurrences").as[Long]).collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map("A>B>C" -> (2L, 2L), "B>C>D" -> (1L, 1L)))
+  }
+
+  test("text_rake: crafted doc scores phrases by summed word degree/frequency") {
+    // "x y a x y": stopword 'a' splits two identical phrases "x y";
+    // freq(x)=freq(y)=2, deg(x)=deg(y)=2+2=4 → wscore 2.0 each →
+    // phrase score 4.0, two occurrences
+    val docs = Seq((1L, "x y a x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeDocs(docs)
+      .select(col("phrase").as[String], col("n_occurrences").as[Long],
+        col("score").as[Double]).collect()
+    assert(got.toSeq === Seq(("x y", 2L, 4.0)))
+  }
+}
