@@ -36,6 +36,13 @@ case class SloState(hs: Long, n: Long, nErr: Long, ring: Seq[(Long, Long)])
 case class SloOut(hour_us: Long, n: Long, n_err: Long,
     burn_1h: Double, burn_6h: Double, page: Boolean)
 
+/** Row types for the CUSUM drift stream (`Streaming.cusumStream`). */
+case class CusumEvent(event_id: Long, ts: java.sql.Timestamp, event_type: String,
+    value: Double)
+case class CusumState(hs: Long, sum: Double, n: Long, sPlusE6: Long)
+case class CusumOut(event_type: String, hs: Long, v: Double, cusum_pos: Double,
+    alarm: Boolean)
+
 /** Row types for the keep-latest CDC stream (`Streaming.latestStream`). */
 case class CdcEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
@@ -385,6 +392,54 @@ object Streaming {
             val dd = if (peak == 0L) None else Some(rnd6((peak - vu) / peak.toDouble))
             out += DdOut(etype, st.hs, v, rnd6(peak / 1e6), dd)
             st = DdState(st.hs, 0.0, 0L, peak)
+          }
+          evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id)).foreach { ev =>
+            val hs = math.floorDiv(ev.ts.getTime, 3600000L) * 3600L
+            if (hs != st.hs) { closeHour(); st = st.copy(hs = hs, sum = 0.0, n = 0L) }
+            st = st.copy(sum = st.sum + ev.value, n = st.n + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of `TimeSeries.cusumFixedBaselineHourly` — the
+    * ONLINE CUSUM drift pager, fifth member of the alerting family
+    * (error rate, SLO burn, drawdown, unique users). State per
+    * event_type is (open hour, sum, count, S⁺-e6) — four numbers,
+    * bounded by key cardinality; the trained e6 baseline rides the
+    * closure (a broadcast-sized map, the `cusumBaselineE6` output). An
+    * hour EMITS WHEN IT CLOSES (the `drawdownStream` discipline), the
+    * first event of a later hour folding the closed mean into
+    * S⁺ = max(0, S⁺ + (v̄ − μ₀)) in exact BIGINT e6 — the same integers
+    * as the batch form's prefix-minus-running-min closed form, so
+    * StreamingSpec pins stream ≡ batch on every closed hour. In-order
+    * contract as `ewmaStream`: repaired within a trigger by the
+    * (ts, event_id) sort, not across triggers.
+    */
+  def cusumStream(events: DataFrame, baselineE6: Map[String, Long]): Dataset[CusumOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val threshold = graft.rel.TimeSeries.CusumThreshold.dropRight(2).toDouble
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    events
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[CusumEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, evs: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          val mu = baselineE6.getOrElse(etype, 0L)
+          var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0.0, 0L, 0L))
+          val out = Seq.newBuilder[CusumOut]
+          def closeHour(): Unit = if (st.n > 0) {
+            val v = rnd6(st.sum / st.n)
+            val vu = math.floor(v * 1e6 + 0.5).toLong
+            val sPlus = math.max(0L, st.sPlusE6 + (vu - mu))
+            val pos = rnd6(sPlus / 1e6)
+            out += CusumOut(etype, st.hs, v, pos, pos > threshold)
+            st = CusumState(st.hs, 0.0, 0L, sPlus)
           }
           evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id)).foreach { ev =>
             val hs = math.floorDiv(ev.ts.getTime, 3600000L) * 3600L

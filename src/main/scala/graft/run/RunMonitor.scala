@@ -9,11 +9,12 @@ import graft.llm.Streaming
 
 /** Streaming monitoring runner (round 10, VERDICT r9 #5) — the
   * `RunFknn`/`RunCurate` precedent applied to streams: ONE main wiring
-  * the four alerting read-outs a monitoring user actually deploys —
+  * the five alerting read-outs a monitoring user actually deploys —
   * hourly error rate with Wilson bounds (`errorRateStream`), the
   * two-window SLO burn pager (`sloBurnStream`), drawdown-from-peak
-  * (`drawdownStream`), and hourly unique visitors (`uniqueUsersStream`)
-  * — as four concurrent Structured Streaming queries over a SHARED
+  * (`drawdownStream`), hourly unique visitors (`uniqueUsersStream`),
+  * and the fixed-baseline CUSUM drift pager (`cusumStream`)
+  * — as five concurrent Structured Streaming queries over a SHARED
   * event source, each sinking append-mode parquet via `foreachBatch`,
   * with a per-query progress report (batches, rows, wall) plus the
   * alert summary a pager rotation reads first.
@@ -38,14 +39,19 @@ object RunMonitor {
 
   case class MonitorResult(name: String, rows: Long, batches: Long, wall: Double)
 
-  /** The four monitors, each a declared operator's own stream builder
-    * applied to its own reader of the shared source.
+  /** The five monitors, each a declared operator's own stream builder
+    * applied to its own reader of the shared source. `cusumBaselineE6`
+    * is the OFFLINE-trained drift baseline (`TimeSeries.cusumBaselineE6`
+    * over a reference window) the online CUSUM pager monitors against —
+    * the one launch-time input a drift monitor genuinely needs.
     */
-  def monitors(source: () => DataFrame): Seq[(String, DataFrame)] = Seq(
+  def monitors(source: () => DataFrame,
+      cusumBaselineE6: Map[String, Long] = Map.empty): Seq[(String, DataFrame)] = Seq(
     "error_rate" -> Streaming.errorRateStream(source()),
     "slo_burn" -> Streaming.sloBurnStream(source()).toDF(),
     "drawdown" -> Streaming.drawdownStream(source()).toDF(),
-    "unique_users" -> Streaming.uniqueUsersStream(source()))
+    "unique_users" -> Streaming.uniqueUsersStream(source()),
+    "cusum" -> Streaming.cusumStream(source(), cusumBaselineE6).toDF())
 
   /** Start the four queries, drain available input, stop, and write the
     * report. Returns the report text (also written to
@@ -61,12 +67,13 @@ object RunMonitor {
     * shared buffer — the first monitor would starve the other three),
     * so its factory hands each monitor its own identically-fed stream.
     */
-  def run(spark: SparkSession, source: () => DataFrame, outDir: String): String = {
+  def run(spark: SparkSession, source: () => DataFrame, outDir: String,
+      cusumBaselineE6: Map[String, Long] = Map.empty): String = {
     Files.createDirectories(Paths.get(outDir))
-    // start all four CONCURRENTLY (the one multi-query job a monitoring
+    // start all five CONCURRENTLY (the one multi-query job a monitoring
     // deployment runs), then drain and stop each
     val t0 = System.nanoTime()
-    val started = monitors(source).map { case (name, df) =>
+    val started = monitors(source, cusumBaselineE6).map { case (name, df) =>
       val q = df.writeStream
         .queryName(s"monitor_$name")
         .outputMode("append")
@@ -103,6 +110,8 @@ object RunMonitor {
     val worstErr = table("error_rate")
       .flatMap(df => Option(df.agg(max(col("wilson_hi"))).head().get(0)))
       .map(v => f"${v.asInstanceOf[Double]}%.6f").getOrElse("n/a")
+    val cusumAlarms = table("cusum")
+      .map(_.filter(col("alarm")).count()).getOrElse(0L)
 
     val report =
       s"""monitoring run report
@@ -111,6 +120,7 @@ object RunMonitor {
          |slo_pages: $pages
          |max_drawdown: $maxDd
          |worst_hour_wilson_hi: $worstErr
+         |cusum_alarm_hours: $cusumAlarms
          |""".stripMargin
     Files.writeString(Paths.get(s"$outDir/report.txt"), report)
     report
@@ -141,7 +151,10 @@ object RunMonitor {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         d.toString
       }
-    print(run(spark, () => Streaming.eventsFileStream(spark, watchDir), args(1)))
+    // train the drift baseline offline on the same table the stream
+    // replays (a deployment trains on a trusted reference window)
+    val baseline = graft.rel.TimeSeries.cusumBaselineE6(graft.Tables.events(spark, args(0)))
+    print(run(spark, () => Streaming.eventsFileStream(spark, watchDir), args(1), baseline))
     spark.stop()
   }
 }

@@ -18,7 +18,7 @@ class RunMonitorSpec extends SparkSpecBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  test("RunMonitor end-to-end: four monitors, parquet sinks ≡ batch twins on closed hours, report reconciles") {
+  test("RunMonitor end-to-end: five monitors, parquet sinks ≡ batch twins on closed hours, report reconciles") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // 12 populated hours, 1-in-10 errors; hour 11 is a 30-event all-error
@@ -40,11 +40,13 @@ class RunMonitorSpec extends SparkSpecBase {
     // factory: one identically-fed MemoryStream PER monitor (a query's
     // commit purges the shared buffer — see RunMonitor.run's scaladoc)
     val out = java.nio.file.Files.createTempDirectory("monitor").toString
+    // drift baseline trained offline on the same feed (the main's shape)
+    val baseline = graft.rel.TimeSeries.cusumBaselineE6(batchDf)
     val report = RunMonitor.run(spark, () => {
       val mem = MemoryStream[Ev]
       mem.addData(rows: _*)
       mem.toDF()
-    }, out)
+    }, out, baseline)
 
     // --- per-sink reconciliation against the batch twins ----------------
     // error_rate: closed hours = those the final watermark passed
@@ -87,6 +89,18 @@ class RunMonitorSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(uuStream.nonEmpty && uuStream.subsetOf(uuBatch))
 
+    // cusum: closed hours ≡ the fixed-baseline batch form below each
+    // type's open hour (the drawdown closure rule)
+    val cuStream = spark.read.parquet(s"$out/cusum")
+      .select("event_type", "hs", "v", "cusum_pos", "alarm")
+      .collect().map(_.toSeq).toSet
+    val cuBatch = graft.rel.TimeSeries.cusumFixedBaselineHourly(batchDf, baseline)
+      .filter((col("event_type") === "error" && col("hs") < 11 * 3600L) ||
+        (col("event_type") === "view" && col("hs") < 13 * 3600L))
+      .select("event_type", "hs", "v", "cusum_pos", "alarm")
+      .collect().map(_.toSeq).toSet
+    assert(cuStream === cuBatch)
+
     // --- report reconciles with the sinks -------------------------------
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/report.txt")) === report)
@@ -96,7 +110,9 @@ class RunMonitorSpec extends SparkSpecBase {
     assert(reported("slo_burn") === 12L)
     assert(reported("drawdown") === ddStream.size.toLong)
     assert(reported("unique_users") === uuStream.size.toLong)
+    assert(reported("cusum") === cuStream.size.toLong)
     assert(report.contains(s"slo_pages: $pages"))
+    assert(report.contains("cusum_alarm_hours: "))
   }
 
   /** Batch unique-users twin over an arbitrary frame (the declared row

@@ -541,6 +541,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed(h10us)._2 === 1L, "late error must not re-count into hour 10")
   }
 
+  test("cusum state stream ≡ batch fixed-baseline form; alarm fires after the planted shift") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline μ₀ = 10; hours 10-11 on-baseline, hours 12-14 shifted to 16
+    // → S⁺ walks 0, 0, 6, 12, 18: alarm (threshold 10) from hour 13 on
+    val series = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "view", 10.0),
+      Ev(2, ts("2024-01-01 11:05:00"), 1, "view", 10.0),
+      Ev(3, ts("2024-01-01 12:05:00"), 1, "view", 16.0),
+      Ev(4, ts("2024-01-01 13:05:00"), 1, "view", 16.0),
+      Ev(5, ts("2024-01-01 14:05:00"), 1, "view", 16.0),
+      Ev(6, ts("2024-01-01 15:00:00"), 1, "view", 999.0)) // closes hour 14
+    val mu = Map("view" -> 10000000L)
+    val mem = MemoryStream[Ev]
+    val q = Streaming.cusumStream(mem.toDF(), mu)
+      .writeStream.format("memory").queryName("cus").outputMode("append").start()
+    try {
+      // split mid-shift so open-hour state and S⁺ carry across triggers
+      mem.addData(series.take(3): _*); q.processAllAvailable()
+      mem.addData(series.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cus")
+      .select("event_type", "hs", "v", "cusum_pos", "alarm")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.rel.TimeSeries.cusumFixedBaselineHourly(series.toDF()
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")), mu)
+      .filter(col("hs") < ts("2024-01-01 15:00:00").getTime / 1000) // open hour unemitted
+      .select("event_type", "hs", "v", "cusum_pos", "alarm")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    val alarms = spark.table("cus").filter(col("alarm"))
+      .select("hs").as[Long].collect().toSet
+    assert(alarms === Set(
+      ts("2024-01-01 13:00:00").getTime / 1000,
+      ts("2024-01-01 14:00:00").getTime / 1000))
+  }
+
   test("drawdown state stream ≡ batch tsDrawdown on every closed hour across multi-batch feeds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
