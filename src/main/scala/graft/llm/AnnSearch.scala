@@ -779,6 +779,43 @@ object AnnSearch {
       .groupBy(col("label"), col("pos"))
       .agg(rnd(avg(col("x")), 6).as("m"))
 
+  /** embedding_silhouette — centroid-based (simplified) silhouette of
+    * the LABELED clustering: per vector, a = L2 to its own label's
+    * centroid, b = min L2 to any other label's, s = (b − a)/max(a, b);
+    * reported per label (n, mean silhouette, mean a, mean b) — the
+    * fourth index-health read-out ("are these labels separable in
+    * embedding space") next to cell balance, dim stats, and the norm
+    * histogram. The simplified form (Hruschka et al.) replaces the
+    * O(n²) pairwise silhouette with distances to ≤|labels| centroids —
+    * the LINEAR form that survives 100 TB. Centroids are edge-rounded
+    * per (label, dim) so both engines measure against identical
+    * prototypes; distances ride the fused `ArrayDistance.l2` (≡
+    * DuckDB's list fold, DistanceSpec). One corpus × |labels| broadcast
+    * cross (the `assignCells` shape, BNLJ-whitelisted), then keyed aggs.
+    */
+  def embeddingSilhouette(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cent = e
+      .select(col("label").as("c_label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("c_label"), col("pos")).agg(rnd(avg(col("x")), 6).as("m"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("c_v"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        (col("label") === col("c_label")).as("own"),
+        ArrayDistance.l2(col("v"), col("c_v")).as("dist"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("own"), col("dist"))).as("a"),
+        min(when(!col("own"), col("dist"))).as("b"))
+      .select(col("label"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil"),
+        col("a"), col("b"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), rnd(avg(col("sil")), 6).as("mean_sil"),
+        rnd(avg(col("a")), 6).as("mean_a"), rnd(avg(col("b")), 6).as("mean_b"))
+  }
+
   /** embedding_drift — per-label centroid shift between two corpus
     * slices (even vs odd vec_ids stand in for "reference vs current"
     * ingest snapshots): the L2 distance between slice centroids, the
@@ -1155,6 +1192,7 @@ object AnnSearch {
     "embedding_quantize" -> embeddingQuantize,
     "embedding_normalize" -> embeddingNormalize,
     "embedding_centroid" -> embeddingCentroid,
+    "embedding_silhouette" -> embeddingSilhouette,
     "embedding_drift" -> embeddingDrift,
     "embedding_pca" -> embeddingPca,
     "embedding_dim_stats" -> embeddingDimStats,
@@ -1469,6 +1507,21 @@ object AnnSearch {
         "long AS (SELECT label, i::INT - 1 AS pos, v[i::INT] AS x " +
         "FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e)) " +
         "SELECT label, pos, rnd(avg(x), 6) AS m FROM long GROUP BY 1, 2"),
+
+    "embedding_silhouette" ->
+      // identical edge-rounded centroids (the embedding_centroid long
+      // form), same list-fold L2, same a/b/sil expressions
+      ("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cd AS (SELECT label AS c_label, i AS pos, rnd(avg(v[i::INT]), 6) AS m " +
+        "FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e) GROUP BY 1, 2), " +
+        "ct AS (SELECT c_label, list(m ORDER BY pos) AS c_v FROM cd GROUP BY 1), " +
+        "dm AS (SELECT vec_id, label, c_label, " + l2Sql("v", "c_v") + " AS dist " +
+        "FROM e CROSS JOIN ct), " +
+        "ab AS (SELECT vec_id, label, max(CASE WHEN label = c_label THEN dist END) AS a, " +
+        "min(CASE WHEN label <> c_label THEN dist END) AS b FROM dm GROUP BY 1, 2), " +
+        "sl AS (SELECT label, (b - a) / greatest(a, b) AS sil, a, b FROM ab) " +
+        "SELECT label, count(*) AS n, rnd(avg(sil), 6) AS mean_sil, " +
+        "rnd(avg(a), 6) AS mean_a, rnd(avg(b), 6) AS mean_b FROM sl GROUP BY 1"),
 
     "embedding_drift" ->
       ("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +

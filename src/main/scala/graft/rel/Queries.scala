@@ -1893,7 +1893,88 @@ object Queries {
     constraintReport(Tables.orders(s, d), Tables.customer(s, d),
       Tables.lineitem(s, d), Tables.events(s, d), Tables.documents(s, d))
 
+  // ---- stats_mannwhitney: Mann-Whitney U rank-sum test ------------------
+
+  /** stats_mannwhitney — Mann-Whitney U rank-sum test ('click' vs
+    * 'purchase' values), the nonparametric sibling of `stats_ttest` (the
+    * A/B read-out that survives heavy tails an assumed-normal t-test
+    * does not). Midranks in EXACT integers: global row ranks via
+    * `Rank.globalRank` (range-repartitioned — no single-task sort over
+    * the corpus), then per-distinct-value groups give
+    * 2·midrank = 2·(min_rank − 1) + t + 1, so 2·R₁, the tie term
+    * Σ(t³ − t), and U₁ stay BIGINT; one closing double expression yields
+    * the tie-corrected normal z. Σ-products reach N² — BIGINT-safe far
+    * past any real corpus (the `sql_q1` envelope note applies beyond).
+    */
+  def statsMannwhitney(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select((col("event_type") === "click").as("isa"), col("value"), col("event_id"))
+    val g = Rank.globalRank(ev, Seq(col("value"), col("event_id")))
+      .groupBy(col("value"))
+      .agg(min(col("grank")).as("mn"), count(lit(1)).as("t"),
+        sum(when(col("isa"), 1L).otherwise(0L)).as("ta"))
+    g.agg(
+      sum(col("ta")).as("na"),
+      (sum(col("t")) - sum(col("ta"))).as("nb"),
+      sum(col("ta") * (lit(2L) * (col("mn") - 1) + col("t") + 1)).as("two_r1"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .withColumn("u1", (col("two_r1") - col("na") * (col("na") + 1)) / lit(2.0))
+      .withColumn("mu", col("na") * col("nb") / lit(2.0))
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("sig", sqrt(col("na") * col("nb") / lit(12.0) *
+        ((col("nn") + 1) - col("ties") / (col("nn") * (col("nn") - lit(1.0))))))
+      .select(col("na"), col("nb"), rnd(col("u1"), 6).as("u_stat"),
+        rnd((col("u1") - col("mu")) / col("sig"), 6).as("z"))
+  }
+
+  // ---- stats_bootstrap_ci: distributed Poisson bootstrap ----------------
+
+  /** stats_bootstrap_ci — Poisson-bootstrap confidence interval for the
+    * mean of `value` (the "bag of little bootstraps" cousin actually
+    * used at scale: per replicate each row enters with an independent
+    * Poisson(1) count, so resampling needs NO global shuffle — one pass
+    * over B copies with map-side combine). Replicate weights are
+    * DETERMINISTIC: a 4-hex-digit md5 uniform per (event_id, replicate)
+    * inverted through exact integer Poisson(1) CDF cutoffs (the
+    * `sample_importance` trick), so both engines draw identical
+    * resamples. Values fold as e6 BIGINT; the percentile cut runs over
+    * the B = 64 replicate means (bounded frame — `outlier_iqr` ceil-rank
+    * convention, ranks 2 and 63 ≈ the 2.5/97.5 percentiles).
+    */
+  def statsBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val B = 64
+    // floor(CDF_Poisson(1)(k) · 65536), k = 0..4; u16 ≥ last ⇒ weight 5
+    val cuts = Seq(24109L, 48218L, 60273L, 64291L, 65296L)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), floor(col("value") * 1e6 + 0.5).cast("long").as("vu"))
+    val w = {
+      val u = col("u16")
+      cuts.zipWithIndex.foldLeft(when(u < cuts.head, 0L)) { case (acc, (c, i)) =>
+        if (i == 0) acc else acc.when(u < c, i.toLong)
+      }.otherwise(5L)
+    }
+    val reps = ev
+      .select(col("event_id"), col("vu"), explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u16", conv(substring(md5(concat(col("event_id").cast("string"),
+        lit("_"), col("b").cast("string"))), 1, 4), 16, 10).cast("long"))
+      .select(col("b"), col("vu"), w.as("w"))
+      .groupBy(col("b"))
+      .agg((sum(col("w") * col("vu")) / sum(col("w")) / 1e6).as("rep_mean"))
+    val wRank = Window.orderBy(col("rep_mean"), col("b"))
+    val stats = ev.agg(count(lit(1)).as("n"),
+      rnd(sum(col("vu")) / count(lit(1)) / 1e6, 6).as("mean"))
+    reps.withColumn("rn", row_number().over(wRank))
+      .agg(max(when(col("rn") === 2, col("rep_mean"))).as("lo"),
+        max(when(col("rn") === B - 1, col("rep_mean"))).as("hi"))
+      .crossJoin(broadcast(stats))
+      .select(col("n"), col("mean"), rnd(col("lo"), 6).as("ci_lo"),
+        rnd(col("hi"), 6).as("ci_hi"), lit(B).as("n_replicates"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mannwhitney" -> statsMannwhitney,
+    "stats_bootstrap_ci" -> statsBootstrapCi,
     "stats_chisq" -> statsChisq,
     "stats_ttest" -> statsTtest,
     "anon_kanon" -> anonKanon,
@@ -1996,7 +2077,51 @@ object Queries {
     */
   lazy val oracles: Map[String, String] = rawOracles.view.mapValues(duckify).toMap
 
+  /** Hex digit d (1-based) of md5(`e`) as 0..15 — the DuckDB side of the
+    * `sample_importance` uniform trick. */
+  private def hexDigitSql(e: String, d: Int): String =
+    s"(instr('0123456789abcdef', substr(md5($e), $d, 1)) - 1)"
+
   private val rawOracles: Map[String, String] = Map(
+    "stats_mannwhitney" ->
+      // oracle ranks via one window (it IS the oracle); identical
+      // integer midrank algebra, identical closing double expression
+      ("WITH ev AS (SELECT event_type = 'click' AS isa, value, event_id " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "r AS (SELECT isa, value, row_number() OVER (ORDER BY value, event_id) AS grank " +
+        "FROM ev), " +
+        "g AS (SELECT value, min(grank) AS mn, count(*) AS t, " +
+        "sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS ta FROM r GROUP BY 1), " +
+        "m AS (SELECT sum(ta)::BIGINT AS na, (sum(t) - sum(ta))::BIGINT AS nb, " +
+        "sum(ta * (2 * (mn - 1) + t + 1))::BIGINT AS two_r1, " +
+        "sum(t * t * t - t)::BIGINT AS ties FROM g), " +
+        "x AS (SELECT *, (two_r1 - na * (na + 1)) / 2e0 AS u1, " +
+        "na * nb / 2e0 AS mu, na + nb AS nn FROM m), " +
+        "y AS (SELECT *, sqrt(na * nb / 12e0 * ((nn + 1) - " +
+        "ties / (nn * (nn - 1e0)))) AS sig FROM x) " +
+        "SELECT na, nb, rnd(u1, 6) AS u_stat, rnd((u1 - mu) / sig, 6) AS z FROM y"),
+
+    "stats_bootstrap_ci" ->
+      // identical md5 4-hex-digit uniform, identical integer CDF
+      // cutoffs, exact e6-BIGINT folds, same (rep_mean, b) rank cut
+      ("WITH ev AS (SELECT event_id, floor(value * 1e6 + 0.5e0)::BIGINT AS vu " +
+        "FROM events), " +
+        "reps AS (SELECT event_id, vu, b FROM ev, unnest(range(0, 64)) AS tt(b)), " +
+        "h AS (SELECT b, vu, (((" +
+        hexDigitSql("event_id::VARCHAR || '_' || b::VARCHAR", 1) + " * 16 + " +
+        hexDigitSql("event_id::VARCHAR || '_' || b::VARCHAR", 2) + ") * 16 + " +
+        hexDigitSql("event_id::VARCHAR || '_' || b::VARCHAR", 3) + ") * 16 + " +
+        hexDigitSql("event_id::VARCHAR || '_' || b::VARCHAR", 4) + ") AS u16 FROM reps), " +
+        "w AS (SELECT b, vu, CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48218 THEN 1 " +
+        "WHEN u16 < 60273 THEN 2 WHEN u16 < 64291 THEN 3 WHEN u16 < 65296 THEN 4 " +
+        "ELSE 5 END AS w FROM h), " +
+        "rm AS (SELECT b, sum(w * vu) / sum(w) / 1e6 AS rep_mean FROM w GROUP BY 1), " +
+        "rr AS (SELECT rep_mean, row_number() OVER (ORDER BY rep_mean, b) AS rn FROM rm), " +
+        "st AS (SELECT count(*) AS n, rnd(sum(vu) / count(*) / 1e6, 6) AS mean FROM ev) " +
+        "SELECT n, mean, rnd(max(CASE WHEN rn = 2 THEN rep_mean END), 6) AS ci_lo, " +
+        "rnd(max(CASE WHEN rn = 63 THEN rep_mean END), 6) AS ci_hi, " +
+        "64 AS n_replicates FROM rr, st GROUP BY n, mean"),
+
     "stats_chisq" ->
       // same full grid (empty cells contribute expected), same double
       // expected expression; dof from marginal counts

@@ -2186,7 +2186,40 @@ object TimeSeries {
   def seqMiningQuery(s: SparkSession, d: String): DataFrame =
     seqMining(Tables.events(s, d))
 
+  // ---- events_regex_funnel: sequence-pattern matching -------------------
+
+  /** events_regex_funnel — regex sequence matching over per-user event
+    * streams (the MATCH_RECOGNIZE shape next to `events_seq_mining`'s
+    * fixed-length mining): each user's ordered event types become a
+    * one-char-per-event string, the funnel pattern 's[cv]*p' (signup,
+    * any clicks/views, purchase) is counted non-overlapping per user,
+    * and the result rolls to a matches-per-user histogram. The pattern
+    * is chosen backtracking-free ([cv]* cannot cross the closing 'p'),
+    * so Java regex and DuckDB's RE2 agree match-for-match. Scale shape:
+    * one user-keyed ordered collect (per-user strings are session-
+    * bounded), one regexp count per user, one bounded histogram agg.
+    */
+  def regexFunnel(events: DataFrame): DataFrame = {
+    val code = when(col("event_type") === "click", "c")
+      .when(col("event_type") === "view", "v")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s").otherwise("e")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), code.as("ch"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+        x => x.getField("ch"))).as("seq"))
+      .select(col("user_id"), expr("regexp_count(seq, 's[cv]*p')").as("n_matches"))
+      .groupBy(col("n_matches"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def regexFunnelQuery(s: SparkSession, d: String): DataFrame =
+    regexFunnel(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_regex_funnel" -> regexFunnelQuery,
     "ts_sax" -> saxQuery,
     "events_seq_mining" -> seqMiningQuery,
     "events_forecast_naive" -> forecastNaiveQuery,
@@ -2259,6 +2292,14 @@ object TimeSeries {
       "FROM p WINDOW w2 AS (PARTITION BY event_type, phase))"
 
   val rawOracles: Map[String, String] = Map(
+    "events_regex_funnel" ->
+      ("WITH s AS (SELECT user_id, string_agg(CASE event_type " +
+        "WHEN 'click' THEN 'c' WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p' " +
+        "WHEN 'signup' THEN 's' ELSE 'e' END, '' ORDER BY ts, event_id) AS seq " +
+        "FROM events GROUP BY 1) " +
+        "SELECT len(regexp_extract_all(seq, 's[cv]*p'))::INT AS n_matches, " +
+        "count(*) AS n_users FROM s GROUP BY 1"),
+
     "ts_sax" ->
       // identical hourly rounding, epoch-aligned 28 800 s PAA segments,
       // explicit-sum z, breakpoint CASE over the rounded z

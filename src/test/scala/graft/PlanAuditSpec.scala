@@ -61,6 +61,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // chisq: marginal-grid cross (|types|·|buckets| rows) + one-row
     // total/dims broadcasts
     "stats_chisq",
+    // bootstrap: one-row corpus-stats broadcast onto the B-row frame
+    "stats_bootstrap_ci",
+    // silhouette: ≤|labels|-row centroid frame against the corpus stream
+    "embedding_silhouette",
     "text_bm25", "text_collocations", "text_tfidf")
 
   /** Global-order-window whitelist — every input provably bounded. */
@@ -79,6 +83,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "events_time_to_convert", // per-bin quantile frame
     "quality_ks_drift",    // cumulative dist over fixed histogram bins (×2)
     "skyline_pareto",      // sweep over the per-size frame (≤ |p_size| = 50 rows)
+    "stats_bootstrap_ci",  // rank cut over the B = 64 replicate-mean frame
+    "stats_mannwhitney",   // Rank offsets frame (≤ #partitions rows)
     "ts_bollinger",        // hourly frame (calendar-bounded)
     "ts_rsi")              // hourly frame (calendar-bounded, ×2)
 

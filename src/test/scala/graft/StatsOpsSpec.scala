@@ -151,6 +151,81 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(got === Map("A>B>C" -> (2L, 2L), "B>C>D" -> (1L, 1L)))
   }
 
+  test("stats_mannwhitney matches the brute-force midrank computation") {
+    val got = SparkEntry.queries("stats_mannwhitney")(spark, sfDir)
+      .select(col("u_stat").as[Double], col("z").as[Double]).head()
+    val vs = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as[String], col("value").as[Double]).collect()
+    val sorted = vs.map(_._2).sorted
+    def midrank(v: Double): Double = {
+      val lt = sorted.count(_ < v); val eq = sorted.count(_ == v)
+      lt + (eq + 1) / 2.0
+    }
+    val a = vs.filter(_._1 == "click").map(_._2)
+    val na = a.length.toLong; val nb = vs.length - na
+    val r1 = a.map(midrank).sum
+    val u1 = r1 - na * (na + 1) / 2.0
+    assert(math.abs(got._1 - u1) < 1e-3)
+    val nn = na + nb
+    val ties = sorted.groupBy(identity).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum
+    val sig = math.sqrt(na * nb / 12.0 * ((nn + 1) - ties / (nn * (nn - 1.0))))
+    assert(math.abs(got._2 - (u1 - na * nb / 2.0) / sig) < 1e-4)
+  }
+
+  test("stats_bootstrap_ci: interval brackets the mean and is deterministic") {
+    val q = SparkEntry.queries("stats_bootstrap_ci")
+    val r1 = q(spark, sfDir)
+      .select("n", "mean", "ci_lo", "ci_hi").as[(Long, Double, Double, Double)].head()
+    val r2 = q(spark, sfDir)
+      .select("n", "mean", "ci_lo", "ci_hi").as[(Long, Double, Double, Double)].head()
+    assert(r1 === r2, "hash-driven resampling must be run-deterministic")
+    val (n, mean, lo, hi) = r1
+    assert(n === Tables.events(spark, sfDir).count())
+    assert(lo < hi)
+    assert(lo <= mean && mean <= hi,
+      "the 2.5-97.5 replicate band must bracket the full-sample mean")
+    // replicate noise scale ~ sd/√n: the band must be narrow, not junk
+    assert(hi - lo < 0.5 * mean)
+  }
+
+  test("events_regex_funnel: crafted streams count non-overlapping funnels") {
+    // user 1: s c v p s p → two funnels; user 2: s c c (no purchase) → 0;
+    // user 3: p s v → 0 (purchase precedes signup)
+    val ev = Seq(
+      (1L, 1L, "signup"), (2L, 1L, "click"), (3L, 1L, "view"), (4L, 1L, "purchase"),
+      (5L, 1L, "signup"), (6L, 1L, "purchase"),
+      (7L, 2L, "signup"), (8L, 2L, "click"), (9L, 2L, "click"),
+      (10L, 3L, "purchase"), (11L, 3L, "signup"), (12L, 3L, "view"))
+      .map { case (id, u, t) => (id, ts(id * 1000000L), u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.regexFunnel(ev)
+      .select(col("n_matches").as[Int], col("n_users").as[Long]).collect().toMap
+    assert(got === Map(2 -> 1L, 0 -> 2L))
+  }
+
+  test("embedding_silhouette: separable labels score near 1, shuffled labels near 0") {
+    import graft.llm.AnnSearch
+    val out = SparkEntry.queries("embedding_silhouette")(spark, sfDir)
+      .select(col("label").as[Int], col("mean_sil").as[Double],
+        col("mean_a").as[Double], col("mean_b").as[Double]).collect()
+    assert(out.length === 10)
+    out.foreach { case (_, sil, a, b) =>
+      assert(sil >= -1.0 && sil <= 1.0); assert(a > 0 && b > 0)
+    }
+    // crafted: two tight, far-apart clusters → silhouette ≈ 1 for both
+    val sep = (0 until 20).map { i =>
+      val lbl = i % 2
+      (i.toLong, Array.fill(4)(lbl * 100.0f + (i / 2 % 3) * 0.1f), lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("sil").toString
+    sep.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val sils = AnnSearch.embeddingSilhouette(spark, tmp)
+      .select(col("mean_sil").as[Double]).collect()
+    assert(sils.forall(_ > 0.99), s"tight far clusters must score ≈1: ${sils.toSeq}")
+  }
+
   test("text_rake: crafted doc scores phrases by summed word degree/frequency") {
     // "x y a x y": stopword 'a' splits two identical phrases "x y";
     // freq(x)=freq(y)=2, deg(x)=deg(y)=2+2=4 → wscore 2.0 each →
