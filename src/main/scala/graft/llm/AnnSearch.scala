@@ -254,13 +254,22 @@ object AnnSearch {
     * cluster). Checkpointing changes no values: the refinement stays
     * deterministic (AnnSearchSpec pins two runs bit-identical).
     */
-  def kmeansCentroids(t: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+  def kmeansCentroids(t: DataFrame, seed: DataFrame, iters: Int,
+      roundTo: Int = 0): DataFrame = {
     var cent = seed.select(col("c_id"), col("c_v"))
     for (i <- 0 until iters) {
+      // roundTo > 0: edge-round each refined centroid coordinate so the
+      // round's output is reproducible ACROSS ENGINES — what converts
+      // `ann_ivf_kmeans` from rows-only to hash-gated (the
+      // `events_markov_stationary` per-round 12-dp precedent). 6 dp on a
+      // quantizer centroid is semantically free (cell boundaries move by
+      // ≤ 1e-6) and the unrolled DuckDB twin rounds identically.
+      val m0 = avg(col("x"))
+      val m = if (roundTo > 0) rnd(m0, roundTo) else m0
       val means = t.join(assignCells(t, cent), "t_id")
         .select(col("cell"), posexplode(col("t_v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(m.as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("c_id"), expr("transform(pm, p -> p.m)").as("c_v"))
@@ -276,14 +285,15 @@ object AnnSearch {
   }
 
   /** Declared query for the Lloyd-refined IVF path: same search as
-    * `ivfTopK` but over `kmeansCentroids(stride seed, 2 iters)`. Like
-    * `agg_hll`, deliberately NO oracle twin — the refinement is fully
-    * deterministic (fixed seed/iters, no RNG; AnnSearchSpec pins two
-    * runs bit-identical and recall ≥ the stride row at equal nprobe),
-    * but expressing two Lloyd rounds of per-cell elementwise means +
-    * array re-assembly as a DuckDB CTE chain is unreasonable where the
-    * stride row's quantizer is ~20 lines — the driver records the
-    * rows-only check and the spec carries the semantics.
+    * `ivfTopK` but over `kmeansCentroids(stride seed, 2 iters)`.
+    * Rows-only until this round; now HASH-GATED (the
+    * `graph_kcore_fixpoint` conversion precedent): with per-round 6-dp
+    * centroid rounding (`roundTo = 6`) both engines iterate identical
+    * centroid arrays, so the oracle unrolls the two Lloyd rounds as
+    * MATERIALIZED CTEs (assignment argmin → per-(cell, dim) rounded
+    * mean → array rebuild → empty-cell carry) and chains into the
+    * `ann_ivf` search tail. AnnSearchSpec still pins two runs
+    * bit-identical and recall ≥ the stride row at equal nprobe.
     */
   def ivfKmeansTopK(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
@@ -293,7 +303,7 @@ object AnnSearch {
     ivfSearch(
       q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("q_v")),
       t = t,
-      cent = kmeansCentroids(t, seed, iters = 2),
+      cent = kmeansCentroids(t, seed, iters = 2, roundTo = 6),
       k = 3, nprobe = 3)
   }
 
@@ -1206,6 +1216,30 @@ object AnnSearch {
 
   private def dotSql(a: String, b: String): String = graft.rel.Queries.dotSql(a, b)
   private def l2Sql(a: String, b: String): String = graft.rel.Queries.l2Sql(a, b)
+
+  /** Unrolled Lloyd rounds for the `ann_ivf_kmeans` oracle: round r
+    * assigns `tr` to cent(r−1) by the (dist, c_id) argmin, takes the
+    * per-(cell, dim) mean ROUNDED exactly like the Spark twin's
+    * `roundTo = 6`, rebuilds the centroid list, and carries empty
+    * cells' previous centroids. MATERIALIZED per round — a plain CTE
+    * referenced k times re-evaluates its whole upstream chain k^rounds
+    * times (the graph_kcore oracle lesson).
+    */
+  private def kmeansCentSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = s"cent${r - 1}"
+      s"d$r AS (SELECT t.t_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist " +
+        s"FROM tr t CROSS JOIN $prev c), " +
+        s"a$r AS MATERIALIZED (SELECT t_id, c_id AS cell FROM " +
+        s"(SELECT t_id, c_id, row_number() OVER (PARTITION BY t_id ORDER BY dist, c_id) AS rn " +
+        s"FROM d$r) WHERE rn = 1), " +
+        s"m$r AS MATERIALIZED (SELECT cell, i::INT AS pos, rnd(avg(v[i::INT]), 6) AS m FROM " +
+        s"(SELECT a$r.cell, t.v, unnest(range(1, len(t.v) + 1)) AS i " +
+        s"FROM tr t JOIN a$r ON t.t_id = a$r.t_id) GROUP BY 1, 2), " +
+        s"n$r AS (SELECT cell AS c_id, list(m ORDER BY pos) AS v FROM m$r GROUP BY 1), " +
+        s"cent$r AS MATERIALIZED (SELECT * FROM n$r UNION ALL SELECT c.c_id, c.v " +
+        s"FROM $prev c WHERE c.c_id NOT IN (SELECT c_id FROM n$r))"
+    }.mkString(", ")
   private def l2sqSql(a: String, b: String): String = graft.rel.Queries.l2sqSql(a, b)
 
   private def cosSql(a: String, b: String): String =
@@ -1425,6 +1459,30 @@ object AnnSearch {
         "tot AS (SELECT sum(n)::BIGINT AS total, count(*) AS n_cells FROM sz) " +
         "SELECT cell, n, rnd(n / total::DOUBLE, 6) AS share, " +
         "rnd(n * n_cells / total::DOUBLE, 6) AS ratio_to_mean FROM sz, tot"),
+
+    "ann_ivf_kmeans" ->
+      // the ann_ivf oracle with the stride quantizer replaced by two
+      // unrolled MATERIALIZED Lloyd rounds (assignment argmin →
+      // per-(cell, dim) 6-dp-rounded mean → array rebuild → empty-cell
+      // carry) — the events_markov_stationary unroll discipline; the
+      // Spark twin rounds each round identically (roundTo = 6)
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "tr AS (SELECT vec_id AS t_id, v FROM e WHERE vec_id >= 20), " +
+        "qs AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 20), " +
+        "cent0 AS (SELECT vec_id AS c_id, v FROM e WHERE vec_id >= 20 AND vec_id % 40 = 0), " +
+        kmeansCentSql(2) + ", " +
+        "asg AS (SELECT t_id, c_id, row_number() OVER (PARTITION BY t_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT t.t_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM tr t CROSS JOIN cent2 c)), " +
+        "cells AS (SELECT t_id, c_id AS cell FROM asg WHERE rn = 1), " +
+        "probe AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT q.q_id, c.c_id, ${l2Sql("q.v", "c.v")} AS dist FROM qs q CROSS JOIN cent2 c)), " +
+        "pr AS (SELECT q_id, c_id AS cell FROM probe WHERE rn <= 3), " +
+        "pp AS (SELECT p.q_id, ce.t_id, " +
+        s"${l2Sql("q.v", "t.v")} AS dist " +
+        "FROM pr p JOIN cells ce ON ce.cell = p.cell " +
+        "JOIN qs q ON q.q_id = p.q_id JOIN tr t ON t.t_id = ce.t_id), " +
+        "qk AS (SELECT q_id, t_id, dist, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM pp) " +
+        "SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
 
     "ann_ivf" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
