@@ -987,7 +987,56 @@ object Graph {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("ok"), col("l_suppkey").as("pk")))
 
+  // ---- graph_hits: Kleinberg hubs & authorities -------------------------
+
+  private val HitsIters = 4
+
+  /** graph_hits — Kleinberg's HITS on the DIRECTED customer→supplier
+    * purchase graph (`custSuppEdges`' half, un-symmetrized): hubs =
+    * customers, authorities = suppliers — the ranking pair PageRank's
+    * single score cannot express on a bipartite flow. `HitsIters`
+    * synchronous rounds of a = Σ h(in-edges), h = Σ a(out-edges), each
+    * L1-normalized against a broadcast one-row total and 12-dp
+    * edge-rounded so both engines iterate identical doubles (the
+    * `events_markov_stationary` discipline); final scores rounded to 6.
+    * Per round: two |E|-shuffle keyed aggregates + two one-row
+    * normalizations — the `pageRank` scale shape — with per-round
+    * `Ckpt.truncate` (plan-growth hygiene) and round r−1 released.
+    */
+  def hits(edgesIn: DataFrame, iters: Int = HitsIters): DataFrame = {
+    val edges = edgesIn.truncated()
+    val nh = broadcast(edges.select(col("src")).distinct()
+      .agg(count(lit(1)).cast("double").as("n")))
+    var h = edges.select(col("src")).distinct().crossJoin(nh)
+      .select(col("src"), (lit(1.0) / col("n")).as("h")).truncated()
+    var a: DataFrame = null
+    for (r <- 1 to iters) {
+      val ar = edges.join(h, "src").groupBy(col("dst")).agg(sum(col("h")).as("s"))
+      val at = ar.crossJoin(broadcast(ar.agg(sum(col("s")).as("t"))))
+        .select(col("dst"), rnd(col("s") / col("t"), 12).as("a")).truncated()
+      if (a != null) Ckpt.release(a)
+      a = at
+      val hr = edges.join(a, "dst").groupBy(col("src")).agg(sum(col("a")).as("s"))
+      val ht = hr.crossJoin(broadcast(hr.agg(sum(col("s")).as("t"))))
+        .select(col("src"), rnd(col("s") / col("t"), 12).as("h")).truncated()
+      Ckpt.release(h)
+      h = ht
+    }
+    h.select(col("src").as("node"), lit("hub").as("role"), rnd(col("h"), 6).as("score"))
+      .unionAll(a.select(col("dst").as("node"), lit("authority").as("role"),
+        rnd(col("a"), 6).as("score")))
+  }
+
+  def hitsQuery(s: SparkSession, d: String): DataFrame = {
+    val half = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    hits(half)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> hitsQuery,
     "graph_bipartite_proj" -> bipartiteProjQuery,
     "graph_label_prop" -> labelPropQuery,
     "graph_degree_dist" -> degreeDistQuery,
@@ -1082,6 +1131,33 @@ object Graph {
   }
 
   val rawOracles: Map[String, String] = Map(
+    "graph_hits" -> {
+      // the same rounds unrolled; every round frame MATERIALIZED (each
+      // is referenced by its normalization total AND the next join —
+      // the graph_kcore inlining lesson); identical 12-dp per-round and
+      // 6-dp closing rounding
+      def round(r: Int): String = {
+        val hPrev = if (r == 1) "h0" else s"ht${r - 1}"
+        s"ar$r AS MATERIALIZED (SELECT dst, sum(h) AS s FROM e " +
+          s"JOIN $hPrev ON e.src = $hPrev.src GROUP BY 1), " +
+          s"at$r AS MATERIALIZED (SELECT dst, " +
+          s"rnd(s / (SELECT sum(s) FROM ar$r), 12) AS a FROM ar$r), " +
+          s"hr$r AS MATERIALIZED (SELECT e.src, sum(a) AS s FROM e " +
+          s"JOIN at$r ON e.dst = at$r.dst GROUP BY 1), " +
+          s"ht$r AS MATERIALIZED (SELECT src, " +
+          s"rnd(s / (SELECT sum(s) FROM hr$r), 12) AS h FROM hr$r), "
+      }
+      "WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "v AS (SELECT DISTINCT src FROM e), " +
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM v), " +
+        "h0 AS (SELECT src, 1e0 / nn.n AS h FROM v CROSS JOIN nn), " +
+        (1 to HitsIters).map(round).mkString.stripSuffix(", ") + " " +
+        s"SELECT src AS node, 'hub' AS role, rnd(h, 6) AS score FROM ht$HitsIters " +
+        s"UNION ALL SELECT dst AS node, 'authority' AS role, rnd(a, 6) AS score " +
+        s"FROM at$HitsIters"
+    },
+
     "graph_bipartite_proj" ->
       // same dedup-first + canonical-pair + customer-key equi-join
       ("WITH m AS (SELECT DISTINCT o_custkey AS ok, l_suppkey AS pk " +

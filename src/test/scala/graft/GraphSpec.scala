@@ -18,6 +18,20 @@ class GraphSpec extends SparkSpecBase {
     assert(r(3) > r(1) && r(4) < r(1))                  // hub up, pendant down
   }
 
+  test("hits: normalized per role; broad buyer out-hubs narrow; shared supplier tops authorities") {
+    // c1 buys from s1,s2,s3; c2 buys from s1 only → hub(c1) > hub(c2);
+    // s1 has both buyers → top authority
+    val half = Seq((10L, 21L), (10L, 23L), (10L, 25L), (12L, 21L)).toDF("src", "dst")
+    val out = Graph.hits(half).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val hubs = out.filter(_._2 == "hub").map(r => r._1 -> r._3).toMap
+    val auth = out.filter(_._2 == "authority").map(r => r._1 -> r._3).toMap
+    assert(math.abs(hubs.values.sum - 1.0) < 1e-4)
+    assert(math.abs(auth.values.sum - 1.0) < 1e-4)
+    assert(hubs(10L) > hubs(12L))
+    assert(auth(21L) > auth(23L) && auth(23L) === auth(25L))
+  }
+
   test("pageRank on the harness graph: positive ranks, one row per node") {
     val edges = Graph.custSuppEdges(spark, sfDir)
     val pr = Graph.pageRank(edges, iters = 3)

@@ -53,6 +53,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "fknn_classify", "fknn_classify_chunked", "fknn_classify_local",
     "fknn_membership_chunked", "fknn_membership_init",
     "knn_classify", "knn_regress", "knn_topk",
+    // hits: per-round one-row L1-normalization totals + node-count frame
+    "graph_hits",
     "graph_modularity", "graph_triangles",
     // scalar min/max/total one-row frames joined onto the stream
     "normalize_minmax", "pairwise_distance", "pairwise_distance_l1",
