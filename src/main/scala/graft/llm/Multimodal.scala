@@ -195,6 +195,82 @@ object Multimodal {
     media.mapPartitions(_.map(codec.decode))
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of a decodable image:
+    * 8×8 grid of mean luminances by PURE-INTEGER area accumulation (no
+    * Graphics2D scaling — bit-identical on every JVM/platform), bit i
+    * set iff cell i's mean exceeds the global mean; 64-bit signature
+    * whose Hamming distance survives re-encoding and small edits where
+    * `multimodal_dedup`'s exact digest does not. None for undecodable
+    * payloads (the poison-row discipline). Luminance is the integer
+    * ITU-601 weighting (299r + 587g + 114b).
+    */
+  def imageAHash(bytes: Array[Byte]): Option[Long] = {
+    val img = decodeImage(bytes)
+    if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          val c = cy * 8 + x * 8 / w
+          sums(c) += lum; counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      // compare cell means to the global mean in exact cross-multiplied
+      // integers: sums(c)/counts(c) > total/n  ⇔  sums(c)·n > total·counts(c)
+      // — via BigInt (64 comparisons only): the products overflow Long
+      // around ~100-megapixel payloads and a phash must not silently
+      // wrap there
+      val total = BigInt(sums.sum)
+      val n = BigInt(counts.sum)
+      var bits = 0L
+      var c = 0
+      while (c < 64) {
+        if (counts(c) > 0 && BigInt(sums(c)) * n > total * counts(c)) bits |= (1L << c)
+        c += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** (media_id, phash) frame over an opaque-media dataset — the decode
+    * stage's fingerprint output, `extractMeta`'s mapPartitions shape
+    * (payloads never shuffle; 8 bytes per row leave the stage).
+    */
+  def mediaPhash(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m =>
+      imageAHash(m.bytes).map(ph => (m.media_id, ph))))
+      .toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate pairs by perceptual hash: 4 × 16-bit band equi-join
+    * (pigeonhole: Hamming ≤ 3 ⇒ at least one band equal — the
+    * `dedup_simhash64` discipline, never all-pairs), then the exact
+    * `bit_count(xor)` verification at `maxHamming`.
+    */
+  def phashNearDups(ph: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = ph.select(col("media_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("sig", expr("(phash >> (band * 16)) & 65535"))
+    bands.alias("a").join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_id1"), col("b.media_id").as("media_id2"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic frame sampling: every `stride`-th byte of the payload
     * (stand-in for video frame / audio window sampling) — pure relational,
     * no UDF, codegen-friendly.

@@ -128,4 +128,47 @@ class MultimodalSpec extends SparkSpecBase {
     // offsets live inside the shard budget
     assert(got.values.forall { case (_, _, _, off) => off >= 0 && off < 4096 })
   }
+
+  test("perceptual hash: re-encode-stable, edit-tolerant, and banded near-dup join finds the pair") {
+    import spark.implicits._
+    def img(w: Int, h: Int)(px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val i = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => i.setRGB(x, y, px(x, y))))
+      i
+    }
+    def enc(i: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, fmt, bos)
+      bos.toByteArray
+    }
+    // left-dark / right-bright gradient; a noised copy; an inverted image
+    def grad(x: Int, y: Int): Int = { val v = x * 255 / 63; (v << 16) | (v << 8) | v }
+    val base = img(64, 64)(grad)
+    val noisy = img(64, 64)((x, y) =>
+      if ((x * 13 + y * 7) % 97 == 0) 0x808080 else grad(x, y))
+    val inverted = img(64, 64)((x, y) => { val v = 255 - x * 255 / 63; (v << 16) | (v << 8) | v })
+
+    val hBmp = Multimodal.imageAHash(enc(base, "bmp")).get
+    val hPng = Multimodal.imageAHash(enc(base, "png")).get
+    assert(hBmp === hPng, "lossless re-encode must not move the hash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hNoise = Multimodal.imageAHash(enc(noisy, "bmp")).get
+    val hInv = Multimodal.imageAHash(enc(inverted, "bmp")).get
+    assert(ham(hBmp, hNoise) <= 3, s"sparse noise must stay near: ${ham(hBmp, hNoise)}")
+    assert(ham(hBmp, hInv) >= 32, s"inversion must flip far: ${ham(hBmp, hInv)}")
+    assert(Multimodal.imageAHash("not an image".getBytes("UTF-8")).isEmpty)
+
+    // end-to-end: mapPartitions phash stage + banded near-dup join
+    val media = Seq(
+      Media(1L, "image", enc(base, "bmp")),
+      Media(2L, "image", enc(noisy, "bmp")),
+      Media(3L, "image", enc(inverted, "bmp")),
+      Media(4L, "text", "poison".getBytes("UTF-8"))).toDS()
+    val ph = Multimodal.mediaPhash(media)
+    assert(ph.count() === 3, "undecodable payload must skip, not fail")
+    val pairs = Multimodal.phashNearDups(ph)
+      .select(col("media_id1").as[Long], col("media_id2").as[Long]).collect().toSet
+    assert(pairs === Set((1L, 2L)), s"only the noised copy pairs with base: $pairs")
+  }
 }
