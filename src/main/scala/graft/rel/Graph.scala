@@ -989,7 +989,10 @@ object Graph {
 
   // ---- graph_hits: Kleinberg hubs & authorities -------------------------
 
-  private val HitsIters = 4
+  // 3 fixed rounds — the `pageRank` iteration norm; on the bipartite
+  // purchase graph the hub/authority ordering is stable from round 2,
+  // and each round is ~0.5 s of per-round fixed overhead at sf0.1
+  private val HitsIters = 3
 
   /** graph_hits — Kleinberg's HITS on the DIRECTED customer→supplier
     * purchase graph (`custSuppEdges`' half, un-symmetrized): hubs =

@@ -2218,7 +2218,84 @@ object TimeSeries {
   def regexFunnelQuery(s: SparkSession, d: String): DataFrame =
     regexFunnel(Tables.events(s, d))
 
+  // ---- ts_periodogram: spectral seasonality detection -------------------
+
+  /** ts_periodogram — single-frequency DFT power at candidate periods
+    * (6 h, 12 h, 24 h, 168 h) over each type's mean-centered hourly
+    * series: the SPECTRAL seasonality detector next to
+    * `ts_seasonality_strength`'s variance-ratio (a periodogram names
+    * WHICH period, the ratio only says "seasonal"). Reported as the
+    * estimated sinusoid amplitude 2·√(C² + S²)/n. The phase argument is
+    * reduced IN INTEGERS first (2π·(t mod p)/p — identical doubles in
+    * both engines; raw 2πt/p at epoch-hour magnitudes would leave
+    * argument reduction to each engine's libm); cos/sin then differ by
+    * ≤ 1 ulp cross-engine (the `metrics_logloss` ln precedent), washed
+    * by the 6-dp edge rounding. One hourly aggregate, one |periods|×
+    * fan-out, one keyed sum — calendar-bounded throughout.
+    */
+  def periodogramHourly(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .withColumn("t", expr("hs div 3600"))
+    val mean = b.groupBy("event_type").agg((sum("v") / count(lit(1))).as("mu"))
+    b.join(mean, "event_type")
+      .select(col("event_type"), col("t"), (col("v") - col("mu")).as("vc"))
+      .withColumn("p", explode(array(lit(6), lit(12), lit(24), lit(168))))
+      .withColumn("th", lit(6.283185307179586) * pmod(col("t"), col("p")) / col("p"))
+      .groupBy(col("event_type"), col("p").as("period"))
+      .agg(sum(col("vc") * cos(col("th"))).as("cs"),
+        sum(col("vc") * sin(col("th"))).as("sn"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("period"),
+        rnd(lit(2.0) * sqrt(col("cs") * col("cs") + col("sn") * col("sn")) / col("n"), 6)
+          .as("amplitude"))
+  }
+
+  def periodogramQuery(s: SparkSession, d: String): DataFrame =
+    periodogramHourly(Tables.events(s, d))
+
+  // ---- events_bot_detection: rate/burst curation filter -----------------
+
+  /** events_bot_detection — the bot/abuse filter a web-data curation
+    * pipeline runs before any engagement metric: per user, event count,
+    * active span, sustained rate, the worst 60-second burst (a range
+    * window over the user-partitioned integer-µs stream — per-user
+    * frames, never global), and the share of ≤ 1 s inter-event gaps;
+    * `bot_flag` when the burst or sustained rate crosses the declared
+    * thresholds. All-integer until three closing divisions. On the
+    * synthetic feed nothing flags — the machinery is the operator (the
+    * `data_constraints` reading); the spec plants a 100-events-in-a-
+    * minute bot and watches it flag.
+    */
+  def botDetection(events: DataFrame): DataFrame = {
+    val wBurst = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-60000000L, 0L)
+    val wLag = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("burst", count(lit(1)).over(wBurst))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(wLag))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(us) - min(us)) div 1000000").as("span_s"),
+        max(col("burst")).as("max_burst_60s"),
+        sum(when(col("gap_us") <= 1000000L, 1L).otherwise(0L)).as("rapid_gaps"))
+      .select(col("user_id"), col("n_events"), col("span_s"), col("max_burst_60s"),
+        when(col("span_s") > 0,
+          rnd(col("n_events") * lit(3600.0) / col("span_s"), 6)).as("events_per_hour"),
+        when(col("n_events") > 1,
+          rnd(col("rapid_gaps") / (col("n_events") - lit(1.0)), 6)).as("rapid_ratio"),
+        (col("max_burst_60s") >= 30 ||
+          (col("n_events") >= 50 && col("span_s") > 0 &&
+            col("n_events") * lit(3600.0) / col("span_s") > 1000.0)).as("bot_flag"))
+  }
+
+  def botDetectionQuery(s: SparkSession, d: String): DataFrame =
+    botDetection(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_periodogram" -> periodogramQuery,
+    "events_bot_detection" -> botDetectionQuery,
     "events_regex_funnel" -> regexFunnelQuery,
     "ts_sax" -> saxQuery,
     "events_seq_mining" -> seqMiningQuery,
@@ -2292,6 +2369,41 @@ object TimeSeries {
       "FROM p WINDOW w2 AS (PARTITION BY event_type, phase))"
 
   val rawOracles: Map[String, String] = Map(
+    "ts_periodogram" ->
+      // identical integer phase reduction; cos/sin differ ≤ 1 ulp
+      // cross-engine, washed by the 6-dp edge
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "bt AS (SELECT event_type, hs // 3600 AS t, v FROM b), " +
+        "m AS (SELECT event_type, sum(v) / count(*) AS mu FROM bt GROUP BY 1), " +
+        "c AS (SELECT bt.event_type, t, v - mu AS vc FROM bt " +
+        "JOIN m ON bt.event_type = m.event_type), " +
+        "pp AS (SELECT event_type, t, vc, p FROM c, unnest([6, 12, 24, 168]) AS u(p)), " +
+        "th AS (SELECT event_type, p, vc, " +
+        "6.283185307179586e0 * (t % p) / p AS th FROM pp), " +
+        "g AS (SELECT event_type, p AS period, sum(vc * cos(th)) AS cs, " +
+        "sum(vc * sin(th)) AS sn, count(*) AS n FROM th GROUP BY 1, 2) " +
+        "SELECT event_type, period, " +
+        "rnd(2e0 * sqrt(cs * cs + sn * sn) / n, 6) AS amplitude FROM g"),
+
+    "events_bot_detection" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "w AS (SELECT user_id, us, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY us " +
+        "RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS burst, " +
+        "us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us " +
+        "FROM ev), " +
+        "g AS (SELECT user_id, count(*) AS n_events, " +
+        "(max(us) - min(us)) // 1000000 AS span_s, " +
+        "max(burst) AS max_burst_60s, " +
+        "sum(CASE WHEN gap_us <= 1000000 THEN 1 ELSE 0 END)::BIGINT AS rapid_gaps " +
+        "FROM w GROUP BY 1) " +
+        "SELECT user_id, n_events, span_s, max_burst_60s, " +
+        "CASE WHEN span_s > 0 THEN rnd(n_events * 3600e0 / span_s, 6) END AS events_per_hour, " +
+        "CASE WHEN n_events > 1 THEN rnd(rapid_gaps / (n_events - 1e0), 6) END AS rapid_ratio, " +
+        "(max_burst_60s >= 30 OR (n_events >= 50 AND span_s > 0 " +
+        "AND n_events * 3600e0 / span_s > 1000e0)) AS bot_flag FROM g"),
+
     "events_regex_funnel" ->
       ("WITH s AS (SELECT user_id, string_agg(CASE event_type " +
         "WHEN 'click' THEN 'c' WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p' " +

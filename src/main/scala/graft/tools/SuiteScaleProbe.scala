@@ -140,7 +140,16 @@ object SuiteScaleProbe {
       "graph_link_pred" -> (() => qs("graph_link_pred")(spark, outDir)),
       "events_rfm" -> (() => qs("events_rfm")(spark, outDir)),
       "ann_ivf_kmeans" -> (() => qs("ann_ivf_kmeans")(spark, outDir)),
-      "sql_q21" -> (() => qs("sql_q21")(spark, outDir)))
+      "sql_q21" -> (() => qs("sql_q21")(spark, outDir)),
+      // round-10 second-session rows: the declared lambdas verbatim
+      "graph_hits" -> (() => qs("graph_hits")(spark, outDir)),
+      "text_rake" -> (() => qs("text_rake")(spark, outDir)),
+      "events_seq_mining" -> (() => qs("events_seq_mining")(spark, outDir)),
+      "events_regex_funnel" -> (() => qs("events_regex_funnel")(spark, outDir)),
+      "stats_mannwhitney" -> (() => qs("stats_mannwhitney")(spark, outDir)),
+      "stats_bootstrap_ci" -> (() => qs("stats_bootstrap_ci")(spark, outDir)),
+      "ts_sax" -> (() => qs("ts_sax")(spark, outDir)),
+      "embedding_silhouette" -> (() => qs("embedding_silhouette")(spark, outDir)))
 
     legs.foreach { case (name, build) =>
       shuffleBytes.set(0L); peakExecMem.set(0L)

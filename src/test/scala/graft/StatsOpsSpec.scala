@@ -226,6 +226,33 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(sils.forall(_ > 0.99), s"tight far clusters must score ≈1: ${sils.toSeq}")
   }
 
+  test("ts_periodogram: planted 24h sinusoid peaks at period 24, near-zero elsewhere") {
+    // 14 days hourly: v = 10 + 5·cos(2π·h/24) → amplitude ≈ 5 at p=24
+    val ev = (0 until 14 * 24).map { h =>
+      val v = 10.0 + 5.0 * math.cos(2 * math.Pi * h / 24.0)
+      (h.toLong, ts(h * 3600L * 1000000L), "t", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val amps = TimeSeries.periodogramHourly(ev)
+      .select(col("period").as[Int], col("amplitude").as[Double]).collect().toMap
+    assert(math.abs(amps(24) - 5.0) < 0.01, s"planted amplitude: ${amps(24)}")
+    assert(amps(6) < 0.1 && amps(12) < 0.1 && amps(168) < 0.6,
+      s"off-period leakage must stay small: $amps")
+  }
+
+  test("events_bot_detection: a planted minute-burst bot flags; a human does not") {
+    // bot (user 1): 100 events in 60 s; human (user 2): 10 events over 10 h
+    val rows =
+      (0 until 100).map(i => (i.toLong, ts(i * 600000L), 1L)) ++
+        (0 until 10).map(i => (1000L + i, ts(i * 3600L * 1000000L), 2L))
+    val ev = rows.toDF("event_id", "ts", "user_id")
+    val got = TimeSeries.botDetection(ev)
+      .select(col("user_id").as[Long], col("max_burst_60s").as[Long],
+        col("bot_flag").as[Boolean]).collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3, "the burst bot must flag")
+    assert(got(1L)._2 === 100L)
+    assert(!got(2L)._3, "the slow human must not flag")
+  }
+
   test("text_rake: crafted doc scores phrases by summed word degree/frequency") {
     // "x y a x y": stopword 'a' splits two identical phrases "x y";
     // freq(x)=freq(y)=2, deg(x)=deg(y)=2+2=4 → wscore 2.0 each →
