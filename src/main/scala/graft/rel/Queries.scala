@@ -1821,6 +1821,72 @@ object Queries {
         Seq(col("n_regionkey"), col("c_mktsegment"))))
   }
 
+  // ---- market_basket: association-rule mining ---------------------------
+
+  /** market_basket — two-itemset association rules over order baskets
+    * (the a-priori first rung): for part pairs bought together,
+    * support, confidence and lift against independence. Scale shape:
+    * the pair space is the per-ORDER self-join (items-per-basket is
+    * small and data-bounded — pairs grow linearly in orders, never
+    * parts²); item supports re-aggregate the basket table; the total
+    * enters as a broadcast one-row count. Ranked by exact-ratio lift
+    * (identical double in both engines), (p1, p2) tie-break, top 20.
+    */
+  def marketBasket(s: SparkSession, d: String): DataFrame = {
+    val basket = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val items = basket.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
+    val tot = broadcast(basket.agg(countDistinct(col("ok")).as("n_orders")))
+    val pairs = basket.alias("a")
+      .join(basket.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(items.select(col("pk").as("p1"), col("ni").as("na")), "p1")
+      .join(items.select(col("pk").as("p2"), col("ni").as("nb")), "p2")
+      .crossJoin(tot)
+      .withColumn("lift_raw",
+        col("n_ab") * col("n_orders") / (col("na") * col("nb")).cast("double"))
+      .select(col("p1"), col("p2"), col("n_ab"), col("na"), col("nb"),
+        rnd(col("n_ab") / col("n_orders").cast("double"), 6).as("support"),
+        rnd(col("n_ab") / col("na").cast("double"), 6).as("confidence"),
+        rnd(col("lift_raw"), 6).as("lift"), col("lift_raw"))
+      .orderBy(col("lift_raw").desc, col("p1"), col("p2"))
+      .limit(20)
+      .drop("lift_raw")
+  }
+
+  // ---- anon_ldiversity: l-diversity audit -------------------------------
+
+  /** anon_ldiversity — the companion audit to `anon_kanon`: k-anonymity
+    * bounds re-identification, l-diversity bounds ATTRIBUTE disclosure
+    * (a class of 50 identical-segment customers is 50-anonymous and
+    * 1-diverse — the homogeneity attack). Per QI class (nationkey /
+    * the coarser regionkey), the count of DISTINCT sensitive values
+    * (mktsegment); reported per level: minimum l, classes under L = 3,
+    * rows in those classes. Same two-aggregate shape as anon_kanon.
+    */
+  def anonLdiversity(s: SparkSession, d: String): DataFrame = {
+    val L = 3
+    val cust = Tables.customer(s, d)
+    def level(name: String, df: DataFrame, qi: Column): DataFrame =
+      df.groupBy(qi.as("cls"))
+        .agg(count(lit(1)).as("cn"), countDistinct(col("c_mktsegment")).as("l"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          min(col("l")).as("l_min"),
+          sum(when(col("l") < L, 1L).otherwise(0L)).as("classes_lt_l"),
+          sum(when(col("l") < L, col("cn")).otherwise(0L)).as("rows_at_risk"))
+        .select(lit(name).as("qi_level"), col("n_classes"), col("l_min"),
+          col("classes_lt_l"), col("rows_at_risk"))
+    val withRegion = cust.join(
+      broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))),
+      col("c_nationkey") === col("n_nationkey"))
+    level("nation", cust, col("c_nationkey"))
+      .unionAll(level("region", withRegion, col("n_regionkey")))
+  }
+
   // ---- skyline_pareto: Pareto-frontier (skyline) query ------------------
 
   /** skyline_pareto — the skyline of part maximizing p_size while
@@ -1975,6 +2041,8 @@ object Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_mannwhitney" -> statsMannwhitney,
     "stats_bootstrap_ci" -> statsBootstrapCi,
+    "market_basket" -> marketBasket,
+    "anon_ldiversity" -> anonLdiversity,
     "stats_chisq" -> statsChisq,
     "stats_ttest" -> statsTtest,
     "anon_kanon" -> anonKanon,
@@ -2153,6 +2221,34 @@ object Queries {
         "rnd((sa / na - sb / nb) / sqrt(sea + seb), 6) AS t_welch, " +
         "rnd((sea + seb) * (sea + seb) / (sea * sea / (na - 1) + " +
         "seb * seb / (nb - 1)), 6) AS df_welch FROM se"),
+
+    "market_basket" ->
+      ("WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "items AS (SELECT pk, count(*) AS ni FROM basket GROUP BY 1), " +
+        "tot AS (SELECT count(DISTINCT ok) AS n_orders FROM basket), " +
+        "pairs AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_ab FROM basket a " +
+        "JOIN basket b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2), " +
+        "j AS (SELECT p1, p2, n_ab, ia.ni AS na, ib.ni AS nb, " +
+        "n_ab * n_orders / (ia.ni * ib.ni)::DOUBLE AS lift_raw FROM pairs " +
+        "JOIN items ia ON pairs.p1 = ia.pk JOIN items ib ON pairs.p2 = ib.pk, tot) " +
+        "SELECT p1, p2, n_ab, na, nb, " +
+        "rnd(n_ab / (SELECT n_orders FROM tot)::DOUBLE, 6) AS support, " +
+        "rnd(n_ab / na::DOUBLE, 6) AS confidence, rnd(lift_raw, 6) AS lift " +
+        "FROM j ORDER BY lift_raw DESC, p1, p2 LIMIT 20"),
+
+    "anon_ldiversity" ->
+      ("WITH l1 AS (SELECT c_nationkey AS cls, count(*) AS cn, " +
+        "count(DISTINCT c_mktsegment) AS l FROM customer GROUP BY 1), " +
+        "l2 AS (SELECT n_regionkey AS cls, count(*) AS cn, " +
+        "count(DISTINCT c_mktsegment) AS l FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1), " +
+        "r1 AS (SELECT 'nation' AS qi_level, count(*) AS n_classes, min(l) AS l_min, " +
+        "sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT AS classes_lt_l, " +
+        "sum(CASE WHEN l < 3 THEN cn ELSE 0 END)::BIGINT AS rows_at_risk FROM l1), " +
+        "r2 AS (SELECT 'region' AS qi_level, count(*) AS n_classes, min(l) AS l_min, " +
+        "sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT AS classes_lt_l, " +
+        "sum(CASE WHEN l < 3 THEN cn ELSE 0 END)::BIGINT AS rows_at_risk FROM l2) " +
+        "SELECT * FROM r1 UNION ALL SELECT * FROM r2"),
 
     "anon_kanon" ->
       ("WITH l1 AS (SELECT c_nationkey, c_mktsegment, count(*) AS cn " +

@@ -55,6 +55,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "knn_classify", "knn_regress", "knn_topk",
     // hits: per-round one-row L1-normalization totals + node-count frame
     "graph_hits",
+    // market basket: one-row n_orders total onto the pair stream
+    "market_basket",
     "graph_modularity", "graph_triangles",
     // scalar min/max/total one-row frames joined onto the stream
     "normalize_minmax", "pairwise_distance", "pairwise_distance_l1",

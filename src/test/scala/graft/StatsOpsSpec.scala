@@ -226,6 +226,48 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(sils.forall(_ > 0.99), s"tight far clusters must score ≈1: ${sils.toSeq}")
   }
 
+  test("market_basket: metric laws hold; declared row is internally consistent") {
+    val rows = SparkEntry.queries("market_basket")(spark, sfDir)
+      .select("p1", "p2", "n_ab", "na", "nb", "support", "confidence", "lift")
+      .collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (sup, conf, lift) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(r.getLong(0) < r.getLong(1), "pair canonical order")
+      assert(nab <= na && nab <= nb, "pair count bounded by item supports")
+      assert(conf <= 1.0 + 1e-9 && sup <= conf + 1e-9, "support ≤ confidence ≤ 1")
+      assert(lift > 0)
+    }
+    // crafted: {A,B} ×2 + {C} → rule (A,B): conf 1.0, lift 2·3/(2·2) = 1.5
+    import spark.implicits._
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val tmp = java.nio.file.Files.createTempDirectory("mba").toString
+    li.write.parquet(s"$tmp/lineitem.parquet")
+    val top = graft.rel.Queries.marketBasket(spark, tmp)
+      .select("p1", "p2", "n_ab", "confidence", "lift").collect()
+    assert(top.length === 1)
+    assert(top(0).getLong(0) === 10L && top(0).getLong(1) === 20L)
+    assert(top(0).getLong(2) === 2L)
+    assert(math.abs(top(0).getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(top(0).getDouble(4) - 1.5) < 1e-9)
+  }
+
+  test("anon_ldiversity: generalization cannot lower l; bounded by the segment domain") {
+    val rows = SparkEntry.queries("anon_ldiversity")(spark, sfDir)
+      .select("qi_level", "n_classes", "l_min", "classes_lt_l", "rows_at_risk")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    rows.values.foreach { r =>
+      assert(r._3 >= 1 && r._3 <= 5, "l bounded by |mktsegment| = 5")
+      assert(r._4 <= r._2)
+    }
+    // a region class unions nation classes → distinct sensitive values
+    // can only grow
+    assert(rows("region")._3 >= rows("nation")._3)
+    assert(rows("region")._2 <= rows("nation")._2)
+  }
+
   test("ts_periodogram: planted 24h sinusoid peaks at period 24, near-zero elsewhere") {
     // 14 days hourly: v = 10 + 5·cos(2π·h/24) → amplitude ≈ 5 at p=24
     val ev = (0 until 14 * 24).map { h =>
