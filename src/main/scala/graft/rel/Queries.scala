@@ -1901,8 +1901,8 @@ object Queries {
     * all-pairs dominance join never exists). The global-order window is
     * over the per-size frame only (bounded — Rank.scala:9 rule).
     */
-  def skylinePareto(s: SparkSession, d: String): DataFrame = {
-    val per = Tables.part(s, d)
+  def skylineOf(parts: DataFrame): DataFrame = {
+    val per = parts
       .groupBy(col("p_size"))
       .agg(min(col("p_retailprice")).as("best_price"), count(lit(1)).as("n_at_size"))
     val sweep = Window.orderBy(col("p_size").desc)
@@ -1911,6 +1911,9 @@ object Queries {
       .filter(col("m_gt").isNull || col("best_price") < col("m_gt"))
       .select(col("p_size"), col("best_price").as("skyline_price"), col("n_at_size"))
   }
+
+  def skylinePareto(s: SparkSession, d: String): DataFrame =
+    skylineOf(Tables.part(s, d))
 
   // ---- data_constraints: declarative constraint validation report -------
 
@@ -1972,10 +1975,9 @@ object Queries {
     * the tie-corrected normal z. Σ-products reach N² — BIGINT-safe far
     * past any real corpus (the `sql_q1` envelope note applies beyond).
     */
-  def statsMannwhitney(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select((col("event_type") === "click").as("isa"), col("value"), col("event_id"))
+  /** Core of `stats_mannwhitney` over any (isa, value, event_id) frame
+    * — frame-parameterized so PropertySpec can drive random samples. */
+  def mannwhitneyOf(ev: DataFrame): DataFrame = {
     val g = Rank.globalRank(ev, Seq(col("value"), col("event_id")))
       .groupBy(col("value"))
       .agg(min(col("grank")).as("mn"), count(lit(1)).as("t"),
@@ -1993,6 +1995,11 @@ object Queries {
       .select(col("na"), col("nb"), rnd(col("u1"), 6).as("u_stat"),
         rnd((col("u1") - col("mu")) / col("sig"), 6).as("z"))
   }
+
+  def statsMannwhitney(s: SparkSession, d: String): DataFrame =
+    mannwhitneyOf(Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select((col("event_type") === "click").as("isa"), col("value"), col("event_id")))
 
   // ---- stats_bootstrap_ci: distributed Poisson bootstrap ----------------
 

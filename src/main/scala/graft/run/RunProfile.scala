@@ -12,9 +12,10 @@ import graft.rel.Queries
   * warehouse directory to run the five governance read-outs a data
   * review actually opens with — column profile (`data_profile`),
   * declarative constraint validation (`data_constraints`), join-key
-  * skew (`data_skew_report`), k-anonymity (`anon_kanon`), and the
-  * Benford first-digit audit (`agg_benford`) — and get one report plus
-  * each result as parquet.
+  * skew (`data_skew_report`), the k-anonymity / l-diversity privacy
+  * pair (`anon_kanon` / `anon_ldiversity`), and the Benford
+  * first-digit audit (`agg_benford`) — and get one report plus each
+  * result as parquet.
   *
   * ```
   * tools/run.sh graft.run.RunProfile <sfdir> <outdir>
@@ -39,6 +40,7 @@ object RunProfile {
       "data_constraints" -> Queries.dataConstraints,
       "data_skew_report" -> Queries.dataSkewReport,
       "anon_kanon" -> Queries.anonKanon,
+      "anon_ldiversity" -> Queries.anonLdiversity,
       "agg_benford" -> Queries.aggBenford)
     val results = sections.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -59,6 +61,9 @@ object RunProfile {
     val kMin = sunk("anon_kanon")
       .select(col("qi_level"), col("k_min"))
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+    val lMin = sunk("anon_ldiversity")
+      .select(col("qi_level"), col("l_min"))
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
     val worstSkew = sunk("data_skew_report")
       .orderBy(col("skew_factor").desc).select("join_key", "skew_factor")
       .head()
@@ -72,6 +77,7 @@ object RunProfile {
          |constraint_violations: $violations
          |failing_constraints: ${if (failing.isEmpty) "none" else failing.mkString(",")}
          |k_anonymity: ${kMin.mkString(" ")}
+         |l_diversity: ${lMin.mkString(" ")}
          |worst_skew: ${worstSkew.getString(0)} ${worstSkew.getDouble(1)}
          |benford_max_abs_dev: ${math.floor(benfordDev * 1e6 + 0.5) / 1e6}
          |""".stripMargin

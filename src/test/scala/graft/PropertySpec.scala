@@ -606,4 +606,49 @@ class PropertySpec extends SparkSpecBase {
         got.map(_._2).toSeq == (1 to got.length)
     }, min = 8)
   }
+
+  test("skylineOf ≡ brute-force dominance filter on random (size, price) tables") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1, 10), Gen.choose(1, 50).map(_ * 1.0)))
+    check(Prop.forAll(gen) { pts =>
+      val got = graft.rel.Queries.skylineOf(pts.toDF("p_size", "p_retailprice"))
+        .select("p_size", "skyline_price").as[(Int, Double)].collect().toSet
+      // brute force: distinct (size, min-price-at-size) not dominated by
+      // any point (size ≥ ∧ price ≤, one strict)
+      val perSize = pts.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val expect = perSize.filter { case (s, p) =>
+        !perSize.exists { case (s2, p2) =>
+          s2 >= s && p2 <= p && (s2 > s || p2 < p)
+        }
+      }.toSet
+      got == expect
+    }, min = 25)
+  }
+
+  test("mannwhitneyOf ≡ brute-force midrank U on random two-sample data") {
+    import spark.implicits._
+    // values from a small integer domain to force heavy TIES — the
+    // midrank/tie-correction path is the property's point
+    val gen = for {
+      a <- Gen.nonEmptyListOf(Gen.choose(1, 6).map(_ * 1.0))
+      b <- Gen.nonEmptyListOf(Gen.choose(1, 6).map(_ * 1.0))
+      if a.nonEmpty && b.nonEmpty
+    } yield (a, b)
+    check(Prop.forAll(gen) { case (a, b) =>
+      val rows = a.map((true, _)) ++ b.map((false, _))
+      val df = rows.zipWithIndex
+        .map { case ((isa, v), i) => (isa, v, i.toLong) }
+        .toDF("isa", "value", "event_id")
+      val got = graft.rel.Queries.mannwhitneyOf(df)
+        .select("u_stat").as[Double].head()
+      val all = (a ++ b).sorted
+      def midrank(v: Double): Double = {
+        val lt = all.count(_ < v); val eq = all.count(_ == v)
+        lt + (eq + 1) / 2.0
+      }
+      val u1 = a.map(midrank).sum - a.length.toLong * (a.length + 1) / 2.0
+      math.abs(got - u1) < 1e-6
+    }, min = 20)
+  }
 }

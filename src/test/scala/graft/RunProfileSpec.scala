@@ -17,7 +17,7 @@ class RunProfileSpec extends SparkSpecBase {
     val report = RunProfile.run(spark, sfDir, out)
 
     Seq("data_profile", "data_constraints", "data_skew_report",
-      "anon_kanon", "agg_benford").foreach { name =>
+      "anon_kanon", "anon_ldiversity", "agg_benford").foreach { name =>
       val sunk = spark.read.parquet(s"$out/$name").collect().map(_.toSeq).toSet
       val declared = SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSet
       assert(sunk === declared, s"section $name must equal the declared row")
@@ -28,8 +28,9 @@ class RunProfileSpec extends SparkSpecBase {
     // synthetic tables are clean → zero violations, no failing constraints
     assert(report.contains("constraint_violations: 0"))
     assert(report.contains("failing_constraints: none"))
-    // k-anonymity headline carries both generalization levels
+    // privacy headlines carry both generalization levels
     assert(report.contains("nation_segment=") && report.contains("region_segment="))
+    assert(report.contains("l_diversity: nation=") && report.contains("region="))
     // worst skew line names one of the three audited keys
     assert(Seq("l_orderkey", "l_partkey", "l_suppkey")
       .exists(k => report.contains(s"worst_skew: $k ")))
