@@ -2045,7 +2045,148 @@ object Queries {
         rnd(col("hi"), 6).as("ci_hi"), lit(B).as("n_replicates"))
   }
 
+  // ---- stats_spearman: Spearman rank correlation ------------------------
+
+  /** stats_spearman — Spearman ρ between quantity and extended price
+    * (the monotone-association read-out that survives the nonlinear
+    * price curve a Pearson `agg_corr` flattens). Tied ranks as EXACT
+    * integers: per-column midranks via `Rank.midranks` (the corpus
+    * collapses to its distinct-value frame BEFORE any exchange — 50
+    * rows for quantity no matter the SF), joined back by value, then
+    * ρ = Pearson over the doubled midranks (the 2s cancel). Σ-products
+    * run in DECIMAL(38,0) (the `agg_gini` envelope: Σ(2r)² ≈ 4n³ wraps
+    * BIGINT past n ≈ 1.3e6) and meet doubles only in the one closing
+    * expression, written identically in the oracle.
+    */
+  /** Core over any (x, y) frame — frame-parameterized so PropertySpec
+    * can drive random tied samples. */
+  def spearmanOf(df: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val mx = Rank.midranks(df, col("x"))
+      .select(col("mr_v").as("x"), col("mr_r2").as("rx"))
+    val my = Rank.midranks(df, col("y"))
+      .select(col("mr_v").as("y"), col("mr_r2").as("ry"))
+    df.join(mx, "x").join(my, "y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx").cast(d19) * col("ry").cast(d19)).as("sxy"),
+        sum(col("rx").cast(d19) * col("rx").cast(d19)).as("sxx"),
+        sum(col("ry").cast(d19) * col("ry").cast(d19)).as("syy"))
+      .select(col("n"),
+        rnd((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("rho"))
+  }
+
+  def statsSpearman(s: SparkSession, d: String): DataFrame =
+    spearmanOf(Tables.lineitem(s, d)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+
+  // ---- stats_kruskal: Kruskal-Wallis H test ------------------------------
+
+  /** stats_kruskal — Kruskal-Wallis H across the five event types on
+    * `value` (the k-group generalization of `stats_mannwhitney`: does
+    * ANY event type's value distribution differ?). Midranks and the tie
+    * term Σ(t³−t) stay exact integers through `Rank.midranks`; each
+    * group's (2R_g)² runs in DECIMAL(38,0). The per-group terms
+    * R_g²/n_g are doubles, so their sum is made ORDER-DETERMINISTIC by
+    * folding a group-sorted array (`aggregate(sort_array(collect_list))`
+    * over the ≤|event types| frame — bounded; the oracle's
+    * `list_reduce(list(… ORDER BY g))` seeds with the first element,
+    * which equals the 0.0-seeded Spark fold exactly). One closing
+    * double expression yields H and its tie-corrected form. Envelope:
+    * Σ(t³−t) and N³−N are BIGINT-safe to N ≈ 2e6 rows per feed slice
+    * (beyond: lift ties into DECIMAL like the Σ(2r)² products).
+    */
+  /** Core over any (g, v) frame — frame-parameterized for PropertySpec. */
+  def kruskalOf(df: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val mr = Rank.midranks(df, col("v"))
+    val per = df.join(mr.select(col("mr_v").as("v"), col("mr_r2")), "v")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("mr_r2")).as("r2g"))
+      .withColumn("term",
+        (col("r2g").cast(d19) * col("r2g").cast(d19)).cast("double") /
+          (lit(4.0) * col("ng")))
+    val sTerm = per.agg(
+      count(lit(1)).as("n_groups"),
+      aggregate(sort_array(collect_list(struct(col("g"), col("term")))),
+        lit(0.0), (acc, s) => acc + s.getField("term")).as("s"))
+    val tot = mr.agg(sum(col("mr_t")).as("n"),
+      sum(col("mr_t") * col("mr_t") * col("mr_t") - col("mr_t")).as("ties"))
+    sTerm.crossJoin(broadcast(tot))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("h", lit(12.0) * col("s") / (col("nd") * (col("nd") + 1)) -
+        lit(3.0) * (col("nd") + 1))
+      .select(col("n"), col("n_groups"), rnd(col("h"), 6).as("h"),
+        rnd(col("h") / (lit(1.0) - col("ties").cast("double") /
+          (col("nd") * col("nd") * col("nd") - col("nd"))), 6).as("h_tie"))
+  }
+
+  def statsKruskal(s: SparkSession, d: String): DataFrame =
+    kruskalOf(Tables.events(s, d)
+      .select(col("event_type").as("g"), col("value").as("v")))
+
+  // ---- anon_tcloseness: t-closeness audit --------------------------------
+
+  /** anon_tcloseness — the third rung of the privacy ladder after
+    * `anon_kanon` / `anon_ldiversity`: l-diversity counts distinct
+    * sensitive values but a class can be 5-diverse and still 98 %
+    * BUILDING-segment (the skewness attack). t-closeness bounds the
+    * DISTANCE between each class's sensitive distribution and the
+    * global one — for a categorical attribute, EMD reduces to total
+    * variation ½Σ|p(s|c) − p(s)|. Exact integers end to end:
+    * ½Σ|…| = (Σ_present |n_cs·N − n_s·n_c| + (n_c·N − Σ_present n_s·n_c))
+    * / (2·n_c·N) — the second term folds every ABSENT segment without a
+    * densification join. The T = 0.05 flag compares 10·t_num against
+    * n_c·N in BIGINT (never a rounded double); t_max alone closes in
+    * one double division. Scale shape: one corpus-scale keyed count
+    * (map-side combinable), then everything is aggregates of that
+    * ≤|classes|·|segments| frame. BIGINT-safe to N ≈ 6e8 rows
+    * (20·N² < 2⁶³); DECIMAL beyond.
+    */
+  def anonTcloseness(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    def level(name: String, df: DataFrame, qi: Column): DataFrame = {
+      val cs = df.groupBy(qi.as("cls"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_cs"))
+      val segTot = cs.groupBy(col("seg")).agg(sum(col("n_cs")).as("n_s"))
+      val nC = cs.groupBy(col("cls")).agg(sum(col("n_cs")).as("n_c"))
+      val nTot = cs.agg(sum(col("n_cs")).as("n_all"))
+      val perClass = cs.join(broadcast(segTot), "seg").join(nC, "cls")
+        .crossJoin(broadcast(nTot))
+        .groupBy(col("cls"))
+        .agg(max(col("n_c")).as("n_c"), max(col("n_all")).as("n_all"),
+          sum(abs(col("n_cs") * col("n_all") - col("n_s") * col("n_c")))
+            .as("s_present"),
+          sum(col("n_s") * col("n_c")).as("s_ns"))
+        .withColumn("t_num",
+          col("s_present") + (col("n_c") * col("n_all") - col("s_ns")))
+      val flagged = col("t_num") * 10 > col("n_c") * col("n_all")
+      perClass.agg(
+        count(lit(1)).as("n_classes"),
+        rnd(max(col("t_num") / (lit(2.0) * col("n_c") * col("n_all"))), 6)
+          .as("t_max"),
+        sum(when(flagged, 1L).otherwise(0L)).as("classes_gt_t"),
+        sum(when(flagged, col("n_c")).otherwise(0L)).as("rows_at_risk"))
+        .select(lit(name).as("qi_level"), col("n_classes"), col("t_max"),
+          col("classes_gt_t"), col("rows_at_risk"))
+    }
+    val withRegion = cust.join(
+      broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))),
+      col("c_nationkey") === col("n_nationkey"))
+    level("nation", cust, col("c_nationkey"))
+      .unionAll(level("region", withRegion, col("n_regionkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_spearman" -> statsSpearman,
+    "stats_kruskal" -> statsKruskal,
+    "anon_tcloseness" -> anonTcloseness,
     "stats_mannwhitney" -> statsMannwhitney,
     "stats_bootstrap_ci" -> statsBootstrapCi,
     "market_basket" -> marketBasket,
@@ -2158,6 +2299,74 @@ object Queries {
     s"(instr('0123456789abcdef', substr(md5($e), $d, 1)) - 1)"
 
   private val rawOracles: Map[String, String] = Map(
+    "stats_spearman" ->
+      // midranks via cumulative counts over the distinct-value frame
+      // (it IS the oracle); identical Pearson-on-2·midrank algebra,
+      // identical closing double expression
+      ("WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem), " +
+        "cx AS (SELECT x, count(*) AS t FROM base GROUP BY 1), " +
+        "mx AS (SELECT x, 2 * (sum(t) OVER (ORDER BY x) - t) + t + 1 AS rx FROM cx), " +
+        "cy AS (SELECT y, count(*) AS t FROM base GROUP BY 1), " +
+        "my AS (SELECT y, 2 * (sum(t) OVER (ORDER BY y) - t) + t + 1 AS ry FROM cy), " +
+        "j AS (SELECT rx, ry FROM base JOIN mx USING (x) JOIN my USING (y)), " +
+        "m AS (SELECT count(*) AS n, sum(rx)::DOUBLE AS sx, sum(ry)::DOUBLE AS sy, " +
+        "sum(rx::HUGEINT * ry)::DOUBLE AS sxy, sum(rx::HUGEINT * rx)::DOUBLE AS sxx, " +
+        "sum(ry::HUGEINT * ry)::DOUBLE AS syy FROM j) " +
+        "SELECT n, rnd((n::DOUBLE * sxy - sx * sy) / " +
+        "sqrt((n::DOUBLE * sxx - sx * sx) * (n::DOUBLE * syy - sy * sy)), 6) AS rho " +
+        "FROM m"),
+
+    "stats_kruskal" ->
+      // per-group terms folded in ascending-g order: list_reduce's
+      // first-element seed == the Spark 0.0-seeded aggregate fold
+      ("WITH base AS (SELECT event_type AS g, value AS v FROM events), " +
+        "cv AS (SELECT v, count(*) AS t FROM base GROUP BY 1), " +
+        "mr AS (SELECT v, t, 2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS r2 FROM cv), " +
+        "per AS (SELECT g, count(*) AS ng, sum(r2)::BIGINT AS r2g " +
+        "FROM base JOIN mr USING (v) GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n_groups, " +
+        "list_reduce(list((r2g::HUGEINT * r2g)::DOUBLE / (4e0 * ng) ORDER BY g), " +
+        "(acc, x) -> acc + x) AS s FROM per), " +
+        "tot AS (SELECT sum(t)::BIGINT AS n, sum(t*t*t - t)::BIGINT AS ties FROM cv), " +
+        "x AS (SELECT n, n_groups, s, ties, n::DOUBLE AS nd FROM st, tot), " +
+        "y AS (SELECT n, n_groups, ties, nd, " +
+        "12e0 * s / (nd * (nd + 1e0)) - 3e0 * (nd + 1e0) AS h FROM x) " +
+        "SELECT n, n_groups, rnd(h, 6) AS h, " +
+        "rnd(h / (1e0 - ties::DOUBLE / (nd * nd * nd - nd)), 6) AS h_tie FROM y"),
+
+    "anon_tcloseness" ->
+      // same absent-segment fold: Σ_present |n_cs·N − n_s·n_c| +
+      // (n_c·N − Σ_present n_s·n_c); flag compares 10·t_num in BIGINT
+      ("WITH cs1 AS (SELECT c_nationkey AS cls, c_mktsegment AS seg, " +
+        "count(*) AS n_cs FROM customer GROUP BY 1, 2), " +
+        "cs2 AS (SELECT n_regionkey AS cls, c_mktsegment AS seg, count(*) AS n_cs " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "u1 AS (SELECT cls, n_c, n_all, s_present + (n_c * n_all - s_ns) AS t_num " +
+        "FROM (SELECT cls, max(n_c) AS n_c, max(n_all) AS n_all, " +
+        "sum(abs(n_cs * n_all - n_s * n_c))::BIGINT AS s_present, " +
+        "sum(n_s * n_c)::BIGINT AS s_ns FROM cs1 " +
+        "JOIN (SELECT seg, sum(n_cs)::BIGINT AS n_s FROM cs1 GROUP BY 1) USING (seg) " +
+        "JOIN (SELECT cls, sum(n_cs)::BIGINT AS n_c FROM cs1 GROUP BY 1) USING (cls), " +
+        "(SELECT sum(n_cs)::BIGINT AS n_all FROM cs1) GROUP BY 1)), " +
+        "u2 AS (SELECT cls, n_c, n_all, s_present + (n_c * n_all - s_ns) AS t_num " +
+        "FROM (SELECT cls, max(n_c) AS n_c, max(n_all) AS n_all, " +
+        "sum(abs(n_cs * n_all - n_s * n_c))::BIGINT AS s_present, " +
+        "sum(n_s * n_c)::BIGINT AS s_ns FROM cs2 " +
+        "JOIN (SELECT seg, sum(n_cs)::BIGINT AS n_s FROM cs2 GROUP BY 1) USING (seg) " +
+        "JOIN (SELECT cls, sum(n_cs)::BIGINT AS n_c FROM cs2 GROUP BY 1) USING (cls), " +
+        "(SELECT sum(n_cs)::BIGINT AS n_all FROM cs2) GROUP BY 1)), " +
+        "r1 AS (SELECT 'nation' AS qi_level, count(*) AS n_classes, " +
+        "rnd(max(t_num / (2e0 * n_c * n_all)), 6) AS t_max, " +
+        "sum(CASE WHEN t_num * 10 > n_c * n_all THEN 1 ELSE 0 END)::BIGINT AS classes_gt_t, " +
+        "sum(CASE WHEN t_num * 10 > n_c * n_all THEN n_c ELSE 0 END)::BIGINT AS rows_at_risk " +
+        "FROM u1), " +
+        "r2 AS (SELECT 'region' AS qi_level, count(*) AS n_classes, " +
+        "rnd(max(t_num / (2e0 * n_c * n_all)), 6) AS t_max, " +
+        "sum(CASE WHEN t_num * 10 > n_c * n_all THEN 1 ELSE 0 END)::BIGINT AS classes_gt_t, " +
+        "sum(CASE WHEN t_num * 10 > n_c * n_all THEN n_c ELSE 0 END)::BIGINT AS rows_at_risk " +
+        "FROM u2) " +
+        "SELECT * FROM r1 UNION ALL SELECT * FROM r2"),
+
     "stats_mannwhitney" ->
       // oracle ranks via one window (it IS the oracle); identical
       // integer midrank algebra, identical closing double expression

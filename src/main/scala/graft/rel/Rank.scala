@@ -54,6 +54,42 @@ object Rank {
       .drop("pid", "r_in", "base")
   }
 
+  /** Per-distinct-value MIDRANKS without ranking the row stream: the
+    * tied-rank primitive under `stats_spearman` / `stats_kruskal`.
+    * Returns one row per distinct value of `v` with its tie count and
+    * `mr_r2` = 2·midrank (kept doubled so it stays BIGINT-exact —
+    * 2·midrank = 2·cum_before + t + 1, the `stats_mannwhitney`
+    * algebra). Scale shape: the corpus collapses FIRST through a keyed
+    * count (map-side combinable, output = |distinct values| rows), and
+    * only that distinct frame rides the range exchange + prefix sum —
+    * for a 50-distinct-values column the exchange carries 50 rows no
+    * matter the corpus. Same two-pass offsets discipline as
+    * `globalRank`/`prefixPackBy` (Ckpt-truncated before the fan-out;
+    * the offsets window is over a ≤ partitions-count frame).
+    */
+  def midranks(df: DataFrame, v: Column, parts: Int = 0): DataFrame = {
+    import graft.core.Ckpt.TruncateSyntax
+    val counts = df.groupBy(v.as("mr_v")).agg(count(lit(1)).as("mr_t"))
+    val n =
+      if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = counts.repartitionByRange(n, col("mr_v"))
+      .withColumn("pid", spark_partition_id())
+    val inPart = Window.partitionBy(col("pid")).orderBy(col("mr_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("cum_in", sum(col("mr_t")).over(inPart))
+      .truncated()
+    val offsets = local.groupBy(col("pid")).agg(max(col("cum_in")).as("tot"))
+      .withColumn("base", coalesce(sum(col("tot")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pid"), col("base"))
+    local.join(broadcast(offsets), "pid")
+      .select(col("mr_v"), col("mr_t"),
+        (lit(2L) * (col("base") + col("cum_in") - col("mr_t")) +
+          col("mr_t") + 1).as("mr_r2"))
+  }
+
   /** Standard SQL ntile from a 1-based global rank: n rows cut into k
     * tiles, the first (n mod k) tiles one row larger — the exact
     * bucketing Spark's and DuckDB's `ntile` both implement, in closed

@@ -12,10 +12,10 @@ import graft.rel.Queries
   * warehouse directory to run the five governance read-outs a data
   * review actually opens with — column profile (`data_profile`),
   * declarative constraint validation (`data_constraints`), join-key
-  * skew (`data_skew_report`), the k-anonymity / l-diversity privacy
-  * pair (`anon_kanon` / `anon_ldiversity`), and the Benford
-  * first-digit audit (`agg_benford`) — and get one report plus each
-  * result as parquet.
+  * skew (`data_skew_report`), the k-anonymity / l-diversity /
+  * t-closeness privacy ladder (`anon_kanon` / `anon_ldiversity` /
+  * `anon_tcloseness`), and the Benford first-digit audit
+  * (`agg_benford`) — and get one report plus each result as parquet.
   *
   * ```
   * tools/run.sh graft.run.RunProfile <sfdir> <outdir>
@@ -41,6 +41,7 @@ object RunProfile {
       "data_skew_report" -> Queries.dataSkewReport,
       "anon_kanon" -> Queries.anonKanon,
       "anon_ldiversity" -> Queries.anonLdiversity,
+      "anon_tcloseness" -> Queries.anonTcloseness,
       "agg_benford" -> Queries.aggBenford)
     val results = sections.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -64,6 +65,9 @@ object RunProfile {
     val lMin = sunk("anon_ldiversity")
       .select(col("qi_level"), col("l_min"))
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+    val tMax = sunk("anon_tcloseness")
+      .select(col("qi_level"), col("t_max"))
+      .collect().map(r => s"${r.getString(0)}=${r.getDouble(1)}").sorted
     val worstSkew = sunk("data_skew_report")
       .orderBy(col("skew_factor").desc).select("join_key", "skew_factor")
       .head()
@@ -78,6 +82,7 @@ object RunProfile {
          |failing_constraints: ${if (failing.isEmpty) "none" else failing.mkString(",")}
          |k_anonymity: ${kMin.mkString(" ")}
          |l_diversity: ${lMin.mkString(" ")}
+         |t_closeness_max: ${tMax.mkString(" ")}
          |worst_skew: ${worstSkew.getString(0)} ${worstSkew.getDouble(1)}
          |benford_max_abs_dev: ${math.floor(benfordDev * 1e6 + 0.5) / 1e6}
          |""".stripMargin

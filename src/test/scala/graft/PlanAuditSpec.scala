@@ -67,6 +67,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "stats_chisq",
     // bootstrap: one-row corpus-stats broadcast onto the B-row frame
     "stats_bootstrap_ci",
+    // kruskal: one-row N/ties total onto the per-group frame
+    "stats_kruskal",
+    // tcloseness: one-row corpus total onto the class-segment frame
+    "anon_tcloseness",
     // silhouette: ≤|labels|-row centroid frame against the corpus stream
     "embedding_silhouette",
     "text_bm25", "text_collocations", "text_tfidf")
@@ -88,7 +92,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "quality_ks_drift",    // cumulative dist over fixed histogram bins (×2)
     "skyline_pareto",      // sweep over the per-size frame (≤ |p_size| = 50 rows)
     "stats_bootstrap_ci",  // rank cut over the B = 64 replicate-mean frame
+    "stats_kruskal",       // Rank.midranks offsets frame (≤ #partitions rows)
     "stats_mannwhitney",   // Rank offsets frame (≤ #partitions rows)
+    "stats_spearman",      // Rank.midranks offsets frame (×2, ≤ #partitions rows)
     "ts_bollinger",        // hourly frame (calendar-bounded)
     "ts_rsi")              // hourly frame (calendar-bounded, ×2)
 

@@ -651,4 +651,56 @@ class PropertySpec extends SparkSpecBase {
       math.abs(got - u1) < 1e-6
     }, min = 20)
   }
+
+  test("spearmanOf ≡ brute-force midrank Pearson on random tied pairs") {
+    import spark.implicits._
+    // small integer domains force ties in BOTH columns; require some
+    // variance in each (rho undefined on a constant column)
+    val gen = Gen.listOfN(12, Gen.zip(
+      Gen.choose(1, 4).map(_ * 1.0), Gen.choose(1, 4).map(_ * 1.0)))
+      .suchThat(l => l.map(_._1).distinct.size > 1 && l.map(_._2).distinct.size > 1)
+    check(Prop.forAll(gen) { pts =>
+      val got = graft.rel.Queries.spearmanOf(pts.toDF("x", "y"))
+        .select("rho").as[Double].head()
+      def midranks(vs: List[Double]): Map[Double, Double] = {
+        val sorted = vs.sorted
+        vs.distinct.map { v =>
+          v -> (sorted.count(_ < v) + (sorted.count(_ == v) + 1) / 2.0)
+        }.toMap
+      }
+      val mx = midranks(pts.map(_._1)); val my = midranks(pts.map(_._2))
+      val rs = pts.map { case (x, y) => (mx(x), my(y)) }
+      val n = rs.length.toDouble
+      val (sx, sy) = (rs.map(_._1).sum, rs.map(_._2).sum)
+      val expect = (n * rs.map(p => p._1 * p._2).sum - sx * sy) /
+        math.sqrt((n * rs.map(p => p._1 * p._1).sum - sx * sx) *
+          (n * rs.map(p => p._2 * p._2).sum - sy * sy))
+      math.abs(got - expect) < 1e-6
+    }, min = 15)
+  }
+
+  test("kruskalOf ≡ brute-force tie-corrected H on random grouped data") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.choose(1, 5).map(_ * 1.0)))
+      .suchThat(l => l.map(_._1).distinct.size >= 2 && l.size >= 4 &&
+        l.map(_._2).distinct.size > 1)
+    check(Prop.forAll(gen) { pts =>
+      val got = graft.rel.Queries.kruskalOf(pts.toDF("g", "v"))
+        .select("h", "h_tie").as[(Double, Double)].head()
+      val all = pts.map(_._2).sorted
+      def midrank(v: Double): Double =
+        all.count(_ < v) + (all.count(_ == v) + 1) / 2.0
+      val n = pts.length.toDouble
+      val s = pts.groupBy(_._1).values.map { g =>
+        val r = g.map(p => midrank(p._2)).sum
+        r * r / g.length
+      }.sum
+      val h = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
+      val ties = all.groupBy(identity).values
+        .map(t => t.length.toLong * t.length * t.length - t.length).sum
+      val hTie = h / (1.0 - ties / (n * n * n - n))
+      math.abs(got._1 - h) < 1e-6 && math.abs(got._2 - hTie) < 1e-6
+    }, min = 15)
+  }
 }

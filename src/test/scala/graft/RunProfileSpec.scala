@@ -17,7 +17,8 @@ class RunProfileSpec extends SparkSpecBase {
     val report = RunProfile.run(spark, sfDir, out)
 
     Seq("data_profile", "data_constraints", "data_skew_report",
-      "anon_kanon", "anon_ldiversity", "agg_benford").foreach { name =>
+      "anon_kanon", "anon_ldiversity", "anon_tcloseness",
+      "agg_benford").foreach { name =>
       val sunk = spark.read.parquet(s"$out/$name").collect().map(_.toSeq).toSet
       val declared = SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSet
       assert(sunk === declared, s"section $name must equal the declared row")
@@ -31,6 +32,7 @@ class RunProfileSpec extends SparkSpecBase {
     // privacy headlines carry both generalization levels
     assert(report.contains("nation_segment=") && report.contains("region_segment="))
     assert(report.contains("l_diversity: nation=") && report.contains("region="))
+    assert(report.contains("t_closeness_max: nation="))
     // worst skew line names one of the three audited keys
     assert(Seq("l_orderkey", "l_partkey", "l_suppkey")
       .exists(k => report.contains(s"worst_skew: $k ")))

@@ -305,4 +305,83 @@ class StatsOpsSpec extends SparkSpecBase {
         col("score").as[Double]).collect()
     assert(got.toSeq === Seq(("x y", 2L, 4.0)))
   }
+
+  test("stats_spearman matches brute-force midrank Pearson; ±1 on monotone data") {
+    val got = SparkEntry.queries("stats_spearman")(spark, sfDir)
+      .select(col("n").as[Long], col("rho").as[Double]).head()
+    val pts = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").as[Double], col("l_extendedprice").as[Double])
+      .collect()
+    def midranks(vs: Array[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lt = sorted.count(_ < v); val eq = sorted.count(_ == v)
+        v -> (lt + (eq + 1) / 2.0)
+      }.toMap
+    }
+    val mx = midranks(pts.map(_._1)); val my = midranks(pts.map(_._2))
+    val rs = pts.map { case (x, y) => (mx(x), my(y)) }
+    val n = rs.length.toDouble
+    val (sx, sy) = (rs.map(_._1).sum, rs.map(_._2).sum)
+    val rho = (n * rs.map(p => p._1 * p._2).sum - sx * sy) /
+      math.sqrt((n * rs.map(p => p._1 * p._1).sum - sx * sx) *
+        (n * rs.map(p => p._2 * p._2).sum - sy * sy))
+    assert(got._1 === pts.length.toLong)
+    assert(math.abs(got._2 - rho) < 1e-6)
+    // a strictly monotone pair scores exactly ±1 (ranks identical)
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 21.0), (4.0, 40.0))
+      .toDF("x", "y")
+    assert(Queries.spearmanOf(mono).select(col("rho").as[Double]).head() === 1.0)
+  }
+
+  test("stats_kruskal matches the brute-force tie-corrected H") {
+    val got = SparkEntry.queries("stats_kruskal")(spark, sfDir)
+      .select(col("n").as[Long], col("n_groups").as[Long],
+        col("h").as[Double], col("h_tie").as[Double]).head()
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type").as[String], col("value").as[Double]).collect()
+    val all = pts.map(_._2).sorted
+    def midrank(v: Double): Double = {
+      val lt = all.count(_ < v); val eq = all.count(_ == v)
+      lt + (eq + 1) / 2.0
+    }
+    val n = pts.length.toDouble
+    val s = pts.groupBy(_._1).values.map { g =>
+      val r = g.map(p => midrank(p._2)).sum
+      r * r / g.length
+    }.sum
+    val h = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
+    val ties = all.groupBy(identity).values
+      .map(t => t.length.toLong * t.length * t.length - t.length).sum
+    val hTie = h / (1.0 - ties / (n * n * n - n))
+    assert(got._1 === pts.length.toLong && got._2 === 5L)
+    assert(math.abs(got._3 - h) < 1e-4 && math.abs(got._4 - hTie) < 1e-4)
+  }
+
+  test("anon_tcloseness: t in [0,1]; coarsening cannot raise t_max (TVD convexity)") {
+    val rows = SparkEntry.queries("anon_tcloseness")(spark, sfDir)
+      .select("qi_level", "n_classes", "t_max", "classes_gt_t", "rows_at_risk")
+      .as[(String, Long, Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    rows.values.foreach { r =>
+      assert(r._3 >= 0.0 && r._3 <= 1.0, "TVD is a [0,1] distance")
+      assert(r._4 <= r._2)
+    }
+    // region classes are mixtures of nation classes, and TVD to the
+    // global distribution is convex in the mixture → max can only drop
+    assert(rows("region")._3 <= rows("nation")._3)
+    // brute-force one level: nation t_max
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as[Long], col("c_mktsegment").as[String])
+      .collect()
+    val nAll = cust.length.toDouble
+    val pGlobal = cust.groupBy(_._2).view.mapValues(_.length / nAll).toMap
+    val tMax = cust.groupBy(_._1).values.map { cls =>
+      val nc = cls.length.toDouble
+      val pc = cls.groupBy(_._2).view.mapValues(_.length / nc).toMap
+      // .toSeq: Map.keys is Set-backed — mapping it would DEDUPE equal
+      // absolute differences before the sum
+      pGlobal.keys.toSeq.map(s => math.abs(pc.getOrElse(s, 0.0) - pGlobal(s))).sum / 2
+    }.max
+    assert(math.abs(rows("nation")._3 - tMax) < 1e-6)
+  }
 }
