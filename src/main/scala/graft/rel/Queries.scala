@@ -2131,6 +2131,93 @@ object Queries {
     kruskalOf(Tables.events(s, d)
       .select(col("event_type").as("g"), col("value").as("v")))
 
+  // ---- stats_anova: one-way ANOVA F test ---------------------------------
+
+  /** stats_anova — one-way ANOVA F across the five event types on
+    * `value` (the parametric sibling of `stats_kruskal`; between-group
+    * vs within-group variance). Values enter as e6 BIGINTs (the
+    * `ts_cusum` discipline — the 1e12 variance scale cancels in F), so
+    * Σv and Σv² are exact: Σv² runs in DECIMAL(38,0) (vu² ≈ 2.4e17 per
+    * row already crowds BIGINT as a SUM). The per-group rational
+    * Σ s_g²/n_g folds in ascending-group order
+    * (aggregate(sort_array(collect_list)) ≡ the oracle's
+    * list_reduce(list(… ORDER BY g)) — the `stats_kruskal` bitwise
+    * pattern), and F, eta² close in one double expression each.
+    */
+  /** Core over any (g, v) frame — frame-parameterized for PropertySpec. */
+  def anovaOf(df: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val e6 = df.select(col("g"),
+      floor(col("v") * 1e6 + 0.5).cast("long").as("vu"))
+    val per = e6.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("vu")).as("sg"),
+        sum(col("vu").cast(d19) * col("vu").cast(d19)).as("qg"))
+      .withColumn("term",
+        (col("sg").cast(d19) * col("sg").cast(d19)).cast("double") / col("ng"))
+    per.agg(
+      count(lit(1)).as("k"),
+      sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"),
+      sum(col("qg")).as("q"),
+      aggregate(sort_array(collect_list(struct(col("g"), col("term")))),
+        lit(0.0), (acc, s) => acc + s.getField("term")).as("a"))
+      .withColumn("ssb", col("a") -
+        (col("s").cast(d19) * col("s").cast(d19)).cast("double") / col("n"))
+      .withColumn("ssw", col("q").cast("double") - col("a"))
+      .select(col("n"), col("k"),
+        rnd((col("ssb") / (col("k") - 1)) /
+          (col("ssw") / (col("n") - col("k"))), 6).as("f"),
+        rnd(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+  }
+
+  def statsAnova(s: SparkSession, d: String): DataFrame =
+    anovaOf(Tables.events(s, d)
+      .select(col("event_type").as("g"), col("value").as("v")))
+
+  // ---- stats_kendall: Kendall tau-b over a bounded grid ------------------
+
+  /** stats_kendall — Kendall τ-b between quantity and discount. The
+    * naive definition is an all-pairs O(n²) sweep; the 100-TB form
+    * exploits BOTH columns being low-cardinality (50 × 11 here): the
+    * corpus collapses to its contingency grid in one keyed count
+    * (map-side combinable), and concordant-minus-discordant is an
+    * inequality self-join OVER THE GRID — ≤ (|X|·|Y|)² cell pairs, a
+    * broadcast nested loop on a bounded frame, never the row stream.
+    * P − Q and the tie terms n₁ = Σ tᵢ(tᵢ−1)/2, n₂ = Σ uⱼ(uⱼ−1)/2 stay
+    * BIGINT-exact (safe to n ≈ 4e9 rows: P − Q ≤ n²/2 < 2⁶³); only the
+    * closing τ-b = (P−Q)/√((n₀−n₁)(n₀−n₂)) runs in doubles (the
+    * product reaches n⁴).
+    */
+  /** Core over any (x, y) frame — frame-parameterized for PropertySpec.
+    * Scale contract: |distinct x| · |distinct y| must be bounded (the
+    * grid is broadcast); for continuous columns, bucket first.
+    */
+  def kendallOf(df: DataFrame): DataFrame = {
+    val grid = df.groupBy(col("x"), col("y")).agg(count(lit(1)).as("nc"))
+    val b = broadcast(grid.select(col("x").as("x2"), col("y").as("y2"),
+      col("nc").as("nc2")))
+    val pq = grid.join(b, col("x2") > col("x"))
+      .agg(sum(when(col("y2") > col("y"), col("nc") * col("nc2"))
+        .when(col("y2") < col("y"), -col("nc") * col("nc2"))
+        .otherwise(0L)).as("pq_diff"))
+    val tx = grid.groupBy(col("x")).agg(sum(col("nc")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("tx2"))
+    val ty = grid.groupBy(col("y")).agg(sum(col("nc")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("ty2"))
+    val tot = grid.agg(sum(col("nc")).as("n"))
+    pq.crossJoin(broadcast(tot)).crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .withColumn("n0x2", col("n") * (col("n") - 1))
+      .select(col("n"), col("pq_diff"),
+        rnd(col("pq_diff") / sqrt(
+          (col("n0x2") - col("tx2")).cast("double") / 2.0 *
+            ((col("n0x2") - col("ty2")).cast("double") / 2.0)), 6)
+          .as("tau_b"))
+  }
+
+  def statsKendall(s: SparkSession, d: String): DataFrame =
+    kendallOf(Tables.lineitem(s, d)
+      .select(col("l_quantity").as("x"), col("l_discount").as("y")))
+
   // ---- anon_tcloseness: t-closeness audit --------------------------------
 
   /** anon_tcloseness — the third rung of the privacy ladder after
@@ -2184,6 +2271,8 @@ object Queries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_anova" -> statsAnova,
+    "stats_kendall" -> statsKendall,
     "stats_spearman" -> statsSpearman,
     "stats_kruskal" -> statsKruskal,
     "anon_tcloseness" -> anonTcloseness,
@@ -2299,6 +2388,40 @@ object Queries {
     s"(instr('0123456789abcdef', substr(md5($e), $d, 1)) - 1)"
 
   private val rawOracles: Map[String, String] = Map(
+    "stats_anova" ->
+      // e6-BIGINT sums; per-group Σ s²/n folded in ascending-g order
+      // (list_reduce first-element seed ≡ the 0.0-seeded Spark fold)
+      ("WITH e6 AS (SELECT event_type AS g, " +
+        "floor(value * 1e6 + 0.5)::BIGINT AS vu FROM events), " +
+        "per AS (SELECT g, count(*) AS ng, sum(vu)::BIGINT AS sg, " +
+        "sum(vu::HUGEINT * vu) AS qg FROM e6 GROUP BY 1), " +
+        "m AS (SELECT count(*) AS k, sum(ng)::BIGINT AS n, sum(sg)::BIGINT AS s, " +
+        "sum(qg)::DOUBLE AS q, " +
+        "list_reduce(list((sg::HUGEINT * sg)::DOUBLE / ng ORDER BY g), " +
+        "(acc, x) -> acc + x) AS a FROM per), " +
+        "x AS (SELECT n, k, a - (s::HUGEINT * s)::DOUBLE / n AS ssb, " +
+        "q - a AS ssw FROM m) " +
+        "SELECT n, k, rnd((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f, " +
+        "rnd(ssb / (ssb + ssw), 6) AS eta_sq FROM x"),
+
+    "stats_kendall" ->
+      // concordant-minus-discordant over the contingency grid (≤ 550
+      // cells); identical closing double expression
+      ("WITH grid AS (SELECT l_quantity AS x, l_discount AS y, count(*) AS nc " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "pq AS (SELECT sum(CASE WHEN b.y > a.y THEN a.nc * b.nc " +
+        "WHEN b.y < a.y THEN -a.nc * b.nc ELSE 0 END)::BIGINT AS pq_diff " +
+        "FROM grid a JOIN grid b ON b.x > a.x), " +
+        "tx AS (SELECT sum(t * (t - 1))::BIGINT AS tx2 FROM " +
+        "(SELECT sum(nc)::BIGINT AS t FROM grid GROUP BY x)), " +
+        "ty AS (SELECT sum(t * (t - 1))::BIGINT AS ty2 FROM " +
+        "(SELECT sum(nc)::BIGINT AS t FROM grid GROUP BY y)), " +
+        "tot AS (SELECT sum(nc)::BIGINT AS n FROM grid), " +
+        "x AS (SELECT n, pq_diff, n * (n - 1) AS n0x2, tx2, ty2 " +
+        "FROM pq, tx, ty, tot) " +
+        "SELECT n, pq_diff, rnd(pq_diff / sqrt((n0x2 - tx2)::DOUBLE / 2e0 * " +
+        "((n0x2 - ty2)::DOUBLE / 2e0)), 6) AS tau_b FROM x"),
+
     "stats_spearman" ->
       // midranks via cumulative counts over the distinct-value frame
       // (it IS the oracle); identical Pearson-on-2·midrank algebra,

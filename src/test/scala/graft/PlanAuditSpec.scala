@@ -67,6 +67,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "stats_chisq",
     // bootstrap: one-row corpus-stats broadcast onto the B-row frame
     "stats_bootstrap_ci",
+    // kendall: inequality self-join over the ≤|X|·|Y|-cell broadcast
+    // grid + one-row tie/total frames
+    "stats_kendall",
     // kruskal: one-row N/ties total onto the per-group frame
     "stats_kruskal",
     // tcloseness: one-row corpus total onto the class-segment frame

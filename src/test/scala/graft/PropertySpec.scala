@@ -703,4 +703,55 @@ class PropertySpec extends SparkSpecBase {
       math.abs(got._1 - h) < 1e-6 && math.abs(got._2 - hTie) < 1e-6
     }, min = 15)
   }
+
+  test("kendallOf ≡ all-pairs tau-b on random tied grids") {
+    import spark.implicits._
+    val gen = Gen.listOfN(15, Gen.zip(
+      Gen.choose(1, 4).map(_ * 1.0), Gen.choose(1, 3).map(_ * 1.0)))
+      .suchThat(l => l.map(_._1).distinct.size > 1 && l.map(_._2).distinct.size > 1)
+    check(Prop.forAll(gen) { pts =>
+      val got = graft.rel.Queries.kendallOf(pts.toDF("x", "y"))
+        .select("pq_diff", "tau_b").as[(Long, Double)].head()
+      var p = 0L; var q = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.length) {
+        val s = (pts(i)._1 - pts(j)._1) * (pts(i)._2 - pts(j)._2)
+        if (s > 0) p += 1 else if (s < 0) q += 1
+      }
+      val n = pts.length.toDouble
+      val n0 = n * (n - 1) / 2
+      val n1 = pts.groupBy(_._1).values.map(t => t.length.toDouble * (t.length - 1) / 2).sum
+      val n2 = pts.groupBy(_._2).values.map(t => t.length.toDouble * (t.length - 1) / 2).sum
+      got._1 == p - q &&
+        math.abs(got._2 - (p - q) / math.sqrt((n0 - n1) * (n0 - n2))) < 1e-6
+    }, min = 15)
+  }
+
+  test("anovaOf ≡ brute-force one-way F on random grouped data") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.zip(
+      Gen.oneOf("a", "b"), Gen.choose(1, 9).map(_ / 2.0)))
+      .suchThat { l =>
+        val gs = l.groupBy(_._1)
+        gs.size == 2 && gs.values.forall(_.size >= 2) &&
+          gs.values.exists(g => g.map(_._2).distinct.size > 1)
+      }
+    check(Prop.forAll(gen) { pts =>
+      val got = graft.rel.Queries.anovaOf(pts.toDF("g", "v"))
+        .select("f", "eta_sq").as[(Double, Double)].head()
+      val e6 = pts.map { case (g, v) => (g, math.floor(v * 1e6 + 0.5)) }
+      val n = e6.length.toDouble
+      val grand = e6.map(_._2).sum / n
+      val groups = e6.groupBy(_._1).values.toSeq
+      val ssb = groups.map { g =>
+        val m = g.map(_._2).sum / g.length
+        g.length * (m - grand) * (m - grand)
+      }.sum
+      val ssw = groups.map { g =>
+        val m = g.map(_._2).sum / g.length
+        g.map(p => (p._2 - m) * (p._2 - m)).sum
+      }.sum
+      val f = (ssb / (groups.size - 1)) / (ssw / (n - groups.size))
+      math.abs(got._1 - f) < 1e-4 && math.abs(got._2 - ssb / (ssb + ssw)) < 1e-6
+    }, min = 15)
+  }
 }

@@ -358,6 +358,56 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(math.abs(got._3 - h) < 1e-4 && math.abs(got._4 - hTie) < 1e-4)
   }
 
+  test("stats_anova matches the brute-force one-way F on e6-quantized values") {
+    val got = SparkEntry.queries("stats_anova")(spark, sfDir)
+      .select(col("n").as[Long], col("k").as[Long],
+        col("f").as[Double], col("eta_sq").as[Double]).head()
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type").as[String], col("value").as[Double]).collect()
+      .map { case (g, v) => (g, math.floor(v * 1e6 + 0.5)) }
+    val n = pts.length.toDouble
+    val grand = pts.map(_._2).sum / n
+    val groups = pts.groupBy(_._1).values.toSeq
+    val ssb = groups.map { g =>
+      val m = g.map(_._2).sum / g.length
+      g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.map { g =>
+      val m = g.map(_._2).sum / g.length
+      g.map(p => (p._2 - m) * (p._2 - m)).sum
+    }.sum
+    val k = groups.size.toDouble
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(got._1 === pts.length.toLong && got._2 === 5L)
+    assert(math.abs(got._3 - f) < 1e-4)
+    assert(math.abs(got._4 - ssb / (ssb + ssw)) < 1e-6)
+  }
+
+  test("stats_kendall: grid form ≡ all-pairs tau-b; +1 on concordant data") {
+    import spark.implicits._
+    val got = SparkEntry.queries("stats_kendall")(spark, sfDir)
+      .select(col("n").as[Long], col("pq_diff").as[Long],
+        col("tau_b").as[Double]).head()
+    val pts = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").as[Double], col("l_discount").as[Double])
+      .collect()
+    var p = 0L; var q = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val s = (pts(i)._1 - pts(j)._1) * (pts(i)._2 - pts(j)._2)
+      if (s > 0) p += 1 else if (s < 0) q += 1
+    }
+    val n = pts.length.toDouble
+    val n0 = n * (n - 1) / 2
+    val n1 = pts.groupBy(_._1).values.map(t => t.length.toDouble * (t.length - 1) / 2).sum
+    val n2 = pts.groupBy(_._2).values.map(t => t.length.toDouble * (t.length - 1) / 2).sum
+    assert(got._1 === pts.length.toLong)
+    assert(got._2 === p - q, "grid concordant-minus-discordant ≡ all-pairs")
+    assert(math.abs(got._3 - (p - q) / math.sqrt((n0 - n1) * (n0 - n2))) < 1e-6)
+    // strictly co-monotone pair with ties in neither column → exactly +1
+    val mono = Seq((1.0, 5.0), (2.0, 7.0), (3.0, 9.0), (4.0, 11.0)).toDF("x", "y")
+    assert(Queries.kendallOf(mono).select(col("tau_b").as[Double]).head() === 1.0)
+  }
+
   test("anon_tcloseness: t in [0,1]; coarsening cannot raise t_max (TVD convexity)") {
     val rows = SparkEntry.queries("anon_tcloseness")(spark, sfDir)
       .select("qi_level", "n_classes", "t_max", "classes_gt_t", "rows_at_risk")
