@@ -2218,6 +2218,84 @@ object Queries {
     kendallOf(Tables.lineitem(s, d)
       .select(col("l_quantity").as("x"), col("l_discount").as("y")))
 
+  // ---- stats_levene: Brown-Forsythe variance-homogeneity test -----------
+
+  /** stats_levene — Brown-Forsythe test (Levene with group MEDIANS)
+    * for variance homogeneity across event types: the gate before
+    * trusting `stats_anova`/`stats_ttest`, robust to the heavy tails
+    * that break mean-centered Levene. Group medians are exact via
+    * `Rank.groupMedian` (keyed two-pass prefix sum on the per-group
+    * DISTINCT-value frame — never a per-group window over the row
+    * stream); deviations |vu − med| stay e6 BIGINTs, so the one-way F
+    * over them reuses the `stats_anova` integer algebra verbatim
+    * (Σd² in DECIMAL(38,0), ascending-group ordered double fold,
+    * one closing expression). Median convention: lower median
+    * (smallest value reaching half the group) — deterministic in both
+    * engines, no even-count averaging.
+    */
+  /** Core over any (g, v) frame — frame-parameterized for PropertySpec. */
+  def leveneOf(df: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val e6 = df.select(col("g"),
+      floor(col("v") * 1e6 + 0.5).cast("long").as("vu"))
+    val med = Rank.groupMedian(e6, col("g"), col("vu"))
+      .select(col("mr_k").as("g"), col("mr_median").as("mu"))
+    val dev = e6.join(broadcast(med), "g")
+      .select(col("g"), abs(col("vu") - col("mu")).as("du"))
+    val per = dev.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("du")).as("sg"),
+        sum(col("du").cast(d19) * col("du").cast(d19)).as("qg"))
+      .withColumn("term",
+        (col("sg").cast(d19) * col("sg").cast(d19)).cast("double") / col("ng"))
+    per.agg(
+      count(lit(1)).as("k"),
+      sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"),
+      sum(col("qg")).as("q"),
+      aggregate(sort_array(collect_list(struct(col("g"), col("term")))),
+        lit(0.0), (acc, s) => acc + s.getField("term")).as("a"))
+      .withColumn("ssb", col("a") -
+        (col("s").cast(d19) * col("s").cast(d19)).cast("double") / col("n"))
+      .withColumn("ssw", col("q").cast("double") - col("a"))
+      .select(col("n"), col("k"),
+        rnd((col("ssb") / (col("k") - 1)) /
+          (col("ssw") / (col("n") - col("k"))), 6).as("f"))
+  }
+
+  def statsLevene(s: SparkSession, d: String): DataFrame =
+    leveneOf(Tables.events(s, d)
+      .select(col("event_type").as("g"), col("value").as("v")))
+
+  // ---- stats_ztest_prop: two-proportion z-test ---------------------------
+
+  /** stats_ztest_prop — two-proportion z-test: does the rate of
+    * high-value events (value > 100) differ between clicks and
+    * purchases? The conversion-rate A/B read-out next to
+    * `stats_ttest`'s mean comparison. Everything is four BIGINT counts
+    * from one corpus pass (map-side combinable); rates and the pooled
+    * z close in single double expressions shared with the oracle.
+    */
+  def statsZtestProp(s: SparkSession, d: String): DataFrame = {
+    val isA = col("event_type") === "click"
+    val hit = when(col("value") > 100.0, 1L).otherwise(0L)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sum(when(isA, hit).otherwise(0L)).as("xa"),
+        sum(when(!isA, 1L).otherwise(0L)).as("nb"),
+        sum(when(!isA, hit).otherwise(0L)).as("xb"))
+      .withColumn("pp", (col("xa") + col("xb")).cast("double") /
+        (col("na") + col("nb")))
+      .select(col("na"), col("xa"), col("nb"), col("xb"),
+        rnd(col("xa").cast("double") / col("na"), 6).as("rate_a"),
+        rnd(col("xb").cast("double") / col("nb"), 6).as("rate_b"),
+        rnd((col("xa").cast("double") / col("na") -
+          col("xb").cast("double") / col("nb")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6).as("z"))
+  }
+
   // ---- anon_tcloseness: t-closeness audit --------------------------------
 
   /** anon_tcloseness — the third rung of the privacy ladder after
@@ -2273,6 +2351,8 @@ object Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_anova" -> statsAnova,
     "stats_kendall" -> statsKendall,
+    "stats_levene" -> statsLevene,
+    "stats_ztest_prop" -> statsZtestProp,
     "stats_spearman" -> statsSpearman,
     "stats_kruskal" -> statsKruskal,
     "anon_tcloseness" -> anonTcloseness,
@@ -2421,6 +2501,39 @@ object Queries {
         "FROM pq, tx, ty, tot) " +
         "SELECT n, pq_diff, rnd(pq_diff / sqrt((n0x2 - tx2)::DOUBLE / 2e0 * " +
         "((n0x2 - ty2)::DOUBLE / 2e0)), 6) AS tau_b FROM x"),
+
+    "stats_levene" ->
+      // lower-median per group via cumulative counts over the distinct
+      // frame, then the stats_anova integer algebra on |vu − med|
+      ("WITH e6 AS (SELECT event_type AS g, " +
+        "floor(value * 1e6 + 0.5)::BIGINT AS vu FROM events), " +
+        "cnt AS (SELECT g, vu, count(*) AS t FROM e6 GROUP BY 1, 2), " +
+        "cum AS (SELECT g, vu, sum(t) OVER (PARTITION BY g ORDER BY vu) AS c, " +
+        "sum(t) OVER (PARTITION BY g) AS ngg FROM cnt), " +
+        "med AS (SELECT g, min(vu) AS mu FROM cum WHERE 2 * c >= ngg GROUP BY 1), " +
+        "dev AS (SELECT g, abs(vu - mu) AS du FROM e6 JOIN med USING (g)), " +
+        "per AS (SELECT g, count(*) AS ng, sum(du)::BIGINT AS sg, " +
+        "sum(du::HUGEINT * du) AS qg FROM dev GROUP BY 1), " +
+        "m AS (SELECT count(*) AS k, sum(ng)::BIGINT AS n, sum(sg)::BIGINT AS s, " +
+        "sum(qg)::DOUBLE AS q, " +
+        "list_reduce(list((sg::HUGEINT * sg)::DOUBLE / ng ORDER BY g), " +
+        "(acc, x) -> acc + x) AS a FROM per), " +
+        "x AS (SELECT n, k, a - (s::HUGEINT * s)::DOUBLE / n AS ssb, " +
+        "q - a AS ssw FROM m) " +
+        "SELECT n, k, rnd((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f FROM x"),
+
+    "stats_ztest_prop" ->
+      ("WITH m AS (SELECT " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na, " +
+        "sum(CASE WHEN event_type = 'click' AND value > 100 THEN 1 ELSE 0 END)::BIGINT AS xa, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb, " +
+        "sum(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 ELSE 0 END)::BIGINT AS xb " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "x AS (SELECT *, (xa + xb)::DOUBLE / (na + nb) AS pp FROM m) " +
+        "SELECT na, xa, nb, xb, rnd(xa::DOUBLE / na, 6) AS rate_a, " +
+        "rnd(xb::DOUBLE / nb, 6) AS rate_b, " +
+        "rnd((xa::DOUBLE / na - xb::DOUBLE / nb) / " +
+        "sqrt(pp * (1e0 - pp) * (1e0 / na + 1e0 / nb)), 6) AS z FROM x"),
 
     "stats_spearman" ->
       // midranks via cumulative counts over the distinct-value frame

@@ -90,6 +90,58 @@ object Rank {
           col("mr_t") + 1).as("mr_r2"))
   }
 
+  /** KEYED `midranks`: per-(key, distinct value) tie counts, inclusive
+    * cumulative counts and 2·midranks WITHIN each key group — the
+    * per-group exact-quantile seam (`stats_levene`'s group medians).
+    * A `Window.partitionBy(key).orderBy(v)` would serialize each
+    * group's whole distinct-value history through one task — fatal
+    * when key cardinality is O(1) (event types) while the corpus
+    * scales; this is the `prefixPackBy` two-pass shape on the distinct
+    * frame instead: range-repartition on (key, v), per-partition local
+    * cumsum, per-(key, pid) totals prefix-summed over a bounded frame
+    * and broadcast back. Returns (mr_k, mr_v, mr_t, mr_cum, mr_r2).
+    */
+  def midranksBy(df: DataFrame, key: Column, v: Column,
+      parts: Int = 0): DataFrame = {
+    import graft.core.Ckpt.TruncateSyntax
+    val counts = df.groupBy(key.as("mr_k"), v.as("mr_v"))
+      .agg(count(lit(1)).as("mr_t"))
+    val n =
+      if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = counts.repartitionByRange(n, col("mr_k"), col("mr_v"))
+      .withColumn("pid", spark_partition_id())
+    val inPart = Window.partitionBy(col("pid"), col("mr_k")).orderBy(col("mr_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("cum_in", sum(col("mr_t")).over(inPart))
+      .truncated()
+    val offsets = local.groupBy(col("mr_k"), col("pid"))
+      .agg(max(col("cum_in")).as("tot"))
+      .withColumn("base", coalesce(sum(col("tot")).over(
+        Window.partitionBy(col("mr_k")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("mr_k"), col("pid"), col("base"))
+    local.join(broadcast(offsets), Seq("mr_k", "pid"))
+      .withColumn("mr_cum", col("base") + col("cum_in"))
+      .select(col("mr_k"), col("mr_v"), col("mr_t"), col("mr_cum"),
+        (lit(2L) * (col("mr_cum") - col("mr_t")) + col("mr_t") + 1).as("mr_r2"))
+  }
+
+  /** Per-key LOWER MEDIAN from `midranksBy`: the smallest value whose
+    * inclusive cumulative count reaches half the group (exact median
+    * for odd group sizes, lower-middle for even — deterministic, no
+    * cross-engine averaging convention). One extra keyed aggregate for
+    * the group totals; never a row-stream sort.
+    */
+  def groupMedian(df: DataFrame, key: Column, v: Column): DataFrame = {
+    val mr = midranksBy(df, key, v)
+    val totals = mr.groupBy(col("mr_k")).agg(max(col("mr_cum")).as("mr_n"))
+    mr.join(totals, "mr_k")
+      .filter(col("mr_cum") * 2 >= col("mr_n"))
+      .groupBy(col("mr_k"))
+      .agg(min(col("mr_v")).as("mr_median"))
+  }
+
   /** Standard SQL ntile from a 1-based global rank: n rows cut into k
     * tiles, the first (n mod k) tiles one row larger — the exact
     * bucketing Spark's and DuckDB's `ntile` both implement, in closed

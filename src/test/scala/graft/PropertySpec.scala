@@ -754,4 +754,20 @@ class PropertySpec extends SparkSpecBase {
       math.abs(got._1 - f) < 1e-4 && math.abs(got._2 - ssb / (ssb + ssw)) < 1e-6
     }, min = 15)
   }
+
+  test("Rank.groupMedian ≡ sorted lower-middle per key on random grouped longs") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.choose(-20L, 20L)))
+    check(Prop.forAll(gen) { pts =>
+      val got = graft.rel.Rank.groupMedian(
+        pts.toDF("g", "v"), col("g"), col("v"))
+        .select("mr_k", "mr_median").as[(String, Long)].collect().toMap
+      val expect = pts.groupBy(_._1).map { case (g, rows) =>
+        val s = rows.map(_._2).sorted
+        g -> s((s.length - 1) / 2)
+      }
+      got == expect
+    }, min = 20)
+  }
 }

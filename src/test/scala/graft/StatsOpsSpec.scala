@@ -408,6 +408,53 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(Queries.kendallOf(mono).select(col("tau_b").as[Double]).head() === 1.0)
   }
 
+  test("stats_levene matches brute-force Brown-Forsythe with lower medians") {
+    val got = SparkEntry.queries("stats_levene")(spark, sfDir)
+      .select(col("n").as[Long], col("k").as[Long], col("f").as[Double]).head()
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type").as[String], col("value").as[Double]).collect()
+      .map { case (g, v) => (g, math.floor(v * 1e6 + 0.5)) }
+    def lowerMedian(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      s((s.length - 1) / 2) // smallest value with 2·cum ≥ n
+    }
+    val dev = pts.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val m = lowerMedian(rows.map(_._2).toSeq)
+      rows.map(r => (g, math.abs(r._2 - m)))
+    }
+    val n = dev.length.toDouble
+    val grand = dev.map(_._2).sum / n
+    val groups = dev.groupBy(_._1).values.toSeq
+    val ssb = groups.map { g =>
+      val m = g.map(_._2).sum / g.length
+      g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.map { g =>
+      val m = g.map(_._2).sum / g.length
+      g.map(p => (p._2 - m) * (p._2 - m)).sum
+    }.sum
+    val f = (ssb / (groups.size - 1)) / (ssw / (n - groups.size))
+    assert(got._1 === pts.length.toLong && got._2 === 5L)
+    assert(math.abs(got._3 - f) < 1e-4)
+  }
+
+  test("stats_ztest_prop matches the brute-force pooled two-proportion z") {
+    val got = SparkEntry.queries("stats_ztest_prop")(spark, sfDir)
+      .select(col("na").as[Long], col("xa").as[Long], col("nb").as[Long],
+        col("xb").as[Long], col("z").as[Double]).head()
+    val pts = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as[String], col("value").as[Double]).collect()
+    val a = pts.filter(_._1 == "click"); val b = pts.filter(_._1 == "purchase")
+    val (xa, xb) = (a.count(_._2 > 100).toLong, b.count(_._2 > 100).toLong)
+    assert((got._1, got._2, got._3, got._4) ===
+      ((a.length.toLong, xa, b.length.toLong, xb)))
+    val pp = (xa + xb).toDouble / (a.length + b.length)
+    val z = (xa.toDouble / a.length - xb.toDouble / b.length) /
+      math.sqrt(pp * (1 - pp) * (1.0 / a.length + 1.0 / b.length))
+    assert(math.abs(got._5 - z) < 1e-6)
+  }
+
   test("anon_tcloseness: t in [0,1]; coarsening cannot raise t_max (TVD convexity)") {
     val rows = SparkEntry.queries("anon_tcloseness")(spark, sfDir)
       .select("qi_level", "n_classes", "t_max", "classes_gt_t", "rows_at_risk")
