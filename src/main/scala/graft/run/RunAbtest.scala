@@ -1,0 +1,105 @@
+package graft.run
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rel.Queries
+
+/** A/B statistical-analysis runner — the `RunProfile` precedent
+  * applied to the classical-stats family: ONE main a user points at a
+  * warehouse directory to run the battery of tests an experiment
+  * read-out actually opens with, over the click-vs-purchase split of
+  * the events feed:
+  *
+  *  - assumption gates first: `stats_levene` (variance homogeneity —
+  *    decides whether the Welch t or the rank tests carry the call)
+  *    and `stats_anova` / `stats_kruskal` (any-group effects),
+  *  - the two-sample pair: `stats_ttest` (Welch, means) and
+  *    `stats_mannwhitney` (midrank U, distributions),
+  *  - rates: `stats_ztest_prop` (high-value-event proportion),
+  *  - effect shape: `stats_spearman` / `stats_kendall` (monotone
+  *    association on the quantity–discount grid),
+  *  - uncertainty: `stats_bootstrap_ci` (Poisson-bootstrap CI on the
+  *    mean, the resampling cross-check on the parametric interval).
+  *
+  * ```
+  * tools/run.sh graft.run.RunAbtest <sfdir> <outdir>
+  * ```
+  *
+  * This main adds NO new semantics: every section is a declared
+  * operator's own builder (each an oracle-gated row), so every number
+  * in the report reconciles with a DuckDB-checked result —
+  * RunAbtestSpec asserts exactly that. Scale shape is inherited: each
+  * section is a constant-output aggregate over one corpus pass (the
+  * midrank tests collapse to distinct-value frames before any
+  * exchange), so the battery costs a handful of scans regardless of SF
+  * and only single-row test statistics ever reach the driver.
+  */
+object RunAbtest {
+
+  case class SectionResult(name: String, rows: Long, wall: Double)
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): String = {
+    Files.createDirectories(Paths.get(outDir))
+    val sections = Seq[(String, (SparkSession, String) => DataFrame)](
+      "stats_levene" -> Queries.statsLevene,
+      "stats_anova" -> Queries.statsAnova,
+      "stats_kruskal" -> Queries.statsKruskal,
+      "stats_ttest" -> Queries.statsTtest,
+      "stats_mannwhitney" -> Queries.statsMannwhitney,
+      "stats_ztest_prop" -> Queries.statsZtestProp,
+      "stats_spearman" -> Queries.statsSpearman,
+      "stats_kendall" -> Queries.statsKendall,
+      "stats_bootstrap_ci" -> Queries.statsBootstrapCi)
+    val results = sections.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      val rows = spark.read.parquet(s"$outDir/$name").count()
+      SectionResult(name, rows, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def head1(name: String) = spark.read.parquet(s"$outDir/$name").head()
+    def d(name: String, col: String): Double =
+      head1(name).getAs[Double](col)
+    // the two-sided 5 % normal/F habit thresholds a read-out quotes;
+    // the report prints the statistics themselves alongside the calls
+    def call(stat: Double, crit: Double): String =
+      if (math.abs(stat) > crit) "REJECT" else "no-reject"
+    val levF = d("stats_levene", "f")
+    val ci = head1("stats_bootstrap_ci")
+
+    val report =
+      s"""a/b analysis report (click vs purchase)
+         |sections: name rows sec
+         |${results.map(r => f"  ${r.name} ${r.rows} ${r.wall}%.3f").mkString("\n")}
+         |levene_f: $levF (variance homogeneity ${call(levF, 2.37)})
+         |anova_f: ${d("stats_anova", "f")} eta_sq: ${d("stats_anova", "eta_sq")}
+         |kruskal_h_tie: ${d("stats_kruskal", "h_tie")}
+         |welch_t: ${d("stats_ttest", "t_welch")} (means ${call(d("stats_ttest", "t_welch"), 1.96)})
+         |mannwhitney_z: ${d("stats_mannwhitney", "z")} (distributions ${call(d("stats_mannwhitney", "z"), 1.96)})
+         |prop_z: ${d("stats_ztest_prop", "z")} (rates ${call(d("stats_ztest_prop", "z"), 1.96)})
+         |spearman_rho: ${d("stats_spearman", "rho")}
+         |kendall_tau_b: ${d("stats_kendall", "tau_b")}
+         |bootstrap_mean_ci: [${ci.getAs[Double]("ci_lo")}, ${ci.getAs[Double]("ci_hi")}] mean ${ci.getAs[Double]("mean")}
+         |""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/report.txt"), report)
+    report
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunAbtest <sfdir> <outdir>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    print(run(spark, args(0), args(1)))
+    spark.stop()
+  }
+}

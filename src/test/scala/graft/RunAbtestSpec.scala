@@ -1,0 +1,41 @@
+package graft
+
+import graft.run.RunAbtest
+
+/** End-to-end spec for the A/B analysis runner: every section's sunk
+  * parquet must be IDENTICAL to its declared (oracle-gated) query row,
+  * and the report's headline statistics must be the sunk values — the
+  * RunProfileSpec discipline applied to the stats battery.
+  */
+class RunAbtestSpec extends SparkSpecBase {
+
+  test("RunAbtest sections ≡ declared rows; report quotes the sunk statistics") {
+    val out = java.nio.file.Files.createTempDirectory("abtest").toString
+    val report = RunAbtest.run(spark, sfDir, out)
+
+    val sections = Seq("stats_levene", "stats_anova", "stats_kruskal",
+      "stats_ttest", "stats_mannwhitney", "stats_ztest_prop",
+      "stats_spearman", "stats_kendall", "stats_bootstrap_ci")
+    sections.foreach { name =>
+      val sunk = spark.read.parquet(s"$out/$name").collect().map(_.toSeq).toSet
+      val declared = SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSet
+      assert(sunk === declared, s"section $name must equal the declared row")
+    }
+
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/report.txt")) === report)
+    // headline lines quote each sunk single-row statistic verbatim
+    def sunk1(name: String) = spark.read.parquet(s"$out/$name").head()
+    assert(report.contains(s"levene_f: ${sunk1("stats_levene").getAs[Double]("f")}"))
+    assert(report.contains(s"welch_t: ${sunk1("stats_ttest").getAs[Double]("t_welch")}"))
+    assert(report.contains(s"mannwhitney_z: ${sunk1("stats_mannwhitney").getAs[Double]("z")}"))
+    assert(report.contains(s"prop_z: ${sunk1("stats_ztest_prop").getAs[Double]("z")}"))
+    assert(report.contains(s"spearman_rho: ${sunk1("stats_spearman").getAs[Double]("rho")}"))
+    assert(report.contains(s"kendall_tau_b: ${sunk1("stats_kendall").getAs[Double]("tau_b")}"))
+    val ci = sunk1("stats_bootstrap_ci")
+    assert(ci.getAs[Double]("ci_lo") <= ci.getAs[Double]("mean") &&
+      ci.getAs[Double]("mean") <= ci.getAs[Double]("ci_hi"))
+    // every test line carries an explicit call
+    assert(report.contains("REJECT") || report.contains("no-reject"))
+  }
+}
