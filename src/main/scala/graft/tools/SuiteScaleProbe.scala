@@ -149,9 +149,19 @@ object SuiteScaleProbe {
       "stats_mannwhitney" -> (() => qs("stats_mannwhitney")(spark, outDir)),
       "stats_bootstrap_ci" -> (() => qs("stats_bootstrap_ci")(spark, outDir)),
       "ts_sax" -> (() => qs("ts_sax")(spark, outDir)),
-      "embedding_silhouette" -> (() => qs("embedding_silhouette")(spark, outDir)))
+      "embedding_silhouette" -> (() => qs("embedding_silhouette")(spark, outDir)),
+      // round-10 third-session rows: the midranks/grid stats family
+      "stats_spearman" -> (() => qs("stats_spearman")(spark, outDir)),
+      "stats_kruskal" -> (() => qs("stats_kruskal")(spark, outDir)),
+      "stats_anova" -> (() => qs("stats_anova")(spark, outDir)),
+      "stats_levene" -> (() => qs("stats_levene")(spark, outDir)),
+      "stats_kendall" -> (() => qs("stats_kendall")(spark, outDir)),
+      "anon_tcloseness" -> (() => qs("anon_tcloseness")(spark, outDir)))
 
-    legs.foreach { case (name, build) =>
+    // optional leg-name filter: args beyond <k> <baseDir> restrict the run
+    val wanted = args.drop(2).toSet
+    val selected = if (wanted.isEmpty) legs else legs.filter(l => wanted(l._1))
+    selected.foreach { case (name, build) =>
       shuffleBytes.set(0L); peakExecMem.set(0L)
       val t0 = System.nanoTime()
       val n = build().count()
