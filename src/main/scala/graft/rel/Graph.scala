@@ -1,6 +1,7 @@
 package graft.rel
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1038,7 +1039,56 @@ object Graph {
     hits(half)
   }
 
+  // ---- graph_random_walk: deterministic walk corpus ---------------------
+
+  /** graph_random_walk — unbiased random-walk corpus over the purchase
+    * graph: the node2vec/DeepWalk INPUT a graph-embedding trainer
+    * consumes (one walk per seed node, `steps` hops). "Random" is
+    * hash-deterministic: step s of walk w moves to neighbor rank
+    * (u16 mod deg) + 1 where u16 = first 4 hex digits of
+    * md5("w_s") — the `stats_bootstrap_ci` uniform trick — so the
+    * corpus is reproducible run-to-run AND oracle-checkable. Scale
+    * shape: adjacency is indexed ONCE (per-src neighbor rank +
+    * degree; the window partitions on src, so one hub's adjacency
+    * buffers through one task — the standard adjacency-indexing
+    * cost), then every step is one state⋈adjacency equi-join on the
+    * current node with the rank equality as a residual filter (the
+    * `pageRank` round skeleton, Ckpt-truncated per step), and each
+    * step's rows are written once (the `bfsHops` union-of-rounds
+    * discipline). Requires symmetrized edges (every node has
+    * out-degree ≥ 1 — the module invariant), unique (src, dst) pairs.
+    */
+  def randomWalks(edgesIn: DataFrame, steps: Int = 4,
+      seedMod: Int = 20): DataFrame = {
+    val edges = edgesIn.truncated()
+    val adj = edges
+      .withColumn("r",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
+          .cast("long"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .truncated()
+    var state = edges.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(seedMod)) === 0)
+      .select(col("node").as("walk"), lit(0).as("step"), col("node"))
+      .truncated()
+    val acc = scala.collection.mutable.ArrayBuffer[DataFrame](state)
+    for (s <- 1 to steps) {
+      val u16 = conv(substring(md5(concat(col("walk").cast("string"),
+        lit("_"), lit(s.toString))), 1, 4), 16, 10).cast("long")
+      state = state.join(adj, state("node") === adj("src"))
+        .filter(col("r") === pmod(u16, col("deg")) + 1)
+        .select(col("walk"), lit(s).as("step"), col("dst").as("node"))
+        .truncated()
+      acc += state
+    }
+    acc.reduce(_ unionAll _)
+  }
+
+  def randomWalkQuery(s: SparkSession, d: String): DataFrame =
+    randomWalks(custSuppEdges(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_random_walk" -> randomWalkQuery,
     "graph_hits" -> hitsQuery,
     "graph_bipartite_proj" -> bipartiteProjQuery,
     "graph_label_prop" -> labelPropQuery,
@@ -1134,6 +1184,33 @@ object Graph {
   }
 
   val rawOracles: Map[String, String] = Map(
+    "graph_random_walk" -> {
+      // the same hash-deterministic neighbor pick, steps unrolled;
+      // adjacency MATERIALIZED (referenced by every step's join)
+      def hexDigit(e: String, d: Int): String =
+        s"(instr('0123456789abcdef', substr(md5($e), $d, 1)) - 1)"
+      def u16(s: Int): String = {
+        val e = s"walk::VARCHAR || '_$s'"
+        s"(((${hexDigit(e, 1)} * 16 + ${hexDigit(e, 2)}) * 16 + " +
+          s"${hexDigit(e, 3)}) * 16 + ${hexDigit(e, 4)})"
+      }
+      def step(s: Int): String =
+        s"w$s AS MATERIALIZED (SELECT walk, $s AS step, a.dst AS node " +
+          s"FROM w${s - 1} p JOIN adj a ON p.node = a.src " +
+          s"AND a.r = ${u16(s)} % a.deg + 1), "
+      "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw), " +
+        "adj AS MATERIALIZED (SELECT src, dst, " +
+        "row_number() OVER (PARTITION BY src ORDER BY dst) AS r, " +
+        "count(*) OVER (PARTITION BY src) AS deg FROM e), " +
+        "w0 AS MATERIALIZED (SELECT src AS walk, 0 AS step, src AS node " +
+        "FROM (SELECT DISTINCT src FROM e) WHERE src % 20 = 0), " +
+        (1 to 4).map(step).mkString.stripSuffix(", ") + " " +
+        "SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2 " +
+        "UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4"
+    },
+
     "graph_hits" -> {
       // the same rounds unrolled; every round frame MATERIALIZED (each
       // is referenced by its normalization total AND the next join —

@@ -2218,6 +2218,34 @@ object Queries {
     kendallOf(Tables.lineitem(s, d)
       .select(col("l_quantity").as("x"), col("l_discount").as("y")))
 
+  // ---- anon_dp_counts: differentially-private noisy counts --------------
+
+  /** anon_dp_counts — ε-differentially-private release of per-nation
+    * customer counts (ε = 1, sensitivity 1 → Laplace(1) noise): the
+    * privacy-preserving aggregate publication that completes the anon
+    * family's ladder (k-anon / l-div / t-close AUDIT a release; this
+    * one PRODUCES it). Noise is hash-deterministic for the test gate:
+    * u = (u16 + 0.5)/65536 from md5("dp_<class>") (the
+    * `stats_bootstrap_ci` uniform trick), inverted through the Laplace
+    * CDF branch-wise (u < ½ → ln(2u), else −ln(2 − 2u)) — a real
+    * deployment swaps the seeded uniform for a secure RNG; the
+    * inversion, sensitivity and ε plumbing are exactly this. True
+    * counts are deliberately NOT emitted. ln meets the oracle's libm
+    * under the 6-dp edge — the `metrics_logloss` precedent.
+    */
+  def anonDpCounts(s: SparkSession, d: String): DataFrame = {
+    val u16 = conv(substring(md5(concat(lit("dp_"),
+      col("cls").cast("string"))), 1, 4), 16, 10).cast("long")
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("cls"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u", (u16 + 0.5) / 65536.0)
+      .select(col("cls"),
+        rnd(col("n_true") + when(col("u") < 0.5, log(col("u") * 2))
+          .otherwise(-log(lit(2.0) - col("u") * 2)), 6).as("noisy_n"),
+        lit(1.0).as("epsilon"))
+  }
+
   // ---- stats_levene: Brown-Forsythe variance-homogeneity test -----------
 
   /** stats_levene — Brown-Forsythe test (Levene with group MEDIANS)
@@ -2353,6 +2381,7 @@ object Queries {
     "stats_kendall" -> statsKendall,
     "stats_levene" -> statsLevene,
     "stats_ztest_prop" -> statsZtestProp,
+    "anon_dp_counts" -> anonDpCounts,
     "stats_spearman" -> statsSpearman,
     "stats_kruskal" -> statsKruskal,
     "anon_tcloseness" -> anonTcloseness,
@@ -2521,6 +2550,17 @@ object Queries {
         "x AS (SELECT n, k, a - (s::HUGEINT * s)::DOUBLE / n AS ssb, " +
         "q - a AS ssw FROM m) " +
         "SELECT n, k, rnd((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f FROM x"),
+
+    "anon_dp_counts" ->
+      ("WITH g AS (SELECT c_nationkey AS cls, count(*) AS n_true " +
+        "FROM customer GROUP BY 1), " +
+        "h AS (SELECT cls, n_true, ((((" +
+        hexDigitSql("'dp_' || cls::VARCHAR", 1) + " * 16 + " +
+        hexDigitSql("'dp_' || cls::VARCHAR", 2) + ") * 16 + " +
+        hexDigitSql("'dp_' || cls::VARCHAR", 3) + ") * 16 + " +
+        hexDigitSql("'dp_' || cls::VARCHAR", 4) + ") + 0.5e0) / 65536e0 AS u FROM g) " +
+        "SELECT cls, rnd(n_true + CASE WHEN u < 0.5e0 THEN ln(u * 2) " +
+        "ELSE -ln(2e0 - u * 2) END, 6) AS noisy_n, 1.0e0 AS epsilon FROM h"),
 
     "stats_ztest_prop" ->
       ("WITH m AS (SELECT " +

@@ -405,4 +405,28 @@ class GraphSpec extends SparkSpecBase {
     val cns = got.map(_._3)
     assert(cns.zip(cns.tail).forall { case (x, y) => x >= y })
   }
+
+  test("randomWalks: every hop is an edge, walks are complete and reproducible") {
+    // path + branch, symmetrized: 0-2, 2-4, 4-6, 4-8 (seedMod 2 → all seeds)
+    val half = Seq((0L, 2L), (2L, 4L), (4L, 6L), (4L, 8L)).toDF("src", "dst")
+    val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val edgeSet = edges.as[(Long, Long)].collect().toSet
+    val got = Graph.randomWalks(edges, steps = 3, seedMod = 2)
+      .select("walk", "step", "node").as[(Long, Int, Long)].collect()
+    val byWalk = got.groupBy(_._1)
+    // one walk per node, each with steps+1 rows, starting at its seed
+    assert(byWalk.keySet === Set(0L, 2L, 4L, 6L, 8L))
+    byWalk.foreach { case (w, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(rows.map(_._2).sorted.toSeq === (0 to 3))
+      assert(path.head === w, "walk starts at its seed")
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(edgeSet.contains((a, b)), s"hop $a→$b of walk $w is an edge")
+      }
+    }
+    // hash-deterministic: a second build is identical
+    val again = Graph.randomWalks(edges, steps = 3, seedMod = 2)
+      .select("walk", "step", "node").as[(Long, Int, Long)].collect()
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
 }

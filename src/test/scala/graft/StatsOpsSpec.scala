@@ -455,6 +455,28 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(math.abs(got._5 - z) < 1e-6)
   }
 
+  test("anon_dp_counts: noise is exactly the seeded Laplace inversion, bounded by ln(65536)") {
+    val got = SparkEntry.queries("anon_dp_counts")(spark, sfDir)
+      .select(col("cls").cast("long").as[Long], col("noisy_n").as[Double],
+        col("epsilon").as[Double]).collect()
+    val truth = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").cast("long").as("cls")).count()
+      .select(col("cls").as[Long], col("count").as[Long]).collect().toMap
+    assert(got.map(_._1).toSet === truth.keySet)
+    got.foreach { case (cls, noisy, eps) =>
+      assert(eps === 1.0)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp_$cls".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u16 = java.lang.Long.parseLong(md5.take(4), 16)
+      val u = (u16 + 0.5) / 65536.0
+      val lap = if (u < 0.5) math.log(u * 2) else -math.log(2.0 - u * 2)
+      assert(math.abs(lap) <= math.log(65536.0), "inversion tail bound")
+      assert(math.abs(noisy - (truth(cls) + lap)) < 1e-5,
+        s"class $cls noise must be the seeded inversion")
+    }
+  }
+
   test("anon_tcloseness: t in [0,1]; coarsening cannot raise t_max (TVD convexity)") {
     val rows = SparkEntry.queries("anon_tcloseness")(spark, sfDir)
       .select("qi_level", "n_classes", "t_max", "classes_gt_t", "rows_at_risk")
