@@ -289,6 +289,24 @@ object Curation {
   def piiStats(s: SparkSession, d: String): DataFrame =
     piiStatsProps(Tables.events(s, d))
 
+  /** pii_pseudonymize — keyed deterministic pseudonymization of the
+    * customer table (the release form `anon_kanon`/`anon_ldiversity`/
+    * `anon_tcloseness` audit): the join key and the direct identifier
+    * are replaced by salted md5 surrogates (SAME input → SAME
+    * surrogate, so joinability across released tables survives —
+    * that's the property pseudonymization has and redaction lacks),
+    * the account balance generalizes to a 100-unit band, and the
+    * quasi-identifiers ride through for the downstream k-anon check.
+    * Pure map, zero shuffle. A production run swaps the fixed salt for
+    * a vaulted secret; plumbing is identical.
+    */
+  def piiPseudonymize(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      md5(concat(lit("k1_"), col("c_custkey").cast("string"))).as("sur_key"),
+      md5(concat(lit("n1_"), col("c_name"))).as("sur_name"),
+      col("c_nationkey"), col("c_mktsegment"),
+      (floor(col("c_acctbal") / 100) * 100).cast("long").as("acctbal_band"))
+
   /** corpus_line_dedup — C4/RefinedWeb-style repeated-line removal:
     * drop every "line" whose exact text occurs in ≥ `minDocs` distinct
     * documents (navigation chrome, licence boilerplate, cookie
@@ -565,6 +583,7 @@ object Curation {
     "doc_chunk_tokens" -> docChunkTokens,
     "pii_redact" -> piiRedact,
     "pii_stats" -> piiStats,
+    "pii_pseudonymize" -> piiPseudonymize,
     "corpus_line_dedup" -> lineDedup,
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "corpus_overlap_matrix" -> overlapMatrix,
@@ -585,6 +604,11 @@ object Curation {
         "FROM p FULL OUTER JOIN c USING (doc_id)) " +
         "SELECT status, count(*) AS n_docs, sum(len)::BIGINT AS n_chars " +
         "FROM j GROUP BY 1"),
+
+    "pii_pseudonymize" ->
+      ("SELECT md5('k1_' || c_custkey::VARCHAR) AS sur_key, " +
+        "md5('n1_' || c_name) AS sur_name, c_nationkey, c_mktsegment, " +
+        "(floor(c_acctbal / 100) * 100)::BIGINT AS acctbal_band FROM customer"),
 
     "pii_stats" ->
       // same two patterns as pii_redact; counts all exact integers

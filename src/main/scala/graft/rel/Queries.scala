@@ -2218,6 +2218,38 @@ object Queries {
     kendallOf(Tables.lineitem(s, d)
       .select(col("l_quantity").as("x"), col("l_discount").as("y")))
 
+  // ---- events_ab_assign: experiment-arm assignment + SRM gate -----------
+
+  /** events_ab_assign — deterministic experiment bucketing with the
+    * sample-ratio-mismatch gate (the FIRST check any A/B readout runs;
+    * `run.RunAbtest` analyzes outcomes, this row validates the split
+    * itself): each user hashes to control/treatment via the md5
+    * hex-prefix uniform (u16 mod 2 — stable across runs and engines,
+    * the production property: a user never switches arms), then the
+    * 1-df χ² against the 50/50 design reduces EXACTLY to
+    * (n_c − n_t)²/n, and the 95 % flag compares
+    * 1000·(n_c − n_t)² > 3841·n in BIGINT — no rounded-double
+    * decision. One distinct + one aggregate; scales as a keyed
+    * dedup.
+    */
+  def eventsAbAssign(s: SparkSession, d: String): DataFrame = {
+    val u16 = conv(substring(md5(concat(lit("ab_"),
+      col("user_id").cast("string"))), 1, 4), 16, 10).cast("long")
+    Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .select(when(pmod(u16, lit(2)) === 0, lit("control"))
+        .otherwise(lit("treatment")).as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_users"),
+        sum(when(col("arm") === "control", col("n")).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === "treatment", col("n")).otherwise(0L)).as("n_treatment"))
+      .withColumn("d2", (col("n_control") - col("n_treatment")) *
+        (col("n_control") - col("n_treatment")))
+      .select(col("n_users"), col("n_control"), col("n_treatment"),
+        rnd(col("d2").cast("double") / col("n_users"), 6).as("srm_chi2"),
+        (col("d2") * 1000 > col("n_users") * 3841).as("srm_flag"))
+  }
+
   // ---- anon_dp_counts: differentially-private noisy counts --------------
 
   /** anon_dp_counts — ε-differentially-private release of per-nation
@@ -2382,6 +2414,7 @@ object Queries {
     "stats_levene" -> statsLevene,
     "stats_ztest_prop" -> statsZtestProp,
     "anon_dp_counts" -> anonDpCounts,
+    "events_ab_assign" -> eventsAbAssign,
     "stats_spearman" -> statsSpearman,
     "stats_kruskal" -> statsKruskal,
     "anon_tcloseness" -> anonTcloseness,
@@ -2550,6 +2583,25 @@ object Queries {
         "x AS (SELECT n, k, a - (s::HUGEINT * s)::DOUBLE / n AS ssb, " +
         "q - a AS ssw FROM m) " +
         "SELECT n, k, rnd((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f FROM x"),
+
+    "events_ab_assign" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "a AS (SELECT CASE WHEN ((((" +
+        hexDigitSql("'ab_' || user_id::VARCHAR", 1) + " * 16 + " +
+        hexDigitSql("'ab_' || user_id::VARCHAR", 2) + ") * 16 + " +
+        hexDigitSql("'ab_' || user_id::VARCHAR", 3) + ") * 16 + " +
+        hexDigitSql("'ab_' || user_id::VARCHAR", 4) + ") % 2) = 0 " +
+        "THEN 'control' ELSE 'treatment' END AS arm FROM u), " +
+        "g AS (SELECT arm, count(*) AS n FROM a GROUP BY 1), " +
+        "m AS (SELECT sum(n)::BIGINT AS n_users, " +
+        "sum(CASE WHEN arm = 'control' THEN n ELSE 0 END)::BIGINT AS n_control, " +
+        "sum(CASE WHEN arm = 'treatment' THEN n ELSE 0 END)::BIGINT AS n_treatment " +
+        "FROM g), " +
+        "x AS (SELECT *, (n_control - n_treatment) * (n_control - n_treatment) AS d2 " +
+        "FROM m) " +
+        "SELECT n_users, n_control, n_treatment, " +
+        "rnd(d2::DOUBLE / n_users, 6) AS srm_chi2, " +
+        "d2 * 1000 > n_users * 3841 AS srm_flag FROM x"),
 
     "anon_dp_counts" ->
       ("WITH g AS (SELECT c_nationkey AS cls, count(*) AS n_true " +

@@ -236,4 +236,31 @@ class CurationSpec extends SparkSpecBase {
     assert(out("changed") === (1L, 6L))    // GAMMA! (curr length counted)
     assert(out("unchanged") === (1L, 4L))  // beta
   }
+
+  test("pii_pseudonymize: surrogates are injective and stable, bands generalize, no raw leak") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val got = SparkEntry.queries("pii_pseudonymize")(spark, sfDir)
+      .select(col("sur_key").as[String], col("sur_name").as[String],
+        col("acctbal_band").as[Long]).collect()
+    val raw = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as[Long], col("c_name").as[String],
+        col("c_acctbal").as[Double]).collect()
+    assert(got.length === raw.length)
+    // keyed md5 is injective on this domain → joinability preserved,
+    // and re-running yields the same surrogates (determinism)
+    assert(got.map(_._1).distinct.length === raw.map(_._1).distinct.length)
+    val again = SparkEntry.queries("pii_pseudonymize")(spark, sfDir)
+      .select(col("sur_key").as[String]).collect()
+    assert(got.map(_._1).sorted.toSeq === again.sorted.toSeq)
+    // no raw identifier survives; bands are 100-multiples at-or-below
+    val names = raw.map(_._2).toSet
+    got.foreach { case (k, nm, band) =>
+      assert(k.length === 32 && nm.length === 32 && !names.contains(nm))
+      assert(band % 100 === 0)
+    }
+    raw.foreach { r =>
+      assert(got.exists(g => g._3 === (math.floor(r._3 / 100) * 100).toLong))
+    }
+  }
 }

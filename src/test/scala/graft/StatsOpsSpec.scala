@@ -455,6 +455,28 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(math.abs(got._5 - z) < 1e-6)
   }
 
+  test("events_ab_assign: assignment is stable per user; chi2 is exactly (nc-nt)^2/n") {
+    val got = SparkEntry.queries("events_ab_assign")(spark, sfDir)
+      .select(col("n_users").as[Long], col("n_control").as[Long],
+        col("n_treatment").as[Long], col("srm_chi2").as[Double],
+        col("srm_flag").as[Boolean]).head()
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as[Long]).distinct().collect()
+    def arm(u: Long): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab_$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md5.take(4), 16) % 2).toInt
+    }
+    val nc = users.count(arm(_) == 0).toLong
+    val nt = users.length - nc
+    assert((got._1, got._2, got._3) === ((users.length.toLong, nc, nt)))
+    val d2 = (nc - nt) * (nc - nt)
+    assert(math.abs(got._4 - d2.toDouble / users.length) < 1e-6)
+    assert(got._5 === (d2 * 1000 > users.length.toLong * 3841))
+    // the hash split is not degenerate
+    assert(nc > 0 && nt > 0)
+  }
+
   test("anon_dp_counts: noise is exactly the seeded Laplace inversion, bounded by ln(65536)") {
     val got = SparkEntry.queries("anon_dp_counts")(spark, sfDir)
       .select(col("cls").cast("long").as[Long], col("noisy_n").as[Double],
