@@ -289,6 +289,32 @@ object Curation {
   def piiStats(s: SparkSession, d: String): DataFrame =
     piiStatsProps(Tables.events(s, d))
 
+  /** corpus_split — deterministic train/val/test holdout (98/1/1 by
+    * md5 hex-prefix uniform of doc_id — the `sample_hash` trick, so
+    * membership is a pure function of the document id: reshuffling,
+    * re-partitioning or re-running the pipeline can never leak a
+    * holdout doc into train, the property row-number splits lack).
+    * The library function is the ASSIGNMENT (`corpusSplitAssign`);
+    * the declared row aggregates it into the split manifest a
+    * training run records (counts, char mass, share). One map + one
+    * keyed aggregate.
+    */
+  def corpusSplitAssign(docs: DataFrame): DataFrame = {
+    val u16 = conv(substring(md5(concat(lit("split_"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+    docs.withColumn("split",
+      when(u16 < 64225, "train")        // floor(0.98 · 65536)
+        .when(u16 < 64880, "val")       // floor(0.99 · 65536)
+        .otherwise("test"))
+  }
+
+  def corpusSplit(s: SparkSession, d: String): DataFrame =
+    corpusSplitAssign(Tables.documents(s, d))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("share", rnd(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy()), 6))
+
   /** pii_pseudonymize — keyed deterministic pseudonymization of the
     * customer table (the release form `anon_kanon`/`anon_ldiversity`/
     * `anon_tcloseness` audit): the join key and the direct identifier
@@ -584,6 +610,7 @@ object Curation {
     "pii_redact" -> piiRedact,
     "pii_stats" -> piiStats,
     "pii_pseudonymize" -> piiPseudonymize,
+    "corpus_split" -> corpusSplit,
     "corpus_line_dedup" -> lineDedup,
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "corpus_overlap_matrix" -> overlapMatrix,
@@ -604,6 +631,20 @@ object Curation {
         "FROM p FULL OUTER JOIN c USING (doc_id)) " +
         "SELECT status, count(*) AS n_docs, sum(len)::BIGINT AS n_chars " +
         "FROM j GROUP BY 1"),
+
+    "corpus_split" ->
+      ("WITH a AS (SELECT doc_id, n_chars, (((" +
+        "(instr('0123456789abcdef', substr(md5('split_' || doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substr(md5('split_' || doc_id::VARCHAR), 2, 1)) - 1)) * 16 + " +
+        "(instr('0123456789abcdef', substr(md5('split_' || doc_id::VARCHAR), 3, 1)) - 1)) * 16 + " +
+        "(instr('0123456789abcdef', substr(md5('split_' || doc_id::VARCHAR), 4, 1)) - 1)) AS u16 " +
+        "FROM documents), " +
+        "s AS (SELECT CASE WHEN u16 < 64225 THEN 'train' " +
+        "WHEN u16 < 64880 THEN 'val' ELSE 'test' END AS split, n_chars FROM a), " +
+        "g AS (SELECT split, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars " +
+        "FROM s GROUP BY 1) " +
+        "SELECT split, n_docs, n_chars, " +
+        "rnd(n_docs::DOUBLE / (SELECT sum(n_docs) FROM g), 6) AS share FROM g"),
 
     "pii_pseudonymize" ->
       ("SELECT md5('k1_' || c_custkey::VARCHAR) AS sur_key, " +

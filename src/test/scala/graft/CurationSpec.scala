@@ -237,6 +237,32 @@ class CurationSpec extends SparkSpecBase {
     assert(out("unchanged") === (1L, 4L))  // beta
   }
 
+  test("corpus_split: assignment is a pure function of doc_id; splits partition the corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val assign = graft.llm.Curation.corpusSplitAssign(
+      Tables.documents(spark, sfDir))
+      .select(col("doc_id").cast("long").as[Long], col("split").as[String])
+      .collect()
+    // pure function: recomputing from the hash agrees row by row
+    assign.foreach { case (id, split) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u16 = java.lang.Long.parseLong(md5.take(4), 16)
+      val expect = if (u16 < 64225) "train" else if (u16 < 64880) "val" else "test"
+      assert(split === expect, s"doc $id")
+    }
+    // declared row: shares sum to 1 within rounding; docs conserved
+    val rows = SparkEntry.queries("corpus_split")(spark, sfDir)
+      .select(col("split").as[String], col("n_docs").as[Long],
+        col("share").as[Double]).collect()
+    assert(rows.map(_._2).sum === assign.length.toLong)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-5)
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.find(_._1 == "train").exists(_._2 > assign.length * 9 / 10),
+      "train carries the 98% mass")
+  }
+
   test("pii_pseudonymize: surrogates are injective and stable, bands generalize, no raw leak") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
