@@ -156,7 +156,13 @@ object SuiteScaleProbe {
       "stats_anova" -> (() => qs("stats_anova")(spark, outDir)),
       "stats_levene" -> (() => qs("stats_levene")(spark, outDir)),
       "stats_kendall" -> (() => qs("stats_kendall")(spark, outDir)),
-      "anon_tcloseness" -> (() => qs("anon_tcloseness")(spark, outDir)))
+      "anon_tcloseness" -> (() => qs("anon_tcloseness")(spark, outDir)),
+      // thirty-fourth/fifth/sixth-wave rows
+      "graph_random_walk" -> (() => qs("graph_random_walk")(spark, outDir)),
+      "anon_dp_counts" -> (() => qs("anon_dp_counts")(spark, outDir)),
+      "events_ab_assign" -> (() => qs("events_ab_assign")(spark, outDir)),
+      "pii_pseudonymize" -> (() => qs("pii_pseudonymize")(spark, outDir)),
+      "corpus_split" -> (() => qs("corpus_split")(spark, outDir)))
 
     // optional leg-name filter: args beyond <k> <baseDir> restrict the run
     val wanted = args.drop(2).toSet
