@@ -2232,13 +2232,18 @@ object Queries {
     * decision. One distinct + one aggregate; scales as a keyed
     * dedup.
     */
-  def eventsAbAssign(s: SparkSession, d: String): DataFrame = {
+  /** Per-user arm assignment (user_id, arm) — the library surface
+    * `run.RunAbtest`'s A/A section joins back to outcomes. */
+  def abAssignArms(events: DataFrame): DataFrame = {
     val u16 = conv(substring(md5(concat(lit("ab_"),
       col("user_id").cast("string"))), 1, 4), 16, 10).cast("long")
-    Tables.events(s, d)
-      .select(col("user_id")).distinct()
-      .select(when(pmod(u16, lit(2)) === 0, lit("control"))
+    events.select(col("user_id")).distinct()
+      .select(col("user_id"), when(pmod(u16, lit(2)) === 0, lit("control"))
         .otherwise(lit("treatment")).as("arm"))
+  }
+
+  def eventsAbAssign(s: SparkSession, d: String): DataFrame =
+    abAssignArms(Tables.events(s, d))
       .groupBy(col("arm")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n")).as("n_users"),
         sum(when(col("arm") === "control", col("n")).otherwise(0L)).as("n_control"),
@@ -2248,7 +2253,6 @@ object Queries {
       .select(col("n_users"), col("n_control"), col("n_treatment"),
         rnd(col("d2").cast("double") / col("n_users"), 6).as("srm_chi2"),
         (col("d2") * 1000 > col("n_users") * 3841).as("srm_flag"))
-  }
 
   // ---- anon_dp_counts: differentially-private noisy counts --------------
 

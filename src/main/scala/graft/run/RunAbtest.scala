@@ -22,7 +22,11 @@ import graft.rel.Queries
   *  - effect shape: `stats_spearman` / `stats_kendall` (monotone
   *    association on the quantity–discount grid),
   *  - uncertainty: `stats_bootstrap_ci` (Poisson-bootstrap CI on the
-  *    mean, the resampling cross-check on the parametric interval).
+  *    mean, the resampling cross-check on the parametric interval),
+  *  - and the A/A harness check: `events_ab_assign`'s SRM gate on the
+  *    hash split itself, plus a Mann-Whitney U over `value` BETWEEN
+  *    the hash arms (a true null — the pipeline-is-sound read-out: if
+  *    the A/A z rejects, the harness, not the treatment, is broken).
   *
   * ```
   * tools/run.sh graft.run.RunAbtest <sfdir> <outdir>
@@ -52,7 +56,17 @@ object RunAbtest {
       "stats_ztest_prop" -> Queries.statsZtestProp,
       "stats_spearman" -> Queries.statsSpearman,
       "stats_kendall" -> Queries.statsKendall,
-      "stats_bootstrap_ci" -> Queries.statsBootstrapCi)
+      "stats_bootstrap_ci" -> Queries.statsBootstrapCi,
+      "events_ab_assign" -> Queries.eventsAbAssign,
+      // A/A: the declared mannwhitneyOf core over the HASH arms — a
+      // true null by construction (assignment is outcome-blind)
+      "aa_mannwhitney" -> ((sp: SparkSession, dir: String) => {
+        val ev = graft.Tables.events(sp, dir)
+        Queries.mannwhitneyOf(ev
+          .join(Queries.abAssignArms(ev), "user_id")
+          .select((col("arm") === "control").as("isa"),
+            col("value"), col("event_id")))
+      }))
     val results = sections.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -70,6 +84,8 @@ object RunAbtest {
       if (math.abs(stat) > crit) "REJECT" else "no-reject"
     val levF = d("stats_levene", "f")
     val ci = head1("stats_bootstrap_ci")
+    val srm = head1("events_ab_assign")
+    val aaZ = d("aa_mannwhitney", "z")
 
     val report =
       s"""a/b analysis report (click vs purchase)
@@ -84,6 +100,8 @@ object RunAbtest {
          |spearman_rho: ${d("stats_spearman", "rho")}
          |kendall_tau_b: ${d("stats_kendall", "tau_b")}
          |bootstrap_mean_ci: [${ci.getAs[Double]("ci_lo")}, ${ci.getAs[Double]("ci_hi")}] mean ${ci.getAs[Double]("mean")}
+         |aa_srm_chi2: ${srm.getAs[Double]("srm_chi2")} (split ${if (srm.getAs[Boolean]("srm_flag")) "MISMATCH" else "ok"})
+         |aa_mannwhitney_z: $aaZ (harness ${if (math.abs(aaZ) > 1.96) "BROKEN" else "sound"})
          |""".stripMargin
     Files.writeString(Paths.get(s"$outDir/report.txt"), report)
     report

@@ -15,7 +15,8 @@ class RunAbtestSpec extends SparkSpecBase {
 
     val sections = Seq("stats_levene", "stats_anova", "stats_kruskal",
       "stats_ttest", "stats_mannwhitney", "stats_ztest_prop",
-      "stats_spearman", "stats_kendall", "stats_bootstrap_ci")
+      "stats_spearman", "stats_kendall", "stats_bootstrap_ci",
+      "events_ab_assign")
     sections.foreach { name =>
       val sunk = spark.read.parquet(s"$out/$name").collect().map(_.toSeq).toSet
       val declared = SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSet
@@ -37,5 +38,12 @@ class RunAbtestSpec extends SparkSpecBase {
       ci.getAs[Double]("mean") <= ci.getAs[Double]("ci_hi"))
     // every test line carries an explicit call
     assert(report.contains("REJECT") || report.contains("no-reject"))
+    // A/A harness check: the hash split is outcome-blind, so the true
+    // null holds — the A/A Mann-Whitney must NOT reject and the SRM
+    // gate must pass (both deterministic on this fixed corpus)
+    val aaZ = spark.read.parquet(s"$out/aa_mannwhitney")
+      .head().getAs[Double]("z")
+    assert(math.abs(aaZ) < 1.96, s"A/A z=$aaZ must not reject")
+    assert(report.contains("(harness sound)") && report.contains("(split ok)"))
   }
 }
