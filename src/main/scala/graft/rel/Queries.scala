@@ -2218,6 +2218,25 @@ object Queries {
     kendallOf(Tables.lineitem(s, d)
       .select(col("l_quantity").as("x"), col("l_discount").as("y")))
 
+  // ---- agg_group_quantiles: per-group exact quantiles at scale ----------
+
+  /** agg_group_quantiles — EXACT p25/p50/p75/p95 of `value` per event
+    * type: the per-group quantile table `agg_quantiles` computes for
+    * one global frame, now per key WITHOUT a per-group sort of the row
+    * stream (`Rank.groupQuantiles`: keyed two-pass prefix sum over the
+    * per-group distinct-value frame, then an all-integer inverted-CDF
+    * cut — 1000·cum ≥ n·q, no division, both engines cut identically).
+    * Values ride as e6 BIGINTs; the only double is the final /1e6
+    * display division (exact: vu < 2⁵³).
+    */
+  def aggGroupQuantiles(s: SparkSession, d: String): DataFrame = {
+    val e6 = Tables.events(s, d).select(col("event_type").as("g"),
+      floor(col("value") * 1e6 + 0.5).cast("long").as("vu"))
+    Rank.groupQuantiles(e6, col("g"), col("vu"), Seq(250, 500, 750, 950))
+      .select(col("mr_k").as("event_type"), col("q_permille"),
+        (col("mr_v") / 1e6).as("value"))
+  }
+
   // ---- events_ab_assign: experiment-arm assignment + SRM gate -----------
 
   /** events_ab_assign — deterministic experiment bucketing with the
@@ -2419,6 +2438,7 @@ object Queries {
     "stats_ztest_prop" -> statsZtestProp,
     "anon_dp_counts" -> anonDpCounts,
     "events_ab_assign" -> eventsAbAssign,
+    "agg_group_quantiles" -> aggGroupQuantiles,
     "stats_spearman" -> statsSpearman,
     "stats_kruskal" -> statsKruskal,
     "anon_tcloseness" -> anonTcloseness,
@@ -2587,6 +2607,18 @@ object Queries {
         "x AS (SELECT n, k, a - (s::HUGEINT * s)::DOUBLE / n AS ssb, " +
         "q - a AS ssw FROM m) " +
         "SELECT n, k, rnd((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f FROM x"),
+
+    "agg_group_quantiles" ->
+      // same inverted-CDF integer cut over per-group cumulative counts
+      ("WITH e6 AS (SELECT event_type AS g, " +
+        "floor(value * 1e6 + 0.5)::BIGINT AS vu FROM events), " +
+        "cnt AS (SELECT g, vu, count(*) AS t FROM e6 GROUP BY 1, 2), " +
+        "cum AS (SELECT g, vu, sum(t) OVER (PARTITION BY g ORDER BY vu) AS c, " +
+        "sum(t) OVER (PARTITION BY g) AS n FROM cnt), " +
+        "qs AS (SELECT unnest([250, 500, 750, 950]) AS q_permille) " +
+        "SELECT g AS event_type, q_permille, min(vu) / 1e6 AS value " +
+        "FROM cum JOIN qs ON c * 1000 >= n * q_permille " +
+        "GROUP BY 1, 2"),
 
     "events_ab_assign" ->
       ("WITH u AS (SELECT DISTINCT user_id FROM events), " +

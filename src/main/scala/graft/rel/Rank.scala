@@ -127,6 +127,28 @@ object Rank {
         (lit(2L) * (col("mr_cum") - col("mr_t")) + col("mr_t") + 1).as("mr_r2"))
   }
 
+  /** Per-key EXACT QUANTILES from `midranksBy`: for each requested
+    * per-mille point q, the smallest value whose inclusive cumulative
+    * count reaches ceil(q·n/1000) — the inverted-CDF (type-1)
+    * convention, all-integer thresholds so both engines cut
+    * identically. The quantile list broadcasts against the per-group
+    * distinct frame; one filter + keyed min per point. Returns
+    * (mr_k, q_permille, mr_v).
+    */
+  def groupQuantiles(df: DataFrame, key: Column, v: Column,
+      permille: Seq[Int]): DataFrame = {
+    val mr = midranksBy(df, key, v)
+    val totals = mr.groupBy(col("mr_k")).agg(max(col("mr_cum")).as("mr_n"))
+    val qs = df.sparkSession.createDataFrame(
+      permille.map(Tuple1(_))).toDF("q_permille")
+    // integer cum ≥ ceil(n·q/1000) ⟺ 1000·cum ≥ n·q — no division at all
+    mr.join(totals, "mr_k")
+      .join(broadcast(qs),
+        col("mr_cum") * 1000 >= col("mr_n") * col("q_permille"))
+      .groupBy(col("mr_k"), col("q_permille"))
+      .agg(min(col("mr_v")).as("mr_v"))
+  }
+
   /** Per-key LOWER MEDIAN from `midranksBy`: the smallest value whose
     * inclusive cumulative count reaches half the group (exact median
     * for odd group sizes, lower-middle for even — deterministic, no

@@ -32,6 +32,8 @@ class PlanAuditSpec extends SparkSpecBase {
   /** BNLJ whitelist — intentional one-row/tiny-broadcast cross joins. */
   private val bnljAllowed = Set(
     "agg_benford", "agg_trimmed_mean",
+    // quantile cut: 4-row per-mille broadcast against the distinct frame
+    "agg_group_quantiles",
     // ANN family: centroid/codebook frames (≤ cells·m rows) and scalar
     // norm/total aggregates broadcast against the corpus stream
     "ann_cosine_topk", "ann_hamming", "ann_ivf", "ann_ivf_kmeans",

@@ -755,6 +755,29 @@ class PropertySpec extends SparkSpecBase {
     }, min = 15)
   }
 
+  test("Rank.groupQuantiles ≡ sorted inverted-CDF cut per key on random grouped longs") {
+    import spark.implicits._
+    val permille = Seq(250, 500, 750, 950)
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b"), Gen.choose(-9L, 9L)))
+    check(Prop.forAll(gen) { pts =>
+      val got = graft.rel.Rank.groupQuantiles(
+        pts.toDF("g", "v"), col("g"), col("v"), permille)
+        .select("mr_k", "q_permille", "mr_v")
+        .as[(String, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val expect = (for {
+        (g, rows) <- pts.groupBy(_._1).toSeq
+        q <- permille
+      } yield {
+        val s = rows.map(_._2).sorted
+        // smallest value at rank ceil(q·n/1000): type-1 inverted CDF
+        (g, q) -> s((q * s.length + 999) / 1000 - 1)
+      }).toMap
+      got == expect
+    }, min = 20)
+  }
+
   test("Rank.groupMedian ≡ sorted lower-middle per key on random grouped longs") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(Gen.zip(
