@@ -276,6 +276,13 @@ object SparkEntry {
         emb(s, d).select("vec_id", "label"), posLabel = 0)
     },
 
+    // #20e metrics_pr_auc (EXT): binned average precision over the same
+    // class-0 score slice — the imbalanced-class companion to #20b.
+    "metrics_pr_auc" -> { (s, d) =>
+      Metrics.prAucBinned(scoresShared(s, d).filter(col("class") === 0),
+        emb(s, d).select("vec_id", "label"), posLabel = 0)
+    },
+
     // #20c class_report (SURF): per-class precision/recall/F1.
     "class_report" -> { (s, d) =>
       Metrics.classReport(predShared(s, d), emb(s, d).select("vec_id", "label"), NClasses)
@@ -401,6 +408,20 @@ object SparkEntry {
         "pred AS (SELECT q_id, class AS predicted FROM rk WHERE rn = 1) " +
         "SELECT round(avg(CASE WHEN p.predicted = e.label THEN 1e0 ELSE 0e0 END), 6) AS accuracy " +
         "FROM pred p JOIN embeddings e ON e.vec_id = p.q_id"),
+
+    "metrics_pr_auc" ->
+      // same binning, descending-cumulative precision, ordered fold
+      (s"WITH $classifyCte, " +
+        "s0 AS (SELECT sc.u, CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos " +
+        "FROM sc JOIN embeddings e ON e.vec_id = sc.q_id WHERE sc.class = 0), " +
+        "h AS (SELECT least(floor(u * 16), 15)::INT AS b, count(*) AS cnt, " +
+        "sum(pos)::BIGINT AS p FROM s0 GROUP BY 1), " +
+        "c AS (SELECT b, p, cnt, sum(p) OVER (ORDER BY b DESC) AS ctp, " +
+        "sum(cnt) OVER (ORDER BY b DESC) AS ccnt FROM h), " +
+        "t AS (SELECT b, ctp, (p::HUGEINT * ctp)::DOUBLE / ccnt AS term FROM c), " +
+        "m AS (SELECT max(ctp) AS ptot, " +
+        "list_reduce(list(term ORDER BY b DESC), (acc, x) -> acc + x) AS s FROM t) " +
+        "SELECT CASE WHEN ptot = 0 THEN NULL ELSE rnd(s / ptot, 6) END AS pr_auc FROM m"),
 
     "auc_binary" ->
       (s"WITH $classifyCte, " +

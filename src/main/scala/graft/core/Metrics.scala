@@ -56,6 +56,44 @@ object Metrics {
             (pCnt * nCnt), 6)).as("auc"))
   }
 
+  /** metrics_pr_auc — average precision (area under the PR curve) over
+    * a FIXED 16-bin score grid: every score in a bin is tied at the
+    * bin's threshold, so the whole metric is exact integer per-bin
+    * counts (the `aucBinaryBucketed` discipline — no global sort of
+    * the eval set, windows bounded by the BIN count). Each bin's
+    * contribution pos_b·P_b uses precision AT the bin's descending
+    * cumulative (P_b = ctp_b/ccnt_b); the ≤ bins double terms fold in
+    * DESCENDING bin order (sort_array/aggregate ≡ the oracle's
+    * list_reduce(ORDER BY b DESC) — the `stats_kruskal` bitwise
+    * pattern). NULL when the slice has no positives, the `aucBinary`
+    * convention. ROC-AUC rewards ranking everywhere; PR-AUC is the
+    * metric that moves when the POSITIVE class is rare — the curation
+    * read-out for imbalanced quality labels.
+    */
+  def prAucBinned(scores: DataFrame, truth: DataFrame, posLabel: Int,
+      bins: Int = 16): DataFrame = {
+    val s = scores.join(truth, scores("q_id") === truth("vec_id"))
+      .select(col("u"),
+        when(col("label") === posLabel, 1L).otherwise(0L).as("pos"))
+    val hist = s
+      .select(least(floor(col("u") * bins), lit(bins - 1).cast("long"))
+        .cast("int").as("b"), col("pos"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+    val wDesc = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("ctp", sum(col("p")).over(wDesc))
+      .withColumn("ccnt", sum(col("cnt")).over(wDesc))
+      .withColumn("term", (col("p") * col("ctp")).cast("double") / col("ccnt"))
+      .agg(
+        max(col("ctp")).as("ptot"),
+        aggregate(sort_array(collect_list(struct(col("b"), col("term"))),
+          asc = false), lit(0.0), (acc, t) => acc + t.getField("term")).as("s"))
+      .select(when(col("ptot") === 0, lit(null).cast("double"))
+        .otherwise(rnd(col("s") / col("ptot"), 6)).as("pr_auc"))
+  }
+
   /** At-scale AUC: the same rank statistic over a fixed-width score
     * histogram instead of a global sort. Every score in a bucket is
     * treated as tied at the bucket midrank, so the only non-map work is

@@ -118,6 +118,30 @@ class MetricsSpec extends SparkSpecBase {
     assert(math.abs(br - 0.25) < 1e-9)
   }
 
+  test("prAucBinned: perfect separation scores 1; matches hand AP on a crafted slice") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Double)], labels: Seq[(Long, Int)]): Option[Double] = {
+      val scores = rows.map { case (id, u) => (id, 0, u) }.toDF("q_id", "class", "u")
+      val truth = labels.toDF("vec_id", "label")
+      Option(Metrics.prAucBinned(scores, truth, posLabel = 0)
+        .head().getAs[java.lang.Double]("pr_auc")).map(_.doubleValue())
+    }
+    // positives all in the top bin, negatives at the bottom → AP = 1
+    val sep = run(
+      Seq((1L, 0.99), (2L, 0.98), (3L, 0.01), (4L, 0.02)),
+      Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)))
+    assert(sep === Some(1.0))
+    // hand case: bins b15={pos}, b0={pos, neg} (0.99→15; 0.01, 0.03→0)
+    // desc sweep: term(b15)=1·1/1; term(b0)=1·2/3 → AP=(1+2/3)/2=5/6
+    val hand = run(
+      Seq((1L, 0.99), (2L, 0.01), (3L, 0.03)),
+      Seq((1L, 0), (2L, 0), (3L, 1)))
+    assert(hand.exists(v => math.abs(v - 5.0 / 6) < 1e-6))
+    // no positives → NULL (the aucBinary convention)
+    val nul = run(Seq((1L, 0.9)), Seq((1L, 1)))
+    assert(nul === None)
+  }
+
   test("calibrationBins: bin counts partition the eval set and confidence sits inside its bin") {
     val t = Tables.embeddings(spark, sfDir).count() // touch fixture
     assert(t > 0)

@@ -94,6 +94,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "events_rfm",          // same per-user aggregate bound
     "events_slo_burn",     // hourly frame (calendar-bounded)
     "events_time_to_convert", // per-bin quantile frame
+    "metrics_pr_auc",      // descending cumulative over ≤16 score bins
     "quality_ks_drift",    // cumulative dist over fixed histogram bins (×2)
     "skyline_pareto",      // sweep over the per-size frame (≤ |p_size| = 50 rows)
     "stats_bootstrap_ci",  // rank cut over the B = 64 replicate-mean frame
