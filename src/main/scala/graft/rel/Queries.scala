@@ -1765,15 +1765,27 @@ object Queries {
     */
   def statsTtest(s: SparkSession, d: String): DataFrame = {
     val isA = col("event_type") === "click"
+    val d19 = "decimal(19,0)"
+    // moments as e6 BIGINTs (round-10 hardening): raw double sums are
+    // partition-ORDER-sensitive — Σv and Σv² fold exactly as integers
+    // (Σvu² in DECIMAL(38,0)) and meet doubles only in the closing
+    // expressions, written identically in the oracle
+    val vu = floor(col("value") * 1e6 + 0.5).cast("long")
     val m = Tables.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), vu.as("vu"))
       .agg(
         sum(when(isA, 1L).otherwise(0L)).as("na"),
-        sum(when(isA, col("value"))).as("sa"),
-        sum(when(isA, col("value") * col("value"))).as("qa"),
+        sum(when(isA, col("vu"))).as("sau"),
+        sum(when(isA, col("vu").cast(d19) * col("vu").cast(d19))).as("qau"),
         sum(when(!isA, 1L).otherwise(0L)).as("nb"),
-        sum(when(!isA, col("value"))).as("sb"),
-        sum(when(!isA, col("value") * col("value"))).as("qb"))
+        sum(when(!isA, col("vu"))).as("sbu"),
+        sum(when(!isA, col("vu").cast(d19) * col("vu").cast(d19))).as("qbu"))
+      .select(col("na"), col("nb"),
+        (col("sau").cast("double") / 1e6).as("sa"),
+        (col("qau").cast("double") / 1e12).as("qa"),
+        (col("sbu").cast("double") / 1e6).as("sb"),
+        (col("qbu").cast("double") / 1e12).as("qb"))
     m.withColumn("va", (col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1))
       .withColumn("vb", (col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1))
       .withColumn("sea", col("va") / col("na"))
@@ -2785,15 +2797,19 @@ object Queries {
         "(nr - 1) * (nc - 1) AS dof, max(n)::BIGINT AS n FROM cells, dims GROUP BY nr, nc"),
 
     "stats_ttest" ->
-      // identical explicit-sum moments and Welch-Satterthwaite formula
-      ("WITH m AS (SELECT " +
-        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na, " +
-        "sum(CASE WHEN event_type = 'click' THEN value END) AS sa, " +
-        "sum(CASE WHEN event_type = 'click' THEN value * value END) AS qa, " +
-        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb, " +
-        "sum(CASE WHEN event_type = 'purchase' THEN value END) AS sb, " +
-        "sum(CASE WHEN event_type = 'purchase' THEN value * value END) AS qb " +
+      // identical e6-integer moments and Welch-Satterthwaite formula
+      ("WITH e6 AS (SELECT event_type, floor(value * 1e6 + 0.5)::BIGINT AS vu " +
         "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "mu AS (SELECT " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na, " +
+        "sum(CASE WHEN event_type = 'click' THEN vu END)::BIGINT AS sau, " +
+        "sum(CASE WHEN event_type = 'click' THEN vu::HUGEINT * vu END) AS qau, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN vu END)::BIGINT AS sbu, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN vu::HUGEINT * vu END) AS qbu " +
+        "FROM e6), " +
+        "m AS (SELECT na, nb, sau::DOUBLE / 1e6 AS sa, qau::DOUBLE / 1e12 AS qa, " +
+        "sbu::DOUBLE / 1e6 AS sb, qbu::DOUBLE / 1e12 AS qb FROM mu), " +
         "v AS (SELECT *, (qa - sa * sa / na) / (na - 1) AS va, " +
         "(qb - sb * sb / nb) / (nb - 1) AS vb FROM m), " +
         "se AS (SELECT *, va / na AS sea, vb / nb AS seb FROM v) " +
