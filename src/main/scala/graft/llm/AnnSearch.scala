@@ -1066,6 +1066,49 @@ object AnnSearch {
         rnd(coalesce(col("n_hit"), lit(0L)) / lit(3.0), 6).as("recall"))
   }
 
+  // ---- ann_ndcg: graded ranking quality of the bucketed search ----------
+
+  /** ann_ndcg — NDCG@3 of the LSH-bucketed search against the exact
+    * ranking (graded: the exact rank-1 neighbor is worth rel = 3, rank
+    * 2 → 2, rank 3 → 1), the companion to `ann_recall`'s set-overlap
+    * view — recall can't see that an index returning the right SET in
+    * the wrong ORDER is still degrading rerank budgets. DCG is a FIXED
+    * three-term expression (gain at each position via max-of-case over
+    * exact integers — never a float sum whose order varies), divided by
+    * the constant ideal; log2 meets libm identically in both engines
+    * under the 6-dp edge (the `metrics_logloss` ln precedent).
+    * Bucket-isolated queries score 0, the `ann_recall` convention.
+    */
+  def annNdcg(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 20)
+    val t = e.filter(col("vec_id") >= 20)
+    val brute = Knn.knn(q, t, k = 3, dist = cosineDist)
+      .select(col("q_id"), col("t_id"), (lit(4) - col("rn")).cast("long").as("rel"))
+    val qb = q.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+      bucketCol(col("v")).as("bucket"))
+    val tb = t.select(col("vec_id").as("t_id"), col("v").as("t_v"),
+      bucketCol(col("v")).as("bucket"))
+    val lsh = graft.functions.TopKAgg.knn(
+        broadcast(qb).join(tb, "bucket")
+          .select(col("q_id"), col("t_id"),
+            cosineDist(col("q_v"), col("t_v")).as("dist")), 3)
+      .select(col("q_id"), col("t_id"), col("rn"))
+    val gains = lsh.join(brute, Seq("q_id", "t_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        coalesce(max(when(col("rn") === 1, col("rel"))), lit(0L)).as("r1"),
+        coalesce(max(when(col("rn") === 2, col("rel"))), lit(0L)).as("r2"),
+        coalesce(max(when(col("rn") === 3, col("rel"))), lit(0L)).as("r3"))
+    val dcg = col("r1") + col("r2") / expr("log2(3.0d)") + col("r3") / lit(2.0)
+    val idcg = lit(3.0) + lit(2.0) / expr("log2(3.0d)") + lit(0.5)
+    brute.select(col("q_id")).distinct()
+      .join(gains, Seq("q_id"), "left")
+      .select(col("q_id"),
+        rnd(coalesce(dcg, lit(0.0)), 6).as("dcg"),
+        rnd(coalesce(dcg / idcg, lit(0.0)), 6).as("ndcg"))
+  }
+
   // ---- embedding_knn_graph: bucketed all-corpus k-NN graph --------------
 
   /** embedding_knn_graph — the k-nearest-neighbor GRAPH over the whole
@@ -1211,6 +1254,7 @@ object AnnSearch {
     "embedding_outliers" -> embeddingOutliers,
     "embedding_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "ann_recall" -> annRecall,
+    "ann_ndcg" -> annNdcg,
     "ann_pq_distortion" -> pqDistortion,
   )
 
@@ -1319,6 +1363,36 @@ object AnnSearch {
         "WHERE rk = (n + 1) // 2) " +
         "SELECT n, rnd(mn, 6) AS min_dist, rnd(median_dist, 6) AS median_dist, " +
         "rnd(mx, 6) AS max_dist FROM ag, md2"),
+
+    "ann_ndcg" ->
+      // same two rankings as ann_recall, graded by exact rank; DCG is
+      // the identical fixed three-term expression
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "bq AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, " +
+        s"${cosSql("a.v", "b.v")} AS dist " +
+        "FROM e a CROSS JOIN e b WHERE a.vec_id < 20 AND b.vec_id >= 20), " +
+        "brute AS (SELECT q_id, t_id, 4 - rn AS rel FROM (SELECT q_id, t_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM bq) " +
+        "WHERE rn <= 3), " +
+        s"eb AS (SELECT vec_id, v, $bucketSql AS bucket FROM e), " +
+        "lp AS (SELECT a.vec_id AS q_id, b.vec_id AS t_id, " +
+        s"${cosSql("a.v", "b.v")} AS dist " +
+        "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id >= 20), " +
+        "lsh AS (SELECT q_id, t_id, rn FROM (SELECT q_id, t_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM lp) " +
+        "WHERE rn <= 3), " +
+        "g AS (SELECT lsh.q_id, " +
+        "coalesce(max(CASE WHEN lsh.rn = 1 THEN brute.rel END), 0)::BIGINT AS r1, " +
+        "coalesce(max(CASE WHEN lsh.rn = 2 THEN brute.rel END), 0)::BIGINT AS r2, " +
+        "coalesce(max(CASE WHEN lsh.rn = 3 THEN brute.rel END), 0)::BIGINT AS r3 " +
+        "FROM lsh LEFT JOIN brute ON lsh.q_id = brute.q_id AND lsh.t_id = brute.t_id " +
+        "GROUP BY 1), " +
+        "qs AS (SELECT DISTINCT q_id FROM brute) " +
+        "SELECT qs.q_id, " +
+        "rnd(coalesce(r1 + r2 / log2(3.0) + r3 / 2.0e0, 0e0), 6) AS dcg, " +
+        "rnd(coalesce((r1 + r2 / log2(3.0) + r3 / 2.0e0) / " +
+        "(3.0e0 + 2.0e0 / log2(3.0) + 0.5e0), 0e0), 6) AS ndcg " +
+        "FROM qs LEFT JOIN g ON qs.q_id = g.q_id"),
 
     "ann_recall" ->
       // both rankings restated; left join keeps bucket-isolated

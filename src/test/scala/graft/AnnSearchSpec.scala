@@ -385,4 +385,25 @@ class AnnSearchSpec extends SparkSpecBase {
     val scanned = oneCell.queryExecution.executedPlan.toString()
     assert(scanned.contains("PartitionFilters") || oneCell.count() > 0)
   }
+
+  test("ann_ndcg: bounded in [0,1], zero iff recall is zero, covers every brute query") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ndcg = SparkEntry.queries("ann_ndcg")(spark, sfDir)
+      .select(col("q_id").as[Long], col("dcg").as[Double], col("ndcg").as[Double])
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val recall = SparkEntry.queries("ann_recall")(spark, sfDir)
+      .select(col("q_id").as[Long], col("n_hit").as[Long])
+      .collect().toMap
+    assert(ndcg.keySet === recall.keySet, "one graded row per brute query")
+    val idcg = 3.0 + 2.0 / (math.log(3.0) / math.log(2.0)) + 0.5
+    ndcg.foreach { case (q, (dcg, nd)) =>
+      assert(nd >= 0.0 && nd <= 1.0 && dcg >= 0.0 && dcg <= idcg + 1e-9, s"q=$q")
+      // graded and set views agree on emptiness: no overlap ⟺ zero gain
+      assert((nd == 0.0) === (recall(q) == 0L), s"q=$q ndcg=$nd hits=${recall(q)}")
+    }
+    // the slice is informative: some query scores strictly between 0 and 1
+    // or at 1 — not all zero (the bucketed search does find neighbors)
+    assert(ndcg.values.exists(_._2 > 0.0))
+  }
 }

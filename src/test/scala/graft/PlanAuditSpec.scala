@@ -36,7 +36,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "agg_group_quantiles",
     // ANN family: centroid/codebook frames (≤ cells·m rows) and scalar
     // norm/total aggregates broadcast against the corpus stream
-    "ann_cosine_topk", "ann_hamming", "ann_ivf", "ann_ivf_kmeans",
+    "ann_cosine_topk", "ann_hamming", "ann_ivf", "ann_ivf_kmeans", "ann_ndcg",
     "ann_ivf_pq", "ann_pq", "ann_pq_chunked", "ann_pq_distortion",
     "ann_recall", "ann_rerank",
     "corpus_apportion", "corpus_mix_temperature",
