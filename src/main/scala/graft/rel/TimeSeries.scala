@@ -857,6 +857,43 @@ object TimeSeries {
   def pattern(s: SparkSession, d: String): DataFrame =
     declineRuns(Tables.events(s, d))
 
+  // ---- ts_hampel: rolling-median outlier filter --------------------------
+
+  /** ts_hampel — the Hampel filter: flag hourly buckets whose value
+    * deviates from the ±3-hour ROLLING lower median by more than
+    * 3·1.4826·(rolling MAD). `ts_mad` screens against the GLOBAL
+    * median — a level shift mid-series flags everything after it; the
+    * rolling window adapts, which is why Hampel is the standard spike
+    * cleaner ahead of forecasting. All medians are discrete
+    * lower-median picks from the sorted 7-element window (exact e6
+    * integers, `sort_array`/`element_at` ≡ the oracle's
+    * `list_sort`/1-based index — no interpolation, no float sums);
+    * only the final cutoff compare touches a double, identically
+    * shaped in both engines. Windows are per-type row frames of ≤ 7 —
+    * bounded whatever the corpus.
+    */
+  def hampel(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hs").rowsBetween(-3, 3)
+    val idx = expr("(size(win) + 1) div 2").cast("int")
+    val flagged = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .withColumn("vu", floor(col("v") * 1e6 + 0.5).cast("long"))
+      .withColumn("win", sort_array(collect_list(col("vu")).over(w)))
+      .withColumn("med", element_at(col("win"), idx))
+      .withColumn("dev", abs(col("vu") - col("med")))
+      .withColumn("madw", element_at(
+        sort_array(transform(col("win"), x => abs(x - col("med")))), idx))
+      .withColumn("flag", col("dev") > lit(k) * lit(1.4826) * col("madw"))
+    flagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_out"),
+        min(when(col("flag"), col("hs"))).as("first_hs"))
+  }
+
+  def hampelQuery(s: SparkSession, d: String): DataFrame =
+    hampel(Tables.events(s, d))
+
   // ---- ts_decompose: additive seasonal decomposition --------------------
 
   /** Classical additive decomposition of the per-type hourly series:
@@ -2336,6 +2373,7 @@ object TimeSeries {
     "events_attribution" -> attribution,
     "ts_lttb" -> lttb,
     "ts_mad" -> mad,
+    "ts_hampel" -> hampelQuery,
     "ts_pattern" -> pattern,
     "ts_cross_corr" -> crossCorr,
     "ts_islands" -> islands,
@@ -2836,6 +2874,24 @@ object TimeSeries {
         "SELECT dev.event_type, rnd(max(dev.med), 6) AS med, rnd(max(mad.mad), 6) AS mad, " +
         "count(CASE WHEN dev.dv > 3.5e0 * 1.4826e0 * mad.mad THEN 1 END) AS n_out " +
         "FROM dev JOIN mad ON dev.event_type = mad.event_type GROUP BY 1"),
+
+    "ts_hampel" ->
+      // identical discrete lower-median picks from the sorted rolling
+      // window (list_sort + 1-based index ≡ sort_array + element_at)
+      ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "rnd(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT event_type, hs, floor(v * 1e6 + 0.5)::BIGINT AS vu FROM b), " +
+        "s AS (SELECT event_type, hs, vu, " +
+        "list_sort(list(vu) OVER (PARTITION BY event_type ORDER BY hs " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win FROM u), " +
+        "m AS (SELECT event_type, hs, vu, win, " +
+        "win[((len(win) + 1) // 2)::INT] AS med FROM s), " +
+        "f AS (SELECT event_type, hs, abs(vu - med) > 3.0e0 * 1.4826e0 * " +
+        "list_sort(list_transform(win, x -> abs(x - med)))" +
+        "[((len(win) + 1) // 2)::INT] AS flag FROM m) " +
+        "SELECT event_type, count(*) AS n_hours, " +
+        "sum(CASE WHEN flag THEN 1 ELSE 0 END)::BIGINT AS n_out, " +
+        "min(CASE WHEN flag THEN hs END) AS first_hs FROM f GROUP BY 1"),
 
     "ts_pattern" ->
       // same micro-unit bucket means, same row-based lags

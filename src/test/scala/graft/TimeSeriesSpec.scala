@@ -650,6 +650,31 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out2.last.getBoolean(5), "six sustained all-error hours must page")
   }
 
+  test("ts_hampel: a spike flags; a clean series and a LEVEL SHIFT do not flood-flag") {
+    // 24 steady hours at 10.0 with one 1000.0 spike at hour 12
+    val spike = (0 until 24).map { h =>
+      (h.toLong, h * 3600L, 1L, "click", if (h == 12) 1000.0 else 10.0)
+    }
+    val out = TimeSeries.hampel(ev(spike: _*)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.get(3))).toMap
+    assert(out("click")._1 === 24L)
+    assert(out("click")._2 === 1L, "exactly the spike hour flags")
+    assert(out("click")._3 === 12L * 3600)
+    // constant series: zero deviation, zero flags
+    val flat = (0 until 24).map(h => (h.toLong, h * 3600L, 1L, "view", 5.0))
+    val outFlat = TimeSeries.hampel(ev(flat: _*)).collect()
+    assert(outFlat.head.getLong(2) === 0L)
+    // level shift at hour 12: the ROLLING median adapts within the
+    // 7-hour window, so at most the transition hours flag — never the
+    // whole post-shift half (the ts_mad failure mode this row fixes)
+    val shift = (0 until 24).map { h =>
+      (h.toLong, h * 3600L, 1L, "error", if (h < 12) 10.0 else 500.0)
+    }
+    val outShift = TimeSeries.hampel(ev(shift: _*)).collect()
+    assert(outShift.head.getLong(2) <= 4L,
+      s"level shift must not flood-flag: ${outShift.head.getLong(2)}")
+  }
+
   test("events_forecast_naive: a perfectly 24h-periodic series backtests at MAE 0") {
     val rows = (0 until 48).map { h =>
       (h.toLong, java.sql.Timestamp.from(
