@@ -12,10 +12,12 @@ import graft.rel.Queries
   * warehouse directory to run the five governance read-outs a data
   * review actually opens with — column profile (`data_profile`),
   * declarative constraint validation (`data_constraints`), join-key
-  * skew (`data_skew_report`), the k-anonymity / l-diversity /
-  * t-closeness privacy ladder (`anon_kanon` / `anon_ldiversity` /
-  * `anon_tcloseness`), and the Benford first-digit audit
-  * (`agg_benford`) — and get one report plus each result as parquet.
+  * skew (`data_skew_report`), the privacy ladder end to end — the
+  * three audits (`anon_kanon` / `anon_ldiversity` / `anon_tcloseness`),
+  * the ε-DP noisy release (`anon_dp_counts`) and the pseudonymized
+  * release (`pii_pseudonymize`) with its PII exposure audit
+  * (`pii_stats`) — and the Benford first-digit audit (`agg_benford`):
+  * one report plus each result as parquet.
   *
   * ```
   * tools/run.sh graft.run.RunProfile <sfdir> <outdir>
@@ -42,6 +44,9 @@ object RunProfile {
       "anon_kanon" -> Queries.anonKanon,
       "anon_ldiversity" -> Queries.anonLdiversity,
       "anon_tcloseness" -> Queries.anonTcloseness,
+      "anon_dp_counts" -> Queries.anonDpCounts,
+      "pii_stats" -> graft.llm.Curation.piiStats,
+      "pii_pseudonymize" -> graft.llm.Curation.piiPseudonymize,
       "agg_benford" -> Queries.aggBenford)
     val results = sections.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -68,6 +73,8 @@ object RunProfile {
     val tMax = sunk("anon_tcloseness")
       .select(col("qi_level"), col("t_max"))
       .collect().map(r => s"${r.getString(0)}=${r.getDouble(1)}").sorted
+    val piiAffected = sunk("pii_stats")
+      .agg(sum(col("affected"))).head().getLong(0)
     val worstSkew = sunk("data_skew_report")
       .orderBy(col("skew_factor").desc).select("join_key", "skew_factor")
       .head()
@@ -83,6 +90,7 @@ object RunProfile {
          |k_anonymity: ${kMin.mkString(" ")}
          |l_diversity: ${lMin.mkString(" ")}
          |t_closeness_max: ${tMax.mkString(" ")}
+         |pii_affected_records: $piiAffected
          |worst_skew: ${worstSkew.getString(0)} ${worstSkew.getDouble(1)}
          |benford_max_abs_dev: ${math.floor(benfordDev * 1e6 + 0.5) / 1e6}
          |""".stripMargin

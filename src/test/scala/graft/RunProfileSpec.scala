@@ -18,6 +18,7 @@ class RunProfileSpec extends SparkSpecBase {
 
     Seq("data_profile", "data_constraints", "data_skew_report",
       "anon_kanon", "anon_ldiversity", "anon_tcloseness",
+      "anon_dp_counts", "pii_stats", "pii_pseudonymize",
       "agg_benford").foreach { name =>
       val sunk = spark.read.parquet(s"$out/$name").collect().map(_.toSeq).toSet
       val declared = SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSet
@@ -33,6 +34,7 @@ class RunProfileSpec extends SparkSpecBase {
     assert(report.contains("nation_segment=") && report.contains("region_segment="))
     assert(report.contains("l_diversity: nation=") && report.contains("region="))
     assert(report.contains("t_closeness_max: nation="))
+    assert(report.contains("pii_affected_records: "))
     // worst skew line names one of the three audited keys
     assert(Seq("l_orderkey", "l_partkey", "l_suppkey")
       .exists(k => report.contains(s"worst_skew: $k ")))
