@@ -37,6 +37,10 @@ case class SloOut(hour_us: Long, n: Long, n_err: Long,
     burn_1h: Double, burn_6h: Double, page: Boolean)
 
 /** Row types for the CUSUM drift stream (`Streaming.cusumStream`). */
+case class HampState(hs: Long, sum: Double, n: Long, ring: Seq[(Long, Long)])
+case class HampOut(event_type: String, hs: Long, v: Double, med_v: Double,
+    flag: Boolean)
+
 case class CusumEvent(event_id: Long, ts: java.sql.Timestamp, event_type: String,
     value: Double)
 case class CusumState(hs: Long, sum: Double, n: Long, sPlusE6: Long)
@@ -440,6 +444,65 @@ object Streaming {
             val pos = rnd6(sPlus / 1e6)
             out += CusumOut(etype, st.hs, v, pos, pos > threshold)
             st = CusumState(st.hs, 0.0, 0L, sPlus)
+          }
+          evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id)).foreach { ev =>
+            val hs = math.floorDiv(ev.ts.getTime, 3600000L) * 3600L
+            if (hs != st.hs) { closeHour(); st = st.copy(hs = hs, sum = 0.0, n = 0L) }
+            st = st.copy(sum = st.sum + ev.value, n = st.n + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of `TimeSeries.hampelDetail` (round 10): the
+    * rolling-median spike filter as a per-type
+    * `flatMapGroupsWithState` scan. The batch window is ±3 OBSERVED
+    * hours, so the stream necessarily emits WITH 3-HOUR LOOKAHEAD
+    * DELAY: a closed hour is graded once three more hours close after
+    * it (state = the open hour's (sum, n) plus a ≤ 7-entry ring of
+    * closed (hs, vu) — constant per type). The ring IS the batch
+    * window: once 4+ rows are closed, the 4th-from-last ring entry is
+    * exactly the row whose ±3 row-frame the ring holds (leading edge
+    * included — batch row i < 3 windows over rows 0..i+3, which is
+    * the whole ring at that point). Medians are the same discrete
+    * lower-median picks on the same e6 integers, so StreamingSpec
+    * pins stream ≡ batch on every emitted row and that emitted =
+    * all-but-the-last-3 closed hours per type. The last 3 rows of a
+    * finite replay never emit — in production the stream is unbounded
+    * and every hour eventually grades.
+    */
+  def hampelStream(events: DataFrame, k: Double = 3.0): Dataset[HampOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
+    events
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[DdEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HampState, HampOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, evs: Iterator[DdEvent], state: GroupState[HampState]) =>
+          var st = state.getOption.getOrElse(
+            HampState(Long.MinValue, 0.0, 0L, Seq.empty))
+          val out = Seq.newBuilder[HampOut]
+          def closeHour(): Unit = if (st.n > 0) {
+            val v = rnd6(st.sum / st.n)
+            val vu = math.floor(v * 1e6 + 0.5).toLong
+            val ring = (st.ring :+ (st.hs, vu)).takeRight(7)
+            if (ring.length >= 4) {
+              val (chs, cvu) = ring(ring.length - 4)
+              val win = ring.map(_._2)
+              val med = lowerMedian(win)
+              val mad = lowerMedian(win.map(x => math.abs(x - med)))
+              val flag = math.abs(cvu - med) > k * 1.4826 * mad
+              out += HampOut(etype, chs, rnd6(cvu / 1e6), rnd6(med / 1e6), flag)
+            }
+            st = st.copy(ring = ring, sum = 0.0, n = 0L)
           }
           evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id)).foreach { ev =>
             val hs = math.floorDiv(ev.ts.getTime, 3600000L) * 3600L

@@ -872,10 +872,13 @@ object TimeSeries {
     * shaped in both engines. Windows are per-type row frames of ≤ 7 —
     * bounded whatever the corpus.
     */
-  def hampel(events: DataFrame, k: Double = 3.0): DataFrame = {
+  /** Per-hour detail frame (event_type, hs, v, vu, med, flag) — the
+    * declared row aggregates it; `Streaming.hampelStream`'s twin pin
+    * compares against these rows directly. */
+  def hampelDetail(events: DataFrame, k: Double = 3.0): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("hs").rowsBetween(-3, 3)
     val idx = expr("(size(win) + 1) div 2").cast("int")
-    val flagged = events
+    events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("long").as("hs"))
       .agg(rnd(avg(col("value")), 6).as("v"))
       .withColumn("vu", floor(col("v") * 1e6 + 0.5).cast("long"))
@@ -885,11 +888,13 @@ object TimeSeries {
       .withColumn("madw", element_at(
         sort_array(transform(col("win"), x => abs(x - col("med")))), idx))
       .withColumn("flag", col("dev") > lit(k) * lit(1.4826) * col("madw"))
-    flagged.groupBy(col("event_type"))
+  }
+
+  def hampel(events: DataFrame, k: Double = 3.0): DataFrame =
+    hampelDetail(events, k).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
         sum(when(col("flag"), 1L).otherwise(0L)).as("n_out"),
         min(when(col("flag"), col("hs"))).as("first_hs"))
-  }
 
   def hampelQuery(s: SparkSession, d: String): DataFrame =
     hampel(Tables.events(s, d))

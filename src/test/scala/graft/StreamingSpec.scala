@@ -578,6 +578,44 @@ class StreamingSpec extends SparkSpecBase {
       ts("2024-01-01 14:00:00").getTime / 1000))
   }
 
+  test("hampel state stream ≡ batch detail on every emitted row; spike flags with 3h lookahead") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 12 steady hours at 10.0 with a spike (1000.0) at hour 15 — the
+    // stream grades hour h when h+3 CLOSES (i.e. when hour h+4's first
+    // event arrives), so the spike emits once hour 19's event lands
+    val series = (0 until 12).map { h =>
+      Ev(h.toLong, ts(f"2024-01-01 ${10 + h}%02d:05:00"), 1, "view",
+        if (h == 5) 1000.0 else 10.0)
+    }
+    val mem = MemoryStream[Ev]
+    val q = Streaming.hampelStream(mem.toDF())
+      .writeStream.format("memory").queryName("hamp").outputMode("append").start()
+    try {
+      // split mid-window so the ring carries across triggers
+      mem.addData(series.take(7): _*); q.processAllAvailable()
+      mem.addData(series.drop(7): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hamp")
+      .select("event_type", "hs", "v", "med_v", "flag")
+      .collect().map(_.toSeq).toSet
+    val batchAll = graft.rel.TimeSeries.hampelDetail(series.toDF()
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")))
+      .select(col("event_type"), col("hs"), col("v"),
+        graft.rel.Queries.rnd(col("med") / 1e6, 6).as("med_v"), col("flag"))
+      .collect().map(_.toSeq)
+    // closed hours are 10..20 (21 is still open); hour i emits once
+    // three MORE hours have closed → rows 10..17 emit, 18..20 wait
+    val horizon = ts("2024-01-01 18:00:00").getTime / 1000
+    val batch = batchAll.filter(_(1).asInstanceOf[Long] < horizon).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 8)
+    // exactly the spike hour flags
+    val flagged = spark.table("hamp").filter(col("flag"))
+      .select("hs").as[Long].collect().toSet
+    assert(flagged === Set(ts("2024-01-01 15:00:00").getTime / 1000))
+  }
+
   test("drawdown state stream ≡ batch tsDrawdown on every closed hour across multi-batch feeds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
