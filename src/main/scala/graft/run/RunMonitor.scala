@@ -51,7 +51,8 @@ object RunMonitor {
     "slo_burn" -> Streaming.sloBurnStream(source()).toDF(),
     "drawdown" -> Streaming.drawdownStream(source()).toDF(),
     "unique_users" -> Streaming.uniqueUsersStream(source()),
-    "cusum" -> Streaming.cusumStream(source(), cusumBaselineE6).toDF())
+    "cusum" -> Streaming.cusumStream(source(), cusumBaselineE6).toDF(),
+    "hampel" -> Streaming.hampelStream(source()).toDF())
 
   /** Start the four queries, drain available input, stop, and write the
     * report. Returns the report text (also written to
@@ -112,6 +113,8 @@ object RunMonitor {
       .map(v => f"${v.asInstanceOf[Double]}%.6f").getOrElse("n/a")
     val cusumAlarms = table("cusum")
       .map(_.filter(col("alarm")).count()).getOrElse(0L)
+    val spikes = table("hampel")
+      .map(_.filter(col("flag")).count()).getOrElse(0L)
 
     val report =
       s"""monitoring run report
@@ -121,6 +124,7 @@ object RunMonitor {
          |max_drawdown: $maxDd
          |worst_hour_wilson_hi: $worstErr
          |cusum_alarm_hours: $cusumAlarms
+         |hampel_spike_hours: $spikes
          |""".stripMargin
     Files.writeString(Paths.get(s"$outDir/report.txt"), report)
     report

@@ -101,6 +101,17 @@ class RunMonitorSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(cuStream === cuBatch)
 
+    // hampel: every emitted row ≡ the batch detail twin (rows that have
+    // three later closed hours; a subset-equality on the emitted set)
+    val haStream = spark.read.parquet(s"$out/hampel")
+      .select("event_type", "hs", "v", "med_v", "flag")
+      .collect().map(_.toSeq).toSet
+    val haBatch = graft.rel.TimeSeries.hampelDetail(batchDf)
+      .select(col("event_type"), col("hs"), col("v"),
+        graft.rel.Queries.rnd(col("med") / 1e6, 6).as("med_v"), col("flag"))
+      .collect().map(_.toSeq).toSet
+    assert(haStream.nonEmpty && haStream.subsetOf(haBatch))
+
     // --- report reconciles with the sinks -------------------------------
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/report.txt")) === report)
@@ -111,8 +122,10 @@ class RunMonitorSpec extends SparkSpecBase {
     assert(reported("drawdown") === ddStream.size.toLong)
     assert(reported("unique_users") === uuStream.size.toLong)
     assert(reported("cusum") === cuStream.size.toLong)
+    assert(reported("hampel") === haStream.size.toLong)
     assert(report.contains(s"slo_pages: $pages"))
     assert(report.contains("cusum_alarm_hours: "))
+    assert(report.contains("hampel_spike_hours: "))
   }
 
   /** Batch unique-users twin over an arbitrary frame (the declared row
