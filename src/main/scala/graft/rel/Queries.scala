@@ -1763,15 +1763,17 @@ object Queries {
     * corpus-scale aggregate with map-side combine → one row; nothing
     * shuffles but six numbers, at any SF.
     */
-  def statsTtest(s: SparkSession, d: String): DataFrame = {
+  /** Two-sample e6-BIGINT moments (click vs purchase on `value`):
+    * (na, nb, sa, qa, sb, qb) with Σv/Σv² folded exactly as integers
+    * (round-10 hardening — raw double sums are partition-ORDER-
+    * sensitive; Σvu² in DECIMAL(38,0)) and converted to doubles once.
+    * Shared by `stats_ttest` and `stats_effect_size`.
+    */
+  private def abMomentsE6(s: SparkSession, d: String): DataFrame = {
     val isA = col("event_type") === "click"
     val d19 = "decimal(19,0)"
-    // moments as e6 BIGINTs (round-10 hardening): raw double sums are
-    // partition-ORDER-sensitive — Σv and Σv² fold exactly as integers
-    // (Σvu² in DECIMAL(38,0)) and meet doubles only in the closing
-    // expressions, written identically in the oracle
     val vu = floor(col("value") * 1e6 + 0.5).cast("long")
-    val m = Tables.events(s, d)
+    Tables.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_type"), vu.as("vu"))
       .agg(
@@ -1786,6 +1788,10 @@ object Queries {
         (col("qau").cast("double") / 1e12).as("qa"),
         (col("sbu").cast("double") / 1e6).as("sb"),
         (col("qbu").cast("double") / 1e12).as("qb"))
+  }
+
+  def statsTtest(s: SparkSession, d: String): DataFrame = {
+    val m = abMomentsE6(s, d)
     m.withColumn("va", (col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1))
       .withColumn("vb", (col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1))
       .withColumn("sea", col("va") / col("na"))
@@ -1800,6 +1806,29 @@ object Queries {
           (col("sea") * col("sea") / (col("na") - 1) +
             col("seb") * col("seb") / (col("nb") - 1)), 6).as("df_welch"))
   }
+
+  // ---- stats_effect_size: Cohen's d / Hedges' g --------------------------
+
+  /** stats_effect_size — the magnitude read-out the significance tests
+    * deliberately don't carry: at corpus scale EVERYTHING is
+    * "significant" (z grows with √n), so the A/B decision rides the
+    * standardized effect — Cohen's d on the pooled SD, plus Hedges' g
+    * (the small-sample bias correction 1 − 3/(4(na+nb) − 9)). Same
+    * exact e6-BIGINT moments as `stats_ttest` (one shared builder);
+    * closing expressions only in doubles, mirrored in the oracle.
+    */
+  def statsEffectSize(s: SparkSession, d: String): DataFrame =
+    abMomentsE6(s, d)
+      .withColumn("sp2",
+        (col("qa") - col("sa") * col("sa") / col("na") +
+          (col("qb") - col("sb") * col("sb") / col("nb"))) /
+          (col("na") + col("nb") - 2))
+      .withColumn("dd",
+        (col("sa") / col("na") - col("sb") / col("nb")) / sqrt(col("sp2")))
+      .select(col("na"), col("nb"),
+        rnd(col("dd"), 6).as("cohen_d"),
+        rnd(col("dd") * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * (col("na") + col("nb")) - 9)), 6).as("hedges_g"))
 
   // ---- anon_kanon: k-anonymity audit ------------------------------------
 
@@ -2448,6 +2477,7 @@ object Queries {
     "stats_kendall" -> statsKendall,
     "stats_levene" -> statsLevene,
     "stats_ztest_prop" -> statsZtestProp,
+    "stats_effect_size" -> statsEffectSize,
     "anon_dp_counts" -> anonDpCounts,
     "events_ab_assign" -> eventsAbAssign,
     "agg_group_quantiles" -> aggGroupQuantiles,
@@ -2650,6 +2680,27 @@ object Queries {
         "SELECT n_users, n_control, n_treatment, " +
         "rnd(d2::DOUBLE / n_users, 6) AS srm_chi2, " +
         "d2 * 1000 > n_users * 3841 AS srm_flag FROM x"),
+
+    "stats_effect_size" ->
+      // same e6-integer moments CTE as stats_ttest; pooled-SD d and
+      // the Hedges small-sample correction in identical closing doubles
+      ("WITH e6 AS (SELECT event_type, floor(value * 1e6 + 0.5)::BIGINT AS vu " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "mu AS (SELECT " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na, " +
+        "sum(CASE WHEN event_type = 'click' THEN vu END)::BIGINT AS sau, " +
+        "sum(CASE WHEN event_type = 'click' THEN vu::HUGEINT * vu END) AS qau, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN vu END)::BIGINT AS sbu, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN vu::HUGEINT * vu END) AS qbu " +
+        "FROM e6), " +
+        "m AS (SELECT na, nb, sau::DOUBLE / 1e6 AS sa, qau::DOUBLE / 1e12 AS qa, " +
+        "sbu::DOUBLE / 1e6 AS sb, qbu::DOUBLE / 1e12 AS qb FROM mu), " +
+        "p AS (SELECT na, nb, (qa - sa * sa / na + (qb - sb * sb / nb)) / " +
+        "(na + nb - 2) AS sp2, sa / na - sb / nb AS md FROM m), " +
+        "x AS (SELECT na, nb, md / sqrt(sp2) AS dd FROM p) " +
+        "SELECT na, nb, rnd(dd, 6) AS cohen_d, " +
+        "rnd(dd * (1.0e0 - 3.0e0 / (4.0e0 * (na + nb) - 9)), 6) AS hedges_g FROM x"),
 
     "anon_dp_counts" ->
       ("WITH g AS (SELECT c_nationkey AS cls, count(*) AS n_true " +

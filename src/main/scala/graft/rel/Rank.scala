@@ -66,6 +66,12 @@ object Rank {
     * matter the corpus. Same two-pass offsets discipline as
     * `globalRank`/`prefixPackBy` (Ckpt-truncated before the fan-out;
     * the offsets window is over a ≤ partitions-count frame).
+    *
+    * NULL values: callers filter them first — Spark sorts NULL FIRST
+    * ascending where DuckDB defaults NULLS LAST, so a null group's
+    * rank would silently disagree with a SQL oracle (applies to
+    * `midranksBy`/`groupMedian`/`groupQuantiles` too). Every wired
+    * caller ranks non-null measure columns.
     */
   def midranks(df: DataFrame, v: Column, parts: Int = 0): DataFrame = {
     import graft.core.Ckpt.TruncateSyntax
