@@ -1830,6 +1830,54 @@ object Queries {
         rnd(col("dd") * (lit(1.0) - lit(3.0) /
           (lit(4.0) * (col("na") + col("nb")) - 9)), 6).as("hedges_g"))
 
+  // ---- events_cuped: CUPED variance reduction -----------------------------
+
+  /** events_cuped — CUPED (controlled-experiment-using-pre-experiment-
+    * data), the variance-reduction adjuster every large experimentation
+    * platform applies before the t-test: per user, the pre-period mean
+    * activity X predicts the experiment-period metric Y, and
+    * Y* = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) removes the predicted
+    * part. The report a platform quotes is θ and the variance-reduction
+    * factor — which algebraically is exactly corr(X,Y)² (this row
+    * computes it from the same six exact sums, never two passes). The
+    * pre/post boundary is the integer midpoint of the observed time
+    * range (broadcast one-row min/max — deterministic from data); user
+    * period means are 6-dp (the hourly-mean discipline) then e6
+    * BIGINTs, Σ-products in DECIMAL(38,0) (the `stats_spearman`
+    * envelope), one closing double expression each. Users active in
+    * only one period drop out (CUPED needs the covariate).
+    */
+  def eventsCuped(s: SparkSession, d: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"), (col("us") < col("mid")).as("pre"))
+      .agg(rnd(avg(col("value")), 6).as("m"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("pre"), floor(col("m") * 1e6 + 0.5).cast("long"))).as("x"),
+        max(when(!col("pre"), floor(col("m") * 1e6 + 0.5).cast("long"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    per.agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d19) * col("y").cast(d19)).as("sxy"),
+        sum(col("x").cast(d19) * col("x").cast(d19)).as("sxx"),
+        sum(col("y").cast(d19) * col("y").cast(d19)).as("syy"))
+      .withColumn("covn", col("n_users").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("varxn", col("n_users").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("varyn", col("n_users").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double"))
+      .select(col("n_users"),
+        rnd(col("covn") / col("varxn"), 6).as("theta"),
+        rnd(col("covn") * col("covn") / (col("varxn") * col("varyn")), 6)
+          .as("var_reduction"))
+  }
+
   // ---- anon_kanon: k-anonymity audit ------------------------------------
 
   /** anon_kanon — k-anonymity audit of the customer table under two
@@ -2478,6 +2526,7 @@ object Queries {
     "stats_levene" -> statsLevene,
     "stats_ztest_prop" -> statsZtestProp,
     "stats_effect_size" -> statsEffectSize,
+    "events_cuped" -> eventsCuped,
     "anon_dp_counts" -> anonDpCounts,
     "events_ab_assign" -> eventsAbAssign,
     "agg_group_quantiles" -> aggGroupQuantiles,
@@ -2680,6 +2729,28 @@ object Queries {
         "SELECT n_users, n_control, n_treatment, " +
         "rnd(d2::DOUBLE / n_users, 6) AS srm_chi2, " +
         "d2 * 1000 > n_users * 3841 AS srm_flag FROM x"),
+
+    "events_cuped" ->
+      // same midpoint split, 6-dp period means, spearman-style exact
+      // sums; theta and the rho-squared reduction in closing doubles
+      ("WITH ev AS (SELECT user_id, epoch_us(ts)::BIGINT AS us, value FROM events), " +
+        "b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev), " +
+        "pm AS (SELECT user_id, us < (SELECT mid FROM b) AS pre, " +
+        "rnd(avg(value), 6) AS m FROM ev GROUP BY 1, 2), " +
+        "xy AS (SELECT user_id, " +
+        "max(CASE WHEN pre THEN floor(m * 1e6 + 0.5)::BIGINT END) AS x, " +
+        "max(CASE WHEN NOT pre THEN floor(m * 1e6 + 0.5)::BIGINT END) AS y " +
+        "FROM pm GROUP BY 1), " +
+        "f AS (SELECT x, y FROM xy WHERE x IS NOT NULL AND y IS NOT NULL), " +
+        "m2 AS (SELECT count(*) AS n_users, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, " +
+        "sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx, " +
+        "sum(y::HUGEINT * y) AS syy FROM f), " +
+        "c AS (SELECT n_users, " +
+        "n_users::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS covn, " +
+        "n_users::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS varxn, " +
+        "n_users::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS varyn FROM m2) " +
+        "SELECT n_users, rnd(covn / varxn, 6) AS theta, " +
+        "rnd(covn * covn / (varxn * varyn), 6) AS var_reduction FROM c"),
 
     "stats_effect_size" ->
       // same e6-integer moments CTE as stats_ttest; pooled-SD d and

@@ -46,6 +46,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "embedding_cell_balance", "embedding_outliers", "embedding_pca",
     // mmr: the ≤10-row literal-bounded query block (Knn.knn hint)
     "embedding_mmr",
+    // cuped: one-row time-midpoint broadcast onto the event stream
+    "events_cuped",
     "events_cooccur", "events_power_users", "events_rfm",
     "events_time_to_convert",
     // markov: one-row renormalization total + state-count broadcasts

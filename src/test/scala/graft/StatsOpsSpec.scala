@@ -477,6 +477,32 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(nc > 0 && nt > 0)
   }
 
+  test("events_cuped: theta = cov/var and reduction = corr^2 vs the brute per-user build") {
+    val got = SparkEntry.queries("events_cuped")(spark, sfDir)
+      .select(col("n_users").as[Long], col("theta").as[Double],
+        col("var_reduction").as[Double]).head()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as[Long],
+        unix_micros(col("ts")).as[Long], col("value").as[Double]).collect()
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val per = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val (pre, post) = rows.partition(_._2 < mid)
+      if (pre.isEmpty || post.isEmpty) None
+      else Some((math.floor(r6(pre.map(_._3).sum / pre.length) * 1e6 + 0.5),
+        math.floor(r6(post.map(_._3).sum / post.length) * 1e6 + 0.5)))
+    }.toSeq
+    val n = per.length.toDouble
+    val (sx, sy) = (per.map(_._1).sum, per.map(_._2).sum)
+    val covn = n * per.map(p => p._1 * p._2).sum - sx * sy
+    val varxn = n * per.map(p => p._1 * p._1).sum - sx * sx
+    val varyn = n * per.map(p => p._2 * p._2).sum - sy * sy
+    assert(got._1 === per.length.toLong)
+    assert(math.abs(got._2 - covn / varxn) < 1e-5)
+    assert(math.abs(got._3 - covn * covn / (varxn * varyn)) < 1e-6)
+    assert(got._3 >= 0.0 && got._3 <= 1.0, "reduction is a squared correlation")
+  }
+
   test("anon_dp_counts: noise is exactly the seeded Laplace inversion, bounded by ln(65536)") {
     val got = SparkEntry.queries("anon_dp_counts")(spark, sfDir)
       .select(col("cls").cast("long").as[Long], col("noisy_n").as[Double],
