@@ -1084,10 +1084,49 @@ object Graph {
     acc.reduce(_ unionAll _)
   }
 
+  /** Walk corpus memoized per (session, dir) — the `minhashClusters`
+    * precedent: `graph_random_walk` emits the corpus,
+    * `graph_walk_cooccur` consumes it; one build instead of two. The
+    * memo retains only the checkpoint-backed result (≈ |seeds|·5
+    * rows); long-lived sessions call `releaseShared()`. */
+  private val sharedWalks = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def walksShared(s: SparkSession, d: String): DataFrame =
+    sharedWalks.getOrElseUpdate((s, d),
+      Ckpt.truncate(randomWalks(custSuppEdges(s, d))))
+
+  def releaseShared(): Unit = {
+    sharedWalks.values.foreach(Ckpt.release)
+    sharedWalks.clear()
+  }
+
   def randomWalkQuery(s: SparkSession, d: String): DataFrame =
-    randomWalks(custSuppEdges(s, d))
+    walksShared(s, d)
+
+  // ---- graph_walk_cooccur: skip-gram pairs from the walk corpus ---------
+
+  /** graph_walk_cooccur — the (center, context) skip-gram pair counts a
+    * DeepWalk/node2vec trainer actually consumes: within each walk,
+    * every ordered pair of positions at distance ≤ `window`. One
+    * equi-join on walk_id (≤ (steps+1)·window·2 pairs per walk — linear
+    * in walks, never nodes²) + one keyed count with map-side combine.
+    * Reads the memoized walk corpus, so the pair table costs one join
+    * beyond `graph_random_walk`.
+    */
+  def walkCooccur(walks: DataFrame, window: Int = 2): DataFrame =
+    walks.alias("a").join(walks.alias("b"),
+        col("a.walk") === col("b.walk") &&
+          col("a.step") =!= col("b.step") &&
+          abs(col("a.step") - col("b.step")) <= window)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  def walkCooccurQuery(s: SparkSession, d: String): DataFrame =
+    walkCooccur(walksShared(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_walk_cooccur" -> walkCooccurQuery,
     "graph_random_walk" -> randomWalkQuery,
     "graph_hits" -> hitsQuery,
     "graph_bipartite_proj" -> bipartiteProjQuery,
@@ -1209,6 +1248,37 @@ object Graph {
         (1 to 4).map(step).mkString.stripSuffix(", ") + " " +
         "SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2 " +
         "UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4"
+    },
+
+    "graph_walk_cooccur" -> {
+      // the graph_random_walk CTEs verbatim, then the window-2
+      // skip-gram self-join over the unioned corpus
+      def hexDigit(e: String, d: Int): String =
+        s"(instr('0123456789abcdef', substr(md5($e), $d, 1)) - 1)"
+      def u16(s: Int): String = {
+        val e = s"walk::VARCHAR || '_$s'"
+        s"(((${hexDigit(e, 1)} * 16 + ${hexDigit(e, 2)}) * 16 + " +
+          s"${hexDigit(e, 3)}) * 16 + ${hexDigit(e, 4)})"
+      }
+      def step(s: Int): String =
+        s"w$s AS MATERIALIZED (SELECT walk, $s AS step, a.dst AS node " +
+          s"FROM w${s - 1} p JOIN adj a ON p.node = a.src " +
+          s"AND a.r = ${u16(s)} % a.deg + 1), "
+      "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw), " +
+        "adj AS MATERIALIZED (SELECT src, dst, " +
+        "row_number() OVER (PARTITION BY src ORDER BY dst) AS r, " +
+        "count(*) OVER (PARTITION BY src) AS deg FROM e), " +
+        "w0 AS MATERIALIZED (SELECT src AS walk, 0 AS step, src AS node " +
+        "FROM (SELECT DISTINCT src FROM e) WHERE src % 20 = 0), " +
+        (1 to 4).map(step).mkString +
+        "wk AS MATERIALIZED (SELECT * FROM w0 UNION ALL SELECT * FROM w1 " +
+        "UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3 " +
+        "UNION ALL SELECT * FROM w4) " +
+        "SELECT a.node AS center, b.node AS context, count(*) AS n_pairs " +
+        "FROM wk a JOIN wk b ON a.walk = b.walk AND a.step <> b.step " +
+        "AND abs(a.step - b.step) <= 2 GROUP BY 1, 2"
     },
 
     "graph_hits" -> {

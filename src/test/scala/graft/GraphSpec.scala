@@ -429,4 +429,26 @@ class GraphSpec extends SparkSpecBase {
       .select("walk", "step", "node").as[(Long, Int, Long)].collect()
     assert(got.sorted.toSeq === again.sorted.toSeq)
   }
+
+  test("walkCooccur ≡ brute-force window-2 skip-gram pairs; symmetric by construction") {
+    // two crafted "walks" as plain frames — cooccur only reads (walk, step, node)
+    val walks = Seq(
+      (1L, 0, 10L), (1L, 1, 11L), (1L, 2, 12L), (1L, 3, 13L), (1L, 4, 14L),
+      (2L, 0, 10L), (2L, 1, 12L)).toDF("walk", "step", "node")
+    val got = Graph.walkCooccur(walks)
+      .select($"center".as[Long], $"context".as[Long], $"n_pairs".as[Long])
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val rows = Seq(
+      (1L, 0, 10L), (1L, 1, 11L), (1L, 2, 12L), (1L, 3, 13L), (1L, 4, 14L),
+      (2L, 0, 10L), (2L, 1, 12L))
+    val expect = (for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && a._2 != b._2 && math.abs(a._2 - b._2) <= 2
+    } yield (a._3, b._3)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got === expect)
+    // skip-gram symmetry: every (c, x) count equals (x, c)
+    got.foreach { case ((c, x), n) => assert(got((x, c)) === n) }
+    // 5-step walk: 2·(4) + 2·(3) = 14 ordered pairs; 2-node walk: 2
+    assert(got.values.sum === 16L)
+  }
 }
