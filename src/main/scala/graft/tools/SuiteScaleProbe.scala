@@ -162,7 +162,11 @@ object SuiteScaleProbe {
       "anon_dp_counts" -> (() => qs("anon_dp_counts")(spark, outDir)),
       "events_ab_assign" -> (() => qs("events_ab_assign")(spark, outDir)),
       "pii_pseudonymize" -> (() => qs("pii_pseudonymize")(spark, outDir)),
-      "corpus_split" -> (() => qs("corpus_split")(spark, outDir)))
+      "corpus_split" -> (() => qs("corpus_split")(spark, outDir)),
+      "events_cuped" -> (() => qs("events_cuped")(spark, outDir)),
+      "stats_effect_size" -> (() => qs("stats_effect_size")(spark, outDir)),
+      "graph_walk_cooccur" -> (() => qs("graph_walk_cooccur")(spark, outDir)),
+      "ts_hampel" -> (() => qs("ts_hampel")(spark, outDir)))
 
     // optional leg-name filter: args beyond <k> <baseDir> restrict the run
     val wanted = args.drop(2).toSet
