@@ -1830,6 +1830,31 @@ object Queries {
         rnd(col("dd") * (lit(1.0) - lit(3.0) /
           (lit(4.0) * (col("na") + col("nb")) - 9)), 6).as("hedges_g"))
 
+  // ---- stats_sample_size: experiment power planning ----------------------
+
+  /** stats_sample_size — the planning read-out run BEFORE an
+    * experiment: the per-arm n required to detect a 2 % shift of the
+    * pooled mean at α = 0.05 two-sided with 80 % power,
+    * n = 2(z_{α/2} + z_β)²·σ²/Δ². The z quantiles are fixed LITERALS
+    * (1.959964, 0.841621 — no normal CDF is evaluated at runtime, so
+    * no libm surface at all); σ² is the pooled variance from the same
+    * exact e6-BIGINT moments as `stats_ttest`/`stats_effect_size`, and
+    * the one ceil() of a double lands identically in both engines.
+    */
+  def statsSampleSize(s: SparkSession, d: String): DataFrame =
+    abMomentsE6(s, d)
+      .withColumn("sp2",
+        (col("qa") - col("sa") * col("sa") / col("na") +
+          (col("qb") - col("sb") * col("sb") / col("nb"))) /
+          (col("na") + col("nb") - 2))
+      .withColumn("mde",
+        lit(0.02) * (col("sa") + col("sb")) / (col("na") + col("nb")))
+      .select(col("na"), col("nb"),
+        rnd(col("mde"), 6).as("mde_abs"),
+        ceil(lit(2.0) * ((lit(1.959964) + lit(0.841621)) *
+          (lit(1.959964) + lit(0.841621))) * col("sp2") /
+          (col("mde") * col("mde"))).cast("long").as("n_required_per_arm"))
+
   // ---- events_cuped: CUPED variance reduction -----------------------------
 
   /** events_cuped — CUPED (controlled-experiment-using-pre-experiment-
@@ -2526,6 +2551,7 @@ object Queries {
     "stats_levene" -> statsLevene,
     "stats_ztest_prop" -> statsZtestProp,
     "stats_effect_size" -> statsEffectSize,
+    "stats_sample_size" -> statsSampleSize,
     "events_cuped" -> eventsCuped,
     "anon_dp_counts" -> anonDpCounts,
     "events_ab_assign" -> eventsAbAssign,
@@ -2729,6 +2755,26 @@ object Queries {
         "SELECT n_users, n_control, n_treatment, " +
         "rnd(d2::DOUBLE / n_users, 6) AS srm_chi2, " +
         "d2 * 1000 > n_users * 3841 AS srm_flag FROM x"),
+
+    "stats_sample_size" ->
+      // same e6 moments; fixed z literals, identical closing ceil
+      ("WITH e6 AS (SELECT event_type, floor(value * 1e6 + 0.5)::BIGINT AS vu " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "mu AS (SELECT " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na, " +
+        "sum(CASE WHEN event_type = 'click' THEN vu END)::BIGINT AS sau, " +
+        "sum(CASE WHEN event_type = 'click' THEN vu::HUGEINT * vu END) AS qau, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN vu END)::BIGINT AS sbu, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN vu::HUGEINT * vu END) AS qbu " +
+        "FROM e6), " +
+        "m AS (SELECT na, nb, sau::DOUBLE / 1e6 AS sa, qau::DOUBLE / 1e12 AS qa, " +
+        "sbu::DOUBLE / 1e6 AS sb, qbu::DOUBLE / 1e12 AS qb FROM mu), " +
+        "p AS (SELECT na, nb, (qa - sa * sa / na + (qb - sb * sb / nb)) / " +
+        "(na + nb - 2) AS sp2, 0.02e0 * (sa + sb) / (na + nb) AS mde FROM m) " +
+        "SELECT na, nb, rnd(mde, 6) AS mde_abs, " +
+        "ceil(2.0e0 * ((1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0)) " +
+        "* sp2 / (mde * mde))::BIGINT AS n_required_per_arm FROM p"),
 
     "events_cuped" ->
       // same midpoint split, 6-dp period means, spearman-style exact

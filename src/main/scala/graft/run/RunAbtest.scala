@@ -56,6 +56,7 @@ object RunAbtest {
       "stats_ztest_prop" -> Queries.statsZtestProp,
       "stats_effect_size" -> Queries.statsEffectSize,
       "events_cuped" -> Queries.eventsCuped,
+      "stats_sample_size" -> Queries.statsSampleSize,
       "stats_spearman" -> Queries.statsSpearman,
       "stats_kendall" -> Queries.statsKendall,
       "stats_bootstrap_ci" -> Queries.statsBootstrapCi,
@@ -101,6 +102,7 @@ object RunAbtest {
          |prop_z: ${d("stats_ztest_prop", "z")} (rates ${call(d("stats_ztest_prop", "z"), 1.96)})
          |cohen_d: ${d("stats_effect_size", "cohen_d")} hedges_g: ${d("stats_effect_size", "hedges_g")}
          |cuped_theta: ${d("events_cuped", "theta")} var_reduction: ${d("events_cuped", "var_reduction")}
+         |n_required_per_arm_2pct_mde: ${head1("stats_sample_size").getAs[Long]("n_required_per_arm")}
          |spearman_rho: ${d("stats_spearman", "rho")}
          |kendall_tau_b: ${d("stats_kendall", "tau_b")}
          |bootstrap_mean_ci: [${ci.getAs[Double]("ci_lo")}, ${ci.getAs[Double]("ci_hi")}] mean ${ci.getAs[Double]("mean")}
