@@ -2059,15 +2059,25 @@ object TimeSeries {
     * same median slope — its breakdown/efficiency degrade smoothly with
     * the subsample size): `maxBucketsPerType` caps the per-type hourly
     * series by deterministic hash-mod refinement
-    * (`xxhash64(type, hs) % ceil(T/max) = 0` — the `harmonicPerSeed`
-    * maxSeeds discipline), after which pairs ≤ max²/2 regardless of
-    * calendar span. `maxBucketsPerType ≥ T` is the identity (spec-
-    * pinned); the declared row runs exact (0) — the oracle is
-    * unchanged. n_pairs reports the SAMPLED pair count (honest
-    * denominator, not a fake exact one).
+    * (`u16(md5(type_hs)) % ceil(T/max) = 0` — the md5 hex-prefix
+    * uniform, the `stats_bootstrap_ci` cross-engine trick, applied with
+    * the `harmonicPerSeed` maxSeeds discipline), after which pairs ≤
+    * max²/2 regardless of calendar span. `maxBucketsPerType ≥ T` is the
+    * identity (spec-pinned). Round 11 DECLARES the sampled form as its
+    * own oracle-gated row (`ts_theil_sen_sampled`, budget
+    * `TheilSenSampleBuckets`) — the harmonic/harmonic_hll division of
+    * labor applied to the one superlinear exact plan: the exact row
+    * stays the verification twin, this row is the one to run when the
+    * calendar grows 100×. n_pairs reports the SAMPLED pair count
+    * (honest denominator, not a fake exact one).
     */
   def theilSenSampled(events: DataFrame, maxBucketsPerType: Int): DataFrame =
     theilSenImpl(events, maxBucketsPerType)
+
+  /** Declared sampling budget: a week of hourly buckets per type —
+    * ≥ 168 buckets keeps ≥ ~14k pairs per type (tight slope CIs) while
+    * bounding the pair join at 168²/2 ≈ 14k rows per type FOREVER. */
+  private[graft] val TheilSenSampleBuckets = 168
 
   private def theilSenImpl(events: DataFrame, maxBucketsPerType: Int): DataFrame = {
     val bAll = events
@@ -2081,8 +2091,10 @@ object TimeSeries {
         val m = bAll.groupBy(col("event_type")).agg(count(lit(1)).as("t"))
           .select(col("event_type"), greatest(lit(1L),
             ceil(col("t") / maxBucketsPerType.toDouble).cast("long")).as("m"))
+        val u16 = conv(substring(md5(concat(col("event_type"), lit("_"),
+          col("hs").cast("string"))), 1, 4), 16, 10).cast("long")
         bAll.join(broadcast(m), "event_type")
-          .filter(pmod(xxhash64(col("event_type"), col("hs")), col("m")) === 0)
+          .filter(pmod(u16, col("m")) === 0)
           .select(col("event_type"), col("hs"), col("vu"))
       }
     val a = b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1"))
@@ -2129,6 +2141,9 @@ object TimeSeries {
 
   def theilSenQuery(s: SparkSession, d: String): DataFrame =
     theilSen(Tables.events(s, d))
+
+  def theilSenSampledQuery(s: SparkSession, d: String): DataFrame =
+    theilSenSampled(Tables.events(s, d), TheilSenSampleBuckets)
 
   /** events_forecast_naive — seasonal-naive backtest per event type:
     * forecast(h) = value(h − 24h), scored by MAE over every hour with
@@ -2346,6 +2361,7 @@ object TimeSeries {
     "events_burstiness" -> burstinessQuery,
     "events_markov_stationary" -> markovStationaryQuery,
     "ts_theil_sen" -> theilSenQuery,
+    "ts_theil_sen_sampled" -> theilSenSampledQuery,
     "ts_winsorize" -> winsorizeQuery,
     "events_error_rate" -> errorRate,
     "events_slo_burn" -> sloBurnQuery,
@@ -2718,6 +2734,35 @@ object TimeSeries {
       ("WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
         "floor(rnd(avg(value), 6) * 1e6 + 0.5e0)::BIGINT AS vu " +
         "FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT a.event_type, a.hs AS h1, c.hs AS h2, " +
+        "(c.vu - a.vu) / ((c.hs - a.hs) / 3600) AS slope " +
+        "FROM b a JOIN b c ON a.event_type = c.event_type AND a.hs < c.hs), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY slope, h1, h2) AS r, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM p) " +
+        "SELECT event_type, max(n)::BIGINT AS n_pairs, " +
+        "rnd(min(slope) / 1e6, 6) AS slope_per_hour " +
+        "FROM r WHERE r * 2 >= n GROUP BY 1"),
+
+    "ts_theil_sen_sampled" ->
+      // same integer-ratio slopes and lower-median rank over the
+      // md5-u16 hash-mod refined bucket set (budget = 168/type): the
+      // four hex digits compose the identical u16 both engines filter on
+      ("WITH b0 AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hs, " +
+        "floor(rnd(avg(value), 6) * 1e6 + 0.5e0)::BIGINT AS vu " +
+        "FROM events GROUP BY 1, 2), " +
+        "mm AS (SELECT event_type, greatest(1, ceil(count(*) / 168e0))::BIGINT AS m " +
+        "FROM b0 GROUP BY 1), " +
+        "h AS (SELECT b0.*, m, (((" +
+        "(instr('0123456789abcdef', substr(md5(event_type || '_' || hs::VARCHAR), 1, 1)) - 1)" +
+        " * 16 + " +
+        "(instr('0123456789abcdef', substr(md5(event_type || '_' || hs::VARCHAR), 2, 1)) - 1)" +
+        ") * 16 + " +
+        "(instr('0123456789abcdef', substr(md5(event_type || '_' || hs::VARCHAR), 3, 1)) - 1)" +
+        ") * 16 + " +
+        "(instr('0123456789abcdef', substr(md5(event_type || '_' || hs::VARCHAR), 4, 1)) - 1)" +
+        ") AS u16 FROM b0 JOIN mm USING (event_type)), " +
+        "b AS (SELECT event_type, hs, vu FROM h WHERE u16 % m = 0), " +
         "p AS (SELECT a.event_type, a.hs AS h1, c.hs AS h2, " +
         "(c.vu - a.vu) / ((c.hs - a.hs) / 3600) AS slope " +
         "FROM b a JOIN b c ON a.event_type = c.event_type AND a.hs < c.hs), " +
