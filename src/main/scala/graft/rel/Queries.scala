@@ -2387,6 +2387,63 @@ object Queries {
         rnd(col("d2").cast("double") / col("n_users"), 6).as("srm_chi2"),
         (col("d2") * 1000 > col("n_users") * 3841).as("srm_flag"))
 
+  // ---- stats_fdr_bh: multiple-testing correction over the A/B battery ---
+
+  /** stats_fdr_bh — Benjamini-Hochberg step-up over the experiment
+    * battery's two-sided z-family statistics (round-11, VERDICT r10 #3):
+    * `run.RunAbtest` reports ~12 statistics side by side, and a dozen
+    * uncorrected 1.96 calls at the 5 % level is exactly the
+    * false-discovery machine real experimentation platforms guard
+    * against. This row re-reads the battery's m = 6 N(0,1)-scale
+    * statistics (Welch t at corpus df ≈ z; the Mann-Whitney and
+    * proportion z's; √χ²₁ for the SRM gate; Spearman's ρ√(n−1);
+    * Kendall's 3τ√(n(n−1))/√(2(2n+5))), ranks them by descending |z|,
+    * and compares rank i against the FIXED critical grid
+    * c_i = Φ⁻¹(1 − α·i/(2m)) at α = 0.05 — literal quantiles, no normal
+    * CDF at runtime (the `stats_sample_size` discipline), identical
+    * constants in both engines. BH rejects ranks ≤ k* where k* is the
+    * LARGEST i with |z|_(i) ≥ c_i (step-up: everything above the last
+    * crossing is rejected, even interior ranks that dip under their own
+    * threshold). `reject_raw` is the uncorrected 1.96 habit alongside,
+    * so the row IS the "adjusted calls" diff. Scale shape: each
+    * component is its own declared row's builder (one corpus pass,
+    * single-row output), and everything after the union is arithmetic
+    * over a 6-row frame — the global-order window is bounded at m rows
+    * by construction (PlanAudit whitelist entry carries the bound).
+    */
+  def statsFdrBh(s: SparkSession, d: String): DataFrame = {
+    val parts = Seq(
+      statsTtest(s, d).select(lit("welch_t").as("test"),
+        abs(col("t_welch")).as("az")),
+      statsMannwhitney(s, d).select(lit("mannwhitney").as("test"),
+        abs(col("z")).as("az")),
+      statsZtestProp(s, d).select(lit("prop_z").as("test"),
+        abs(col("z")).as("az")),
+      eventsAbAssign(s, d).select(lit("srm").as("test"),
+        sqrt(col("srm_chi2")).as("az")),
+      statsSpearman(s, d).select(lit("spearman").as("test"),
+        (abs(col("rho")) * sqrt((col("n") - 1).cast("double"))).as("az")),
+      statsKendall(s, d).select(lit("kendall").as("test"),
+        (abs(col("tau_b")) * lit(3.0) *
+          sqrt((col("n") * (col("n") - 1)).cast("double")) /
+          sqrt(lit(2.0) * (col("n") * 2 + 5))).as("az")))
+    val u = parts.reduce(_ unionAll _)
+    // Φ⁻¹(1 − 0.05·i/12), i = 1..6 — the two-sided α = 0.05, m = 6 grid
+    val ranked = u.withColumn("rank",
+        row_number().over(Window.orderBy(col("az").desc, col("test"))))
+      .withColumn("bh_crit",
+        when(col("rank") === 1, 2.638257).when(col("rank") === 2, 2.39398)
+          .when(col("rank") === 3, 2.241403).when(col("rank") === 4, 2.128045)
+          .when(col("rank") === 5, 2.036834).otherwise(1.959964))
+    ranked
+      .withColumn("kmax", max(when(col("az") >= col("bh_crit"), col("rank"))
+        .otherwise(0)).over(Window.partitionBy()))
+      .select(col("test"), rnd(col("az"), 6).as("abs_z"), col("rank"),
+        col("bh_crit"),
+        (col("az") > 1.959964).as("reject_raw"),
+        (col("rank") <= col("kmax")).as("reject_bh"))
+  }
+
   // ---- anon_dp_counts: differentially-private noisy counts --------------
 
   /** anon_dp_counts — ε-differentially-private release of per-nation
@@ -2555,6 +2612,7 @@ object Queries {
     "events_cuped" -> eventsCuped,
     "anon_dp_counts" -> anonDpCounts,
     "events_ab_assign" -> eventsAbAssign,
+    "stats_fdr_bh" -> statsFdrBh,
     "agg_group_quantiles" -> aggGroupQuantiles,
     "stats_spearman" -> statsSpearman,
     "stats_kruskal" -> statsKruskal,
@@ -2663,7 +2721,33 @@ object Queries {
     * DuckDB count(*) is BIGINT = Spark count. Float literals use e-notation
     * so DuckDB types them DOUBLE, not DECIMAL.
     */
-  lazy val oracles: Map[String, String] = rawOracles.view.mapValues(duckify).toMap
+  lazy val oracles: Map[String, String] =
+    (rawOracles + ("stats_fdr_bh" -> fdrBhOracle)).view.mapValues(duckify).toMap
+
+  /** The BH oracle SPLICES the six component rows' own oracle strings as
+    * subqueries (the `corpus_curate` composed-families discipline: one
+    * definition per statistic repo-wide — a hand copy here could silently
+    * drift from the declared component rows). Closing arithmetic and the
+    * literal critical grid mirror the Spark builder exactly.
+    */
+  private lazy val fdrBhOracle: String =
+    ("WITH u AS (" +
+      s"SELECT 'welch_t' AS test, abs(t_welch) AS az FROM (${rawOracles("stats_ttest")}) " +
+      s"UNION ALL SELECT 'mannwhitney', abs(z) FROM (${rawOracles("stats_mannwhitney")}) " +
+      s"UNION ALL SELECT 'prop_z', abs(z) FROM (${rawOracles("stats_ztest_prop")}) " +
+      s"UNION ALL SELECT 'srm', sqrt(srm_chi2) FROM (${rawOracles("events_ab_assign")}) " +
+      s"UNION ALL SELECT 'spearman', abs(rho) * sqrt(n - 1) FROM (${rawOracles("stats_spearman")}) " +
+      "UNION ALL SELECT 'kendall', abs(tau_b) * 3e0 * sqrt(n * (n - 1)) / " +
+      s"sqrt(2e0 * (n * 2 + 5)) FROM (${rawOracles("stats_kendall")})), " +
+      "r AS (SELECT test, az, " +
+      "row_number() OVER (ORDER BY az DESC, test)::INT AS rank FROM u), " +
+      "c AS (SELECT *, CASE rank WHEN 1 THEN 2.638257e0 WHEN 2 THEN 2.39398e0 " +
+      "WHEN 3 THEN 2.241403e0 WHEN 4 THEN 2.128045e0 WHEN 5 THEN 2.036834e0 " +
+      "ELSE 1.959964e0 END AS bh_crit FROM r), " +
+      "k AS (SELECT *, max(CASE WHEN az >= bh_crit THEN rank ELSE 0 END) " +
+      "OVER () AS kmax FROM c) " +
+      "SELECT test, rnd(az, 6) AS abs_z, rank, bh_crit, " +
+      "az > 1.959964e0 AS reject_raw, rank <= kmax AS reject_bh FROM k")
 
   /** Hex digit d (1-based) of md5(`e`) as 0..15 — the DuckDB side of the
     * `sample_importance` uniform trick. */

@@ -90,6 +90,32 @@ object RunAbtest {
     val srm = head1("events_ab_assign")
     val aaZ = d("aa_mannwhitney", "z")
 
+    // Benjamini-Hochberg adjusted calls over the battery's z-family
+    // statistics (round-11, VERDICT r10 #2): the SAME m = 6 selection,
+    // grid, and step-up rule as the declared `stats_fdr_bh` row —
+    // RunAbtestSpec reconciles this section against that oracle-gated
+    // result, so the report's adjusted calls carry the row's guarantee.
+    val bhGrid = Seq(2.638257, 2.39398, 2.241403, 2.128045, 2.036834, 1.959964)
+    val sp = head1("stats_spearman"); val kd = head1("stats_kendall")
+    val spN = sp.getAs[Long]("n"); val kdN = kd.getAs[Long]("n")
+    val zFamily = Seq(
+      "welch_t" -> math.abs(d("stats_ttest", "t_welch")),
+      "mannwhitney" -> math.abs(d("stats_mannwhitney", "z")),
+      "prop_z" -> math.abs(d("stats_ztest_prop", "z")),
+      "srm" -> math.sqrt(srm.getAs[Double]("srm_chi2")),
+      "spearman" -> math.abs(sp.getAs[Double]("rho")) * math.sqrt((spN - 1).toDouble),
+      "kendall" -> (math.abs(kd.getAs[Double]("tau_b")) * 3.0 *
+        math.sqrt((kdN * (kdN - 1)).toDouble) / math.sqrt(2.0 * (kdN * 2 + 5))))
+    val bhRanked = zFamily.sortBy { case (t, z) => (-z, t) }
+    val bhKmax = bhRanked.zipWithIndex
+      .filter { case ((_, z), i) => z >= bhGrid(i) }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    val bhSection = bhRanked.zipWithIndex.map { case ((t, z), i) =>
+      f"  ${i + 1} $t%-12s |z|=$z%.4f crit=${bhGrid(i)}%.6f " +
+        s"raw=${if (z > 1.959964) "REJECT" else "no-reject"} " +
+        s"bh=${if (i + 1 <= bhKmax) "REJECT" else "no-reject"}"
+    }.mkString("\n")
+
     val report =
       s"""a/b analysis report (click vs purchase)
          |sections: name rows sec
@@ -108,6 +134,9 @@ object RunAbtest {
          |bootstrap_mean_ci: [${ci.getAs[Double]("ci_lo")}, ${ci.getAs[Double]("ci_hi")}] mean ${ci.getAs[Double]("mean")}
          |aa_srm_chi2: ${srm.getAs[Double]("srm_chi2")} (split ${if (srm.getAs[Boolean]("srm_flag")) "MISMATCH" else "ok"})
          |aa_mannwhitney_z: $aaZ (harness ${if (math.abs(aaZ) > 1.96) "BROKEN" else "sound"})
+         |adjusted calls (Benjamini-Hochberg, alpha=0.05, m=${zFamily.size}): rank test |z| crit raw bh
+         |$bhSection
+         |bh_k: $bhKmax of ${zFamily.size} rejected after correction
          |""".stripMargin
     Files.writeString(Paths.get(s"$outDir/report.txt"), report)
     report

@@ -74,6 +74,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // kendall: inequality self-join over the ≤|X|·|Y|-cell broadcast
     // grid + one-row tie/total frames
     "stats_kendall",
+    // fdr_bh: the kendall grid + one-row component frames ride inside
+    // the spliced battery
+    "stats_fdr_bh",
     // kruskal: one-row N/ties total onto the per-group frame
     "stats_kruskal",
     // tcloseness: one-row corpus total onto the class-segment frame
@@ -100,6 +103,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "quality_ks_drift",    // cumulative dist over fixed histogram bins (×2)
     "skyline_pareto",      // sweep over the per-size frame (≤ |p_size| = 50 rows)
     "stats_bootstrap_ci",  // rank cut over the B = 64 replicate-mean frame
+    "stats_fdr_bh",        // BH rank over the m = 6 battery-statistic frame (+ the components' Rank offsets frames)
     "stats_kruskal",       // Rank.midranks offsets frame (≤ #partitions rows)
     "stats_mannwhitney",   // Rank offsets frame (≤ #partitions rows)
     "stats_spearman",      // Rank.midranks offsets frame (×2, ≤ #partitions rows)

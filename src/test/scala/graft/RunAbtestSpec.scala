@@ -46,5 +46,20 @@ class RunAbtestSpec extends SparkSpecBase {
       .head().getAs[Double]("z")
     assert(math.abs(aaZ) < 1.96, s"A/A z=$aaZ must not reject")
     assert(report.contains("(harness sound)") && report.contains("(split ok)"))
+
+    // the BH adjusted-calls section reconciles with the declared
+    // oracle-gated stats_fdr_bh row: same ranks, same calls
+    val fdr = SparkEntry.queries("stats_fdr_bh")(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("test"),
+        r.getAs[Boolean]("reject_bh"))).sortBy(_._1)
+    assert(fdr.map(_._2).distinct.length === 6)
+    fdr.foreach { case (rank, test, rejectBh) =>
+      val line = report.linesIterator
+        .find(l => l.trim.startsWith(s"$rank $test"))
+        .getOrElse(fail(s"report must rank $test at $rank"))
+      assert(line.contains(s"bh=${if (rejectBh) "REJECT" else "no-reject"}"),
+        s"BH call for $test must match the declared row: $line")
+    }
+    assert(report.contains(s"bh_k: ${fdr.count(_._3)} of 6"))
   }
 }
