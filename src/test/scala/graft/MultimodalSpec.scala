@@ -171,4 +171,42 @@ class MultimodalSpec extends SparkSpecBase {
       .select(col("media_id1").as[Long], col("media_id2").as[Long]).collect().toSet
     assert(pairs === Set((1L, 2L)), s"only the noised copy pairs with base: $pairs")
   }
+
+  test("WAV codec: generated PCM header decodes real rate/channels/duration; poison + non-WAV ride through") {
+    import spark.implicits._
+    // canonical 44-byte PCM WAV: mono, 8 kHz, 16-bit, 4000 frames = 500 ms
+    def wav(ch: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
+      val block = ch * bits / 8
+      val dataSize = frames * block
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * block).putShort(block.toShort).putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      (0 until frames * block / 2).foreach(i => bb.putShort((i % 251).toShort))
+      bb.array()
+    }
+    val ds = Seq(
+      Media(1L, "audio", wav(ch = 1, rate = 8000, bits = 16, frames = 4000)),
+      Media(2L, "audio", wav(ch = 2, rate = 44100, bits = 16, frames = 44100)),
+      Media(3L, "audio", Array[Byte]('R', 'I', 'F', 'F', 1, 2, 3)), // truncated magic
+      Media(4L, "text", "not audio".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.extractWavMeta(ds).collect().sortBy(_.media_id)
+    assert(out(0).channels === 1 && out(0).sample_rate === 8000 &&
+      out(0).bits_per_sample === 16 && out(0).n_frames === 4000L &&
+      out(0).duration_ms === 500L)
+    assert(out(1).channels === 2 && out(1).sample_rate === 44100 &&
+      out(1).n_frames === 44100L && out(1).duration_ms === 1000L)
+    // poison + magic-miss rows: zero audio fields, payload identity kept
+    Seq(out(2), out(3)).foreach { m =>
+      assert(m.channels === 0 && m.sample_rate === 0 && m.n_frames === 0L &&
+        m.duration_ms === 0L)
+      assert(m.n_bytes > 0 && m.checksum ===
+        Multimodal.decodeStub(Media(m.media_id, m.modality,
+          ds.collect().find(_.media_id == m.media_id).get.bytes)).checksum)
+    }
+  }
 }
