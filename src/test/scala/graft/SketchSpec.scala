@@ -68,6 +68,48 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_hll: the DECLARED row lands within 2% of exact per-group distincts") {
+    // the GraphSpec HyperBall precedent applied to the rows-only HLL
+    // row: rsd=0.02 ⇒ one σ at 2%; a per-group miss beyond 2% on this
+    // fixed corpus means a broken sketch, not noise (deterministic —
+    // HLL++ registers hash the same values every run)
+    val approx = SparkEntry.queries("agg_hll")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (g, ex) =>
+      val ap = approx(g).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.02,
+        s"agg_hll $g: approx $ap vs exact $ex exceeds the 2% contract")
+    }
+  }
+
+  test("agg_approx_quantiles: rank-error envelope — every sketch answer's true rank is within eps of p") {
+    // the sketch's actual guarantee, measured: percentile_approx at
+    // accuracy=1000 targets rank error 1e-3; the pin allows 5e-3 (5×
+    // nominal) so the contract is tight but not flaky. With ties the
+    // answer's rank is an interval [count(v<q), count(v<=q)] — the
+    // envelope requires p·n to fall within eps·n of that interval.
+    val eps = 0.005
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val ps = Array(0.25, 0.5, 0.75)
+    val approx = SparkEntry.queries("agg_approx_quantiles")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val ns = li.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case ((g, i), q) =>
+      val n = ns(g).toDouble
+      val below = li.filter(col("g") === g && col("v") < q).count().toDouble
+      val atOrBelow = li.filter(col("g") === g && col("v") <= q).count().toDouble
+      val p = ps(i)
+      assert(below - eps * n <= p * n && p * n <= atOrBelow + eps * n,
+        s"group $g p=$p: rank interval [$below, $atOrBelow] of $n misses p·n by more than eps")
+    }
+  }
+
   test("sketch_kmv: estimate within 40% of the exact distinct count, deterministic") {
     // k=64 ⇒ KMV relative error σ ≈ 1/√(k−2) ≈ 12.7%; the 40% bound is
     // >3σ — a failure means broken selection/normalization, not noise
