@@ -1041,17 +1041,46 @@ object Graph {
 
   // ---- graph_random_walk: deterministic walk corpus ---------------------
 
+  /** Hub-safe adjacency index (round 11, VERDICT r10 #4): per-src
+    * neighbor rank `r` (1-based, dst ascending) + degree `deg`, WITHOUT
+    * the `row_number().over(Window.partitionBy(src))` shape that
+    * buffers and sorts one hub's whole adjacency through a single task
+    * (harmless on the uniform purchase graph, a 10⁷-row single-task
+    * sort on a power-law graph at 100×). The `Rank.globalRank`
+    * two-pass discipline instead: range-repartition on (src, dst)
+    * spreads a hub across range slices, per-partition row numbers +
+    * prefix-summed offsets give the GLOBAL rank, and because unique
+    * (src, dst) pairs of one src are contiguous in that total order,
+    * r = grank − min(grank per src) + 1 is bit-identical to the window
+    * form (GraphSpec pins ≡ on a planted-hub graph). The per-src
+    * (base, deg) frame joins back with a SHUFFLE_HASH hint — the build
+    * side is |V|-scaled (never broadcast); the probe STREAMS the hub's
+    * edges through the reducer instead of sorting them (an SMJ would
+    * re-buffer exactly the rows the two-pass rank just spread out).
+    */
+  private[graft] def adjacencyIndexed(edges: DataFrame): DataFrame = {
+    val g = graft.rel.Rank.globalRank(edges, Seq(col("src"), col("dst")))
+    val bases = g.groupBy(col("src"))
+      .agg(min(col("grank")).as("gbase"), count(lit(1)).as("deg"))
+    g.join(bases.hint("SHUFFLE_HASH"), "src")
+      .select(col("src"), col("dst"),
+        (col("grank") - col("gbase") + 1L).as("r"), col("deg"))
+  }
+
   /** graph_random_walk — unbiased random-walk corpus over the purchase
     * graph: the node2vec/DeepWalk INPUT a graph-embedding trainer
-    * consumes (one walk per seed node, `steps` hops). "Random" is
-    * hash-deterministic: step s of walk w moves to neighbor rank
-    * (u16 mod deg) + 1 where u16 = first 4 hex digits of
+    * consumes (`walksPerSeed` walks per seed node, `steps` hops;
+    * the declared row keeps 1 × 4 — the oracle's constants — and a
+    * production corpus runs R ≈ 10 × length 40-80, same plan shape).
+    * "Random" is hash-deterministic: step s of walk w moves to
+    * neighbor rank (u16 mod deg) + 1 where u16 = first 4 hex digits of
     * md5("w_s") — the `stats_bootstrap_ci` uniform trick — so the
-    * corpus is reproducible run-to-run AND oracle-checkable. Scale
-    * shape: adjacency is indexed ONCE (per-src neighbor rank +
-    * degree; the window partitions on src, so one hub's adjacency
-    * buffers through one task — the standard adjacency-indexing
-    * cost), then every step is one state⋈adjacency equi-join on the
+    * corpus is reproducible run-to-run AND oracle-checkable. Walk ids
+    * are node·walksPerSeed + rep (the identity node ↦ walk at R = 1,
+    * so the declared row is unchanged); distinct reps draw distinct
+    * hash streams. Scale shape: adjacency is indexed ONCE
+    * (`adjacencyIndexed` — hub-safe two-pass, never a per-src window
+    * sort), then every step is one state⋈adjacency equi-join on the
     * current node with the rank equality as a residual filter (the
     * `pageRank` round skeleton, Ckpt-truncated per step), and each
     * step's rows are written once (the `bfsHops` union-of-rounds
@@ -1059,17 +1088,15 @@ object Graph {
     * out-degree ≥ 1 — the module invariant), unique (src, dst) pairs.
     */
   def randomWalks(edgesIn: DataFrame, steps: Int = 4,
-      seedMod: Int = 20): DataFrame = {
+      seedMod: Int = 20, walksPerSeed: Int = 1): DataFrame = {
     val edges = edgesIn.truncated()
-    val adj = edges
-      .withColumn("r",
-        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
-          .cast("long"))
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
-      .truncated()
+    val adj = adjacencyIndexed(edges).truncated()
     var state = edges.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(seedMod)) === 0)
-      .select(col("node").as("walk"), lit(0).as("step"), col("node"))
+      .select(explode(sequence(lit(0L), lit(walksPerSeed - 1L))).as("rep"),
+        col("node"))
+      .select((col("node") * walksPerSeed + col("rep")).as("walk"),
+        lit(0).as("step"), col("node"))
       .truncated()
     val acc = scala.collection.mutable.ArrayBuffer[DataFrame](state)
     for (s <- 1 to steps) {
@@ -1082,6 +1109,77 @@ object Graph {
       acc += state
     }
     acc.reduce(_ unionAll _)
+  }
+
+  /** node2vec BIASED second-order walks (round 11, VERDICT r10 #7): the
+    * production walk corpus shape — state carries the PREVIOUS node,
+    * and each candidate neighbor x of the current node v is weighted by
+    * node2vec's search bias: `wReturn` if x = prev (α = 1/p), `wCommon`
+    * if edge(prev, x) exists (α = 1), `wFar` otherwise (α = 1/q) —
+    * INTEGER weights (scale (1/p, 1, 1/q) by any common factor), so the
+    * draw stays exact-integer deterministic: k = (u16 mod Σw) + 1 picks
+    * the candidate whose cumulative weight interval (dst ascending)
+    * contains k. With unit weights Σw = deg and cum = r, so the rule
+    * DEGENERATES to the unbiased (u16 mod deg) + 1 — GraphSpec pins
+    * (1,1,1) ≡ `randomWalks` bit-identically, hop 1 is unbiased in both
+    * (no prev yet, node2vec's uniform first draw). Scale shape: the
+    * step join enumerates deg(v) candidates per walk exactly like the
+    * unbiased residual filter; the common-neighbor flag is one
+    * (prev, x)⋈edges equi-join, and the per-walk cumulative window
+    * partitions on walk — each partition is ONE walk's candidate list
+    * (deg(v) rows), the same per-step working set the unbiased join
+    * already streams, never a global or per-src sort.
+    */
+  def node2vecWalks(edgesIn: DataFrame, steps: Int = 4,
+      seedMod: Int = 20, walksPerSeed: Int = 1,
+      wReturn: Int = 1, wCommon: Int = 1, wFar: Int = 1): DataFrame = {
+    require(wReturn > 0 && wCommon > 0 && wFar > 0,
+      "node2vec weights must be positive integers")
+    val edges = edgesIn.truncated()
+    val adj = adjacencyIndexed(edges).truncated()
+    val common = edges.select(col("src").as("pe_src"), col("dst").as("pe_dst"),
+      lit(1).as("is_common"))
+    var state = edges.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(seedMod)) === 0)
+      .select(explode(sequence(lit(0L), lit(walksPerSeed - 1L))).as("rep"),
+        col("node"))
+      .select((col("node") * walksPerSeed + col("rep")).as("walk"),
+        lit(0).as("step"), col("node"), lit(null).cast("long").as("prev"))
+      .truncated()
+    val acc = scala.collection.mutable.ArrayBuffer[DataFrame](state)
+    for (s <- 1 to steps) {
+      val u16 = conv(substring(md5(concat(col("walk").cast("string"),
+        lit("_"), lit(s.toString))), 1, 4), 16, 10).cast("long")
+      state =
+        if (s == 1)
+          // first hop: no prev — node2vec draws uniformly, the unbiased rule
+          state.join(adj, state("node") === adj("src"))
+            .filter(col("r") === pmod(u16, col("deg")) + 1)
+            .select(col("walk"), lit(s).as("step"), col("dst").as("node"),
+              adj("src").as("prev"))
+            .truncated()
+        else {
+          val cand = state.join(adj, state("node") === adj("src"))
+            .join(common, col("prev") === col("pe_src") &&
+              col("dst") === col("pe_dst"), "left")
+            .withColumn("w",
+              when(col("dst") === col("prev"), lit(wReturn.toLong))
+                .when(col("is_common") === 1, lit(wCommon.toLong))
+                .otherwise(lit(wFar.toLong)))
+          val byDst = Window.partitionBy(col("walk")).orderBy(col("dst"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          cand
+            .withColumn("cum", sum(col("w")).over(byDst))
+            .withColumn("tot", sum(col("w")).over(Window.partitionBy(col("walk"))))
+            .filter(col("cum") - col("w") < pmod(u16, col("tot")) + 1 &&
+              pmod(u16, col("tot")) + 1 <= col("cum"))
+            .select(col("walk"), lit(s).as("step"), col("dst").as("node"),
+              adj("src").as("prev"))
+            .truncated()
+        }
+      acc += state
+    }
+    acc.reduce(_ unionAll _).drop("prev")
   }
 
   /** Walk corpus memoized per (session, dir) — the `minhashClusters`

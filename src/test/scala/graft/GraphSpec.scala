@@ -430,6 +430,93 @@ class GraphSpec extends SparkSpecBase {
     assert(got.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("adjacencyIndexed (two-pass): bit-identical to the per-src window form on a planted-hub graph") {
+    // 500-degree hub + scattered edges: the shape whose window form
+    // buffers one task; ranks/degrees must not change under the
+    // hub-safe rewrite (round 11 — walks stay bit-identical)
+    val rng = new scala.util.Random(11)
+    val hub = (1 to 500).map(i => (0L, i.toLong))
+    val rest = (1 to 300).map(_ =>
+      (rng.nextInt(50).toLong + 1, rng.nextInt(1000).toLong + 1))
+    val edges = (hub ++ rest).distinct.toDF("src", "dst")
+    val got = Graph.adjacencyIndexed(edges)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"src")
+    val twin = edges
+      .withColumn("r", row_number().over(w.orderBy($"dst")).cast("long"))
+      .withColumn("deg", count(lit(1)).over(w))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === twin)
+  }
+
+  test("randomWalks walksPerSeed: R walks per seed, each valid, ids = node·R + rep") {
+    val half = Seq((0L, 2L), (2L, 4L), (4L, 6L), (4L, 8L)).toDF("src", "dst")
+    val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val edgeSet = edges.as[(Long, Long)].collect().toSet
+    val got = Graph.randomWalks(edges, steps = 3, seedMod = 2, walksPerSeed = 3)
+      .select("walk", "step", "node").as[(Long, Int, Long)].collect()
+    val byWalk = got.groupBy(_._1)
+    assert(byWalk.keySet ===
+      Set(0L, 2L, 4L, 6L, 8L).flatMap(n => (0 to 2).map(n * 3 + _)))
+    byWalk.foreach { case (wk, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(path.head === wk / 3, "walk starts at its seed node")
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(edgeSet.contains((a, b)), s"hop $a→$b of walk $wk is an edge")
+      }
+    }
+    // distinct reps draw distinct hash streams: at least one seed's
+    // three walks diverge on this branching graph
+    assert(Set(0L, 2L, 4L, 6L, 8L).exists { n =>
+      (0 to 2).map(r => byWalk(n * 3 + r).sortBy(_._2).map(_._3).toSeq)
+        .distinct.size > 1
+    })
+  }
+
+  test("node2vecWalks: unit weights ≡ randomWalks bit-identically; p/q weights steer return vs exploration") {
+    val half = Seq((0L, 2L), (2L, 4L), (4L, 6L), (4L, 8L)).toDF("src", "dst")
+    val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
+    val unb = Graph.randomWalks(edges, steps = 3, seedMod = 2)
+      .select("walk", "step", "node").as[(Long, Int, Long)].collect().sorted.toSeq
+    val n2v = Graph.node2vecWalks(edges, steps = 3, seedMod = 2)
+      .select("walk", "step", "node").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(n2v === unb, "(1,1,1) node2vec must degenerate to the unbiased walks")
+
+    // star graph (center 0, 20 leaves): every step-2 hop from a leaf is
+    // at the center with prev = that leaf — wReturn dominates the draw
+    val starHalf = (1 to 20).map(i => (0L, i.toLong * 2)).toDF("src", "dst")
+    val star = starHalf.unionAll(starHalf.select($"dst".as("src"), $"src".as("dst")))
+    def returns(wr: Int): Int = {
+      val walks = Graph.node2vecWalks(star, steps = 2, seedMod = 2,
+        wReturn = wr, wCommon = 1, wFar = 1)
+        .select("walk", "step", "node").as[(Long, Int, Long)].collect()
+      walks.groupBy(_._1).values.count { rows =>
+        val p = rows.sortBy(_._2).map(_._3)
+        p.length == 3 && p(0) != 0L && p(2) == p(0) // leaf → center → same leaf
+      }
+    }
+    val biased = returns(1000); val flat = returns(1)
+    assert(biased >= 15, s"wReturn=1000 must pull walks back: $biased/20")
+    assert(biased > flat, s"return bias must exceed the uniform rate ($biased vs $flat)")
+
+    // triangle 0-1-2 + tail 0-3: from 1→0, x=2 is the COMMON neighbor
+    // (edge(1,2) exists) — wCommon dominates over return(1)/far(3)
+    val triHalf = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("src", "dst")
+    val tri = triHalf.unionAll(triHalf.select($"dst".as("src"), $"src".as("dst")))
+    val tw = Graph.node2vecWalks(tri, steps = 3, seedMod = 1, walksPerSeed = 25,
+      wReturn = 1, wCommon = 1000000, wFar = 1)
+      .select("walk", "step", "node").as[(Long, Int, Long)].collect()
+    val transitions = tw.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val p = rows.sortBy(_._2).map(_._3)
+      p.sliding(3).filter(t => t.length == 3 && t(0) == 1L && t(1) == 0L)
+        .map(_(2))
+    }
+    assert(transitions.nonEmpty, "the 1→0 transition must occur among 100 walks")
+    val commonShare = transitions.count(_ == 2L).toDouble / transitions.size
+    assert(commonShare >= 0.9,
+      s"wCommon=1e6 must steer 1→0→2 (got $commonShare of ${transitions.size})")
+  }
+
   test("walkCooccur ≡ brute-force window-2 skip-gram pairs; symmetric by construction") {
     // two crafted "walks" as plain frames — cooccur only reads (walk, step, node)
     val walks = Seq(
