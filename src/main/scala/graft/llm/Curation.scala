@@ -596,7 +596,71 @@ object Curation {
     snapshotDiff(prev, curr)
   }
 
+  // ---- ingest_manifest: the incremental-recuration funnel --------------
+
+  /** ingest_manifest — the per-stage delta funnel a RECURRING crawl's
+    * ingest run publishes (round 11, VERDICT r10 #1): a new batch
+    * (doc_id ≡ 3 mod 5 of the 500-doc dedup slice — the `docSlice`
+    * bound that keeps the LSH oracle tractable) flows through the
+    * incremental pipeline against the standing corpus (the other ~400
+    * docs):
+    *
+    *   batch_in → digest_new (drop exact refreshes of indexed docs —
+    *   the `corpus_snapshot_diff` digest discipline, batch×corpus
+    *   anti-join on md5(text)) → quality_gopher (the published rules)
+    *   → dedup_exact (intra-batch keep-min per digest) →
+    *   near_dup_vs_index (drop batch docs with an LSH-verified J ≥ 0.95
+    *   CROSS pair against any corpus doc — 0.95, not the house 0.8,
+    *   because the dedup slice's planted near-dup density at 0.8 empties
+    *   the funnel (66/100 batch docs pair across the split; see
+    *   dedup_minhash_lsh's own 30 k pairs) and a degenerate all-zero
+    *   tail would gate nothing — `minhashLshPairs` over the
+    *   slice, pairs with exactly one batch side; the declared twin of
+    *   `nearDupsAgainstIndex`'s persisted-index path, RunIngestSpec
+    *   reconciles the two) → decontam_13 (drop survivors sharing a
+    *   13-gram with the corpus eval slice, doc_id ≡ 0 mod 10).
+    *
+    * Every stage reuses the declared operators' own builders; the
+    * oracle splices their SQL (gopher CTE, the shared minhash pair
+    * chain, the 13-gram chain), so the funnel cannot drift from the
+    * rows it composes. `run.RunIngest` is the path-based production
+    * composition of the same stages (persisted index, append, report).
+    */
+  def ingestManifest(s: SparkSession, d: String): DataFrame = {
+    val slice = Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    val isBatch = (c: org.apache.spark.sql.Column) => c % 5 === 3
+    val batch = slice.filter(isBatch(col("doc_id")))
+    val corp = slice.filter(!isBatch(col("doc_id")))
+    val s2 = batch.join(corp.select(md5(col("text")).as("h")).distinct(),
+      md5(batch("text")) === col("h"), "left_anti")
+    val s3 = s2.join(TextAnalysis.qualityGopherDocs(s2)
+      .filter(col("keep")).select("doc_id"), "doc_id")
+    val s4 = s3.join(
+      s3.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val drops = Dedup.minhashLshPairs(s, slice)
+      .filter(col("jaccard") >= 0.95 &&
+        isBatch(col("doc_id1")) =!= isBatch(col("doc_id2")))
+      .select(when(isBatch(col("doc_id1")), col("doc_id1"))
+        .otherwise(col("doc_id2")).as("doc_id")).distinct()
+    val s5 = s4.join(drops, Seq("doc_id"), "left_anti")
+    val evalDocs = slice.filter(col("doc_id") % 10 === 0)
+    val cont = decontaminateDocs(
+      s5.unionAll(evalDocs), gram = 13).select("doc_id")
+    val s6 = s5.join(cont, Seq("doc_id"), "left_anti")
+    Seq("1_batch_in" -> batch, "2_digest_new" -> s2, "3_quality_gopher" -> s3,
+      "4_dedup_exact" -> s4, "5_near_dup_vs_index" -> s5, "6_decontam_13" -> s6)
+      .map { case (n, df) =>
+        df.agg(count(lit(1)).as("survivors")).select(lit(n).as("stage"),
+          col("survivors"))
+      }
+      .reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_manifest" -> ingestManifest,
     "corpus_snapshot_diff" -> snapshotDiffQuery,
     "corpus_dedup_report" -> dedupReport,
     "corpus_domain_cap" -> ((s, d) => domainCap(s, d)),
@@ -618,6 +682,41 @@ object Curation {
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
   val rawOracles: Map[String, String] = Map(
+    "ingest_manifest" -> {
+      val sw = TextAnalysis.GopherStopwords.map("'" + _ + "'").mkString("(", ", ", ")")
+      // the composed funnel: shared minhash pair chain (Dedup's own
+      // CTEs), the corpus_curate gopher expression, the decontaminate_13
+      // gram chain — each stage NOT-IN/IN-chained exactly as the builder
+      s"WITH ${Dedup.minhashPairsCtes}, " +
+        "base AS (SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id < 500), " +
+        "b1 AS (SELECT * FROM base WHERE doc_id % 5 = 3), " +
+        "cp AS (SELECT * FROM base WHERE doc_id % 5 <> 3), " +
+        "s2 AS (SELECT * FROM b1 WHERE h NOT IN (SELECT h FROM cp)), " +
+        "gw AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2), " +
+        "gq AS (SELECT doc_id FROM gw WHERE len(w)::INT >= 50 " +
+        "AND rnd(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6) BETWEEN 3e0 AND 10e0 " +
+        s"AND len(list_filter(w, x -> x IN $sw))::INT >= 2), " +
+        "s3 AS (SELECT s2.* FROM s2 JOIN gq USING (doc_id)), " +
+        "s4 AS (SELECT * FROM s3 WHERE doc_id IN (SELECT min(doc_id) FROM s3 GROUP BY h)), " +
+        "drops AS (SELECT DISTINCT CASE WHEN d1 % 5 = 3 THEN d1 ELSE d2 END AS doc_id " +
+        "FROM jj WHERE j >= 0.95e0 AND ((d1 % 5 = 3) <> (d2 % 5 = 3))), " +
+        "s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM drops)), " +
+        "t13 AS (SELECT doc_id, string_split(text, ' ') AS a FROM base " +
+        "WHERE doc_id % 10 = 0 OR doc_id IN (SELECT doc_id FROM s5)), " +
+        "g13 AS (SELECT DISTINCT doc_id, array_to_string(a[i::INT:(i + 12)::INT], ' ') AS g " +
+        "FROM (SELECT doc_id, a, unnest(range(1, len(a) - 11)) AS i FROM t13 WHERE len(a) >= 13)), " +
+        "ev AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 10 = 0), " +
+        "cont AS (SELECT DISTINCT doc_id FROM g13 WHERE doc_id % 10 <> 0 " +
+        "AND g IN (SELECT g FROM ev)), " +
+        "s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
+        "SELECT '1_batch_in' AS stage, count(*) AS survivors FROM b1 " +
+        "UNION ALL SELECT '2_digest_new', count(*) FROM s2 " +
+        "UNION ALL SELECT '3_quality_gopher', count(*) FROM s3 " +
+        "UNION ALL SELECT '4_dedup_exact', count(*) FROM s4 " +
+        "UNION ALL SELECT '5_near_dup_vs_index', count(*) FROM s5 " +
+        "UNION ALL SELECT '6_decontam_13', count(*) FROM s6"
+    },
+
     "corpus_snapshot_diff" ->
       ("WITH p AS (SELECT doc_id, md5(text) AS h_prev, length(text)::BIGINT AS len_prev " +
         "FROM documents WHERE doc_id % 7 <> 0), " +

@@ -195,6 +195,22 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/docs")
   }
 
+  /** APPEND a new batch to a persisted LSH index (round 11): the
+    * signature table and stored docs grow by the batch's rows — the
+    * index-update leg of the recurring-crawl loop (`run.RunIngest`
+    * appends each ingest's survivors so the NEXT batch near-dedups
+    * against them). Parameters must match the build
+    * (`saveLshIndex`); doc_ids must be new (the `nearDupsAgainstIndex`
+    * disjointness precondition keeps appends idempotent per crawl).
+    */
+  def appendToLshIndex(docs: DataFrame, path: String,
+      numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand): Unit = {
+    bandSigs(TextOps.docTokens(docs), numHashes, rowsPerBand)
+      .write.mode("append").parquet(s"$path/sigs")
+    docs.select(col("doc_id"), col("text"))
+      .write.mode("append").parquet(s"$path/docs")
+  }
+
   /** Near-dup pairs between a NEW batch and the persisted index:
     * (new_id, indexed_id, jaccard) for every cross pair at
     * J ≥ `threshold`. New-batch signatures equi-join the STORED
@@ -871,6 +887,12 @@ object Dedup {
 
   private val candExists =
     "WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = a.doc_id AND c.d2 = b.doc_id)"
+
+  /** The full pair chain (toks → … → jj) on the 500-doc slice, exposed
+    * for composed oracles (`ingest_manifest` splices it — one minhash
+    * definition repo-wide, the `stats_fdr_bh` splicing discipline). */
+  private[llm] def minhashPairsCtes: String =
+    s"$minhashCtes, ${jaccardCtes(candExists)}"
 
   /** The recursive connected-components chain through `lbl(doc_id,
     * cluster_id)` — shared by the cluster row and its histogram. */

@@ -1,0 +1,164 @@
+package graft.run
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Curation, Dedup, TextAnalysis}
+
+/** Incremental-recuration runner (round 11, VERDICT r10 #1 — "the
+  * pipeline a recurring crawl actually runs"): where `RunCurate`
+  * re-curates a FULL corpus, this main takes a NEW batch and the
+  * standing corpus's PERSISTED LSH index and runs only the delta work:
+  *
+  *  1. digest diff — drop batch docs that are byte-identical refreshes
+  *     of indexed docs (the `corpus_snapshot_diff` md5 discipline;
+  *     digests ride the join, never payloads),
+  *  2. quality gate — the published Gopher rules on what's left,
+  *  3. intra-batch exact dedup (keep-min per digest),
+  *  4. near-dedup AGAINST THE INDEX — `nearDupsAgainstIndex`: new-batch
+  *     signatures equi-join the STORED signature table, so the cost is
+  *     O(batch + cross collisions), never index × index (the round-10
+  *     incremental primitive, finally composed),
+  *  5. 13-gram decontamination of the delta against the corpus eval
+  *     slice (doc_id ≡ 0 mod 10 — the `decontaminate_13` convention),
+  *  6. append survivors to the corpus parquet AND the index
+  *     (`appendToLshIndex`), so the next crawl's batch near-dedups
+  *     against them.
+  *
+  * Emits the per-stage DELTA FUNNEL (the `RunCurate` report shape) and
+  * the updated corpus/index. Every stage reuses declared operators'
+  * builders; the batch-vs-index semantics are spec-reconciled against
+  * full recuration over the union restricted to cross pairs
+  * (RunIngestSpec), and the same funnel shape is oracle-gated as the
+  * declared `ingest_manifest` row.
+  *
+  * ```
+  * tools/run.sh graft.run.RunIngest <sfdir> <outdir> [batchMod=5] [batchRem=3] [dupJaccard=0.8]
+  * ```
+  *
+  * The batch here is carved from the documents table by doc_id mod so
+  * the run is self-contained and deterministic; a production crawl
+  * passes its own batch parquet — the stages never look at how the
+  * batch was chosen. Scale shape: one batch-sized pass per stage plus
+  * the index cross-collision join; the standing corpus is touched only
+  * through its signature table and the candidate-filtered stored-docs
+  * scan.
+  */
+object RunIngest {
+
+  case class StageResult(name: String, survivors: Long, wall: Double)
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      batchMod: Int = 5, batchRem: Int = 3,
+      nearDupThreshold: Double = 0.8): String = {
+    Files.createDirectories(Paths.get(outDir))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val corpus = docs.filter(col("doc_id") % batchMod =!= batchRem).persist()
+    val batch = docs.filter(col("doc_id") % batchMod === batchRem).persist()
+    val corpusN = corpus.count()
+    // standing state: a recurring crawl has these persisted from the
+    // previous run; built here so the runner is self-contained
+    val indexPath = s"$outDir/index"
+    Dedup.saveLshIndex(corpus, indexPath)
+    graft.sources.Sinks.writePartitioned(corpus, s"$outDir/corpus", Seq("source"))
+
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+    def stage(name: String)(body: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = body.persist()
+      val n = out.count()
+      stages += StageResult(name, n, (System.nanoTime() - t0) / 1e9)
+      out
+    }
+
+    val batchIn = stage("batch_in")(batch)
+    // 1. digest diff vs the indexed corpus: byte-identical refreshes out
+    val fresh = stage("digest_new") {
+      batchIn.join(corpus.select(md5(col("text")).as("h")).distinct(),
+        md5(batchIn("text")) === col("h"), "left_anti")
+    }
+    // 2. Gopher quality rules on the delta
+    val quality = stage("quality_gopher") {
+      fresh.join(TextAnalysis.qualityGopherDocs(fresh)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+    }
+    // 3. intra-batch exact dedup (keep lowest doc_id per digest)
+    val exact = stage("dedup_exact") {
+      quality.join(
+        quality.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    // 4. near-dedup against the PERSISTED index — the incremental path
+    val near = stage("near_dup_vs_index") {
+      val hits = Dedup.nearDupsAgainstIndex(spark, indexPath, exact,
+          threshold = nearDupThreshold)
+        .select(col("new_id").as("doc_id")).distinct()
+      exact.join(hits, Seq("doc_id"), "left_anti")
+    }
+    // 5. 13-gram decontamination of the delta vs the corpus eval slice
+    //    (batch ids are ≢ 0 mod 10 whenever batchRem ≢ 0 mod gcd(10,
+    //    batchMod) — the default 3 mod 5 puts them at 3/8 mod 10)
+    val clean = stage("decontaminate_13") {
+      val evalDocs = corpus.filter(col("doc_id") % 10 === 0)
+      val cont = Curation.decontaminateDocs(
+        near.select(col("doc_id"), col("text"))
+          .unionAll(evalDocs.select(col("doc_id"), col("text"))),
+        gram = 13).select("doc_id")
+      near.join(cont, Seq("doc_id"), "left_anti")
+    }
+
+    // 6. append the survivors: corpus parquet + the LSH index. The
+    // delta artifact is written UNPARTITIONED: a legitimate all-dropped
+    // batch yields an empty-but-schema'd file, not an unreadable dir.
+    clean.write.mode("overwrite").parquet(s"$outDir/delta")
+    clean.write.mode("append").partitionBy("source").parquet(s"$outDir/corpus")
+    Dedup.appendToLshIndex(clean, indexPath)
+
+    val kept = stages.last.survivors
+    val report =
+      s"""ingest run report (incremental)
+         |sfdir: $sfDir
+         |corpus_docs: $corpusN
+         |near_dup_jaccard: $nearDupThreshold
+         |batch_in: ${stages.head.survivors}
+         |batch_kept: $kept
+         |kept_ratio: ${f"${kept.toDouble / math.max(1, stages.head.survivors)}%.4f"}
+         |funnel: stage survivors dropped sec
+         |${
+        stages.foldLeft((stages.head.survivors, List.empty[String])) {
+          case ((prev, acc), st) =>
+            (st.survivors, acc :+
+              f"  ${st.name} ${st.survivors} ${prev - st.survivors} ${st.wall}%.3f")
+        }._2.mkString("\n")
+      }
+         |index_appended: $kept docs
+         |""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/report.txt"), report)
+    spark.catalog.clearCache() // release the per-stage persists
+    report
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: RunIngest <sfdir> <outdir> [batchMod] [batchRem] [dupJaccard]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(graft.functions.TopKAgg.FallbackConfKey,
+        graft.functions.TopKAgg.FallbackThreshold.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val bm = if (args.length > 2) args(2).toInt else 5
+    val br = if (args.length > 3) args(3).toInt else 3
+    val thr = if (args.length > 4) args(4).toDouble else 0.8
+    print(run(spark, args(0), args(1), bm, br, thr))
+    spark.stop()
+  }
+}

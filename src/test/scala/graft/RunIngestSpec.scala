@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Curation, Dedup, TextAnalysis}
+import graft.run.RunIngest
+
+/** End-to-end spec for the incremental-recuration runner: the written
+  * delta must equal the stage-by-stage recomputation with the library
+  * builders, the index path must reconcile with FULL recuration over
+  * the union restricted to cross pairs (the `nearDupsAgainstIndex`
+  * contract, asserted at the composition level), and the index update
+  * must make the survivors visible to the NEXT batch.
+  */
+class RunIngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("RunIngest: delta ≡ recomputed funnel; incremental near-dedup ≡ full recuration cross pairs; index grows") {
+    val out = java.nio.file.Files.createTempDirectory("ingest").toString
+    // J ≥ 0.95, not the production-default 0.8: the synthetic corpus's
+    // planted near-dup density at 0.8 drops the WHOLE batch (an honest
+    // but funnel-degenerate outcome — the ingest_manifest row documents
+    // the same choice), and the spec wants a non-trivial delta
+    val report = RunIngest.run(spark, sfDir, out, nearDupThreshold = 0.95)
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 3)
+    val batch = docs.filter(col("doc_id") % 5 === 3)
+
+    // recompute the funnel with the library builders (the run's stages)
+    val fresh = batch.join(corpus.select(md5(col("text")).as("h")).distinct(),
+      md5(batch("text")) === col("h"), "left_anti")
+    val quality = fresh.join(TextAnalysis.qualityGopherDocs(fresh)
+      .filter(col("keep")).select("doc_id"), "doc_id")
+    val exact = quality.join(
+      quality.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // THE reconciliation: the incremental index path ≡ full recuration
+    // over (corpus ∪ batch survivors) restricted to CROSS pairs
+    val full = Dedup.minhashLshPairs(spark,
+        corpus.select(col("doc_id"), col("text"))
+          .unionAll(exact.select(col("doc_id"), col("text"))))
+      .filter(col("jaccard") >= 0.95)
+    val isBatch = (c: org.apache.spark.sql.Column) => c % 5 === 3
+    val fullDrops = full
+      .filter(isBatch(col("doc_id1")) =!= isBatch(col("doc_id2")))
+      .select(when(isBatch(col("doc_id1")), col("doc_id1"))
+        .otherwise(col("doc_id2")).as("doc_id")).distinct()
+    val near = exact.join(fullDrops, Seq("doc_id"), "left_anti")
+    val evalDocs = corpus.filter(col("doc_id") % 10 === 0)
+    val cont = Curation.decontaminateDocs(
+      near.select(col("doc_id"), col("text"))
+        .unionAll(evalDocs.select(col("doc_id"), col("text"))),
+      gram = 13).select("doc_id")
+    val expect = near.join(cont, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+
+    val delta = spark.read.parquet(s"$out/delta")
+      .select("doc_id").as[Long].collect().toSet
+    assert(delta === expect,
+      "the written delta must equal full recuration restricted to cross pairs")
+
+    // the report's funnel quotes the same counts
+    assert(report.contains(s"batch_kept: ${expect.size}"))
+    assert(report.contains(s"index_appended: ${expect.size} docs"))
+    Seq("batch_in", "digest_new", "quality_gopher", "dedup_exact",
+      "near_dup_vs_index", "decontaminate_13").foreach { st =>
+      assert(report.contains(s"  $st "), s"funnel must report stage $st")
+    }
+
+    // index update: survivors' signatures and docs are now indexed, so
+    // the NEXT crawl's batch sees them
+    val sigIds = spark.read.parquet(s"$out/index/sigs")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val docIds = spark.read.parquet(s"$out/index/docs")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(expect.subsetOf(sigIds) && expect.subsetOf(docIds),
+      "appendToLshIndex must add every survivor to sigs and docs")
+    // ...and a byte-identical copy of a survivor under a fresh id is
+    // caught at J = 1.0 by the updated index
+    if (expect.nonEmpty) {
+      val survivor = expect.min
+      val copy = spark.read.parquet(s"$out/index/docs")
+        .filter(col("doc_id") === survivor)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val hits = Dedup.nearDupsAgainstIndex(spark, s"$out/index", copy)
+      assert(hits.filter(col("indexed_id") === survivor &&
+        col("jaccard") === 1.0).count() === 1L,
+        "a re-crawled copy of an appended survivor must hit the index")
+    }
+
+    // the appended corpus = standing corpus + delta
+    val corpusAfter = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(corpusAfter === corpusIds ++ expect)
+  }
+}
