@@ -42,7 +42,28 @@ object Bench {
     // runs of identical code) were neighbors absorbing the persist-heavy
     // pipelines' collection debt, which min-of-2 can't dodge because it
     // hits both runs.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Cold-build accounting (round 11, VERDICT r10 #5): three families
+    // memoize a shared frame per (session, dir) — FkNN scores, the
+    // LSH→CC dedup clusters, the walk corpus — so their per-query
+    // numbers below are warm-hit reads and the build cost would
+    // otherwise vanish into whichever query ran first (where min-of-2
+    // hides it). Release each memo and charge ONE cold dependent run,
+    // visibly, as its own `build_*` line; every family row after reads
+    // warm, which is the library's actual steady state.
+    val builds = Seq[(String, () => Unit, String)](
+      ("build_shared_scores", () => SparkEntry.releaseShared(), "accuracy"),
+      ("build_dedup_clusters", () => graft.llm.Dedup.releaseShared(), "dedup_cluster"),
+      ("build_graph_walks", () => graft.rel.Graph.releaseShared(), "graph_random_walk"))
+      .map { case (name, release, q) =>
+        release()
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(q)(spark, sfDir).count() catch { case _: Throwable => }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        name -> t
+      }
+    val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
