@@ -1202,6 +1202,25 @@ object Graph {
   def randomWalkQuery(s: SparkSession, d: String): DataFrame =
     walksShared(s, d)
 
+  /** graph_node2vec_walk — the DECLARED biased-walk row (round 11): 4
+    * hops at (return, common, far) = (1, 2, 4) ≙ node2vec p = 2,
+    * q = 0.5 (outward-biased, return-averse — the DFS-flavored setting
+    * the paper recommends for structural roles), over the CO-ORDER part
+    * graph rather than the bipartite purchase graph: bipartite graphs
+    * have no common neighbors between prev and current (prev and all
+    * candidates sit on the same side), so the wCommon tier would be
+    * dead weight there; the co-order graph has triangles and exercises
+    * all three tiers. The oracle unrolls the steps with the identical
+    * per-walk cumulative-weight draw.
+    */
+  def node2vecWalkQuery(s: SparkSession, d: String): DataFrame = {
+    val half = coOrderEdges(s, d)
+    val edges = half.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(half.select(col("p2").as("src"), col("p1").as("dst")))
+    node2vecWalks(edges, steps = 4, seedMod = 20,
+      wReturn = 1, wCommon = 2, wFar = 4)
+  }
+
   // ---- graph_walk_cooccur: skip-gram pairs from the walk corpus ---------
 
   /** graph_walk_cooccur — the (center, context) skip-gram pair counts a
@@ -1226,6 +1245,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_walk_cooccur" -> walkCooccurQuery,
     "graph_random_walk" -> randomWalkQuery,
+    "graph_node2vec_walk" -> node2vecWalkQuery,
     "graph_hits" -> hitsQuery,
     "graph_bipartite_proj" -> bipartiteProjQuery,
     "graph_label_prop" -> labelPropQuery,
@@ -1321,6 +1341,50 @@ object Graph {
   }
 
   val rawOracles: Map[String, String] = Map(
+    "graph_node2vec_walk" -> {
+      // the biased draw unrolled: step 1 is the unbiased (u16 mod deg)
+      // rule (no prev), steps 2..4 weight candidates (1 return / 2
+      // common-neighbor via a LEFT JOIN edge probe / 4 far) and pick
+      // the cumulative-weight interval containing (u16 mod Σw) + 1
+      def hexDigit(e: String, d: Int): String =
+        s"(instr('0123456789abcdef', substr(md5($e), $d, 1)) - 1)"
+      def u16(s: Int): String = {
+        val e = s"walk::VARCHAR || '_$s'"
+        s"(((${hexDigit(e, 1)} * 16 + ${hexDigit(e, 2)}) * 16 + " +
+          s"${hexDigit(e, 3)}) * 16 + ${hexDigit(e, 4)})"
+      }
+      def step(s: Int): String =
+        s"c$s AS (SELECT p.walk, a.src, a.dst, " +
+          "CASE WHEN a.dst = p.prev THEN 1::BIGINT " +
+          "WHEN ce.src IS NOT NULL THEN 2::BIGINT ELSE 4::BIGINT END AS w " +
+          s"FROM w${s - 1} p JOIN adj a ON p.node = a.src " +
+          "LEFT JOIN e ce ON ce.src = p.prev AND ce.dst = a.dst), " +
+          s"k$s AS (SELECT *, sum(w) OVER (PARTITION BY walk ORDER BY dst " +
+          "ROWS UNBOUNDED PRECEDING) AS cum, " +
+          s"sum(w) OVER (PARTITION BY walk) AS tot FROM c$s), " +
+          s"w$s AS MATERIALIZED (SELECT walk, $s AS step, dst AS node, src AS prev " +
+          s"FROM k$s WHERE cum - w < ${u16(s)} % tot + 1 " +
+          s"AND ${u16(s)} % tot + 1 <= cum), "
+      "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem WHERE l_quantity >= 25), " +
+        "h AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2 " +
+        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM h " +
+        "UNION ALL SELECT p2, p1 FROM h), " +
+        "adj AS MATERIALIZED (SELECT src, dst, " +
+        "row_number() OVER (PARTITION BY src ORDER BY dst) AS r, " +
+        "count(*) OVER (PARTITION BY src) AS deg FROM e), " +
+        "w0 AS MATERIALIZED (SELECT src AS walk, 0 AS step, src AS node, " +
+        "NULL::BIGINT AS prev FROM (SELECT DISTINCT src FROM e) WHERE src % 20 = 0), " +
+        "w1 AS MATERIALIZED (SELECT walk, 1 AS step, a.dst AS node, a.src AS prev " +
+        s"FROM w0 p JOIN adj a ON p.node = a.src AND a.r = ${u16(1)} % a.deg + 1), " +
+        (2 to 4).map(step).mkString.stripSuffix(", ") + " " +
+        "SELECT walk, step, node FROM w0 UNION ALL SELECT walk, step, node FROM w1 " +
+        "UNION ALL SELECT walk, step, node FROM w2 " +
+        "UNION ALL SELECT walk, step, node FROM w3 " +
+        "UNION ALL SELECT walk, step, node FROM w4"
+    },
+
     "graph_random_walk" -> {
       // the same hash-deterministic neighbor pick, steps unrolled;
       // adjacency MATERIALIZED (referenced by every step's join)

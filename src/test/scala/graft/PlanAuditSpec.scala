@@ -100,6 +100,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "events_slo_burn",     // hourly frame (calendar-bounded)
     "graph_random_walk",   // Rank offsets frame inside adjacencyIndexed (≤ #partitions rows)
     "graph_walk_cooccur",  // same shared walk build
+    "graph_node2vec_walk", // same adjacencyIndexed offsets frame
     "events_time_to_convert", // per-bin quantile frame
     "metrics_pr_auc",      // descending cumulative over ≤16 score bins
     "quality_ks_drift",    // cumulative dist over fixed histogram bins (×2)
