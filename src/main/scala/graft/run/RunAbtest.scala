@@ -23,10 +23,14 @@ import graft.rel.Queries
   *    association on the quantity–discount grid),
   *  - uncertainty: `stats_bootstrap_ci` (Poisson-bootstrap CI on the
   *    mean, the resampling cross-check on the parametric interval),
-  *  - and the A/A harness check: `events_ab_assign`'s SRM gate on the
+  *  - the A/A harness check: `events_ab_assign`'s SRM gate on the
   *    hash split itself, plus a Mann-Whitney U over `value` BETWEEN
   *    the hash arms (a true null — the pipeline-is-sound read-out: if
-  *    the A/A z rejects, the harness, not the treatment, is broken).
+  *    the A/A z rejects, the harness, not the treatment, is broken),
+  *  - and the multiple-testing close-out (round 11): Benjamini-Hochberg
+  *    adjusted calls over the battery's six z-family statistics,
+  *    reconciled against the declared `stats_fdr_bh` row — a dozen
+  *    uncorrected 1.96 calls at 5 % is a false-discovery machine.
   *
   * ```
   * tools/run.sh graft.run.RunAbtest <sfdir> <outdir>
