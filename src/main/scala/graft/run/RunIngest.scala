@@ -38,6 +38,13 @@ import graft.llm.{Curation, Dedup, TextAnalysis}
   * tools/run.sh graft.run.RunIngest <sfdir> <outdir> [batchMod=5] [batchRem=3] [dupJaccard=0.8]
   * ```
   *
+  * RECURRING mode: if `outdir` already holds an index from a previous
+  * run, it is REUSED (with the appended corpus as the standing state)
+  * instead of rebuilt — run N's batch near-dedups against every
+  * survivor run N−1 appended, which is the recurring-crawl loop.
+  * Successive runs must use distinct batches (fresh doc_ids — the
+  * `nearDupsAgainstIndex` disjointness precondition).
+  *
   * The batch here is carved from the documents table by doc_id mod so
   * the run is self-contained and deterministic; a production crawl
   * passes its own batch parquet — the stages never look at how the
@@ -58,12 +65,25 @@ object RunIngest {
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
     val corpus = docs.filter(col("doc_id") % batchMod =!= batchRem).persist()
     val batch = docs.filter(col("doc_id") % batchMod === batchRem).persist()
-    val corpusN = corpus.count()
-    // standing state: a recurring crawl has these persisted from the
-    // previous run; built here so the runner is self-contained
+    // standing state: a recurring crawl REUSES the index + corpus its
+    // previous run left in outDir (that is what makes the loop
+    // incremental — run N's batch near-dedups against every survivor
+    // run N−1 appended); they are built from scratch only on the first
+    // run against an empty outDir, so the runner stays self-contained
     val indexPath = s"$outDir/index"
-    Dedup.saveLshIndex(corpus, indexPath)
-    graft.sources.Sinks.writePartitioned(corpus, s"$outDir/corpus", Seq("source"))
+    val firstRun = !Files.exists(Paths.get(s"$indexPath/sigs"))
+    if (firstRun) {
+      Dedup.saveLshIndex(corpus, indexPath)
+      graft.sources.Sinks.writePartitioned(corpus, s"$outDir/corpus", Seq("source"))
+    }
+    // the standing corpus for digest diff + eval slice: on a reuse run
+    // it INCLUDES every survivor earlier runs appended
+    val standing =
+      if (firstRun) corpus
+      else spark.read.parquet(s"$outDir/corpus")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        .persist()
+    val corpusN = standing.count()
 
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     def stage(name: String)(body: => DataFrame): DataFrame = {
@@ -77,7 +97,7 @@ object RunIngest {
     val batchIn = stage("batch_in")(batch)
     // 1. digest diff vs the indexed corpus: byte-identical refreshes out
     val fresh = stage("digest_new") {
-      batchIn.join(corpus.select(md5(col("text")).as("h")).distinct(),
+      batchIn.join(standing.select(md5(col("text")).as("h")).distinct(),
         md5(batchIn("text")) === col("h"), "left_anti")
     }
     // 2. Gopher quality rules on the delta
@@ -103,7 +123,7 @@ object RunIngest {
     //    (batch ids are ≢ 0 mod 10 whenever batchRem ≢ 0 mod gcd(10,
     //    batchMod) — the default 3 mod 5 puts them at 3/8 mod 10)
     val clean = stage("decontaminate_13") {
-      val evalDocs = corpus.filter(col("doc_id") % 10 === 0)
+      val evalDocs = standing.filter(col("doc_id") % 10 === 0)
       val cont = Curation.decontaminateDocs(
         near.select(col("doc_id"), col("text"))
           .unionAll(evalDocs.select(col("doc_id"), col("text"))),
@@ -122,6 +142,7 @@ object RunIngest {
     val report =
       s"""ingest run report (incremental)
          |sfdir: $sfDir
+         |mode: ${if (firstRun) "first-run (index built)" else "reuse (standing index + corpus)"}
          |corpus_docs: $corpusN
          |near_dup_jaccard: $nearDupThreshold
          |batch_in: ${stages.head.survivors}

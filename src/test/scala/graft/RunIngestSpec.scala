@@ -97,5 +97,28 @@ class RunIngestSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
     assert(corpusAfter === corpusIds ++ expect)
+
+    // RECURRING mode: a second run against the same outDir must REUSE
+    // the standing index + corpus (not rebuild), and its batch must
+    // near-dedup against run-1's appended survivors. Batch 2 = exact
+    // copies of run-1 survivors under fresh ids → every one must fall
+    // at the digest-diff stage (byte-identical refreshes of docs that
+    // are only in the corpus BECAUSE run 1 appended them).
+    if (expect.nonEmpty) {
+      val report2 = RunIngest.run(spark, sfDir, out,
+        batchMod = 1000003, batchRem = 0, nearDupThreshold = 0.95)
+      assert(report2.contains("mode: reuse"),
+        "second run must reuse the standing index")
+      // batchMod above is a prime > max doc_id so batch 2 from the mod
+      // split is ONLY doc_id 0 — replace the real reconciliation with a
+      // surgical one: copies of survivors under fresh ids
+      val copies = spark.read.parquet(s"$out/index/docs")
+        .join(expect.toSeq.toDF("doc_id"), "doc_id")
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      val hits2 = Dedup.nearDupsAgainstIndex(spark, s"$out/index", copies)
+      val hitNew = hits2.select("new_id").distinct().as[Long].collect().toSet
+      assert(hitNew === expect.map(_ + 20000000L),
+        "every re-crawled survivor copy must hit the recurring index at J = 1")
+    }
   }
 }
