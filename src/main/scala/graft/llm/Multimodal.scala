@@ -16,9 +16,11 @@ import graft.Tables
   * `ImageIoCodec` (real BMP/PNG/GIF/JPEG header decode + `resizeImage`
   * raster resize via `javax.imageio`, magic-dispatched), `PpmCodec`
   * (netpbm P6 header parse), `WavCodec` (RIFF/WAVE chunk-walk header
-  * parse — the audio tier's channels/rate/bits/frames/duration), and
-  * `decodeStub` — the deterministic fake that remaining modalities
-  * (video, whose codecs are NOT in the JDK) fall through to. Swapping
+  * parse — the audio tier's channels/rate/bits/frames/duration),
+  * `Mp4Codec` (ISO-BMFF box walk — the video tier's brand/timescale/
+  * duration; SAMPLE decode stays out of the JDK, container metadata
+  * does not), and `decodeStub` — the deterministic fake any remaining
+  * payload falls through to. Swapping
   * in a further codec is a one-function change; the distributed shape
   * (no driver-side collect, per-partition batching, fixed output
   * schema) is the part that has to be right at 100 TB.
@@ -224,6 +226,100 @@ object Multimodal {
   def extractWavMeta(media: Dataset[Media]): Dataset[WavMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(WavCodec.decode))
+  }
+
+  /** Typed decode metadata for the VIDEO tier (round 11): what an
+    * ISO-BMFF (MP4/MOV) header actually carries without touching a
+    * single sample — major brand from `ftyp`, movie timescale +
+    * duration from `moov`/`mvhd`. Zero-valued fields mark
+    * non-MP4/malformed payloads (the poison-row discipline).
+    */
+  case class Mp4Meta(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      brand: String,
+      timescale: Int,
+      duration_units: Long,
+      duration_ms: Long,
+      checksum: Long)
+
+  /** A REAL video codec behind the same seam: ISO Base Media File
+    * Format box walk — pure JVM big-endian reads, no libraries (a full
+    * H.264/AV1 decoder is NOT in the JDK, but the CONTAINER header is
+    * ~100 bytes of bookkeeping, and container metadata is what a
+    * 100-TB manifest pass needs). Selection is by the `ftyp` magic at
+    * offset 4 (the `ImageIoCodec`/`WavCodec` dispatch pattern); the
+    * walk reads top-level [size][type] boxes to `moov`, then one level
+    * inside to `mvhd` (version 0: 32-bit timescale/duration; version
+    * 1: 64-bit duration) — header-only, `mdat` is skipped by size, so
+    * per-payload meta cost is independent of clip length. Malformed-
+    * but-magic payloads yield all-zero video fields rather than
+    * throwing. Checksum stays the rolling byte hash (payload identity).
+    */
+  object Mp4Codec extends Serializable {
+    private[Multimodal] def looksLikeMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u64(b: Array[Byte], i: Int): Long =
+      (u32(b, i) << 32) | u32(b, i + 4)
+
+    def decode(m: Media): Mp4Meta = {
+      val b = m.bytes
+      var acc = 0L
+      var j = 0
+      while (j < b.length) { acc = (acc * 131 + (b(j) & 0xff)) % 1000000007L; j += 1 }
+      var brand = ""
+      var (scale, units) = (0, 0L)
+      if (looksLikeMp4(b)) {
+        brand = new String(b, 8, 4, "US-ASCII").trim
+        // top-level box walk (size 1 = 64-bit largesize; size 0 = to-EOF)
+        var i = 0
+        while (i + 8 <= b.length) {
+          val size0 = u32(b, i)
+          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          val (hdr, size) =
+            if (size0 == 1L && i + 16 <= b.length) (16, u64(b, i + 8))
+            else (8, if (size0 == 0L) (b.length - i).toLong else size0)
+          if (tpe == "moov") {
+            // one level down: find mvhd among moov's children
+            var k = i + hdr
+            val end = math.min(b.length.toLong, i + size).toInt
+            while (k + 8 <= end) {
+              val cs0 = u32(b, k)
+              val ct = new String(b, k + 4, 4, "US-ASCII")
+              val cs = if (cs0 == 0L) (end - k).toLong else cs0
+              if (ct == "mvhd" && k + 8 + 4 <= end) {
+                val ver = b(k + 8) & 0xff
+                if (ver == 1 && k + 8 + 28 + 4 <= end) {
+                  scale = u32(b, k + 8 + 20).toInt; units = u64(b, k + 8 + 24)
+                } else if (ver == 0 && k + 8 + 12 + 8 <= end) {
+                  scale = u32(b, k + 8 + 12).toInt; units = u32(b, k + 8 + 16)
+                }
+              }
+              k += math.max(8L, cs).toInt
+            }
+          }
+          i += math.max(8L, size).toInt
+        }
+      }
+      val durMs = if (scale > 0) units * 1000L / scale else 0L
+      Mp4Meta(m.media_id, m.modality, b.length.toLong,
+        brand, scale, units, durMs, acc)
+    }
+  }
+
+  /** Video-tier metadata pass — the `extractMeta` mapPartitions shape
+    * over the MP4 box walk: header-only, streaming, poison rows carry
+    * zero video fields and ride through.
+    */
+  def extractMp4Meta(media: Dataset[Media]): Dataset[Mp4Meta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(Mp4Codec.decode))
   }
 
   /** Full raster decode (null on failure) — the expensive opt-in stage,

@@ -209,4 +209,41 @@ class MultimodalSpec extends SparkSpecBase {
           ds.collect().find(_.media_id == m.media_id).get.bytes)).checksum)
     }
   }
+
+  test("MP4 codec: generated ISO-BMFF header decodes brand/timescale/duration; mdat skipped by size") {
+    import spark.implicits._
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def mvhdV0(timescale: Int, duration: Int): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.BIG_ENDIAN)
+      p.putInt(0)                 // version 0 + flags
+        .putInt(1).putInt(2)      // creation / modification
+        .putInt(timescale).putInt(duration)
+      box("mvhd", p.array())      // rest (rate/volume/matrix/…) zero-padded
+    }
+    def mp4(timescale: Int, duration: Int): Array[Byte] = {
+      val ftyp = box("ftyp", "isommp42".getBytes("US-ASCII")) // brand + compat
+      val moov = box("moov", mvhdV0(timescale, duration))
+      val mdat = box("mdat", Array.fill[Byte](256)(7))
+      ftyp ++ mdat ++ moov // moov AFTER mdat — the walk must skip by size
+    }
+    val ds = Seq(
+      Media(1L, "video", mp4(timescale = 1000, duration = 2500)),
+      Media(2L, "video", mp4(timescale = 90000, duration = 450000)),
+      Media(3L, "video", Array[Byte](0, 0, 0, 8, 'f', 't', 'y', 'p')), // magic, no moov
+      Media(4L, "text", "not a video".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.extractMp4Meta(ds).collect().sortBy(_.media_id)
+    assert(out(0).brand === "isom" && out(0).timescale === 1000 &&
+      out(0).duration_units === 2500L && out(0).duration_ms === 2500L)
+    assert(out(1).timescale === 90000 && out(1).duration_ms === 5000L)
+    assert(out(2).brand === "" && out(2).timescale === 0 && out(2).duration_ms === 0L)
+    assert(out(3).brand === "" && out(3).duration_ms === 0L)
+    out.foreach(m => assert(m.checksum === Multimodal.decodeStub(
+      Media(m.media_id, m.modality,
+        ds.collect().find(_.media_id == m.media_id).get.bytes)).checksum))
+  }
 }
