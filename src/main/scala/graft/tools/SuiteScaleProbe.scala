@@ -166,7 +166,13 @@ object SuiteScaleProbe {
       "events_cuped" -> (() => qs("events_cuped")(spark, outDir)),
       "stats_effect_size" -> (() => qs("stats_effect_size")(spark, outDir)),
       "graph_walk_cooccur" -> (() => qs("graph_walk_cooccur")(spark, outDir)),
-      "ts_hampel" -> (() => qs("ts_hampel")(spark, outDir)))
+      "ts_hampel" -> (() => qs("ts_hampel")(spark, outDir)),
+      // round-11 rows: biased walks, the BH battery, the declared
+      // sampled theil-sen (ingest_manifest is 500-doc slice-bounded by
+      // construction — constant in SF, no leg needed)
+      "graph_node2vec_walk" -> (() => qs("graph_node2vec_walk")(spark, outDir)),
+      "stats_fdr_bh" -> (() => qs("stats_fdr_bh")(spark, outDir)),
+      "ts_theil_sen_sampled" -> (() => qs("ts_theil_sen_sampled")(spark, outDir)))
 
     // optional leg-name filter: args beyond <k> <baseDir> restrict the run
     val wanted = args.drop(2).toSet
