@@ -357,6 +357,26 @@ object AnnSearch {
     cent.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** APPEND new vectors to a persisted IVF index (round 11 — the ANN
+    * analog of `Dedup.appendToLshIndex`, completing the incremental-
+    * ingest loop for the embedding side): each new vector is assigned
+    * to its nearest STORED centroid and appended to that cell's
+    * partition. Centroids are deliberately NOT retrained — the standard
+    * IVF append discipline (retraining invalidates every stored
+    * assignment; its cadence is an offline decision), so repeated
+    * appends drift cell balance, which `embedding_cell_balance` is the
+    * observable for. Cost: one pass over the batch against the
+    * broadcast centroid frame + a partitioned append — never touches
+    * stored cells. Vector ids must be new (the `nearDupsAgainstIndex`
+    * disjointness discipline).
+    */
+  def appendToIvfIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+    val cent = s.read.parquet(s"$path/centroids")
+    newVecs.join(assignCells(newVecs, cent), "t_id")
+      .select(col("t_id"), col("t_v"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   def loadIvfIndex(s: SparkSession, path: String): (DataFrame, DataFrame) = {
     val cells = s.read.parquet(s"$path/cells")
       .select(col("t_id"), col("t_v"), col("cell").cast("long"))

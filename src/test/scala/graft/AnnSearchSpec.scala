@@ -384,6 +384,22 @@ class AnnSearchSpec extends SparkSpecBase {
     val oneCell = cells.filter(col("cell") === dirs.head.stripPrefix("cell=").toLong)
     val scanned = oneCell.queryExecution.executedPlan.toString()
     assert(scanned.contains("PartitionFilters") || oneCell.count() > 0)
+
+    // incremental append: a copy of a query vector under a fresh id is
+    // assigned to its nearest centroid's cell and found at dist 0 by
+    // the next search — the recurring-ingest loop on the embedding side
+    val copies = q.limit(1)
+      .select((col("q_id") + 5000000L).as("t_id"), col("q_v").as("t_v"))
+    AnnSearch.appendToIvfIndex(spark, copies, path)
+    val after = AnnSearch.ivfSearchIndexed(spark, path, q, k = 3, nprobe = 3)
+    val copied = copies.head()
+    val hit = after.filter(col("q_id") === copied.getLong(0) - 5000000L &&
+      col("t_id") === copied.getLong(0)).collect()
+    assert(hit.length === 1 && hit.head.getAs[Double]("dist") === 0.0,
+      "an appended copy of a query vector must surface at distance 0")
+    // stored cells untouched: total rows = nTrain + the one append
+    val (cells2, _) = AnnSearch.loadIvfIndex(spark, path)
+    assert(cells2.count() === t.count() + 1)
   }
 
   test("ann_ndcg: bounded in [0,1], zero iff recall is zero, covers every brute query") {
