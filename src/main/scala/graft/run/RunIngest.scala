@@ -95,10 +95,21 @@ object RunIngest {
     }
 
     val batchIn = stage("batch_in")(batch)
+    // 0. id-collision guard: a batch doc whose doc_id is ALREADY in the
+    // standing corpus is a RE-CRAWL of a known document, not a new one.
+    // Identical re-crawls would fall at the digest diff anyway, but a
+    // CHANGED re-crawl flowing through would append a DUPLICATE doc_id
+    // (this store is append-only); refresh semantics are latest-wins by
+    // (doc_id, crawl time) — the `cdc_latest` pattern — and belong to a
+    // compaction pass, so the runner EXCLUDES them and reports the count
+    // rather than corrupting the corpus.
+    val idFresh = stage("id_new") {
+      batchIn.join(standing.select("doc_id"), Seq("doc_id"), "left_anti")
+    }
     // 1. digest diff vs the indexed corpus: byte-identical refreshes out
     val fresh = stage("digest_new") {
-      batchIn.join(standing.select(md5(col("text")).as("h")).distinct(),
-        md5(batchIn("text")) === col("h"), "left_anti")
+      idFresh.join(standing.select(md5(col("text")).as("h")).distinct(),
+        md5(idFresh("text")) === col("h"), "left_anti")
     }
     // 2. Gopher quality rules on the delta
     val quality = stage("quality_gopher") {

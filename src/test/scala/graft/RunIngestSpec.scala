@@ -66,10 +66,14 @@ class RunIngestSpec extends SparkSpecBase {
     // the report's funnel quotes the same counts
     assert(report.contains(s"batch_kept: ${expect.size}"))
     assert(report.contains(s"index_appended: ${expect.size} docs"))
-    Seq("batch_in", "digest_new", "quality_gopher", "dedup_exact",
+    Seq("batch_in", "id_new", "digest_new", "quality_gopher", "dedup_exact",
       "near_dup_vs_index", "decontaminate_13").foreach { st =>
       assert(report.contains(s"  $st "), s"funnel must report stage $st")
     }
+    // first run: the mod split makes batch ids disjoint from the
+    // corpus, so the id-collision guard must drop nothing here
+    assert(report.linesIterator.exists(l =>
+      l.trim.startsWith("id_new") && l.trim.split("\\s+")(2) == "0"))
 
     // index update: survivors' signatures and docs are now indexed, so
     // the NEXT crawl's batch sees them
