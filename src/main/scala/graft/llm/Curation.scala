@@ -80,6 +80,26 @@ object Curation {
   def decontaminate(s: SparkSession, d: String): DataFrame =
     decontaminateDocs(Tables.documents(s, d))
 
+  /** Overlap decontamination against an EXPLICIT eval frame (round-11
+    * review fix): `decontaminateDocs` encodes the eval slice as
+    * `doc_id % 10 == 0` OF ITS INPUT — fine for the declared rows
+    * (their slices are residue-safe by construction), a silent trap
+    * for a runner fed arbitrary batches (a batch whose ids happen to
+    * be ≡ 0 mod 10 would be TREATED AS the eval set and never flagged).
+    * This form takes the eval docs as their own frame, so no id
+    * convention exists to violate; `RunIngest` uses it. Same gram
+    * chain, same equi-join shape.
+    */
+  def decontaminateAgainst(docs: DataFrame, evalDocs: DataFrame,
+      gram: Int = 3, hashKey: Boolean = false): DataFrame = {
+    val evalGrams = docGrams(evalDocs, gram, hashKey)
+      .select(col("g")).distinct()
+    docGrams(docs, gram, hashKey)
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** seq_pack — fixed-budget sequence packing (2048-char budget):
     * concatenate each source's docs in doc_id order and assign every
     * doc the sequence its first character lands in, plus its offset

@@ -30,6 +30,18 @@ object Multimodal {
   /** Opaque media record: the at-rest layout for multimodal columns. */
   case class Media(media_id: Long, modality: String, bytes: Array[Byte])
 
+  /** Payload-identity checksum shared by EVERY codec tier: the rolling
+    * byte hash all MediaMeta/WavMeta/Mp4Meta rows carry (one definition
+    * — the tiers' checksums must agree or cross-tier identity breaks;
+    * MultimodalSpec pins codec checksum ≡ stub checksum per row).
+    */
+  private def rollingChecksum(b: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < b.length) { acc = (acc * 131 + (b(i) & 0xff)) % 1000000007L; i += 1 }
+    acc
+  }
+
   /** Typed decode metadata (what a real codec would fill in). */
   case class MediaMeta(
       media_id: Long,
@@ -45,9 +57,7 @@ object Multimodal {
     * tests pin exact values and a real decoder slots in unchanged.
     */
   def decodeStub(m: Media): MediaMeta = {
-    var acc = 0L
-    var i = 0
-    while (i < m.bytes.length) { acc = (acc * 131 + (m.bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    val acc = rollingChecksum(m.bytes)
     MediaMeta(
       m.media_id, m.modality, m.bytes.length.toLong,
       width = 64 + (m.bytes.length % 64).toInt,
@@ -98,10 +108,7 @@ object Multimodal {
           try { (nextToken().toInt, nextToken().toInt) }
           catch { case _: NumberFormatException => (0, 0) }
         } else (0, 0)
-      var acc = 0L
-      var j = 0
-      while (j < b.length) { acc = (acc * 131 + (b(j) & 0xff)) % 1000000007L; j += 1 }
-      MediaMeta(m.media_id, m.modality, b.length.toLong, w, h, acc)
+      MediaMeta(m.media_id, m.modality, b.length.toLong, w, h, rollingChecksum(b))
     }
   }
 
@@ -144,10 +151,8 @@ object Multimodal {
               } else (0, 0)
             } finally iis.close()
           } catch { case scala.util.control.NonFatal(_) => (0, 0) }
-        var acc = 0L
-        var i = 0
-        while (i < m.bytes.length) { acc = (acc * 131 + (m.bytes(i) & 0xff)) % 1000000007L; i += 1 }
-        MediaMeta(m.media_id, m.modality, m.bytes.length.toLong, w, h, acc)
+        MediaMeta(m.media_id, m.modality, m.bytes.length.toLong, w, h,
+          rollingChecksum(m.bytes))
       }
   }
 
@@ -193,22 +198,29 @@ object Multimodal {
 
     def decode(m: Media): WavMeta = {
       val b = m.bytes
-      var acc = 0L
-      var j = 0
-      while (j < b.length) { acc = (acc * 131 + (b(j) & 0xff)) % 1000000007L; j += 1 }
+      val acc = rollingChecksum(b)
       var (ch, rate, bits, blockAlign) = (0, 0, 0, 0)
       var dataBytes = 0L
       if (looksLikeWav(b)) {
-        // chunk walk: 4-byte id + 4-byte LE size, payloads padded to even
-        var i = 12
-        while (i + 8 <= b.length) {
-          val id = new String(b, i, 4, "US-ASCII")
-          val size = u32(b, i + 4)
-          if (id == "fmt " && i + 8 + 16 <= b.length) {
-            ch = u16(b, i + 10); rate = u32(b, i + 12).toInt
-            blockAlign = u16(b, i + 20); bits = u16(b, i + 22)
-          } else if (id == "data") dataBytes = size
-          i += 8 + size.toInt + (size.toInt & 1)
+        // chunk walk: 4-byte id + 4-byte LE size, payloads padded to
+        // even. The cursor is a LONG and a declared size that cannot
+        // fit the remaining payload ENDS the walk — a malformed size
+        // field (e.g. 0xFFFFFFF8, whose truncated step is 0) must not
+        // hang or throw inside a 100-TB decode stage (the poison
+        // discipline applies to structure, not just magic).
+        var i = 12L
+        var ok = true
+        while (ok && i + 8 <= b.length) {
+          val id = new String(b, i.toInt, 4, "US-ASCII")
+          val size = u32(b, i.toInt + 4)
+          if (size > b.length - i - 8) ok = false
+          else {
+            if (id == "fmt " && i + 8 + 16 <= b.length) {
+              ch = u16(b, i.toInt + 10); rate = u32(b, i.toInt + 12).toInt
+              blockAlign = u16(b, i.toInt + 20); bits = u16(b, i.toInt + 22)
+            } else if (id == "data") dataBytes = size
+            i += 8L + size + (size & 1L)
+          }
         }
       }
       val frames = if (blockAlign > 0) dataBytes / blockAlign else 0L
@@ -262,49 +274,63 @@ object Multimodal {
       b.length >= 12 &&
         b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
-    private def u32(b: Array[Byte], i: Int): Long =
+    private def u32(b: Array[Byte], iL: Long): Long = {
+      val i = iL.toInt
       ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
         ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-    private def u64(b: Array[Byte], i: Int): Long =
+    }
+    private def u64(b: Array[Byte], i: Long): Long =
       (u32(b, i) << 32) | u32(b, i + 4)
 
     def decode(m: Media): Mp4Meta = {
       val b = m.bytes
-      var acc = 0L
-      var j = 0
-      while (j < b.length) { acc = (acc * 131 + (b(j) & 0xff)) % 1000000007L; j += 1 }
+      val acc = rollingChecksum(b)
       var brand = ""
       var (scale, units) = (0, 0L)
       if (looksLikeMp4(b)) {
         brand = new String(b, 8, 4, "US-ASCII").trim
-        // top-level box walk (size 1 = 64-bit largesize; size 0 = to-EOF)
-        var i = 0
-        while (i + 8 <= b.length) {
+        // top-level box walk (size 1 = 64-bit largesize; size 0 =
+        // to-EOF). LONG cursors, and a declared size that cannot fit
+        // the remaining payload ENDS the walk — a malformed largesize
+        // (e.g. 2^32, whose truncated step is 0) must not hang or
+        // throw (the WavCodec structural-poison discipline).
+        var i = 0L
+        var ok = true
+        while (ok && i + 8 <= b.length) {
           val size0 = u32(b, i)
-          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          val tpe = new String(b, i.toInt + 4, 4, "US-ASCII")
           val (hdr, size) =
             if (size0 == 1L && i + 16 <= b.length) (16, u64(b, i + 8))
-            else (8, if (size0 == 0L) (b.length - i).toLong else size0)
-          if (tpe == "moov") {
-            // one level down: find mvhd among moov's children
-            var k = i + hdr
-            val end = math.min(b.length.toLong, i + size).toInt
-            while (k + 8 <= end) {
-              val cs0 = u32(b, k)
-              val ct = new String(b, k + 4, 4, "US-ASCII")
-              val cs = if (cs0 == 0L) (end - k).toLong else cs0
-              if (ct == "mvhd" && k + 8 + 4 <= end) {
-                val ver = b(k + 8) & 0xff
-                if (ver == 1 && k + 8 + 28 + 4 <= end) {
-                  scale = u32(b, k + 8 + 20).toInt; units = u64(b, k + 8 + 24)
-                } else if (ver == 0 && k + 8 + 12 + 8 <= end) {
-                  scale = u32(b, k + 8 + 12).toInt; units = u32(b, k + 8 + 16)
+            else (8, if (size0 == 0L) b.length - i else size0)
+          if (size < hdr || size > b.length - i) ok = false
+          else {
+            if (tpe == "moov") {
+              // one level down: find mvhd among moov's children
+              var k = i + hdr
+              val end = i + size
+              var okc = true
+              while (okc && k + 8 <= end) {
+                val cs0 = u32(b, k)
+                val ct = new String(b, k.toInt + 4, 4, "US-ASCII")
+                val cs = if (cs0 == 0L) end - k else cs0
+                if (cs < 8 || cs > end - k) okc = false
+                else {
+                  if (ct == "mvhd" && k + 8 + 4 <= end) {
+                    val ver = b(k.toInt + 8) & 0xff
+                    if (ver == 1 && k + 8 + 28 + 4 <= end) {
+                      scale = u32(b, k + 8 + 20).toInt
+                      units = u64(b, k + 8 + 24)
+                    } else if (ver == 0 && k + 8 + 12 + 8 <= end) {
+                      scale = u32(b, k + 8 + 12).toInt
+                      units = u32(b, k + 8 + 16)
+                    }
+                  }
+                  k += cs
                 }
               }
-              k += math.max(8L, cs).toInt
             }
+            i += size
           }
-          i += math.max(8L, size).toInt
         }
       }
       val durMs = if (scale > 0) units * 1000L / scale else 0L

@@ -1089,6 +1089,9 @@ object Graph {
     */
   def randomWalks(edgesIn: DataFrame, steps: Int = 4,
       seedMod: Int = 20, walksPerSeed: Int = 1): DataFrame = {
+    require(walksPerSeed >= 1,
+      s"walksPerSeed=$walksPerSeed: sequence(0, R-1) at R <= 0 runs DESCENDING " +
+        "and collapses every seed onto walk ids {0, -1} — a corrupt corpus, not an empty one")
     val edges = edgesIn.truncated()
     val adj = adjacencyIndexed(edges).truncated()
     var state = edges.select(col("src").as("node")).distinct()
@@ -1135,6 +1138,8 @@ object Graph {
       wReturn: Int = 1, wCommon: Int = 1, wFar: Int = 1): DataFrame = {
     require(wReturn > 0 && wCommon > 0 && wFar > 0,
       "node2vec weights must be positive integers")
+    require(walksPerSeed >= 1,
+      s"walksPerSeed=$walksPerSeed: must be >= 1 (the randomWalks guard)")
     val edges = edgesIn.truncated()
     val adj = adjacencyIndexed(edges).truncated()
     val common = edges.select(col("src").as("pe_src"), col("dst").as("pe_dst"),

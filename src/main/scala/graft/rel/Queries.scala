@@ -2411,6 +2411,14 @@ object Queries {
     * over a 6-row frame — the global-order window is bounded at m rows
     * by construction (PlanAudit whitelist entry carries the bound).
     */
+  /** The BH critical grid Φ⁻¹(1 − 0.05·i/(2·6)), i = 1..6 — ONE
+    * definition shared by the Spark builder, the spliced oracle, and
+    * `run.RunAbtest`'s report section (review fix: three hand-copies
+    * of the same six quantiles invited silent drift).
+    */
+  private[graft] val BhCritGrid: Seq[Double] =
+    Seq(2.638257, 2.39398, 2.241403, 2.128045, 2.036834, 1.959964)
+
   def statsFdrBh(s: SparkSession, d: String): DataFrame = {
     val parts = Seq(
       statsTtest(s, d).select(lit("welch_t").as("test"),
@@ -2428,13 +2436,12 @@ object Queries {
           sqrt((col("n") * (col("n") - 1)).cast("double")) /
           sqrt(lit(2.0) * (col("n") * 2 + 5))).as("az")))
     val u = parts.reduce(_ unionAll _)
-    // Φ⁻¹(1 − 0.05·i/12), i = 1..6 — the two-sided α = 0.05, m = 6 grid
     val ranked = u.withColumn("rank",
         row_number().over(Window.orderBy(col("az").desc, col("test"))))
       .withColumn("bh_crit",
-        when(col("rank") === 1, 2.638257).when(col("rank") === 2, 2.39398)
-          .when(col("rank") === 3, 2.241403).when(col("rank") === 4, 2.128045)
-          .when(col("rank") === 5, 2.036834).otherwise(1.959964))
+        BhCritGrid.init.zipWithIndex.foldLeft(lit(BhCritGrid.last)) {
+          case (acc, (c, i)) => when(col("rank") === i + 1, c).otherwise(acc)
+        })
     ranked
       .withColumn("kmax", max(when(col("az") >= col("bh_crit"), col("rank"))
         .otherwise(0)).over(Window.partitionBy()))
@@ -2741,9 +2748,10 @@ object Queries {
       s"sqrt(2e0 * (n * 2 + 5)) FROM (${rawOracles("stats_kendall")})), " +
       "r AS (SELECT test, az, " +
       "row_number() OVER (ORDER BY az DESC, test)::INT AS rank FROM u), " +
-      "c AS (SELECT *, CASE rank WHEN 1 THEN 2.638257e0 WHEN 2 THEN 2.39398e0 " +
-      "WHEN 3 THEN 2.241403e0 WHEN 4 THEN 2.128045e0 WHEN 5 THEN 2.036834e0 " +
-      "ELSE 1.959964e0 END AS bh_crit FROM r), " +
+      "c AS (SELECT *, CASE rank " +
+      BhCritGrid.init.zipWithIndex.map { case (c, i) =>
+        s"WHEN ${i + 1} THEN ${c}e0 " }.mkString +
+      s"ELSE ${BhCritGrid.last}e0 END AS bh_crit FROM r), " +
       "k AS (SELECT *, max(CASE WHEN az >= bh_crit THEN rank ELSE 0 END) " +
       "OVER () AS kmax FROM c) " +
       "SELECT test, rnd(az, 6) AS abs_z, rank, bh_crit, " +

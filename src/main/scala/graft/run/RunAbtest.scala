@@ -99,7 +99,7 @@ object RunAbtest {
     // grid, and step-up rule as the declared `stats_fdr_bh` row —
     // RunAbtestSpec reconciles this section against that oracle-gated
     // result, so the report's adjusted calls carry the row's guarantee.
-    val bhGrid = Seq(2.638257, 2.39398, 2.241403, 2.128045, 2.036834, 1.959964)
+    val bhGrid = Queries.BhCritGrid
     val sp = head1("stats_spearman"); val kd = head1("stats_kendall")
     val spN = sp.getAs[Long]("n"); val kdN = kd.getAs[Long]("n")
     val zFamily = Seq(

@@ -131,13 +131,14 @@ object RunIngest {
       exact.join(hits, Seq("doc_id"), "left_anti")
     }
     // 5. 13-gram decontamination of the delta vs the corpus eval slice
-    //    (batch ids are ≢ 0 mod 10 whenever batchRem ≢ 0 mod gcd(10,
-    //    batchMod) — the default 3 mod 5 puts them at 3/8 mod 10)
+    //    — the EXPLICIT-eval form, so no batch id residue can ever be
+    //    mistaken for the eval set (the decontaminateDocs %10
+    //    convention is for the declared rows' residue-safe slices)
     val clean = stage("decontaminate_13") {
-      val evalDocs = standing.filter(col("doc_id") % 10 === 0)
-      val cont = Curation.decontaminateDocs(
-        near.select(col("doc_id"), col("text"))
-          .unionAll(evalDocs.select(col("doc_id"), col("text"))),
+      val cont = Curation.decontaminateAgainst(
+        near.select(col("doc_id"), col("text")),
+        standing.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")),
         gram = 13).select("doc_id")
       near.join(cont, Seq("doc_id"), "left_anti")
     }

@@ -181,6 +181,24 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("decontaminateAgainst (explicit eval frame) ≡ decontaminateDocs on a residue-safe split; immune to eval-residue batches") {
+    val docs = Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val expect = collectSet(Curation.decontaminateDocs(docs, gram = 3))
+    val got = collectSet(Curation.decontaminateAgainst(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), gram = 3))
+    assert(got === expect, "explicit-eval form must equal the %10 convention on its own split")
+    // the trap the explicit form removes: a batch whose ids are ALL
+    // ≡ 0 mod 10 still gets flagged against the eval frame (the %10
+    // convention would have classified the whole batch as eval)
+    val evalResidueBatch = docs.filter(col("doc_id") % 10 === 0).limit(5)
+      .select((col("doc_id") + 10L).as("doc_id"), col("text")) // ids stay ≡ 0 mod 10
+    val flagged = Curation.decontaminateAgainst(evalResidueBatch,
+      docs.filter(col("doc_id") % 10 === 0), gram = 3).count()
+    assert(flagged === 5L, "explicit-eval decontamination must flag eval-residue copies")
+  }
+
   test("domainCap keeps the cap longest docs per source, ranked") {
     val out = Curation.domainCap(spark, sfDir, cap = 5).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))

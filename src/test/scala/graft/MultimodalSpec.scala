@@ -246,4 +246,49 @@ class MultimodalSpec extends SparkSpecBase {
       Media(m.media_id, m.modality,
         ds.collect().find(_.media_id == m.media_id).get.bytes)).checksum))
   }
+
+  test("codec walks survive malformed size fields: no hang, no throw, zero fields (review regression)") {
+    // WAV with a chunk size of 0xFFFFFFF8: the truncated step would be
+    // 0 (infinite loop) — the walk must END instead
+    val wavBad = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(24)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      .putInt(0).putInt(0).putInt(0).array()
+    val w = Multimodal.WavCodec.decode(Media(1L, "audio", wavBad))
+    assert(w.channels === 0 && w.sample_rate === 0 && w.duration_ms === 0L)
+
+    // MP4 with a 64-bit largesize of 2^32: the truncated step would be
+    // 0 (infinite loop); and a top-level size of 0x80000000: the
+    // truncated step would be negative (index crash)
+    def mp4Bad(hi: Int, lo: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.BIG_ENDIAN)
+        .putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isomisom".getBytes("US-ASCII"))
+        .putInt(1).put("mdat".getBytes("US-ASCII")) // size=1 → largesize
+        .putInt(hi).putInt(lo).array()
+    val m1 = Multimodal.Mp4Codec.decode(Media(2L, "video", mp4Bad(1, 0))) // 2^32
+    assert(m1.brand === "isom" && m1.timescale === 0 && m1.duration_ms === 0L)
+    val neg = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isomisom".getBytes("US-ASCII"))
+      .putInt(0x80000000).put("mdat".getBytes("US-ASCII")).array()
+    val m2 = Multimodal.Mp4Codec.decode(Media(3L, "video", neg))
+    assert(m2.timescale === 0 && m2.duration_ms === 0L)
+    // a moov CHILD with a backwards size must not stall the inner walk
+    val childBad = {
+      val mvhdBroken = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+        .putInt(0xFFFFFFF8).put("mvhd".getBytes("US-ASCII")).array()
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + mvhdBroken.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isomisom".getBytes("US-ASCII"))
+        .putInt(8 + mvhdBroken.length).put("moov".getBytes("US-ASCII"))
+        .put(mvhdBroken).array()
+    }
+    val m3 = Multimodal.Mp4Codec.decode(Media(4L, "video", childBad))
+    assert(m3.timescale === 0 && m3.duration_ms === 0L)
+  }
 }

@@ -51,10 +51,9 @@ class RunIngestSpec extends SparkSpecBase {
         .otherwise(col("doc_id2")).as("doc_id")).distinct()
     val near = exact.join(fullDrops, Seq("doc_id"), "left_anti")
     val evalDocs = corpus.filter(col("doc_id") % 10 === 0)
-    val cont = Curation.decontaminateDocs(
-      near.select(col("doc_id"), col("text"))
-        .unionAll(evalDocs.select(col("doc_id"), col("text"))),
-      gram = 13).select("doc_id")
+    val cont = Curation.decontaminateAgainst(
+      near.select(col("doc_id"), col("text")),
+      evalDocs.select(col("doc_id"), col("text")), gram = 13).select("doc_id")
     val expect = near.join(cont, Seq("doc_id"), "left_anti")
       .select("doc_id").as[Long].collect().toSet
 
