@@ -57,8 +57,11 @@ object Bench {
       .map { case (name, release, q) =>
         release()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(q)(spark, sfDir).count() catch { case _: Throwable => }
-        val t = (System.nanoTime() - t0) / 1e9
+        // -1 sentinel on failure (round-12 ADVICE): a broken build query
+        // must not publish a plausible-looking elapsed time
+        val t =
+          try { SparkEntry.queries(q)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
         spark.catalog.clearCache()
         System.gc()
         name -> t
@@ -66,16 +69,20 @@ object Bench {
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        // -1 sentinel on failure — previously the catch's -1L was a
+        // discarded expression value and the elapsed time shipped anyway
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
       val t1 = once()
       val t2 = once()
       // a > 25 % spread between the two samples means one absorbed a
       // stall — a third sample pins the min without paying 1.5× wall on
-      // the (typical) stable queries
+      // the (typical) stable queries; a failed sample (-1) skips the
+      // retry, min() keeps the sentinel
       val times =
-        if (math.abs(t1 - t2) / math.max(1e-9, math.min(t1, t2)) > 0.25) Seq(t1, t2, once())
+        if (t1 >= 0 && t2 >= 0 &&
+          math.abs(t1 - t2) / math.max(1e-9, math.min(t1, t2)) > 0.25) Seq(t1, t2, once())
         else Seq(t1, t2)
       spark.catalog.clearCache()
       System.gc()

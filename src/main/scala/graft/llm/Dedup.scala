@@ -193,6 +193,29 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/sigs")
     docs.select(col("doc_id"), col("text"))
       .write.mode("overwrite").parquet(s"$path/docs")
+    // persist the banding parameters next to the signatures (round-12
+    // ADVICE): an append or search with a DIFFERENT banding would
+    // silently corrupt/miss — `assertLshParams` fails fast instead
+    val s = docs.sparkSession
+    import s.implicits._
+    Seq((numHashes, rowsPerBand)).toDF("num_hashes", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Fail fast when `numHashes`/`rowsPerBand` differ from the banding a
+    * persisted index was built with — a mismatched append corrupts the
+    * signature table so future `nearDupsAgainstIndex` calls silently
+    * miss cross pairs. Indexes written before the params file existed
+    * are rejected too (re-save them): an unverifiable contract is a
+    * broken one at 100 TB.
+    */
+  private def assertLshParams(s: SparkSession, path: String,
+      numHashes: Int, rowsPerBand: Int): Unit = {
+    val p = s.read.parquet(s"$path/params").head()
+    val (nh, rb) = (p.getInt(0), p.getInt(1))
+    require(nh == numHashes && rb == rowsPerBand,
+      s"LSH index at $path was built with numHashes=$nh rowsPerBand=$rb; " +
+        s"got numHashes=$numHashes rowsPerBand=$rowsPerBand")
   }
 
   /** APPEND a new batch to a persisted LSH index (round 11): the
@@ -205,6 +228,7 @@ object Dedup {
     */
   def appendToLshIndex(docs: DataFrame, path: String,
       numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand): Unit = {
+    assertLshParams(docs.sparkSession, path, numHashes, rowsPerBand)
     bandSigs(TextOps.docTokens(docs), numHashes, rowsPerBand)
       .write.mode("append").parquet(s"$path/sigs")
     docs.select(col("doc_id"), col("text"))
@@ -229,6 +253,7 @@ object Dedup {
       numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand,
       threshold: Double = 0.8,
       maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    assertLshParams(s, path, numHashes, rowsPerBand)
     val newToks = TextOps.docTokens(newDocs)
     val tagged = s.read.parquet(s"$path/sigs").withColumn("is_new", lit(false))
       .unionAll(bandSigs(newToks, numHashes, rowsPerBand).withColumn("is_new", lit(true)))

@@ -215,7 +215,10 @@ object Multimodal {
           val size = u32(b, i.toInt + 4)
           if (size > b.length - i - 8) ok = false
           else {
-            if (id == "fmt " && i + 8 + 16 <= b.length) {
+            // size >= 16 (round-12 ADVICE): a truncated fmt chunk whose
+            // declared size is < 16 must poison to zeros, not read
+            // channels/rate/bits from the NEXT chunk's bytes
+            if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
               ch = u16(b, i.toInt + 10); rate = u32(b, i.toInt + 12).toInt
               blockAlign = u16(b, i.toInt + 20); bits = u16(b, i.toInt + 22)
             } else if (id == "data") dataBytes = size

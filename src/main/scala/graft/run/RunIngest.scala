@@ -146,9 +146,18 @@ object RunIngest {
     // 6. append the survivors: corpus parquet + the LSH index. The
     // delta artifact is written UNPARTITIONED: a legitimate all-dropped
     // batch yields an empty-but-schema'd file, not an unreadable dir.
+    // The appends below deliberately read the WRITTEN delta back, not
+    // `clean` (round-12 ADVICE): on a reuse run `clean`'s lineage reads
+    // $outDir/corpus, and persist() is best-effort — if cached
+    // partitions are lost after the corpus append, recomputation would
+    // re-read the corpus INCLUDING the just-appended survivors, the
+    // digest diff would empty the frame, and the index append would
+    // silently miss every survivor. Re-reading the delta file severs
+    // that lineage: both appends consume bytes already on disk.
     clean.write.mode("overwrite").parquet(s"$outDir/delta")
-    clean.write.mode("append").partitionBy("source").parquet(s"$outDir/corpus")
-    Dedup.appendToLshIndex(clean, indexPath)
+    val delta = spark.read.parquet(s"$outDir/delta")
+    delta.write.mode("append").partitionBy("source").parquet(s"$outDir/corpus")
+    Dedup.appendToLshIndex(delta, indexPath)
 
     val kept = stages.last.survivors
     val report =

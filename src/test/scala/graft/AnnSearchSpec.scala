@@ -400,6 +400,13 @@ class AnnSearchSpec extends SparkSpecBase {
     // stored cells untouched: total rows = nTrain + the one append
     val (cells2, _) = AnnSearch.loadIvfIndex(spark, path)
     assert(cells2.count() === t.count() + 1)
+    // id-disjointness enforced (round-12 ADVICE): re-appending the same
+    // id must fail fast instead of storing a phantom duplicate
+    intercept[IllegalArgumentException] {
+      AnnSearch.appendToIvfIndex(spark, copies, path)
+    }
+    val (cells3, _) = AnnSearch.loadIvfIndex(spark, path)
+    assert(cells3.count() === t.count() + 1, "rejected append must not write")
   }
 
   test("ann_ndcg: bounded in [0,1], zero iff recall is zero, covers every brute query") {

@@ -71,6 +71,33 @@ class DedupSpec extends SparkSpecBase {
     assert(got.forall(r => r(0).asInstanceOf[Long] >= 40 && r(1).asInstanceOf[Long] < 40))
   }
 
+  test("LSH index banding params are persisted and enforced: mismatched append/search fails fast") {
+    // round-12 ADVICE: an append with different banding would silently
+    // corrupt the signature table (future searches miss cross pairs) —
+    // saveLshIndex persists (numHashes, rowsPerBand) and both consumers
+    // assert them before touching the index
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    val batch = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 20 && col("doc_id") < 30)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("lshidxguard").toString
+    Dedup.saveLshIndex(corpus, dir, numHashes = 12, rowsPerBand = 3)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToLshIndex(batch, dir) // library default 8/2 ≠ 12/3
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupsAgainstIndex(spark, dir, batch) // eager assert, pre-plan
+    }
+    // matching parameters pass both guards
+    Dedup.appendToLshIndex(batch, dir, numHashes = 12, rowsPerBand = 3)
+    val fresh = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 30 && col("doc_id") < 35)
+      .select(col("doc_id"), col("text"))
+    Dedup.nearDupsAgainstIndex(spark, dir, fresh,
+      numHashes = 12, rowsPerBand = 3).count() // runs clean
+  }
+
   test("LSH hot-bucket cap: default-on cap is output-invisible vs uncapped audit, cap=1 kills all") {
     // planted-dup corpus: every band bucket is small (≤ a handful of
     // docs), so the DEFAULT cap (1000, on since round 9) must equal

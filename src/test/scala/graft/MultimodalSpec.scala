@@ -259,6 +259,21 @@ class MultimodalSpec extends SparkSpecBase {
     val w = Multimodal.WavCodec.decode(Media(1L, "audio", wavBad))
     assert(w.channels === 0 && w.sample_rate === 0 && w.duration_ms === 0L)
 
+    // fmt chunk declaring size 8 (< the 16 bytes PCM fmt needs) followed
+    // by a data chunk: the fields must poison to zero, not be read from
+    // the NEXT chunk's bytes (round-12 ADVICE regression)
+    val wavShortFmt = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(8)
+      .putInt(0x01020304).putInt(0x05060708) // 8-byte truncated fmt body
+      .put("data".getBytes("US-ASCII")).putInt(4)
+      .putInt(0x41424344).array()
+    val ws = Multimodal.WavCodec.decode(Media(9L, "audio", wavShortFmt))
+    assert(ws.channels === 0 && ws.sample_rate === 0 &&
+      ws.bits_per_sample === 0 && ws.n_frames === 0L && ws.duration_ms === 0L)
+
     // MP4 with a 64-bit largesize of 2^32: the truncated step would be
     // 0 (infinite loop); and a top-level size of 0x80000000: the
     // truncated step would be negative (index crash)
