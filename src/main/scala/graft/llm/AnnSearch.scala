@@ -401,6 +401,34 @@ object AnnSearch {
     ivfSearchCells(q, cells, cent, k, nprobe)
   }
 
+  /** Semantic near-dup pairs between a NEW vector batch and a persisted
+    * IVF index (round 12, VERDICT r11 #3 — the embedding analog of
+    * `Dedup.nearDupsAgainstIndex`, completing the vector leg of the
+    * recurring-ingest loop): (new_id, indexed_id) for every cross pair
+    * at cosine distance < `eps`. New vectors probe their `nprobe`
+    * nearest STORED centroids (the `dedup_semantic2` straddle
+    * mitigation); stored vectors keep their build-time cell assignment,
+    * so the pair scan is the batch-cells ⋈ stored-cells equi-join on
+    * the cell key — cross pairs only, Σ|batch-in-cell|·|cell| work,
+    * never batch × index, and the cell-partitioned layout prunes the
+    * stored scan to the probed cells. Within-batch pairs are
+    * `semanticDupPairs`' job; index-internal pairs were resolved at
+    * build time. Input: (t_id, t_v) with ids disjoint from the index.
+    */
+  def semanticDupsAgainstIndex(s: SparkSession, path: String,
+      newVecs: DataFrame, eps: Double, nprobe: Int = 2): DataFrame = {
+    val (cells, cent) = loadIvfIndex(s, path)
+    val probes =
+      if (nprobe <= 1) assignCells(newVecs, cent)
+      else assignCellsMulti(newVecs, cent, nprobe)
+    newVecs.join(probes, "t_id")
+      .select(col("t_id").as("new_id"), col("t_v").as("n_v"), col("cell"))
+      .join(cells.select(col("t_id").as("indexed_id"), col("t_v").as("i_v"),
+        col("cell")), Seq("cell"))
+      .filter(cosineDist(col("n_v"), col("i_v")) < eps)
+      .select(col("new_id"), col("indexed_id")).distinct()
+  }
+
   /** ann_pq — product quantization with asymmetric distance computation
     * (ADC), the embedding-COMPRESSION scale path: each train vector is
     * encoded as m=4 subspace codeword ids (here 4 bits each — 64 floats

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Dedup, TextAnalysis}
+import graft.llm.{AnnSearch, Curation, Dedup, TextAnalysis}
 
 /** Incremental-recuration runner (round 11, VERDICT r10 #1 — "the
   * pipeline a recurring crawl actually runs"): where `RunCurate`
@@ -35,8 +35,13 @@ import graft.llm.{Curation, Dedup, TextAnalysis}
   * declared `ingest_manifest` row.
   *
   * ```
-  * tools/run.sh graft.run.RunIngest <sfdir> <outdir> [batchMod=5] [batchRem=3] [dupJaccard=0.8]
+  * tools/run.sh graft.run.RunIngest <sfdir> <outdir> [batchMod=5] [batchRem=3] [dupJaccard=0.8] [semanticEps=0.75]
   * ```
+  *
+  * Round 12 adds the EMBEDDING leg of the same loop (VERDICT r11 #3):
+  * the batch's vectors near-dedup against the persisted IVF index
+  * (`semanticDupsAgainstIndex`, nprobe = 2) and survivors append via
+  * `appendToIvfIndex` — see the funnel comment at the stage.
   *
   * RECURRING mode: if `outdir` already holds an index from a previous
   * run, it is REUSED (with the appended corpus as the standing state)
@@ -59,7 +64,8 @@ object RunIngest {
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
       batchMod: Int = 5, batchRem: Int = 3,
-      nearDupThreshold: Double = 0.8): String = {
+      nearDupThreshold: Double = 0.8,
+      semanticEps: Double = 0.75): String = {
     Files.createDirectories(Paths.get(outDir))
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
@@ -86,13 +92,17 @@ object RunIngest {
     val corpusN = standing.count()
 
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
-    def stage(name: String)(body: => DataFrame): DataFrame = {
+    val vStages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+    def stageIn(buf: scala.collection.mutable.ArrayBuffer[StageResult])(
+        name: String)(body: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val out = body.persist()
       val n = out.count()
-      stages += StageResult(name, n, (System.nanoTime() - t0) / 1e9)
+      buf += StageResult(name, n, (System.nanoTime() - t0) / 1e9)
       out
     }
+    def stage(name: String)(body: => DataFrame): DataFrame =
+      stageIn(stages)(name)(body)
 
     val batchIn = stage("batch_in")(batch)
     // 0. id-collision guard: a batch doc whose doc_id is ALREADY in the
@@ -158,8 +168,56 @@ object RunIngest {
     val delta = spark.read.parquet(s"$outDir/delta")
     delta.write.mode("append").partitionBy("source").parquet(s"$outDir/corpus")
     Dedup.appendToLshIndex(delta, indexPath)
-
     val kept = stages.last.survivors
+
+    // ---- embedding leg (round 12, VERDICT r11 #3): the vector side of
+    // the same recurring loop. The standing state is the persisted IVF
+    // index (built from the corpus split's vectors on the first run,
+    // REUSED afterwards — centroids are never retrained on append, the
+    // `appendToIvfIndex` discipline); the batch's vectors run:
+    //   vec_in → vec_id_new (re-crawl guard vs stored ids) →
+    //   vec_sem_dup_vs_index (drop batch vectors with a cosine-ε cross
+    //   pair against any INDEXED vector — `semanticDupsAgainstIndex`,
+    //   nprobe = 2, the dedup_semantic2 straddle setting) → append
+    //   (`appendToIvfIndex`), so the next crawl's batch probes against
+    //   them. Same funnel/report/lineage discipline as the text leg.
+    val vecsAll = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("t_id"),
+        graft.core.Distance.asDouble(col("embedding")).as("t_v"))
+    val vCorpus = vecsAll.filter(col("t_id") % batchMod =!= batchRem).persist()
+    val vBatch = vecsAll.filter(col("t_id") % batchMod === batchRem).persist()
+    val ivfPath = s"$outDir/ivf"
+    val firstVecRun = !Files.exists(Paths.get(s"$ivfPath/centroids"))
+    if (firstVecRun) {
+      val cent = vCorpus.filter(col("t_id") % 40 === 0)
+        .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
+      AnnSearch.saveIvfIndex(vCorpus, cent, ivfPath)
+    }
+    val vstage = stageIn(vStages) _
+    val vecIn = vstage("vec_in")(vBatch)
+    val vecNew = vstage("vec_id_new") {
+      vecIn.join(spark.read.parquet(s"$ivfPath/cells").select(col("t_id")),
+        Seq("t_id"), "left_anti")
+    }
+    val vecClean = vstage("vec_sem_dup_vs_index") {
+      val dups = AnnSearch.semanticDupsAgainstIndex(spark, ivfPath, vecNew,
+          eps = semanticEps, nprobe = 2)
+        .select(col("new_id").as("t_id")).distinct()
+      vecNew.join(dups, Seq("t_id"), "left_anti")
+    }
+    // same delta-file lineage severing as the text leg: the append must
+    // not depend on frames whose recomputation reads the appended state
+    vecClean.write.mode("overwrite").parquet(s"$outDir/delta_vec")
+    AnnSearch.appendToIvfIndex(spark,
+      spark.read.parquet(s"$outDir/delta_vec"), ivfPath)
+    val vecKept = vStages.last.survivors
+
+    def funnel(buf: Seq[StageResult]): String =
+      buf.foldLeft((buf.head.survivors, List.empty[String])) {
+        case ((prev, acc), st) =>
+          (st.survivors, acc :+
+            f"  ${st.name} ${st.survivors} ${prev - st.survivors} ${st.wall}%.3f")
+      }._2.mkString("\n")
     val report =
       s"""ingest run report (incremental)
          |sfdir: $sfDir
@@ -170,14 +228,14 @@ object RunIngest {
          |batch_kept: $kept
          |kept_ratio: ${f"${kept.toDouble / math.max(1, stages.head.survivors)}%.4f"}
          |funnel: stage survivors dropped sec
-         |${
-        stages.foldLeft((stages.head.survivors, List.empty[String])) {
-          case ((prev, acc), st) =>
-            (st.survivors, acc :+
-              f"  ${st.name} ${st.survivors} ${prev - st.survivors} ${st.wall}%.3f")
-        }._2.mkString("\n")
-      }
+         |${funnel(stages.toSeq)}
          |index_appended: $kept docs
+         |semantic_eps: $semanticEps
+         |vec_in: ${vStages.head.survivors}
+         |vec_kept: $vecKept
+         |vec funnel: stage survivors dropped sec
+         |${funnel(vStages.toSeq)}
+         |ivf_appended: $vecKept vecs
          |""".stripMargin
     Files.writeString(Paths.get(s"$outDir/report.txt"), report)
     spark.catalog.clearCache() // release the per-stage persists
@@ -200,7 +258,8 @@ object RunIngest {
     val bm = if (args.length > 2) args(2).toInt else 5
     val br = if (args.length > 3) args(3).toInt else 3
     val thr = if (args.length > 4) args(4).toDouble else 0.8
-    print(run(spark, args(0), args(1), bm, br, thr))
+    val eps = if (args.length > 5) args(5).toDouble else 0.75
+    print(run(spark, args(0), args(1), bm, br, thr, eps))
     spark.stop()
   }
 }

@@ -65,6 +65,49 @@ object WalkHubProbe {
       edges.unpersist()
       spark.catalog.clearCache()
     }
+
+    // BIASED-WALK leg (round 12, VERDICT r11 #2's measurement): a walk
+    // STANDING ON the hub at step ≥ 2 draws its next hop over deg(hub)
+    // candidates. The round-11 window form buffers that whole candidate
+    // list in ONE task per such walk; the closed-form draw touches only
+    // the walk's special candidates (commons + prev — here ≤ 2, the
+    // chain neighbors of prev). Symmetrized hub-plus-chain graph, ~40
+    // walks (seedMod = d/40 — the ceiling is PER-TASK, so a handful of
+    // hub stands measures it; thousands would just multiply total work
+    // in both forms), 3 steps at the declared (1, 2, 4) weights — each
+    // leaf-seeded walk stands on the hub at step 2 w.p. ~1/3. Outputs
+    // asserted checksum-equal.
+    for (exp <- 5 to maxExp) {
+      val d = math.pow(10, exp).toLong
+      val half = spark.range(1, d + 1)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+        .unionAll(spark.range(1, d).select(col("id").as("src"), (col("id") + 1).as("dst")))
+      val edges = half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().persist()
+      edges.count()
+      val sm = math.max(20, (d / 40).toInt)
+      def corpus(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(col("node") * 31 + col("step"))).head().getLong(0)
+
+      val t0 = System.nanoTime()
+      val fast = graft.rel.Graph.node2vecWalks(edges, steps = 3, seedMod = sm,
+        wReturn = 1, wCommon = 2, wFar = 4, maxWindowDegree = 0) // pure closed
+      val c1 = corpus(fast)
+      val w1 = (System.nanoTime() - t0) / 1e9
+
+      val t1 = System.nanoTime()
+      val slow = graft.rel.Graph.node2vecWalks(edges, steps = 3, seedMod = sm,
+        wReturn = 1, wCommon = 2, wFar = 4,
+        maxWindowDegree = Int.MaxValue) // pure window
+      val c2 = corpus(slow)
+      val w2 = (System.nanoTime() - t1) / 1e9
+      println(f"[walk-hub-biased] hub_deg=$d%,d walks=${d / sm}%,d " +
+        f"closed_form=$w1%6.1f s window=$w2%6.1f s " +
+        f"checksums ${if (c1 == c2) "EQUAL" else s"DIFFER $c1 vs $c2"}")
+      assert(c1 == c2, "closed-form biased corpus must equal the window form")
+      edges.unpersist()
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

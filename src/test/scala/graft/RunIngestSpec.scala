@@ -124,4 +124,98 @@ class RunIngestSpec extends SparkSpecBase {
         "every re-crawled survivor copy must hit the recurring index at J = 1")
     }
   }
+
+  test("ingest_manifest2: run-2 funnel gated by run-1's appended survivors (recurring semantics)") {
+    import org.apache.spark.sql.Row
+    val rows = Curation.ingestManifest2(spark, sfDir).collect()
+      .map { case Row(st: String, n: Long) => st -> n }.toMap
+    assert(rows.keySet === Set("0_run1_appended", "1_batch_in", "2_digest_new",
+      "3_quality_gopher", "4_dedup_exact", "5_near_dup_vs_index", "6_decontam_13"))
+    assert(rows("0_run1_appended") > 0, "run 1 must append survivors — else run 2 gates nothing")
+    assert(rows("5_near_dup_vs_index") < rows("4_dedup_exact"),
+      "run 2's near-dedup vs the appended standing state must drop batch-2 docs")
+    // the reuse path is LIVE: at least one batch-2 doc pairs with a
+    // run-1 SURVIVOR at the funnel threshold (checked against the
+    // shared pair chain — if this goes vacuous on regenerated data,
+    // the row still hash-gates but stops exercising the append)
+    val slice = Tables.documents(spark, sfDir).filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.minhashLshPairs(spark, slice).filter(col("jaccard") >= 0.95)
+    val b1 = slice.filter(col("doc_id") % 5 === 1)
+    val corp0 = slice.filter(col("doc_id") % 5 =!= 1 && col("doc_id") % 5 =!= 3)
+    // recompute run-1 survivors through the library builders
+    val s2 = b1.join(corp0.select(md5(col("text")).as("h")).distinct(),
+      md5(b1("text")) === col("h"), "left_anti")
+    val s3 = s2.join(TextAnalysis.qualityGopherDocs(s2)
+      .filter(col("keep")).select("doc_id"), "doc_id")
+    val s4 = s3.join(s3.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val drops1 = pairs.select(col("doc_id1").as("b"), col("doc_id2").as("o"))
+      .unionAll(pairs.select(col("doc_id2").as("b"), col("doc_id1").as("o")))
+      .join(b1.select(col("doc_id").as("b")), "b")
+      .join(corp0.select(col("doc_id").as("o")), "o")
+      .select(col("b").as("doc_id")).distinct()
+    val s5 = s4.join(drops1, Seq("doc_id"), "left_anti")
+    val cont = Curation.decontaminateAgainst(s5.select(col("doc_id"), col("text")),
+      slice.filter(col("doc_id") % 10 === 0), gram = 13).select("doc_id")
+    val surv1 = s5.join(cont, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    assert(surv1.count() === rows("0_run1_appended"),
+      "builder-recomputed run-1 survivors must match the declared row")
+    val survivorHits = pairs
+      .join(surv1.select(col("doc_id").as("doc_id2")), "doc_id2")
+      .filter(col("doc_id1") % 5 === 3)
+      .unionAll(pairs.join(surv1.select(col("doc_id").as("doc_id1")), "doc_id1")
+        .filter(col("doc_id2") % 5 === 3))
+    assert(survivorHits.count() > 0,
+      "no batch-2 × run-1-survivor pairs at J >= 0.95 — the reuse path is vacuous")
+  }
+
+  test("RunIngest embedding leg: delta_vec ≡ inline semantic cross-dedup; IVF append visible") {
+    import graft.llm.AnnSearch
+    val out = java.nio.file.Files.createTempDirectory("ingestv").toString
+    val report = RunIngest.run(spark, sfDir, out, nearDupThreshold = 0.95)
+
+    // recompute the vector funnel from raw frames (never the persisted
+    // index): batch multi-probed at the corpus-side stride centroids,
+    // stored side at its single assignment — the semanticDupsAgainstIndex
+    // contract at the composition level
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("t_id"),
+        graft.core.Distance.asDouble(col("embedding")).as("t_v"))
+    val t = e.filter(col("t_id") % 5 =!= 3)
+    val batch = e.filter(col("t_id") % 5 === 3)
+    val cent = t.filter(col("t_id") % 40 === 0)
+      .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
+    val dupIds = batch.join(AnnSearch.assignCellsMulti(batch, cent, 2), "t_id")
+      .select(col("t_id").as("new_id"), col("t_v").as("n_v"), col("cell"))
+      .join(t.join(AnnSearch.assignCells(t, cent), "t_id")
+        .select(col("t_v").as("i_v"), col("cell")), Seq("cell"))
+      .filter(AnnSearch.cosineDist(col("n_v"), col("i_v")) < 0.75)
+      .select(col("new_id")).distinct().as[Long].collect().toSet
+    val expectVec = batch.select("t_id").as[Long].collect().toSet -- dupIds
+
+    val deltaVec = spark.read.parquet(s"$out/delta_vec")
+      .select("t_id").as[Long].collect().toSet
+    assert(deltaVec === expectVec,
+      "delta_vec must equal the inline cross-pair semantic dedup of the batch")
+    assert(report.contains(s"vec_kept: ${expectVec.size}"))
+    assert(report.contains(s"ivf_appended: ${expectVec.size} vecs"))
+    Seq("vec_in", "vec_id_new", "vec_sem_dup_vs_index").foreach { st =>
+      assert(report.contains(s"  $st "), s"vec funnel must report stage $st")
+    }
+
+    // append visibility: an exact copy of an appended SURVIVOR under a
+    // fresh id pairs with it through the updated index at distance 0
+    if (expectVec.nonEmpty) {
+      val survivor = expectVec.min
+      val copy = spark.read.parquet(s"$out/delta_vec")
+        .filter(col("t_id") === survivor)
+        .select((col("t_id") + 30000000L).as("t_id"), col("t_v"))
+      val hits = AnnSearch.semanticDupsAgainstIndex(spark, s"$out/ivf", copy,
+        eps = 1e-9, nprobe = 1).collect()
+      assert(hits.exists(r => r.getLong(0) == survivor + 30000000L &&
+        r.getLong(1) == survivor),
+        "a copy of an appended vector must hit the updated IVF index")
+    }
+  }
 }
