@@ -407,42 +407,92 @@ object Multimodal {
     * payloads (the poison-row discipline). Luminance is the integer
     * ITU-601 weighting (299r + 587g + 114b).
     */
-  def imageAHash(bytes: Array[Byte]): Option[Long] = {
-    val img = decodeImage(bytes)
-    if (img == null || img.getWidth < 8 || img.getHeight < 8) None
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val sums = new Array[Long](64)
-      val counts = new Array[Long](64)
-      var y = 0
-      while (y < h) {
-        val cy = y * 8 / h
-        var x = 0
-        while (x < w) {
+  def imageAHash(bytes: Array[Byte]): Option[Long] =
+    decodePpmP6(bytes) match {
+      case Some((w, h, raster)) if w >= 8 && h >= 8 =>
+        Some(aHashOf(w, h, (x, y) => {
+          val p = 3 * (y * w + x)
+          (299L * (raster(p) & 0xff) + 587L * (raster(p + 1) & 0xff)
+            + 114L * (raster(p + 2) & 0xff), ())._1
+        }))
+      case Some(_) => None // decodable but sub-8×8: no 64-cell grid
+      case None =>
+        val img = decodeImage(bytes)
+        if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+        else Some(aHashOf(img.getWidth, img.getHeight, (x, y) => {
           val rgb = img.getRGB(x, y)
-          val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
             114L * (rgb & 0xff)
-          val c = cy * 8 + x * 8 / w
-          sums(c) += lum; counts(c) += 1
-          x += 1
-        }
-        y += 1
-      }
-      // compare cell means to the global mean in exact cross-multiplied
-      // integers: sums(c)/counts(c) > total/n  ⇔  sums(c)·n > total·counts(c)
-      // — via BigInt (64 comparisons only): the products overflow Long
-      // around ~100-megapixel payloads and a phash must not silently
-      // wrap there
-      val total = BigInt(sums.sum)
-      val n = BigInt(counts.sum)
-      var bits = 0L
-      var c = 0
-      while (c < 64) {
-        if (counts(c) > 0 && BigInt(sums(c)) * n > total * counts(c)) bits |= (1L << c)
-        c += 1
-      }
-      Some(bits)
+        }))
     }
+
+  /** The shared aHash accumulation over any (x, y) → luminance source —
+    * one definition so the PPM raster path and the `javax.imageio` path
+    * can never drift (MultimodalSpec pins them bit-equal on the same
+    * pixels written as P6 and BMP).
+    */
+  private def aHashOf(w: Int, h: Int, lumAt: (Int, Int) => Long): Long = {
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = cy * 8 + x * 8 / w
+        sums(c) += lumAt(x, y); counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // compare cell means to the global mean in exact cross-multiplied
+    // integers: sums(c)/counts(c) > total/n  ⇔  sums(c)·n > total·counts(c)
+    // — via BigInt (64 comparisons only): the products overflow Long
+    // around ~100-megapixel payloads and a phash must not silently
+    // wrap there
+    val total = BigInt(sums.sum)
+    val n = BigInt(counts.sum)
+    var bits = 0L
+    var c = 0
+    while (c < 64) {
+      if (counts(c) > 0 && BigInt(sums(c)) * n > total * counts(c)) bits |= (1L << c)
+      c += 1
+    }
+    bits
+  }
+
+  /** Full netpbm P6 RASTER decode (round 12 — the decode arithmetic
+    * behind the `multimodal_phash` oracle row): header via the
+    * `PpmCodec` tokenizer discipline, then the raw 3·w·h RGB byte
+    * raster after the single whitespace that terminates maxval. Only
+    * 8-bit rasters (maxval ≤ 255, the overwhelmingly common case);
+    * malformed / truncated payloads return None — the poison-row
+    * discipline, the caller skips.
+    */
+  private[graft] def decodePpmP6(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    var i = 0
+    def nextToken(): String = {
+      while (i < b.length && (isWs(b(i)) || b(i) == '#')) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else i += 1
+      }
+      val start = i
+      while (i < b.length && !isWs(b(i))) i += 1
+      new String(b, start, i - start, "US-ASCII")
+    }
+    try {
+      if (nextToken() != "P6") return None
+      val w = nextToken().toInt
+      val h = nextToken().toInt
+      val maxval = nextToken().toInt
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+      val off = i + 1 // the single whitespace after maxval
+      val need = 3L * w * h
+      if (off + need > b.length) return None
+      Some((w, h, java.util.Arrays.copyOfRange(b, off, off + need.toInt)))
+    } catch { case _: NumberFormatException => None }
   }
 
   /** (media_id, phash) frame over an opaque-media dataset — the decode
@@ -634,8 +684,40 @@ object Multimodal {
         min(col("media_id")).as("first_id"), max(col("media_id")).as("last_id"),
         max(col("shard_off") + col("n_bytes")).as("end_off"))
 
+  /** multimodal_phash — the perceptual-hash tier as a DECLARED,
+    * fully-oracle-gated row (round 12, VERDICT r11 #5): deterministic
+    * 16×16 P6 payloads (pixel byte b of media m = (m·131 + 7b) mod 256
+    * — pure arithmetic both engines can state), pushed through the REAL
+    * decode + hash pipeline — `mediaPhash`'s mapPartitions over
+    * `imageAHash`, which parses the PPM header, reads the raw raster,
+    * and computes the 8×8 integer aHash. The DuckDB twin computes the
+    * same 64 bits in closed form (per-cell luminance sums over
+    * `range(0, 256)`, bit c set iff 64·sum(c) > total — counts are
+    * equal at 4 px/cell so the cross-multiplied comparison collapses;
+    * bit 63 via the signed-complement literal, the `dedup_simhash64`
+    * discipline). What this gates: the byte-level decode arithmetic,
+    * the grid/luminance math, and the bit assembly — driver-visible,
+    * not just spec-pinned. 500 payloads (the docSlice bound); payloads
+    * synthesized in the engine because the harness documents are text,
+    * and a phash of undecodable bytes is None by contract.
+    */
+  def mediaPhashQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val header = "P6\n16 16\n255\n".getBytes("US-ASCII")
+    val media = Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id")).as[Long]
+      .map { m =>
+        val px = new Array[Byte](768)
+        var b = 0
+        while (b < 768) { px(b) = ((m * 131 + 7L * b) % 256).toByte; b += 1 }
+        Media(m, "image", header ++ px)
+      }
+    mediaPhash(media)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_manifest" -> mediaManifest,
+    "multimodal_phash" -> mediaPhashQuery,
     "multimodal_pack" -> mediaPack,
     "multimodal_dedup" -> mediaDedup,
     "multimodal_meta" -> mediaMeta,
@@ -659,6 +741,25 @@ object Multimodal {
       "((cum - n_bytes) % 4096)::BIGINT AS shard_off FROM c"
 
   val rawOracles: Map[String, String] = Map(
+    "multimodal_phash" ->
+      // closed-form twin of the P6 decode + 8×8 aHash: 16×16 px, cell
+      // (y div 2)·8 + (x div 2) = ((i div 16) div 2)·8 + (i mod 16) div 2,
+      // counts equal (4 px/cell) so bit c ⟺ 64·sum(c) > total; bit 63
+      // through the signed-complement literal (BIGINT sign position)
+      ("WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 500), " +
+        "lum AS (SELECT media_id, " +
+        "((i // 16) // 2) * 8 + ((i % 16) // 2) AS c, " +
+        "299 * ((media_id * 131 + 7 * (3 * i)) % 256) " +
+        "+ 587 * ((media_id * 131 + 7 * (3 * i + 1)) % 256) " +
+        "+ 114 * ((media_id * 131 + 7 * (3 * i + 2)) % 256) AS l " +
+        "FROM (SELECT media_id, unnest(range(0, 256)) AS i FROM ids)), " +
+        "cells AS (SELECT media_id, c, sum(l)::BIGINT AS sc FROM lum GROUP BY 1, 2), " +
+        "tot AS (SELECT media_id, sum(sc)::BIGINT AS t FROM cells GROUP BY 1), " +
+        "bits AS (SELECT media_id, CASE WHEN 64 * sc > t THEN " +
+        "CASE WHEN c = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << c::INT) END " +
+        "ELSE 0 END AS bit FROM cells JOIN tot USING (media_id)) " +
+        "SELECT media_id, sum(bit)::BIGINT AS phash FROM bits GROUP BY 1"),
+
     "multimodal_dedup" ->
       // same digest-groupBy; utf-8 byte length via encode(); HUGEINT
       // sum cast back to BIGINT

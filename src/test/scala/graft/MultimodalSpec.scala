@@ -172,6 +172,44 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs === Set((1L, 2L)), s"only the noised copy pairs with base: $pairs")
   }
 
+  test("PPM P6 raster path: aHash ≡ the ImageIO path on the same pixels; poison rows skip") {
+    // round 12 (the multimodal_phash row's decode seam): identical
+    // pixels written as raw P6 and as BMP must hash bit-identically —
+    // the two luminance sources share one aHash accumulation
+    def pix(m: Long, b: Int): Int = ((m * 131 + 7L * b) % 256).toInt
+    def ppm(m: Long, w: Int, h: Int): Array[Byte] = {
+      val px = Array.tabulate(3 * w * h)(b => pix(m, b).toByte)
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    }
+    def bmp(m: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = 3 * (y * w + x)
+        img.setRGB(x, y, (pix(m, p) << 16) | (pix(m, p + 1) << 8) | pix(m, p + 2))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    for (m <- Seq(0L, 3L, 17L, 499L); (w, h) <- Seq((16, 16), (24, 8), (9, 33))) {
+      val hp = Multimodal.imageAHash(ppm(m, w, h))
+      val hb = Multimodal.imageAHash(bmp(m, w, h))
+      assert(hp.isDefined && hp === hb, s"PPM ≠ ImageIO at m=$m ${w}x$h")
+    }
+    // comment in the header survives the tokenizer
+    val withComment = ("P6\n# a netpbm comment\n16 16\n255\n").getBytes("US-ASCII") ++
+      Array.tabulate(768)(b => pix(7L, b).toByte)
+    assert(Multimodal.imageAHash(withComment) ===
+      Multimodal.imageAHash(ppm(7L, 16, 16)))
+    // poison rows: truncated raster, 16-bit maxval, sub-8×8 grid, bad dims
+    assert(Multimodal.imageAHash(ppm(1L, 16, 16).dropRight(10)).isEmpty)
+    assert(Multimodal.imageAHash(("P6\n16 16\n65535\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](1536)(1))).isEmpty)
+    assert(Multimodal.imageAHash(ppm(1L, 4, 4)).isEmpty)
+    assert(Multimodal.imageAHash("P6\n-3 xyz\n255\n".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("WAV codec: generated PCM header decodes real rate/channels/duration; poison + non-WAV ride through") {
     import spark.implicits._
     // canonical 44-byte PCM WAV: mono, 8 kHz, 16-bit, 4000 frames = 500 ms
