@@ -697,7 +697,7 @@ object Graph {
       parts ::= newly
       frontier = newly
     }
-    parts.reduce(_ unionAll _).filter(col("dist") > 0)
+    val folded = parts.reduce(_ unionAll _).filter(col("dist") > 0)
       .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"),
         sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
@@ -706,6 +706,22 @@ object Graph {
       .select(col("seed"), col("n_reached"),
         rnd(col("n1") / lit(1.0) + col("n2") / lit(2.0) + col("n3") / lit(3.0), 6)
           .as("harmonic"))
+    // round 12 (VERDICT r11 #1 — the driver-bench fragility): the FOLD
+    // is the result (|seeds| rows); the BFS rounds are intermediate.
+    // Returned lazily, the fold PINS every round's checkpoint blocks
+    // until the caller's frame is GC'd — the bench's min-of-2 then holds
+    // TWO generations of ~|B(maxHops)| blocks (3.65 M rows each at
+    // sf0.1) across clearCache() (which never touches checkpoint
+    // blocks), and under a loaded heap those MEMORY_AND_DISK blocks
+    // demote so the second run re-reads the rounds from contended disk
+    // — the r11 driver's 35.4 s vs 7.0 quiet on THIS row while
+    // neighbors held 1.3-1.5×. Eagerly truncating the tiny fold and
+    // releasing the rounds + the edge copy HERE bounds resident blocks
+    // to |seeds| rows per run — the blocks live only within the run.
+    val out = Ckpt.truncate(folded)
+    parts.foreach(Ckpt.release)
+    Ckpt.release(edges)
+    out
   }
 
   def harmonicQuery(s: SparkSession, d: String): DataFrame = {

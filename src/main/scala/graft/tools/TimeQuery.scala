@@ -57,7 +57,14 @@ object TimeQuery {
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[time] $name run$i rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // resident persisted/checkpointed RDD blocksets AFTER the run but
+      // BEFORE clearCache/gc: what this query leaves pinned for its
+      // neighbors (the r11 graph_harmonic driver-bench mechanism —
+      // clearCache never touches checkpoint blocks)
+      val resident = spark.sparkContext.getPersistentRDDs.values
+        .count(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      println(f"[time] $name run$i rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"resident_rdds=$resident")
       spark.catalog.clearCache()
       System.gc()
     }
