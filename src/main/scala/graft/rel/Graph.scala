@@ -1104,10 +1104,12 @@ object Graph {
     * out-degree ≥ 1 — the module invariant), unique (src, dst) pairs.
     */
   def randomWalks(edgesIn: DataFrame, steps: Int = 4,
-      seedMod: Int = 20, walksPerSeed: Int = 1): DataFrame = {
+      seedMod: Int = 20, walksPerSeed: Int = 1,
+      ckptEvery: Int = 1): DataFrame = {
     require(walksPerSeed >= 1,
       s"walksPerSeed=$walksPerSeed: sequence(0, R-1) at R <= 0 runs DESCENDING " +
         "and collapses every seed onto walk ids {0, -1} — a corrupt corpus, not an empty one")
+    require(ckptEvery >= 1, "ckptEvery must be >= 1")
     val edges = edgesIn.truncated()
     val adj = adjacencyIndexed(edges).truncated()
     var state = edges.select(col("src").as("node")).distinct()
@@ -1121,10 +1123,18 @@ object Graph {
     for (s <- 1 to steps) {
       val u16 = conv(substring(md5(concat(col("walk").cast("string"),
         lit("_"), lit(s.toString))), 1, 4), 16, 10).cast("long")
-      state = state.join(adj, state("node") === adj("src"))
+      val next = state.join(adj, state("node") === adj("src"))
         .filter(col("r") === pmod(u16, col("deg")) + 1)
         .select(col("walk"), lit(s).as("step"), col("dst").as("node"))
-        .truncated()
+      // ckptEvery > 1 (round 12, VERDICT r11 #7 — the amortization
+      // probe's knob): truncate only every K-th step. Between
+      // checkpoints the plan grows by one join per step AND each lazy
+      // step in the output union re-evaluates its chain from the last
+      // checkpoint — the probe measures where that trade breaks even
+      // (WalkCorpusProbe table in SCALE.md); corpus bit-identical at
+      // any K (the step draw is a deterministic join off checkpointed
+      // adjacency). Declared rows keep K = 1.
+      state = if (s % ckptEvery == 0 || s == steps) next.truncated() else next
       acc += state
     }
     acc.reduce(_ unionAll _)

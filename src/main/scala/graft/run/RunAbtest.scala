@@ -141,6 +141,21 @@ object RunAbtest {
          |adjusted calls (Benjamini-Hochberg, alpha=0.05, m=${zFamily.size}): rank test |z| crit raw bh
          |$bhSection
          |bh_k: $bhKmax of ${zFamily.size} rejected after correction
+         |correction scope (round 12): the BH family is EXACTLY the ${zFamily.size}
+         |treatment-effect hypothesis tests above (welch_t, mannwhitney, prop_z,
+         |srm, spearman, kendall) — the lines that emit an accept/reject call
+         |about the treatment. Deliberately OUTSIDE the family:
+         |  - levene / anova / kruskal: assumption gates — they condition WHICH
+         |    test carries the call, they are not themselves treatment calls;
+         |    correcting them alongside would trade assumption sensitivity for
+         |    call specificity, the wrong direction for a gate.
+         |  - cohen_d / hedges_g, cuped_theta / var_reduction, bootstrap CI,
+         |    n_required_per_arm: ESTIMATION lines — magnitudes and intervals,
+         |    no reject decision exists to correct. (The bootstrap CI brackets
+         |    the mean; reading it as a test would double-count welch_t.)
+         |  - aa_srm / aa_mannwhitney: HARNESS diagnostics on a true null —
+         |    a rejection indicts the pipeline, not the treatment, and must
+         |    stay maximally sensitive rather than be diluted into the family.
          |""".stripMargin
     Files.writeString(Paths.get(s"$outDir/report.txt"), report)
     report

@@ -37,6 +37,28 @@ object WalkCorpusProbe {
     }
     leg("unbiased")(graft.rel.Graph.randomWalks(edges,
       steps = len, seedMod = 20, walksPerSeed = r))
+    // Ckpt-amortization sweep (round 12, VERDICT r11 #7): checkpoint
+    // every K-th step — fewer writes, but each lazy step re-evaluates
+    // its chain in the output union; bit-identity asserted per K
+    val ref = graft.rel.Graph.randomWalks(edges,
+      steps = len, seedMod = 20, walksPerSeed = r)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("walk * 31 + step * 7 + node")))
+      .head().getLong(0)
+    spark.catalog.clearCache()
+    for (k <- Seq(2, 4)) {
+      val t0 = System.nanoTime()
+      val df = graft.rel.Graph.randomWalks(edges,
+        steps = len, seedMod = 20, walksPerSeed = r, ckptEvery = k)
+      val chk = df.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("walk * 31 + step * 7 + node")))
+        .head().getLong(0)
+      println(f"[walk-corpus] ckptEvery=$k%-12d R=$r len=$len " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%7.1f s " +
+        s"checksum ${if (chk == ref) "EQUAL" else s"DIFFER $chk vs $ref"}")
+      assert(chk == ref, s"ckptEvery=$k must be bit-identical")
+      spark.catalog.clearCache()
+    }
     leg("node2vec(1,2,4)")(graft.rel.Graph.node2vecWalks(edges,
       steps = len, seedMod = 20, walksPerSeed = r,
       wReturn = 1, wCommon = 2, wFar = 4))

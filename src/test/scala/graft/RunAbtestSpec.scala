@@ -61,5 +61,11 @@ class RunAbtestSpec extends SparkSpecBase {
         s"BH call for $test must match the declared row: $line")
     }
     assert(report.contains(s"bh_k: ${fdr.count(_._3)} of 6"))
+    // round 12 (VERDICT r11 #8): the report states the correction's
+    // exact scope — what is in the family and why each excluded line
+    // class (assumption gate / estimation / harness diagnostic) stays out
+    assert(report.contains("correction scope"))
+    Seq("assumption gates", "ESTIMATION lines", "HARNESS diagnostics")
+      .foreach(c => assert(report.contains(c), s"scope must name: $c"))
   }
 }
