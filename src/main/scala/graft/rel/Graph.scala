@@ -1213,6 +1213,13 @@ object Graph {
     val adj = adjacencyIndexed(edges).truncated()
     val common = edges.select(col("src").as("pe_src"), col("dst").as("pe_dst"),
       lit(1).as("is_common"))
+    // one upfront scalar decides whether the per-step degree split can
+    // ever route anything to the closed form: a graph whose max degree
+    // is under the threshold (the declared rows' graphs) pays NOTHING
+    // for the hybrid — no per-step split join, no isEmpty probe
+    val splitLive = maxWindowDegree > 0 && maxWindowDegree != Int.MaxValue &&
+      adj.agg(max(col("deg"))).head(1).headOption
+        .exists(r => !r.isNullAt(0) && r.getLong(0) > maxWindowDegree)
     var state = node2vecSeeds(edges, seedMod, walksPerSeed)
     val acc = scala.collection.mutable.ArrayBuffer[DataFrame](state)
     for (s <- 1 to steps) {
@@ -1229,7 +1236,7 @@ object Graph {
         else if (maxWindowDegree <= 0)
           biasedStepClosed(state, adj, common, s, u16,
             wReturn, wCommon, wFar).truncated()
-        else if (maxWindowDegree == Int.MaxValue)
+        else if (!splitLive)
           biasedStepWindow(state, adj, common, s, u16,
             wReturn, wCommon, wFar).truncated()
         else {
