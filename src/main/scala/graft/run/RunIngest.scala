@@ -62,49 +62,41 @@ object RunIngest {
 
   case class StageResult(name: String, survivors: Long, wall: Double)
 
-  def run(spark: SparkSession, sfDir: String, outDir: String,
-      batchMod: Int = 5, batchRem: Int = 3,
-      nearDupThreshold: Double = 0.8,
-      semanticEps: Double = 0.75): String = {
-    Files.createDirectories(Paths.get(outDir))
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-    val corpus = docs.filter(col("doc_id") % batchMod =!= batchRem).persist()
-    val batch = docs.filter(col("doc_id") % batchMod === batchRem).persist()
-    // standing state: a recurring crawl REUSES the index + corpus its
-    // previous run left in outDir (that is what makes the loop
-    // incremental — run N's batch near-dedups against every survivor
-    // run N−1 appended); they are built from scratch only on the first
-    // run against an empty outDir, so the runner stays self-contained
+  private def stageIn(buf: scala.collection.mutable.ArrayBuffer[StageResult])(
+      name: String)(body: => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = body.persist()
+    val n = out.count()
+    buf += StageResult(name, n, (System.nanoTime() - t0) / 1e9)
+    out
+  }
+
+  /** ONE ingest delta against the standing state already on disk at
+    * `outDir` (LSH index + partitioned corpus): the text funnel —
+    * id-collision guard → digest diff → Gopher gate → exact keep-min →
+    * near-dedup vs the persisted index → 13-gram decontam — plus the
+    * delta write and the corpus/index appends. This is the unit a
+    * recurring crawl runs PER BATCH: `run` invokes it once after its
+    * bootstrap; `RunIngestStream` invokes it per micro-batch (the
+    * streaming crawl loop — batch N+1 within one stream near-dedups
+    * against batch N's appended survivors). Returns the per-stage
+    * funnel and the kept count. Crash-recovery note: the appends run
+    * delta-file → corpus → index; a crash between the two appends
+    * leaves the index one delta behind — `$outDir/delta` IS the
+    * recovery artifact (re-run `Dedup.appendToLshIndex` on it), and a
+    * REPLAYED batch is idempotent because the id_new guard drops every
+    * already-appended doc_id before any write.
+    */
+  private[run] def ingestDelta(spark: SparkSession, batch0: DataFrame,
+      outDir: String, nearDupThreshold: Double): (Seq[StageResult], Long) = {
     val indexPath = s"$outDir/index"
-    val firstRun = !Files.exists(Paths.get(s"$indexPath/sigs"))
-    if (firstRun) {
-      Dedup.saveLshIndex(corpus, indexPath)
-      graft.sources.Sinks.writePartitioned(corpus, s"$outDir/corpus", Seq("source"))
-    }
-    // the standing corpus for digest diff + eval slice: on a reuse run
-    // it INCLUDES every survivor earlier runs appended
-    val standing =
-      if (firstRun) corpus
-      else spark.read.parquet(s"$outDir/corpus")
-        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-        .persist()
-    val corpusN = standing.count()
-
+    val standing = spark.read.parquet(s"$outDir/corpus")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .persist()
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
-    val vStages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
-    def stageIn(buf: scala.collection.mutable.ArrayBuffer[StageResult])(
-        name: String)(body: => DataFrame): DataFrame = {
-      val t0 = System.nanoTime()
-      val out = body.persist()
-      val n = out.count()
-      buf += StageResult(name, n, (System.nanoTime() - t0) / 1e9)
-      out
-    }
-    def stage(name: String)(body: => DataFrame): DataFrame =
-      stageIn(stages)(name)(body)
+    val stage = stageIn(stages) _
 
-    val batchIn = stage("batch_in")(batch)
+    val batchIn = stage("batch_in")(batch0)
     // 0. id-collision guard: a batch doc whose doc_id is ALREADY in the
     // standing corpus is a RE-CRAWL of a known document, not a new one.
     // Identical re-crawls would fall at the digest diff anyway, but a
@@ -157,18 +149,48 @@ object RunIngest {
     // delta artifact is written UNPARTITIONED: a legitimate all-dropped
     // batch yields an empty-but-schema'd file, not an unreadable dir.
     // The appends below deliberately read the WRITTEN delta back, not
-    // `clean` (round-12 ADVICE): on a reuse run `clean`'s lineage reads
-    // $outDir/corpus, and persist() is best-effort — if cached
-    // partitions are lost after the corpus append, recomputation would
-    // re-read the corpus INCLUDING the just-appended survivors, the
-    // digest diff would empty the frame, and the index append would
-    // silently miss every survivor. Re-reading the delta file severs
-    // that lineage: both appends consume bytes already on disk.
+    // `clean` (round-12 ADVICE): `clean`'s lineage reads $outDir/corpus,
+    // and persist() is best-effort — if cached partitions are lost
+    // after the corpus append, recomputation would re-read the corpus
+    // INCLUDING the just-appended survivors, the digest diff would
+    // empty the frame, and the index append would silently miss every
+    // survivor. Re-reading the delta file severs that lineage: both
+    // appends consume bytes already on disk.
     clean.write.mode("overwrite").parquet(s"$outDir/delta")
     val delta = spark.read.parquet(s"$outDir/delta")
     delta.write.mode("append").partitionBy("source").parquet(s"$outDir/corpus")
     Dedup.appendToLshIndex(delta, indexPath)
-    val kept = stages.last.survivors
+    standing.unpersist(blocking = false)
+    (stages.toSeq, stages.last.survivors)
+  }
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      batchMod: Int = 5, batchRem: Int = 3,
+      nearDupThreshold: Double = 0.8,
+      semanticEps: Double = 0.75): String = {
+    Files.createDirectories(Paths.get(outDir))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val corpus = docs.filter(col("doc_id") % batchMod =!= batchRem).persist()
+    val batch = docs.filter(col("doc_id") % batchMod === batchRem).persist()
+    // standing state: a recurring crawl REUSES the index + corpus its
+    // previous run left in outDir (that is what makes the loop
+    // incremental — run N's batch near-dedups against every survivor
+    // run N−1 appended); they are built from scratch only on the first
+    // run against an empty outDir, so the runner stays self-contained
+    val indexPath = s"$outDir/index"
+    val firstRun = !Files.exists(Paths.get(s"$indexPath/sigs"))
+    if (firstRun) {
+      Dedup.saveLshIndex(corpus, indexPath)
+      graft.sources.Sinks.writePartitioned(corpus, s"$outDir/corpus", Seq("source"))
+    }
+    // the standing corpus for digest diff + eval slice lives ON DISK —
+    // on a reuse run it INCLUDES every survivor earlier runs appended
+    // (ingestDelta reads it back; the first-run bootstrap above just
+    // wrote it, so both modes read the same bytes)
+    val corpusN = spark.read.parquet(s"$outDir/corpus").count()
+    val (stages, kept) = ingestDelta(spark, batch, outDir, nearDupThreshold)
+    val vStages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
 
     // ---- embedding leg (round 12, VERDICT r11 #3): the vector side of
     // the same recurring loop. The standing state is the persisted IVF

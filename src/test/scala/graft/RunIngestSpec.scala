@@ -170,6 +170,53 @@ class RunIngestSpec extends SparkSpecBase {
       "no batch-2 × run-1-survivor pairs at J >= 0.95 — the reuse path is vacuous")
   }
 
+  test("RunIngestStream: streamed batches funnel sequentially — batch 2 dedups against batch 1's appended survivors") {
+    import graft.run.RunIngestStream
+    val out = java.nio.file.Files.createTempDirectory("ingeststream").toString
+    RunIngest.run(spark, sfDir, out, nearDupThreshold = 0.95) // bootstrap standing state
+    val streamDir = java.nio.file.Files.createTempDirectory("crawldrop").toString
+
+    // crafted documents: vocabulary disjoint from the synthetic corpus
+    // (no near-dup or 13-gram collisions), 60 words with 2 Gopher
+    // stopwords and mean word length ~5.8 — they pass the quality gate
+    val words = (1 to 58).map(i => s"zq${i}xx")
+    val t1 = "the and " + words.mkString(" ")
+    val t1near = "the and " + words.updated(10, "qz11yy").mkString(" ") // J = 59/61 ≈ 0.967
+    val t4 = "the and " + (1 to 58).map(i => s"wq${i}kk").mkString(" ")
+    def drop(rows: (Long, String)*): Unit =
+      rows.map { case (id, t) => (id, t, "web", t.length.toLong) }
+        .toDF("doc_id", "text", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(streamDir)
+
+    // stream run 1: one fresh unique doc → survives and appends
+    drop(50000001L -> t1)
+    val r1 = RunIngestStream.run(spark, streamDir, out, nearDupThreshold = 0.95)
+    assert(r1.contains("appended=1"), s"batch 1 must append its one doc:\n$r1")
+
+    // stream run 2 (same checkpoint — only the NEW files process):
+    // an exact copy of d1 under a fresh id (→ digest_new drop), a
+    // one-word near-dup of d1 (→ near_dup_vs_index drop at J ≥ 0.95
+    // AGAINST THE APPENDED d1), and one fresh doc (→ survives)
+    drop(50000002L -> t1, 50000003L -> t1near, 50000004L -> t4)
+    val r2 = RunIngestStream.run(spark, streamDir, out, nearDupThreshold = 0.95)
+    val line2 = r2.linesIterator.find(_.contains("batch_in=3"))
+      .getOrElse(fail(s"run 2 must process the 3-doc drop:\n$r2"))
+    assert(line2.contains("digest_new=2"), s"exact copy must fall at the digest diff: $line2")
+    assert(line2.contains("near_dup_vs_index=1"),
+      s"near-dup of batch 1's survivor must fall at the index stage: $line2")
+    assert(line2.contains("appended=1"), s"only the fresh doc survives: $line2")
+
+    // the standing state reflects exactly the two survivors
+    val corpusIds = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds.contains(50000001L) && corpusIds.contains(50000004L))
+    assert(!corpusIds.contains(50000002L) && !corpusIds.contains(50000003L))
+    val sigIds = spark.read.parquet(s"$out/index/sigs")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(Set(50000001L, 50000004L).subsetOf(sigIds),
+      "both streamed survivors must be queryable by the next batch")
+  }
+
   test("RunIngest embedding leg: delta_vec ≡ inline semantic cross-dedup; IVF append visible") {
     import graft.llm.AnnSearch
     val out = java.nio.file.Files.createTempDirectory("ingestv").toString
