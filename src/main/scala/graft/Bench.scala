@@ -78,19 +78,23 @@ object Bench {
       val t2 = once()
       // a > 25 % spread between the two samples means one absorbed a
       // stall — a third sample pins the min without paying 1.5× wall on
-      // the (typical) stable queries; a failed sample (-1) skips the
-      // retry, min() keeps the sentinel
+      // the (typical) stable queries
       val times =
         if (t1 >= 0 && t2 >= 0 &&
           math.abs(t1 - t2) / math.max(1e-9, math.min(t1, t2)) > 0.25) Seq(t1, t2, once())
         else Seq(t1, t2)
       spark.catalog.clearCache()
       System.gc()
-      name -> times.min
+      // min over the VALID samples — one flaky failure must not mark a
+      // measured query failed; -1 only when every sample threw
+      val valid = times.filter(_ >= 0)
+      name -> (if (valid.nonEmpty) valid.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed rows (-1 sentinels) are EXCLUDED from the total rather than
+    // subtracted — a crashed query must never IMPROVE the gate metric
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), json + "\n")
     println(json)

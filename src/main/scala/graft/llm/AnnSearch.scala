@@ -370,18 +370,23 @@ object AnnSearch {
     * stored cells. Vector ids must be new (the `nearDupsAgainstIndex`
     * disjointness discipline).
     */
-  def appendToIvfIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+  def appendToIvfIndex(s: SparkSession, newVecs: DataFrame, path: String,
+      checkIds: Boolean = true): Unit = {
     // id-disjointness enforced, not assumed (round-12 ADVICE): a clash
     // would store the same t_id twice and every later search would
     // return phantom duplicates. The probe is a semi-join against the
     // stored ids — column-pruned to t_id, the one full-index read this
     // append pays for safety (batch side is the small side; AQE
-    // broadcasts it).
-    val clash = s.read.parquet(s"$path/cells").select(col("t_id"))
-      .join(newVecs.select(col("t_id")), Seq("t_id"), "left_semi")
-    require(clash.isEmpty,
-      s"appendToIvfIndex: batch t_ids already present in the index at $path " +
-        "(vector ids must be new; refreshes belong to a rebuild/compaction pass)")
+    // broadcasts it). `checkIds = false` is for callers that JUST
+    // established disjointness themselves (RunIngest's vec_id_new
+    // anti-join) — the default keeps the guard for everyone else.
+    if (checkIds) {
+      val clash = s.read.parquet(s"$path/cells").select(col("t_id"))
+        .join(newVecs.select(col("t_id")), Seq("t_id"), "left_semi")
+      require(clash.isEmpty,
+        s"appendToIvfIndex: batch t_ids already present in the index at $path " +
+          "(vector ids must be new; refreshes belong to a rebuild/compaction pass)")
+    }
     val cent = s.read.parquet(s"$path/centroids")
     newVecs.join(assignCells(newVecs, cent), "t_id")
       .select(col("t_id"), col("t_v"), col("cell"))

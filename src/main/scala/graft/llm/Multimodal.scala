@@ -91,24 +91,34 @@ object Multimodal {
   object PpmCodec extends MediaCodec {
     def decode(m: Media): MediaMeta = {
       val b = m.bytes
-      def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
-      // tokenizer over the ASCII header: skip whitespace and # comments
-      var i = 0
-      def nextToken(): String = {
-        while (i < b.length && (isWs(b(i)) || b(i) == '#')) {
-          if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
-          else i += 1
-        }
-        val start = i
-        while (i < b.length && !isWs(b(i))) i += 1
-        new String(b, start, i - start, "US-ASCII")
-      }
+      val toks = new PpmTokens(b)
       val (w, h) =
-        if (nextToken() == "P6") {
-          try { (nextToken().toInt, nextToken().toInt) }
+        if (toks.next() == "P6") {
+          try { (toks.next().toInt, toks.next().toInt) }
           catch { case _: NumberFormatException => (0, 0) }
         } else (0, 0)
       MediaMeta(m.media_id, m.modality, b.length.toLong, w, h, rollingChecksum(b))
+    }
+  }
+
+  /** The ONE netpbm header tokenizer (whitespace-separated ASCII, `#`
+    * comments skipped per the spec) — shared by `PpmCodec`'s metadata
+    * pass and `decodePpmP6`'s raster path so comment/whitespace
+    * handling can never drift between the two (round-12 review).
+    * `pos` after a `next()` call sits on the whitespace byte that
+    * terminated the token (the raster path reads from `pos + 1`).
+    */
+  private final class PpmTokens(b: Array[Byte]) {
+    private def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    var pos: Int = 0
+    def next(): String = {
+      while (pos < b.length && (isWs(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else pos += 1
+      }
+      val start = pos
+      while (pos < b.length && !isWs(b(pos))) pos += 1
+      new String(b, start, pos - start, "US-ASCII")
     }
   }
 
@@ -471,24 +481,14 @@ object Multimodal {
     */
   private[graft] def decodePpmP6(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
-    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
-    var i = 0
-    def nextToken(): String = {
-      while (i < b.length && (isWs(b(i)) || b(i) == '#')) {
-        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
-        else i += 1
-      }
-      val start = i
-      while (i < b.length && !isWs(b(i))) i += 1
-      new String(b, start, i - start, "US-ASCII")
-    }
+    val toks = new PpmTokens(b)
     try {
-      if (nextToken() != "P6") return None
-      val w = nextToken().toInt
-      val h = nextToken().toInt
-      val maxval = nextToken().toInt
+      if (toks.next() != "P6") return None
+      val w = toks.next().toInt
+      val h = toks.next().toInt
+      val maxval = toks.next().toInt
       if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
-      val off = i + 1 // the single whitespace after maxval
+      val off = toks.pos + 1 // the single whitespace after maxval
       val need = 3L * w * h
       if (off + need > b.length) return None
       Some((w, h, java.util.Arrays.copyOfRange(b, off, off + need.toInt)))

@@ -156,10 +156,20 @@ object RunIngest {
     // empty the frame, and the index append would silently miss every
     // survivor. Re-reading the delta file severs that lineage: both
     // appends consume bytes already on disk.
-    clean.write.mode("overwrite").parquet(s"$outDir/delta")
-    val delta = spark.read.parquet(s"$outDir/delta")
-    delta.write.mode("append").partitionBy("source").parquet(s"$outDir/corpus")
-    Dedup.appendToLshIndex(delta, indexPath)
+    // ALL writes are skipped when the batch carried no id-fresh docs —
+    // a pure re-crawl, or a streaming checkpoint REPLAY of an
+    // already-appended micro-batch (round-12 review): replaying batch N
+    // after a crash between the corpus and index appends would
+    // otherwise overwrite $outDir/delta — the recovery artifact — with
+    // an EMPTY frame, losing the only copy of the un-indexed survivors.
+    // With the guard a replay writes nothing, so the preserved delta
+    // can still be re-fed to `Dedup.appendToLshIndex` by the operator.
+    if (stages.find(_.name == "id_new").exists(_.survivors > 0)) {
+      clean.write.mode("overwrite").parquet(s"$outDir/delta")
+      val delta = spark.read.parquet(s"$outDir/delta")
+      delta.write.mode("append").partitionBy("source").parquet(s"$outDir/corpus")
+      Dedup.appendToLshIndex(delta, indexPath)
+    }
     standing.unpersist(blocking = false)
     (stages.toSeq, stages.last.survivors)
   }
@@ -228,10 +238,12 @@ object RunIngest {
       vecNew.join(dups, Seq("t_id"), "left_anti")
     }
     // same delta-file lineage severing as the text leg: the append must
-    // not depend on frames whose recomputation reads the appended state
+    // not depend on frames whose recomputation reads the appended state.
+    // checkIds = false: vec_id_new just anti-joined the stored ids —
+    // the guard's second full-index scan would be pure redundancy here
     vecClean.write.mode("overwrite").parquet(s"$outDir/delta_vec")
     AnnSearch.appendToIvfIndex(spark,
-      spark.read.parquet(s"$outDir/delta_vec"), ivfPath)
+      spark.read.parquet(s"$outDir/delta_vec"), ivfPath, checkIds = false)
     val vecKept = vStages.last.survivors
 
     def funnel(buf: Seq[StageResult]): String =

@@ -29,12 +29,24 @@ import org.apache.spark.sql.streaming.Trigger
   * crawl switches to a processing-time trigger, one line. Restart
   * semantics: the checkpointLocation replays an uncommitted micro-batch
   * and `ingestDelta`'s id_new guard drops every already-appended
-  * doc_id, so a replay cannot double-append (and `$outDir/delta` is the
-  * recovery artifact if a crash lands between the corpus and index
-  * appends — see `ingestDelta`'s scaladoc). Scale shape per
+  * doc_id, so a replay cannot double-append — and a replayed (id-empty)
+  * batch performs NO writes at all, which preserves `$outDir/delta` as
+  * the recovery artifact if a crash landed between the corpus and
+  * index appends (see `ingestDelta`'s scaladoc). Scale shape per
   * micro-batch: identical to one `RunIngest` delta — O(batch + cross
   * collisions), the standing corpus touched only through its signature
   * table and the candidate-filtered stored-docs scan.
+  *
+  * SCOPE: this job streams the TEXT surface — a crawl drop ships
+  * (doc_id, text, source, n_chars) and the funnel advances the corpus
+  * and the LSH index. The IVF/vector standing state is deliberately
+  * NOT advanced here: embeddings are computed by a separate (usually
+  * GPU) stage that lands after the crawl, so the vector leg runs where
+  * the vectors exist — `RunIngest`'s batch invocation (or a direct
+  * `semanticDupsAgainstIndex` + `appendToIvfIndex` call) over the
+  * embedded delta. The two indexes key different domains (doc_id vs
+  * vec_id); nothing here can desynchronize them, it just doesn't
+  * append vectors it never sees.
   */
 object RunIngestStream {
 
