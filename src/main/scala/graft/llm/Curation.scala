@@ -743,12 +743,19 @@ object Curation {
     val surv1 = Ckpt.truncate(run1.last._2.select(col("doc_id"), col("text")))
     val standing1 = corp0.unionAll(surv1)
     val run2 = ingestStages(b2, standing1, pairs, evalDocs)
-    (Seq("0_run1_appended" -> surv1) ++ run2)
+    val folded = (Seq("0_run1_appended" -> surv1) ++ run2)
       .map { case (n, df) =>
         df.agg(count(lit(1)).as("survivors")).select(lit(n).as("stage"),
           col("survivors"))
       }
       .reduce(_ unionAll _)
+    // eager-fold + release (the graph_harmonic round-12 discipline at a
+    // smaller scale): the 7-row result must not pin the pair/survivor
+    // checkpoints across bench runs
+    val out = Ckpt.truncate(folded)
+    Ckpt.release(pairs)
+    Ckpt.release(surv1)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
