@@ -66,6 +66,15 @@ object Bench {
         System.gc()
         name -> t
       }
+    // Per-run detail (round 13, VERDICT r12 #1's "instrument Bench"
+    // alternative): every sample's wall + the resident persisted/
+    // checkpointed RDD blockset count AFTER the query (before this
+    // loop's clearCache/gc) — so the NEXT cross-environment diagnosis
+    // reads driver-run data instead of reproductions. Written to
+    // bench_detail.json; the driver-parsed lines keep their shape.
+    val detail = scala.collection.mutable.ArrayBuffer.empty[String]
+    def resident(): Int = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -83,6 +92,7 @@ object Bench {
         if (t1 >= 0 && t2 >= 0 &&
           math.abs(t1 - t2) / math.max(1e-9, math.min(t1, t2)) > 0.25) Seq(t1, t2, once())
         else Seq(t1, t2)
+      detail += s""""$name":{"samples":[${times.mkString(",")}],"resident_rdds":${resident()}}"""
       spark.catalog.clearCache()
       System.gc()
       // min over the VALID samples — one flaky failure must not mark a
@@ -93,16 +103,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed rows (-1 sentinels) are EXCLUDED from the total rather than
-    // subtracted — a crashed query must never IMPROVE the gate metric
+    // subtracted — a crashed query must never IMPROVE the gate metric —
+    // and their COUNT is a top-level field (round-12 ADVICE): a gate
+    // that reads only "value" would otherwise pass on a broken build,
+    // since an excluded row makes the total LOOK faster. Any consumer
+    // must reject when failed > 0.
+    val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), json + "\n")
+    Files.writeString(Paths.get("bench_detail.json"),
+      detail.mkString("{", ",", "}") + "\n")
     println(json)
     // Short machine line LAST: at 77+ queries the full per-query map
     // overflows the driver's stdout tail window (BENCH_r03 "parsed": null)
     // — the driver parses the last line, so emit a map-free summary after
     // the full one (which bench.json keeps anyway).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

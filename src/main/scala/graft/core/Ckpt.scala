@@ -96,6 +96,21 @@ object Ckpt {
     }
   }
 
+  /** True when `df` IS a truncation result — a bare `LogicalRDD` or one
+    * under a single projection, the same shapes `release` recognizes.
+    * Callers that may receive an already-checkpointed frame use this to
+    * skip a second `truncate` (which would materialize a DUPLICATE copy
+    * of the blocks and leave the first one unreleased — the lazy-pinning
+    * leak class `release` exists to prevent).
+    */
+  def isTruncated(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.child.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+      case _ => false
+    }
+
   /** Postfix syntax so call sites keep the `.localCheckpoint()` shape:
     * `df.truncated()` ≡ `Ckpt.truncate(df)`.
     */

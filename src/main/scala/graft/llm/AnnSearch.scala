@@ -393,9 +393,78 @@ object AnnSearch {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Crash-repair for a persisted IVF index (round 13 — the vector twin
+    * of `Dedup.reconcileLshIndex`): re-append exactly the `deltaVec`
+    * rows missing from the stored cells. The ingest loop's vec leg
+    * writes delta_vec then appends; a crash between the two leaves the
+    * index one delta behind with nothing detecting it. Detection is an
+    * anti-join on the cells' pruned t_id column; a healthy index pays
+    * one pruned scan and writes nothing. Returns the repaired count.
+    */
+  def reconcileIvfIndex(s: SparkSession, deltaVec: DataFrame, path: String): Long = {
+    // physical-table comparison; delta ids retracted since the crash
+    // are excluded — a takedown's rows must not come back via repair
+    val base = ivfTombstones(s, path).fold(deltaVec)(tomb =>
+      deltaVec.join(tomb, Seq("t_id"), "left_anti"))
+    val miss = base.join(
+      s.read.parquet(s"$path/cells").select(col("t_id")),
+      Seq("t_id"), "left_anti").persist()
+    val n = miss.count()
+    if (n > 0) appendToIvfIndex(s, miss, path, checkIds = false)
+    miss.unpersist(blocking = false)
+    n
+  }
+
+  /** The retracted-ids frame of a persisted IVF index, if any — the
+    * vector twin of `Dedup`'s tombstone table.
+    */
+  private def ivfTombstones(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString).select(col("t_id")).distinct())
+    else None
+  }
+
+  /** RETRACT vectors from a persisted IVF index (round 13 — the vector
+    * twin of `Dedup.removeFromLshIndex`): appends the ids to the
+    * index's tombstone table; `loadIvfIndex` (every search and the
+    * ingest loop's semantic-dedup go through it) filters them from the
+    * next query on. Physical deletion is `compactIvfIndex`'s job;
+    * tombstoned t_ids are retired until compaction clears them.
+    */
+  def removeFromIvfIndex(ids: DataFrame, path: String): Unit =
+    ids.select(col("t_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically apply tombstones to the cell table (cell partitioning
+    * preserved) and clear them — same sibling-write + rename-swap
+    * discipline as `Dedup.compactLshIndex`. Also merges per-append
+    * small files within each cell partition.
+    */
+  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val live = s.read.parquet(s"$path/cells")
+    val filtered = ivfTombstones(s, path).fold(live)(tomb =>
+      live.join(tomb, Seq("t_id"), "left_anti"))
+    filtered.select(col("t_id"), col("t_v"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/.compact_cells")
+    val liveP = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val oldP = new org.apache.hadoop.fs.Path(s"$path/.old_cells")
+    fs.rename(liveP, oldP)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/.compact_cells"), liveP)
+    fs.delete(oldP, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
   def loadIvfIndex(s: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val cells = s.read.parquet(s"$path/cells")
+    val cells0 = s.read.parquet(s"$path/cells")
       .select(col("t_id"), col("t_v"), col("cell").cast("long"))
+    // retraction-aware: searches and the ingest loop must not see
+    // tombstoned vectors (takedown semantics — removeFromIvfIndex)
+    val cells = ivfTombstones(s, path).fold(cells0)(tomb =>
+      cells0.join(tomb, Seq("t_id"), "left_anti"))
     val cent = s.read.parquet(s"$path/centroids")
     (cells, cent)
   }

@@ -758,9 +758,70 @@ object Curation {
     out
   }
 
+  /** ingest_retract — the DELETION path's semantics as a declared,
+    * oracle-gated row (round 13, VERDICT r12 "What's missing #1"):
+    * takedowns / license revocations / opt-outs remove docs from the
+    * standing state, and the next batch must ingest against the state
+    * that FORGOT them — in particular, a re-crawled near-copy of a
+    * retracted doc must be APPENDED, not near-dup-dropped. Deterministic
+    * split of the 500-doc slice: batch ≡ 3 (mod 5), standing₀ the other
+    * residues, retract set = standing₀ ∩ (doc_id ≡ 0 mod 4) — a quarter
+    * of the standing corpus, dense enough that some batch docs' ONLY
+    * near-dup partners are retracted. Emitted rows: standing-before /
+    * retracted counts, the six-stage funnel against the LIVE standing
+    * (digest diff, near-dedup, and the eval slice all see
+    * standing₀ ∖ retracted), and `8_revived` — exact-stage survivors
+    * dropped by the FULL standing's pairs but not by the live one's:
+    * docs that exist in the kept corpus ONLY because the index forgot
+    * their retracted partners, the behavioral proof of deletion.
+    * `Dedup.removeFromLshIndex`/`compactLshIndex` +
+    * `run.RunIngest --retract` are the path-based production
+    * composition (tombstones + physical rewrite); RunIngestSpec
+    * reconciles the two.
+    */
+  def ingestRetract(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Ckpt
+    val slice = Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    val batch = slice.filter(col("doc_id") % 5 === 3)
+    val corp0 = slice.filter(col("doc_id") % 5 =!= 3)
+    val retracted = corp0.filter(col("doc_id") % 4 === 0)
+    val standing = corp0.filter(col("doc_id") % 4 =!= 0)
+    val pairs = Ckpt.truncate(
+      Dedup.minhashLshPairs(s, slice).filter(col("jaccard") >= 0.95))
+    val evalDocs = standing.filter(col("doc_id") % 10 === 0)
+    val run = ingestStages(batch, standing, pairs, evalDocs)
+    def dropsAgainst(st: DataFrame) =
+      pairs.select(col("doc_id1").as("b"), col("doc_id2").as("o"))
+        .unionAll(pairs.select(col("doc_id2").as("b"), col("doc_id1").as("o")))
+        .join(batch.select(col("doc_id").as("b")), "b")
+        .join(st.select(col("doc_id").as("o")), "o")
+        .select(col("b").as("doc_id")).distinct()
+    val s4 = run(3)._2
+    val revived = s4.join(dropsAgainst(corp0), Seq("doc_id"), "left_semi")
+      .join(dropsAgainst(standing), Seq("doc_id"), "left_anti")
+    val renamed = Map(
+      "1_batch_in" -> "3_batch_in", "2_digest_new" -> "4_digest_new",
+      "3_quality_gopher" -> "5_quality_gopher", "4_dedup_exact" -> "6_dedup_exact",
+      "5_near_dup_vs_index" -> "7_near_dup_vs_index", "6_decontam_13" -> "9_decontam_13")
+    val folded = (Seq("1_standing_before" -> corp0, "2_retracted" -> retracted) ++
+      run.map { case (n, df) => renamed(n) -> df } ++ Seq("8_revived" -> revived))
+      .map { case (n, df) =>
+        df.agg(count(lit(1)).as("survivors")).select(lit(n).as("stage"),
+          col("survivors"))
+      }
+      .reduce(_ unionAll _)
+    // eager-fold + release (the ingest_manifest2 discipline): the 9-row
+    // result must not pin the pair checkpoint across bench runs
+    val out = Ckpt.truncate(folded)
+    Ckpt.release(pairs)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_manifest" -> ingestManifest,
     "ingest_manifest2" -> ingestManifest2,
+    "ingest_retract" -> ingestRetract,
     "corpus_snapshot_diff" -> snapshotDiffQuery,
     "corpus_dedup_report" -> dedupReport,
     "corpus_domain_cap" -> ((s, d) => domainCap(s, d)),
@@ -815,6 +876,57 @@ object Curation {
         "UNION ALL SELECT '4_dedup_exact', count(*) FROM s4 " +
         "UNION ALL SELECT '5_near_dup_vs_index', count(*) FROM s5 " +
         "UNION ALL SELECT '6_decontam_13', count(*) FROM s6"
+    },
+
+    "ingest_retract" -> {
+      val sw = TextAnalysis.GopherStopwords.map("'" + _ + "'").mkString("(", ", ", ")")
+      // the ingest_manifest splice with the standing corpus REDUCED by
+      // the retract set (doc_id ≡ 0 mod 4): digest diff, the near-dup
+      // drop, and the eval slice all see the LIVE standing; drops_full
+      // (vs the pre-retraction standing) exists only to prove the
+      // revived rows — docs kept ONLY because their partners were
+      // retracted
+      s"WITH ${Dedup.minhashPairsCtes}, " +
+        "base AS (SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id < 500), " +
+        "b1 AS (SELECT * FROM base WHERE doc_id % 5 = 3), " +
+        "cp0 AS (SELECT * FROM base WHERE doc_id % 5 <> 3), " +
+        "cps AS MATERIALIZED (SELECT * FROM cp0 WHERE doc_id % 4 <> 0), " +
+        "s2 AS (SELECT * FROM b1 WHERE h NOT IN (SELECT h FROM cps)), " +
+        "gw AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2), " +
+        "gq AS (SELECT doc_id FROM gw WHERE len(w)::INT >= 50 " +
+        "AND rnd(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6) BETWEEN 3e0 AND 10e0 " +
+        s"AND len(list_filter(w, x -> x IN $sw))::INT >= 2), " +
+        "s3 AS (SELECT s2.* FROM s2 JOIN gq USING (doc_id)), " +
+        "s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id IN " +
+        "(SELECT min(doc_id) FROM s3 GROUP BY h)), " +
+        "drops_live AS (SELECT DISTINCT CASE WHEN d1 % 5 = 3 THEN d1 ELSE d2 END AS doc_id " +
+        "FROM jj WHERE j >= 0.95e0 AND (" +
+        "(d1 % 5 = 3 AND d2 IN (SELECT doc_id FROM cps)) OR " +
+        "(d2 % 5 = 3 AND d1 IN (SELECT doc_id FROM cps)))), " +
+        "drops_full AS (SELECT DISTINCT CASE WHEN d1 % 5 = 3 THEN d1 ELSE d2 END AS doc_id " +
+        "FROM jj WHERE j >= 0.95e0 AND (" +
+        "(d1 % 5 = 3 AND d2 IN (SELECT doc_id FROM cp0)) OR " +
+        "(d2 % 5 = 3 AND d1 IN (SELECT doc_id FROM cp0)))), " +
+        "s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM drops_live)), " +
+        "t13 AS (SELECT doc_id, string_split(text, ' ') AS a FROM base " +
+        "WHERE (doc_id % 10 = 0 AND doc_id % 4 <> 0) OR doc_id IN (SELECT doc_id FROM s5)), " +
+        "g13 AS (SELECT DISTINCT doc_id, array_to_string(a[i::INT:(i + 12)::INT], ' ') AS g " +
+        "FROM (SELECT doc_id, a, unnest(range(1, len(a) - 11)) AS i FROM t13 WHERE len(a) >= 13)), " +
+        "ev AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 10 = 0), " +
+        "cont AS (SELECT DISTINCT doc_id FROM g13 WHERE doc_id % 10 <> 0 " +
+        "AND g IN (SELECT g FROM ev)), " +
+        "s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
+        "SELECT '1_standing_before' AS stage, count(*) AS survivors FROM cp0 " +
+        "UNION ALL SELECT '2_retracted', count(*) FROM cp0 WHERE doc_id % 4 = 0 " +
+        "UNION ALL SELECT '3_batch_in', count(*) FROM b1 " +
+        "UNION ALL SELECT '4_digest_new', count(*) FROM s2 " +
+        "UNION ALL SELECT '5_quality_gopher', count(*) FROM s3 " +
+        "UNION ALL SELECT '6_dedup_exact', count(*) FROM s4 " +
+        "UNION ALL SELECT '7_near_dup_vs_index', count(*) FROM s5 " +
+        "UNION ALL SELECT '8_revived', count(*) FROM s4 " +
+        "WHERE doc_id IN (SELECT doc_id FROM drops_full) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drops_live) " +
+        "UNION ALL SELECT '9_decontam_13', count(*) FROM s6"
     },
 
     "ingest_manifest2" -> {

@@ -488,6 +488,12 @@ object Multimodal {
       val h = toks.next().toInt
       val maxval = toks.next().toInt
       if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+      // the P6 spec terminates maxval with a SINGLE whitespace byte; a
+      // CRLF-terminated header (Windows-authored writers) would shift
+      // the raster offset by one and — when trailing bytes exist —
+      // produce a silently WRONG phash (round-12 ADVICE). '\r' as the
+      // terminator is therefore poison-row None, not a guess.
+      if (toks.pos < b.length && b(toks.pos) == '\r') return None
       val off = toks.pos + 1 // the single whitespace after maxval
       val need = 3L * w * h
       if (off + need > b.length) return None
