@@ -53,7 +53,8 @@ object Bench {
     val builds = Seq[(String, () => Unit, String)](
       ("build_shared_scores", () => SparkEntry.releaseShared(), "accuracy"),
       ("build_dedup_clusters", () => graft.llm.Dedup.releaseShared(), "dedup_cluster"),
-      ("build_graph_walks", () => graft.rel.Graph.releaseShared(), "graph_random_walk"))
+      ("build_graph_walks", () => graft.rel.Graph.releaseShared(), "graph_random_walk"),
+      ("build_ingest_pairs", () => graft.llm.Curation.releaseShared(), "ingest_manifest"))
       .map { case (name, release, q) =>
         release()
         val t0 = System.nanoTime()

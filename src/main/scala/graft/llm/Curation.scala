@@ -618,6 +618,39 @@ object Curation {
 
   // ---- ingest_manifest: the incremental-recuration funnel --------------
 
+  private val sharedPairs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized J ≥ 0.95 near-dup pair set over the 500-doc dedup slice —
+    * the standing "signature table" all three ingest rows
+    * (`ingest_manifest`, `ingest_manifest2`, `ingest_retract`) consume,
+    * built once per (session, dir) like `Graph.walksShared` /
+    * `Dedup.minhashClusters` (round 13, VERDICT r12 #5: the pair chain
+    * was ~2.4 s of each row's ~5 s — three rows × two bench samples
+    * re-verified the same pairs six times). RESTRICTED to pairs
+    * touching a batch residue (doc_id ≡ 1 or 3 mod 5 — the union of
+    * the three consumers' drop-stage needs; corp×corp pairs are verify
+    * waste no consumer reads): a new consumer needing corp-internal
+    * pairs must widen the predicate. `Bench` charges the cold build as
+    * its own `build_ingest_pairs` line via `releaseShared`.
+    */
+  private[graft] def slicePairs(s: SparkSession, d: String): DataFrame =
+    sharedPairs.getOrElseUpdate((s, d), {
+      import graft.core.Ckpt
+      val isB = (c: org.apache.spark.sql.Column) => c % 5 === 1 || c % 5 === 3
+      Ckpt.truncate(
+        Dedup.minhashLshPairs(s,
+            Tables.documents(s, d).filter(col("doc_id") < 500)
+              .select(col("doc_id"), col("text")),
+            candPredicate = isB(col("d1")) || isB(col("d2")))
+          .filter(col("jaccard") >= 0.95))
+    })
+
+  def releaseShared(): Unit = {
+    sharedPairs.values.foreach(graft.core.Ckpt.release)
+    sharedPairs.clear()
+  }
+
   /** ingest_manifest — the per-stage delta funnel a RECURRING crawl's
     * ingest run publishes (round 11, VERDICT r10 #1): a new batch
     * (doc_id ≡ 3 mod 5 of the 500-doc dedup slice — the `docSlice`
@@ -647,66 +680,131 @@ object Curation {
     * composition of the same stages (persisted index, append, report).
     */
   def ingestManifest(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Ckpt
     val slice = Tables.documents(s, d).filter(col("doc_id") < 500)
       .select(col("doc_id"), col("text"))
     val isBatch = (c: org.apache.spark.sql.Column) => c % 5 === 3
     val batch = slice.filter(isBatch(col("doc_id")))
     val corp = slice.filter(!isBatch(col("doc_id")))
-    val s2 = batch.join(corp.select(md5(col("text")).as("h")).distinct(),
-      md5(batch("text")) === col("h"), "left_anti")
-    val s3 = s2.join(TextAnalysis.qualityGopherDocs(s2)
-      .filter(col("keep")).select("doc_id"), "doc_id")
-    val s4 = s3.join(
-      s3.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val drops = Dedup.minhashLshPairs(s, slice)
-      .filter(col("jaccard") >= 0.95 &&
-        isBatch(col("doc_id1")) =!= isBatch(col("doc_id2")))
+    // pairs come from the memoized slice pair set (slicePairs — built
+    // once per (session, dir), shared with ingest_manifest2/_retract)
+    val drops = slicePairs(s, d)
+      .filter(isBatch(col("doc_id1")) =!= isBatch(col("doc_id2")))
       .select(when(isBatch(col("doc_id1")), col("doc_id1"))
         .otherwise(col("doc_id2")).as("doc_id")).distinct()
-    val s5 = s4.join(drops, Seq("doc_id"), "left_anti")
+    // single-pass stage flags (the ingestStages round-13 shape — see
+    // its scaladoc; this row keeps its own decontaminateDocs eval-slice
+    // convention, so the chains stay separate)
+    val gKeep = TextAnalysis.qualityGopherDocs(batch)
+      .filter(col("keep")).select(col("doc_id"), lit(1).as("g"))
+    val corpH = corp.select(md5(col("text")).as("h")).distinct()
+      .withColumn("sh", lit(1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val fMat = Ckpt.truncate(
+      batch.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .join(corpH, Seq("h"), "left")
+        .join(gKeep, Seq("doc_id"), "left")
+        .join(drops.withColumn("dr", lit(1)), Seq("doc_id"), "left")
+        .withColumn("f2", col("sh").isNull)
+        .withColumn("f3", col("sh").isNull && col("g").isNotNull)
+        .withColumn("f4", col("f3") &&
+          col("doc_id") === min(when(col("f3"), col("doc_id"))).over(w))
+        .withColumn("f5", col("f4") && col("dr").isNull)
+        .select(col("doc_id"), col("text"),
+          col("f2"), col("f3"), col("f4"), col("f5")))
     val evalDocs = slice.filter(col("doc_id") % 10 === 0)
     val cont = decontaminateDocs(
-      s5.unionAll(evalDocs), gram = 13).select("doc_id")
-    val s6 = s5.join(cont, Seq("doc_id"), "left_anti")
-    Seq("1_batch_in" -> batch, "2_digest_new" -> s2, "3_quality_gopher" -> s3,
-      "4_dedup_exact" -> s4, "5_near_dup_vs_index" -> s5, "6_decontam_13" -> s6)
-      .map { case (n, df) =>
-        df.agg(count(lit(1)).as("survivors")).select(lit(n).as("stage"),
-          col("survivors"))
-      }
-      .reduce(_ unionAll _)
+      fMat.filter(col("f5")).select(col("doc_id"), col("text"))
+        .unionAll(evalDocs), gram = 13).select("doc_id")
+    val ann = Ckpt.truncate(
+      fMat.join(cont.withColumn("ct", lit(1)), Seq("doc_id"), "left")
+        .withColumn("f6", col("f5") && col("ct").isNull))
+    Ckpt.release(fMat)
+    val folded = stageStack(ann, Seq("1_batch_in", "2_digest_new",
+      "3_quality_gopher", "4_dedup_exact", "5_near_dup_vs_index",
+      "6_decontam_13"))
+    val out = Ckpt.truncate(folded)
+    Ckpt.release(ann)
+    out
   }
 
-  /** Shared stage chain for `ingest_manifest2`: one batch through
-    * digest-diff / gopher / exact keep-min / near-dup-vs-standing /
-    * 13-gram decontam against an EXPLICIT standing frame. `pairs` is
-    * the (already thresholded) near-dup pair set over the whole slice —
-    * computed once and shared by both runs, exactly like the persisted
-    * index's signature table is in `run.RunIngest`.
+  /** Shared stage chain for `ingest_manifest2` / `ingest_retract`: one
+    * batch through digest-diff / gopher / exact keep-min /
+    * near-dup-vs-standing / 13-gram decontam against an EXPLICIT
+    * standing frame. `pairs` is the (already thresholded) near-dup pair
+    * set over the whole slice — computed once and shared by both runs,
+    * exactly like the persisted index's signature table is in
+    * `run.RunIngest`.
+    *
+    * SINGLE-PASS fold (round 13, VERDICT r12 #5): the original shape
+    * returned six lazily-chained frames, and the callers' 6-branch
+    * count union re-evaluated the chain TRIANGULARLY (~21 subchain
+    * evaluations for 6 counts — stage counting, not stage semantics,
+    * was the cost). Here every per-doc stage verdict is a FLAG COLUMN
+    * on one annotated batch frame — digest-match / gopher-keep /
+    * drop-hit as left-join markers, the exact keep-min as a
+    * min-over-digest window among gopher survivors — materialized once
+    * (a ≤ batch-sized checkpoint; the decontam flag joins on after,
+    * since its gram scan is DEFINED on stage-5 survivors). Each
+    * returned frame is a filter over the one materialized block, so
+    * counting all six stages costs one chain evaluation. Set semantics
+    * are unchanged stage for stage (gopher is per-doc, so flagging the
+    * whole batch ≡ flagging the digest survivors); the oracle keeps
+    * its NOT-IN-chained shape.
     */
   private def ingestStages(batch: DataFrame, standing: DataFrame,
-      pairs: DataFrame, evalDocs: DataFrame): Seq[(String, DataFrame)] = {
-    val s2 = batch.join(standing.select(md5(col("text")).as("h")).distinct(),
-      md5(batch("text")) === col("h"), "left_anti")
-    val s3 = s2.join(TextAnalysis.qualityGopherDocs(s2)
-      .filter(col("keep")).select("doc_id"), "doc_id")
-    val s4 = s3.join(
-      s3.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id"),
-      Seq("doc_id"), "left_semi")
+      pairs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    import graft.core.Ckpt
     val drops = pairs.select(col("doc_id1").as("b"), col("doc_id2").as("o"))
       .unionAll(pairs.select(col("doc_id2").as("b"), col("doc_id1").as("o")))
       .join(batch.select(col("doc_id").as("b")), "b")
       .join(standing.select(col("doc_id").as("o")), "o")
       .select(col("b").as("doc_id")).distinct()
-    val s5 = s4.join(drops, Seq("doc_id"), "left_anti")
-    val cont = decontaminateAgainst(s5.select(col("doc_id"), col("text")),
+    val gKeep = TextAnalysis.qualityGopherDocs(batch)
+      .filter(col("keep")).select(col("doc_id"), lit(1).as("g"))
+    val standH = standing.select(md5(col("text")).as("h")).distinct()
+      .withColumn("sh", lit(1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val flags = batch.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .join(standH, Seq("h"), "left")
+      .join(gKeep, Seq("doc_id"), "left")
+      .join(drops.withColumn("dr", lit(1)), Seq("doc_id"), "left")
+      .withColumn("f2", col("sh").isNull)
+      .withColumn("f3", col("sh").isNull && col("g").isNotNull)
+    val fMat = Ckpt.truncate(flags
+      .withColumn("f4", col("f3") &&
+        col("doc_id") === min(when(col("f3"), col("doc_id"))).over(w))
+      .withColumn("f5", col("f4") && col("dr").isNull)
+      .select(col("doc_id"), col("text"), col("f2"), col("f3"), col("f4"), col("f5")))
+    val cont = decontaminateAgainst(
+      fMat.filter(col("f5")).select(col("doc_id"), col("text")),
       evalDocs.select(col("doc_id"), col("text")), gram = 13).select("doc_id")
-    val s6 = s5.join(cont, Seq("doc_id"), "left_anti")
-    Seq("1_batch_in" -> batch, "2_digest_new" -> s2, "3_quality_gopher" -> s3,
-      "4_dedup_exact" -> s4, "5_near_dup_vs_index" -> s5, "6_decontam_13" -> s6)
+    val ann = Ckpt.truncate(
+      fMat.join(cont.withColumn("ct", lit(1)), Seq("doc_id"), "left")
+        .withColumn("f6", col("f5") && col("ct").isNull)
+        .drop("ct"))
+    Ckpt.release(fMat)
+    // the CALLER releases `ann` once its fold has materialized (the
+    // graph_harmonic release discipline — every consumer reads this one
+    // block)
+    ann
+  }
+
+  /** The six stage counts as one `stack` over ONE aggregate of the
+    * annotated frame — the fold's previous shape union'd six
+    * single-row aggregates, and under AQE each branch scheduled its own
+    * stage chain (~60 jobs per ingest row on a 500-doc slice whose cost
+    * is ALL scheduling). One aggregate + a generator emits the same
+    * (stage, survivors) rows in one branch.
+    */
+  private def stageStack(ann: DataFrame, names: Seq[String]): DataFrame = {
+    require(names.length == 6, s"six stage names expected, got $names")
+    def c(f: String) = coalesce(sum(col(f).cast("long")), lit(0L))
+    ann.agg(count(lit(1)).as("c1"), c("f2").as("c2"), c("f3").as("c3"),
+      c("f4").as("c4"), c("f5").as("c5"), c("f6").as("c6"))
+      .selectExpr("stack(6, " +
+        names.zipWithIndex.map { case (n, i) => s"'$n', c${i + 1}" }.mkString(", ") +
+        ") AS (stage, survivors)")
   }
 
   /** ingest_manifest2 — the RECURRING-ingest semantics as a declared,
@@ -736,25 +834,30 @@ object Curation {
     val b1 = slice.filter(col("doc_id") % 5 === 1)
     val b2 = slice.filter(col("doc_id") % 5 === 3)
     val corp0 = slice.filter(col("doc_id") % 5 =!= 1 && col("doc_id") % 5 =!= 3)
-    val pairs = Ckpt.truncate(
-      Dedup.minhashLshPairs(s, slice).filter(col("jaccard") >= 0.95))
+    // pairs: the memoized slice pair set (round 13, VERDICT r12 #5 —
+    // the ~2.4 s pair chain was rebuilt by every ingest row and bench
+    // sample; slicePairs builds it once per (session, dir) and Bench
+    // charges the cold build as build_ingest_pairs)
+    val pairs = slicePairs(s, d)
     val evalDocs = slice.filter(col("doc_id") % 10 === 0)
-    val run1 = ingestStages(b1, corp0, pairs, evalDocs)
-    val surv1 = Ckpt.truncate(run1.last._2.select(col("doc_id"), col("text")))
+    val ann1 = ingestStages(b1, corp0, pairs, evalDocs)
+    val surv1 = Ckpt.truncate(
+      ann1.filter(col("f6")).select(col("doc_id"), col("text")))
     val standing1 = corp0.unionAll(surv1)
-    val run2 = ingestStages(b2, standing1, pairs, evalDocs)
-    val folded = (Seq("0_run1_appended" -> surv1) ++ run2)
-      .map { case (n, df) =>
-        df.agg(count(lit(1)).as("survivors")).select(lit(n).as("stage"),
-          col("survivors"))
-      }
-      .reduce(_ unionAll _)
+    val ann2 = ingestStages(b2, standing1, pairs, evalDocs)
+    val folded = surv1.agg(count(lit(1)).as("survivors"))
+      .select(lit("0_run1_appended").as("stage"), col("survivors"))
+      .unionAll(stageStack(ann2, Seq("1_batch_in", "2_digest_new",
+        "3_quality_gopher", "4_dedup_exact", "5_near_dup_vs_index",
+        "6_decontam_13")))
     // eager-fold + release (the graph_harmonic round-12 discipline at a
-    // smaller scale): the 7-row result must not pin the pair/survivor
-    // checkpoints across bench runs
+    // smaller scale): the 7-row result must not pin the survivor/
+    // annotation checkpoints across bench runs (the pair memo is
+    // releaseShared's lifetime, not this row's)
     val out = Ckpt.truncate(folded)
-    Ckpt.release(pairs)
     Ckpt.release(surv1)
+    Ckpt.release(ann1)
+    Ckpt.release(ann2)
     out
   }
 
@@ -787,34 +890,33 @@ object Curation {
     val corp0 = slice.filter(col("doc_id") % 5 =!= 3)
     val retracted = corp0.filter(col("doc_id") % 4 === 0)
     val standing = corp0.filter(col("doc_id") % 4 =!= 0)
-    val pairs = Ckpt.truncate(
-      Dedup.minhashLshPairs(s, slice).filter(col("jaccard") >= 0.95))
+    // pairs: the memoized slice pair set (the ingest_manifest2 note)
+    val pairs = slicePairs(s, d)
     val evalDocs = standing.filter(col("doc_id") % 10 === 0)
-    val run = ingestStages(batch, standing, pairs, evalDocs)
+    val ann = ingestStages(batch, standing, pairs, evalDocs)
     def dropsAgainst(st: DataFrame) =
       pairs.select(col("doc_id1").as("b"), col("doc_id2").as("o"))
         .unionAll(pairs.select(col("doc_id2").as("b"), col("doc_id1").as("o")))
         .join(batch.select(col("doc_id").as("b")), "b")
         .join(st.select(col("doc_id").as("o")), "o")
         .select(col("b").as("doc_id")).distinct()
-    val s4 = run(3)._2
-    val revived = s4.join(dropsAgainst(corp0), Seq("doc_id"), "left_semi")
+    val revived = ann.filter(col("f4")).select(col("doc_id"))
+      .join(dropsAgainst(corp0), Seq("doc_id"), "left_semi")
       .join(dropsAgainst(standing), Seq("doc_id"), "left_anti")
-    val renamed = Map(
-      "1_batch_in" -> "3_batch_in", "2_digest_new" -> "4_digest_new",
-      "3_quality_gopher" -> "5_quality_gopher", "4_dedup_exact" -> "6_dedup_exact",
-      "5_near_dup_vs_index" -> "7_near_dup_vs_index", "6_decontam_13" -> "9_decontam_13")
-    val folded = (Seq("1_standing_before" -> corp0, "2_retracted" -> retracted) ++
-      run.map { case (n, df) => renamed(n) -> df } ++ Seq("8_revived" -> revived))
-      .map { case (n, df) =>
-        df.agg(count(lit(1)).as("survivors")).select(lit(n).as("stage"),
-          col("survivors"))
-      }
-      .reduce(_ unionAll _)
+    val folded = corp0
+      .agg(count(lit(1)).as("c1"),
+        coalesce(sum((col("doc_id") % 4 === 0).cast("long")), lit(0L)).as("c2"))
+      .selectExpr("stack(2, '1_standing_before', c1, '2_retracted', c2) " +
+        "AS (stage, survivors)")
+      .unionAll(stageStack(ann, Seq("3_batch_in", "4_digest_new",
+        "5_quality_gopher", "6_dedup_exact", "7_near_dup_vs_index",
+        "9_decontam_13")))
+      .unionAll(revived.agg(count(lit(1)).as("survivors"))
+        .select(lit("8_revived").as("stage"), col("survivors")))
     // eager-fold + release (the ingest_manifest2 discipline): the 9-row
-    // result must not pin the pair checkpoint across bench runs
+    // result must not pin the annotation checkpoint across bench runs
     val out = Ckpt.truncate(folded)
-    Ckpt.release(pairs)
+    Ckpt.release(ann)
     out
   }
 

@@ -129,9 +129,18 @@ object Dedup {
       .select(col("doc_id"), explode(array(sigCols: _*)).as("sig"))
   }
 
+  /** `candPredicate` (round 13, VERDICT r12 #5): an optional filter on
+    * the candidate pair columns (`d1`, `d2`) applied BEFORE the exact-
+    * Jaccard verify — callers that consume only a pair subclass (the
+    * ingest funnels need pairs touching a batch residue; corp×corp
+    * pairs are ~36-64 % of the candidates and pure verify waste there)
+    * prune the expensive leg without changing any returned pair they
+    * read. The default `lit(true)` constant-folds away.
+    */
   def minhashLshPairs(s: SparkSession, docs: DataFrame,
       numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand,
-      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+      maxBandBucket: Int = DefaultMaxBandBucket,
+      candPredicate: Column = lit(true)): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be a multiple of rowsPerBand")
     // The (doc, tok) stream feeds the signature build, the vocabulary,
     // and the exact verify. Deliberately NOT persisted: measured slower
@@ -166,6 +175,7 @@ object Dedup {
     val cand = sigs.select(col("doc_id").as("d1"), col("sig"))
       .join(sigs.select(col("doc_id").as("d2"), col("sig")), "sig")
       .filter(col("d1") < col("d2"))
+      .filter(candPredicate)
       .select(col("d1"), col("d2")).distinct()
 
     // exact-Jaccard verification DRIVEN BY the candidate pairs — the

@@ -41,7 +41,7 @@ object RunEmbed {
     * deterministic-fold idiom — `sort_array(collect_list(struct))`,
     * never a window over an unordered agg).
     */
-  private[run] def walkSentences(walks: DataFrame): DataFrame =
+  private[graft] def walkSentences(walks: DataFrame): DataFrame =
     walks.groupBy(col("walk"))
       .agg(sort_array(collect_list(struct(col("step"), col("node")))).as("sn"))
       .select(col("walk"),
@@ -53,7 +53,7 @@ object RunEmbed {
     * read-out would reuse `AnnSearch.ivfSearch` over the vector
     * table).
     */
-  private[run] def vectorTopK(vecs: DataFrame, k: Int): DataFrame = {
+  private[graft] def vectorTopK(vecs: DataFrame, k: Int): DataFrame = {
     val a = vecs.select(col("word").as("w1"), col("vector").as("v1"))
     val b = vecs.select(col("word").as("w2"), col("vector").as("v2"))
     val dot = expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
@@ -86,7 +86,8 @@ object RunEmbed {
     val model = w2v.fit(sentences)
     val trainSec = (System.nanoTime() - t0) / 1e9
     val vecs = model.getVectors
-      .select(col("word"), expr("transform(vector, x -> cast(x AS double))").as("vector"))
+      .select(col("word"),
+        org.apache.spark.ml.functions.vector_to_array(col("vector"), "float64").as("vector"))
       .persist()
     val vocab = vecs.count()
     vecs.write.mode("overwrite").parquet(s"$outDir/vectors")

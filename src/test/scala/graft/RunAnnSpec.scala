@@ -46,4 +46,47 @@ class RunAnnSpec extends SparkSpecBase {
       .get.split(" ").head.toDouble
     assert(recall >= 0.4, s"recall $recall below floor")
   }
+
+  test("RunAnn.maintain: drifted appends cross the balance threshold, retrain restores it, no vector lost") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("annmaint").toString
+    // pre-drift corpus: 40 vectors on a line, 4 well-placed centroids
+    // → 10 per cell, ratio 1.0
+    val base = (0 until 40).map(i => (i.toLong, Seq(i.toDouble, 0.0))).toDF("t_id", "t_v")
+    val cent = Seq(5.0, 15.0, 25.0, 35.0).zipWithIndex
+      .map { case (x, i) => (i.toLong, Seq(x, 0.0)) }.toDF("c_id", "c_v")
+    graft.llm.AnnSearch.saveIvfIndex(base, cent, s"$out/index")
+
+    // drift: 40 appended vectors far to the right all land in the last
+    // centroid's cell → sizes [10,10,10,50], max/median 5.0
+    val drift = (0 until 40).map(i => (100L + i, Seq(100.0 + i, 0.0))).toDF("t_id", "t_v")
+    graft.llm.AnnSearch.appendToIvfIndex(spark, drift, s"$out/index")
+    def balance(): Double = {
+      val sizes = spark.read.parquet(s"$out/index/cells")
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+      val r = sizes.agg(max(col("n")).as("mx"),
+        expr("percentile(n, 0.5)").as("med")).head()
+      r.getLong(0) / r.getDouble(1)
+    }
+    val before = balance()
+    assert(before > 4.0, s"drift must imbalance the cells (got $before)")
+
+    // below threshold: measurement only, nothing rewritten
+    val noop = RunAnn.maintain(spark, out, maxRatio = before + 1)
+    assert(noop.contains("retrained: false"), noop)
+    assert(balance() === before)
+
+    // above threshold: warm-start retrain restores balance; every
+    // vector survives the rebuild
+    val report = RunAnn.maintain(spark, out, maxRatio = 4.0)
+    assert(report.contains("retrained: ratio"), report)
+    val after = balance()
+    assert(after < 4.0 && after < before,
+      s"retrain must restore balance below the threshold: $before -> $after")
+    val ids = spark.read.parquet(s"$out/index/cells")
+      .select("t_id").as[Long].collect().toSet
+    assert(ids.size === 80 && ids === ((0 until 40).map(_.toLong).toSet ++
+      (0 until 40).map(100L + _).toSet),
+      "the rebuild must preserve every stored vector")
+  }
 }

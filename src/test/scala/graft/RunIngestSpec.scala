@@ -217,6 +217,175 @@ class RunIngestSpec extends SparkSpecBase {
       "both streamed survivors must be queryable by the next batch")
   }
 
+  test("ingest_retract: the declared row's revived docs are non-vacuous and the funnel sees the live standing") {
+    import org.apache.spark.sql.Row
+    val rows = Curation.ingestRetract(spark, sfDir).collect()
+      .map { case Row(st: String, n: Long) => st -> n }.toMap
+    assert(rows.keySet === Set("1_standing_before", "2_retracted", "3_batch_in",
+      "4_digest_new", "5_quality_gopher", "6_dedup_exact", "7_near_dup_vs_index",
+      "8_revived", "9_decontam_13"))
+    assert(rows("2_retracted") > 0 && rows("2_retracted") < rows("1_standing_before"))
+    // the behavioral proof the standing state FORGOT the retracted docs:
+    // at least one batch doc survives the near-dup stage ONLY because
+    // its every partner was retracted (if this goes vacuous on
+    // regenerated data, the row still hash-gates but stops proving
+    // deletion — re-pick the retract modulus)
+    assert(rows("8_revived") > 0,
+      "no batch doc's near-dup partners were all retracted — the deletion proof is vacuous")
+    assert(rows("7_near_dup_vs_index") <= rows("6_dedup_exact"))
+  }
+
+  test("retraction: tombstones forget immediately, compaction forgets physically, reconcile cannot resurrect") {
+    val out = java.nio.file.Files.createTempDirectory("retract").toString
+    val words = (1 to 58).map(i => s"rq${i}xx")
+    val tA = "the and " + words.mkString(" ")
+    val tNear = "the and " + words.updated(7, "qr7yy").mkString(" ") // J ≈ 0.967 vs tA
+    val tB = "the and " + (1 to 58).map(i => s"vk${i}mm").mkString(" ")
+    val docs = Seq((1L, tA), (2L, tNear), (3L, tB)).toDF("doc_id", "text")
+    Dedup.saveLshIndex(docs, s"$out/index")
+
+    // baseline: a re-crawl of tA under a fresh id hits both near-dups
+    val copy = Seq((100L, tA)).toDF("doc_id", "text")
+    def hits(): Set[Long] = Dedup.nearDupsAgainstIndex(spark, s"$out/index", copy)
+      .select("indexed_id").as[Long].collect().toSet
+    assert(hits() === Set(1L, 2L), "pre-retraction baseline must hit docs 1 and 2")
+
+    // tombstone: LOGICALLY immediate — the very next search must not
+    // near-dup-drop the re-crawl — while the physical rows remain
+    Dedup.removeFromLshIndex(Seq(1L, 2L).toDF("doc_id"), s"$out/index")
+    assert(hits() === Set.empty[Long], "tombstoned docs must stop matching immediately")
+    val physSigs = spark.read.parquet(s"$out/index/sigs")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(physSigs === Set(1L, 2L, 3L), "physical rows wait for compaction")
+
+    // reconcile must NOT resurrect a retracted delta row
+    Seq((1L, tA)).toDF("doc_id", "text").write.parquet(s"$out/delta")
+    assert(Dedup.reconcileLshIndex(
+      spark.read.parquet(s"$out/delta"), s"$out/index") === 0L,
+      "a retracted delta id must not be repaired back into the index")
+
+    // compaction: physical forget + tombstones cleared; behavior unchanged
+    Dedup.compactLshIndex(spark, s"$out/index")
+    val sigsAfter = spark.read.parquet(s"$out/index/sigs")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val docsAfter = spark.read.parquet(s"$out/index/docs")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(sigsAfter === Set(3L) && docsAfter === Set(3L),
+      "compaction must physically drop retracted rows from sigs and docs")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/index/tombstones")),
+      "compaction must clear the tombstone table")
+    assert(hits() === Set.empty[Long])
+
+    // ...and the re-crawl can now be APPENDED under its fresh id — the
+    // behavioral proof the index forgot the retracted docs
+    Dedup.appendToLshIndex(copy, s"$out/index")
+    val probe = Seq((200L, tA)).toDF("doc_id", "text")
+    val reHits = Dedup.nearDupsAgainstIndex(spark, s"$out/index", probe)
+      .select("indexed_id").as[Long].collect().toSet
+    assert(reHits === Set(100L),
+      "after retraction the re-crawled copy is the only near-dup authority")
+  }
+
+  test("RunIngest.retract: runner removes doc and vec ids through corpus, delta, and both indexes") {
+    import graft.llm.AnnSearch
+    val out = java.nio.file.Files.createTempDirectory("retractrun").toString
+    val words = (1 to 58).map(i => s"tq${i}zz")
+    val mk = (salt: String) => "the and " + words.map(w => s"$w$salt").mkString(" ")
+    val docs = Seq((1L, mk("a")), (2L, mk("b")), (3L, mk("c")))
+      .toDF("doc_id", "text")
+    Dedup.saveLshIndex(docs, s"$out/index")
+    docs.withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.partitionBy("source").parquet(s"$out/corpus")
+    docs.filter(col("doc_id") === 3L).write.parquet(s"$out/delta")
+    val vecs = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0)), (30L, Seq(1.0, 1.0)))
+      .toDF("t_id", "t_v")
+    val cent = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("c_id", "c_v")
+    AnnSearch.saveIvfIndex(vecs, cent, s"$out/ivf")
+
+    val idsPath = s"$out/retract_ids"
+    Seq((3L, 20L)).toDF("doc_id", "vec_id").write.parquet(idsPath)
+    val report = graft.run.RunIngest.retract(spark, out, idsPath)
+    assert(report.contains("doc_ids_retracted: 1") &&
+      report.contains("vec_ids_retracted: 1"), report)
+
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(spark.read.parquet(s"$out/delta").isEmpty,
+      "the delta recovery artifact must also forget the retracted doc")
+    assert(spark.read.parquet(s"$out/index/docs")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(spark.read.parquet(s"$out/ivf/cells")
+      .select("t_id").as[Long].collect().toSet === Set(10L, 30L))
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/index/tombstones")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/ivf/tombstones")),
+      "runner retraction compacts immediately — no pending tombstones")
+  }
+
+  test("reconcile: a crash between corpus and index appends is auto-repaired on the next entry") {
+    import graft.llm.AnnSearch
+    val out = java.nio.file.Files.createTempDirectory("reconcile").toString
+    val words = (1 to 58).map(i => s"uq${i}ww")
+    val mk = (salt: String) => "the and " + words.map(w => s"$w$salt").mkString(" ")
+    val docs = Seq((1L, mk("a")), (2L, mk("b"))).toDF("doc_id", "text")
+    Dedup.saveLshIndex(docs, s"$out/index")
+    // simulate the crash: delta holds a survivor the index never saw
+    Seq((3L, mk("c"))).toDF("doc_id", "text").write.parquet(s"$out/delta")
+    assert(Dedup.reconcileLshIndex(
+      spark.read.parquet(s"$out/delta"), s"$out/index") === 1L)
+    assert(spark.read.parquet(s"$out/index/sigs")
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(spark.read.parquet(s"$out/index/docs")
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // idempotent: a healthy index repairs nothing
+    assert(Dedup.reconcileLshIndex(
+      spark.read.parquet(s"$out/delta"), s"$out/index") === 0L)
+
+    // the IVF twin
+    val vecs = Seq((10L, Seq(1.0, 0.0))).toDF("t_id", "t_v")
+    val cent = Seq((0L, Seq(1.0, 0.0))).toDF("c_id", "c_v")
+    AnnSearch.saveIvfIndex(vecs, cent, s"$out/ivf")
+    Seq((11L, Seq(0.0, 1.0))).toDF("t_id", "t_v").write.parquet(s"$out/delta_vec")
+    assert(AnnSearch.reconcileIvfIndex(spark,
+      spark.read.parquet(s"$out/delta_vec"), s"$out/ivf") === 1L)
+    assert(spark.read.parquet(s"$out/ivf/cells")
+      .select("t_id").as[Long].collect().toSet === Set(10L, 11L))
+    assert(AnnSearch.reconcileIvfIndex(spark,
+      spark.read.parquet(s"$out/delta_vec"), s"$out/ivf") === 0L)
+  }
+
+  test("RunIngestStream.runVec: batch 2 dedups against batch 1's appended vectors through one checkpoint") {
+    import graft.llm.AnnSearch
+    import graft.run.RunIngestStream
+    val out = java.nio.file.Files.createTempDirectory("vecstream").toString
+    // standing state: one stored vector along x, centroids on both axes
+    val stored = Seq((1L, Seq(1.0, 0.0))).toDF("t_id", "t_v")
+    val cent = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("c_id", "c_v")
+    AnnSearch.saveIvfIndex(stored, cent, s"$out/ivf")
+    val streamDir = java.nio.file.Files.createTempDirectory("vecdrop").toString
+    def drop(rows: (Long, Seq[Float])*): Unit =
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(streamDir)
+
+    // drop 1: a fresh direction (cosine-far from the stored vector)
+    drop(101L -> Seq(0.0f, 1.0f))
+    val r1 = RunIngestStream.runVec(spark, streamDir, out, eps = 0.25, nprobe = 2)
+    assert(r1.contains("vec_id_new=1 appended=1"), r1)
+
+    // drop 2, SAME checkpoint: a near-copy of batch 1's survivor (must
+    // fall against the JUST-APPENDED vector) + one fresh direction
+    drop(102L -> Seq(0.05f, 1.0f), 103L -> Seq(-1.0f, 0.1f))
+    val r2 = RunIngestStream.runVec(spark, streamDir, out, eps = 0.25, nprobe = 2)
+    assert(r2.contains("vec_id_new=2 appended=1"),
+      s"the near-copy of 101 must drop against batch 1's append: $r2")
+    val ids = spark.read.parquet(s"$out/ivf/cells")
+      .select("t_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 101L, 103L), s"cells hold $ids")
+  }
+
   test("RunIngest embedding leg: delta_vec ≡ inline semantic cross-dedup; IVF append visible") {
     import graft.llm.AnnSearch
     val out = java.nio.file.Files.createTempDirectory("ingestv").toString
