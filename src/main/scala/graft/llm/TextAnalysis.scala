@@ -339,7 +339,15 @@ object TextAnalysis {
     * per-round cost; the DuckDB twin replays each round's fold as a
     * per-word recursive CTE (depth = word length).
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 4): DataFrame = bpeTrain(docs, rounds)._1
+  def bpeMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val (rules, seqs) = bpeTrain(docs, rounds)
+    // the rule table reads only the per-round one-row `best` blocks;
+    // the final merged word table is this caller's to drop (round 13 —
+    // bench_detail.json measured the tokenizer rows leaving 12-13
+    // resident blocksets)
+    graft.core.Ckpt.release(seqs)
+    rules
+  }
 
   /** Training loop shared by `bpeMerges` (the rule table) and
     * `bpeEncodeDocs` (which needs the final merged sequences). */
@@ -370,6 +378,7 @@ object TextAnalysis {
         .truncated()
       if (best.isEmpty) exhausted = true
       else {
+        val prev = seqs
         seqs = seqs.crossJoin(broadcast(best.select(col("bp"))))
           .select(col("word"), col("n"), expr(
             """aggregate(syms, cast(array() as array<string>),
@@ -377,6 +386,10 @@ object TextAnalysis {
               |    slice(acc, 1, size(acc) - 1) || array(concat(element_at(acc, -1), x)),
               |    acc || array(x)))""".stripMargin).as("syms"))
           .truncated()
+        // round r is materialized; round r−1's word-table blocks have
+        // no remaining reader (round-13 release discipline — only the
+        // one-row `best` checkpoints ride into the rule table)
+        graft.core.Ckpt.release(prev)
         rules += best.select(lit(r).as("round"), col("bp").as("pair"), col("cnt"))
         r += 1
       }

@@ -610,9 +610,6 @@ object Graph {
     // Σ_h |B(h)| rows across the loop where this writes |B(maxHops)|
     // once; the anti-join and the final read scan the union of
     // lineage-free checkpoints, which costs the same as one big one.
-    // Total resident storage is identical (the parts sum to the old
-    // final frame), so no release is needed until the caller drops
-    // the result.
     var parts = List(sources.select(col("node"), lit(0L).as("dist")).truncated())
     var frontier = parts.head
     for (h <- 1 to maxHops) {
@@ -625,7 +622,16 @@ object Graph {
       parts ::= newly
       frontier = newly
     }
-    parts.reduce(_ unionAll _)
+    // eager-fold + release (round 13 — the graph_harmonic r12 discipline
+    // applied family-wide): returned lazily, the union PINS every
+    // round's checkpoint blocks plus the edge copy until the caller's
+    // frame is GC'd (bench_detail.json measured graph_bfs leaving 14
+    // resident blocksets for clearCache-immune neighbors to absorb).
+    // The fold is ≤ |V| rows — one linear copy buys a bounded footprint.
+    val out = Ckpt.truncate(parts.reduce(_ unionAll _))
+    parts.foreach(Ckpt.release)
+    Ckpt.release(edges)
+    out
   }
 
   def bfsQuery(s: SparkSession, d: String): DataFrame = {
@@ -1170,7 +1176,13 @@ object Graph {
       state = if (s % ckptEvery == 0 || s == steps) next.truncated() else next
       acc += state
     }
-    acc.reduce(_ unionAll _)
+    // eager-fold + release (round 13, the bfsHops note); release no-ops
+    // on the un-checkpointed intermediate steps under ckptEvery > 1
+    val out = Ckpt.truncate(acc.reduce(_ unionAll _))
+    acc.foreach(Ckpt.release)
+    Ckpt.release(adj)
+    Ckpt.release(edges)
+    out
   }
 
   /** node2vec BIASED second-order walks (round 11, VERDICT r10 #7): the
@@ -1290,7 +1302,14 @@ object Graph {
         }
       acc += state
     }
-    acc.reduce(_ unionAll _).drop("prev")
+    // eager-fold + release (round 13, the bfsHops note): the corpus is
+    // one linear copy; the per-step checkpoints and the edge/adjacency
+    // copies stop pinning blocks past the call
+    val out = Ckpt.truncate(acc.reduce(_ unionAll _).drop("prev"))
+    acc.foreach(Ckpt.release)
+    Ckpt.release(adj)
+    Ckpt.release(edges)
+    out
   }
 
   /** Degree threshold above which the hybrid biased draw switches from
@@ -1444,8 +1463,12 @@ object Graph {
     .empty[(SparkSession, String), DataFrame]
 
   def walksShared(s: SparkSession, d: String): DataFrame =
-    sharedWalks.getOrElseUpdate((s, d),
-      Ckpt.truncate(randomWalks(custSuppEdges(s, d))))
+    // randomWalks eagerly folds its own result since round 13 — a
+    // second truncate would duplicate the corpus blocks
+    sharedWalks.getOrElseUpdate((s, d), {
+      val w = randomWalks(custSuppEdges(s, d))
+      if (Ckpt.isTruncated(w)) w else Ckpt.truncate(w)
+    })
 
   def releaseShared(): Unit = {
     sharedWalks.values.foreach(Ckpt.release)

@@ -107,10 +107,16 @@ object RunAnn {
     *
     *   1. measure max/median cell size over the live cells (the
     *      `embedding_cell_balance` statistic on the persisted index);
-    *   2. if the ratio crosses `maxRatio`, RETRAIN — Lloyd's seeded
-    *      from the CURRENT centroids over the stored vectors (warm
-    *      start: assignments move only where drift moved them), then
-    *      rebuild the cell table;
+    *   2. if the ratio crosses `maxRatio`, RETRAIN — Lloyd's seeded by
+    *      a deterministic hash-stride RESEED over the LIVE vectors
+    *      (~one seed per current cell-size average). NOT a warm start
+    *      from the stored centroids: `tools.IvfMaintProbe` measured the
+    *      warm start at 51.15 → 47.62 max/median on a shifted-corpus
+    *      drift — Lloyd's cannot SPLIT a drift cluster that one old
+    *      centroid owns, because every other centroid keeps owning its
+    *      old-region points and never migrates; reseeding from the
+    *      current distribution places seeds where the data now IS
+    *      (same probe: → 1.52, probed rows/query 2088 → 83);
     *   3. the rebuild materializes the live rows first
     *      (`Ckpt.truncate`) so the overwrite never scans the directory
     *      it is replacing, and — since the live view already filters
@@ -139,7 +145,16 @@ object RunAnn {
       // no-overwrite-while-reading rule); tombstones are thereby
       // physically applied, so clear them with the rebuild
       val tMat = graft.core.Ckpt.truncate(cells.select(col("t_id"), col("t_v")))
-      val newCent = AnnSearch.kmeansCentroids(tMat, cent, iters = iters)
+      // reseed density: one seed per MEDIAN-cell-size vectors — the
+      // median is the build-time cell size (robust to the drifted max),
+      // so the rebuilt index keeps the per-probe scan cost the original
+      // build chose even as appends grow the corpus (|C| scales with n;
+      // keeping the old CELL COUNT instead let cells fatten: probe
+      // measured recall 0.41/139 rows vs the fresh build's 0.50/81)
+      val m = math.max(1L, math.round(med))
+      val seed = tMat.filter(pmod(xxhash64(col("t_id")), lit(m)) === 0)
+        .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
+      val newCent = AnnSearch.kmeansCentroids(tMat, seed, iters = iters)
         .persist()
       newCent.count()
       AnnSearch.saveIvfIndex(tMat, newCent, indexPath)
