@@ -444,17 +444,18 @@ object AnnSearch {
   def compactIvfIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    // repair a crashed previous swap BEFORE reading the live dir, and
+    // swap with CHECKED renames (Sinks.swapIn; round-13 review — the
+    // unchecked form could leave the old cells live yet clear the
+    // tombstones below, resurrecting retracted vectors)
+    graft.sources.Sinks.recoverSwap(fs, path, "cells")
     val live = s.read.parquet(s"$path/cells")
     val filtered = ivfTombstones(s, path).fold(live)(tomb =>
       live.join(tomb, Seq("t_id"), "left_anti"))
     filtered.select(col("t_id"), col("t_v"), col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/.compact_cells")
-    val liveP = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val oldP = new org.apache.hadoop.fs.Path(s"$path/.old_cells")
-    fs.rename(liveP, oldP)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/.compact_cells"), liveP)
-    fs.delete(oldP, true)
+    graft.sources.Sinks.swapIn(fs, path, "cells")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 

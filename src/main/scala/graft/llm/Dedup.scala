@@ -306,15 +306,17 @@ object Dedup {
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     Seq("sigs", "docs").foreach { t =>
+      // repair a crashed previous swap BEFORE reading the live dir —
+      // and swap with CHECKED renames (graft.sources.Sinks.swapIn;
+      // round-13 review: the unchecked-rename form could leave the old
+      // table live yet still clear the tombstones below, silently
+      // resurrecting retracted docs)
+      graft.sources.Sinks.recoverSwap(fs, path, t)
       val live = liveIndexTable(s, path, t)
       val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$path/$t")).getLength
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       live.coalesce(nOut).write.mode("overwrite").parquet(s"$path/.compact_$t")
-      val liveP = new org.apache.hadoop.fs.Path(s"$path/$t")
-      val oldP = new org.apache.hadoop.fs.Path(s"$path/.old_$t")
-      fs.rename(liveP, oldP)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/.compact_$t"), liveP)
-      fs.delete(oldP, true)
+      graft.sources.Sinks.swapIn(fs, path, t)
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
@@ -856,6 +858,71 @@ object Dedup {
   def substringDup50(s: SparkSession, d: String): DataFrame =
     substringDupDocs(Tables.documents(s, d), gram = 50)
 
+  /** dedup_soft — SOFT deduplication (round 13): instead of DROPPING
+    * near-duplicates, assign every doc a sampling weight 1/|cluster| so
+    * a trainer's data loader sees each duplicated content unit with the
+    * same expected mass as a unique doc — the reweight-don't-delete
+    * policy recent pretraining pipelines prefer when near-dups carry
+    * quality signal (an exact drop of 39 of 40 template variants also
+    * drops the 39 variants' unique tails). Composes the SAME memoized
+    * cluster assignment as `dedup_cluster` (minhashClusters — LSH pairs
+    * at J ≥ 0.8, checkpointed min-label CC), so the weights cannot
+    * drift from the clustering the drop policy would use; docs outside
+    * every cluster are their own singleton (weight 1.0). One broadcast-
+    * sized sizes join — no new shuffle beyond the shared build.
+    */
+  def softDedup(s: SparkSession, d: String): DataFrame = {
+    val cl = minhashClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("k"))
+    docSlice(s, d).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("k"), lit(1L)).as("cluster_size"),
+        rnd(lit(1.0) / coalesce(col("k"), lit(1L)), 6).as("weight"))
+  }
+
+  /** doc_novelty — per-document MARGINAL-contribution score (round 13):
+    * the fraction of a doc's distinct token-5-grams whose FIRST
+    * occurrence (minimum doc_id — the deterministic stand-in for crawl
+    * order) is the doc itself. The metric curation uses to rank "what
+    * does this doc add that the corpus doesn't already have" — near-dup
+    * tails score ≈ 0, fresh content 1.0; unlike `dedup_substring`'s
+    * dup_ratio (symmetric: BOTH copies score as duplicated), novelty is
+    * ORDER-aware — the first copy keeps its mass, later copies lose
+    * theirs, which is exactly the keep-first dedup policy expressed as
+    * a score. Shape: one gram explode + distinct, one keyed min, one
+    * join-back + keyed count — no window, no pairs; the gram frame is
+    * truncated once and read by both consumers (the `rakeDocs` rule).
+    * At corpus scale the gram join key switches to xxhash64 exactly as
+    * `substringDupDocs(hashKey = true)` does.
+    */
+  def noveltyDocs(docs: DataFrame, gram: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= gram)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(a) - $gram), i -> array_join(slice(a, i + 1, $gram), ' '))")).as("gram"))
+      .distinct()
+      .truncated()
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    // eager-fold + release (the round-13 family discipline): the per-doc
+    // result is materialized, then the corpus-sized gram checkpoint is
+    // released — it must not stay resident across bench runs
+    val out = Ckpt.truncate(grams.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        rnd(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty")))
+    Ckpt.release(grams)
+    out
+  }
+
+  def novelty(s: SparkSession, d: String): DataFrame =
+    noveltyDocs(Tables.documents(s, d))
+
   /** dedup_norm_keep_best — normalized-key exact dedup with
     * quality-aware retention: docs are grouped by the md5 of the SAME
     * canonical form `text_normalize` derives (lowercase, strip
@@ -954,6 +1021,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_minhash_est" -> minhashEst,
+    "dedup_soft" -> softDedup,
+    "doc_novelty" -> novelty,
     "dedup_cluster_hist" -> clusterHist,
     "dedup_norm_keep_best" -> normKeepBest,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -1145,6 +1214,29 @@ object Dedup {
     // uses min-label propagation (same fixed point, proven unique)
     "dedup_cluster" ->
       (s"$ClusterCtes SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM lbl"),
+
+    // soft-dedup weights over the SAME recursive-CC chain; singletons
+    // (docs outside every cluster) weight 1.0 via the left joins
+    "dedup_soft" ->
+      (s"$ClusterCtes, cs AS (SELECT cluster_id, count(*) AS k FROM lbl GROUP BY 1), " +
+        "base AS (SELECT doc_id FROM documents WHERE doc_id < 500) " +
+        "SELECT b.doc_id, coalesce(l.cluster_id, b.doc_id) AS cluster_id, " +
+        "coalesce(cs.k, 1)::BIGINT AS cluster_size, " +
+        "rnd(1e0 / coalesce(cs.k, 1), 6) AS weight " +
+        "FROM base b LEFT JOIN lbl l ON b.doc_id = l.doc_id " +
+        "LEFT JOIN cs ON l.cluster_id = cs.cluster_id"),
+
+    "doc_novelty" ->
+      // identical distinct-5-gram windows (DuckDB inclusive slice ≡
+      // Spark slice(start, len)); first occurrence = min doc_id
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+        "w AS (SELECT DISTINCT doc_id, array_to_string(a[(i + 1)::INT:(i + 5)::INT], ' ') AS g " +
+        "FROM (SELECT doc_id, a, unnest(range(0, len(a) - 4)) AS i FROM t WHERE len(a) >= 5)), " +
+        "f AS (SELECT g, min(doc_id) AS first_doc FROM w GROUP BY 1) " +
+        "SELECT w.doc_id, count(*) AS n_grams, " +
+        "sum(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel, " +
+        "rnd(sum(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novelty " +
+        "FROM w JOIN f ON w.g = f.g GROUP BY 1"),
 
     "dedup_cluster_hist" ->
       // one rollup over the SAME recursive-CC chain (shared CTE string,

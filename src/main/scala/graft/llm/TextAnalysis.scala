@@ -828,8 +828,149 @@ object TextAnalysis {
   def rake(s: SparkSession, d: String): DataFrame =
     rakeDocs(Tables.documents(s, d))
 
+  // ---- text_textrank: graph-based keyword extraction ---------------------
+
+  /** text_textrank — TextRank (Mihalcea & Tarau 2004), the WEIGHTED
+    * variant: corpus-global word graph with an edge between content
+    * tokens co-occurring within a window of 2 (positions over the
+    * stopword-filtered sequence, the `rakeDocs` island convention);
+    * edge weight = co-occurrence count; 3 synchronous PageRank rounds
+    * at damping 0.85 where a node distributes its rank proportionally
+    * to edge weight (r ← 0.15/N + 0.85·Σ w·r/W). Complements RAKE:
+    * RAKE scores PHRASES by intra-phrase degree, TextRank scores WORDS
+    * by global graph centrality. Scale shape: the co-occurrence build
+    * is a per-doc position-banded self-join (equi-join on doc_id, band
+    * filter — never all-pairs) and the iteration runs on the VOCAB-
+    * sized graph (`graph_pagerank`'s exact skeleton: one equi-join +
+    * keyed sum per round, per-round truncate/release); vocabulary
+    * grows sublinearly in corpus bytes, so the rounds are cheap at any
+    * SF and the one corpus-sized stage is the token explode.
+    */
+  def textrankDocs(docs: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.core.Ckpt
+    val stop = Seq("a", "the")
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ct = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(!col("tok").isin(stop: _*))
+      .withColumn("r", row_number().over(wIsl))
+      .select(col("doc_id"), col("tok"), col("r"))
+      .truncated()
+    val co = ct.select(col("doc_id"), col("tok").as("w1"), col("r").as("r1"))
+      .join(ct.select(col("doc_id"), col("tok").as("w2"), col("r").as("r2")), "doc_id")
+      .filter(col("r2") - col("r1") >= 1 && col("r2") - col("r1") <= 2 &&
+        col("w1") =!= col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("w"))
+    // symmetrize and merge the two directions into one weighted edge set
+    val eg = Ckpt.truncate(
+      co.select(col("w1").as("src"), col("w2").as("dst"), col("w"))
+        .unionAll(co.select(col("w2").as("src"), col("w1").as("dst"), col("w")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+    Ckpt.release(ct)
+    // weighted-degree table doubles as the node set (edges symmetrized);
+    // node count rides in the state as a broadcast one-row aggregate —
+    // the graph_pagerank skeleton, weights swapped in
+    val deg = eg.groupBy(col("src")).agg(sum(col("w")).as("wd"))
+    val n1 = broadcast(deg.agg(count(lit(1)).cast("double").as("n")))
+    var ranks = deg.crossJoin(n1)
+      .select(col("src").as("node"), col("wd"), col("n"), (lit(1.0) / col("n")).as("r"))
+      .truncated()
+    val teleport = (BigDecimal(1) - BigDecimal("0.85")).toDouble
+    for (_ <- 1 to iters) {
+      val contrib = eg
+        .join(ranks, eg("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") * col("w") / col("wd")).as("c"))
+      val prev = ranks
+      ranks = ranks.select(col("node"), col("wd"), col("n"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("wd"), col("n"),
+          (lit(teleport) / col("n") + lit(0.85) * coalesce(col("c"), lit(0.0))).as("r"))
+        .truncated()
+      Ckpt.release(prev)
+    }
+    val out = Ckpt.truncate(
+      ranks.select(col("node").as("word"), rnd(col("r"), 6).as("rank")))
+    Ckpt.release(ranks)
+    Ckpt.release(eg)
+    out
+  }
+
+  def textrank(s: SparkSession, d: String): DataFrame =
+    textrankDocs(Tables.documents(s, d))
+
+  // ---- corpus_token_budget: quality-greedy budget selection --------------
+
+  /** corpus_token_budget — fill a fixed token budget with the
+    * highest-quality docs: rank the corpus by a quality score
+    * (stopword fraction — the C4/fastText-lineage natural-language
+    * signal; ties by doc_id), take docs in rank order while the running
+    * token total stays within budget = ⌊25 % of corpus tokens⌋, report
+    * kept/total docs+tokens per language. This is the selection step a
+    * compute-bound pretraining run performs when the cleaned corpus
+    * still exceeds the token budget the scaling law asks for.
+    *
+    * Scale shape: the greedy prefix is a GLOBAL running sum, computed
+    * as the two-pass distributed prefix sum (`seqPackGlobal`'s shape —
+    * range-repartition on the rank keys, per-partition local cumsum,
+    * per-partition totals (≤ #partitions rows, where the one global-
+    * order window is free) broadcast back); no task ever holds more
+    * than its range slice. The ranked frame is truncated before the
+    * offsets/join fan-out (the `prefixPackBy` determinism rule: the
+    * range boundary sample must not be re-evaluated per subtree).
+    */
+  def tokenBudgetDocs(docs: DataFrame, frac: Double = 0.25): DataFrame = {
+    import graft.core.Ckpt
+    val sc0 = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), col("lang"),
+        size(col("a")).cast("long").as("n_tok"),
+        size(filter(col("a"), t => t === "a" || t === "the")).cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .withColumn("score", col("n_stop").cast("double") / col("n_tok"))
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = Ckpt.truncate(
+      sc0.repartitionByRange(parts, col("score").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val inPart = Window.partitionBy(col("pid"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = Ckpt.truncate(
+      ranged.withColumn("cum_in", sum(col("n_tok")).over(inPart)))
+    Ckpt.release(ranged)
+    val offsets = local.groupBy(col("pid")).agg(max(col("cum_in")).as("tot"))
+      .withColumn("base", coalesce(sum(col("tot")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("base"))
+    // budget from the materialized frame — not sc0, whose re-evaluation
+    // would be a second corpus scan for one scalar
+    val budget = broadcast(local.agg(
+      floor(lit(frac) * sum(col("n_tok"))).cast("long").as("budget")))
+    val kept = local.join(broadcast(offsets), "pid")
+      .crossJoin(budget)
+      .filter(col("base") + col("cum_in") <= col("budget"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tok")).as("n_tokens_kept"))
+    val tot = local.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_total"), sum(col("n_tok")).as("n_tokens_total"))
+    val out = Ckpt.truncate(
+      tot.join(kept, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+          col("n_docs_total"), col("n_tokens_total"),
+          rnd(coalesce(col("n_tokens_kept"), lit(0L)).cast("double") /
+            col("n_tokens_total"), 6).as("kept_token_frac")))
+    Ckpt.release(local)
+    out
+  }
+
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetDocs(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rake" -> rake,
+    "text_textrank" -> textrank,
+    "corpus_token_budget" -> tokenBudget,
     "text_readability" -> readability,
     "quality_ks_drift" -> ksDrift,
     "quality_psi_drift" -> psiDrift,
@@ -906,7 +1047,62 @@ object TextAnalysis {
       "rnd(sum(n_tok) / sum(length(word)), 6) AS tok_per_char " +
       "FROM dw JOIN wt USING (word) WHERE length(word) > 0 GROUP BY 1"
 
+  /** One weighted-PageRank round in DuckDB — the graph_pagerank unroll
+    * with edge weights (sum of w·r/W over in-edges).
+    */
+  private def textrankRoundSql(i: Int): String =
+    s"c$i AS (SELECT eg.dst AS node, sum(r${i - 1}.r * eg.w / deg.wd) AS c " +
+      s"FROM eg JOIN r${i - 1} ON eg.src = r${i - 1}.node " +
+      "JOIN deg ON eg.src = deg.src GROUP BY 1), " +
+      s"r$i AS (SELECT v.node, 0.15e0 / nn.n + 0.85e0 * coalesce(c$i.c, 0e0) AS r " +
+      s"FROM v CROSS JOIN nn LEFT JOIN c$i ON v.node = c$i.node)"
+
   val rawOracles: Map[String, String] = Map(
+    "text_textrank" ->
+      // identical content-rank positions (row_number over the filtered
+      // stream), banded self-join co-occurrence, 3 unrolled weighted
+      // rounds (the graph_pagerank oracle pattern)
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+        "tok AS (SELECT doc_id, p.tok AS tok, p.pos AS pos FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(a) + 1), " +
+        "i -> {'tok': a[i], 'pos': i})) AS p FROM t)), " +
+        "ct AS (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS r " +
+        "FROM tok WHERE tok NOT IN ('a', 'the')), " +
+        "co AS (SELECT t1.tok AS w1, t2.tok AS w2, count(*) AS w " +
+        "FROM ct t1 JOIN ct t2 ON t1.doc_id = t2.doc_id " +
+        "AND t2.r - t1.r BETWEEN 1 AND 2 WHERE t1.tok <> t2.tok GROUP BY 1, 2), " +
+        "e AS (SELECT w1 AS src, w2 AS dst, w FROM co UNION ALL SELECT w2, w1, w FROM co), " +
+        "eg AS (SELECT src, dst, sum(w)::BIGINT AS w FROM e GROUP BY 1, 2), " +
+        "deg AS (SELECT src, sum(w)::BIGINT AS wd FROM eg GROUP BY 1), " +
+        "v AS (SELECT DISTINCT src AS node FROM eg), " +
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM v), " +
+        "r0 AS (SELECT node, 1e0 / nn.n AS r FROM v CROSS JOIN nn), " +
+        (1 to 3).map(textrankRoundSql).mkString(", ") +
+        " SELECT node AS word, rnd(r, 6) AS rank FROM r3"),
+
+    "corpus_token_budget" ->
+      // same quality order (stopword fraction DESC, doc_id), same
+      // running-token prefix (the oracle's one global window IS the
+      // semantics; the Spark side computes it as the two-pass
+      // distributed prefix sum)
+      ("WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents), " +
+        "sc AS (SELECT doc_id, lang, len(a)::BIGINT AS n_tok, " +
+        "len(list_filter(a, x -> x IN ('a', 'the')))::BIGINT AS n_stop FROM d), " +
+        "o AS (SELECT doc_id, lang, n_tok, n_stop::DOUBLE / n_tok AS score " +
+        "FROM sc WHERE n_tok > 0), " +
+        "b AS (SELECT floor(0.25e0 * sum(n_tok))::BIGINT AS budget FROM o), " +
+        "c AS (SELECT doc_id, lang, n_tok, " +
+        "sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum FROM o), " +
+        "k AS (SELECT lang, count(*) AS n_docs_kept, sum(n_tok)::BIGINT AS n_tokens_kept " +
+        "FROM c CROSS JOIN b WHERE cum <= budget GROUP BY 1), " +
+        "tt AS (SELECT lang, count(*) AS n_docs_total, sum(n_tok)::BIGINT AS n_tokens_total " +
+        "FROM o GROUP BY 1) " +
+        "SELECT tt.lang, coalesce(k.n_docs_kept, 0) AS n_docs_kept, " +
+        "coalesce(k.n_tokens_kept, 0) AS n_tokens_kept, " +
+        "tt.n_docs_total, tt.n_tokens_total, " +
+        "rnd(coalesce(k.n_tokens_kept, 0)::DOUBLE / tt.n_tokens_total, 6) AS kept_token_frac " +
+        "FROM tt LEFT JOIN k ON tt.lang = k.lang"),
+
     "text_rake" ->
       // identical island construction (pos − content-rank), exact-integer
       // word scores (sum of BIGINT lens / count), rounded-score ranking

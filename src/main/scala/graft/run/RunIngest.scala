@@ -336,55 +336,76 @@ object RunIngest {
     * (RunIngestSpec proves it; the `ingest_retract` row oracle-gates
     * the same semantics).
     */
-  def retract(spark: SparkSession, outDir: String, idsPath: String): String = {
+  def retract(spark: SparkSession, outDir: String, idsPath: String): String =
+    retractIds(spark, outDir, spark.read.parquet(idsPath), idsPath)
+
+  /** DataFrame entry of the retraction pass — `RunIngestStream.runRetract`
+    * feeds each takedown micro-batch here (round 13: takedowns arrive
+    * continuously in production; the batch runner above is the same
+    * code over a parquet of ids).
+    */
+  def retractIds(spark: SparkSession, outDir: String, ids0: DataFrame,
+      idsLabel: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf)
     def swapRewrite(table: String, write: (DataFrame, String) => Unit,
         filter: DataFrame => DataFrame): Long = {
+      // repair a crashed previous swap BEFORE the existence probe and
+      // the read; swap with CHECKED renames (Sinks.swapIn, round-13
+      // review — an unchecked rename after a crash would report rows
+      // "removed" while the old table silently stayed live)
+      graft.sources.Sinks.recoverSwap(fs, outDir, table)
       val liveP = new org.apache.hadoop.fs.Path(s"$outDir/$table")
       if (!fs.exists(liveP)) return 0L
       val before = spark.read.parquet(s"$outDir/$table")
       val kept = filter(before)
       val dropped = before.count() - kept.count()
       write(kept, s"$outDir/.compact_$table")
-      val oldP = new org.apache.hadoop.fs.Path(s"$outDir/.old_$table")
-      fs.rename(liveP, oldP)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/.compact_$table"), liveP)
-      fs.delete(oldP, true)
+      graft.sources.Sinks.swapIn(fs, outDir, table)
       dropped
     }
-    val ids = spark.read.parquet(idsPath).persist()
+    val ids = ids0.persist()
     val cols = ids.columns.toSet
     val lines = scala.collection.mutable.ArrayBuffer[String](
-      s"retract report", s"ids: $idsPath")
+      s"retract report", s"ids: $idsLabel")
     if (cols.contains("doc_id")) {
-      val docIds = ids.select(col("doc_id")).distinct()
+      // null-filtered: a mixed-domain drop (RunIngestStream.RetractSchema)
+      // carries null doc_ids on vec-only rows
+      val docIds = ids.select(col("doc_id"))
+        .filter(col("doc_id").isNotNull).distinct()
       val n = docIds.count()
-      Dedup.removeFromLshIndex(docIds, s"$outDir/index")
-      Dedup.compactLshIndex(spark, s"$outDir/index")
-      val corpusGone = swapRewrite("corpus",
-        (df, p) => df.write.mode("overwrite").partitionBy("source").parquet(p),
-        _.join(docIds, Seq("doc_id"), "left_anti"))
-      val deltaGone = swapRewrite("delta",
-        (df, p) => df.write.mode("overwrite").parquet(p),
-        _.join(docIds, Seq("doc_id"), "left_anti"))
-      lines += s"doc_ids_retracted: $n"
-      lines += s"corpus_rows_removed: $corpusGone"
-      lines += s"delta_rows_removed: $deltaGone"
+      // a domain with no ids (a vec-only drop through the mixed schema)
+      // must not pay a full index compaction + table rewrites for nothing
+      if (n > 0) {
+        Dedup.removeFromLshIndex(docIds, s"$outDir/index")
+        Dedup.compactLshIndex(spark, s"$outDir/index")
+        val corpusGone = swapRewrite("corpus",
+          (df, p) => df.write.mode("overwrite").partitionBy("source").parquet(p),
+          _.join(docIds, Seq("doc_id"), "left_anti"))
+        val deltaGone = swapRewrite("delta",
+          (df, p) => df.write.mode("overwrite").parquet(p),
+          _.join(docIds, Seq("doc_id"), "left_anti"))
+        lines += s"doc_ids_retracted: $n"
+        lines += s"corpus_rows_removed: $corpusGone"
+        lines += s"delta_rows_removed: $deltaGone"
+      } else lines += "doc_ids_retracted: 0"
     }
     if (cols.contains("vec_id")) {
-      val vecIds = ids.select(col("vec_id").as("t_id")).distinct()
+      val vecIds = ids.select(col("vec_id").as("t_id"))
+        .filter(col("t_id").isNotNull).distinct()
       val n = vecIds.count()
-      AnnSearch.removeFromIvfIndex(vecIds, s"$outDir/ivf")
-      AnnSearch.compactIvfIndex(spark, s"$outDir/ivf")
-      val deltaGone = swapRewrite("delta_vec",
-        (df, p) => df.write.mode("overwrite").parquet(p),
-        _.join(vecIds, Seq("t_id"), "left_anti"))
-      lines += s"vec_ids_retracted: $n"
-      lines += s"delta_vec_rows_removed: $deltaGone"
+      if (n > 0) {
+        AnnSearch.removeFromIvfIndex(vecIds, s"$outDir/ivf")
+        AnnSearch.compactIvfIndex(spark, s"$outDir/ivf")
+        val deltaGone = swapRewrite("delta_vec",
+          (df, p) => df.write.mode("overwrite").parquet(p),
+          _.join(vecIds, Seq("t_id"), "left_anti"))
+        lines += s"vec_ids_retracted: $n"
+        lines += s"delta_vec_rows_removed: $deltaGone"
+      } else lines += "vec_ids_retracted: 0"
     }
     require(cols.contains("doc_id") || cols.contains("vec_id"),
-      s"retract ids at $idsPath must carry a doc_id and/or vec_id column; got ${cols.mkString(",")}")
+      s"retract ids at $idsLabel must carry a doc_id and/or vec_id column; got ${cols.mkString(",")}")
     ids.unpersist(blocking = false)
     val report = lines.mkString("", "\n", "\n")
     Files.writeString(Paths.get(s"$outDir/retract_report.txt"), report)

@@ -173,7 +173,82 @@ object RunIngestStream {
     report
   }
 
+  /** The takedown schema a retraction drop must land with: `doc_id`
+    * retracts documents, `vec_id` retracts vectors — either may be
+    * null in a row carrying only the other domain's id.
+    */
+  val RetractSchema = "doc_id LONG, vec_id LONG"
+
+  /** STREAMING retraction (round 13): takedowns / license revocations /
+    * opt-outs arrive continuously in production, so the delete path is
+    * a stream too — each micro-batch of ids flows through the SAME
+    * `RunIngest.retractIds` pass the batch runner uses (LSH/IVF
+    * tombstones + immediate physical compaction + corpus/delta
+    * rewrite), so stream-vs-batch divergence is structural, not
+    * logical. After a drop drains, the next ingest batch runs against
+    * the state that forgot the ids: a re-crawled near-copy of a
+    * retracted doc is APPENDED (RunIngestSpec proves it through this
+    * entry). Replay-idempotent: retracting an already-gone id
+    * tombstones nothing, and the rewrites anti-join to a no-op.
+    *
+    * Scale note: the per-batch id work is O(|ids| + affected rows);
+    * the corpus rewrite is the same pass the batch runner pays and
+    * amortizes over the takedown batching cadence (drops are hourly/
+    * daily files, not per-id events). A deployment whose corpus store
+    * is manifest-based (Iceberg-style) swaps the rewrite for a
+    * delete-file commit; the tombstone-first index semantics carry
+    * over unchanged.
+    */
+  def runRetract(spark: SparkSession, streamDir: String, outDir: String): String = {
+    require(Files.exists(Paths.get(s"$outDir/index/sigs")) ||
+      Files.exists(Paths.get(s"$outDir/ivf/centroids")),
+      s"$outDir holds no standing state — nothing to retract from")
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream
+      .schema(RetractSchema)
+      .parquet(streamDir)
+      .writeStream
+      .queryName("retract_stream")
+      .option("checkpointLocation", s"$outDir/_ckpt/retract")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          // both domain columns ride every drop row (either may be
+          // null); retractIds null-filters each domain independently
+          val report = RunIngest.retractIds(spark, outDir, b,
+            s"stream micro-batch $id")
+          lines.add(s"micro-batch $id: " +
+            report.linesIterator.filter(_.contains("_retracted:"))
+              .mkString(" ").trim)
+          spark.catalog.clearCache()
+        }
+      }
+      .start()
+    q.awaitTermination()
+    val report =
+      s"""streaming retraction report
+         |stream_dir: $streamDir
+         |${scala.jdk.CollectionConverters.CollectionHasAsScala(lines).asScala.mkString("\n")}
+         |""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/stream_retract_report.txt"), report)
+    report
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 1 && args(0) == "--retract") {
+      require(args.length >= 3, "usage: RunIngestStream --retract <streamDir> <outDir>")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      print(runRetract(spark, args(1), args(2)))
+      spark.stop()
+      return
+    }
     if (args.length >= 1 && args(0) == "--vec") {
       require(args.length >= 3, "usage: RunIngestStream --vec <streamDir> <outDir> [eps]")
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

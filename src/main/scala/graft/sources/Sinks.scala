@@ -53,4 +53,48 @@ object Sinks {
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     (files.length, outFiles)
   }
+
+  /** Repair a table directory left by a CRASHED `swapIn` (round 13):
+    * the swap's two renames leave exactly one recoverable intermediate
+    * state — live missing with `.old_<name>` holding the data (crash
+    * between the renames) — and one stale state — live present with a
+    * leftover `.old_<name>` backup (crash before the final delete).
+    * Restore the former, clear the latter. Callers run this BEFORE
+    * reading the live dir or starting a new swap; on a healthy layout
+    * it costs two existence probes.
+    */
+  def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, parent: String,
+      name: String): Unit = {
+    val live = new Path(s"$parent/$name")
+    val old = new Path(s"$parent/.old_$name")
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) {
+        require(fs.rename(old, live), s"swap recovery: rename $old -> $live failed")
+      } else {
+        fs.delete(old, true)
+      }
+    }
+  }
+
+  /** Atomically-enough swap of a freshly written `.compact_<name>`
+    * sibling into the live `<name>` directory: live → `.old_<name>`,
+    * sibling → live, backup deleted. EVERY rename's boolean result is
+    * checked (round 13 review: Hadoop `FileSystem.rename` reports
+    * failure by RETURNING FALSE, not throwing — an unchecked rename
+    * after a crashed previous swap silently left the OLD table live
+    * while the caller went on to clear its tombstones, resurrecting
+    * retracted rows). Runs `recoverSwap` first so a stale backup from
+    * a crashed swap can never make the renames fail silently.
+    */
+  def swapIn(fs: org.apache.hadoop.fs.FileSystem, parent: String,
+      name: String): Unit = {
+    recoverSwap(fs, parent, name)
+    val live = new Path(s"$parent/$name")
+    val fresh = new Path(s"$parent/.compact_$name")
+    val old = new Path(s"$parent/.old_$name")
+    require(fs.exists(fresh), s"swapIn: fresh table $fresh does not exist")
+    require(fs.rename(live, old), s"swapIn: rename $live -> $old failed")
+    require(fs.rename(fresh, live), s"swapIn: rename $fresh -> $live failed")
+    fs.delete(old, true)
+  }
 }

@@ -303,4 +303,40 @@ class DedupSpec extends SparkSpecBase {
     assert(out === brute)
     assert(out.nonEmpty)
   }
+
+  test("softDedup: every cluster's weights sum to 1.0; singletons weigh 1.0; non-vacuous") {
+    val out = Dedup.softDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // per-cluster mass: k docs × 1/k = 1 (the soft-dedup invariant — the
+    // trainer sees each content unit with unit expected mass)
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      val mass = rows.map(_._4).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"cluster $c mass $mass")
+      assert(rows.forall(_._3 == rows.length), s"cluster $c size mismatch")
+    }
+    assert(out.exists(_._3 > 1), "no multi-doc cluster — vacuous fixture")
+    assert(out.exists(_._3 == 1), "no singleton")
+    // weights agree with the drop policy's clustering: the keeper set of
+    // dedup_cluster = exactly one doc per cluster, and softDedup's
+    // cluster ids are the same assignment extended with singletons
+    val cl = Dedup.minhashClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (d, c, _, _) => cl.getOrElse(d, d) == c })
+  }
+
+  test("noveltyDocs: first copy keeps its grams, the duplicate loses them, fresh text scores 1.0") {
+    import spark.implicits._
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8"            // 4 distinct 5-grams
+    val fresh = "x1 x2 x3 x4 x5 x6"               // 2 distinct 5-grams
+    val half = "w1 w2 w3 w4 w5 y1 y2 y3 y4 y5"   // shares gram 1 with a, adds 5 fresh
+    val docs = Seq((1L, a), (2L, a), (3L, fresh), (4L, half)).toDF("doc_id", "text")
+    val out = Dedup.noveltyDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 4L, 1.0)))   // first occurrence of every gram
+    assert(out(2L) === ((4L, 0L, 0.0)))   // exact later copy: zero novelty
+    assert(out(3L) === ((2L, 2L, 1.0)))
+    assert(out(4L) === ((6L, 5L, rndRef(5.0 / 6))))  // the shared gram is doc 1's
+  }
+
+  private def rndRef(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 }

@@ -92,6 +92,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "ann_pq_distortion",   // quantile edges over ≤ codebook-sized distortion rows
     "auc_binary",          // eval-set-scoped rank statistic (aucBinaryBucketed is the scale twin)
     "corpus_apportion",    // source-count frame (≤ |sources| rows)
+    "corpus_token_budget", // two-pass prefix-sum offsets frame (≤ #partitions rows, the Rank rule)
     "corpus_zipf",         // vocab rank on the declared slice (corpusZipfScalable is the scale twin)
     "embedding_outliers",  // quantile edges over ≤ bins rows (×3)
     "events_paths",        // top-k-limited path frame

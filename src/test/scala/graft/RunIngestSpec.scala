@@ -287,6 +287,53 @@ class RunIngestSpec extends SparkSpecBase {
       "after retraction the re-crawled copy is the only near-dup authority")
   }
 
+  test("RunIngestStream.runRetract: a streamed takedown forgets the doc; the re-crawled near-copy appends") {
+    import graft.run.RunIngestStream
+    val out = java.nio.file.Files.createTempDirectory("retractstream").toString
+    RunIngest.run(spark, sfDir, out, nearDupThreshold = 0.95)
+    val crawlDir = java.nio.file.Files.createTempDirectory("rs_crawl").toString
+    val takedownDir = java.nio.file.Files.createTempDirectory("rs_takedown").toString
+    val words = (1 to 58).map(i => s"sr${i}xx")
+    val t1 = "the and " + words.mkString(" ")
+    val t1near = "the and " + words.updated(4, "rs4yy").mkString(" ") // J ≈ 0.967
+    def crawl(rows: (Long, String)*): String = {
+      rows.map { case (id, t) => (id, t, "web", t.length.toLong) }
+        .toDF("doc_id", "text", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(crawlDir)
+      RunIngestStream.run(spark, crawlDir, out, nearDupThreshold = 0.95)
+    }
+    assert(crawl(60000001L -> t1).contains("appended=1"))
+
+    // a takedown drop for the streamed doc (mixed schema, vec side null)
+    Seq((Some(60000001L), None: Option[Long])).toDF("doc_id", "vec_id")
+      .coalesce(1).write.mode("append").parquet(takedownDir)
+    val r = RunIngestStream.runRetract(spark, takedownDir, out)
+    assert(r.contains("doc_ids_retracted: 1"), r)
+    // physically gone from corpus and index; no pending tombstones
+    assert(spark.read.parquet(s"$out/corpus")
+      .filter(col("doc_id") === 60000001L).count() === 0)
+    assert(spark.read.parquet(s"$out/index/sigs")
+      .filter(col("doc_id") === 60000001L).count() === 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/index/tombstones")))
+
+    // the behavioral deletion proof through the STREAM loop: a re-crawled
+    // near-copy of the retracted doc is appended, not near-dup-dropped
+    assert(crawl(60000002L -> t1near).contains("appended=1"),
+      "the near-copy of a stream-retracted doc must append")
+
+    // replay idempotence: re-streaming the SAME takedown drop through a
+    // fresh checkpoint retracts an id that is already gone — no effect
+    // on the re-crawled survivor
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_ckpt/retract"), true)
+    RunIngestStream.runRetract(spark, takedownDir, out)
+    assert(spark.read.parquet(s"$out/corpus")
+      .filter(col("doc_id") === 60000002L).count() === 1,
+      "replaying a takedown must not touch other docs")
+  }
+
   test("RunIngest.retract: runner removes doc and vec ids through corpus, delta, and both indexes") {
     import graft.llm.AnnSearch
     val out = java.nio.file.Files.createTempDirectory("retractrun").toString

@@ -150,4 +150,60 @@ class TextAnalysisSpec extends SparkSpecBase {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("textrank: rank mass ≈ 1, high-co-occurrence words outrank isolated ones") {
+    import spark.implicits._
+    // k1/k2 co-occur densely across docs; u1/u2 appear once in isolation
+    val docs = Seq(
+      (1L, "k1 k2 k1 k2 k1 k2 k3"),
+      (2L, "k2 k1 k3 k1 k2"),
+      (3L, "u1 u2")).toDF("doc_id", "text")
+    val out = TextAnalysis.textrankDocs(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // synchronous PR on a graph where every node has out-edges conserves
+    // mass: Σr = 1 each round (up to the 6-dp rounding of the read-out)
+    assert(math.abs(out.values.sum - 1.0) < 1e-4, s"mass ${out.values.sum}")
+    assert(out("k1") > out("u1") && out("k2") > out("u2"),
+      s"centrality ordering violated: $out")
+    // stopwords never enter the graph
+    val withStop = TextAnalysis.textrankDocs(
+      Seq((1L, "the a the k1 k2 the")).toDF("doc_id", "text"))
+      .collect().map(_.getString(0)).toSet
+    assert(withStop === Set("k1", "k2"))
+  }
+
+  test("tokenBudget: two-pass prefix selection ≡ driver-side greedy on the harness corpus") {
+    val out = TextAnalysis.tokenBudget(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute-force the greedy selection
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ", -1)
+        (r.getLong(0), r.getString(1), toks.length.toLong,
+          toks.count(t => t == "a" || t == "the").toLong)
+      }
+    val ordered = docs.sortBy { case (id, _, nTok, nStop) =>
+      (-(nStop.toDouble / nTok), id)
+    }
+    val budget = (0.25 * docs.map(_._3).sum).toLong
+    var cum = 0L
+    val kept = ordered.takeWhile { case (_, _, nTok, _) =>
+      cum += nTok; cum <= budget
+    }
+    val expKept = kept.groupBy(_._2).view
+      .mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    val expTot = docs.groupBy(_._2).view
+      .mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    assert(out.keySet === expTot.keySet)
+    out.foreach { case (lang, (dk, tk, dt, tt)) =>
+      val (edk, etk) = expKept.getOrElse(lang, (0L, 0L))
+      val (edt, ett) = expTot(lang)
+      assert((dk, tk, dt, tt) === ((edk, etk, edt, ett)), s"lang $lang")
+    }
+    // the budget actually bites: strictly fewer tokens kept than total
+    assert(out.values.map(_._2).sum < out.values.map(_._4).sum)
+    assert(out.values.map(_._2).sum > 0)
+  }
 }
