@@ -1256,8 +1256,15 @@ object AnnSearch {
     * no rows — the consumer's signal to widen probes, same contract as
     * the bucket search itself.
     */
-  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val e = emb(s, d).select(col("vec_id"), col("v"), bucketCol(col("v")).as("bucket"))
+  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    knnGraphOf(emb(s, d), k)
+
+  /** Core of `knnGraph` over any (vec_id, v) frame — split out so
+    * `graphSearch` can build its navigation graph over the target set
+    * only (round 13).
+    */
+  def knnGraphOf(e0: DataFrame, k: Int): DataFrame = {
+    val e = e0.select(col("vec_id"), col("v"), bucketCol(col("v")).as("bucket"))
     val pairs = e.select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
       .join(e.select(col("vec_id").as("t_id"), col("v").as("t_v"), col("bucket")), "bucket")
       .filter(col("q_id") =!= col("t_id"))
@@ -1265,6 +1272,73 @@ object AnnSearch {
     graft.functions.TopKAgg.knn(pairs, k)
       .select(col("q_id").as("src"), col("t_id").as("dst"),
         rnd(col("dist"), 6).as("dist"), col("rn"))
+  }
+
+  // ---- ann_graph_search: beam search over the k-NN navigation graph -----
+
+  /** ann_graph_search — GRAPH-based ANN (round 13): greedy beam search
+    * over the `embedding_knn_graph` navigation structure, the third
+    * index family next to the hash buckets (LSH) and the partition
+    * cells (IVF/PQ) — the NSW/HNSW-lineage search pattern reduced to
+    * its deterministic single-layer core. Per query (vec_id < 20): the
+    * beam starts at a FIXED entry point (the minimum target id — the
+    * deterministic stand-in for HNSW's top-layer descent), and each of
+    * 3 hops expands the beam's out-neighbors in the k = 3 graph over
+    * the target set, scores them against the query, and keeps the best
+    * 4 by (true cosine distance, id); the final top-3 is the answer.
+    * The beam only improves monotonically (candidates = beam ∪
+    * neighbors), so revisit tracking is unnecessary.
+    *
+    * Scale shape: per-hop work is |queries| × beam × k rows — the
+    * frontier join is keyed on node id against the edge table and the
+    * scoring join is keyed on (q_id)/(t_id) against two pruned vector
+    * projections; per-hop state per query is O(beam). The graph build
+    * is the `embedding_knn_graph` bucket shape and amortizes across
+    * every query batch (persisted in production, rebuilt here —
+    * declared-row convention). Recall improves with beam/entry-count
+    * knobs exactly as nprobe does for IVF; `ann_recall` is the
+    * measurement row for that trade.
+    */
+  def graphSearch(s: SparkSession, d: String, beam: Int = 4, hops: Int = 3,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val q = broadcast(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+    val t = Ckpt.truncate(e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("t_id"), col("v").as("t_v")))
+    val edges = Ckpt.truncate(
+      knnGraphOf(t.select(col("t_id").as("vec_id"), col("t_v").as("v")), k)
+        .select(col("src"), col("dst")))
+    val entry = broadcast(t.agg(min(col("t_id")).as("t_id")))
+    val wBeam = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("t_id"))
+    var beamDf = Ckpt.truncate(
+      q.crossJoin(entry).join(t, "t_id")
+        .select(col("q_id"), col("t_id"),
+          cosineDist(col("q_v"), col("t_v")).as("dist")))
+    for (_ <- 1 to hops) {
+      val nbr = beamDf.join(edges, beamDf("t_id") === edges("src"))
+        .select(col("q_id"), col("dst").as("t_id")).distinct()
+        .join(t, "t_id").join(q, "q_id")
+        .select(col("q_id"), col("t_id"),
+          cosineDist(col("q_v"), col("t_v")).as("dist"))
+      val prev = beamDf
+      beamDf = Ckpt.truncate(
+        beamDf.unionAll(nbr)
+          .groupBy(col("q_id"), col("t_id")).agg(min(col("dist")).as("dist"))
+          .withColumn("rn", row_number().over(wBeam))
+          .filter(col("rn") <= beam)
+          .select(col("q_id"), col("t_id"), col("dist")))
+      Ckpt.release(prev)
+    }
+    val out = Ckpt.truncate(
+      beamDf.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn")))
+    Ckpt.release(beamDf)
+    Ckpt.release(edges)
+    Ckpt.release(t)
+    out
   }
 
   // ---- embedding_outliers: robust distance-to-median outlier screen -----
@@ -1387,6 +1461,7 @@ object AnnSearch {
     "ann_hamming" -> hammingTopK,
     "embedding_outliers" -> embeddingOutliers,
     "embedding_knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "ann_graph_search" -> ((s, d) => graphSearch(s, d)),
     "ann_recall" -> annRecall,
     "ann_ndcg" -> annNdcg,
     "ann_pq_distortion" -> pqDistortion,
@@ -1563,6 +1638,41 @@ object AnnSearch {
         "qk AS (SELECT src, dst, dist, " +
         "row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM qp) " +
         "SELECT src, dst, rnd(dist, 6) AS dist, rn::INT AS rn FROM qk WHERE rn <= 3"),
+
+    "ann_graph_search" -> {
+      // the knn-graph CTEs over the TARGET set + 3 unrolled beam hops;
+      // beam frames MATERIALIZED (each is referenced twice per hop —
+      // the bpeRoundSql inlining lesson); unrounded-dist ranking is
+      // safe (fused cosine ≡ list arithmetic, DistanceSpec)
+      def hop(i: Int): String =
+        s"n$i AS (SELECT DISTINCT b${i - 1}.q_id, g.dst AS t_id " +
+          s"FROM b${i - 1} JOIN g ON b${i - 1}.t_id = g.src), " +
+          s"d$i AS (SELECT n$i.q_id, n$i.t_id, ${cosSql("q_v", "t_v")} AS dist " +
+          s"FROM n$i JOIN q USING (q_id) JOIN t USING (t_id)), " +
+          s"c$i AS (SELECT q_id, t_id, min(dist) AS dist FROM " +
+          s"(SELECT * FROM b${i - 1} UNION ALL SELECT * FROM d$i) GROUP BY 1, 2), " +
+          s"b$i AS MATERIALIZED (SELECT q_id, t_id, dist FROM " +
+          s"(SELECT c$i.*, row_number() OVER (PARTITION BY q_id " +
+          s"ORDER BY dist, t_id) AS rn FROM c$i) WHERE rn <= 4)"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 20), " +
+        "t AS (SELECT vec_id AS t_id, v AS t_v FROM e WHERE vec_id >= 20), " +
+        s"eb AS (SELECT vec_id, v, $bucketSql AS bucket FROM " +
+        "(SELECT t_id AS vec_id, t_v AS v FROM t)), " +
+        "gp AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+        s"${cosSql("a.v", "b.v")} AS dist " +
+        "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+        "g AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst, " +
+        "row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM gp) " +
+        "WHERE rn <= 3), " +
+        "en AS (SELECT min(t_id) AS t_id FROM t), " +
+        "b0 AS MATERIALIZED (SELECT q_id, t.t_id, " +
+        s"${cosSql("q_v", "t_v")} AS dist FROM q CROSS JOIN en JOIN t ON en.t_id = t.t_id), " +
+        (1 to 3).map(hop).mkString(", ") +
+        " SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM " +
+        "(SELECT b3.*, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn " +
+        "FROM b3) WHERE rn <= 3"
+    },
 
     "embedding_outliers" ->
       // per-dim rank-selection medians under (x, vec_id); fused-fold L2

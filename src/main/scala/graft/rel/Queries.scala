@@ -2159,6 +2159,62 @@ object Queries {
         rnd(col("hi"), 6).as("ci_hi"), lit(B).as("n_replicates"))
   }
 
+  // ---- stats_permutation: randomization test on the A/B mean difference -
+
+  /** stats_permutation — randomization (permutation-style) test on the
+    * click-vs-purchase mean difference: the distribution-free
+    * significance read-out that completes the battery's ladder (Welch t
+    * assumes near-normal sampling distributions; Mann-Whitney tests
+    * stochastic dominance; THIS tests the mean difference itself under
+    * the exchangeability null, the estimand the experiment reports).
+    * B = 64 random relabelings: in replicate b every row keeps or flips
+    * its group by one md5 hex digit (md5(id_p<b>)[1] < 8 — the
+    * `stats_bootstrap_ci` deterministic-uniform discipline, so both
+    * engines draw the SAME relabelings), d_b = mean-difference under
+    * the relabeling, and p = (1 + #{|d_b| ≥ |d_obs|}) / (B + 1) — the
+    * add-one Monte-Carlo estimator (Davison-Hinkley). Exact-integer
+    * e6 value units; group sums are BIGINT folds (order-free), meeting
+    * doubles only in the closing mean expressions, so the |d_b| ≥
+    * |d_obs| comparisons are engine-identical. Scale shape: one
+    * B-explode + one (b)-keyed aggregate — embarrassingly parallel,
+    * the `stats_bootstrap_ci` envelope.
+    */
+  def statsPermutation(s: SparkSession, d: String): DataFrame = {
+    val B = 64
+    val isA = col("event_type") === "click"
+    val vu = floor(col("value") * 1e6 + 0.5).cast("long")
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), isA.as("ia"), vu.as("vu"))
+    val obs = ev.agg(
+      sum(when(col("ia"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("ia"), col("vu"))).as("sa"),
+      sum(when(!col("ia"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("ia"), col("vu"))).as("sb"))
+      .select(col("na"), col("nb"),
+        (col("sa").cast("double") / col("na") / 1e6 -
+          col("sb").cast("double") / col("nb") / 1e6).as("d_obs"))
+    val flip = conv(substring(md5(concat(col("event_id").cast("string"),
+      lit("_p"), col("b").cast("string"))), 1, 1), 16, 10).cast("long") < 8
+    val reps = ev
+      .select(col("event_id"), col("ia"), col("vu"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("ga", col("ia") =!= flip)
+      .groupBy(col("b"))
+      .agg((sum(when(col("ga"), col("vu"))).cast("double") /
+          sum(when(col("ga"), 1L).otherwise(0L)) / 1e6 -
+        sum(when(!col("ga"), col("vu"))).cast("double") /
+          sum(when(!col("ga"), 1L).otherwise(0L)) / 1e6).as("d_b"))
+    val ext = reps.crossJoin(broadcast(obs))
+      .agg(sum(when(abs(col("d_b")) >= abs(col("d_obs")), 1L).otherwise(0L))
+        .as("n_extreme"))
+    broadcast(obs).crossJoin(broadcast(ext))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        rnd(col("d_obs"), 6).as("d_obs"), col("n_extreme"),
+        rnd((col("n_extreme") + 1).cast("double") / (B + 1), 6).as("p_value"),
+        lit(B.toLong).as("n_permutations"))
+  }
+
   // ---- stats_spearman: Spearman rank correlation ------------------------
 
   /** stats_spearman — Spearman ρ between quantity and extended price
@@ -2626,6 +2682,7 @@ object Queries {
     "anon_tcloseness" -> anonTcloseness,
     "stats_mannwhitney" -> statsMannwhitney,
     "stats_bootstrap_ci" -> statsBootstrapCi,
+    "stats_permutation" -> statsPermutation,
     "market_basket" -> marketBasket,
     "anon_ldiversity" -> anonLdiversity,
     "stats_chisq" -> statsChisq,
@@ -3041,6 +3098,31 @@ object Queries {
         "SELECT n, mean, rnd(max(CASE WHEN rn = 2 THEN rep_mean END), 6) AS ci_lo, " +
         "rnd(max(CASE WHEN rn = 63 THEN rep_mean END), 6) AS ci_hi, " +
         "64 AS n_replicates FROM rr, st GROUP BY n, mean"),
+
+    "stats_permutation" -> {
+      // identical md5 first-hex-digit flip, exact e6-BIGINT group sums,
+      // identical double mean expressions → engine-identical |d| compares
+      val flipSql = hexDigitSql("event_id::VARCHAR || '_p' || b::VARCHAR", 1) + " < 8"
+      "WITH ev AS (SELECT event_id, event_type = 'click' AS ia, " +
+        "floor(value * 1e6 + 0.5e0)::BIGINT AS vu FROM events " +
+        "WHERE event_type IN ('click', 'purchase')), " +
+        "obs AS (SELECT sum(CASE WHEN ia THEN 1 ELSE 0 END)::BIGINT AS na, " +
+        "sum(CASE WHEN ia THEN vu ELSE 0 END)::BIGINT AS sa, " +
+        "sum(CASE WHEN ia THEN 0 ELSE 1 END)::BIGINT AS nb, " +
+        "sum(CASE WHEN ia THEN 0 ELSE vu END)::BIGINT AS sb FROM ev), " +
+        "o2 AS (SELECT na, nb, sa::DOUBLE / na / 1e6 - sb::DOUBLE / nb / 1e6 AS d_obs FROM obs), " +
+        "r AS (SELECT b, (ia <> (" + flipSql + ")) AS ga, vu " +
+        "FROM ev, unnest(range(0, 64)) AS tt(b)), " +
+        "rm AS (SELECT b, sum(CASE WHEN ga THEN vu ELSE 0 END)::DOUBLE / " +
+        "sum(CASE WHEN ga THEN 1 ELSE 0 END) / 1e6 - " +
+        "sum(CASE WHEN ga THEN 0 ELSE vu END)::DOUBLE / " +
+        "sum(CASE WHEN ga THEN 0 ELSE 1 END) / 1e6 AS d_b FROM r GROUP BY 1), " +
+        "ex AS (SELECT sum(CASE WHEN abs(d_b) >= abs(d_obs) THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_extreme FROM rm, o2) " +
+        "SELECT na AS n_a, nb AS n_b, rnd(d_obs, 6) AS d_obs, n_extreme, " +
+        "rnd((n_extreme + 1)::DOUBLE / 65, 6) AS p_value, " +
+        "64::BIGINT AS n_permutations FROM o2, ex"
+    },
 
     "stats_chisq" ->
       // same full grid (empty cells contribute expected), same double

@@ -469,4 +469,43 @@ class AnnSearchSpec extends SparkSpecBase {
     // or at 1 — not all zero (the bucketed search does find neighbors)
     assert(ndcg.values.exists(_._2 > 0.0))
   }
+
+  test("ann_graph_search: shape invariants and nonzero recall vs brute top-3") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val out = graft.llm.AnnSearch.graphSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === (0L until 20L).toSet, "one beam per query")
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.length),
+        "ranks are 1..n within each query")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        "distance ascends with rank")
+      assert(rows.forall(_._2 >= 20L), "answers come from the target set")
+    }
+    // recall against the exact brute top-3 over the same target set:
+    // the navigation graph must find SOME true neighbors (beam search
+    // over a k=3 graph from one entry is approximate by design — the
+    // assertion is non-vacuity, not perfection; ann_recall is the
+    // measurement row)
+    val brute = SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
+      .filter(col("rn") <= 3)
+      .select(col("q_id").as[Long], col("t_id").as[Long]).collect().toSet
+    val hits = out.count(r => brute.contains((r._1, r._2)))
+    assert(hits > 0, s"graph search found none of the brute top-3 pairs")
+  }
+
+  test("graphSearch beam widening is monotone: wider beam never worsens the best found distance") {
+    val narrow = graft.llm.AnnSearch.graphSearch(spark, sfDir, beam = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val wide = graft.llm.AnnSearch.graphSearch(spark, sfDir, beam = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    narrow.keySet.foreach { q =>
+      assert(wide(q) <= narrow(q) + 1e-12, s"q=$q wide=${wide(q)} narrow=${narrow(q)}")
+    }
+  }
 }

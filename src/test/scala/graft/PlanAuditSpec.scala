@@ -48,6 +48,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "embedding_mmr",
     // cuped: one-row time-midpoint broadcast onto the event stream
     "events_cuped",
+    // permutation test: one-row observed-difference broadcast onto the
+    // 64-row replicate frame, then two one-row aggregates crossed
+    "stats_permutation",
     "events_cooccur", "events_power_users", "events_rfm",
     "events_time_to_convert",
     // markov: one-row renormalization total + state-count broadcasts

@@ -551,4 +551,24 @@ class StatsOpsSpec extends SparkSpecBase {
     }.max
     assert(math.abs(rows("nation")._3 - tMax) < 1e-6)
   }
+
+  test("stats_permutation: d_obs matches brute force; p-value bounds and extreme-count identity hold") {
+    val r = graft.rel.Queries.statsPermutation(spark, sfDir).head()
+    val (na, nb, dObs, nExt, p, b) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5))
+    assert(b === 64L)
+    // the add-one Monte-Carlo estimator: p = (n_extreme + 1) / (B + 1)
+    assert(math.abs(p - (nExt + 1).toDouble / 65) < 1e-6)
+    assert(p >= 1.0 / 65 - 1e-9 && p <= 1.0)
+    // d_obs against a driver-side recomputation in the same e6 units
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r2 => (r2.getString(0) == "click", math.floor(r2.getDouble(1) * 1e6 + 0.5).toLong))
+    val (a, bb) = ev.partition(_._1)
+    assert(na === a.length.toLong && nb === bb.length.toLong)
+    val dBrute = a.map(_._2).sum.toDouble / a.length / 1e6 -
+      bb.map(_._2).sum.toDouble / bb.length / 1e6
+    assert(math.abs(dObs - math.floor(dBrute * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
 }
