@@ -1281,13 +1281,20 @@ object AnnSearch {
     * index family next to the hash buckets (LSH) and the partition
     * cells (IVF/PQ) — the NSW/HNSW-lineage search pattern reduced to
     * its deterministic single-layer core. Per query (vec_id < 20): the
-    * beam starts at a FIXED entry point (the minimum target id — the
-    * deterministic stand-in for HNSW's top-layer descent), and each of
-    * 3 hops expands the beam's out-neighbors in the k = 3 graph over
-    * the target set, scores them against the query, and keeps the best
-    * 4 by (true cosine distance, id); the final top-3 is the answer.
-    * The beam only improves monotonically (candidates = beam ∪
-    * neighbors), so revisit tracking is unnecessary.
+    * beam is SEEDED from the query's sign-LSH bucket (best in-bucket
+    * target by (cosine distance, id); global-min-id fallback for empty
+    * buckets) — the coarse-quantizer descent production graph-ANN uses
+    * in place of HNSW's upper layers, composed here from the library's
+    * own `ann_lsh_bucket` structure — then each of 3 hops expands the
+    * beam's out-neighbors in the k = 3 graph over the target set,
+    * scores them against the query, and keeps the best 4 by (true
+    * cosine distance, id); the final top-3 is the answer. The beam
+    * only improves monotonically (candidates = beam ∪ neighbors), so
+    * revisit tracking is unnecessary. (The fixed-single-entry form was
+    * measured by GraphSearchProbe at recall ≈ 0 on 100 k unclustered
+    * vectors — a k-NN graph has no long-range links to navigate from
+    * one fixed node to an arbitrary query region; bucket seeding is
+    * what makes the walk a REFINEMENT of the coarse index.)
     *
     * Scale shape: per-hop work is |queries| × beam × k rows — the
     * frontier join is keyed on node id against the edge table and the
@@ -1301,21 +1308,62 @@ object AnnSearch {
     */
   def graphSearch(s: SparkSession, d: String, beam: Int = 4, hops: Int = 3,
       k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
-    val q = broadcast(e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v")))
-    val t = Ckpt.truncate(e.filter(col("vec_id") >= 20)
-      .select(col("vec_id").as("t_id"), col("v").as("t_v")))
-    val edges = Ckpt.truncate(
-      knnGraphOf(t.select(col("t_id").as("vec_id"), col("t_v").as("v")), k)
-        .select(col("src"), col("dst")))
-    val entry = broadcast(t.agg(min(col("t_id")).as("t_id")))
+    graphSearchOf(
+      e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("q_v")),
+      e.filter(col("vec_id") >= 20).select(col("vec_id").as("t_id"), col("v").as("t_v")),
+      beam, hops, k)
+  }
+
+  /** Core of `graphSearch` over arbitrary query/target frames
+    * ((q_id, q_v) / (t_id, t_v)) — `tools.GraphSearchProbe` drives the
+    * beam/hops recall-cost trade at generated scale through this.
+    */
+  def graphSearchOf(q0: DataFrame, t0: DataFrame, beam: Int, hops: Int,
+      k: Int, edges0: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(q0)
+    // ownership discipline (the Ckpt.isTruncated contract): an input the
+    // caller already materialized is used as-is and NOT released here —
+    // truncating it again would copy the blocks, and releasing it would
+    // kill the caller's only copy
+    val tOwned = !Ckpt.isTruncated(t0)
+    val t = if (tOwned) Ckpt.truncate(t0) else t0
+    // `edges0`: a PREBUILT (src, dst) navigation graph — production
+    // persists the graph and amortizes the build across query batches
+    // (GraphSearchProbe measures the two stages separately through
+    // this); the declared row rebuilds per run (row convention).
+    val eOwned = edges0.forall(e => !Ckpt.isTruncated(e))
+    val edges = edges0 match {
+      case Some(e) if !eOwned => e
+      case Some(e) => Ckpt.truncate(e)
+      case None => Ckpt.truncate(
+        knnGraphOf(t.select(col("t_id").as("vec_id"), col("t_v").as("v")), k)
+          .select(col("src"), col("dst")))
+    }
     val wBeam = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("t_id"))
-    var beamDf = Ckpt.truncate(
-      q.crossJoin(entry).join(t, "t_id")
-        .select(col("q_id"), col("t_id"),
-          cosineDist(col("q_v"), col("t_v")).as("dist")))
+    // ENTRY = the best target sharing the query's sign-LSH bucket (the
+    // library's own coarse quantizer seeding the walk — how production
+    // graph-ANN descends into the graph; GraphSearchProbe measured the
+    // single-global-entry form at recall ≈ 0 on 100 k unclustered
+    // vectors: a k-NN graph has no long-range links, so a fixed entry
+    // cannot navigate to an arbitrary query's region in O(hops)).
+    // Queries whose bucket holds no target fall back to the global
+    // minimum id.
+    val qb = q.withColumn("bucket", bucketCol(col("q_v")))
+    val tb = t.withColumn("bucket", bucketCol(col("t_v")))
+    val inBucket = qb.join(tb, "bucket")
+      .select(col("q_id"), col("t_id"),
+        cosineDist(col("q_v"), col("t_v")).as("dist"))
+      .withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("t_id"), col("dist"))
+    val fallback = q.join(inBucket.select(col("q_id")), Seq("q_id"), "left_anti")
+      .crossJoin(broadcast(t.agg(min(col("t_id")).as("t_id"))))
+      .join(t, "t_id")
+      .select(col("q_id"), col("t_id"),
+        cosineDist(col("q_v"), col("t_v")).as("dist"))
+    var beamDf = Ckpt.truncate(inBucket.unionAll(fallback))
     for (_ <- 1 to hops) {
       val nbr = beamDf.join(edges, beamDf("t_id") === edges("src"))
         .select(col("q_id"), col("dst").as("t_id")).distinct()
@@ -1336,8 +1384,8 @@ object AnnSearch {
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("t_id"), rnd(col("dist"), 6).as("dist"), col("rn")))
     Ckpt.release(beamDf)
-    Ckpt.release(edges)
-    Ckpt.release(t)
+    if (eOwned) Ckpt.release(edges)
+    if (tOwned) Ckpt.release(t)
     out
   }
 
@@ -1665,9 +1713,17 @@ object AnnSearch {
         "g AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst, " +
         "row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM gp) " +
         "WHERE rn <= 3), " +
+        s"qb AS (SELECT vec_id AS q_id, v AS q_v, $bucketSql AS bucket FROM " +
+        "(SELECT q_id AS vec_id, q_v AS v FROM q)), " +
+        s"ibp AS (SELECT qb.q_id, eb.vec_id AS t_id, ${cosSql("q_v", "v")} AS dist " +
+        "FROM qb JOIN eb USING (bucket)), " +
+        "ib AS (SELECT q_id, t_id, dist FROM (SELECT ibp.*, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dist, t_id) AS rn FROM ibp) WHERE rn = 1), " +
         "en AS (SELECT min(t_id) AS t_id FROM t), " +
-        "b0 AS MATERIALIZED (SELECT q_id, t.t_id, " +
-        s"${cosSql("q_v", "t_v")} AS dist FROM q CROSS JOIN en JOIN t ON en.t_id = t.t_id), " +
+        s"fb AS (SELECT q.q_id, t.t_id, ${cosSql("q_v", "t_v")} AS dist " +
+        "FROM q CROSS JOIN en JOIN t ON t.t_id = en.t_id " +
+        "WHERE q.q_id NOT IN (SELECT q_id FROM ib)), " +
+        "b0 AS MATERIALIZED (SELECT * FROM ib UNION ALL SELECT * FROM fb), " +
         (1 to 3).map(hop).mkString(", ") +
         " SELECT q_id, t_id, rnd(dist, 6) AS dist, rn::INT AS rn FROM " +
         "(SELECT b3.*, row_number() OVER (PARTITION BY q_id ORDER BY dist, t_id) AS rn " +

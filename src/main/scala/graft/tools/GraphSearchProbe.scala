@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Knn
+import graft.llm.AnnSearch
+
+/** Scale experiment for the round-13 `ann_graph_search` row: the
+  * beam/hops recall-cost trade of graph-based ANN at generated scale.
+  *
+  * Claims under test:
+  *  1. search cost is |Q|·beam·k rows per hop — independent of corpus
+  *     size once the navigation graph exists — where brute force pays
+  *     |Q|·N per batch;
+  *  2. recall@3 vs the exact top-3 rises monotonically with beam and
+  *     hops (the nprobe-style knob the declared row documents);
+  *  3. the graph BUILD is the corpus-scale stage (bucketed Σ|b|² pairs,
+  *     the embedding_knn_graph shape) and amortizes across query
+  *     batches.
+  *
+  * usage: tools/run.sh graft.tools.GraphSearchProbe [nVecs] [nQ] [dim] [k]
+  * Deterministic (hash-seeded vectors), no RNG state.
+  */
+object GraphSearchProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 100000
+    val nQ = if (args.length > 1) args(1).toInt else 100
+    val dim = if (args.length > 2) args(2).toInt else 16
+    val k = if (args.length > 3) args(3).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.TopKAgg.tune(spark)
+
+    def time[T](what: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"[graphsearch] $what%-42s $w%7.2f s")
+      (r, w)
+    }
+
+    // `clustered` = 5th arg: vectors as centroid(id % 256) + noise/5 —
+    // the realistic embedding-corpus shape (real corpora cluster; the
+    // uniform leg is the adversarial no-structure floor)
+    val clustered = args.length > 4 && args(4) == "clustered"
+    def vecs(lo: Long, hi: Long, idCol: String, vCol: String): DataFrame = {
+      val base =
+        if (clustered)
+          s"CAST(pmod(hash(pmod(id, 256), i), 2000) - 1000 AS DOUBLE) / 1000.0 + " +
+            s"CAST(pmod(hash(id, i, 99), 2000) - 1000 AS DOUBLE) / 5000.0"
+        else "CAST(pmod(hash(id, i), 2000) - 1000 AS DOUBLE) / 1000.0"
+      spark.range(lo, hi).select(col("id").as(idCol),
+        expr(s"transform(sequence(0, ${dim - 1}), i -> $base)").as(vCol))
+    }
+
+    val q = vecs(0, nQ, "q_id", "q_v").persist()
+    // pre-materialized (Ckpt.truncate) so graphSearchOf uses it as-is —
+    // the persisted-index amortization the search-only walls measure
+    val t = graft.core.Ckpt.truncate(vecs(nQ, nQ + n, "t_id", "t_v"))
+    println(s"[graphsearch] n=$n nQ=$nQ dim=$dim k=$k cpus=$cpus")
+
+    // exact baseline — |Q|·N pairs, the cost the graph search avoids
+    val (brute, bruteWall) = time(s"brute top-3 (${nQ.toLong * n} pairs)") {
+      Knn.knn(q.select(col("q_id").as("vec_id"), col("q_v").as("v")),
+          t.select(col("t_id").as("vec_id"), col("t_v").as("v")),
+          k = 3, dist = AnnSearch.cosineDist)
+        .select(col("q_id"), col("t_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    // build once, search many — the production amortization (the graph
+    // is the persisted index; per-batch cost is the search alone)
+    val (edges, buildWall) = time(s"knn-graph build (k=$k, amortized)") {
+      graft.core.Ckpt.truncate(AnnSearch.knnGraphOf(
+        t.select(col("t_id").as("vec_id"), col("t_v").as("v")), k)
+        .select(col("src"), col("dst")))
+    }
+
+    for ((beam, hops) <- Seq((4, 2), (4, 3), (8, 3), (16, 3), (16, 4))) {
+      val (res, wall) = time(f"search beam=$beam%2d hops=$hops (prebuilt graph)") {
+        AnnSearch.graphSearchOf(q, t, beam, hops, k, edges0 = Some(edges))
+          .select(col("q_id"), col("t_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val recall = res.count(brute.contains).toDouble / brute.size
+      println(f"[graphsearch]   -> recall@3 $recall%.3f  (build $buildWall%.2f s " +
+        f"amortized; brute $bruteWall%.2f s per batch)")
+    }
+    spark.stop()
+  }
+}
