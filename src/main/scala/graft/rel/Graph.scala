@@ -641,6 +641,103 @@ object Graph {
     bfsHops(edges, sources)
   }
 
+  /** graph_betweenness — seed-pair-sampled betweenness centrality
+    * (round 13): for every unordered pair of seeds (s, t) (node ≡ 0
+    * mod `BfsSeedMod`, the `graph_bfs` rule) connected within
+    * `BfsMaxHops`, each interior node v on a SHORTEST s-t path accrues
+    * σ_sv·σ_vt / σ_st — the pair-dependency term of Brandes'
+    * algorithm, summed over the sampled pair set instead of all pairs
+    * (the standard source-sampling approximation; exact betweenness is
+    * Θ(|V|·|E|) and never runs whole-corpus at scale). Completes the
+    * centrality family: degree (local), pagerank/hits (flow), harmonic
+    * (distance), betweenness (brokerage — WHO sits on the paths).
+    *
+    * Shape: one multi-source BFS carrying PATH COUNTS in the state —
+    * `bfsHops`' frontier discipline with (seed, node) keys and a keyed
+    * σ-sum per round (level-synchronous σ is exact because every
+    * shortest path to a dist-h node crosses a dist-(h−1) node) — then
+    * the dependency join: P(s, v) ⋈ P(t, v) on v against the seed-pair
+    * frame, filtered to d₁+d₂ = d(s,t). On the bipartite cust-supp
+    * graph even-id seeds sit two hops apart, so σ_st = shared-supplier
+    * counts and the brokers are exactly those suppliers. Per-round
+    * truncate/release; the P table is seeds × reach, the pair join is
+    * bounded by seeds²·|V|.
+    */
+  /** Seed budget for the declared row (the `HarmonicSeedBudget`
+    * mechanism): betweenness is PAIR-quadratic in the seed count — the
+    * dependency join is bounded by seeds²·|V| — so the budget is the
+    * knob that keeps the row result-sized at any SF (24 → ≤ 276 pairs;
+    * the unbudgeted 299-seed sf0.1 form measured 3m+ Spark / 7m+ oracle
+    * on ~16 k nodes × 44 k pairs). md5-u16 hash-mod refinement, exact
+    * DuckDB twin; identity whenever the seed rule yields ≤ 24.
+    */
+  private[graft] val BtwSeedBudget = 24
+
+  def betweennessSampled(edgesIn: DataFrame, seeds: DataFrame,
+      maxHops: Int = BfsMaxHops): DataFrame = {
+    // caller may hand in an already-truncated edge frame (the
+    // harmonicAllSeeds contract — released here with the rounds)
+    val edges = if (Ckpt.isTruncated(edgesIn)) edgesIn else edgesIn.truncated()
+    var parts = List(seeds
+      .select(col("node").as("seed"), col("node"), lit(0L).as("dist"), lit(1L).as("sigma"))
+      .truncated())
+    var frontier = parts.head
+    for (h <- 1 to maxHops) {
+      val settled = parts.reduce(_ unionAll _).select(col("seed"), col("node"))
+      val newly = edges
+        .join(frontier.select(col("seed"), col("node").as("src"), col("sigma")), "src")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settled, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("dist"), col("sigma"))
+        .truncated()
+      parts ::= newly
+      frontier = newly
+    }
+    val p = Ckpt.truncate(parts.reduce(_ unionAll _))
+    parts.foreach(Ckpt.release)
+    // NOTE edges is NOT released yet: the caller's `seeds` frame may
+    // derive from the edge checkpoint (betweennessQuery's does), and the
+    // st join below evaluates it inside the output truncate — releasing
+    // here made that read a dead checkpoint (round-13 3-SF sweep)
+    // t-membership by the ACTUAL seed frame (not the declared row's mod
+    // rule — a caller's fixture seeds must pair too; round-13 spec
+    // caught the mod-rule filter returning an empty pair set there)
+    val st = p.join(broadcast(seeds.select(col("node"))), Seq("node"), "left_semi")
+      .filter(col("seed") < col("node"))
+      .select(col("seed").as("s"), col("node").as("t"),
+        col("dist").as("dst_d"), col("sigma").as("sigma_st"))
+    val p1 = p.select(col("seed").as("s"), col("node").as("v"),
+      col("dist").as("d1"), col("sigma").as("sg1"))
+    val p2 = p.select(col("seed").as("t"), col("node").as("v"),
+      col("dist").as("d2"), col("sigma").as("sg2"))
+    val out = Ckpt.truncate(
+      p1.join(p2, "v")
+        .join(st, Seq("s", "t"))
+        .filter(col("d1") + col("d2") === col("dst_d") &&
+          col("v") =!= col("s") && col("v") =!= col("t"))
+        .groupBy(col("v").as("node"))
+        .agg(rnd(sum(col("sg1") * col("sg2") / col("sigma_st")), 6).as("betweenness")))
+    Ckpt.release(p)
+    Ckpt.release(edges)
+    out
+  }
+
+  def betweennessQuery(s: SparkSession, d: String): DataFrame = {
+    val edges = custSuppEdges(s, d).truncated()
+    val seeds0 = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % BfsSeedMod === 0)
+    val n = seeds0.count()
+    val seeds =
+      if (n <= BtwSeedBudget) seeds0
+      else {
+        val u16 = conv(substring(md5(col("node").cast("string")), 1, 4),
+          16, 10).cast("long")
+        seeds0.filter(pmod(u16, lit((n + BtwSeedBudget - 1) / BtwSeedBudget)) === 0)
+      }
+    betweennessSampled(edges, seeds)
+  }
+
   /** graph_harmonic — per-seed harmonic centrality within `BfsMaxHops`
     * hops: h(s) = Σ_{v ≠ s, d(s,v) ≤ 3} 1/d(s,v), the centrality that
     * stays finite on disconnected graphs (closeness does not). Seeds
@@ -1537,6 +1634,7 @@ object Graph {
     // contract ≡ kCorePeel(rounds ≥ depth) on deeper-peeling graphs
     "graph_kcore_fixpoint" -> kCoreFixpointQuery,
     "graph_bfs" -> bfsQuery,
+    "graph_betweenness" -> betweennessQuery,
     "graph_clustering" -> clusteringQuery,
     "graph_ppr" -> pprQuery,
     "graph_conn_comp" -> connCompQuery,
@@ -1947,6 +2045,55 @@ object Graph {
         s"h0 AS MATERIALIZED (SELECT node, 0::BIGINT AS dist FROM v WHERE node % $BfsSeedMod = 0), " +
         (1 to BfsMaxHops).map(hop).mkString.stripSuffix(", ") +
         s" SELECT node, dist FROM h$BfsMaxHops"
+    },
+
+    "graph_betweenness" -> {
+      // the σ-carrying BFS rounds unrolled (frontier = NOT EXISTS vs
+      // the settled union — the graph_bfs discipline with path counts),
+      // then the pair-dependency join; every fi MATERIALIZED (read by
+      // the next round, the settled union, AND the dependency join).
+      // Seed set carries the BtwSeedBudget md5-u16 hash-mod refinement
+      // (the graph_harmonic twin); pairs with an unbudgeted t drop out
+      // of the dependency join on both engines (p holds budgeted seeds
+      // only), so st needs no second refinement filter.
+      val btwU16 =
+        "((instr('0123456789abcdef', substr(md5(node::VARCHAR), 1, 1)) - 1) * 4096 + " +
+          "(instr('0123456789abcdef', substr(md5(node::VARCHAR), 2, 1)) - 1) * 256 + " +
+          "(instr('0123456789abcdef', substr(md5(node::VARCHAR), 3, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substr(md5(node::VARCHAR), 4, 1)) - 1))"
+      def round(i: Int): String =
+        s"x$i AS (SELECT f${i - 1}.seed, e.dst AS node, " +
+          s"sum(f${i - 1}.sigma)::BIGINT AS sigma " +
+          s"FROM e JOIN f${i - 1} ON e.src = f${i - 1}.node GROUP BY 1, 2), " +
+          s"f$i AS MATERIALIZED (SELECT seed, node, sigma FROM x$i WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM s${i - 1} WHERE s${i - 1}.seed = x$i.seed " +
+          s"AND s${i - 1}.node = x$i.node)), " +
+          s"s$i AS MATERIALIZED (SELECT * FROM s${i - 1} UNION ALL " +
+          s"SELECT seed, node FROM f$i), "
+      "WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL " +
+        "SELECT dst, src FROM eraw), " +
+        "v AS (SELECT DISTINCT src AS node FROM e), " +
+        s"sd AS (SELECT node FROM v WHERE node % $BfsSeedMod = 0), " +
+        s"sm AS (SELECT CASE WHEN count(*) <= $BtwSeedBudget THEN 1 " +
+        s"ELSE (count(*) + $BtwSeedBudget - 1) // $BtwSeedBudget END AS m FROM sd), " +
+        "f0 AS MATERIALIZED (SELECT node AS seed, node, 1::BIGINT AS sigma " +
+        s"FROM sd WHERE $btwU16 % (SELECT m FROM sm) = 0), " +
+        "s0 AS MATERIALIZED (SELECT seed, node FROM f0), " +
+        (1 to BfsMaxHops).map(round).mkString +
+        "p AS MATERIALIZED (" +
+        (0 to BfsMaxHops).map(i =>
+          s"SELECT seed, node, $i::BIGINT AS dist, sigma FROM f$i")
+          .mkString(" UNION ALL ") + "), " +
+        s"st AS (SELECT seed AS s, node AS t, dist AS dd, sigma AS sst FROM p " +
+        s"WHERE node % $BfsSeedMod = 0 AND seed < node), " +
+        "dep AS (SELECT p1.node AS node, p1.sigma * p2.sigma / st.sst AS c " +
+        "FROM p p1 JOIN p p2 ON p1.node = p2.node " +
+        "JOIN st ON p1.seed = st.s AND p2.seed = st.t " +
+        "AND p1.dist + p2.dist = st.dd " +
+        "WHERE p1.node <> st.s AND p1.node <> st.t) " +
+        "SELECT node, rnd(sum(c), 6) AS betweenness FROM dep GROUP BY 1"
     },
 
     "graph_harmonic" -> {

@@ -64,6 +64,11 @@ object RunAbtest {
       "stats_spearman" -> Queries.statsSpearman,
       "stats_kendall" -> Queries.statsKendall,
       "stats_bootstrap_ci" -> Queries.statsBootstrapCi,
+      // round 13: the distribution-free read-out on the mean difference
+      // itself (exchangeability null, 64 deterministic relabelings) —
+      // the estimand the experiment reports, tested without the
+      // normality lean of the Welch row
+      "stats_permutation" -> Queries.statsPermutation,
       "events_ab_assign" -> Queries.eventsAbAssign,
       // A/A: the declared mannwhitneyOf core over the HASH arms — a
       // true null by construction (assignment is outcome-blind)
@@ -136,6 +141,8 @@ object RunAbtest {
          |spearman_rho: ${d("stats_spearman", "rho")}
          |kendall_tau_b: ${d("stats_kendall", "tau_b")}
          |bootstrap_mean_ci: [${ci.getAs[Double]("ci_lo")}, ${ci.getAs[Double]("ci_hi")}] mean ${ci.getAs[Double]("mean")}
+         |permutation_p: ${d("stats_permutation", "p_value")} d_obs: ${d("stats_permutation", "d_obs")} (means ${if (d("stats_permutation", "p_value")
+        <= 0.05) "REJECT" else "no-reject"}, distribution-free)
          |aa_srm_chi2: ${srm.getAs[Double]("srm_chi2")} (split ${if (srm.getAs[Boolean]("srm_flag")) "MISMATCH" else "ok"})
          |aa_mannwhitney_z: $aaZ (harness ${if (math.abs(aaZ) > 1.96) "BROKEN" else "sound"})
          |adjusted calls (Benjamini-Hochberg, alpha=0.05, m=${zFamily.size}): rank test |z| crit raw bh
@@ -156,6 +163,12 @@ object RunAbtest {
          |  - aa_srm / aa_mannwhitney: HARNESS diagnostics on a true null —
          |    a rejection indicts the pipeline, not the treatment, and must
          |    stay maximally sensitive rather than be diluted into the family.
+         |  - stats_permutation (round 13): a treatment-effect call, but its
+         |    p is an exact Monte-Carlo estimate (floor 1/65), not a z against
+         |    the family's fixed critical grid — the declared stats_fdr_bh row
+         |    pins m=6 on the z family, and this report carries that row's
+         |    guarantee verbatim. A deployment folding the permutation call in
+         |    recomputes the step-up at m=7 over p-values instead.
          |""".stripMargin
     Files.writeString(Paths.get(s"$outDir/report.txt"), report)
     report

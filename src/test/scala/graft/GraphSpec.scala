@@ -581,4 +581,32 @@ class GraphSpec extends SparkSpecBase {
     // 5-step walk: 2·(4) + 2·(3) = 14 ordered pairs; 2-node walk: 2
     assert(got.values.sum === 16L)
   }
+
+  test("betweennessSampled: hand-computed pair dependencies on path and diamond graphs") {
+    import spark.implicits._
+    def undirected(pairs: (Long, Long)*) =
+      pairs.toDF("src", "dst").unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    // path 0-1-2 with a parallel 0-3-2: two shortest 0→2 paths, the
+    // interior nodes split the dependency; 4 sits on no shortest path
+    val edges = undirected(0L -> 1L, 1L -> 2L, 0L -> 3L, 3L -> 2L, 2L -> 4L)
+    val seeds = Seq(0L, 2L).toDF("node")
+    val out = Graph.betweennessSampled(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 0.5, 3L -> 0.5), s"got $out")
+    // chain 0-1-2-3, seeds at the ends: every interior node carries the
+    // single shortest path (σ=1 throughout)
+    val chain = undirected(0L -> 1L, 1L -> 2L, 2L -> 3L)
+    val out2 = Graph.betweennessSampled(chain, Seq(0L, 3L).toDF("node")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out2 === Map(1L -> 1.0, 2L -> 1.0), s"got $out2")
+    // three seeds: contributions accumulate per unordered pair — node 1
+    // sits on 0-2 (1 path of 2; wait: 0-1-2 AND 0-3-2) and on 0-3? no:
+    // d(0,3)=1, no interior. On 2-3? d=... the first fixture's seeds
+    // extended by 4: pair (0,4) d=3 via 1/3 split, pair (2,4) d=1.
+    val out3 = Graph.betweennessSampled(edges, Seq(0L, 2L, 4L).toDF("node")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // (0,2): 1 and 3 get 0.5 each; (0,4): paths 0-1-2-4 and 0-3-2-4 —
+    // 1 and 3 get 0.5, 2 gets 1.0; (2,4): adjacent, no interior
+    assert(out3 === Map(1L -> 1.0, 3L -> 1.0, 2L -> 1.0), s"got $out3")
+  }
 }

@@ -17,7 +17,7 @@ class RunAbtestSpec extends SparkSpecBase {
       "stats_ttest", "stats_mannwhitney", "stats_ztest_prop",
       "stats_effect_size", "events_cuped", "stats_sample_size",
       "stats_spearman", "stats_kendall", "stats_bootstrap_ci",
-      "events_ab_assign")
+      "stats_permutation", "events_ab_assign")
     sections.foreach { name =>
       val sunk = spark.read.parquet(s"$out/$name").collect().map(_.toSeq).toSet
       val declared = SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSet
