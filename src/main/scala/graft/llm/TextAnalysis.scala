@@ -429,6 +429,138 @@ object TextAnalysis {
   def bpeEncode(s: SparkSession, d: String): DataFrame =
     bpeEncodeDocs(Tables.documents(s, d))
 
+  // ---- tokenizer_wordpiece / tokenizer_viterbi: subword segmentation ----
+
+  /** Substring-vocabulary size for the WordPiece/Viterbi segmenters —
+    * top `SubwordTopV` multi-char substrings by occurrence mass, plus
+    * every corpus character (guaranteed coverage, the WordPiece
+    * alphabet rule). One constant, both segmenters, both oracles.
+    */
+  private[graft] val SubwordTopV = 64
+  private[graft] val SubwordMaxLen = 4
+
+  /** The frequency-selected subword vocabulary as a one-row broadcast
+    * MAP column (sub → 1): substrings of length 2..SubwordMaxLen of
+    * corpus words, mass = Σ word-count over occurrence positions, top
+    * SubwordTopV by (mass DESC, sub ASC), UNION all single characters.
+    * The vocab-sized rank is a bounded global-order window (the
+    * corpus_zipf rule).
+    */
+  private def subwordVocabMap(docs: DataFrame): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val subs = words.select(col("n"), explode(expr(
+        s"flatten(transform(sequence(1, length(word)), i -> " +
+          s"transform(sequence(2, $SubwordMaxLen), l -> " +
+          "CASE WHEN i + l - 1 <= length(word) THEN substring(word, i, l) END)))"))
+        .as("sub"))
+      .filter(col("sub").isNotNull)
+      .groupBy("sub").agg(sum(col("n")).as("m"))
+    val top = subs
+      .withColumn("rn", row_number().over(Window.orderBy(col("m").desc, col("sub"))))
+      .filter(col("rn") <= SubwordTopV)
+      .select(col("sub"))
+    val chars = words.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("sub"))
+      .distinct()
+    broadcast(top.unionAll(chars).distinct()
+      .agg(map_from_entries(collect_list(struct(col("sub"), lit(1)))).as("vm")))
+  }
+
+  /** tokenizer_wordpiece — greedy longest-match-first subword
+    * segmentation (the BERT WordPiece inference rule) over the
+    * frequency-selected vocab: at each position consume the LONGEST
+    * vocab substring (single characters always match — the alphabet is
+    * in-vocab, so every word segments without an UNK path). Exact
+    * integer semantics end to end — token counts, no float scoring —
+    * so the oracle is a per-word recursive walk over the same
+    * longest-match table. Completes the tokenizer family next to BPE:
+    * BPE segments by TRAINED MERGE ORDER, WordPiece by vocab
+    * membership at inference time; fertility differences between the
+    * two are the classic tokenizer-selection read-out. Shape: the
+    * segmenter folds over DISTINCT WORDS (vocab-cardinality, never the
+    * doc stream) with one broadcast map lookup per position; the doc
+    * roll-up is the `bpeEncodeDocs` word-keyed equi-join.
+    */
+  def wordpieceEncodeDocs(docs: DataFrame): DataFrame = {
+    val wt = wordTokenCounts(docs).select(col("word"), col("n_wp").as("n_tok"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wt, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
+        rnd(col("n_tokens") / col("n_chars"), 6).as("tok_per_char"))
+  }
+
+  /** Per-distinct-word token counts under BOTH segmenters: `n_wp` =
+    * greedy longest-match (WordPiece), `n_vit` = the MINIMUM-token
+    * segmentation via the Viterbi-shape DP over the same vocab (the
+    * optimal-split form of unigram-LM tokenizers with an exact-integer
+    * objective — production unigram scores by log-likelihood, same DP
+    * lattice; the integer objective keeps both engines bit-identical).
+    * Both are one `aggregate` HOF over the word's positions with map
+    * lookups — the DP carries best[0..i] as its accumulator array.
+    */
+  private[graft] def wordTokenCounts(docs: DataFrame,
+      vocabOverride: Option[DataFrame] = None): DataFrame = {
+    val L = SubwordMaxLen
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    val matchLen = (1 to L).reverse.map(l =>
+      s"WHEN i + ${l - 1} <= length(word) AND (($l = 1) OR " +
+        s"map_contains_key(vm, substring(word, i, $l))) THEN $l")
+      .mkString("CASE ", " ", " END")
+    // vocabOverride: a (sub) frame for specs that need a PLANTED vocab
+    // (the corpus-derived top-64 over the harness fixtures covers every
+    // substring, where greedy ≡ optimal — the divergence case needs a
+    // vocab with a hole)
+    val vm = vocabOverride.fold(subwordVocabMap(docs))(v => broadcast(
+      v.agg(map_from_entries(collect_list(struct(col("sub"), lit(1)))).as("vm"))))
+    words.crossJoin(vm)
+      .withColumn("n_wp", expr(
+        "aggregate(sequence(1, length(word)), named_struct('p', 1, 'n', 0L), " +
+          s"(acc, i) -> IF(i = acc.p, named_struct('p', acc.p + ($matchLen), " +
+          "'n', acc.n + 1L), acc)).n"))
+      .withColumn("n_vit", expr(
+        "element_at(aggregate(sequence(1, length(word)), array(0L), " +
+          s"(acc, i) -> concat(acc, array(array_min(transform(sequence(1, least($L, i)), " +
+          "l -> CASE WHEN l = 1 OR map_contains_key(vm, substring(word, i - l + 1, l)) " +
+          "THEN element_at(acc, i - l + 1) + 1L END))))), -1)"))
+      .select(col("word"), col("n_wp"), col("n_vit"))
+  }
+
+  def wordpieceEncode(s: SparkSession, d: String): DataFrame =
+    wordpieceEncodeDocs(Tables.documents(s, d))
+
+  /** tokenizer_viterbi — the OPTIMAL (minimum-token) segmentation next
+    * to WordPiece's greedy one, per doc: greedy longest-match is not
+    * optimal ("abcdef" with vocab {abcd, abc, def} greedily takes
+    * abcd+e+f = 3 where abc+def = 2), and the per-doc token delta is
+    * the price of greedy inference the tokenizer-selection decision
+    * reads. Same vocab, same DP lattice as production unigram-LM
+    * Viterbi with the exact-integer objective.
+    */
+  def viterbiEncodeDocs(docs: DataFrame): DataFrame = {
+    val wt = wordTokenCounts(docs)
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wt, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_vit")).as("n_tokens_opt"),
+        sum(col("n_wp")).as("n_tokens_greedy"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens_opt"),
+        col("n_tokens_greedy"),
+        (col("n_tokens_greedy") - col("n_tokens_opt")).as("greedy_excess"))
+  }
+
+  def viterbiEncode(s: SparkSession, d: String): DataFrame =
+    viterbiEncodeDocs(Tables.documents(s, d))
+
   /** tokenizer_fertility — per-SOURCE tokenizer efficiency: mean BPE
     * tokens per word (fertility — the multilingual-tokenizer health
     * metric; a source with fertility ≫ corpus mean is being shredded
@@ -978,6 +1110,8 @@ object TextAnalysis {
     "tokenizer_bpe" -> bpe,
     "tokenizer_encode" -> bpeEncode,
     "tokenizer_fertility" -> bpeFertility,
+    "tokenizer_wordpiece" -> wordpieceEncode,
+    "tokenizer_viterbi" -> viterbiEncode,
     "text_quality" -> quality,
     "text_entropy" -> entropy,
     "token_count" -> tokenCount,
@@ -1046,6 +1180,55 @@ object TextAnalysis {
       "sum(length(word))::BIGINT AS n_chars, " +
       "rnd(sum(n_tok) / sum(length(word)), 6) AS tok_per_char " +
       "FROM dw JOIN wt USING (word) WHERE length(word) > 0 GROUP BY 1"
+
+  /** The WordPiece/Viterbi subword chain in DuckDB: identical
+    * frequency-selected vocab (top-64 multi-char substrings by (mass
+    * DESC, sub ASC) + all single chars), identical longest-match table,
+    * and the greedy walk as a per-word recursive chain (`rw` advances
+    * past len exactly once — the terminal row IS the word's count).
+    * Needs the WITH RECURSIVE prefix (the ClusterCtes convention).
+    */
+  private val subwordCtes: String =
+    "WITH RECURSIVE wd AS MATERIALIZED (SELECT word, count(*) AS n FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE length(word) > 0 GROUP BY 1), " +
+      "sp AS MATERIALIZED (SELECT word, n, i FROM " +
+      "(SELECT word, n, unnest(range(1, length(word) + 1)) AS i FROM wd) spx), " +
+      "sb AS (SELECT sub, sum(n)::BIGINT AS m FROM " +
+      s"(SELECT n, substr(word, i::INT, l::INT) AS sub FROM sp, range(2, ${SubwordMaxLen + 1}) t(l) " +
+      "WHERE i + l - 1 <= length(word)) sbx GROUP BY 1), " +
+      s"tp AS (SELECT sub FROM (SELECT sub, row_number() OVER (ORDER BY m DESC, sub) AS rn FROM sb) tpx WHERE rn <= $SubwordTopV), " +
+      "ch AS (SELECT DISTINCT substr(word, i::INT, 1) AS sub FROM sp), " +
+      "vc AS MATERIALIZED (SELECT sub FROM tp UNION SELECT sub FROM ch), " +
+      "wp AS (SELECT DISTINCT word, i FROM sp), " +
+      s"mx AS (SELECT word, i, l, substr(word, i::INT, l::INT) AS s3 FROM wp, range(2, ${SubwordMaxLen + 1}) t(l) " +
+      "WHERE i + l - 1 <= length(word)), " +
+      "mv AS MATERIALIZED (SELECT mx.word, mx.i, mx.l FROM mx JOIN vc ON vc.sub = mx.s3), " +
+      "ml AS MATERIALIZED (SELECT wp.word, wp.i, coalesce(max(mv.l), 1) AS l " +
+      "FROM wp LEFT JOIN mv ON mv.word = wp.word AND mv.i = wp.i GROUP BY 1, 2), " +
+      "wdd AS (SELECT DISTINCT word FROM wd), " +
+      "rw(word, len, p, n) AS (SELECT word, length(word)::BIGINT, 1::BIGINT, 0::BIGINT FROM wdd " +
+      "UNION ALL SELECT rw.word, rw.len, rw.p + ml.l, rw.n + 1 FROM rw " +
+      "JOIN ml ON ml.word = rw.word AND ml.i = rw.p WHERE rw.p <= rw.len), " +
+      "wt AS MATERIALIZED (SELECT word, n AS n_tok FROM rw WHERE p > len), "
+
+  /** The min-token DP as a per-word recursive fold carrying
+    * best[0..i] as a list (`bests[k]` = best cost of the first k−1
+    * characters); candidates per END position q are 1 plus every vocab
+    * match of length ≤ min(maxLen, q).
+    */
+  private val viterbiCtes: String =
+    "wq AS (SELECT DISTINCT word, i AS q FROM sp), " +
+      s"me AS (SELECT word, q, l, substr(word, (q - l + 1)::INT, l::INT) AS s3 " +
+      s"FROM wq, range(2, ${SubwordMaxLen + 1}) t(l) WHERE l <= q), " +
+      "mve AS (SELECT me.word, me.q, me.l FROM me JOIN vc ON vc.sub = me.s3), " +
+      "cl AS MATERIALIZED (SELECT word, q, list(l ORDER BY l) AS ls FROM " +
+      "(SELECT word, q, 1::BIGINT AS l FROM wq UNION ALL SELECT word, q, l FROM mve) clx GROUP BY 1, 2), " +
+      "rv(word, len, i, bests) AS (SELECT word, length(word)::BIGINT, 0::BIGINT, [0::BIGINT] FROM wdd " +
+      "UNION ALL SELECT rv.word, rv.len, rv.i + 1, " +
+      "rv.bests || [list_min(list_transform(cl.ls, l -> rv.bests[(rv.i + 2 - l)::INT] + 1))] " +
+      "FROM rv JOIN cl ON cl.word = rv.word AND cl.q = rv.i + 1 WHERE rv.i < rv.len), " +
+      "vt AS MATERIALIZED (SELECT word, bests[(len + 1)::INT] AS n_vit FROM rv WHERE i = len), "
 
   /** One weighted-PageRank round in DuckDB — the graph_pagerank unroll
     * with edge weights (sum of w·r/W over in-edges).
@@ -1234,6 +1417,19 @@ object TextAnalysis {
 
     "tokenizer_bpe" -> bpeSql,
     "tokenizer_encode" -> bpeEncodeSql,
+    "tokenizer_wordpiece" -> (subwordCtes +
+      "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "SELECT doc_id, count(*) AS n_words, sum(n_tok)::BIGINT AS n_tokens, " +
+      "sum(length(word))::BIGINT AS n_chars, " +
+      "rnd(sum(n_tok) / sum(length(word)), 6) AS tok_per_char " +
+      "FROM dw JOIN wt USING (word) WHERE length(word) > 0 GROUP BY 1"),
+    "tokenizer_viterbi" -> (subwordCtes + viterbiCtes +
+      "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "SELECT doc_id, count(*) AS n_words, sum(n_vit)::BIGINT AS n_tokens_opt, " +
+      "sum(n_tok)::BIGINT AS n_tokens_greedy, " +
+      "(sum(n_tok) - sum(n_vit))::BIGINT AS greedy_excess " +
+      "FROM dw JOIN wt USING (word) JOIN vt USING (word) " +
+      "WHERE length(word) > 0 GROUP BY 1"),
     "tokenizer_fertility" -> (bpeChainSql + ", " +
       "wt AS (SELECT word, len(syms)::INT AS n_tok FROM s4), " +
       "dw AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) " +

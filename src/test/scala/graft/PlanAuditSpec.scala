@@ -51,6 +51,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // permutation test: one-row observed-difference broadcast onto the
     // 64-row replicate frame, then two one-row aggregates crossed
     "stats_permutation",
+    // subword segmenters: the one-row vocab-MAP broadcast (≤ 64 + |alphabet|
+    // entries) crossed onto the distinct-word frame
+    "tokenizer_wordpiece", "tokenizer_viterbi",
     "events_cooccur", "events_power_users", "events_rfm",
     "events_time_to_convert",
     // markov: one-row renormalization total + state-count broadcasts
@@ -96,6 +99,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "auc_binary",          // eval-set-scoped rank statistic (aucBinaryBucketed is the scale twin)
     "corpus_apportion",    // source-count frame (≤ |sources| rows)
     "corpus_token_budget", // two-pass prefix-sum offsets frame (≤ #partitions rows, the Rank rule)
+    "tokenizer_wordpiece", // vocab top-64 rank over the substring-count frame (corpus_zipf rule)
+    "tokenizer_viterbi",   // same shared vocab build
     "corpus_zipf",         // vocab rank on the declared slice (corpusZipfScalable is the scale twin)
     "embedding_outliers",  // quantile edges over ≤ bins rows (×3)
     "events_paths",        // top-k-limited path frame

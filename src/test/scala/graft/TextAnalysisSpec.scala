@@ -151,6 +151,35 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("wordpiece/viterbi: greedy loses to the DP on a planted vocab hole; invariants hold corpus-wide") {
+    import spark.implicits._
+    // the classic greedy-suboptimal case: vocab {abcd, abc, def} (+ all
+    // singles) on "abcdef" — greedy eats abcd then e, f (3 tokens);
+    // the DP finds abc + def (2)
+    val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
+    val vocab = (Seq("abcd", "abc", "def") ++ "abcdef".map(_.toString)).toDF("sub")
+    val wt = TextAnalysis.wordTokenCounts(docs, Some(vocab)).head()
+    assert(wt.getLong(1) === 3L, s"greedy must take abcd+e+f: $wt")
+    assert(wt.getLong(2) === 2L, s"DP must find abc+def: $wt")
+    // corpus-wide invariants under the trained vocab: optimal ≤ greedy,
+    // both within [ceil(len/4), len]
+    val all = TextAnalysis.wordTokenCounts(Tables.documents(spark, sfDir)).collect()
+    assert(all.nonEmpty)
+    all.foreach { r =>
+      val (w, wp, vit) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(vit <= wp, s"DP beat by greedy on $w")
+      assert(vit >= (w.length + 3) / 4 && wp <= w.length, s"bounds on $w")
+    }
+    // the declared rows agree with the per-word table's roll-up
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val enc = TextAnalysis.wordpieceEncode(spark, sfDir)
+      .agg(fsum("n_tokens")).head().getLong(0)
+    val vitRow = TextAnalysis.viterbiEncode(spark, sfDir)
+      .agg(fsum("n_tokens_greedy"), fsum("n_tokens_opt")).head()
+    assert(vitRow.getLong(0) === enc, "greedy totals must match across the two rows")
+    assert(vitRow.getLong(1) <= vitRow.getLong(0))
+  }
+
   test("textrank: rank mass ≈ 1, high-co-occurrence words outrank isolated ones") {
     import spark.implicits._
     // k1/k2 co-occur densely across docs; u1/u2 appear once in isolation
