@@ -54,7 +54,8 @@ object Bench {
       ("build_shared_scores", () => SparkEntry.releaseShared(), "accuracy"),
       ("build_dedup_clusters", () => graft.llm.Dedup.releaseShared(), "dedup_cluster"),
       ("build_graph_walks", () => graft.rel.Graph.releaseShared(), "graph_random_walk"),
-      ("build_ingest_pairs", () => graft.llm.Curation.releaseShared(), "ingest_manifest"))
+      ("build_ingest_pairs", () => graft.llm.Curation.releaseShared(), "ingest_manifest"),
+      ("build_subword_vocab", () => graft.llm.TextAnalysis.releaseShared(), "tokenizer_wordpiece"))
       .map { case (name, release, q) =>
         release()
         val t0 = System.nanoTime()

@@ -1322,11 +1322,15 @@ object AnnSearch {
   def graphSearchOf(q0: DataFrame, t0: DataFrame, beam: Int, hops: Int,
       k: Int, edges0: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(q0)
     // ownership discipline (the Ckpt.isTruncated contract): an input the
     // caller already materialized is used as-is and NOT released here —
     // truncating it again would copy the blocks, and releasing it would
-    // kill the caller's only copy
+    // kill the caller's only copy. The QUERY frame is truncated too
+    // (round-13 review): un-truncated, its lineage re-ran inside the
+    // seeding join, the fallback, and every hop's score join.
+    val qOwned = !Ckpt.isTruncated(q0)
+    val qT = if (qOwned) Ckpt.truncate(q0) else q0
+    val q = broadcast(qT)
     val tOwned = !Ckpt.isTruncated(t0)
     val t = if (tOwned) Ckpt.truncate(t0) else t0
     // `edges0`: a PREBUILT (src, dst) navigation graph — production
@@ -1352,18 +1356,22 @@ object AnnSearch {
     // minimum id.
     val qb = q.withColumn("bucket", bucketCol(col("q_v")))
     val tb = t.withColumn("bucket", bucketCol(col("t_v")))
-    val inBucket = qb.join(tb, "bucket")
+    // materialized once: referenced by BOTH the fallback anti-join and
+    // the seed union below (round-13 review — the target-set-wide
+    // seeding join otherwise ran twice per call)
+    val inBucket = Ckpt.truncate(qb.join(tb, "bucket")
       .select(col("q_id"), col("t_id"),
         cosineDist(col("q_v"), col("t_v")).as("dist"))
       .withColumn("rn", row_number().over(wBeam))
       .filter(col("rn") === 1)
-      .select(col("q_id"), col("t_id"), col("dist"))
+      .select(col("q_id"), col("t_id"), col("dist")))
     val fallback = q.join(inBucket.select(col("q_id")), Seq("q_id"), "left_anti")
       .crossJoin(broadcast(t.agg(min(col("t_id")).as("t_id"))))
       .join(t, "t_id")
       .select(col("q_id"), col("t_id"),
         cosineDist(col("q_v"), col("t_v")).as("dist"))
     var beamDf = Ckpt.truncate(inBucket.unionAll(fallback))
+    Ckpt.release(inBucket)
     for (_ <- 1 to hops) {
       val nbr = beamDf.join(edges, beamDf("t_id") === edges("src"))
         .select(col("q_id"), col("dst").as("t_id")).distinct()
@@ -1386,6 +1394,7 @@ object AnnSearch {
     Ckpt.release(beamDf)
     if (eOwned) Ckpt.release(edges)
     if (tOwned) Ckpt.release(t)
+    if (qOwned) Ckpt.release(qT)
     out
   }
 

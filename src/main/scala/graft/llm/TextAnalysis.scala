@@ -29,6 +29,14 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "of", "and", "in", "to")
 
+  /** The content-word delimiter pair shared by RAKE, TextRank and the
+    * token-budget quality score (ONE definition — round-13 review: the
+    * pair was declared in three builders and inlined in three oracle
+    * strings; a missed edit would silently diverge a row from its
+    * twin). Oracles interpolate it via `inList`.
+    */
+  private[graft] val ContentStopwords = Seq("a", "the")
+
   // text_quality — the standard curation signals: token counts, type/token
   // ratio, average token length, stopword ratio.
   def quality(s: SparkSession, d: String): DataFrame =
@@ -483,8 +491,9 @@ object TextAnalysis {
     * doc stream) with one broadcast map lookup per position; the doc
     * roll-up is the `bpeEncodeDocs` word-keyed equi-join.
     */
-  def wordpieceEncodeDocs(docs: DataFrame): DataFrame = {
-    val wt = wordTokenCounts(docs).select(col("word"), col("n_wp").as("n_tok"))
+  def wordpieceEncodeDocs(docs: DataFrame, wt0: Option[DataFrame] = None): DataFrame = {
+    val wt = wt0.getOrElse(wordTokenCounts(docs))
+      .select(col("word"), col("n_wp").as("n_tok"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .join(wt, "word")
@@ -533,8 +542,26 @@ object TextAnalysis {
       .select(col("word"), col("n_wp"), col("n_vit"))
   }
 
+  /** Memoized per (session, dir) — both tokenizer rows read the SAME
+    * vocab + dual-segmenter table (the `minhashClusters` precedent;
+    * round-13 review: each row rebuilt it independently). `Bench`
+    * charges the cold build as its own `build_subword_vocab` line via
+    * `releaseShared`.
+    */
+  private val sharedWordTokens = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def wordTokensShared(s: SparkSession, d: String): DataFrame =
+    sharedWordTokens.getOrElseUpdate((s, d),
+      graft.core.Ckpt.truncate(wordTokenCounts(Tables.documents(s, d))))
+
+  def releaseShared(): Unit = {
+    sharedWordTokens.values.foreach(graft.core.Ckpt.release)
+    sharedWordTokens.clear()
+  }
+
   def wordpieceEncode(s: SparkSession, d: String): DataFrame =
-    wordpieceEncodeDocs(Tables.documents(s, d))
+    wordpieceEncodeDocs(Tables.documents(s, d), Some(wordTokensShared(s, d)))
 
   /** tokenizer_viterbi — the OPTIMAL (minimum-token) segmentation next
     * to WordPiece's greedy one, per doc: greedy longest-match is not
@@ -544,8 +571,8 @@ object TextAnalysis {
     * reads. Same vocab, same DP lattice as production unigram-LM
     * Viterbi with the exact-integer objective.
     */
-  def viterbiEncodeDocs(docs: DataFrame): DataFrame = {
-    val wt = wordTokenCounts(docs)
+  def viterbiEncodeDocs(docs: DataFrame, wt0: Option[DataFrame] = None): DataFrame = {
+    val wt = wt0.getOrElse(wordTokenCounts(docs))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .join(wt, "word")
@@ -559,7 +586,7 @@ object TextAnalysis {
   }
 
   def viterbiEncode(s: SparkSession, d: String): DataFrame =
-    viterbiEncodeDocs(Tables.documents(s, d))
+    viterbiEncodeDocs(Tables.documents(s, d), Some(wordTokensShared(s, d)))
 
   /** tokenizer_fertility — per-SOURCE tokenizer efficiency: mean BPE
     * tokens per word (fertility — the multilingual-tokenizer health
@@ -931,7 +958,7 @@ object TextAnalysis {
     * `perplexityProxyDocs` rule).
     */
   def rakeDocs(docs: DataFrame): DataFrame = {
-    val stop = Seq("a", "the")
+    val stop = ContentStopwords
     val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val isl = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -980,7 +1007,7 @@ object TextAnalysis {
     */
   def textrankDocs(docs: DataFrame, iters: Int = 3): DataFrame = {
     import graft.core.Ckpt
-    val stop = Seq("a", "the")
+    val stop = ContentStopwords
     val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val ct = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -1056,7 +1083,7 @@ object TextAnalysis {
     val sc0 = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("a"))
       .select(col("doc_id"), col("lang"),
         size(col("a")).cast("long").as("n_tok"),
-        size(filter(col("a"), t => t === "a" || t === "the")).cast("long").as("n_stop"))
+        size(filter(col("a"), t => t.isin(ContentStopwords: _*))).cast("long").as("n_stop"))
       .filter(col("n_tok") > 0)
       .withColumn("score", col("n_stop").cast("double") / col("n_tok"))
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
@@ -1206,7 +1233,7 @@ object TextAnalysis {
       "mv AS MATERIALIZED (SELECT mx.word, mx.i, mx.l FROM mx JOIN vc ON vc.sub = mx.s3), " +
       "ml AS MATERIALIZED (SELECT wp.word, wp.i, coalesce(max(mv.l), 1) AS l " +
       "FROM wp LEFT JOIN mv ON mv.word = wp.word AND mv.i = wp.i GROUP BY 1, 2), " +
-      "wdd AS (SELECT DISTINCT word FROM wd), " +
+      "wdd AS (SELECT word FROM wd), " +
       "rw(word, len, p, n) AS (SELECT word, length(word)::BIGINT, 1::BIGINT, 0::BIGINT FROM wdd " +
       "UNION ALL SELECT rw.word, rw.len, rw.p + ml.l, rw.n + 1 FROM rw " +
       "JOIN ml ON ml.word = rw.word AND ml.i = rw.p WHERE rw.p <= rw.len), " +
@@ -1250,7 +1277,7 @@ object TextAnalysis {
         "(SELECT doc_id, unnest(list_transform(range(1, len(a) + 1), " +
         "i -> {'tok': a[i], 'pos': i})) AS p FROM t)), " +
         "ct AS (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS r " +
-        "FROM tok WHERE tok NOT IN ('a', 'the')), " +
+        s"FROM tok WHERE tok NOT IN ${inList(ContentStopwords)}), " +
         "co AS (SELECT t1.tok AS w1, t2.tok AS w2, count(*) AS w " +
         "FROM ct t1 JOIN ct t2 ON t1.doc_id = t2.doc_id " +
         "AND t2.r - t1.r BETWEEN 1 AND 2 WHERE t1.tok <> t2.tok GROUP BY 1, 2), " +
@@ -1270,7 +1297,7 @@ object TextAnalysis {
       // distributed prefix sum)
       ("WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents), " +
         "sc AS (SELECT doc_id, lang, len(a)::BIGINT AS n_tok, " +
-        "len(list_filter(a, x -> x IN ('a', 'the')))::BIGINT AS n_stop FROM d), " +
+        s"len(list_filter(a, x -> x IN ${inList(ContentStopwords)}))::BIGINT AS n_stop FROM d), " +
         "o AS (SELECT doc_id, lang, n_tok, n_stop::DOUBLE / n_tok AS score " +
         "FROM sc WHERE n_tok > 0), " +
         "b AS (SELECT floor(0.25e0 * sum(n_tok))::BIGINT AS budget FROM o), " +
@@ -1295,7 +1322,7 @@ object TextAnalysis {
         "i -> {'tok': a[i], 'pos': i})) AS p FROM t)), " +
         "ct AS (SELECT doc_id, tok, pos, " +
         "pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl " +
-        "FROM tok WHERE tok NOT IN ('a', 'the')), " +
+        s"FROM tok WHERE tok NOT IN ${inList(ContentStopwords)}), " +
         "ph AS (SELECT doc_id, isl, string_agg(tok, ' ' ORDER BY pos) AS phrase, " +
         "count(*) AS len FROM ct GROUP BY 1, 2), " +
         "wl AS (SELECT ct.doc_id, ct.isl, ct.tok, len FROM ct " +

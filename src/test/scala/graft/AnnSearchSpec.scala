@@ -497,15 +497,26 @@ class AnnSearchSpec extends SparkSpecBase {
     assert(hits > 0, s"graph search found none of the brute top-3 pairs")
   }
 
-  test("graphSearch beam widening is monotone: wider beam never worsens the best found distance") {
-    val narrow = graft.llm.AnnSearch.graphSearch(spark, sfDir, beam = 2)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2))
-      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
-    val wide = graft.llm.AnnSearch.graphSearch(spark, sfDir, beam = 8)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2))
-      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
-    narrow.keySet.foreach { q =>
-      assert(wide(q) <= narrow(q) + 1e-12, s"q=$q wide=${wide(q)} narrow=${narrow(q)}")
-    }
+  test("graphSearch beam knob: result-set bound holds, distances valid, wide beam helps in aggregate") {
+    // NOTE what is and is not a theorem here: within ONE search the beam
+    // only improves hop over hop (candidates ⊇ beam, the min survives
+    // top-k), but ACROSS beam widths no per-query dominance holds — a
+    // narrow beam can retain a candidate the wide beam's larger pool
+    // ranks out whose neighborhood happens to win (round-13 review: the
+    // first version of this test asserted per-query wide ≤ narrow, a
+    // non-invariant that only held by fixture luck).
+    def best(beam: Int): Map[Long, Double] =
+      graft.llm.AnnSearch.graphSearch(spark, sfDir, beam = beam)
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val narrow = best(2)
+    val wide = best(8)
+    assert(narrow.keySet === wide.keySet, "every query answers at both widths")
+    (narrow.values ++ wide.values).foreach(d => assert(d >= 0.0 && d <= 2.0 + 1e-9))
+    // aggregate (not per-query) improvement: the wider beam's summed
+    // best distance is no worse — the knob's purpose, robust to the
+    // per-query non-dominance above
+    assert(wide.values.sum <= narrow.values.sum + 1e-9,
+      s"wide ${wide.values.sum} vs narrow ${narrow.values.sum}")
   }
 }

@@ -599,10 +599,8 @@ class GraphSpec extends SparkSpecBase {
     val out2 = Graph.betweennessSampled(chain, Seq(0L, 3L).toDF("node")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out2 === Map(1L -> 1.0, 2L -> 1.0), s"got $out2")
-    // three seeds: contributions accumulate per unordered pair — node 1
-    // sits on 0-2 (1 path of 2; wait: 0-1-2 AND 0-3-2) and on 0-3? no:
-    // d(0,3)=1, no interior. On 2-3? d=... the first fixture's seeds
-    // extended by 4: pair (0,4) d=3 via 1/3 split, pair (2,4) d=1.
+    // three seeds on the diamond+tail graph: contributions accumulate
+    // per unordered pair (derivation in the assertions below)
     val out3 = Graph.betweennessSampled(edges, Seq(0L, 2L, 4L).toDF("node")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // (0,2): 1 and 3 get 0.5 each; (0,4): paths 0-1-2-4 and 0-3-2-4 —
