@@ -52,7 +52,7 @@ object SparkEntry {
   private val sharedScores = TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def scoresShared(s: SparkSession, d: String): DataFrame =
-    sharedScores.getOrElseUpdate((s, d), {
+    sharedScores.getOrElseUpdate((s, d), Ckpt.untracked {
       val t = embTrain(s, d)
       val mem = Fknn.membershipInit(t, K, NClasses).persist()
       val out = Ckpt.truncate(Fknn.classifyScores(mem, t, embQueries(s, d), K))
@@ -70,8 +70,9 @@ object SparkEntry {
   private val sharedPred = TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def predShared(s: SparkSession, d: String): DataFrame =
-    sharedPred.getOrElseUpdate((s, d),
-      Ckpt.truncate(Fknn.predictedFromScores(scoresShared(s, d))))
+    sharedPred.getOrElseUpdate((s, d), Ckpt.untracked {
+      Ckpt.truncate(Fknn.predictedFromScores(scoresShared(s, d)))
+    })
 
   /** Release the memoized shared frames (test hygiene / long sessions). */
   def releaseShared(): Unit = {

@@ -42,6 +42,97 @@ import org.apache.spark.storage.StorageLevel
   */
 object Ckpt {
 
+  /** rdd id → creating call site, recorded by `truncate` on the local
+    * path. Leak attribution only (`tools.ResidentProbe` joins a pinned
+    * id back to the builder line that made it): the bench_detail
+    * `resident_rdds` counter says HOW MANY frames a query left pinned,
+    * this says WHICH `truncated()` call — every RDD otherwise reports
+    * the same `Ckpt.scala` creation site. Entries are dropped on
+    * `release`; the residue is bounded by live checkpoints.
+    */
+  private val sites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
+  def siteOf(id: Int): String = Option(sites.get(id)).getOrElse("?")
+
+  /** Scope stack for `scoped`/`untracked` below. Head = the innermost
+    * active scope on THIS thread: `Some(buf)` collects every local
+    * checkpoint `truncate` creates, `None` is the memo-builder shield
+    * (collect nothing). Thread-local on purpose: streaming micro-batch
+    * threads and concurrent sessions never see each other's scopes.
+    */
+  private val scopes = new ThreadLocal[List[Option[
+    scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]]]] {
+    override def initialValue(): List[Option[
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]]] = Nil
+  }
+
+  /** Eager-fold + release as ONE seam (round 14, VERDICT r13 #2): run
+    * `build`, make sure its RESULT is a checkpoint (truncating it if it
+    * is not already one), then release every OTHER checkpoint the build
+    * created on this thread. This is the `harmonicAllSeeds` tail
+    * pattern — "the fold is the result; the rounds are intermediate" —
+    * promoted to a wrapper so an operator family (Rank helpers, BPE
+    * rounds, power iterations) cannot leak per-round blocks through ANY
+    * of its query rows: bench_detail r13 measured 36 rows leaving more
+    * than the ambient 6 blocksets, each a hand-missed tail. Frames
+    * built through `untracked` (the cross-query memos) are exempt —
+    * they outlive the query by design and their lifecycle is
+    * `releaseShared()`'s. Only meaningful around builders that
+    * checkpoint internally: wrapping a pure lazy scan would just
+    * materialize its output for nothing.
+    */
+  def scoped(build: => DataFrame): DataFrame = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    scopes.set(Some(buf) :: scopes.get())
+    val res = try build finally scopes.set(scopes.get().tail)
+    val out = if (isTruncated(res)) res else truncate(res)
+    val keep: Int = out.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.child match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+          case _ => -1
+        }
+      case _ => -1
+    }
+    buf.foreach { r =>
+      if (r.id != keep && r.getStorageLevel != StorageLevel.NONE) {
+        r.unpersist(blocking = false)
+        sites.remove(r.id)
+      }
+    }
+    out
+  }
+
+  /** `scoped` as a query-registration combinator: the declared-row maps
+    * bind builders as method references, so the wrap happens at the
+    * binding (`"graph_pagerank" -> Ckpt.scopedQ(pageRankQuery)`) and the
+    * builder itself stays a plain library function a user can compose
+    * WITHOUT the eager output fold.
+    */
+  def scopedQ(fn: (org.apache.spark.sql.SparkSession, String) => DataFrame):
+      (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    (s, d) => scoped(fn(s, d))
+
+  /** Shield for cross-query memo builders (`SparkEntry.scoresShared`,
+    * the dedup-cluster / walk-corpus / ingest-pair / subword-vocab
+    * memos): checkpoints created inside `body` are NOT collected by an
+    * enclosing `scoped`, so a cold memo built during a scoped query
+    * survives the query — its blocks are the memo's value and
+    * `releaseShared()` owns them.
+    */
+  def untracked[T](body: => T): T = {
+    scopes.set(None :: scopes.get())
+    try body finally scopes.set(scopes.get().tail)
+  }
+
+  private def callerSite(): String =
+    Thread.currentThread().getStackTrace.iterator
+      .map(f => s"${f.getFileName}:${f.getLineNumber}")
+      .find(s => !s.startsWith("Thread.java") && !s.startsWith("Ckpt.scala"))
+      .getOrElse("?")
+
   /** Materialize `df` and truncate its lineage: reliable `checkpoint()`
     * when a checkpoint dir is configured on the SparkContext, else
     * `localCheckpoint()`. Both eager — iterative callers need the round
@@ -56,7 +147,19 @@ object Ckpt {
       val out = cached.checkpoint()
       cached.unpersist(blocking = false)
       out
-    } else df.localCheckpoint()
+    } else {
+      val out = df.localCheckpoint()
+      out.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          sites.put(lr.rdd.id, callerSite())
+          scopes.get() match {
+            case Some(buf) :: _ => buf += lr.rdd
+            case _ => ()
+          }
+        case _ => ()
+      }
+      out
+    }
 
   /** Release the storage behind a frame previously returned by
     * `truncate`. Iterative loops call this on round r−1 once round r
@@ -83,8 +186,10 @@ object Ckpt {
     */
   def release(df: DataFrame): Unit = {
     def unp(lr: org.apache.spark.sql.execution.LogicalRDD): Unit =
-      if (lr.rdd.getStorageLevel != StorageLevel.NONE)
+      if (lr.rdd.getStorageLevel != StorageLevel.NONE) {
         lr.rdd.unpersist(blocking = false)
+        sites.remove(lr.rdd.id)
+      }
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => unp(lr)
       case p: org.apache.spark.sql.catalyst.plans.logical.Project =>

@@ -1499,7 +1499,7 @@ object AnnSearch {
     "ann_lsh_bucket" -> lshBucketTopK,
     "ann_range_search" -> ((s, d) => rangeSearch(s, d)),
     "ann_ivf" -> ivfTopK,
-    "ann_ivf_kmeans" -> ivfKmeansTopK,
+    "ann_ivf_kmeans" -> Ckpt.scopedQ(ivfKmeansTopK),
     "ann_pq" -> pqTopK,
     "ann_pq_chunked" -> pqChunkedTopK,
     "ann_rerank" -> pqRerankTopK,
@@ -1516,7 +1516,7 @@ object AnnSearch {
     "embedding_dim_stats" -> embeddingDimStats,
     "embedding_norm_hist" -> embeddingNormHist,
     "ann_hamming" -> hammingTopK,
-    "embedding_outliers" -> embeddingOutliers,
+    "embedding_outliers" -> Ckpt.scopedQ(embeddingOutliers),
     "embedding_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "ann_graph_search" -> ((s, d) => graphSearch(s, d)),
     "ann_recall" -> annRecall,

@@ -635,7 +635,7 @@ object Curation {
     * its own `build_ingest_pairs` line via `releaseShared`.
     */
   private[graft] def slicePairs(s: SparkSession, d: String): DataFrame =
-    sharedPairs.getOrElseUpdate((s, d), {
+    sharedPairs.getOrElseUpdate((s, d), graft.core.Ckpt.untracked {
       import graft.core.Ckpt
       val isB = (c: org.apache.spark.sql.Column) => c % 5 === 1 || c % 5 === 3
       Ckpt.truncate(
@@ -938,7 +938,7 @@ object Curation {
     "pii_stats" -> piiStats,
     "pii_pseudonymize" -> piiPseudonymize,
     "corpus_split" -> corpusSplit,
-    "corpus_line_dedup" -> lineDedup,
+    "corpus_line_dedup" -> graft.core.Ckpt.scopedQ(lineDedup),
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "corpus_overlap_matrix" -> overlapMatrix,
   )

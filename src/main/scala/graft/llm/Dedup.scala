@@ -618,9 +618,10 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def minhashClusters(s: SparkSession, d: String): DataFrame =
-    sharedClusters.getOrElseUpdate((s, d),
+    sharedClusters.getOrElseUpdate((s, d), Ckpt.untracked {
       connectedComponents(
-        minhashLsh(s, d).select(col("doc_id1"), col("doc_id2"))))
+        minhashLsh(s, d).select(col("doc_id1"), col("doc_id2")))
+    })
 
   /** Release the memoized cluster assignments (test hygiene / long
     * sessions — the `SparkEntry.releaseShared` contract). */
@@ -1029,8 +1030,8 @@ object Dedup {
     "dedup_cluster" -> minhashClusters,
     "dedup_simhash" -> simhashPairs,
     "dedup_simhash64" -> simhashPairs64,
-    "dedup_substring" -> substringDup,
-    "dedup_substring_50" -> substringDup50,
+    "dedup_substring" -> Ckpt.scopedQ(substringDup),
+    "dedup_substring_50" -> Ckpt.scopedQ(substringDup50),
     "similarity_ngram" -> ngramJaccard,
     "similarity_containment" -> containmentPairs,
     "doc_fingerprint" -> fingerprint,

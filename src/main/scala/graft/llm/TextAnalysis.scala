@@ -552,8 +552,9 @@ object TextAnalysis {
     .empty[(SparkSession, String), DataFrame]
 
   private def wordTokensShared(s: SparkSession, d: String): DataFrame =
-    sharedWordTokens.getOrElseUpdate((s, d),
-      graft.core.Ckpt.truncate(wordTokenCounts(Tables.documents(s, d))))
+    sharedWordTokens.getOrElseUpdate((s, d), graft.core.Ckpt.untracked {
+      graft.core.Ckpt.truncate(wordTokenCounts(Tables.documents(s, d)))
+    })
 
   def releaseShared(): Unit = {
     sharedWordTokens.values.foreach(graft.core.Ckpt.release)
@@ -1127,16 +1128,16 @@ object TextAnalysis {
     tokenBudgetDocs(Tables.documents(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_rake" -> rake,
+    "text_rake" -> graft.core.Ckpt.scopedQ(rake),
     "text_textrank" -> textrank,
     "corpus_token_budget" -> tokenBudget,
     "text_readability" -> readability,
     "quality_ks_drift" -> ksDrift,
     "quality_psi_drift" -> psiDrift,
     "corpus_apportion" -> apportion,
-    "tokenizer_bpe" -> bpe,
-    "tokenizer_encode" -> bpeEncode,
-    "tokenizer_fertility" -> bpeFertility,
+    "tokenizer_bpe" -> graft.core.Ckpt.scopedQ(bpe),
+    "tokenizer_encode" -> graft.core.Ckpt.scopedQ(bpeEncode),
+    "tokenizer_fertility" -> graft.core.Ckpt.scopedQ(bpeFertility),
     "tokenizer_wordpiece" -> wordpieceEncode,
     "tokenizer_viterbi" -> viterbiEncode,
     "text_quality" -> quality,
@@ -1150,7 +1151,7 @@ object TextAnalysis {
     "corpus_mix" -> corpusMix,
     "corpus_mix_temperature" -> corpusMixTemperature,
     "corpus_zipf" -> corpusZipf,
-    "quality_perplexity" -> perplexityProxy,
+    "quality_perplexity" -> graft.core.Ckpt.scopedQ(perplexityProxy),
     "quality_classifier" -> qualityClassifier,
     "quality_gopher" -> qualityGopher,
     "text_bm25" -> bm25,

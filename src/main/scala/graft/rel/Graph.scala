@@ -1562,7 +1562,7 @@ object Graph {
   def walksShared(s: SparkSession, d: String): DataFrame =
     // randomWalks eagerly folds its own result since round 13 — a
     // second truncate would duplicate the corpus blocks
-    sharedWalks.getOrElseUpdate((s, d), {
+    sharedWalks.getOrElseUpdate((s, d), Ckpt.untracked {
       val w = randomWalks(custSuppEdges(s, d))
       if (Ckpt.isTruncated(w)) w else Ckpt.truncate(w)
     })
@@ -1619,11 +1619,11 @@ object Graph {
     "graph_walk_cooccur" -> walkCooccurQuery,
     "graph_random_walk" -> randomWalkQuery,
     "graph_node2vec_walk" -> node2vecWalkQuery,
-    "graph_hits" -> hitsQuery,
+    "graph_hits" -> Ckpt.scopedQ(hitsQuery),
     "graph_bipartite_proj" -> bipartiteProjQuery,
-    "graph_label_prop" -> labelPropQuery,
+    "graph_label_prop" -> Ckpt.scopedQ(labelPropQuery),
     "graph_degree_dist" -> degreeDistQuery,
-    "graph_pagerank" -> pageRankQuery,
+    "graph_pagerank" -> Ckpt.scopedQ(pageRankQuery),
     "graph_triangles" -> trianglesQuery,
     "graph_edge_jaccard" -> edgeJaccardQuery,
     "graph_resource_alloc" -> resourceAllocQuery,
@@ -1635,19 +1635,19 @@ object Graph {
     "graph_kcore_fixpoint" -> kCoreFixpointQuery,
     "graph_bfs" -> bfsQuery,
     "graph_betweenness" -> betweennessQuery,
-    "graph_clustering" -> clusteringQuery,
-    "graph_ppr" -> pprQuery,
-    "graph_conn_comp" -> connCompQuery,
+    "graph_clustering" -> Ckpt.scopedQ(clusteringQuery),
+    "graph_ppr" -> Ckpt.scopedQ(pprQuery),
+    "graph_conn_comp" -> Ckpt.scopedQ(connCompQuery),
     // the production pointer-jumping CC run to convergence, hash-gated
     // via the unrolled-depth oracle (the graph_kcore_fixpoint precedent)
-    "graph_cc_fixpoint" -> ccFixpointQuery,
-    "graph_assortativity" -> assortativityQuery,
-    "graph_modularity" -> modularityQuery,
+    "graph_cc_fixpoint" -> Ckpt.scopedQ(ccFixpointQuery),
+    "graph_assortativity" -> Ckpt.scopedQ(assortativityQuery),
+    "graph_modularity" -> Ckpt.scopedQ(modularityQuery),
     "graph_harmonic" -> harmonicQuery,
     // rows-only by design (the agg_hll precedent): DataSketches HLL
     // internals are engine-specific; GraphSpec pins vs harmonicPerSeed
-    "graph_harmonic_hll" -> harmonicHllQuery,
-    "graph_link_pred" -> linkPredQuery,
+    "graph_harmonic_hll" -> Ckpt.scopedQ(harmonicHllQuery),
+    "graph_link_pred" -> Ckpt.scopedQ(linkPredQuery),
   )
 
   /** The 2-round sync-LPA chain through `l2(node, lbl)` — shared by the

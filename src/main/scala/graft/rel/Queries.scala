@@ -2668,19 +2668,19 @@ object Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_anova" -> statsAnova,
     "stats_kendall" -> statsKendall,
-    "stats_levene" -> statsLevene,
+    "stats_levene" -> graft.core.Ckpt.scopedQ(statsLevene),
     "stats_ztest_prop" -> statsZtestProp,
     "stats_effect_size" -> statsEffectSize,
     "stats_sample_size" -> statsSampleSize,
     "events_cuped" -> eventsCuped,
     "anon_dp_counts" -> anonDpCounts,
     "events_ab_assign" -> eventsAbAssign,
-    "stats_fdr_bh" -> statsFdrBh,
+    "stats_fdr_bh" -> graft.core.Ckpt.scopedQ(statsFdrBh),
     "agg_group_quantiles" -> aggGroupQuantiles,
-    "stats_spearman" -> statsSpearman,
-    "stats_kruskal" -> statsKruskal,
+    "stats_spearman" -> graft.core.Ckpt.scopedQ(statsSpearman),
+    "stats_kruskal" -> graft.core.Ckpt.scopedQ(statsKruskal),
     "anon_tcloseness" -> anonTcloseness,
-    "stats_mannwhitney" -> statsMannwhitney,
+    "stats_mannwhitney" -> graft.core.Ckpt.scopedQ(statsMannwhitney),
     "stats_bootstrap_ci" -> statsBootstrapCi,
     "stats_permutation" -> statsPermutation,
     "market_basket" -> marketBasket,

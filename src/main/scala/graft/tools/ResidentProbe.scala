@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+/** Leak attribution for the eager-fold + release discipline:
+  * `tools/run.sh graft.tools.ResidentProbe <sfdir> <query> [query…]`
+  * runs each declared query once and prints every persisted /
+  * checkpointed RDD still resident AFTER the action (before
+  * clearCache/gc) with its creation site — so a bench_detail
+  * `resident_rdds` outlier maps to the exact builder line that pinned
+  * the frame, instead of a re-read of the whole operator. Dev utility
+  * only — not part of the driver contract.
+  */
+object ResidentProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(graft.functions.TopKAgg.FallbackConfKey,
+        graft.functions.TopKAgg.FallbackThreshold.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def pinnedIds(): Set[Int] = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.getStorageLevel != StorageLevel.NONE).map(_.id).toSet
+    names.foreach { name =>
+      val before = pinnedIds()
+      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      // net-new pinned frames = what THIS query left behind; carryover
+      // from earlier probe queries (ContextCleaner drains lazily) is
+      // excluded so one JVM can attribute a whole batch
+      val fresh = spark.sparkContext.getPersistentRDDs.values
+        .filter(r => r.getStorageLevel != StorageLevel.NONE && !before(r.id))
+        .toSeq.sortBy(_.id)
+      println(s"[resident] $name rows=$n net_new=${fresh.size}")
+      fresh.foreach(r =>
+        println(s"  rdd=${r.id} site=${graft.core.Ckpt.siteOf(r.id)}"))
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(300) // let ContextCleaner drain before the next query
+    }
+    spark.stop()
+  }
+}
