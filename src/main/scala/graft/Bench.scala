@@ -77,13 +77,26 @@ object Bench {
     val detail = scala.collection.mutable.ArrayBuffer.empty[String]
     def resident(): Int = spark.sparkContext.getPersistentRDDs.values
       .count(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // cumulative stop-the-world GC wall across all collectors — the
+    // per-sample delta (round 14, VERDICT r13 #5) separates
+    // allocation-churn rows (gc_ms tracks the inflated wall) from
+    // co-tenancy stalls (wall inflates, gc_ms doesn't) in driver-run
+    // data, without reproductions
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
       def once(): Double = {
         val t0 = System.nanoTime()
+        val g0 = gcMs()
         // -1 sentinel on failure — previously the catch's -1L was a
         // discarded expression value and the elapsed time shipped anyway
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        try { fn(spark, sfDir).count(); val t = (System.nanoTime() - t0) / 1e9
+          gcs += gcMs() - g0; t }
+        catch { case _: Throwable => gcs += gcMs() - g0; -1.0 }
       }
       val t1 = once()
       val t2 = once()
@@ -94,9 +107,25 @@ object Bench {
         if (t1 >= 0 && t2 >= 0 &&
           math.abs(t1 - t2) / math.max(1e-9, math.min(t1, t2)) > 0.25) Seq(t1, t2, once())
         else Seq(t1, t2)
-      detail += s""""$name":{"samples":[${times.mkString(",")}],"resident_rdds":${resident()}}"""
+      detail += s""""$name":{"samples":[${times.mkString(",")}]""" +
+        s""","gc_ms":[${gcs.mkString(",")}],"resident_rdds":${resident()}}"""
       spark.catalog.clearCache()
       System.gc()
+      // bounded drain (untimed — after the samples): the previous
+      // query's result checkpoint is unreferenced now, but the
+      // ContextCleaner unpersists it ASYNCHRONOUSLY after GC enqueues
+      // it — without a short wait the next query's resident_rdds
+      // reading counts this query's leftovers (the r13 detail had 29
+      // rows at 7 and 19 at 8 from exactly this smear). Loops only
+      // while frames are actually draining; ≤ 3 rounds.
+      var rPrev = resident()
+      var drains = 0
+      while (drains < 3 && rPrev > 6) {
+        Thread.sleep(100)
+        System.gc()
+        val rNow = resident()
+        if (rNow >= rPrev) drains = 3 else { rPrev = rNow; drains += 1 }
+      }
       // min over the VALID samples — one flaky failure must not mark a
       // measured query failed; -1 only when every sample threw
       val valid = times.filter(_ >= 0)

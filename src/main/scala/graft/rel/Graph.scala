@@ -899,9 +899,16 @@ object Graph {
     * against exact `harmonicPerSeed` within HLL sparse-mode accuracy
     * (lgK = 10 keeps small reach sets in EXACT sparse mode — the
     * fixture/sf0.001 regime — while dense-mode relative error is
-    * 1.04/√2¹⁰ ≈ 3.3 %; HyperBall itself ships lgK 4-7 at
-    * billion-node scale, and each halving of lgK halves the per-round
-    * message shuffle, the operator's dominant cost). `tools.CcProbe`'s harmonic
+    * 1.04/√2¹⁰ ≈ 3.3 %). The DECLARED ROW runs at
+    * `HarmonicHllLgK = 7` (round 14, VERDICT r13 #1): HyperBall
+    * itself ships lgK 4-7 at billion-node scale, each halving of lgK
+    * halves the per-round message shuffle AND the per-row sketch
+    * objects the 3 `ObjectHashAggregate` hops churn through — the
+    * allocation pressure behind the row's 29 s driver-bench outlier
+    * at lgK 10 — and `tools.HllAccProbe` measures the lgK 7 estimates
+    * within 5.7 % of exact at sf0.001 and 2.4 % at sf0.01 (theoretical
+    * dense RSE 1.04/√2⁷ ≈ 9.2 %; lgK 6 degrades to 17 %, rejected).
+    * GraphSpec pins the 10 % envelope. `tools.CcProbe`'s harmonic
     * leg measures per-round state rows at two seed densities — O(|V|)
     * both, the scaling claim made measurable.
     */
@@ -947,8 +954,13 @@ object Graph {
     out
   }
 
+  /** Declared-row lgK for `graph_harmonic_hll` (round 14, VERDICT r13
+    * #1): rationale + measured accuracy at `harmonicHll`'s scaladoc.
+    */
+  private[graft] val HarmonicHllLgK = 7
+
   def harmonicHllQuery(s: SparkSession, d: String): DataFrame =
-    harmonicHll(custSuppEdges(s, d))
+    harmonicHll(custSuppEdges(s, d), lgK = HarmonicHllLgK)
 
   /** graph_link_pred — common-neighbor link prediction over NON-edges:
     * the top candidate pairs at distance 2 ranked by shared-neighbor

