@@ -253,6 +253,12 @@ object SparkEntry {
       Fknn.classifyLocal(mem, t, embQueries(s, d), K, blocks = 4)
     },
 
+    // ingest_stream (round 14, VERDICT r13 #3): the streamed
+    // recurring-ingest funnel, oracle-gated — two deterministic drops
+    // through one Structured Streaming checkpoint; the oracle is the
+    // batch twin's SQL (rationale at RunIngestStream.ingestStreamQuery)
+    "ingest_stream" -> graft.run.RunIngestStream.ingestStreamQuery,
+
     // The nine rows below all read `scoresShared`/`predShared` — the
     // classify pipeline runs once per (session, dir) and each metric is
     // a small aggregate over the checkpointed 6 k-row score frame
@@ -334,6 +340,10 @@ object SparkEntry {
 
   private def coreOracles: Map[String, String] = Map(
     "scan_project" -> "SELECT vec_id, label FROM embeddings",
+
+    // streamed drops through ingestDelta ARE the recurring batch
+    // semantics — the oracle is the ingest_manifest2 SQL verbatim
+    "ingest_stream" -> graft.llm.Curation.rawOracles("ingest_manifest2"),
 
     "pairwise_distance" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +

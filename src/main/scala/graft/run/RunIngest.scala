@@ -336,8 +336,15 @@ object RunIngest {
     * (RunIngestSpec proves it; the `ingest_retract` row oracle-gates
     * the same semantics).
     */
-  def retract(spark: SparkSession, outDir: String, idsPath: String): String =
-    retractIds(spark, outDir, spark.read.parquet(idsPath), idsPath)
+  def retract(spark: SparkSession, outDir: String, idsPath: String): String = {
+    val report = retractIds(spark, outDir, spark.read.parquet(idsPath), idsPath)
+    // the BATCH entry owns the report file (round-13 ADVICE): when the
+    // streaming path feeds retractIds per micro-batch, a write here
+    // would overwrite the previous batch's numbers — the stream writes
+    // its own cumulative stream_retract_report.txt instead
+    Files.writeString(Paths.get(s"$outDir/retract_report.txt"), report)
+    report
+  }
 
   /** DataFrame entry of the retraction pass — `RunIngestStream.runRetract`
     * feeds each takedown micro-batch here (round 13: takedowns arrive
@@ -407,9 +414,7 @@ object RunIngest {
     require(cols.contains("doc_id") || cols.contains("vec_id"),
       s"retract ids at $idsLabel must carry a doc_id and/or vec_id column; got ${cols.mkString(",")}")
     ids.unpersist(blocking = false)
-    val report = lines.mkString("", "\n", "\n")
-    Files.writeString(Paths.get(s"$outDir/retract_report.txt"), report)
-    report
+    lines.mkString("", "\n", "\n")
   }
 
   def main(args: Array[String]): Unit = {

@@ -58,11 +58,27 @@ object RunIngestStream {
     * report text (also written to `outDir/stream_report.txt`).
     */
   def run(spark: SparkSession, streamDir: String, outDir: String,
-      nearDupThreshold: Double = 0.95): String = {
+      nearDupThreshold: Double = 0.95): String =
+    runCollect(spark, streamDir, outDir, nearDupThreshold)._1
+
+  /** `run` returning each micro-batch's stage funnel AS DATA —
+    * (micro-batch id, stage results, appended count) in batch order —
+    * so the declared `ingest_stream` row can gate the standing-state
+    * funnel against the batch-twin oracle instead of parsing the
+    * human report (round 14, VERDICT r13 #3).
+    */
+  def runWithStages(spark: SparkSession, streamDir: String, outDir: String,
+      nearDupThreshold: Double = 0.95): Seq[(Long, Seq[RunIngest.StageResult], Long)] =
+    runCollect(spark, streamDir, outDir, nearDupThreshold)._2
+
+  private def runCollect(spark: SparkSession, streamDir: String, outDir: String,
+      nearDupThreshold: Double): (String, Seq[(Long, Seq[RunIngest.StageResult], Long)]) = {
     require(Files.exists(Paths.get(s"$outDir/index/sigs")) &&
       Files.exists(Paths.get(s"$outDir/corpus")),
       s"$outDir holds no standing state — bootstrap with RunIngest first")
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Seq[RunIngest.StageResult], Long)]()
     val q = spark.readStream
       .schema(DocSchema)
       .parquet(streamDir)
@@ -78,6 +94,7 @@ object RunIngestStream {
           lines.add(s"micro-batch $id: " + stages
             .map(st => s"${st.name}=${st.survivors}").mkString(" ") +
             s" appended=$kept")
+          batches.add((id, stages, kept))
           // per-batch cache hygiene: ingestDelta persists its stage
           // frames; this is the job's only query, so a full clear is
           // safe and keeps long streams from accumulating blocks
@@ -94,7 +111,66 @@ object RunIngestStream {
          |corpus_docs: ${spark.read.parquet(s"$outDir/corpus").count()}
          |""".stripMargin
     Files.writeString(Paths.get(s"$outDir/stream_report.txt"), report)
-    report
+    (report, scala.jdk.CollectionConverters
+      .CollectionHasAsScala(batches).asScala.toSeq.sortBy(_._1))
+  }
+
+  /** ingest_stream — the STREAMED recurring-ingest funnel as a
+    * declared, ORACLE-GATED row (round 14, VERDICT r13 #3 — the last
+    * un-gated pipeline surface, carried since r12): two deterministic
+    * drops (`ingest_manifest2`'s batch split — doc_id ≡ 1 then ≡ 3
+    * mod 5 of the 500-doc slice) drive through a REAL Structured
+    * Streaming checkpoint in a fresh temp dir — bootstrap the standing
+    * state (corpus + LSH index over the other residues), land drop 1,
+    * drain with `Trigger.AvailableNow`, land drop 2, drain AGAIN
+    * through the SAME checkpoint (only the new file processes — the
+    * replay guard the RunIngestSpec two-drop test pins). Emitted rows:
+    * run 1's appended count + run 2's six stage counts, exactly
+    * `ingest_manifest2`'s shape — because streamed drops through
+    * `ingestDelta` ARE the recurring batch semantics, the oracle IS
+    * the `ingest_manifest2` SQL: batch 2's digest diff and near-dedup
+    * see batch 1's survivors through the advanced index, and DuckDB
+    * predicts every count from the batch twin. Temp state is deleted
+    * before returning (the counts are local by then); cost is
+    * slice-bounded (≤ 500 docs) at every SF.
+    */
+  def ingestStreamQuery(spark: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_ingest_stream").toString
+    val out = s"$tmp/state"
+    val dropDir = s"$tmp/drops"
+    Files.createDirectories(Paths.get(out))
+    val docs = graft.Tables.documents(spark, d).filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val corp0 = docs.filter(col("doc_id") % 5 =!= 1 && col("doc_id") % 5 =!= 3)
+    graft.llm.Dedup.saveLshIndex(corp0, s"$out/index")
+    graft.sources.Sinks.writePartitioned(corp0, s"$out/corpus", Seq("source"))
+    docs.filter(col("doc_id") % 5 === 1)
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    val runs1 = runWithStages(spark, dropDir, out)
+    docs.filter(col("doc_id") % 5 === 3)
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    val runs2 = runWithStages(spark, dropDir, out)
+    require(runs1.size == 1 && runs2.size == 1,
+      s"expected one micro-batch per drop, got ${runs1.size}/${runs2.size}")
+    val kept1 = runs1.head._3
+    val st2 = runs2.head._2.map(sr => sr.name -> sr.survivors).toMap
+    deleteRec(Paths.get(tmp))
+    import spark.implicits._
+    Seq(
+      "0_run1_appended" -> kept1,
+      "1_batch_in" -> st2("batch_in"),
+      "2_digest_new" -> st2("digest_new"),
+      "3_quality_gopher" -> st2("quality_gopher"),
+      "4_dedup_exact" -> st2("dedup_exact"),
+      "5_near_dup_vs_index" -> st2("near_dup_vs_index"),
+      "6_decontam_13" -> st2("decontaminate_13"),
+    ).toDF("stage", "survivors")
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete(_))
   }
 
   /** The vector schema an embedding drop must land with (the

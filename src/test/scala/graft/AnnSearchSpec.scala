@@ -513,10 +513,13 @@ class AnnSearchSpec extends SparkSpecBase {
     val wide = best(8)
     assert(narrow.keySet === wide.keySet, "every query answers at both widths")
     (narrow.values ++ wide.values).foreach(d => assert(d >= 0.0 && d <= 2.0 + 1e-9))
-    // aggregate (not per-query) improvement: the wider beam's summed
-    // best distance is no worse — the knob's purpose, robust to the
-    // per-query non-dominance above
-    assert(wide.values.sum <= narrow.values.sum + 1e-9,
+    // aggregate (not per-query) improvement, with 5% slack (round-14
+    // ADVICE): the per-query counterexample construction above applies
+    // to the exact aggregate too — it holds on today's deterministic
+    // fixtures but is not a theorem, so a strict <= would turn a future
+    // fixture regeneration into a spurious failure. The 1.05 band still
+    // catches the knob inverting (a wide beam that is materially worse)
+    assert(wide.values.sum <= narrow.values.sum * 1.05 + 1e-9,
       s"wide ${wide.values.sum} vs narrow ${narrow.values.sum}")
   }
 }

