@@ -259,6 +259,12 @@ object SparkEntry {
     // batch twin's SQL (rationale at RunIngestStream.ingestStreamQuery)
     "ingest_stream" -> graft.run.RunIngestStream.ingestStreamQuery,
 
+    // graph_embed_nn (round 14, VERDICT r13 #4): the trained node
+    // embeddings gated as a rows-only row — skip-gram over the memoized
+    // walk corpus, vectors round-tripped through parquet, seed top-3
+    // cosine neighbors (rationale at RunEmbed.embedNnQuery)
+    "graph_embed_nn" -> graft.run.RunEmbed.embedNnQuery,
+
     // The nine rows below all read `scoresShared`/`predShared` — the
     // classify pipeline runs once per (session, dir) and each metric is
     // a small aggregate over the checkpointed 6 k-row score frame

@@ -68,6 +68,87 @@ object RunEmbed {
       .select(col("w1"), col("w2"), col("rk"))
   }
 
+  /** graph_embed_nn — the trained-embedding surface as a DECLARED,
+    * rows-only row (round 14, VERDICT r13 #4 — RunEmbed's output was
+    * spec-pinned but no declared row read the trained vectors): train
+    * skip-gram over the MEMOIZED walk corpus (`Graph.walksShared` —
+    * the same frame `graph_random_walk`/`graph_walk_cooccur` declare,
+    * so the corpus-scale work is the existing build line), persist the
+    * vectors through parquet and READ THEM BACK (the round-trip is the
+    * surface being gated), then emit each walk-seed node's top-3
+    * cosine neighbors. Deterministic: fixed seed + one trainer
+    * partition (the `run` scaladoc's rationale) over a deterministic
+    * corpus — both bench samples hash identically.
+    *
+    * Like `agg_hll`, deliberately NO oracle twin (rows-only): MLlib's
+    * skip-gram internals are engine-specific; RunEmbedSpec pins the
+    * measured quality instead (two-clique boundary recall for the
+    * trainer, and this row's neighbor set against the walk corpus's
+    * own co-occurrence ranking — the PMI view the objective optimizes).
+    *
+    * Scale shape: training state is |vocab|·dim floats (the standard
+    * MLlib deployment); the read-out restricts the query side to the
+    * walk SEEDS (|V|/seedMod rows), so the ranking join is
+    * |seeds|·|vocab| — never vocab², which is what `vectorTopK`'s
+    * all-pairs form costs (fine for the runner's sanity read-out,
+    * wrong for a declared row; an at-scale read-out swaps in
+    * `AnnSearch.ivfSearch` over the vector table).
+    */
+  def embedNnQuery(spark: SparkSession, d: String): DataFrame =
+    embedNnOf(spark, graft.rel.Graph.walksShared(spark, d))
+
+  /** Core of `graph_embed_nn` over any (walk, step, node) corpus —
+    * split out so RunEmbedSpec can drive the ROW's exact code path on
+    * the two-clique fixture, where boundary recall is a real quality
+    * measurement (on the uniform harness graph the corpus is sparse
+    * and communities don't exist, so embedding-vs-cooccurrence overlap
+    * is honest noise — measured 0.01-0.02 by `tools.EmbedNnProbe`;
+    * the fixture pin is the gate, the harness row is the surface).
+    */
+  private[graft] def embedNnOf(spark: SparkSession, walks: DataFrame,
+      k: Int = 3): DataFrame = {
+    import graft.core.Ckpt
+    val model = new Word2Vec()
+      .setInputCol("sentence").setOutputCol("v")
+      .setVectorSize(16).setMinCount(1).setSeed(13L)
+      .setWindowSize(2).setNumPartitions(1)
+      .fit(walkSentences(walks))
+    val tmp = Files.createTempDirectory("graft_embed").toString
+    model.getVectors
+      .select(col("word"),
+        org.apache.spark.ml.functions.vector_to_array(col("vector"), "float64").as("vector"))
+      .write.mode("overwrite").parquet(s"$tmp/vectors")
+    val vecs = spark.read.parquet(s"$tmp/vectors")
+    val seeds = walks.filter(col("step") === 0)
+      .select(col("node").cast("string").as("w1")).distinct()
+    val q = vecs.join(seeds, vecs("word") === seeds("w1"))
+      .select(col("word").as("w1"), col("vector").as("v1"))
+    val t = vecs.select(col("word").as("w2"), col("vector").as("v2"))
+    val dot = expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+    val n1 = expr("sqrt(aggregate(v1, 0d, (acc, x) -> acc + x * x))")
+    val n2 = expr("sqrt(aggregate(v2, 0d, (acc, x) -> acc + x * x))")
+    val out = Ckpt.truncate(
+      q.join(t, col("w1") =!= col("w2"))
+        .select(col("w1"), col("w2"), (dot / (n1 * n2)).as("cos"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+            .orderBy(col("cos").desc, col("w2"))))
+        .filter(col("rk") <= k)
+        .select(col("w1").cast("long").as("node"),
+          col("w2").cast("long").as("neighbor"), col("rk"),
+          graft.rel.Queries.rnd(col("cos"), 6).as("cos")))
+    // the result is materialized — the persisted-vector round-trip is
+    // complete and the temp state is disposable
+    deleteRec(Paths.get(tmp))
+    out
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete(_))
+  }
+
   def run(spark: SparkSession, sfDir: String, outDir: String,
       steps: Int = 8, walksPerSeed: Int = 4, dim: Int = 16,
       k: Int = 5): String = {

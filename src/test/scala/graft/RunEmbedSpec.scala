@@ -55,6 +55,48 @@ class RunEmbedSpec extends SparkSpecBase {
         crossers.mkString(", "))
   }
 
+  test("graph_embed_nn core: two-clique boundary recall through the row's code path") {
+    // the declared row's quality pin (round 14, VERDICT r13 #4 — the
+    // boundary assertion promoted to the row convention, agg_hll
+    // style): on two disjoint cliques the walk seeds are 0 and 20, one
+    // per clique, and EVERY top-3 embedding neighbor the row emits for
+    // them must be in-clique — the seeds sit at the center of their
+    // corpus's co-occurrence mass, so this is strict where the
+    // all-words test above tolerates noise
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val cliqueA = for (a <- ids; b <- ids if a != b) yield (a, b)
+    val cliqueB = cliqueA.map { case (a, b) => (a + 20L, b + 20L) }
+    val edges = (cliqueA ++ cliqueB).toDF("src", "dst")
+    val walks = graft.rel.Graph.randomWalks(edges, steps = 12, walksPerSeed = 40)
+    val rows = graft.run.RunEmbed.embedNnOf(spark, walks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.map(_._1).toSet === Set(0L, 20L), "one row group per walk seed")
+    assert(rows.length === 6, "top-3 per seed")
+    rows.foreach { case (s, n, _) =>
+      assert((s < 20L) === (n < 20L),
+        s"seed $s: neighbor $n crosses the clique boundary")
+    }
+  }
+
+  test("graph_embed_nn declared row: deterministic, seed-scoped, k-bounded") {
+    val q = SparkEntry.queries("graph_embed_nn")
+    val r1 = q(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val r2 = q(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(r1 === r2, "fixed seed + one trainer partition must reproduce")
+    assert(r1.nonEmpty)
+    // every emitted node is a walk-seed and carries exactly ranks 1..3
+    val seeds = graft.rel.Graph.walksShared(spark, sfDir)
+      .filter(col("step") === 0).select("node").distinct()
+      .as[Long].collect().toSet
+    val byNode = r1.groupBy(_._1)
+    byNode.foreach { case (n, rs) =>
+      assert(seeds.contains(n), s"$n is not a walk seed")
+      assert(rs.map(_._3).toSeq.sorted === Seq(1, 2, 3), s"ranks off for $n")
+    }
+  }
+
   test("RunEmbed end-to-end: report reconciles with the persisted vectors") {
     val out = java.nio.file.Files.createTempDirectory("embed").toString
     val report = RunEmbed.run(spark, sfDir, out, steps = 4, walksPerSeed = 2, dim = 8)
