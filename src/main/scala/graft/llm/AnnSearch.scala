@@ -1274,6 +1274,81 @@ object AnnSearch {
         rnd(col("dist"), 6).as("dist"), col("rn"))
   }
 
+  /** PERSIST the k-NN navigation graph (round 14, VERDICT r13 #6 —
+    * the lifecycle LSH and IVF already had: `graphSearchOf` accepted a
+    * prebuilt `edges0` but nothing owned its storage or growth):
+    * `$path/nodes` = (vec_id, v), `$path/edges` = (src, dst, dist).
+    * The rank column is deliberately dropped at the boundary — search
+    * navigates (src, dst) only, and appends below add supplementary
+    * reverse links that have no rank in the original per-src top-k.
+    */
+  def saveKnnGraph(e: DataFrame, path: String, k: Int = 3): Unit = {
+    e.select(col("vec_id"), col("v")).write.mode("overwrite").parquet(s"$path/nodes")
+    knnGraphOf(e, k).select(col("src"), col("dst"), col("dist"))
+      .write.mode("overwrite").parquet(s"$path/edges")
+  }
+
+  /** Lazy frames over a persisted navigation graph: (nodes, edges). */
+  def loadKnnGraph(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/nodes"), s.read.parquet(s"$path/edges"))
+
+  /** APPEND a batch to a persisted k-NN navigation graph WITHOUT
+    * rewiring stored nodes — the NSW-style insert, completing the
+    * third index family's incremental loop (`appendToLshIndex` /
+    * `appendToIvfIndex` discipline: stored rows are never rewritten;
+    * drift is measured, and the rebuild cadence is an offline call):
+    *
+    *  - each NEW vector gets its top-k out-edges over the stored ∪
+    *    batch candidates sharing its sign-LSH bucket (the same bucketed
+    *    Σ|b|² candidate shape as the build — never batch × corpus);
+    *  - every selected (new → old) edge also appends its REVERSE
+    *    (old → new) link, so walks can reach the new region from the
+    *    stored graph (out-degree of touched stored nodes grows past k —
+    *    append-only supplementation, not a rewrite; this is what NSW
+    *    bidirectional insertion does and what keeps recall from
+    *    cratering as the graph grows without rewire).
+    *
+    * What appends do NOT do: re-rank stored nodes' original top-k
+    * against the new vectors (a stored node whose true k-NN set now
+    * includes a new vector keeps its stale list until a rebuild).
+    * `tools.GraphSearchProbe`'s append leg measures exactly that decay;
+    * the SCALE.md table is the rebuild-cadence guidance.
+    */
+  def appendToKnnGraph(s: SparkSession, newVecs: DataFrame, path: String,
+      k: Int = 3, checkIds: Boolean = true): Unit = {
+    if (checkIds) {
+      val clash = s.read.parquet(s"$path/nodes").select(col("vec_id"))
+        .join(newVecs.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      require(clash.isEmpty,
+        s"appendToKnnGraph: batch vec_ids already present in the graph at $path " +
+          "(vector ids must be new; refreshes belong to a rebuild pass)")
+    }
+    val stored = s.read.parquet(s"$path/nodes")
+    val all = stored.unionByName(newVecs.select(col("vec_id"), col("v")))
+      .select(col("vec_id"), col("v"), bucketCol(col("v")).as("bucket"))
+    val nb = newVecs
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        bucketCol(col("v")).as("bucket"))
+    val pairs = nb
+      .join(all.select(col("vec_id").as("t_id"), col("v").as("t_v"), col("bucket")),
+        "bucket")
+      .filter(col("q_id") =!= col("t_id"))
+      .select(col("q_id"), col("t_id"), cosineDist(col("q_v"), col("t_v")).as("dist"))
+    // materialized once: the forward edges feed BOTH the append and the
+    // reverse-link derivation
+    val fwd = graft.core.Ckpt.truncate(
+      graft.functions.TopKAgg.knn(pairs, k)
+        .select(col("q_id").as("src"), col("t_id").as("dst"),
+          rnd(col("dist"), 6).as("dist")))
+    val rev = fwd
+      .join(stored.select(col("vec_id").as("dst")), "dst") // old endpoints only
+      .select(col("dst").as("src"), col("src").as("dst"), col("dist"))
+    fwd.unionByName(rev).write.mode("append").parquet(s"$path/edges")
+    newVecs.select(col("vec_id"), col("v"))
+      .write.mode("append").parquet(s"$path/nodes")
+    graft.core.Ckpt.release(fwd)
+  }
+
   // ---- ann_graph_search: beam search over the k-NN navigation graph -----
 
   /** ann_graph_search — GRAPH-based ANN (round 13): greedy beam search

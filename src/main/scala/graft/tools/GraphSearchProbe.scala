@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Knn
+import graft.core.{Ckpt, Knn}
 import graft.llm.AnnSearch
 
 /** Scale experiment for the round-13 `ann_graph_search` row: the
@@ -91,6 +91,56 @@ object GraphSearchProbe {
       val recall = res.count(brute.contains).toDouble / brute.size
       println(f"[graphsearch]   -> recall@3 $recall%.3f  (build $buildWall%.2f s " +
         f"amortized; brute $bruteWall%.2f s per batch)")
+    }
+
+    // ---- append leg (round 14, VERDICT r13 #6): recall after N
+    // appends WITHOUT rewire vs a full rebuild — the navigation graph
+    // now has a persisted lifecycle (saveKnnGraph/appendToKnnGraph),
+    // and this measures the decay that sets the rebuild cadence. Base
+    // graph over 60% of the corpus, four 10%-batches appended; after
+    // each append the search runs over the loaded (grown) graph and
+    // recall is measured against brute over the CURRENT corpus.
+    if (args.contains("append")) {
+      val dir = java.nio.file.Files.createTempDirectory("knngraphprobe").toString
+      val base = Ckpt.truncate(vecs(nQ, nQ + (n * 6L / 10), "vec_id", "v"))
+      val (_, saveWall) = time(s"saveKnnGraph (60% base)") {
+        AnnSearch.saveKnnGraph(base, dir, k)
+      }
+      def bruteOver(hi: Long): Set[(Long, Long)] =
+        Knn.knn(q.select(col("q_id").as("vec_id"), col("q_v").as("v")),
+            vecs(nQ, hi, "t_id", "t_v").select(col("t_id").as("vec_id"), col("t_v").as("v")),
+            k = 3, dist = AnnSearch.cosineDist)
+          .select(col("q_id"), col("t_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def searchOver(hi: Long, tag: String): Unit = {
+        val (_, edges) = AnnSearch.loadKnnGraph(spark, dir)
+        val e = Ckpt.truncate(edges.select(col("src"), col("dst")))
+        val tNow = Ckpt.truncate(vecs(nQ, hi, "t_id", "t_v"))
+        val truth = bruteOver(hi)
+        val res = AnnSearch.graphSearchOf(q, tNow, beam = 8, hops = 3, k, Some(e))
+          .select(col("q_id"), col("t_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[graphsearch] append-leg $tag%-22s corpus=${hi - nQ}%7d " +
+          f"recall@3 ${res.count(truth.contains).toDouble / truth.size}%.3f")
+        Ckpt.release(e)
+        Ckpt.release(tNow)
+      }
+      searchOver(nQ + n * 6L / 10, "base (no appends)")
+      (1 to 4).foreach { i =>
+        val lo = nQ + n * (5L + i) / 10
+        val hi = nQ + n * (6L + i) / 10
+        val (_, w) = time(f"appendToKnnGraph batch $i (10%%)") {
+          AnnSearch.appendToKnnGraph(spark,
+            vecs(lo, hi, "vec_id", "v"), dir, k, checkIds = false)
+        }
+        searchOver(hi, s"after append $i")
+      }
+      // the comparison ceiling: one full rebuild over the same final corpus
+      val (_, rebuildWall) = time("full rebuild (100%)") {
+        AnnSearch.saveKnnGraph(Ckpt.truncate(vecs(nQ, nQ + n, "vec_id", "v")), dir, k)
+      }
+      searchOver(nQ + n, "full rebuild")
+      println(f"[graphsearch] append-leg walls: base-save $saveWall%.2f s, rebuild $rebuildWall%.2f s")
     }
     spark.stop()
   }

