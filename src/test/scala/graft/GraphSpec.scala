@@ -632,4 +632,30 @@ class GraphSpec extends SparkSpecBase {
     // 1 and 3 get 0.5, 2 gets 1.0; (2,4): adjacent, no interior
     assert(out3 === Map(1L -> 1.0, 3L -> 1.0, 2L -> 1.0), s"got $out3")
   }
+
+  test("betweennessSampled: a seed SUBSET's scores are dominated by the full set's (the budget invariant)") {
+    import spark.implicits._
+    // the declared row's BtwSeedBudget works by SUBSETTING the seed set,
+    // and pair dependencies are non-negative, so budgeted pairs ⊆ exact
+    // pairs ⇒ per-node budgeted score ≤ exact score and budgeted broker
+    // set ⊆ exact broker set — the direction the estimate can be wrong
+    // in is pinned here; tools.BtwAccProbe measures HOW wrong the
+    // ranking gets (sf0.001 identity — budget inactive; sf0.01 with 15
+    // of 30 seeds: Spearman 0.66, overlap@10 0.60 — the SCALE.md table)
+    val ring = (0L until 40L).map(i => (i, (i + 1) % 40))
+    val edges = ring.toDF("src", "dst")
+      .unionAll(ring.map(_.swap).toDF("src", "dst"))
+    // subset seeds must still pair within BfsMaxHops = 3 on the ring —
+    // every node vs every second node (subset pairs sit 2 hops apart)
+    val all = (0L until 40L).toDF("node")             // 40 seeds
+    val sub = (0L until 40L by 2).toDF("node")        // every other seed
+    val full = Graph.betweennessSampled(edges, all).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val part = Graph.betweennessSampled(edges, sub).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(part.nonEmpty && part.keySet.subsetOf(full.keySet))
+    part.foreach { case (node, s) =>
+      assert(s <= full(node) + 1e-9, s"node $node: subset $s > full ${full(node)}")
+    }
+  }
 }
