@@ -259,6 +259,11 @@ object SparkEntry {
     // batch twin's SQL (rationale at RunIngestStream.ingestStreamQuery)
     "ingest_stream" -> graft.run.RunIngestStream.ingestStreamQuery,
 
+    // retract_stream (round 14): the streamed retract-then-ingest state
+    // machine, oracle-gated on the ingest_retract CTE chain (rationale
+    // at RunIngestStream.retractStreamQuery)
+    "retract_stream" -> graft.run.RunIngestStream.retractStreamQuery,
+
     // graph_embed_nn (round 14, VERDICT r13 #4): the trained node
     // embeddings gated as a rows-only row — skip-gram over the memoized
     // walk corpus, vectors round-tripped through parquet, seed top-3

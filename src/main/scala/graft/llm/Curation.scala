@@ -944,6 +944,48 @@ object Curation {
   )
 
   /** DuckDB twins (rnd() rewritten by `Queries.duckify`). */
+  /** Shared CTE chain for the retraction twins (`ingest_retract` and
+    * `retract_stream` — one SQL source of truth): the ingest_manifest
+    * splice with the standing corpus REDUCED by the retract set
+    * (doc_id ≡ 0 mod 4). Digest diff, the near-dup drop, and the eval
+    * slice all see the LIVE standing (`cps`); `drops_full` (vs the
+    * pre-retraction standing) exists only for the batch twin's
+    * revived-rows proof.
+    */
+  private def retractCtes: String = {
+    val sw = TextAnalysis.GopherStopwords.map("'" + _ + "'").mkString("(", ", ", ")")
+    s"WITH ${Dedup.minhashPairsCtes}, " +
+      "base AS (SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id < 500), " +
+      "b1 AS (SELECT * FROM base WHERE doc_id % 5 = 3), " +
+      "cp0 AS (SELECT * FROM base WHERE doc_id % 5 <> 3), " +
+      "cps AS MATERIALIZED (SELECT * FROM cp0 WHERE doc_id % 4 <> 0), " +
+      "s2 AS (SELECT * FROM b1 WHERE h NOT IN (SELECT h FROM cps)), " +
+      "gw AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2), " +
+      "gq AS (SELECT doc_id FROM gw WHERE len(w)::INT >= 50 " +
+      "AND rnd(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6) BETWEEN 3e0 AND 10e0 " +
+      s"AND len(list_filter(w, x -> x IN $sw))::INT >= 2), " +
+      "s3 AS (SELECT s2.* FROM s2 JOIN gq USING (doc_id)), " +
+      "s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id IN " +
+      "(SELECT min(doc_id) FROM s3 GROUP BY h)), " +
+      "drops_live AS (SELECT DISTINCT CASE WHEN d1 % 5 = 3 THEN d1 ELSE d2 END AS doc_id " +
+      "FROM jj WHERE j >= 0.95e0 AND (" +
+      "(d1 % 5 = 3 AND d2 IN (SELECT doc_id FROM cps)) OR " +
+      "(d2 % 5 = 3 AND d1 IN (SELECT doc_id FROM cps)))), " +
+      "drops_full AS (SELECT DISTINCT CASE WHEN d1 % 5 = 3 THEN d1 ELSE d2 END AS doc_id " +
+      "FROM jj WHERE j >= 0.95e0 AND (" +
+      "(d1 % 5 = 3 AND d2 IN (SELECT doc_id FROM cp0)) OR " +
+      "(d2 % 5 = 3 AND d1 IN (SELECT doc_id FROM cp0)))), " +
+      "s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM drops_live)), " +
+      "t13 AS (SELECT doc_id, string_split(text, ' ') AS a FROM base " +
+      "WHERE (doc_id % 10 = 0 AND doc_id % 4 <> 0) OR doc_id IN (SELECT doc_id FROM s5)), " +
+      "g13 AS (SELECT DISTINCT doc_id, array_to_string(a[i::INT:(i + 12)::INT], ' ') AS g " +
+      "FROM (SELECT doc_id, a, unnest(range(1, len(a) - 11)) AS i FROM t13 WHERE len(a) >= 13)), " +
+      "ev AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 10 = 0), " +
+      "cont AS (SELECT DISTINCT doc_id FROM g13 WHERE doc_id % 10 <> 0 " +
+      "AND g IN (SELECT g FROM ev)), " +
+      "s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM cont)) "
+  }
+
   val rawOracles: Map[String, String] = Map(
     "ingest_manifest" -> {
       val sw = TextAnalysis.GopherStopwords.map("'" + _ + "'").mkString("(", ", ", ")")
@@ -980,44 +1022,7 @@ object Curation {
         "UNION ALL SELECT '6_decontam_13', count(*) FROM s6"
     },
 
-    "ingest_retract" -> {
-      val sw = TextAnalysis.GopherStopwords.map("'" + _ + "'").mkString("(", ", ", ")")
-      // the ingest_manifest splice with the standing corpus REDUCED by
-      // the retract set (doc_id ≡ 0 mod 4): digest diff, the near-dup
-      // drop, and the eval slice all see the LIVE standing; drops_full
-      // (vs the pre-retraction standing) exists only to prove the
-      // revived rows — docs kept ONLY because their partners were
-      // retracted
-      s"WITH ${Dedup.minhashPairsCtes}, " +
-        "base AS (SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id < 500), " +
-        "b1 AS (SELECT * FROM base WHERE doc_id % 5 = 3), " +
-        "cp0 AS (SELECT * FROM base WHERE doc_id % 5 <> 3), " +
-        "cps AS MATERIALIZED (SELECT * FROM cp0 WHERE doc_id % 4 <> 0), " +
-        "s2 AS (SELECT * FROM b1 WHERE h NOT IN (SELECT h FROM cps)), " +
-        "gw AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2), " +
-        "gq AS (SELECT doc_id FROM gw WHERE len(w)::INT >= 50 " +
-        "AND rnd(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6) BETWEEN 3e0 AND 10e0 " +
-        s"AND len(list_filter(w, x -> x IN $sw))::INT >= 2), " +
-        "s3 AS (SELECT s2.* FROM s2 JOIN gq USING (doc_id)), " +
-        "s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id IN " +
-        "(SELECT min(doc_id) FROM s3 GROUP BY h)), " +
-        "drops_live AS (SELECT DISTINCT CASE WHEN d1 % 5 = 3 THEN d1 ELSE d2 END AS doc_id " +
-        "FROM jj WHERE j >= 0.95e0 AND (" +
-        "(d1 % 5 = 3 AND d2 IN (SELECT doc_id FROM cps)) OR " +
-        "(d2 % 5 = 3 AND d1 IN (SELECT doc_id FROM cps)))), " +
-        "drops_full AS (SELECT DISTINCT CASE WHEN d1 % 5 = 3 THEN d1 ELSE d2 END AS doc_id " +
-        "FROM jj WHERE j >= 0.95e0 AND (" +
-        "(d1 % 5 = 3 AND d2 IN (SELECT doc_id FROM cp0)) OR " +
-        "(d2 % 5 = 3 AND d1 IN (SELECT doc_id FROM cp0)))), " +
-        "s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM drops_live)), " +
-        "t13 AS (SELECT doc_id, string_split(text, ' ') AS a FROM base " +
-        "WHERE (doc_id % 10 = 0 AND doc_id % 4 <> 0) OR doc_id IN (SELECT doc_id FROM s5)), " +
-        "g13 AS (SELECT DISTINCT doc_id, array_to_string(a[i::INT:(i + 12)::INT], ' ') AS g " +
-        "FROM (SELECT doc_id, a, unnest(range(1, len(a) - 11)) AS i FROM t13 WHERE len(a) >= 13)), " +
-        "ev AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 10 = 0), " +
-        "cont AS (SELECT DISTINCT doc_id FROM g13 WHERE doc_id % 10 <> 0 " +
-        "AND g IN (SELECT g FROM ev)), " +
-        "s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
+    "ingest_retract" -> (retractCtes +
         "SELECT '1_standing_before' AS stage, count(*) AS survivors FROM cp0 " +
         "UNION ALL SELECT '2_retracted', count(*) FROM cp0 WHERE doc_id % 4 = 0 " +
         "UNION ALL SELECT '3_batch_in', count(*) FROM b1 " +
@@ -1028,8 +1033,23 @@ object Curation {
         "UNION ALL SELECT '8_revived', count(*) FROM s4 " +
         "WHERE doc_id IN (SELECT doc_id FROM drops_full) " +
         "AND doc_id NOT IN (SELECT doc_id FROM drops_live) " +
-        "UNION ALL SELECT '9_decontam_13', count(*) FROM s6"
-    },
+        "UNION ALL SELECT '9_decontam_13', count(*) FROM s6"),
+
+    // retract_stream (round 14): the STREAMED retract-then-ingest state
+    // machine gated on the same CTE chain — no revived row (that
+    // per-doc provenance is the batch twin's), plus the standing-state
+    // closure: corpus_after = live standing + decontam survivors
+    "retract_stream" -> (retractCtes +
+        "SELECT '1_standing_before' AS stage, count(*) AS survivors FROM cp0 " +
+        "UNION ALL SELECT '2_retracted', count(*) FROM cp0 WHERE doc_id % 4 = 0 " +
+        "UNION ALL SELECT '3_batch_in', count(*) FROM b1 " +
+        "UNION ALL SELECT '4_digest_new', count(*) FROM s2 " +
+        "UNION ALL SELECT '5_quality_gopher', count(*) FROM s3 " +
+        "UNION ALL SELECT '6_dedup_exact', count(*) FROM s4 " +
+        "UNION ALL SELECT '7_near_dup_vs_index', count(*) FROM s5 " +
+        "UNION ALL SELECT '8_decontam_13', count(*) FROM s6 " +
+        "UNION ALL SELECT '9_corpus_after', " +
+        "(SELECT count(*) FROM cps) + (SELECT count(*) FROM s6)"),
 
     "ingest_manifest2" -> {
       val sw = TextAnalysis.GopherStopwords.map("'" + _ + "'").mkString("(", ", ", ")")

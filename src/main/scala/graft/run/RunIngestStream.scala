@@ -167,6 +167,61 @@ object RunIngestStream {
     ).toDF("stage", "survivors")
   }
 
+  /** retract_stream — the STREAMED retract-then-ingest state machine as
+    * a declared, ORACLE-GATED row (round 14, the `ingest_stream`
+    * conversion applied to the deletion path, which was spec-pinned
+    * only): bootstrap the `ingest_retract` standing state (corpus + LSH
+    * index over doc_id ≢ 3 mod 5 of the 500-doc slice), stream a
+    * TAKEDOWN drop (doc_id ≡ 0 mod 4 of the standing corpus) through
+    * `runRetract`'s checkpoint — tombstones + physical compaction +
+    * corpus rewrite — then stream the batch drop (≡ 3 mod 5) through
+    * the ingest checkpoint, whose digest diff and near-dedup must see
+    * the standing state that FORGOT the retracted docs. Emitted rows:
+    * standing-before / retracted counts (observed as corpus counts
+    * around the takedown), the six streamed stage counts, and
+    * corpus_after — the standing-state closure (live standing +
+    * appended survivors). The oracle shares `ingest_retract`'s CTE
+    * chain (one SQL source of truth); the per-doc revived-rows proof
+    * stays on the batch twin, which RunIngestSpec reconciles with this
+    * streamed path.
+    */
+  def retractStreamQuery(spark: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_retract_stream").toString
+    val out = s"$tmp/state"
+    Files.createDirectories(Paths.get(out))
+    val docs = graft.Tables.documents(spark, d).filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val corp0 = docs.filter(col("doc_id") % 5 =!= 3)
+    graft.llm.Dedup.saveLshIndex(corp0, s"$out/index")
+    graft.sources.Sinks.writePartitioned(corp0, s"$out/corpus", Seq("source"))
+    def corpusN(): Long = spark.read.parquet(s"$out/corpus").count()
+    val standingBefore = corpusN()
+    corp0.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), lit(null).cast("long").as("vec_id"))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/takedown")
+    runRetract(spark, s"$tmp/takedown", out)
+    val retracted = standingBefore - corpusN()
+    docs.filter(col("doc_id") % 5 === 3)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/drops")
+    val runs = runWithStages(spark, s"$tmp/drops", out)
+    require(runs.size == 1, s"expected one micro-batch, got ${runs.size}")
+    val st = runs.head._2.map(sr => sr.name -> sr.survivors).toMap
+    val corpusAfter = corpusN()
+    deleteRec(Paths.get(tmp))
+    import spark.implicits._
+    Seq(
+      "1_standing_before" -> standingBefore,
+      "2_retracted" -> retracted,
+      "3_batch_in" -> st("batch_in"),
+      "4_digest_new" -> st("digest_new"),
+      "5_quality_gopher" -> st("quality_gopher"),
+      "6_dedup_exact" -> st("dedup_exact"),
+      "7_near_dup_vs_index" -> st("near_dup_vs_index"),
+      "8_decontam_13" -> st("decontaminate_13"),
+      "9_corpus_after" -> corpusAfter,
+    ).toDF("stage", "survivors")
+  }
+
   private def deleteRec(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p))

@@ -187,6 +187,23 @@ class RunIngestSpec extends SparkSpecBase {
       s"near-dup-vs-index must drop someone or the reuse path is untested: $streamed")
   }
 
+  test("retract_stream: the streamed takedown+ingest rows reconcile with the batch twin (ingest_retract)") {
+    val streamed = graft.run.RunIngestStream.retractStreamQuery(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val batched = Curation.ingestRetract(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    // stages 1-7 are shared names; the streamed row renames decontam to
+    // slot 8 (no revived row — per-doc provenance is the batch twin's)
+    (1 to 7).foreach { i =>
+      val key = streamed.keys.find(_.startsWith(s"${i}_")).get
+      assert(streamed(key) === batched(key), s"$key diverged")
+    }
+    assert(streamed("8_decontam_13") === batched("9_decontam_13"))
+    // standing-state closure: live standing + appended survivors
+    assert(streamed("9_corpus_after") ===
+      streamed("1_standing_before") - streamed("2_retracted") + streamed("8_decontam_13"))
+  }
+
   test("RunIngestStream: streamed batches funnel sequentially — batch 2 dedups against batch 1's appended survivors") {
     import graft.run.RunIngestStream
     val out = java.nio.file.Files.createTempDirectory("ingeststream").toString
