@@ -136,7 +136,12 @@ object RunIngest {
       fresh.join(TextAnalysis.qualityGopherDocs(fresh)
         .filter(col("keep")).select("doc_id"), "doc_id")
     }
-    // 3. intra-batch exact dedup (keep lowest doc_id per digest)
+    // 3. intra-batch exact dedup (keep lowest doc_id per digest).
+    // NOT persisted (round 14 — StreamRowProbe measured it): caching
+    // these ≤ batch-sized frames made the near-dup stage 2x SLOWER
+    // (AQE is disabled on cached subplans, so the banded index join
+    // lost its runtime coalescing) — the lazy re-derivation is cheaper
+    // than the cache at this frame size
     val exact = stage("dedup_exact") {
       quality.join(
         quality.groupBy(md5(col("text")).as("h"))

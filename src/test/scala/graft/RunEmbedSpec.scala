@@ -67,7 +67,11 @@ class RunEmbedSpec extends SparkSpecBase {
     val cliqueA = for (a <- ids; b <- ids if a != b) yield (a, b)
     val cliqueB = cliqueA.map { case (a, b) => (a + 20L, b + 20L) }
     val edges = (cliqueA ++ cliqueB).toDF("src", "dst")
-    val walks = graft.rel.Graph.randomWalks(edges, steps = 12, walksPerSeed = 40)
+    // walksPerSeed 160 (not the trainer test's 40): the row's
+    // walkSampleMod = 8 trains on every 8th walk, and 5 surviving
+    // walks per seed left the tiny-corpus geometry noisy — 20 per seed
+    // restores the strict pin while exercising the row's sampling path
+    val walks = graft.rel.Graph.randomWalks(edges, steps = 12, walksPerSeed = 160)
     val rows = graft.run.RunEmbed.embedNnOf(spark, walks).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(rows.map(_._1).toSet === Set(0L, 20L), "one row group per walk seed")
