@@ -118,13 +118,14 @@ object Bench {
       // reading counts this query's leftovers (the r13 detail had 29
       // rows at 7 and 19 at 8 from exactly this smear). Loops only
       // while frames are actually draining; ≤ 3 rounds.
-      var rPrev = resident()
+      // no early break on a non-decreasing round (round-14 close: the
+      // cleaner's unpersist can lag one gc cycle, and giving up after
+      // one flat reading left ~20 rows reading their neighbor's +1-2)
       var drains = 0
-      while (drains < 3 && rPrev > 6) {
+      while (drains < 3 && resident() > 6) {
         Thread.sleep(100)
         System.gc()
-        val rNow = resident()
-        if (rNow >= rPrev) drains = 3 else { rPrev = rNow; drains += 1 }
+        drains += 1
       }
       // min over the VALID samples — one flaky failure must not mark a
       // measured query failed; -1 only when every sample threw
