@@ -408,9 +408,18 @@ object Dedup {
     val oldToks = TextOps.docTokens(
       liveIndexTable(s, path, "docs")
         .join(cand.select(col("d2").as("doc_id")).distinct(), "doc_id"))
-    TextOps.jaccardVerify(cand, newToks.unionAll(oldToks), threshold)
-      .select(col("doc_id1").as("new_id"), col("doc_id2").as("indexed_id"),
-        rnd(col("j"), 6).as("jaccard"))
+    // eager-fold + release (round 14 — ResidentProbe): the verified
+    // pair set is collision-bounded and read repeatedly by the ingest
+    // funnel's stage counts; returned lazy it PINNED the candidate
+    // checkpoint past the call (one leaked blockset per streamed
+    // micro-batch — created on the stream thread, so the builder-side
+    // Ckpt.scoped never saw it)
+    val out = Ckpt.truncate(
+      TextOps.jaccardVerify(cand, newToks.unionAll(oldToks), threshold)
+        .select(col("doc_id1").as("new_id"), col("doc_id2").as("indexed_id"),
+          rnd(col("j"), 6).as("jaccard")))
+    Ckpt.release(cand)
+    out
   }
 
   /** 16-bit SimHash per doc from md5 hex digits of each distinct token:
