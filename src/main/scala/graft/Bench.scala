@@ -88,6 +88,32 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query ambient snapshot (round-15 ADVICE): the post-query
+      // drain below targets THIS baseline, not a hardcoded constant —
+      // the ambient resident count moves when a shared memo is built
+      // mid-bench (or a seventh memo lands in a later round), and a
+      // stale constant silently turns every drain into the full spin
+      val base = resident()
+      // bounded drain (untimed): a query's result checkpoint — and, for
+      // the lazily-registered rows, its internal determinism checkpoints
+      // (the Rank frames) — are unreferenced once a sample returns, but
+      // the ContextCleaner unpersists ASYNCHRONOUSLY after GC enqueues
+      // them. Ran between samples AND after the query: without the
+      // between-samples drain, back-to-back samples of a lazy stats row
+      // stack 2-3 transient frames each and the recorded resident_rdds
+      // reads sample-count × frames instead of the row's true leftover.
+      // Loops only while frames are actually draining; ≤ 3 rounds.
+      // No early break on a non-decreasing round (round-14 close: the
+      // cleaner's unpersist can lag one gc cycle, and giving up after
+      // one flat reading left ~20 rows reading their neighbor's +1-2).
+      def drain(): Unit = {
+        var drains = 0
+        while (drains < 3 && resident() > base) {
+          Thread.sleep(100)
+          System.gc()
+          drains += 1
+        }
+      }
       val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -99,34 +125,24 @@ object Bench {
         catch { case _: Throwable => gcs += gcMs() - g0; -1.0 }
       }
       val t1 = once()
+      drain()
       val t2 = once()
       // a > 25 % spread between the two samples means one absorbed a
       // stall — a third sample pins the min without paying 1.5× wall on
       // the (typical) stable queries
       val times =
         if (t1 >= 0 && t2 >= 0 &&
-          math.abs(t1 - t2) / math.max(1e-9, math.min(t1, t2)) > 0.25) Seq(t1, t2, once())
-        else Seq(t1, t2)
+          math.abs(t1 - t2) / math.max(1e-9, math.min(t1, t2)) > 0.25) {
+          drain(); Seq(t1, t2, once())
+        } else Seq(t1, t2)
       detail += s""""$name":{"samples":[${times.mkString(",")}]""" +
         s""","gc_ms":[${gcs.mkString(",")}],"resident_rdds":${resident()}}"""
       spark.catalog.clearCache()
       System.gc()
-      // bounded drain (untimed — after the samples): the previous
-      // query's result checkpoint is unreferenced now, but the
-      // ContextCleaner unpersists it ASYNCHRONOUSLY after GC enqueues
-      // it — without a short wait the next query's resident_rdds
+      // post-query drain: without it the NEXT query's resident_rdds
       // reading counts this query's leftovers (the r13 detail had 29
-      // rows at 7 and 19 at 8 from exactly this smear). Loops only
-      // while frames are actually draining; ≤ 3 rounds.
-      // no early break on a non-decreasing round (round-14 close: the
-      // cleaner's unpersist can lag one gc cycle, and giving up after
-      // one flat reading left ~20 rows reading their neighbor's +1-2)
-      var drains = 0
-      while (drains < 3 && resident() > 6) {
-        Thread.sleep(100)
-        System.gc()
-        drains += 1
-      }
+      // rows at 7 and 19 at 8 from exactly this smear)
+      drain()
       // min over the VALID samples — one flaky failure must not mark a
       // measured query failed; -1 only when every sample threw
       val valid = times.filter(_ >= 0)

@@ -85,7 +85,29 @@ object Ckpt {
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     scopes.set(Some(buf) :: scopes.get())
-    val res = try build finally scopes.set(scopes.get().tail)
+    val res =
+      try build
+      catch {
+        case t: Throwable =>
+          // exception path (round-15 ADVICE): a failed build must not
+          // leave its collected checkpoints pinned until ContextCleaner
+          // GC — drain the buffer before rethrowing, same release the
+          // success path does below
+          buf.foreach { r =>
+            if (r.getStorageLevel != StorageLevel.NONE) {
+              r.unpersist(blocking = false)
+              sites.remove(r.id)
+            }
+          }
+          throw t
+      }
+      finally scopes.set(scopes.get().tail)
+    // pure-lazy build: no checkpoint was created, so there is nothing to
+    // release and no reason to materialize — truncating here would only
+    // force an unpruned evaluation of the whole plan (scoped's own
+    // scaladoc precondition; measured +0.3-4.5 s per row on the r14
+    // stats-battery regressions before the round-15 unwrap)
+    if (buf.isEmpty) return res
     val out = if (isTruncated(res)) res else truncate(res)
     val keep: Int = out.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id

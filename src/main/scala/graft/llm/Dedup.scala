@@ -1039,8 +1039,8 @@ object Dedup {
     "dedup_cluster" -> minhashClusters,
     "dedup_simhash" -> simhashPairs,
     "dedup_simhash64" -> simhashPairs64,
-    "dedup_substring" -> Ckpt.scopedQ(substringDup),
-    "dedup_substring_50" -> Ckpt.scopedQ(substringDup50),
+    "dedup_substring" -> (substringDup _),
+    "dedup_substring_50" -> (substringDup50 _),
     "similarity_ngram" -> ngramJaccard,
     "similarity_containment" -> containmentPairs,
     "doc_fingerprint" -> fingerprint,

@@ -2668,19 +2668,19 @@ object Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_anova" -> statsAnova,
     "stats_kendall" -> statsKendall,
-    "stats_levene" -> graft.core.Ckpt.scopedQ(statsLevene),
+    "stats_levene" -> (statsLevene _),
     "stats_ztest_prop" -> statsZtestProp,
     "stats_effect_size" -> statsEffectSize,
     "stats_sample_size" -> statsSampleSize,
     "events_cuped" -> eventsCuped,
     "anon_dp_counts" -> anonDpCounts,
     "events_ab_assign" -> eventsAbAssign,
-    "stats_fdr_bh" -> graft.core.Ckpt.scopedQ(statsFdrBh),
+    "stats_fdr_bh" -> (statsFdrBh _),
     "agg_group_quantiles" -> aggGroupQuantiles,
-    "stats_spearman" -> graft.core.Ckpt.scopedQ(statsSpearman),
-    "stats_kruskal" -> graft.core.Ckpt.scopedQ(statsKruskal),
+    "stats_spearman" -> (statsSpearman _),
+    "stats_kruskal" -> (statsKruskal _),
     "anon_tcloseness" -> anonTcloseness,
-    "stats_mannwhitney" -> graft.core.Ckpt.scopedQ(statsMannwhitney),
+    "stats_mannwhitney" -> (statsMannwhitney _),
     "stats_bootstrap_ci" -> statsBootstrapCi,
     "stats_permutation" -> statsPermutation,
     "market_basket" -> marketBasket,

@@ -22,6 +22,57 @@ class CkptSpec extends SparkSpecBase {
     assert(cc.map(_.head.asInstanceOf[Long]) === Set(1L, 2L, 3L, 4L, 10L, 11L))
   }
 
+  test("scoped: releases intermediates, keeps the result, no-ops on pure-lazy builds") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // assertions target the SPECIFIC frames this test creates — a global
+    // pinned-count baseline is flaky because the ContextCleaner reclaims
+    // earlier suites' frames asynchronously mid-test
+    def rddOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.rdd.RDD[_] =
+      df.queryExecution.analyzed
+        .collectLeaves()
+        .collectFirst { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+        .get
+
+    // pure-lazy build: scoped must NOT materialize — the result stays a
+    // plain plan (count-prunable)
+    val lazyRes = Ckpt.scoped {
+      Seq((1, "a"), (2, "b")).toDF("k", "v").groupBy($"v").count()
+    }
+    assert(!Ckpt.isTruncated(lazyRes), "buf-empty scoped build must stay lazy")
+    assert(lazyRes.count() === 2)
+
+    // checkpointing build: the intermediate's blocks are released once
+    // scoped returns; the result IS a checkpoint and still readable
+    // (a groupBy — NOT a bare projection, which `isTruncated` would treat
+    // as the checkpoint itself and keep `mid` pinned as the result)
+    var mid: org.apache.spark.sql.DataFrame = null
+    val out = Ckpt.scoped {
+      mid = Ckpt.truncate(Seq(1, 2, 3).toDF("x"))
+      mid.groupBy().agg(org.apache.spark.sql.functions.sum($"x").as("s"))
+    }
+    assert(Ckpt.isTruncated(out))
+    assert(out.collect().map(_.getLong(0)) === Array(6L))
+    assert(rddOf(mid).getStorageLevel === StorageLevel.NONE,
+      "scoped left the intermediate checkpoint pinned")
+    assert(rddOf(out).getStorageLevel !== StorageLevel.NONE,
+      "scoped released its own result")
+    Ckpt.release(out)
+    assert(rddOf(out).getStorageLevel === StorageLevel.NONE)
+
+    // exception path: checkpoints collected before the failure are
+    // drained before the rethrow (round-15 ADVICE)
+    var failed: org.apache.spark.sql.DataFrame = null
+    intercept[RuntimeException] {
+      Ckpt.scoped {
+        failed = Ckpt.truncate(Seq(4, 5).toDF("x"))
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(rddOf(failed).getStorageLevel === StorageLevel.NONE,
+      "failed scoped build leaked its checkpoints")
+  }
+
   test("reliable path writes rdd-* files and is value-identical") {
     // the reliable-path assertions run in a THROWAWAY session (the
     // GraftExtensionsSpec teardown precedent) — SparkContext has no
