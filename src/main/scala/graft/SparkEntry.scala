@@ -264,6 +264,12 @@ object SparkEntry {
     // at RunIngestStream.retractStreamQuery)
     "retract_stream" -> graft.run.RunIngestStream.retractStreamQuery,
 
+    // ingest_vec_stream (round 15, VERDICT r14 missing #1): the streamed
+    // VECTOR-ingest leg oracle-gated — two embedding drops through one
+    // checkpoint, id guard → IVF semantic dedup → index append
+    // (rationale at RunIngestStream.ingestVecStreamQuery)
+    "ingest_vec_stream" -> graft.run.RunIngestStream.ingestVecStreamQuery,
+
     // graph_embed_nn (round 14, VERDICT r13 #4): the trained node
     // embeddings gated as a rows-only row — skip-gram over the memoized
     // walk corpus, vectors round-tripped through parquet, seed top-3

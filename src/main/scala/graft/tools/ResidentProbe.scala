@@ -11,11 +11,22 @@ import org.apache.spark.storage.StorageLevel
   * `resident_rdds` outlier maps to the exact builder line that pinned
   * the frame, instead of a re-read of the whole operator. Dev utility
   * only — not part of the driver contract.
+  *
+  * `--json <outfile>` (round 15, VERDICT r14 missing #4): run the FULL
+  * inventory and write the attribution as one JSON object —
+  * {query: {net_new, sites: [...]}} — so the "net ≤ 1 frame per row"
+  * claim lands as a committed artifact (RESIDENT_r{N}.json) beside
+  * BENCH/CORRECTNESS instead of a re-runnable probe.
   */
 object ResidentProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val names = args.drop(1).toSeq
+    val jsonOut = if (args.length >= 2 && args(0) == "--json") Some(args(1)) else None
+    val rest = if (jsonOut.isDefined) args.drop(2) else args
+    val sfDir = rest(0)
+    val names =
+      if (rest.length > 1) rest.drop(1).toSeq
+      else if (jsonOut.isDefined) graft.SparkEntry.queries.keys.toSeq.sorted
+      else Seq.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,9 +39,12 @@ object ResidentProbe {
     spark.sparkContext.setLogLevel("WARN")
     def pinnedIds(): Set[Int] = spark.sparkContext.getPersistentRDDs.values
       .filter(_.getStorageLevel != StorageLevel.NONE).map(_.id).toSet
+    val jsonRows = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { name =>
       val before = pinnedIds()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val n =
+        try graft.SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
       // net-new pinned frames = what THIS query left behind; carryover
       // from earlier probe queries (ContextCleaner drains lazily) is
       // excluded so one JVM can attribute a whole batch
@@ -40,9 +54,16 @@ object ResidentProbe {
       println(s"[resident] $name rows=$n net_new=${fresh.size}")
       fresh.foreach(r =>
         println(s"  rdd=${r.id} site=${graft.core.Ckpt.siteOf(r.id)}"))
+      jsonRows += s""""$name":{"rows":$n,"net_new":${fresh.size},"sites":[""" +
+        fresh.map(r => "\"" + graft.core.Ckpt.siteOf(r.id) + "\"").mkString(",") + "]}"
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(300) // let ContextCleaner drain before the next query
+    }
+    jsonOut.foreach { f =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        jsonRows.mkString("{", ",", "}") + "\n")
+      println(s"[resident] wrote $f")
     }
     spark.stop()
   }

@@ -89,4 +89,54 @@ class RunAnnSpec extends SparkSpecBase {
       (0 until 40).map(100L + _).toSet),
       "the rebuild must preserve every stored vector")
   }
+
+  test("RunAnn.maintainGraph: append drift crosses the recall floor, rebuild restores adjacency") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graphmaint").toString
+    // 2-effective-dim unit vectors at angle θ (6 zero pads keep one
+    // sign-LSH bucket): cosine distance is monotone in |Δθ|, so the
+    // true adjacency is exactly the angle ordering
+    def vec(theta: Double): Seq[Double] =
+      Seq(math.cos(theta), math.sin(theta), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // base nodes 0..4 spread 0.3 rad apart; k = 2 graph = angle-adjacent
+    val base = (0 until 5).map(i => (i.toLong, vec(i * 0.3))).toDF("vec_id", "v")
+    graft.llm.AnnSearch.saveKnnGraph(base, s"$out/graph", k = 2)
+
+    // drift: a TIGHT cluster of four new vectors near node 0 (θ ≈ 0.05,
+    // Δθ ≈ 0.005 within the cluster) — each new node's top-2 is other
+    // NEW nodes, so no reverse link reaches the stored nodes, while
+    // node 0's (and node 1's) TRUE top-2 is now the cluster: the
+    // no-rewire staleness the maintenance trigger exists to catch
+    val drift = (0 until 4).map(i => (100L + i, vec(0.05 + i * 0.005)))
+      .toDF("vec_id", "v")
+    graft.llm.AnnSearch.appendToKnnGraph(spark, drift, s"$out/graph", k = 2)
+
+    def recallNow(): Double = {
+      val (nodes, edges) = graft.llm.AnnSearch.loadKnnGraph(spark, s"$out/graph")
+      val truth = graft.llm.AnnSearch.knnTruthOf(nodes, nodes, 2)
+      truth.join(edges.select(col("src"), col("dst")),
+        Seq("src", "dst"), "left_semi").count().toDouble / truth.count()
+    }
+    val before = recallNow()
+    assert(before < 0.8, s"append drift must degrade adjacency recall (got $before)")
+
+    // below the floor parameter: measurement only, nothing rewritten
+    val edgesBefore = spark.read.parquet(s"$out/graph/edges").count()
+    val noop = RunAnn.maintainGraph(spark, out, minRecall = before - 0.05,
+      k = 2, sampleMod = 1)
+    assert(noop.contains("rebuilt: false"), noop)
+    assert(spark.read.parquet(s"$out/graph/edges").count() === edgesBefore)
+
+    // above the floor: rebuild re-ranks every stored list; adjacency is
+    // exact again and every node survives
+    val report = RunAnn.maintainGraph(spark, out, minRecall = 0.9,
+      k = 2, sampleMod = 1)
+    assert(report.contains("rebuilt: recall"), report)
+    val after = recallNow()
+    assert(after === 1.0, s"rebuild must restore exact adjacency: $before -> $after")
+    val ids = spark.read.parquet(s"$out/graph/nodes")
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids === ((0 until 5).map(_.toLong).toSet ++ (0 until 4).map(100L + _).toSet),
+      "the rebuild must preserve every node")
+  }
 }
