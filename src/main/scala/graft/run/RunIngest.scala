@@ -148,11 +148,19 @@ object RunIngest {
           .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
         Seq("doc_id"), "left_semi")
     }
-    // 4. near-dedup against the PERSISTED index — the incremental path
+    // 4. near-dedup against the PERSISTED index — the incremental path.
+    // The returned pair frame is a local checkpoint (eager-fold inside
+    // nearDupsAgainstIndex); captured here and released at the END of
+    // this delta, after the writes (round-15 ADVICE: the stream path's
+    // clearCache clears Dataset caches, not RDD checkpoint blocks, so
+    // un-released it pinned one blockset per micro-batch until GC —
+    // and releasing before the writes is unsafe because the persisted
+    // `near`/`clean` stage frames may recompute through it)
+    var nearPairs: DataFrame = null
     val near = stage("near_dup_vs_index") {
-      val hits = Dedup.nearDupsAgainstIndex(spark, indexPath, exact,
-          threshold = nearDupThreshold)
-        .select(col("new_id").as("doc_id")).distinct()
+      nearPairs = Dedup.nearDupsAgainstIndex(spark, indexPath, exact,
+        threshold = nearDupThreshold)
+      val hits = nearPairs.select(col("new_id").as("doc_id")).distinct()
       exact.join(hits, Seq("doc_id"), "left_anti")
     }
     // 5. 13-gram decontamination of the delta vs the corpus eval slice
@@ -194,6 +202,7 @@ object RunIngest {
       Dedup.appendToLshIndex(delta, indexPath)
     }
     standing.unpersist(blocking = false)
+    if (nearPairs != null) graft.core.Ckpt.release(nearPairs)
     (stages.toSeq, stages.last.survivors)
   }
 

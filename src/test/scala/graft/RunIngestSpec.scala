@@ -467,6 +467,26 @@ class RunIngestSpec extends SparkSpecBase {
     assert(ids === Set(1L, 101L, 103L), s"cells hold $ids")
   }
 
+  test("ingest_vec_stream: the declared row's funnel is internally consistent and id-guard non-vacuous") {
+    // the exact values are the DuckDB oracle's job (gated at 3 SFs);
+    // this pins the row's structural contract: five ordered stages, a
+    // funnel that only narrows, an id guard that actually fires (drop 2
+    // deliberately carries ≡ 0 mod 20 already-stored ids), and a closing
+    // index cardinality that reconciles standing + both appends
+    val rows = graft.run.RunIngestStream.ingestVecStreamQuery(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("0_run1_appended", "1_vec_in", "2_vec_id_new",
+      "3_appended", "4_ivf_after"))
+    assert(rows("1_vec_in") > rows("2_vec_id_new"),
+      s"the id guard must drop the already-stored mod-20 ids: $rows")
+    assert(rows("2_vec_id_new") >= rows("3_appended"), s"funnel must narrow: $rows")
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 500)
+    val standing = e.filter(col("vec_id") % 5 =!= 1 && col("vec_id") % 5 =!= 3).count()
+    assert(rows("4_ivf_after") ===
+      standing + rows("0_run1_appended") + rows("3_appended"),
+      s"index closure must be standing($standing) + both appends: $rows")
+  }
+
   test("RunIngest embedding leg: delta_vec ≡ inline semantic cross-dedup; IVF append visible") {
     import graft.llm.AnnSearch
     val out = java.nio.file.Files.createTempDirectory("ingestv").toString
