@@ -26,7 +26,11 @@ object ScopedProbe {
         graft.functions.TopKAgg.FallbackThreshold.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // batch 1 = the r14-regressed rows (audited round 15, unwrapped);
+    // batch 2 = the still-wrapped rows whose builders END in a lazy
+    // derivation over internal checkpoints — the remaining candidates
+    // for the eager-fold tax (pass row names as args to restrict)
+    val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "stats_fdr_bh" -> graft.rel.Queries.statsFdrBh _,
       "stats_kruskal" -> graft.rel.Queries.statsKruskal _,
       "stats_spearman" -> graft.rel.Queries.statsSpearman _,
@@ -34,7 +38,21 @@ object ScopedProbe {
       "dedup_substring" -> graft.llm.Dedup.substringDup _,
       "dedup_substring_50" -> graft.llm.Dedup.substringDup50 _,
       "graph_clustering" -> graft.rel.Graph.clusteringQuery _,
-      "graph_cc_fixpoint" -> graft.rel.Graph.ccFixpointQuery _)
+      "graph_cc_fixpoint" -> graft.rel.Graph.ccFixpointQuery _,
+      "events_rfm" -> graft.rel.TimeSeries.rfm _,
+      "events_power_users" -> graft.rel.TimeSeries.powerUsers _,
+      "corpus_line_dedup" -> graft.llm.Curation.lineDedup _,
+      "text_rake" -> graft.llm.TextAnalysis.rake _,
+      "tokenizer_encode" -> graft.llm.TextAnalysis.bpeEncode _,
+      "tokenizer_fertility" -> graft.llm.TextAnalysis.bpeFertility _,
+      "quality_perplexity" -> graft.llm.TextAnalysis.perplexityProxy _,
+      "embedding_outliers" -> graft.llm.AnnSearch.embeddingOutliers _,
+      "graph_link_pred" -> graft.rel.Graph.linkPredQuery _,
+      "graph_assortativity" -> graft.rel.Graph.assortativityQuery _,
+      "graph_modularity" -> graft.rel.Graph.modularityQuery _,
+      "ts_theil_sen_sampled" -> graft.rel.TimeSeries.theilSenSampledQuery _)
+    val want = if (args.length > 2) args.drop(2).toSet else Set.empty[String]
+    val rows = if (want.isEmpty) all else all.filter(r => want(r._1))
     // warmup both shapes at sf0.001 (codegen/JIT untimed)
     rows.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
