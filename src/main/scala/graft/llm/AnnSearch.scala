@@ -1307,9 +1307,69 @@ object AnnSearch {
       .write.mode("overwrite").parquet(s"$path/edges")
   }
 
-  /** Lazy frames over a persisted navigation graph: (nodes, edges). */
-  def loadKnnGraph(s: SparkSession, path: String): (DataFrame, DataFrame) =
-    (s.read.parquet(s"$path/nodes"), s.read.parquet(s"$path/edges"))
+  /** The retracted-ids frame of a persisted kNN graph, if any — the
+    * graph twin of the LSH/IVF tombstone tables (round 15: the third
+    * index family's retraction leg).
+    */
+  private def knnGraphTombstones(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString).select(col("vec_id")).distinct())
+    else None
+  }
+
+  /** RETRACT nodes from a persisted kNN navigation graph (round 15 —
+    * lifecycle parity with `removeFromLshIndex`/`removeFromIvfIndex`):
+    * appends the ids to the graph's tombstone table; `loadKnnGraph`
+    * (every search, append, and the maintenance trigger go through it)
+    * filters the nodes AND every edge touching them from the next query
+    * on. Physical deletion is `compactKnnGraph`'s job. Note the search-
+    * quality consequence retraction uniquely has here: surviving
+    * neighbors LOSE out-edges (their stored top-k referenced the
+    * retracted node), so heavy retraction degrades navigability the
+    * same way no-rewire appends do — `RunAnn.maintainGraph`'s adjacency
+    * recall measures exactly that and prices the rebuild.
+    */
+  def removeFromKnnGraph(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically apply tombstones to the node and edge tables and clear
+    * them — sibling-write + checked rename-swap per table
+    * (`compactIvfIndex` discipline; tombstones are deleted only after
+    * BOTH swaps land, so a crash between them leaves a state every
+    * reader still filters correctly and a re-run completes).
+    */
+  def compactKnnGraph(s: SparkSession, path: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    graft.sources.Sinks.recoverSwap(fs, path, "nodes")
+    graft.sources.Sinks.recoverSwap(fs, path, "edges")
+    val (nodes, edges) = loadKnnGraph(s, path)
+    nodes.write.mode("overwrite").parquet(s"$path/.compact_nodes")
+    edges.write.mode("overwrite").parquet(s"$path/.compact_edges")
+    graft.sources.Sinks.swapIn(fs, path, "nodes")
+    graft.sources.Sinks.swapIn(fs, path, "edges")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
+  /** Lazy frames over a persisted navigation graph: (nodes, edges) —
+    * retraction-aware: tombstoned nodes and every edge touching them
+    * are filtered (takedown semantics, `removeFromKnnGraph`).
+    */
+  def loadKnnGraph(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val nodes0 = s.read.parquet(s"$path/nodes")
+    val edges0 = s.read.parquet(s"$path/edges")
+    knnGraphTombstones(s, path) match {
+      case None => (nodes0, edges0)
+      case Some(tomb) =>
+        (nodes0.join(tomb, Seq("vec_id"), "left_anti"),
+          edges0
+            .join(tomb.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+            .join(tomb.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+            .select(col("src"), col("dst"), col("dist")))
+    }
+  }
 
   /** APPEND a batch to a persisted k-NN navigation graph WITHOUT
     * rewiring stored nodes — the NSW-style insert, completing the
@@ -1342,7 +1402,12 @@ object AnnSearch {
         s"appendToKnnGraph: batch vec_ids already present in the graph at $path " +
           "(vector ids must be new; refreshes belong to a rebuild pass)")
     }
-    val stored = s.read.parquet(s"$path/nodes")
+    // candidates from the LIVE view (round 15): a new node must never
+    // select a tombstoned neighbor — the retracted node's blocks may be
+    // compacted away before the next search walks the edge
+    val stored0 = s.read.parquet(s"$path/nodes")
+    val stored = knnGraphTombstones(s, path).fold(stored0)(t =>
+      stored0.join(t, Seq("vec_id"), "left_anti"))
     val all = stored.unionByName(newVecs.select(col("vec_id"), col("v")))
       .select(col("vec_id"), col("v"), bucketCol(col("v")).as("bucket"))
     val nb = newVecs

@@ -220,12 +220,17 @@ object RunAnn {
     var line = f"adjacency_recall: $recall%.4f (threshold $minRecall%.2f, sample 1/$sampleMod, k=$k)"
     if (recall < minRecall) {
       val t0 = System.nanoTime()
-      // live nodes materialized BEFORE the overwrite (the IVF-maintain
-      // discipline: never overwrite a directory a lazy frame still reads)
+      // LIVE nodes (tombstones filtered — the rebuild doubles as the
+      // physical retraction pass, the IVF-maintain precedent),
+      // materialized BEFORE the overwrite (never overwrite a directory
+      // a lazy frame still reads)
       val nodes = graft.core.Ckpt.truncate(
-        spark.read.parquet(s"$graphPath/nodes"))
+        AnnSearch.loadKnnGraph(spark, graphPath)._1)
       AnnSearch.saveKnnGraph(nodes, graphPath, k)
       graft.core.Ckpt.release(nodes)
+      val fs = new org.apache.hadoop.fs.Path(graphPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$graphPath/tombstones"), true)
       line += f"\nrebuilt: recall $recall%.4f -> ${adjacencyRecall()}%.4f " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s"
     } else line += "\nrebuilt: false"

@@ -423,6 +423,15 @@ object RunIngest {
           _.join(vecIds, Seq("t_id"), "left_anti"))
         lines += s"vec_ids_retracted: $n"
         lines += s"delta_vec_rows_removed: $deltaGone"
+        // the navigation graph keys the same vec_id domain (round 15 —
+        // lifecycle parity): tombstone + compact it too when one is
+        // deployed beside the IVF index; absent, this costs nothing
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/graph/nodes"))) {
+          AnnSearch.removeFromKnnGraph(
+            vecIds.select(col("t_id").as("vec_id")), s"$outDir/graph")
+          AnnSearch.compactKnnGraph(spark, s"$outDir/graph")
+          lines += s"graph_nodes_retracted: $n"
+        }
       } else lines += "vec_ids_retracted: 0"
     }
     require(cols.contains("doc_id") || cols.contains("vec_id"),

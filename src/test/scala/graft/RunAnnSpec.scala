@@ -139,4 +139,57 @@ class RunAnnSpec extends SparkSpecBase {
     assert(ids === ((0 until 5).map(_.toLong).toSet ++ (0 until 4).map(100L + _).toSet),
       "the rebuild must preserve every node")
   }
+
+  test("kNN-graph retraction: tombstones hide node+edges, appends avoid retracted nodes, compaction forgets, runner wires it") {
+    import spark.implicits._
+    import graft.llm.AnnSearch
+    val out = java.nio.file.Files.createTempDirectory("graphretract").toString
+    def vec(theta: Double): Seq[Double] =
+      Seq(math.cos(theta), math.sin(theta), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val base = (0 until 5).map(i => (i.toLong, vec(i * 0.3))).toDF("vec_id", "v")
+    AnnSearch.saveKnnGraph(base, s"$out/graph", k = 2)
+
+    // tombstone node 2: the live view loses the node AND every edge
+    // touching it, while the physical files still hold both
+    AnnSearch.removeFromKnnGraph(Seq(2L).toDF("vec_id"), s"$out/graph")
+    val (nodes, edges) = AnnSearch.loadKnnGraph(spark, s"$out/graph")
+    assert(!nodes.select("vec_id").as[Long].collect().contains(2L))
+    val liveEdges = edges.select("src", "dst").as[(Long, Long)].collect()
+    assert(liveEdges.nonEmpty && !liveEdges.exists(e => e._1 == 2L || e._2 == 2L),
+      s"live edges must not touch the tombstoned node: ${liveEdges.mkString(",")}")
+    assert(spark.read.parquet(s"$out/graph/nodes")
+      .select("vec_id").as[Long].collect().contains(2L),
+      "tombstoning must not rewrite the physical table")
+
+    // an append near the retracted node's position must select LIVE
+    // neighbors only — never an edge into the tombstoned node
+    AnnSearch.appendToKnnGraph(spark, Seq((50L, vec(0.61))).toDF("vec_id", "v"),
+      s"$out/graph", k = 2)
+    val newEdges = spark.read.parquet(s"$out/graph/edges")
+      .filter(col("src") === 50L || col("dst") === 50L)
+      .select("src", "dst").as[(Long, Long)].collect()
+    assert(newEdges.nonEmpty && !newEdges.exists(e => e._1 == 2L || e._2 == 2L),
+      s"append linked to a retracted node: ${newEdges.mkString(",")}")
+
+    // compaction applies the tombstones physically and clears them
+    AnnSearch.compactKnnGraph(spark, s"$out/graph")
+    assert(!spark.read.parquet(s"$out/graph/nodes")
+      .select("vec_id").as[Long].collect().contains(2L))
+    assert(spark.read.parquet(s"$out/graph/edges")
+      .filter(col("src") === 2L || col("dst") === 2L).count() === 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/graph/tombstones")))
+
+    // runner wiring: a vec_id takedown through retractIds hits the
+    // graph beside the IVF index (same id domain)
+    val t = Seq((0L, vec(0.0)), (1L, vec(0.3)), (50L, vec(0.61))).toDF("t_id", "t_v")
+    val cent = Seq((0L, vec(0.0))).toDF("c_id", "c_v")
+    AnnSearch.saveIvfIndex(t, cent, s"$out/ivf")
+    val report = graft.run.RunIngest.retractIds(spark, out,
+      Seq(50L).toDF("vec_id"), "spec takedown")
+    assert(report.contains("graph_nodes_retracted: 1"), report)
+    assert(!spark.read.parquet(s"$out/graph/nodes")
+      .select("vec_id").as[Long].collect().contains(50L),
+      "the runner takedown must remove the graph node")
+  }
 }
