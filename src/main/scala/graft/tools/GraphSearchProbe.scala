@@ -161,6 +161,26 @@ object GraphSearchProbe {
           .map("[graphsearch]   " + _).mkString("\n"))
         if (floor == 0.8) mwall = mwall2
       }
+      // retraction leg (round 15): tombstone a hash-stride ~10 % of the
+      // graph (takedown), compact, and let the SAME adjacency-recall
+      // observable price the damage — surviving nodes whose stored
+      // top-k referenced retracted neighbors lost those out-edges
+      val (_, rWall) = time("retract ~10% + compact") {
+        val ids = spark.read.parquet(s"$mdir/nodes")
+          .filter(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(col("vec_id")),
+            org.apache.spark.sql.functions.lit(10)) === 0)
+          .select(col("vec_id"))
+        AnnSearch.removeFromKnnGraph(ids, mdir)
+        AnnSearch.compactKnnGraph(spark, mdir)
+      }
+      val (mreport2, _) = time("maintainGraph (post-takedown, floor 0.95)") {
+        graft.run.RunAnn.maintainGraph(spark, mroot, minRecall = 0.95, k = k)
+      }
+      println(mreport2.linesIterator.filter(l =>
+        l.startsWith("adjacency_recall") || l.startsWith("rebuilt"))
+        .map("[graphsearch]   " + _).mkString("\n"))
+      println(f"[graphsearch] retract leg wall $rWall%.2f s")
       // the comparison ceiling: one full rebuild over the same final corpus
       val (_, rebuildWall) = time("full rebuild (100%)") {
         AnnSearch.saveKnnGraph(Ckpt.truncate(vecs(nQ, nQ + n, "vec_id", "v")), dir, k)
