@@ -47,6 +47,34 @@ class RunAnnSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall $recall below floor")
   }
 
+  test("RunAnn.runGraph: persisted graph + search artifacts reconcile; maintain and retract compose on its output") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("rungraph").toString
+    val report = RunAnn.runGraph(spark, sfDir, out, k = 3, beam = 8, hops = 3)
+    val stageLines = report.linesIterator
+      .filter(_.matches("""  \S+ \d+ .*"""))
+      .map { l => val p = l.trim.split(" "); p(0) -> p(1).toLong }.toMap
+    // artifacts reconcile with the report
+    assert(stageLines("build_graph") ===
+      spark.read.parquet(s"$out/graph/edges").count())
+    val results = spark.read.parquet(s"$out/graph_results")
+    assert(stageLines("search_graph") === results.count())
+    assert(results.columns.toSet.intersect(Set("q_id", "t_id")) === Set("q_id", "t_id"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/graph_run_report.txt")) === report)
+    // the graph lands where the lifecycle machinery manages it: the
+    // maintenance trigger measures a fresh build at exact adjacency
+    // (rebuilt: false at any floor <= 1), and a takedown through
+    // retractIds composes against the same directory
+    val m = RunAnn.maintainGraph(spark, out, minRecall = 0.99, k = 3)
+    assert(m.contains("rebuilt: false"), m)
+    val someId = spark.read.parquet(s"$out/graph/nodes")
+      .select("vec_id").as[Long].head()
+    graft.llm.AnnSearch.removeFromKnnGraph(Seq(someId).toDF("vec_id"), s"$out/graph")
+    val (nodesAfter, _) = graft.llm.AnnSearch.loadKnnGraph(spark, s"$out/graph")
+    assert(!nodesAfter.select("vec_id").as[Long].collect().contains(someId))
+  }
+
   test("RunAnn.maintain: drifted appends cross the balance threshold, retrain restores it, no vector lost") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("annmaint").toString
