@@ -129,13 +129,27 @@ object Bench {
       val t2 = once()
       // a > 25 % spread between the two samples means one absorbed a
       // stall — a third sample pins the min without paying 1.5× wall on
-      // the (typical) stable queries
+      // the (typical) stable queries. Heavy rows (min sample > 5 s) get
+      // the third sample UNCONDITIONALLY: BENCH_r15's heaviest row read
+      // a 24.9 % spread — just under the trigger — on a noisy box, and
+      // round-over-round grading was hostage to which sample the stall
+      // hit. The spread across all samples is recorded per row so a
+      // noisy artifact is self-diagnosing.
+      val bothValid = t1 >= 0 && t2 >= 0
+      val spread2 = if (bothValid)
+        math.abs(t1 - t2) / math.max(1e-9, math.min(t1, t2)) else 0.0
+      val heavy = Seq(t1, t2).filter(_ >= 0) match {
+        case s if s.nonEmpty => s.min > 5.0
+        case _ => false
+      }
       val times =
-        if (t1 >= 0 && t2 >= 0 &&
-          math.abs(t1 - t2) / math.max(1e-9, math.min(t1, t2)) > 0.25) {
-          drain(); Seq(t1, t2, once())
-        } else Seq(t1, t2)
+        if ((bothValid && spread2 > 0.25) || heavy) { drain(); Seq(t1, t2, once()) }
+        else Seq(t1, t2)
+      val validT = times.filter(_ >= 0)
+      val spread = if (validT.size >= 2)
+        (validT.max - validT.min) / math.max(1e-9, validT.min) else 0.0
       detail += s""""$name":{"samples":[${times.mkString(",")}]""" +
+        f""","spread":$spread%.4f""" +
         s""","gc_ms":[${gcs.mkString(",")}],"resident_rdds":${resident()}}"""
       spark.catalog.clearCache()
       System.gc()

@@ -106,8 +106,16 @@ object Ckpt {
     // release and no reason to materialize — truncating here would only
     // force an unpruned evaluation of the whole plan (scoped's own
     // scaladoc precondition; measured +0.3-4.5 s per row on the r14
-    // stats-battery regressions before the round-15 unwrap)
-    if (buf.isEmpty) return res
+    // stats-battery regressions before the round-15 unwrap). Gated on
+    // the LOCAL-checkpoint mode (round-16 ADVICE): with a checkpoint dir
+    // configured, truncate's reliable branch never registers in the
+    // scope buffer — buf is empty even though the build DID checkpoint —
+    // and an unconditional early return would leave the result lazy,
+    // re-planning per action on clusters. Reliable checkpoints are
+    // files, so there is still nothing to release; the truncate below
+    // restores "result IS a checkpoint" in that mode.
+    if (buf.isEmpty &&
+      res.sparkSession.sparkContext.getCheckpointDir.isEmpty) return res
     val out = if (isTruncated(res)) res else truncate(res)
     val keep: Int = out.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id

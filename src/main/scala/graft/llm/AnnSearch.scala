@@ -1305,6 +1305,38 @@ object AnnSearch {
     e.select(col("vec_id"), col("v")).write.mode("overwrite").parquet(s"$path/nodes")
     knnGraphOf(e, k).select(col("src"), col("dst"), col("dist"))
       .write.mode("overwrite").parquet(s"$path/edges")
+    // a full rebuild overwrites nodes+edges, so any pending tombstones
+    // (removeFromKnnGraph without a compaction) are meaningless — left in
+    // place they would anti-join freshly built nodes out of loadKnnGraph's
+    // live view whenever a rebuilt id was once retracted (round-16 ADVICE)
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(e.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Crash-safe REBUILD of a persisted kNN graph in place (round-16
+    * ADVICE): `saveKnnGraph`'s plain overwrite is fine for a first build
+    * into an empty path, but a maintenance rebuild overwriting the ONLY
+    * copy loses the graph if it crashes mid-write. This writes the
+    * rebuilt tables to `.compact_` siblings and swaps them in with the
+    * checked rename-swap (`compactKnnGraph` discipline) — a crash in the
+    * window leaves either the old graph or a recoverable intermediate.
+    * Tombstones are cleared last: the rebuild input is expected to be
+    * the live (tombstone-filtered) node set, so after the swap they are
+    * both applied and meaningless.
+    */
+  def rebuildKnnGraph(e: DataFrame, path: String, k: Int = 3): Unit = {
+    val s = e.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.sources.Sinks.recoverSwap(fs, path, "nodes")
+    graft.sources.Sinks.recoverSwap(fs, path, "edges")
+    e.select(col("vec_id"), col("v"))
+      .write.mode("overwrite").parquet(s"$path/.compact_nodes")
+    knnGraphOf(e, k).select(col("src"), col("dst"), col("dist"))
+      .write.mode("overwrite").parquet(s"$path/.compact_edges")
+    graft.sources.Sinks.swapIn(fs, path, "nodes")
+    graft.sources.Sinks.swapIn(fs, path, "edges")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /** The retracted-ids frame of a persisted kNN graph, if any — the
@@ -1395,18 +1427,32 @@ object AnnSearch {
     */
   def appendToKnnGraph(s: SparkSession, newVecs: DataFrame, path: String,
       k: Int = 3, checkIds: Boolean = true): Unit = {
+    val tomb = knnGraphTombstones(s, path)
     if (checkIds) {
-      val clash = s.read.parquet(s"$path/nodes").select(col("vec_id"))
-        .join(newVecs.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      require(clash.isEmpty,
+      // clash = against the LIVE (tombstone-filtered) view, not the raw
+      // nodes table — a tombstoned-but-uncompacted id is NOT "already
+      // present"; but it is not appendable either: the pending tombstone
+      // would hide the new row in loadKnnGraph and the next compaction
+      // would physically delete it (silent loss). Re-adding a retracted
+      // id therefore requires compactKnnGraph first, and the two cases
+      // get distinct errors (round-16 ADVICE).
+      val nodes0 = s.read.parquet(s"$path/nodes").select(col("vec_id"))
+      val live = tomb.fold(nodes0)(t => nodes0.join(t, Seq("vec_id"), "left_anti"))
+      require(live.join(newVecs.select(col("vec_id")), Seq("vec_id"), "left_semi").isEmpty,
         s"appendToKnnGraph: batch vec_ids already present in the graph at $path " +
           "(vector ids must be new; refreshes belong to a rebuild pass)")
+      tomb.foreach { t =>
+        require(t.join(newVecs.select(col("vec_id")), Seq("vec_id"), "left_semi").isEmpty,
+          s"appendToKnnGraph: batch vec_ids are tombstoned at $path — run " +
+            "compactKnnGraph before re-adding a retracted id, or the pending " +
+            "tombstone hides (then deletes) the re-ingested vector")
+      }
     }
     // candidates from the LIVE view (round 15): a new node must never
     // select a tombstoned neighbor — the retracted node's blocks may be
     // compacted away before the next search walks the edge
     val stored0 = s.read.parquet(s"$path/nodes")
-    val stored = knnGraphTombstones(s, path).fold(stored0)(t =>
+    val stored = tomb.fold(stored0)(t =>
       stored0.join(t, Seq("vec_id"), "left_anti"))
     val all = stored.unionByName(newVecs.select(col("vec_id"), col("v")))
       .select(col("vec_id"), col("v"), bucketCol(col("v")).as("bucket"))

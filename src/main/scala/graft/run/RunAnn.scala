@@ -221,8 +221,11 @@ object RunAnn {
     }
     val (recallPct, hitRows) = {
       val t0 = System.nanoTime()
+      // the truth set uses the RUNNER's k (round-16 ADVICE): a hardcoded
+      // k=3 truth under k>3 search results inflates recall (k-sized
+      // result vs top-3 truth) and floor-limits it at k/3 under k<3
       val brute = Knn.knn(q.select(col("q_id").as("vec_id"), col("q_v").as("v")),
-        t, k = 3, dist = AnnSearch.cosineDist)
+        t, k = k, dist = AnnSearch.cosineDist)
         .select(col("q_id"), col("t_id"))
       val hits = brute.join(results.select("q_id", "t_id"),
         Seq("q_id", "t_id"), "left_semi").count()
@@ -246,7 +249,7 @@ object RunAnn {
          |n_queries: $nQ
          |stages: stage metric sec
          |${stages.map(st => f"  ${st.name} ${st.metric} ${st.wall}%.3f").mkString("\n")}
-         |recall_at_3: ${f"$recallPct%.4f"} ($hitRows exact rows)
+         |recall_at_$k: ${f"$recallPct%.4f"} ($hitRows exact rows)
          |note: recall on near-uniform corpora is the method's documented floor
          |      (tools.GraphSearchProbe clustered leg is the structure reference)
          |""".stripMargin
@@ -300,14 +303,14 @@ object RunAnn {
       // LIVE nodes (tombstones filtered — the rebuild doubles as the
       // physical retraction pass, the IVF-maintain precedent),
       // materialized BEFORE the overwrite (never overwrite a directory
-      // a lazy frame still reads)
+      // a lazy frame still reads). rebuildKnnGraph (round-16 ADVICE) =
+      // sibling-write + checked rename-swap, so a crash mid-rebuild
+      // leaves the old graph instead of nothing; it also clears the
+      // now-applied tombstones.
       val nodes = graft.core.Ckpt.truncate(
         AnnSearch.loadKnnGraph(spark, graphPath)._1)
-      AnnSearch.saveKnnGraph(nodes, graphPath, k)
+      AnnSearch.rebuildKnnGraph(nodes, graphPath, k)
       graft.core.Ckpt.release(nodes)
-      val fs = new org.apache.hadoop.fs.Path(graphPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$graphPath/tombstones"), true)
       line += f"\nrebuilt: recall $recall%.4f -> ${adjacencyRecall()}%.4f " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s"
     } else line += "\nrebuilt: false"

@@ -547,6 +547,51 @@ class AnnSearchSpec extends SparkSpecBase {
     assert(hit.count() === 1, "the appended vector must be its own twin's top hit")
   }
 
+  test("knn-graph tombstone hygiene: rebuild clears stale tombstones; re-append of a retracted id is rejected until compaction") {
+    // round-16 ADVICE pins: (a) a retracted-then-rebuilt id must be
+    // LIVE — saveKnnGraph clears pending tombstones (they describe a
+    // graph that no longer exists; left in place they would anti-join
+    // freshly built nodes out of the live view); (b) appending a
+    // tombstoned-but-uncompacted id must raise the compact-first error,
+    // NOT the already-present error and NOT silently append a row the
+    // tombstone hides and the next compaction deletes; (c) after
+    // compactKnnGraph the re-append succeeds; (d) rebuildKnnGraph (the
+    // crash-safe maintenance rebuild) also clears tombstones and leaves
+    // the same live view a fresh save would.
+    val dir = java.nio.file.Files.createTempDirectory("knngraphtomb").toString
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), graft.core.Distance.asDouble(col("embedding")).as("v"))
+    val base = e.filter(col("vec_id") >= 20 && col("vec_id") < 80)
+    AnnSearch.saveKnnGraph(base, dir)
+    val gone = base.filter(col("vec_id") < 25).select(col("vec_id"))
+    AnnSearch.removeFromKnnGraph(gone, dir)
+    assert(AnnSearch.loadKnnGraph(spark, dir)._1.count() === 55)
+    // (b) tombstoned id re-append → the compact-first error
+    val err = intercept[IllegalArgumentException] {
+      AnnSearch.appendToKnnGraph(spark, base.filter(col("vec_id") === 22), dir)
+    }
+    assert(err.getMessage.contains("compactKnnGraph"))
+    // (a) rebuild over ids that include retracted ones → all live again
+    AnnSearch.saveKnnGraph(base, dir)
+    assert(AnnSearch.loadKnnGraph(spark, dir)._1.count() === 60,
+      "rebuild must clear stale tombstones — retracted-then-rebuilt ids are live")
+    // (c) retract again, compact, then the re-append is legal
+    AnnSearch.removeFromKnnGraph(gone, dir)
+    AnnSearch.compactKnnGraph(spark, dir)
+    AnnSearch.appendToKnnGraph(spark, base.filter(col("vec_id") === 22), dir)
+    val (nodes2, _) = AnnSearch.loadKnnGraph(spark, dir)
+    assert(nodes2.filter(col("vec_id") === 22).count() === 1)
+    // (d) crash-safe rebuild path: same live view as a fresh save
+    AnnSearch.removeFromKnnGraph(gone, dir)
+    AnnSearch.rebuildKnnGraph(graft.core.Ckpt.truncate(
+      AnnSearch.loadKnnGraph(spark, dir)._1), dir)
+    val (nodes3, edges3) = AnnSearch.loadKnnGraph(spark, dir)
+    assert(nodes3.count() === 55,
+      "rebuild input was the live view: 55 compacted + 1 re-append - 1 re-retracted")
+    assert(edges3.join(nodes3.select(col("vec_id").as("src")), Seq("src"), "left_anti").count() === 0,
+      "every edge source is a live node after rebuildKnnGraph")
+  }
+
   test("graphSearch beam knob: result-set bound holds, distances valid, wide beam helps in aggregate") {
     // NOTE what is and is not a theorem here: within ONE search the beam
     // only improves hop over hop (candidates ⊇ beam, the min survives
