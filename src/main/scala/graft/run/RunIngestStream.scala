@@ -115,6 +115,27 @@ object RunIngestStream {
       .CollectionHasAsScala(batches).asScala.toSeq.sortBy(_._1))
   }
 
+  /** Shuffle parallelism for the slice-bounded GATE rows below (round
+    * 16, VERDICT r15 #1): the declared stream rows drive ≤ 500 docs/
+    * vectors through ~190 jobs per micro-batch, and
+    * `tools.StreamRowProbe` attributed the wall to per-stage scheduling
+    * — 32 shuffle tasks per exchange for a few hundred rows is pure
+    * overhead. The gate rows scope the session's shuffle parallelism
+    * down to this while they run (bootstrap + drops + both drains) and
+    * restore it after; the PRODUCTION runners (`run`/`runVec`/
+    * `runRetract`) are untouched — a deployment sizes its session to
+    * its drop volume.
+    */
+  private val SliceShufflePartitions = 4
+
+  private def withSliceShuffle[T](spark: SparkSession)(body: => T): T = {
+    if (sys.env.get("GRAFT_SLICE_SHUFFLE").contains("off")) return body // A/B probe knob
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, SliceShufflePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** ingest_stream — the STREAMED recurring-ingest funnel as a
     * declared, ORACLE-GATED row (round 14, VERDICT r13 #3 — the last
     * un-gated pipeline surface, carried since r12): two deterministic
@@ -134,7 +155,7 @@ object RunIngestStream {
     * before returning (the counts are local by then); cost is
     * slice-bounded (≤ 500 docs) at every SF.
     */
-  def ingestStreamQuery(spark: SparkSession, d: String): DataFrame = {
+  def ingestStreamQuery(spark: SparkSession, d: String): DataFrame = withSliceShuffle(spark) {
     val tmp = Files.createTempDirectory("graft_ingest_stream").toString
     val out = s"$tmp/state"
     val dropDir = s"$tmp/drops"
@@ -185,7 +206,7 @@ object RunIngestStream {
     * stays on the batch twin, which RunIngestSpec reconciles with this
     * streamed path.
     */
-  def retractStreamQuery(spark: SparkSession, d: String): DataFrame = {
+  def retractStreamQuery(spark: SparkSession, d: String): DataFrame = withSliceShuffle(spark) {
     val tmp = Files.createTempDirectory("graft_retract_stream").toString
     val out = s"$tmp/state"
     Files.createDirectories(Paths.get(out))
@@ -348,7 +369,7 @@ object RunIngestStream {
     * oracle's cell algebra is exact). Temp state is deleted before
     * returning; cost is slice-bounded (≤ 500 vectors) at every SF.
     */
-  def ingestVecStreamQuery(spark: SparkSession, d: String): DataFrame = {
+  def ingestVecStreamQuery(spark: SparkSession, d: String): DataFrame = withSliceShuffle(spark) {
     import graft.llm.AnnSearch
     val tmp = Files.createTempDirectory("graft_ingest_vec_stream").toString
     val out = s"$tmp/state"

@@ -26,9 +26,14 @@ object StreamRowProbe {
       r
     }
     // replicate ingestStreamQuery's phases inline — two iterations in
-    // one JVM so the second reading is the bench-warm cost
-    for (it <- 1 to 2) {
-    println(s"[streamrow] --- iteration $it ---")
+    // one JVM so the second reading is the bench-warm cost. Iterations
+    // 3-4 re-run with shuffle parallelism dropped to the gate rows'
+    // slice scale (round 16: the A/B for withSliceShuffle — ≤ 500 docs
+    // through ~190 jobs/batch is scheduling-bound at 32 tasks/exchange).
+    for (it <- 1 to 4) {
+    if (it == 3) spark.conf.set("spark.sql.shuffle.partitions", "4")
+    println(s"[streamrow] --- iteration $it (shuffle.partitions=" +
+      s"${spark.conf.get("spark.sql.shuffle.partitions")}) ---")
     val tmp = java.nio.file.Files.createTempDirectory("streamrowprobe").toString
     val out = s"$tmp/state"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
