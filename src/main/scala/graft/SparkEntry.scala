@@ -270,6 +270,14 @@ object SparkEntry {
     // (rationale at RunIngestStream.ingestVecStreamQuery)
     "ingest_vec_stream" -> graft.run.RunIngestStream.ingestVecStreamQuery,
 
+    // retract_vec_stream (round 16, VERDICT r15 #2): the streamed VECTOR
+    // retraction closing the {ingest, retract} × {text, vector} matrix —
+    // a vec_id takedown drop through retractIds' checkpoint (IVF + kNN
+    // graph tombstone + compaction), then an embedding drop whose id
+    // guard and semantic dedup see the state that forgot the ids
+    // (rationale at RunIngestStream.retractVecStreamQuery)
+    "retract_vec_stream" -> graft.run.RunIngestStream.retractVecStreamQuery,
+
     // graph_embed_nn (round 14, VERDICT r13 #4): the trained node
     // embeddings gated as a rows-only row — skip-gram over the memoized
     // walk corpus, vectors round-tripped through parquet, seed top-3

@@ -2314,5 +2314,44 @@ object AnnSearch {
         "UNION ALL SELECT '3_appended', (SELECT count(*) FROM kept2)::BIGINT " +
         "UNION ALL SELECT '4_ivf_after', ((SELECT count(*) FROM standing) + " +
         "(SELECT count(*) FROM kept1) + (SELECT count(*) FROM kept2))::BIGINT"),
+
+    "retract_vec_stream" ->
+      // the streamed vector-retraction's batch twin (round 16 — the
+      // ingest_vec_stream cell algebra over standing − retracted): the
+      // takedown removes vec_id ≡ 0 mod 4 of the standing set from the
+      // cells AND the navigation graph (graph live count = |live|); the
+      // following drop's id guard sees only the LIVE rows (a re-ingested
+      // retracted id is NEW), and its nprobe-2 semantic dedup checks
+      // cosine < eps against live members' primary-cell assignment only
+      // — the index that forgot the retracted vectors. Centroids are
+      // the ORIGINAL stride quantizer: retraction compacts cells but
+      // never retrains (appendToIvfIndex/compactIvfIndex contract).
+      ("WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500), " +
+        "cent AS MATERIALIZED (SELECT vec_id AS c_id, v FROM e " +
+        "WHERE vec_id % 5 <> 1 AND vec_id % 5 <> 3 AND vec_id % 40 = 0), " +
+        "standing AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 1 AND vec_id % 5 <> 3), " +
+        "live AS MATERIALIZED (SELECT vec_id, v FROM standing WHERE vec_id % 4 <> 0), " +
+        "cells0 AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (" +
+        "SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT t.vec_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM live t CROSS JOIN cent c)) WHERE rn = 1), " +
+        "drp AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 3 OR vec_id % 20 = 0 OR vec_id % 20 = 10), " +
+        "nw AS MATERIALIZED (SELECT vec_id, v FROM drp " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM live)), " +
+        "nw_asg AS MATERIALIZED (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn FROM (" +
+        s"SELECT t.vec_id, c.c_id, ${l2Sql("t.v", "c.v")} AS dist FROM nw t CROSS JOIN cent c)), " +
+        "dups AS MATERIALIZED (SELECT DISTINCT p.vec_id FROM " +
+        "(SELECT vec_id, c_id AS cell FROM nw_asg WHERE rn <= 2) p " +
+        "JOIN cells0 s ON p.cell = s.cell " +
+        "JOIN e en ON en.vec_id = p.vec_id JOIN e ei ON ei.vec_id = s.vec_id " +
+        s"WHERE ${cosSql("en.v", "ei.v")} < 0.75e0), " +
+        "kept AS (SELECT vec_id FROM nw WHERE vec_id NOT IN (SELECT vec_id FROM dups)) " +
+        "SELECT '1_standing_before' AS stage, (SELECT count(*) FROM standing)::BIGINT AS survivors " +
+        "UNION ALL SELECT '2_retracted', (SELECT count(*) FROM standing WHERE vec_id % 4 = 0)::BIGINT " +
+        "UNION ALL SELECT '3_graph_live', (SELECT count(*) FROM live)::BIGINT " +
+        "UNION ALL SELECT '4_vec_in', (SELECT count(*) FROM drp)::BIGINT " +
+        "UNION ALL SELECT '5_vec_id_new', (SELECT count(*) FROM nw)::BIGINT " +
+        "UNION ALL SELECT '6_appended', (SELECT count(*) FROM kept)::BIGINT " +
+        "UNION ALL SELECT '7_ivf_after', ((SELECT count(*) FROM live) + " +
+        "(SELECT count(*) FROM kept))::BIGINT"),
   )
 }

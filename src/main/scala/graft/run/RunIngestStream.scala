@@ -405,6 +405,79 @@ object RunIngestStream {
     ).toDF("stage", "survivors")
   }
 
+  /** retract_vec_stream — the STREAMED vector retraction as a declared,
+    * ORACLE-GATED row (round 16, VERDICT r15 #2 — the last ungated cell
+    * of the {ingest, retract} × {text, vector} matrix; the
+    * `retract_stream` conversion applied to the vec_id domain):
+    * bootstrap the `ingest_vec_stream` standing state (IVF index over
+    * vec_id ≢ 1,3 mod 5 of the 500-vector slice, stride centroids)
+    * PLUS the kNN navigation graph over the same vectors (so the
+    * takedown drives the full r15 `retractIds` wiring: IVF tombstone +
+    * compaction AND graph tombstone + compaction through one streamed
+    * drop), then:
+    *
+    *   1. a TAKEDOWN drop (vec_id ≡ 0 mod 4 of the standing set, the
+    *      `retract_stream` residue) through `runRetract`'s checkpoint —
+    *      after the drain the cells table and the graph's live view
+    *      have physically forgotten the ids;
+    *   2. an EMBEDDING drop through `runVec`'s checkpoint: fresh ids
+    *      (≡ 3 mod 5) ∪ RE-INGESTED retracted ids (≡ 0 mod 20 — these
+    *      must pass the id guard, because the index forgot them, and
+    *      must dedup only against the LIVE survivors: a copy of a
+    *      retracted vector is APPENDED unless a live vector sits within
+    *      eps) ∪ still-stored ids (≡ 10 mod 20 — id-guard kill,
+    *      proving the guard still holds for the non-retracted rest).
+    *
+    * Emitted rows: standing/retracted counts, the graph's live-node
+    * count after the takedown, and the ingest funnel's three stage
+    * counts + closing index cardinality. The oracle replays the cell
+    * algebra over (standing − retracted) — one chain shared
+    * structurally with `ingest_vec_stream`'s twin. Temp state is
+    * deleted before returning; cost is slice-bounded (≤ 500 vectors)
+    * at every SF.
+    */
+  def retractVecStreamQuery(spark: SparkSession, d: String): DataFrame = withSliceShuffle(spark) {
+    import graft.llm.AnnSearch
+    val tmp = Files.createTempDirectory("graft_retract_vec_stream").toString
+    val out = s"$tmp/state"
+    Files.createDirectories(Paths.get(out))
+    val e = graft.Tables.embeddings(spark, d).filter(col("vec_id") < 500)
+    val ev = e.select(col("vec_id").as("t_id"),
+      graft.core.Distance.asDouble(col("embedding")).as("t_v"))
+    val standing = ev.filter(col("t_id") % 5 =!= 1 && col("t_id") % 5 =!= 3)
+    val cent = standing.filter(col("t_id") % 40 === 0)
+      .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
+    AnnSearch.saveIvfIndex(standing, cent, s"$out/ivf")
+    AnnSearch.saveKnnGraph(
+      standing.select(col("t_id").as("vec_id"), col("t_v").as("v")), s"$out/graph")
+    val standingBefore = spark.read.parquet(s"$out/ivf/cells").count()
+    standing.filter(col("t_id") % 4 === 0)
+      .select(lit(null).cast("long").as("doc_id"), col("t_id").as("vec_id"))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/takedown")
+    runRetract(spark, s"$tmp/takedown", out)
+    val retracted = standingBefore - spark.read.parquet(s"$out/ivf/cells").count()
+    val graphLive = AnnSearch.loadKnnGraph(spark, s"$out/graph")._1.count()
+    e.filter(col("vec_id") % 5 === 3 || col("vec_id") % 20 === 0 ||
+        col("vec_id") % 20 === 10)
+      .select(col("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/drops")
+    val runs = runVecWithStages(spark, s"$tmp/drops", out)
+    require(runs.size == 1, s"expected one micro-batch, got ${runs.size}")
+    val (_, in, nNew, app) = runs.head
+    val ivfAfter = spark.read.parquet(s"$out/ivf/cells").count()
+    deleteRec(Paths.get(tmp))
+    import spark.implicits._
+    Seq(
+      "1_standing_before" -> standingBefore,
+      "2_retracted" -> retracted,
+      "3_graph_live" -> graphLive,
+      "4_vec_in" -> in,
+      "5_vec_id_new" -> nNew,
+      "6_appended" -> app,
+      "7_ivf_after" -> ivfAfter,
+    ).toDF("stage", "survivors")
+  }
+
   /** The takedown schema a retraction drop must land with: `doc_id`
     * retracts documents, `vec_id` retracts vectors — either may be
     * null in a row carrying only the other domain's id.

@@ -487,6 +487,54 @@ class RunIngestSpec extends SparkSpecBase {
       s"index closure must be standing($standing) + both appends: $rows")
   }
 
+  test("retract_vec_stream: the takedown is forgotten — a re-ingested retracted vector passes the guard and appends") {
+    // the count algebra is the DuckDB oracle's job (gated at 3 SFs);
+    // this pins the row's SEMANTIC contract, which counts alone cannot:
+    // (a) the takedown reached both vec_id-keyed structures (cells AND
+    // graph live view shrink to standing − retracted); (b) the id guard
+    // still holds for live ids (the ≡ 10 mod 20 subset dies) but lets
+    // re-ingested retracted ids (≡ 0 mod 20 ⊂ the ≡ 0 mod 4 takedown)
+    // through — the "index that FORGOT" property; (c) at least one such
+    // re-ingest survives semantic dedup and is APPENDED (a copy of a
+    // retracted vector is not a dup of anything live near it).
+    val rows = graft.run.RunIngestStream.retractVecStreamQuery(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("1_standing_before", "2_retracted", "3_graph_live",
+      "4_vec_in", "5_vec_id_new", "6_appended", "7_ivf_after"))
+    assert(rows("3_graph_live") === rows("1_standing_before") - rows("2_retracted"),
+      s"graph live view must equal standing - retracted: $rows")
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 500)
+    val stillStored = e.filter(col("vec_id") % 20 === 10).count()
+    val reIngested = e.filter(col("vec_id") % 20 === 0).count()
+    assert(rows("4_vec_in") - rows("5_vec_id_new") === stillStored,
+      s"exactly the live mod-20≡10 ids die in the id guard ($stillStored): $rows")
+    assert(reIngested > 0 && rows("6_appended") > 0, s"non-vacuous: $rows")
+    // (c) needs per-id visibility: replay the oracle's dup algebra for
+    // the re-ingested subset — survivors = re-ingests with no live
+    // vector under eps in their 2 probe cells; at least one must exist
+    // and every survivor is inside the appended count
+    import graft.llm.AnnSearch
+    val ev = e.select(col("vec_id").as("t_id"),
+      graft.core.Distance.asDouble(col("embedding")).as("t_v"))
+    val live = ev.filter(col("t_id") % 5 =!= 1 && col("t_id") % 5 =!= 3 &&
+      col("t_id") % 4 =!= 0)
+    val cent = ev.filter(col("t_id") % 5 =!= 1 && col("t_id") % 5 =!= 3 &&
+        col("t_id") % 40 === 0)
+      .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
+    val re = ev.filter(col("t_id") % 20 === 0)
+    val reDups = re.join(AnnSearch.assignCellsMulti(re, cent, 2), "t_id")
+      .select(col("t_id").as("new_id"), col("t_v").as("n_v"), col("cell"))
+      .join(live.join(AnnSearch.assignCells(live, cent), "t_id")
+        .select(col("t_v").as("i_v"), col("cell")), Seq("cell"))
+      .filter(AnnSearch.cosineDist(col("n_v"), col("i_v")) < 0.75)
+      .select(col("new_id")).distinct().count()
+    val reSurvivors = re.count() - reDups
+    assert(reSurvivors > 0,
+      "at least one re-ingested retracted vector must survive semantic dedup")
+    assert(rows("6_appended") >= reSurvivors,
+      s"appended must include the $reSurvivors surviving re-ingests: $rows")
+  }
+
   test("RunIngest embedding leg: delta_vec ≡ inline semantic cross-dedup; IVF append visible") {
     import graft.llm.AnnSearch
     val out = java.nio.file.Files.createTempDirectory("ingestv").toString
