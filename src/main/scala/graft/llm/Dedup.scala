@@ -868,6 +868,91 @@ object Dedup {
   def substringDup50(s: SparkSession, d: String): DataFrame =
     substringDupDocs(Tables.documents(s, d), gram = 50)
 
+  /** dedup_suffix — ARBITRARY-LENGTH repeated-substring detection via
+    * suffix ordering (round 16, VERDICT r15 #5): the fixed-gram windows
+    * (`dedup_substring`/`_50`) count spans of ONE declared length; the
+    * published production approach to variable-length template
+    * boilerplate (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — suffix arrays over the corpus) reports
+    * the MAXIMAL shared span at whatever length it occurs. This is that
+    * formulation reduced to its Spark-native core:
+    *
+    *  - every character position contributes a DOC-BOUNDED suffix,
+    *    truncated at `cap` chars (the detectable-length ceiling; a
+    *    longer repeat reports as `cap`);
+    *  - suffixes are globally ordered by (suffix, doc_id, pos) —
+    *    `Rank.globalRank`, the range-repartition seam, so no
+    *    single-partition window touches the char-scale stream;
+    *  - ADJACENT suffixes from DIFFERENT docs with a common prefix
+    *    ≥ `minLen` chars witness a cross-doc repeat. Adjacency is the
+    *    classic suffix-array LCP argument: any cross-doc repeat of
+    *    length ≥ minLen produces a rank interval of suffixes sharing
+    *    that prefix which spans ≥ 2 docs, and some adjacent pair inside
+    *    it is cross-doc with LCP ≥ minLen — so adjacent pairs find
+    *    every repeat, at its maximal (cap-clipped) length;
+    *  - per doc: the count of witnessing adjacent pairs it touches and
+    *    its longest cross-doc repeat.
+    *
+    * Scale shape — the candidate-space bound: before ranking, positions
+    * are PREFILTERED to those whose `minLen`-char seed gram is held by
+    * ≥ 2 distinct docs (hash-keyed count-distinct, the
+    * `substringDupDocs(hashKey)` seam). The prefilter is
+    * SEMANTICS-PRESERVING, not approximate: a qualifying pair's both
+    * members keep their seed (it is cross-doc by witness), full-order
+    * adjacency is preserved in any subset (nothing lies between them),
+    * and no NEW qualifying adjacency can appear — any suffix between
+    * two retained suffixes with LCP ≥ minLen shares their ≥ minLen
+    * prefix and is therefore retained itself (lexicographic-interval
+    * argument; DedupSpec pins filtered ≡ unfiltered). So the sorted
+    * stream is bounded by the corpus's actual duplicated-span coverage,
+    * not its size — at 100 TB the rank input is the boilerplate, which
+    * is the thing being measured (`tools.SuffixProbe` reports the
+    * ratio). xxhash64 seed collisions can only RETAIN extra positions
+    * (a superset keeps the equivalence), never drop one. The adjacency
+    * join is a shuffle equi-join on rank; the LCP evaluation runs only
+    * on cross-doc adjacent pairs.
+    */
+  def suffixDupDocs(docs: DataFrame, cap: Int = 120, minLen: Int = 30): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    // Spark sequence(1, 0) DESCENDS — guard zero-length docs out of the
+    // position fan-out (they still appear in the output via the left join)
+    val pos = d.filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text))")).as("p"), col("text"))
+      .select(col("doc_id"), col("p"),
+        col("text").substr(col("p"), lit(cap)).as("s"))
+      .withColumn("g", xxhash64(substring(col("s"), 1, minLen)))
+      .truncated() // char-scale fan-out materialized once, read 2×
+    val dupSeed = pos.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val kept = pos.join(dupSeed, Seq("g"), "left_semi").drop("g")
+    val ranked = graft.rel.Rank.globalRank(kept, Seq(col("s"), col("doc_id"), col("p")))
+    val right = ranked.select((col("grank") - 1).as("grank"),
+      col("doc_id").as("doc_id2"), col("s").as("s2"))
+    val minl = least(length(col("s")), length(col("s2")))
+    // LCP = first mismatching char position − 1 (or the shorter length
+    // when one is a prefix of the other) — evaluated ONLY on cross-doc
+    // adjacent pairs
+    val mismatch = array_min(filter(sequence(lit(1), minl),
+      i => col("s").substr(i, lit(1)) =!= col("s2").substr(i, lit(1))))
+    val pairs = ranked.select(col("grank"), col("doc_id"), col("s"))
+      .join(right, "grank")
+      .filter(col("doc_id") =!= col("doc_id2"))
+      .withColumn("lcp", (coalesce(mismatch, minl + lit(1)) - 1).cast("long"))
+      .filter(col("lcp") >= minLen)
+    val sides = pairs.select(col("doc_id"), col("lcp"))
+      .unionByName(pairs.select(col("doc_id2").as("doc_id"), col("lcp")))
+    val rep = sides.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep"), max(col("lcp")).as("max_rep_len"))
+    d.select(col("doc_id")).join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_rep"), lit(0L)).as("n_rep"),
+        coalesce(col("max_rep_len"), lit(0L)).as("max_rep_len"))
+  }
+
+  def suffixDup(s: SparkSession, d: String): DataFrame =
+    suffixDupDocs(docSlice(s, d))
+
   /** dedup_soft — SOFT deduplication (round 13): instead of DROPPING
     * near-duplicates, assign every doc a sampling weight 1/|cluster| so
     * a trainer's data loader sees each duplicated content unit with the
@@ -1041,6 +1126,7 @@ object Dedup {
     "dedup_simhash64" -> simhashPairs64,
     "dedup_substring" -> (substringDup _),
     "dedup_substring_50" -> (substringDup50 _),
+    "dedup_suffix" -> (suffixDup _),
     "similarity_ngram" -> ngramJaccard,
     "similarity_containment" -> containmentPairs,
     "doc_fingerprint" -> fingerprint,
@@ -1263,6 +1349,32 @@ object Dedup {
 
     "dedup_substring" -> substringOracleSql(8),
     "dedup_substring_50" -> substringOracleSql(50),
+
+    "dedup_suffix" ->
+      // the UNFILTERED suffix-order formulation: rank every doc-bounded
+      // cap-truncated suffix, take adjacent cross-doc pairs with LCP >=
+      // minLen. Equivalent to the Spark side's seed-prefiltered build
+      // (the prefilter is semantics-preserving — suffixDupDocs scaladoc
+      // carries the lexicographic-interval argument; DedupSpec pins it),
+      // so the oracle stays the direct textbook form. LCP = first
+      // mismatching char position - 1, same clip at the shorter length.
+      ("WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id < 500), " +
+        "suf AS MATERIALIZED (SELECT doc_id, i AS p, substring(text, i::INT, 120) AS s " +
+        "FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM d)), " +
+        "r AS MATERIALIZED (SELECT doc_id, p, s, " +
+        "row_number() OVER (ORDER BY s, doc_id, p) AS rn FROM suf), " +
+        "pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.s AS s1, b.s AS s2 " +
+        "FROM r a JOIN r b ON b.rn = a.rn + 1 WHERE a.doc_id <> b.doc_id), " +
+        "lc AS (SELECT d1, d2, " +
+        "coalesce(list_min(list_filter(range(1, least(length(s1), length(s2)) + 1), " +
+        "i -> substring(s1, i::INT, 1) <> substring(s2, i::INT, 1))), " +
+        "least(length(s1), length(s2)) + 1) - 1 AS lcp FROM pr), " +
+        "rep AS (SELECT doc_id, count(*) AS n_rep, max(lcp) AS max_rep_len FROM (" +
+        "SELECT d1 AS doc_id, lcp FROM lc WHERE lcp >= 30 " +
+        "UNION ALL SELECT d2, lcp FROM lc WHERE lcp >= 30) GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(n_rep, 0)::BIGINT AS n_rep, " +
+        "coalesce(max_rep_len, 0)::BIGINT AS max_rep_len " +
+        "FROM d LEFT JOIN rep USING (doc_id)"),
 
     "similarity_ngram" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, substr(text, i::INT, 3) AS tok FROM (" +

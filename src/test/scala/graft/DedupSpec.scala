@@ -339,4 +339,49 @@ class DedupSpec extends SparkSpecBase {
   }
 
   private def rndRef(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("dedup_suffix: seed prefilter is output-identical to the unfiltered suffix order; repeats non-vacuous and clipped") {
+    // the lexicographic-interval argument in suffixDupDocs' scaladoc,
+    // pinned empirically: ranking ONLY positions whose 30-char seed gram
+    // is cross-doc-repeated yields exactly the qualifying adjacent pairs
+    // of the full suffix order (the oracle's unfiltered form). The
+    // brute twin here recomputes without the prefilter via the same
+    // code path shapes.
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val cap = 120; val minLen = 30
+    val prod = Dedup.suffixDupDocs(docs, cap, minLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // unfiltered brute: every suffix ranked (single-partition window is
+    // fine at test scale), adjacent cross-doc pairs, same LCP algebra
+    val suf = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text))")).as("p"), col("text"))
+      .select(col("doc_id"), col("p"), col("text").substr(col("p"), lit(cap)).as("s"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"), col("doc_id"), col("p"))
+    val ranked = suf.withColumn("rn", row_number().over(w))
+    val right = ranked.select((col("rn") - 1).as("rn"),
+      col("doc_id").as("doc_id2"), col("s").as("s2"))
+    val minl = least(length(col("s")), length(col("s2")))
+    val mism = array_min(filter(sequence(lit(1), minl),
+      i => col("s").substr(i, lit(1)) =!= col("s2").substr(i, lit(1))))
+    val pairs = ranked.select(col("rn"), col("doc_id"), col("s")).join(right, "rn")
+      .filter(col("doc_id") =!= col("doc_id2"))
+      .withColumn("lcp", (coalesce(mism, minl + lit(1)) - 1).cast("long"))
+      .filter(col("lcp") >= minLen)
+    val sides = pairs.select(col("doc_id"), col("lcp"))
+      .unionByName(pairs.select(col("doc_id2").as("doc_id"), col("lcp")))
+    val rep = sides.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep"), max(col("lcp")).as("max_rep_len"))
+    val brute = docs.select(col("doc_id")).join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_rep"), lit(0L)),
+        coalesce(col("max_rep_len"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(prod === brute, "prefiltered ≡ unfiltered suffix ranking")
+    // non-vacuity + clip: the corpus plants long boilerplate spans
+    val withRep = prod.filter(_._2 > 0)
+    assert(withRep.nonEmpty, "some doc must carry a cross-doc repeat ≥ 30 chars")
+    assert(prod.forall(_._3 <= cap), "repeat lengths are cap-clipped")
+    assert(withRep.forall(_._3 >= minLen), "reported repeats honor minLen")
+  }
 }

@@ -102,6 +102,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "tokenizer_wordpiece", // vocab top-64 rank over the substring-count frame (corpus_zipf rule)
     "tokenizer_viterbi",   // same shared vocab build
     "corpus_zipf",         // vocab rank on the declared slice (corpusZipfScalable is the scale twin)
+    "dedup_suffix",        // Rank.globalRank offsets frame (≤ #partitions rows)
     "embedding_outliers",  // quantile edges over ≤ bins rows (×3)
     "events_paths",        // top-k-limited path frame
     "events_power_users",  // decile cut over the per-user aggregate (rfm note)
