@@ -101,6 +101,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "corpus_token_budget", // two-pass prefix-sum offsets frame (≤ #partitions rows, the Rank rule)
     "tokenizer_wordpiece", // vocab top-64 rank over the substring-count frame (corpus_zipf rule)
     "tokenizer_viterbi",   // same shared vocab build
+    "tokenizer_unigram_train", // seed + trained-piece ranks over vocab-sized frames (≤ SeedV + alphabet rows)
     "corpus_zipf",         // vocab rank on the declared slice (corpusZipfScalable is the scale twin)
     "dedup_suffix",        // Rank.globalRank offsets frame (≤ #partitions rows)
     "embedding_outliers",  // quantile edges over ≤ bins rows (×3)

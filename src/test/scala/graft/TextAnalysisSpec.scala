@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.llm.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpecBase {
@@ -234,5 +236,45 @@ class TextAnalysisSpec extends SparkSpecBase {
     // the budget actually bites: strictly fewer tokens kept than total
     assert(out.values.map(_._2).sum < out.values.map(_._4).sum)
     assert(out.values.map(_._2).sum > 0)
+  }
+
+  test("tokenizer_unigram_train: EM reselects the vocab, masses account every char, and the output feeds the Viterbi segmenter") {
+    val docs = Tables.documents(spark, sfDir)
+    val trained = TextAnalysis.unigramTrainDocs(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(trained.nonEmpty && trained.length <= 64)
+    // structural: ranks are 1..k, masses positive and descending in rank
+    assert(trained.map(_._1).toSeq === (1 to trained.length))
+    assert(trained.forall(_._3 > 0), "a trained piece was never chosen — should have pruned")
+    assert(trained.sortBy(_._1).map(_._3).sliding(2).forall(p => p.head >= p.last))
+    assert(trained.forall(_._2.length >= 2), "output is the multi-char vocab (alphabet is implicit)")
+    // the EM did something: the trained top-k is NOT the raw-frequency
+    // top-k of the same substring universe (overlapping candidates
+    // compete for mass once segmentation is exclusive)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).groupBy("word").agg(count(lit(1)).as("n"))
+    val rawTop = words.select(col("n"), explode(expr(
+        "flatten(transform(sequence(1, length(word)), i -> " +
+          "transform(sequence(2, 4), l -> " +
+          "CASE WHEN i + l - 1 <= length(word) THEN substring(word, i, l) END)))")).as("sub"))
+      .filter(col("sub").isNotNull).groupBy("sub").agg(sum(col("n")).as("m"))
+      .orderBy(col("m").desc, col("sub")).limit(trained.length)
+      .select("sub").collect().map(_.getString(0)).toSet
+    assert(trained.map(_._2).toSet !== rawTop,
+      "training must reselect/reorder vs the raw-frequency seed")
+    // hard-EM mass conservation: each word's segmentation tiles the word,
+    // so Σ mass over ALL emitted pieces (vocab + chars) = Σ n·|word| is
+    // NOT required of the top-64 alone — but every trained mass must be
+    // at most the total corpus char occurrences (sanity bound)
+    val totalChars = words.select(sum(expr("n * length(word)"))).head().getLong(0)
+    assert(trained.forall(_._3 <= totalChars))
+    // loop closure: the trained vocab drops into the inference segmenter
+    // (wordTokenCounts vocabOverride) and every word still segments
+    import spark.implicits._
+    val vocabDf = trained.map(_._2).toSeq.toDF("sub")
+    val wt = TextAnalysis.wordTokenCounts(docs, Some(vocabDf)).collect()
+    assert(wt.nonEmpty)
+    assert(wt.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0),
+      "greedy and optimal token counts positive under the trained vocab")
   }
 }
