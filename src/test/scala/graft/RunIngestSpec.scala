@@ -535,6 +535,53 @@ class RunIngestSpec extends SparkSpecBase {
       s"appended must include the $reSurvivors surviving re-ingests: $rows")
   }
 
+  test("RunIngest.maintainLsh: drift floods buckets past the cap, collapse dedups the flood and restores recall") {
+    // the LshMaintProbe loop at spec scale (round 16 — LSH's maintain
+    // leg): a healthy index reads "collapsed: false"; a planted
+    // template-boilerplate flood drops banded recall under the floor,
+    // the trigger fires, and the hot-bucket clique collapse (exact-
+    // verified keep-min + tombstone + compaction) restores recall over
+    // the live content. All hashes md5/xxhash — deterministic.
+    import graft.llm.Dedup
+    val out = java.nio.file.Files.createTempDirectory("lshmaint").toString
+    val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    Dedup.saveLshIndex(base, s"$out/index")
+    val cap = 100 // above the base slice's hottest band bucket, below the flood's
+    val healthy = RunIngest.maintainLsh(spark, out,
+      minRecall = 0.9, sampleMod = 2, maxBandBucket = cap)
+    assert(healthy.contains("collapsed: false"), healthy)
+    val boiler = (1 to 200).map(i => s"tmplt$i").mkString(" ")
+    val va = base.select((col("doc_id") + 10000).as("doc_id"),
+      concat(lit(boiler + " "), col("text")).as("text"))
+    val vb = base.select((col("doc_id") + 20000).as("doc_id"),
+      concat(lit(boiler + " "), col("text"), lit(" zqx1 zqx2")).as("text"))
+    Dedup.appendToLshIndex(va.unionByName(vb), s"$out/index")
+    val (drifted, _, _) = Dedup.lshBandedRecall(spark, s"$out/index",
+      sampleMod = 2, maxBandBucket = cap)
+    assert(drifted < 0.9, s"the flood must drop banded recall: $drifted")
+    val report = RunIngest.maintainLsh(spark, out,
+      minRecall = 0.9, sampleMod = 2, maxBandBucket = cap)
+    assert(report.contains("hot buckets"), report)
+    val (restored, nTruth, _) = Dedup.lshBandedRecall(spark, s"$out/index",
+      sampleMod = 2, maxBandBucket = cap)
+    assert(restored >= 0.9, s"collapse must restore recall: $restored ($nTruth truth)")
+    // the collapse physically compacted: tombstones cleared, live docs shrunk
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/index/tombstones")))
+    val liveN = spark.read.parquet(s"$out/index/docs").count()
+    assert(liveN < 120 + 240, s"redundant flood members must be gone: $liveN")
+    // re-parameterization leg (rebandLshIndex): params swap in, recall
+    // at the new banding computes, crash-discipline leaves a live table
+    val live = graft.core.Ckpt.truncate(Dedup.loadLshDocs(spark, s"$out/index"))
+    Dedup.rebandLshIndex(live, s"$out/index", 16, 2)
+    graft.core.Ckpt.release(live)
+    val p = spark.read.parquet(s"$out/index/params").head()
+    assert(p.getAs[Int]("num_hashes") === 16 && p.getAs[Int]("rows_per_band") === 2)
+    val (r16, _, _) = Dedup.lshBandedRecall(spark, s"$out/index",
+      sampleMod = 2, maxBandBucket = cap)
+    assert(r16 >= 0.9, s"16x2 banding keeps recall on the clean index: $r16")
+  }
+
   test("RunIngest embedding leg: delta_vec ≡ inline semantic cross-dedup; IVF append visible") {
     import graft.llm.AnnSearch
     val out = java.nio.file.Files.createTempDirectory("ingestv").toString
