@@ -535,6 +535,44 @@ class RunIngestSpec extends SparkSpecBase {
       s"appended must include the $reSurvivors surviving re-ingests: $rows")
   }
 
+  test("streamed ingest kill-window replay: a lost commit file replays the batch and the id guard makes it a no-op") {
+    // the StreamSoakProbe replay leg at spec scale (round 16, VERDICT
+    // r15 #3): after a drain, deleting the checkpoint's latest
+    // commits/<id> is EXACTLY the state a crash between a batch's side
+    // effects and its commit leaves — offsets written, commit missing.
+    // On restart Structured Streaming replays the batch from offsets;
+    // ingestDelta's id_new guard must drop every already-appended doc
+    // (appended = 0) and perform no writes (corpus count unchanged).
+    val tmp = java.nio.file.Files.createTempDirectory("replayspec").toString
+    val out = s"$tmp/state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val corp0 = docs.filter(col("doc_id") % 5 =!= 1 && col("doc_id") % 5 =!= 3)
+    graft.llm.Dedup.saveLshIndex(corp0, s"$out/index")
+    graft.sources.Sinks.writePartitioned(corp0, s"$out/corpus", Seq("source"))
+    docs.filter(col("doc_id") % 5 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/drops")
+    val run1 = graft.run.RunIngestStream.runWithStages(spark, s"$tmp/drops", out)
+    assert(run1.size === 1 && run1.head._3 > 0, "first drain appends survivors")
+    val corpusAfter = spark.read.parquet(s"$out/corpus").count()
+    // kill window: drop the latest commit (and its local-FS crc sibling)
+    import scala.jdk.CollectionConverters._
+    val commits = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$out/_ckpt/ingest/commits"))
+      .iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+    val latest = commits.maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(latest)
+    java.nio.file.Files.deleteIfExists(
+      latest.resolveSibling("." + latest.getFileName + ".crc"))
+    val replay = graft.run.RunIngestStream.runWithStages(spark, s"$tmp/drops", out)
+    assert(replay.size === 1, "the uncommitted batch replays exactly once")
+    assert(replay.head._3 === 0, s"replay must append nothing: ${replay.head}")
+    assert(spark.read.parquet(s"$out/corpus").count() === corpusAfter,
+      "replay performs no writes — corpus unchanged")
+  }
+
   test("RunIngest.maintainLsh: drift floods buckets past the cap, collapse dedups the flood and restores recall") {
     // the LshMaintProbe loop at spec scale (round 16 — LSH's maintain
     // leg): a healthy index reads "collapsed: false"; a planted
