@@ -53,6 +53,14 @@ object Bench {
     val builds = Seq[(String, () => Unit, String)](
       ("build_shared_scores", () => SparkEntry.releaseShared(), "accuracy"),
       ("build_dedup_clusters", () => graft.llm.Dedup.releaseShared(), "dedup_cluster"),
+      // edges BEFORE walks: the walk corpus reads the edge memo, so its
+      // cold line prices the walk loop, not a second edge build. Two
+      // lines because there are two memoized lists: the first releases
+      // BOTH and its query rebuilds custSupp; the second's query then
+      // cold-builds coOrder (its release is a no-op by construction —
+      // order is load-bearing, same as walks-after-edges)
+      ("build_graph_edges", () => graft.rel.Graph.releaseSharedEdges(), "graph_degree_dist"),
+      ("build_graph_edges_co", () => (), "graph_kcore_fixpoint"),
       ("build_graph_walks", () => graft.rel.Graph.releaseShared(), "graph_random_walk"),
       ("build_ingest_pairs", () => graft.llm.Curation.releaseShared(), "ingest_manifest"),
       ("build_subword_vocab", () => graft.llm.TextAnalysis.releaseShared(), "tokenizer_wordpiece"))

@@ -27,6 +27,52 @@ object Graph {
 
   private val Damping = 0.85
 
+  /** Round-16 shared edge-list memo (the `SparkEntry.scoresShared` /
+    * `walksShared` convention applied to the family's common prologue):
+    * every declared graph row starts by deriving one of two edge lists
+    * — `custSuppEdges` (orders⋈lineitem → distinct → symmetrize) or
+    * `coOrderEdges` (the quadratic-per-order pair expansion) — and
+    * checkpoint-truncating its own copy. Measured at sf0.1
+    * (`tools.EdgeBuildProbe`): ~1.1-1.4 s per build, repaid by 21 rows
+    * = ~25 s of the 68.9 s family. The memo materializes each list ONCE
+    * per (session, dir); the cold build is charged visibly as Bench's
+    * `build_graph_edges` line (the round-11 cold-build accounting rule),
+    * and every consumer reads the checkpoint. Retention is the edge
+    * list itself (|E| rows, ~1 M at sf0.1); long-lived sessions call
+    * `releaseSharedEdges()`. Values are identical to the per-query
+    * builds — operators receive an already-truncated frame and adopt it
+    * (`adoptTruncated`) instead of copying, and NEVER release a frame
+    * they did not truncate (the memo's lifecycle is this object's).
+    */
+  private val sharedEdges = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private[graft] def custSuppEdgesShared(s: SparkSession, d: String): DataFrame =
+    sharedEdges.getOrElseUpdate((s, d, "cs"), Ckpt.untracked {
+      Ckpt.truncate(custSuppEdges(s, d))
+    })
+
+  private[graft] def coOrderEdgesShared(s: SparkSession, d: String): DataFrame =
+    sharedEdges.getOrElseUpdate((s, d, "co"), Ckpt.untracked {
+      Ckpt.truncate(coOrderEdges(s, d))
+    })
+
+  /** Release the memoized edge lists (Bench's `build_graph_edges` line;
+    * test hygiene / long sessions).
+    */
+  def releaseSharedEdges(): Unit = {
+    sharedEdges.values.foreach(Ckpt.release)
+    sharedEdges.clear()
+  }
+
+  /** Adopt an already-truncated edge frame (the shared memo) or
+    * truncate a derived one. The flag says whether THIS call site owns
+    * the checkpoint — owners may release it once their rounds have
+    * materialized; adopters must not (the memo outlives the query).
+    */
+  private def adoptTruncated(e: DataFrame): (DataFrame, Boolean) =
+    if (Ckpt.isTruncated(e)) (e, false) else (Ckpt.truncate(e), true)
+
   /** Undirected customer↔supplier edges from co-occurrence in an order:
     * distinct (customer, supplier) pairs through orders ⋈ lineitem,
     * namespaced into one node-id space (customers even, suppliers odd).
@@ -57,8 +103,9 @@ object Graph {
     */
   def pageRank(edgesIn: DataFrame, iters: Int = 3): DataFrame = {
     // edges are read iters + 1 times (degrees, every round's join) —
-    // materialize the derivation once instead of re-running it
-    val edges = edgesIn.truncated()
+    // materialize the derivation once instead of re-running it (or
+    // adopt the shared memo's checkpoint)
+    val (edges, _) = adoptTruncated(edgesIn)
     // The degree table doubles as the node set (edges are symmetrized,
     // so every node appears as src), and BOTH per-node constants — od
     // and the node count n — ride IN the rank state. Round 6: the old
@@ -98,7 +145,7 @@ object Graph {
   }
 
   def pageRankQuery(s: SparkSession, d: String): DataFrame =
-    pageRank(custSuppEdges(s, d), iters = 3)
+    pageRank(custSuppEdgesShared(s, d), iters = 3)
 
   /** graph_ppr — PERSONALIZED PageRank: teleport lands on a seed set
     * (node ≡ 0 mod `BfsSeedMod`, the `graph_bfs` seed rule) instead of
@@ -113,7 +160,7 @@ object Graph {
     */
   def personalizedPageRank(edgesIn: DataFrame, seedMod: Int = BfsSeedMod,
       iters: Int = 3): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
     val ns1 = broadcast(
       deg.filter(col("src") % seedMod === 0)
@@ -142,7 +189,7 @@ object Graph {
   }
 
   def pprQuery(s: SparkSession, d: String): DataFrame =
-    personalizedPageRank(custSuppEdges(s, d))
+    personalizedPageRank(custSuppEdgesShared(s, d))
 
   /** graph_conn_comp — fixed-round connected components by synchronous
     * min-label propagation: every node starts as its own component;
@@ -157,7 +204,7 @@ object Graph {
     * truncate/release per round.
     */
   def connCompRounds(edgesIn: DataFrame, rounds: Int = CcRounds): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     var lbl = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp")).truncated()
     for (_ <- 1 to rounds) {
@@ -173,7 +220,7 @@ object Graph {
   }
 
   def connCompQuery(s: SparkSession, d: String): DataFrame =
-    connCompRounds(custSuppEdges(s, d))
+    connCompRounds(custSuppEdgesShared(s, d))
 
   /** graph_cc_fixpoint — TRUE-fixpoint connected components (round 9):
     * the PRODUCTION loop-to-convergence CC with pointer jumping
@@ -193,7 +240,7 @@ object Graph {
     */
   def ccFixpointQuery(s: SparkSession, d: String): DataFrame =
     graft.llm.Dedup.connectedComponents(
-      custSuppEdges(s, d).filter(col("src") < col("dst"))
+      custSuppEdgesShared(s, d).filter(col("src") < col("dst"))
         .select(col("src").as("doc_id1"), col("dst").as("doc_id2")))
       .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
 
@@ -210,7 +257,7 @@ object Graph {
     * aggregate: nothing outlives the edge scan.
     */
   def assortativity(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     edges
       .join(deg.select(col("src"), col("d").as("dx")), "src")
@@ -234,7 +281,7 @@ object Graph {
   }
 
   def assortativityQuery(s: SparkSession, d: String): DataFrame =
-    assortativity(custSuppEdges(s, d))
+    assortativity(custSuppEdgesShared(s, d))
 
   /** graph_modularity — Newman modularity of the `labelProp`
     * communities: Q = Σ_c [L_c/2m − (D_c/2m)²] — THE read-out that says
@@ -249,7 +296,7 @@ object Graph {
     * two keyed aggregates on the node-key exchange LPA already built.
     */
   def modularity(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     val labels = labelProp(edges).select(col("node"), col("label"))
     val lblSrc = labels.select(col("node").as("src"), col("label").as("la"))
     val lblDst = labels.select(col("node").as("dst"), col("label").as("lb"))
@@ -269,7 +316,7 @@ object Graph {
   }
 
   def modularityQuery(s: SparkSession, d: String): DataFrame =
-    modularity(custSuppEdges(s, d))
+    modularity(custSuppEdgesShared(s, d))
 
   /** Undirected part↔part co-order edges: distinct part pairs that
     * appear in the same order (canonical p1 < p2). The quantity filter
@@ -361,7 +408,7 @@ object Graph {
       .filter(col("v") < col("w"))
 
   def triangleCount(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     val oriented = orientEdges(edges, degrees(edges))
     val closed = wedges(oriented).join(
       edges, col("v") === edges("p1") && col("w") === edges("p2"), "left_semi")
@@ -370,7 +417,7 @@ object Graph {
   }
 
   def trianglesQuery(s: SparkSession, d: String): DataFrame =
-    triangleCount(coOrderEdges(s, d))
+    triangleCount(coOrderEdgesShared(s, d))
 
   /** graph_edge_jaccard — per-edge neighborhood similarity
     * cn/(d₁+d₂−cn−2), the graph-sparsification / community-detection
@@ -384,7 +431,7 @@ object Graph {
     * Jaccard defined 0 by the shared CASE.
     */
   def edgeJaccard(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     val deg = degrees(edges)
     val tri = wedges(orientEdges(edges, deg)).join(
       edges, col("v") === edges("p1") && col("w") === edges("p2"), "left_semi")
@@ -407,7 +454,7 @@ object Graph {
   }
 
   def edgeJaccardQuery(s: SparkSession, d: String): DataFrame =
-    edgeJaccard(coOrderEdges(s, d))
+    edgeJaccard(coOrderEdgesShared(s, d))
 
   /** graph_resource_alloc — per-edge Resource Allocation link score
     * Σ_{w ∈ CN(u,v)} 1/deg(w) (Zhou-Lü-Zhang 2009), the common-neighbor
@@ -429,7 +476,7 @@ object Graph {
     * lists are triangle-bounded per edge, never corpus-bounded.
     */
   def resourceAlloc(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     val deg = degrees(edges)
     val tri = wedges(orientEdges(edges, deg)).join(
       edges, col("v") === edges("p1") && col("w") === edges("p2"), "left_semi")
@@ -450,7 +497,7 @@ object Graph {
   }
 
   def resourceAllocQuery(s: SparkSession, d: String): DataFrame =
-    resourceAlloc(coOrderEdges(s, d))
+    resourceAlloc(coOrderEdgesShared(s, d))
 
   /** graph_kcore — FIXED-ROUND k-core peeling: each round drops every
     * node whose current degree is below k, plus its incident edges
@@ -485,7 +532,8 @@ object Graph {
   private[graft] val CcRounds = 3
 
   def kCorePeel(edgesIn: DataFrame, k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
-    var edges = edgesIn.truncated()
+    val (edges0, owned0) = adoptTruncated(edgesIn)
+    var edges = edges0
     for (_ <- 1 to rounds) {
       val keep = degrees(edges).filter(col("d") >= k).select(col("node"))
       val prev = edges
@@ -494,13 +542,14 @@ object Graph {
         .join(keep.withColumnRenamed("node", "p2"), Seq("p2"), "left_semi")
         .select(col("p1"), col("p2"))
         .truncated()
-      Ckpt.release(prev)
+      // round 0's frame may be the shared memo — only owners release
+      if (!(prev eq edges0) || owned0) Ckpt.release(prev)
     }
     degrees(edges).select(col("node"), col("d").as("core_deg"))
   }
 
   def kCoreQuery(s: SparkSession, d: String): DataFrame =
-    kCorePeel(coOrderEdges(s, d))
+    kCorePeel(coOrderEdgesShared(s, d))
 
   /** graph_kcore_fixpoint — TRUE-fixpoint k-core: the `kCorePeel` loop
     * run to convergence instead of a declared round count — the form a
@@ -519,7 +568,8 @@ object Graph {
     * `Ckpt.release` storage bound are inherited unchanged.
     */
   def kCoreFixpoint(edgesIn: DataFrame, k: Int = KCoreK, maxRounds: Int = 50): DataFrame = {
-    var edges = edgesIn.truncated()
+    val (edges0, owned0) = adoptTruncated(edgesIn)
+    var edges = edges0
     var prevEdgeCount = -1L
     var converged = false
     var it = 0
@@ -536,7 +586,8 @@ object Graph {
       val ne = obs.get("ne").asInstanceOf[Long]
       converged = ne == prevEdgeCount || ne == 0L
       prevEdgeCount = ne
-      Ckpt.release(prev)
+      // round 0's frame may be the shared memo — only owners release
+      if (!(prev eq edges0) || owned0) Ckpt.release(prev)
       it += 1
     }
     if (!converged)
@@ -546,7 +597,7 @@ object Graph {
   }
 
   def kCoreFixpointQuery(s: SparkSession, d: String): DataFrame =
-    kCoreFixpoint(coOrderEdges(s, d))
+    kCoreFixpoint(coOrderEdgesShared(s, d))
 
   /** graph_clustering — per-node local clustering coefficient
     * 2·t(v) / (d(v)·(d(v)−1)) (Watts-Strogatz): the fraction of a
@@ -560,7 +611,7 @@ object Graph {
     * division is exact-rounded on identical operands cross-engine.
     */
   def clusteringCoeff(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     val deg = degrees(edges)
     val tri = wedges(orientEdges(edges, deg)).join(
       edges, col("v") === edges("p1") && col("w") === edges("p2"), "left_semi")
@@ -576,7 +627,7 @@ object Graph {
   }
 
   def clusteringQuery(s: SparkSession, d: String): DataFrame =
-    clusteringCoeff(coOrderEdges(s, d))
+    clusteringCoeff(coOrderEdgesShared(s, d))
 
   /** graph_bfs — multi-source breadth-first hop distance, `maxHops`
     * synchronous frontier rounds: dist(source) = 0, each round relaxes
@@ -593,7 +644,7 @@ object Graph {
     * sum, so the 100 TB story is identical.
     */
   def bfsHops(edgesIn: DataFrame, sources: DataFrame, maxHops: Int = BfsMaxHops): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, ownedEdges) = adoptTruncated(edgesIn)
     // FRONTIER expansion, not full-state re-relaxation: in unweighted
     // BFS a node's distance settles the round it first appears, so only
     // LAST round's new nodes can discover anything — joining edges
@@ -630,12 +681,12 @@ object Graph {
     // The fold is ≤ |V| rows — one linear copy buys a bounded footprint.
     val out = Ckpt.truncate(parts.reduce(_ unionAll _))
     parts.foreach(Ckpt.release)
-    Ckpt.release(edges)
+    if (ownedEdges) Ckpt.release(edges)
     out
   }
 
   def bfsQuery(s: SparkSession, d: String): DataFrame = {
-    val edges = custSuppEdges(s, d)
+    val edges = custSuppEdgesShared(s, d)
     val sources = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % BfsSeedMod === 0)
     bfsHops(edges, sources)
@@ -675,9 +726,9 @@ object Graph {
 
   def betweennessSampled(edgesIn: DataFrame, seeds: DataFrame,
       maxHops: Int = BfsMaxHops): DataFrame = {
-    // caller may hand in an already-truncated edge frame (the
-    // harmonicAllSeeds contract — released here with the rounds)
-    val edges = if (Ckpt.isTruncated(edgesIn)) edgesIn else edgesIn.truncated()
+    // caller may hand in an already-truncated edge frame (the shared
+    // memo / harmonicAllSeeds contract — NOT released here: owners only)
+    val (edges, ownedEdges) = adoptTruncated(edgesIn)
     var parts = List(seeds
       .select(col("node").as("seed"), col("node"), lit(0L).as("dist"), lit(1L).as("sigma"))
       .truncated())
@@ -719,7 +770,7 @@ object Graph {
         .groupBy(col("v").as("node"))
         .agg(rnd(sum(col("sg1") * col("sg2") / col("sigma_st")), 6).as("betweenness")))
     Ckpt.release(p)
-    Ckpt.release(edges)
+    if (ownedEdges) Ckpt.release(edges)
     out
   }
 
@@ -742,7 +793,7 @@ object Graph {
   }
 
   def betweennessQuery(s: SparkSession, d: String): DataFrame = {
-    val edges = custSuppEdges(s, d).truncated()
+    val edges = custSuppEdgesShared(s, d)
     betweennessSampled(edges, btwSeedsOf(edges, BtwSeedBudget))
   }
 
@@ -807,11 +858,12 @@ object Graph {
   }
 
   private def harmonicAllSeeds(edgesIn: DataFrame, seeds: DataFrame): DataFrame = {
-    // the declared row hands in an ALREADY-truncated edge frame (so its
-    // seed-budget count reads the checkpoint instead of recomputing the
-    // orders⋈lineitem build) — a second truncate would materialize a
-    // duplicate copy and leak the first (Ckpt.isTruncated scaladoc)
-    val edges = if (Ckpt.isTruncated(edgesIn)) edgesIn else edgesIn.truncated()
+    // the declared row hands in an ALREADY-truncated edge frame (the
+    // shared memo — its seed-budget count reads the checkpoint instead
+    // of recomputing the orders⋈lineitem build); a second truncate
+    // would materialize a duplicate copy, and releasing a frame we did
+    // not truncate would kill the memo for its next consumer
+    val (edges, ownedEdges) = adoptTruncated(edgesIn)
     // frontier expansion on the (seed, node) composite key — the bfsHops
     // rewrite's rationale doubled: with seeds riding in the key, the
     // full-state join's round-r cost was |seeds|·|cumulative reach|
@@ -859,7 +911,7 @@ object Graph {
     // to |seeds| rows per run — the blocks live only within the run.
     val out = Ckpt.truncate(folded)
     parts.foreach(Ckpt.release)
-    Ckpt.release(edges)
+    if (ownedEdges) Ckpt.release(edges)
     out
   }
 
@@ -869,7 +921,7 @@ object Graph {
     // the rounds); the budget keeps the declared row's per-round
     // checkpoint state ~|budget|·|reach|-bounded — the r12/r13 driver-
     // bench lesson (scaladoc at harmonicPerSeed)
-    val edges = custSuppEdges(s, d).truncated()
+    val edges = custSuppEdgesShared(s, d)
     val seeds = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % BfsSeedMod === 0)
     harmonicPerSeed(edges, seeds, maxSeeds = HarmonicSeedBudget)
@@ -922,7 +974,7 @@ object Graph {
     */
   def harmonicHll(edgesIn: DataFrame, seedMod: Int = BfsSeedMod,
       maxHops: Int = BfsMaxHops, lgK: Int = 10): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     // state: (node, sk, cprev = |B(node, h−1)| estimate, hacc).
     // Hop-0 nodes = src ∪ dst (ADVICE r9): on non-symmetrized edge input
     // a dst-only node would otherwise have no hop-0 row, and the
@@ -968,7 +1020,7 @@ object Graph {
   private[graft] val HarmonicHllLgK = 7
 
   def harmonicHllQuery(s: SparkSession, d: String): DataFrame =
-    harmonicHll(custSuppEdges(s, d), lgK = HarmonicHllLgK)
+    harmonicHll(custSuppEdgesShared(s, d), lgK = HarmonicHllLgK)
 
   /** graph_link_pred — common-neighbor link prediction over NON-edges:
     * the top candidate pairs at distance 2 ranked by shared-neighbor
@@ -989,7 +1041,7 @@ object Graph {
     */
   def linkPredCandidates(edgesIn: DataFrame, topK: Int = 100,
       maxDeg: Int = 1000): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     val adjRaw = edges.select(col("p1").as("u"), col("p2").as("x"))
       .unionAll(edges.select(col("p2").as("u"), col("p1").as("x")))
     val adj = adjRaw
@@ -1014,7 +1066,7 @@ object Graph {
   }
 
   def linkPredQuery(s: SparkSession, d: String): DataFrame =
-    linkPredCandidates(coOrderEdges(s, d))
+    linkPredCandidates(coOrderEdgesShared(s, d))
 
   /** graph_degree_dist — the degree histogram (degree → node count) of
     * the customer↔supplier graph: the first diagnostic a graph pipeline
@@ -1025,7 +1077,7 @@ object Graph {
     * edge scan.
     */
   def degreeDistQuery(s: SparkSession, d: String): DataFrame =
-    custSuppEdges(s, d)
+    custSuppEdgesShared(s, d)
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
 
@@ -1048,7 +1100,7 @@ object Graph {
     * round — one exchange reused across rounds.
     */
   def labelProp(edgesIn: DataFrame, iters: Int = 2): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
@@ -1068,7 +1120,7 @@ object Graph {
   }
 
   def labelPropQuery(s: SparkSession, d: String): DataFrame =
-    labelProp(custSuppEdges(s, d))
+    labelProp(custSuppEdgesShared(s, d))
 
   /** Loop-to-fixpoint LPA: `labelProp` run until NO label changes,
     * convergence observed during each round's checkpoint
@@ -1156,9 +1208,15 @@ object Graph {
   }
 
   def bipartiteProjQuery(s: SparkSession, d: String): DataFrame =
-    bipartiteProjFrom(Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ok"), col("l_suppkey").as("pk")))
+    // the (cust, supp) membership IS the decoded even-src half of the
+    // symmetrized memo: ok = src/2 (customers namespaced even — exact),
+    // pk = (dst-1)/2; shiftright preserves the key's integer type, and
+    // bipartiteProjFrom's own distinct() is a no-op on the already-
+    // distinct pairs, so the projection rows are value-identical
+    bipartiteProjFrom(custSuppEdgesShared(s, d)
+      .filter(col("src") % 2 === 0)
+      .select(shiftright(col("src"), 1).as("ok"),
+        shiftright(col("dst") - 1, 1).as("pk")))
 
   // ---- graph_hits: Kleinberg hubs & authorities -------------------------
 
@@ -1180,7 +1238,7 @@ object Graph {
     * `Ckpt.truncate` (plan-growth hygiene) and round r−1 released.
     */
   def hits(edgesIn: DataFrame, iters: Int = HitsIters): DataFrame = {
-    val edges = edgesIn.truncated()
+    val (edges, _) = adoptTruncated(edgesIn)
     val nh = broadcast(edges.select(col("src")).distinct()
       .agg(count(lit(1)).cast("double").as("n")))
     var h = edges.select(col("src")).distinct().crossJoin(nh)
@@ -1204,10 +1262,10 @@ object Graph {
   }
 
   def hitsQuery(s: SparkSession, d: String): DataFrame = {
-    val half = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // the directed half IS the even-src slice of the symmetrized memo
+    // (customers are namespaced even, so the reverse copies all carry
+    // odd src) — same distinct (cust*2, supp*2+1) rows, one build
+    val half = custSuppEdgesShared(s, d).filter(col("src") % 2 === 0)
     hits(half)
   }
 
@@ -1266,7 +1324,7 @@ object Graph {
       s"walksPerSeed=$walksPerSeed: sequence(0, R-1) at R <= 0 runs DESCENDING " +
         "and collapses every seed onto walk ids {0, -1} — a corrupt corpus, not an empty one")
     require(ckptEvery >= 1, "ckptEvery must be >= 1")
-    val edges = edgesIn.truncated()
+    val (edges, ownedEdges) = adoptTruncated(edgesIn)
     val adj = adjacencyIndexed(edges).truncated()
     var state = edges.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(seedMod)) === 0)
@@ -1298,7 +1356,7 @@ object Graph {
     val out = Ckpt.truncate(acc.reduce(_ unionAll _))
     acc.foreach(Ckpt.release)
     Ckpt.release(adj)
-    Ckpt.release(edges)
+    if (ownedEdges) Ckpt.release(edges)
     out
   }
 
@@ -1371,7 +1429,7 @@ object Graph {
       "node2vec weights must be positive integers")
     require(walksPerSeed >= 1,
       s"walksPerSeed=$walksPerSeed: must be >= 1 (the randomWalks guard)")
-    val edges = edgesIn.truncated()
+    val (edges, ownedEdges) = adoptTruncated(edgesIn)
     val adj = adjacencyIndexed(edges).truncated()
     val common = edges.select(col("src").as("pe_src"), col("dst").as("pe_dst"),
       lit(1).as("is_common"))
@@ -1425,7 +1483,7 @@ object Graph {
     val out = Ckpt.truncate(acc.reduce(_ unionAll _).drop("prev"))
     acc.foreach(Ckpt.release)
     Ckpt.release(adj)
-    Ckpt.release(edges)
+    if (ownedEdges) Ckpt.release(edges)
     out
   }
 
@@ -1583,7 +1641,7 @@ object Graph {
     // randomWalks eagerly folds its own result since round 13 — a
     // second truncate would duplicate the corpus blocks
     sharedWalks.getOrElseUpdate((s, d), Ckpt.untracked {
-      val w = randomWalks(custSuppEdges(s, d))
+      val w = randomWalks(custSuppEdgesShared(s, d))
       if (Ckpt.isTruncated(w)) w else Ckpt.truncate(w)
     })
 
@@ -1607,7 +1665,7 @@ object Graph {
     * per-walk cumulative-weight draw.
     */
   def node2vecWalkQuery(s: SparkSession, d: String): DataFrame = {
-    val half = coOrderEdges(s, d)
+    val half = coOrderEdgesShared(s, d)
     val edges = half.select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(half.select(col("p2").as("src"), col("p1").as("dst")))
     node2vecWalks(edges, steps = 4, seedMod = 20,
