@@ -119,6 +119,16 @@ object Dedup {
     * keeps side by side). Shared by the batch pair path and the
     * persisted-index path — one signature definition repo-wide.
     */
+  /** Banded signatures for `docs` at the library-default banding — the
+    * exact frame `nearDupsAgainstIndex(newSigs = ...)` and
+    * `appendToLshIndex(sigs = ...)` accept (round 16: the streamed
+    * ingest funnel builds the batch's signatures ONCE, checkpoints
+    * them, and feeds both legs instead of re-running tokenize+minhash
+    * per consumer).
+    */
+  def defaultBandSigs(docs: DataFrame): DataFrame =
+    bandSigs(TextOps.docTokens(docs), NumHashes, RowsPerBand)
+
   private[graft] def bandSigs(toks: DataFrame, numHashes: Int,
       rowsPerBand: Int): DataFrame = {
     val sigCols = (0 until numHashes / rowsPerBand).map { b =>
@@ -210,6 +220,7 @@ object Dedup {
     import s.implicits._
     Seq((numHashes, rowsPerBand)).toDF("num_hashes", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    invalidateLshParams(s, path)
   }
 
   /** Fail fast when `numHashes`/`rowsPerBand` differ from the banding a
@@ -219,12 +230,29 @@ object Dedup {
     * are rejected too (re-save them): an unverifiable contract is a
     * broken one at 100 TB.
     */
+  /** Per-(session, path) memo of the banding-params read (round 16):
+    * the streamed ingest funnel calls `assertLshParams` 2-3× per
+    * micro-batch and each was a one-row parquet job (~60-100 ms of pure
+    * scheduling at slice scale). The params are immutable except
+    * through `saveLshIndex`/`rebandLshIndex`, which both invalidate the
+    * entry; an out-of-process rewrite mid-session is outside the
+    * library's crash contract (same assumption the tombstone FS probes
+    * already make).
+    */
+  private val lshParamsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Int, Int)]
+
+  private[graft] def invalidateLshParams(s: SparkSession, path: String): Unit =
+    lshParamsCache.remove((s, path))
+
   private def assertLshParams(s: SparkSession, path: String,
       numHashes: Int, rowsPerBand: Int): Unit = {
-    val p = s.read.parquet(s"$path/params").head()
-    // by NAME, not position (round-12 ADVICE): a writer that reorders
-    // the two columns must not silently swap the guard's operands
-    val (nh, rb) = (p.getAs[Int]("num_hashes"), p.getAs[Int]("rows_per_band"))
+    val (nh, rb) = lshParamsCache.getOrElseUpdate((s, path), {
+      val p = s.read.parquet(s"$path/params").head()
+      // by NAME, not position (round-12 ADVICE): a writer that reorders
+      // the two columns must not silently swap the guard's operands
+      (p.getAs[Int]("num_hashes"), p.getAs[Int]("rows_per_band"))
+    })
     require(nh == numHashes && rb == rowsPerBand,
       s"LSH index at $path was built with numHashes=$nh rowsPerBand=$rb; " +
         s"got numHashes=$numHashes rowsPerBand=$rowsPerBand")
@@ -239,9 +267,17 @@ object Dedup {
     * disjointness precondition keeps appends idempotent per crawl).
     */
   def appendToLshIndex(docs: DataFrame, path: String,
-      numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand): Unit = {
+      numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand,
+      sigs: Option[DataFrame] = None): Unit = {
     assertLshParams(docs.sparkSession, path, numHashes, rowsPerBand)
-    bandSigs(TextOps.docTokens(docs), numHashes, rowsPerBand)
+    // `sigs` (round 16): the streamed ingest funnel already built the
+    // batch's banded signatures for its near-dup pass — a caller may
+    // hand the (doc_id, sig) rows for EXACTLY `docs` at THIS banding
+    // instead of paying a second tokenize+minhash chain per micro-batch.
+    // The caller must pass a materialized (checkpointed) frame: a lazy
+    // one whose lineage reads the index would recompute through state
+    // this append is changing.
+    sigs.getOrElse(bandSigs(TextOps.docTokens(docs), numHashes, rowsPerBand))
       .write.mode("append").parquet(s"$path/sigs")
     docs.select(col("doc_id"), col("text"))
       .write.mode("append").parquet(s"$path/docs")
@@ -440,6 +476,7 @@ object Dedup {
     Seq("sigs", "docs", "params").foreach(t =>
       graft.sources.Sinks.swapIn(fs, path, t))
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    invalidateLshParams(s, path)
   }
 
   /** Physically apply tombstones and merge append-accumulated small
@@ -533,13 +570,19 @@ object Dedup {
   def nearDupsAgainstIndex(s: SparkSession, path: String, newDocs: DataFrame,
       numHashes: Int = NumHashes, rowsPerBand: Int = RowsPerBand,
       threshold: Double = 0.8,
-      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+      maxBandBucket: Int = DefaultMaxBandBucket,
+      newSigs: Option[DataFrame] = None): DataFrame = {
     assertLshParams(s, path, numHashes, rowsPerBand)
     val newToks = TextOps.docTokens(newDocs)
     // stored side reads the LIVE view (tombstones filtered): a
-    // retracted doc must not near-dup-drop its own re-crawled copy
+    // retracted doc must not near-dup-drop its own re-crawled copy.
+    // `newSigs` (round 16): a caller that also appends the survivors
+    // builds the batch signatures ONCE (materialized) and hands them to
+    // both legs — must be the (doc_id, sig) rows for exactly `newDocs`
+    // at this banding.
     val tagged = liveIndexTable(s, path, "sigs").withColumn("is_new", lit(false))
-      .unionAll(bandSigs(newToks, numHashes, rowsPerBand).withColumn("is_new", lit(true)))
+      .unionAll(newSigs.getOrElse(bandSigs(newToks, numHashes, rowsPerBand))
+        .withColumn("is_new", lit(true)))
     val sigs =
       if (maxBandBucket <= 0) tagged
       else tagged

@@ -114,40 +114,61 @@ object RunIngest {
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     val stage = stageIn(stages) _
 
-    val batchIn = stage("batch_in")(batch0)
-    // 0. id-collision guard: a batch doc whose doc_id is ALREADY in the
-    // standing corpus is a RE-CRAWL of a known document, not a new one.
-    // Identical re-crawls would fall at the digest diff anyway, but a
-    // CHANGED re-crawl flowing through would append a DUPLICATE doc_id
-    // (this store is append-only); refresh semantics are latest-wins by
-    // (doc_id, crawl time) — the `cdc_latest` pattern — and belong to a
-    // compaction pass, so the runner EXCLUDES them and reports the count
-    // rather than corrupting the corpus.
-    val idFresh = stage("id_new") {
-      batchIn.join(standing.select("doc_id"), Seq("doc_id"), "left_anti")
-    }
-    // 1. digest diff vs the indexed corpus: byte-identical refreshes out
-    val fresh = stage("digest_new") {
-      idFresh.join(standing.select(md5(col("text")).as("h")).distinct(),
-        md5(idFresh("text")) === col("h"), "left_anti")
-    }
-    // 2. Gopher quality rules on the delta
-    val quality = stage("quality_gopher") {
-      fresh.join(TextAnalysis.qualityGopherDocs(fresh)
-        .filter(col("keep")).select("doc_id"), "doc_id")
-    }
-    // 3. intra-batch exact dedup (keep lowest doc_id per digest).
-    // NOT persisted (round 14 — StreamRowProbe measured it): caching
-    // these ≤ batch-sized frames made the near-dup stage 2x SLOWER
-    // (AQE is disabled on cached subplans, so the banded index join
-    // lost its runtime coalescing) — the lazy re-derivation is cheaper
-    // than the cache at this frame size
-    val exact = stage("dedup_exact") {
-      quality.join(
-        quality.groupBy(md5(col("text")).as("h"))
-          .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-    }
+    // Stages 0-3 as ONE annotated pass (round 16, guide §1.2 step 1):
+    // each of these four gates only FILTERS batch rows by a predicate
+    // that is independent of the other gates' outcomes given its
+    // prefix, so the whole prefix funnel is computed as cumulative
+    // boolean flags on a single checkpointed frame and the four
+    // survivor counts read from ONE aggregate job — previously four
+    // persist+count actions, each re-evaluating a progressively longer
+    // join chain (~0.9 s/micro-batch of pure scheduling at slice
+    // scale, StreamRowProbe). Flag ≡ anti-join equivalences:
+    //  - id_new:     left join on unique standing doc_ids; no match ≡
+    //                anti-join survivor (null keys match nothing in
+    //                both forms).
+    //  - digest_new: left join on DISTINCT standing md5(text) — right
+    //                side deduped, so no row multiplication.
+    //  - quality:    Gopher flags are per-doc pure (word counts over
+    //                the doc's own text), so computing them on the
+    //                whole batch gives each doc the identical keep bit
+    //                the fresh-only frame produced.
+    //  - exact:      min(doc_id) per digest AMONG quality survivors as
+    //                a window (doc_ids are unique per batch, so the
+    //                min-per-group semi-join kept exactly these rows).
+    val gq = TextAnalysis.qualityGopherDocs(batch0)
+      .select(col("doc_id"), col("keep"))
+    val annotated = graft.core.Ckpt.truncate(
+      batch0
+        .join(standing.select(col("doc_id"), lit(1).as("in_standing")),
+          Seq("doc_id"), "left")
+        .join(standing.select(md5(col("text")).as("h"), lit(1).as("in_digest"))
+          .groupBy(col("h")).agg(max(col("in_digest")).as("in_digest")),
+          md5(batch0("text")) === col("h"), "left")
+        .join(gq, Seq("doc_id"), "left")
+        .withColumn("f_id", col("in_standing").isNull)
+        .withColumn("f_digest", col("f_id") && col("in_digest").isNull)
+        .withColumn("f_quality", col("f_digest") && coalesce(col("keep"), lit(false)))
+        .withColumn("f_exact", col("f_quality") && col("doc_id") ===
+          min(when(col("f_quality"), col("doc_id")))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text")))))
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+          col("f_id"), col("f_digest"), col("f_quality"), col("f_exact")))
+    val t0 = System.nanoTime()
+    val cnts = annotated.agg(
+      count(lit(1)).as("n_in"),
+      count(when(col("f_id"), 1)).as("n_id"),
+      count(when(col("f_digest"), 1)).as("n_digest"),
+      count(when(col("f_quality"), 1)).as("n_quality"),
+      count(when(col("f_exact"), 1)).as("n_exact")).head()
+    val cntWall = (System.nanoTime() - t0) / 1e9
+    stages += StageResult("batch_in", cnts.getAs[Long]("n_in"), cntWall)
+    stages += StageResult("id_new", cnts.getAs[Long]("n_id"), 0.0)
+    stages += StageResult("digest_new", cnts.getAs[Long]("n_digest"), 0.0)
+    stages += StageResult("quality_gopher", cnts.getAs[Long]("n_quality"), 0.0)
+    stages += StageResult("dedup_exact", cnts.getAs[Long]("n_exact"), 0.0)
+    val exact = annotated.filter(col("f_exact"))
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
     // 4. near-dedup against the PERSISTED index — the incremental path.
     // The returned pair frame is a local checkpoint (eager-fold inside
     // nearDupsAgainstIndex); captured here and released at the END of
@@ -157,9 +178,16 @@ object RunIngest {
     // and releasing before the writes is unsafe because the persisted
     // `near`/`clean` stage frames may recompute through it)
     var nearPairs: DataFrame = null
+    // batch signatures built ONCE per delta (round 16): the near-dup
+    // pass and the index append both need them; previously each ran its
+    // own tokenize+minhash chain over the batch. Checkpointed so the
+    // append leg (which runs AFTER the corpus write) reads materialized
+    // bytes, not a lineage through the pre-append state.
+    var batchSigs: DataFrame = null
     val near = stage("near_dup_vs_index") {
+      batchSigs = graft.core.Ckpt.truncate(Dedup.defaultBandSigs(exact))
       nearPairs = Dedup.nearDupsAgainstIndex(spark, indexPath, exact,
-        threshold = nearDupThreshold)
+        threshold = nearDupThreshold, newSigs = Some(batchSigs))
       val hits = nearPairs.select(col("new_id").as("doc_id")).distinct()
       exact.join(hits, Seq("doc_id"), "left_anti")
     }
@@ -199,10 +227,21 @@ object RunIngest {
       clean.write.mode("overwrite").parquet(s"$outDir/delta")
       val delta = spark.read.parquet(s"$outDir/delta")
       delta.write.mode("append").partitionBy("source").parquet(s"$outDir/corpus")
-      Dedup.appendToLshIndex(delta, indexPath)
+      // survivors ⊆ exact, so their signatures are the checkpointed
+      // batch sigs filtered to the delta's ids (ids from the delta FILE
+      // — the lineage-severing rule above holds; sig values are a pure
+      // function of text, identical to a recomputation)
+      Dedup.appendToLshIndex(delta, indexPath,
+        sigs = Some(batchSigs.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")))
     }
     standing.unpersist(blocking = false)
     if (nearPairs != null) graft.core.Ckpt.release(nearPairs)
+    if (batchSigs != null) graft.core.Ckpt.release(batchSigs)
+    // the annotated prefix-funnel checkpoint is dead once the counts
+    // are read and the delta is on disk — same release point as the
+    // pair checkpoint above (one leaked blockset per micro-batch
+    // otherwise, the round-15 ADVICE mechanism)
+    graft.core.Ckpt.release(annotated)
     (stages.toSeq, stages.last.survivors)
   }
 

@@ -65,14 +65,19 @@ object RunIngestStream {
     * (micro-batch id, stage results, appended count) in batch order —
     * so the declared `ingest_stream` row can gate the standing-state
     * funnel against the batch-twin oracle instead of parsing the
-    * human report (round 14, VERDICT r13 #3).
+    * human report (round 14, VERDICT r13 #3). Skips the report artifact
+    * (round 16): callers of this form consume the counts as data — the
+    * report's corpus re-count + file write were two extra jobs per
+    * drain that no consumer read (`run` keeps them; the report is the
+    * production runner's artifact).
     */
   def runWithStages(spark: SparkSession, streamDir: String, outDir: String,
       nearDupThreshold: Double = 0.95): Seq[(Long, Seq[RunIngest.StageResult], Long)] =
-    runCollect(spark, streamDir, outDir, nearDupThreshold)._2
+    runCollect(spark, streamDir, outDir, nearDupThreshold, report = false)._2
 
   private def runCollect(spark: SparkSession, streamDir: String, outDir: String,
-      nearDupThreshold: Double): (String, Seq[(Long, Seq[RunIngest.StageResult], Long)]) = {
+      nearDupThreshold: Double, report: Boolean = true):
+      (String, Seq[(Long, Seq[RunIngest.StageResult], Long)]) = {
     require(Files.exists(Paths.get(s"$outDir/index/sigs")) &&
       Files.exists(Paths.get(s"$outDir/corpus")),
       s"$outDir holds no standing state — bootstrap with RunIngest first")
@@ -103,15 +108,20 @@ object RunIngestStream {
       }
       .start()
     q.awaitTermination() // AvailableNow stops when the directory drains
-    val report =
-      s"""streaming ingest report
-         |stream_dir: $streamDir
-         |near_dup_jaccard: $nearDupThreshold
-         |${scala.jdk.CollectionConverters.CollectionHasAsScala(lines).asScala.mkString("\n")}
-         |corpus_docs: ${spark.read.parquet(s"$outDir/corpus").count()}
-         |""".stripMargin
-    Files.writeString(Paths.get(s"$outDir/stream_report.txt"), report)
-    (report, scala.jdk.CollectionConverters
+    val text =
+      if (!report) ""
+      else {
+        val r =
+          s"""streaming ingest report
+             |stream_dir: $streamDir
+             |near_dup_jaccard: $nearDupThreshold
+             |${scala.jdk.CollectionConverters.CollectionHasAsScala(lines).asScala.mkString("\n")}
+             |corpus_docs: ${spark.read.parquet(s"$outDir/corpus").count()}
+             |""".stripMargin
+        Files.writeString(Paths.get(s"$outDir/stream_report.txt"), r)
+        r
+      }
+    (text, scala.jdk.CollectionConverters
       .CollectionHasAsScala(batches).asScala.toSeq.sortBy(_._1))
   }
 
@@ -281,10 +291,11 @@ object RunIngestStream {
     */
   def runVecWithStages(spark: SparkSession, streamDir: String, outDir: String,
       eps: Double = 0.75, nprobe: Int = 2): Seq[(Long, Long, Long, Long)] =
-    runVecCollect(spark, streamDir, outDir, eps, nprobe)._2
+    runVecCollect(spark, streamDir, outDir, eps, nprobe, report = false)._2
 
   private def runVecCollect(spark: SparkSession, streamDir: String, outDir: String,
-      eps: Double, nprobe: Int): (String, Seq[(Long, Long, Long, Long)]) = {
+      eps: Double, nprobe: Int, report: Boolean = true):
+      (String, Seq[(Long, Long, Long, Long)]) = {
     import graft.llm.AnnSearch
     val ivfPath = s"$outDir/ivf"
     require(Files.exists(Paths.get(s"$ivfPath/centroids")),
@@ -334,15 +345,23 @@ object RunIngestStream {
       }
       .start()
     q.awaitTermination()
-    val report =
-      s"""streaming vector-ingest report
-         |stream_dir: $streamDir
-         |semantic_eps: $eps
-         |${scala.jdk.CollectionConverters.CollectionHasAsScala(lines).asScala.mkString("\n")}
-         |ivf_vectors: ${spark.read.parquet(s"$ivfPath/cells").count()}
-         |""".stripMargin
-    Files.writeString(Paths.get(s"$outDir/stream_vec_report.txt"), report)
-    (report, scala.jdk.CollectionConverters
+    // report artifact only on the report path (round 16, the
+    // runWithStages rule): the data-consuming callers pay no corpus
+    // re-count / file write
+    val text =
+      if (!report) ""
+      else {
+        val r =
+          s"""streaming vector-ingest report
+             |stream_dir: $streamDir
+             |semantic_eps: $eps
+             |${scala.jdk.CollectionConverters.CollectionHasAsScala(lines).asScala.mkString("\n")}
+             |ivf_vectors: ${spark.read.parquet(s"$ivfPath/cells").count()}
+             |""".stripMargin
+        Files.writeString(Paths.get(s"$outDir/stream_vec_report.txt"), r)
+        r
+      }
+    (text, scala.jdk.CollectionConverters
       .CollectionHasAsScala(batches).asScala.toSeq.sortBy(_._1))
   }
 

@@ -384,4 +384,26 @@ class DedupSpec extends SparkSpecBase {
     assert(prod.forall(_._3 <= cap), "repeat lengths are cap-clipped")
     assert(withRep.forall(_._3 >= minLen), "reported repeats honor minLen")
   }
+
+  test("appendToLshIndex with caller-supplied sigs writes the identical signature table") {
+    // round 16: the streamed funnel builds the batch signatures once and
+    // hands them to the append — the index must be byte-equivalent to
+    // the self-computed path (a wrong sig silently breaks future
+    // near-dedup, so this is the safety pin for the shared-sigs seam)
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    val batch = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 20 && col("doc_id") < 30)
+      .select(col("doc_id"), col("text"))
+    val d1 = java.nio.file.Files.createTempDirectory("lshsig1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("lshsig2").toString
+    Dedup.saveLshIndex(corpus, d1)
+    Dedup.saveLshIndex(corpus, d2)
+    Dedup.appendToLshIndex(batch, d1) // self-computed
+    val pre = graft.core.Ckpt.truncate(Dedup.defaultBandSigs(batch))
+    Dedup.appendToLshIndex(batch, d2, sigs = Some(pre))
+    graft.core.Ckpt.release(pre)
+    assert(collectSet(spark.read.parquet(s"$d1/sigs")) ===
+      collectSet(spark.read.parquet(s"$d2/sigs")))
+  }
 }
