@@ -221,13 +221,25 @@ object AnnSearch {
     * PipelineScaleProbe's semantic-straddle leg.
     */
   private[graft] def assignCellsMulti(t: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame =
+    assignCellsMultiRanked(t, cent, nprobe).select(col("t_id"), col("cell"))
+
+  /** `assignCellsMulti` with the probe rank retained (round 16): rn = 1
+    * is the vector's PRIMARY cell — `TopKAgg`'s (dist, id) tie-break is
+    * identical to `assignCells`' min(struct) ordering (spec-pinned at
+    * nprobe = 1), so the rn = 1 slice can stand in for a separate
+    * `assignCells` pass. The streamed vector funnel computes these
+    * probes once per micro-batch and feeds both the semantic-dedup scan
+    * (all nprobe rows) and the index append (the rn = 1 slice).
+    */
+  private[graft] def assignCellsMultiRanked(t: DataFrame, cent: DataFrame,
       nprobe: Int): DataFrame = {
     val pairs = t.crossJoin(broadcast(cent))
       .select(col("t_id").as("q_id"),
         ArrayDistance.l2(col("t_v"), col("c_v")).as("dist"),
         col("c_id").cast("long").as("t_id"))
     graft.functions.TopKAgg.knn(pairs, nprobe)
-      .select(col("q_id").as("t_id"), col("t_id").as("cell"))
+      .select(col("q_id").as("t_id"), col("t_id").as("cell"), col("rn"))
   }
 
   /** Fixed-iteration Lloyd's k-means refinement of a deterministic seed
@@ -371,7 +383,7 @@ object AnnSearch {
     * disjointness discipline).
     */
   def appendToIvfIndex(s: SparkSession, newVecs: DataFrame, path: String,
-      checkIds: Boolean = true): Unit = {
+      checkIds: Boolean = true, assign: Option[DataFrame] = None): Unit = {
     // id-disjointness enforced, not assumed (round-12 ADVICE): a clash
     // would store the same t_id twice and every later search would
     // return phantom duplicates. The probe is a semi-join against the
@@ -387,10 +399,26 @@ object AnnSearch {
         s"appendToIvfIndex: batch t_ids already present in the index at $path " +
           "(vector ids must be new; refreshes belong to a rebuild/compaction pass)")
     }
-    val cent = s.read.parquet(s"$path/centroids")
-    newVecs.join(assignCells(newVecs, cent), "t_id")
-      .select(col("t_id"), col("t_v"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    // `assign` (round 16): a caller that just ran the semantic-dedup
+    // pass may hand the batch's PRIMARY cell assignment (the rn = 1
+    // slice of `assignCellsMultiRanked` — identical tie-break to
+    // `assignCells`, spec-pinned) instead of paying a second
+    // batch × centroids pass. Must be a materialized (t_id, cell)
+    // frame covering every id in `newVecs`; a missing id fails the
+    // write fast (raise_error) rather than silently dropping the row.
+    val assigned = assign match {
+      case Some(a) =>
+        newVecs.join(a.select(col("t_id"), col("cell")), Seq("t_id"), "left")
+          .select(col("t_id"), col("t_v"),
+            when(col("cell").isNull, raise_error(concat(
+              lit("appendToIvfIndex: supplied assignment misses t_id "),
+              col("t_id").cast("string")))).otherwise(col("cell")).as("cell"))
+      case None =>
+        val cent = s.read.parquet(s"$path/centroids")
+        newVecs.join(assignCells(newVecs, cent), "t_id")
+          .select(col("t_id"), col("t_v"), col("cell"))
+    }
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** Crash-repair for a persisted IVF index (round 13 — the vector twin
@@ -491,11 +519,17 @@ object AnnSearch {
     * build time. Input: (t_id, t_v) with ids disjoint from the index.
     */
   def semanticDupsAgainstIndex(s: SparkSession, path: String,
-      newVecs: DataFrame, eps: Double, nprobe: Int = 2): DataFrame = {
+      newVecs: DataFrame, eps: Double, nprobe: Int = 2,
+      probesIn: Option[DataFrame] = None): DataFrame = {
     val (cells, cent) = loadIvfIndex(s, path)
-    val probes =
+    // `probesIn` (round 16): a caller that also appends the survivors
+    // computes the batch's nprobe cell probes ONCE (materialized) and
+    // hands the (t_id, cell) rows here — must be the assignment of
+    // exactly `newVecs` against THIS index's centroids at this nprobe.
+    val probes = probesIn.getOrElse {
       if (nprobe <= 1) assignCells(newVecs, cent)
       else assignCellsMulti(newVecs, cent, nprobe)
+    }
     newVecs.join(probes, "t_id")
       .select(col("t_id").as("new_id"), col("t_v").as("n_v"), col("cell"))
       .join(cells.select(col("t_id").as("indexed_id"), col("t_v").as("i_v"),

@@ -322,8 +322,19 @@ object RunIngestStream {
             Seq("t_id"), "left_anti").persist()
           val nNew = fresh.count()
           if (nNew > 0) {
+            // batch cell probes computed ONCE (round 16, the text leg's
+            // shared-signatures discipline): the semantic-dedup pass
+            // reads all nprobe rows, the append reads the rn = 1 slice
+            // (primary cell — identical tie-break to assignCells,
+            // spec-pinned). Checkpointed so the post-append consumer
+            // reads materialized bytes, not a lineage through the
+            // pre-append cells table.
+            val probes = graft.core.Ckpt.truncate(
+              AnnSearch.assignCellsMultiRanked(fresh,
+                spark.read.parquet(s"$ivfPath/centroids"), nprobe))
             val dups = AnnSearch.semanticDupsAgainstIndex(spark, ivfPath,
-                fresh, eps = eps, nprobe = nprobe)
+                fresh, eps = eps, nprobe = nprobe,
+                probesIn = Some(probes.select(col("t_id"), col("cell"))))
               .select(col("new_id").as("t_id")).distinct()
             val keep = fresh.join(dups, Seq("t_id"), "left_anti")
             // the text leg's lineage-severing discipline: the append
@@ -331,8 +342,11 @@ object RunIngestStream {
             // recomputation reads the appended state
             keep.write.mode("overwrite").parquet(s"$outDir/delta_vec")
             val kept = spark.read.parquet(s"$outDir/delta_vec")
-            AnnSearch.appendToIvfIndex(spark, kept, ivfPath, checkIds = false)
+            AnnSearch.appendToIvfIndex(spark, kept, ivfPath, checkIds = false,
+              assign = Some(probes.filter(col("rn") === 1)
+                .select(col("t_id"), col("cell"))))
             val (in, app) = (vecs.count(), kept.count())
+            graft.core.Ckpt.release(probes)
             lines.add(s"micro-batch $id: vec_in=$in vec_id_new=$nNew appended=$app")
             batches.add((id, in, nNew, app))
           } else {

@@ -268,6 +268,14 @@ class AnnSearchSpec extends SparkSpecBase {
     // (dist, cell) order in both)
     assert(collectSet(AnnSearch.assignCellsMulti(e, cent, 1))
       === collectSet(AnnSearch.assignCells(e, cent)))
+    // round 16: the ranked form's rn = 1 slice IS the primary-cell
+    // assignment (the streamed vec funnel feeds it to the index append
+    // instead of a second assignCells pass) — cell values must agree at
+    // ANY nprobe, modulo assignCells' native cell type
+    assert(collectSet(AnnSearch.assignCellsMultiRanked(e, cent, 3)
+        .filter(col("rn") === 1).select(col("t_id"), col("cell")))
+      === collectSet(AnnSearch.assignCells(e, cent)
+        .select(col("t_id"), col("cell").cast("long"))))
     val p1 = collectSet(AnnSearch.semanticDupPairs(e, cent, eps = 0.75))
     val p2 = collectSet(AnnSearch.semanticDupPairs(e, cent, eps = 0.75, nprobe = 2))
     val p3 = collectSet(AnnSearch.semanticDupPairs(e, cent, eps = 0.75, nprobe = 3))
@@ -616,5 +624,37 @@ class AnnSearchSpec extends SparkSpecBase {
     // catches the knob inverting (a wide beam that is materially worse)
     assert(wide.values.sum <= narrow.values.sum * 1.05 + 1e-9,
       s"wide ${wide.values.sum} vs narrow ${narrow.values.sum}")
+  }
+
+  test("appendToIvfIndex with caller-supplied assignment writes the identical cells table") {
+    // round 16: the streamed vec funnel hands the rn = 1 probe slice to
+    // the append — the stored cells must be byte-equivalent to the
+    // self-computed path (a wrong cell corrupts every later search)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("t_id"), graft.core.Distance.asDouble(col("embedding")).as("t_v"))
+    val standing = e.filter(col("t_id") % 5 =!= 1)
+    val cent = standing.filter(col("t_id") % 40 === 0)
+      .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
+    val batch = e.filter(col("t_id") % 5 === 1)
+    val d1 = java.nio.file.Files.createTempDirectory("ivfasg1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("ivfasg2").toString
+    AnnSearch.saveIvfIndex(standing, cent, d1)
+    AnnSearch.saveIvfIndex(standing, cent, d2)
+    AnnSearch.appendToIvfIndex(spark, batch, d1, checkIds = false)
+    val probes = graft.core.Ckpt.truncate(
+      AnnSearch.assignCellsMultiRanked(batch,
+        spark.read.parquet(s"$d2/centroids"), 2))
+    AnnSearch.appendToIvfIndex(spark, batch, d2, checkIds = false,
+      assign = Some(probes.filter(col("rn") === 1).select(col("t_id"), col("cell"))))
+    graft.core.Ckpt.release(probes)
+    def cells(d: String) = collectSet(spark.read.parquet(s"$d/cells")
+      .select(col("t_id"), col("cell").cast("long")))
+    assert(cells(d1) === cells(d2))
+    // a missing id fails fast instead of silently dropping the row
+    val bad = intercept[Exception] {
+      AnnSearch.appendToIvfIndex(spark, batch, d2, checkIds = false,
+        assign = Some(batch.limit(1).select(col("t_id"), lit(0L).as("cell"))))
+    }
+    assert(bad.getMessage != null)
   }
 }
