@@ -63,7 +63,10 @@ object Bench {
       ("build_graph_edges_co", () => (), "graph_kcore_fixpoint"),
       ("build_graph_walks", () => graft.rel.Graph.releaseShared(), "graph_random_walk"),
       ("build_ingest_pairs", () => graft.llm.Curation.releaseShared(), "ingest_manifest"),
-      ("build_subword_vocab", () => graft.llm.TextAnalysis.releaseShared(), "tokenizer_wordpiece"))
+      ("build_subword_vocab", () => graft.llm.TextAnalysis.releaseShared(), "tokenizer_wordpiece"),
+      // round 17: the BPE training memo (rules + merged word table) —
+      // three rows (tokenizer_bpe/encode/fertility) read it warm
+      ("build_bpe_merges", () => graft.llm.TextAnalysis.releaseBpeShared(), "tokenizer_bpe"))
       .map { case (name, release, q) =>
         release()
         val t0 = System.nanoTime()

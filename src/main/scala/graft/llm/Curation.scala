@@ -552,23 +552,35 @@ object Curation {
     * pairs, not docs². Counts exact; Jaccard is the one closing double.
     */
   def sourceOverlapMatrix(docs: DataFrame, gram: Int = 3): DataFrame = {
-    val sg = docs.select(col("source"), split(col("text"), " ").as("a"))
-      .filter(size(col("a")) >= gram)
-      .select(col("source"), explode(expr(
-        s"transform(sequence(1, size(a) - ${gram - 1}), i -> " +
-          s"array_join(slice(a, i, $gram), ' '))")).as("g"))
-      .distinct()
+    // the distinct (source, gram) projection is truncated ONCE (round
+    // 17 — the `noveltyDocs` rule): it feeds THREE consumers (both
+    // self-join legs and the per-source totals), and lazy it re-ran the
+    // corpus-cardinality gram explode per consumer — HotJobProbe read
+    // 2-3 repeated single-task explode stages per run at sf0.1. Values
+    // unchanged; the corpus-sized checkpoint is released once the
+    // result is materialized (eager-fold + release, the family
+    // discipline).
+    val sg = graft.core.Ckpt.truncate(
+      docs.select(col("source"), split(col("text"), " ").as("a"))
+        .filter(size(col("a")) >= gram)
+        .select(col("source"), explode(expr(
+          s"transform(sequence(1, size(a) - ${gram - 1}), i -> " +
+            s"array_join(slice(a, i, $gram), ' '))")).as("g"))
+        .distinct())
     val totals = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    sg.select(col("g"), col("source").as("src_a"))
-      .join(sg.select(col("g"), col("source").as("src_b")), "g")
-      .filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b")
-      .agg(count(lit(1)).as("shared"))
-      .join(totals.select(col("source").as("src_a"), col("n_grams").as("grams_a")), "src_a")
-      .join(totals.select(col("source").as("src_b"), col("n_grams").as("grams_b")), "src_b")
-      .select(col("src_a"), col("src_b"), col("shared"), col("grams_a"), col("grams_b"),
-        rnd(col("shared") / (col("grams_a") + col("grams_b") - col("shared")).cast("double"), 6)
-          .as("jaccard"))
+    val out = graft.core.Ckpt.truncate(
+      sg.select(col("g"), col("source").as("src_a"))
+        .join(sg.select(col("g"), col("source").as("src_b")), "g")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("shared"))
+        .join(totals.select(col("source").as("src_a"), col("n_grams").as("grams_a")), "src_a")
+        .join(totals.select(col("source").as("src_b"), col("n_grams").as("grams_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared"), col("grams_a"), col("grams_b"),
+          rnd(col("shared") / (col("grams_a") + col("grams_b") - col("shared")).cast("double"), 6)
+            .as("jaccard")))
+    graft.core.Ckpt.release(sg)
+    out
   }
 
   def overlapMatrix(s: SparkSession, d: String): DataFrame =

@@ -533,23 +533,40 @@ object Dedup {
     // as tombstoned anyway, but the physical copies must not come back)
     val ids = lshTombstones(s, path).fold(delta.select(col("doc_id")))(tomb =>
       delta.select(col("doc_id")).join(tomb, Seq("doc_id"), "left_anti"))
-    val missSig = ids.join(
-      s.read.parquet(s"$path/sigs").select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti").persist()
-    val nSig = missSig.count()
+    // ONE detection pass (round 17, guide §1.2 step 1): the two
+    // per-table anti-join counts ran as two jobs per ingest delta —
+    // pure overhead on the healthy path, where both are empty, and the
+    // streamed funnel pays this entry check every micro-batch. Both
+    // presence tests now ride one frame (left joins against the
+    // DISTINCT pruned id scans — null-match ≡ anti-join survivor, the
+    // `ingestDelta` flag-funnel equivalence) and one aggregate reads
+    // both missing counts. Repair legs are unchanged and still
+    // per-table.
+    val missing = ids
+      .join(s.read.parquet(s"$path/sigs").select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(1).as("in_sig")), Seq("doc_id"), "left")
+      .join(s.read.parquet(s"$path/docs").select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(1).as("in_doc")), Seq("doc_id"), "left")
+      .filter(col("in_sig").isNull || col("in_doc").isNull)
+      .select(col("doc_id"),
+        col("in_sig").isNull.as("miss_sig"), col("in_doc").isNull.as("miss_doc"))
+      .persist()
+    val cnts = missing.agg(
+      count(when(col("miss_sig"), 1)).as("n_sig"),
+      count(when(col("miss_doc"), 1)).as("n_doc")).head()
+    val nSig = cnts.getAs[Long]("n_sig")
+    val nDoc = cnts.getAs[Long]("n_doc")
     if (nSig > 0)
-      bandSigs(TextOps.docTokens(delta.join(missSig, Seq("doc_id"), "left_semi")),
-        numHashes, rowsPerBand)
+      bandSigs(TextOps.docTokens(delta.join(
+        missing.filter(col("miss_sig")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")), numHashes, rowsPerBand)
         .write.mode("append").parquet(s"$path/sigs")
-    val missDoc = ids.join(s.read.parquet(s"$path/docs").select(col("doc_id")),
-      Seq("doc_id"), "left_anti").persist()
-    val nDoc = missDoc.count()
     if (nDoc > 0)
-      delta.join(missDoc, Seq("doc_id"), "left_semi")
+      delta.join(missing.filter(col("miss_doc")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"))
         .write.mode("append").parquet(s"$path/docs")
-    missSig.unpersist(blocking = false)
-    missDoc.unpersist(blocking = false)
+    missing.unpersist(blocking = false)
     math.max(nSig, nDoc)
   }
 

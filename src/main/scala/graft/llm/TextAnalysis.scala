@@ -348,7 +348,7 @@ object TextAnalysis {
     * per-word recursive CTE (depth = word length).
     */
   def bpeMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
-    val (rules, seqs) = bpeTrain(docs, rounds)
+    val (rules, seqs, _) = bpeTrain(docs, rounds)
     // the rule table reads only the per-round one-row `best` blocks;
     // the final merged word table is this caller's to drop (round 13 —
     // bench_detail.json measured the tokenizer rows leaving 12-13
@@ -358,8 +358,14 @@ object TextAnalysis {
   }
 
   /** Training loop shared by `bpeMerges` (the rule table) and
-    * `bpeEncodeDocs` (which needs the final merged sequences). */
-  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    * `bpeEncodeDocs` (which needs the final merged sequences). Also
+    * returns the per-round one-row `best` checkpoints so the round-17
+    * shared-memo builder can release them once the rule table is
+    * folded (query-path callers run under `Ckpt.scoped`, which already
+    * collects them).
+    */
+  private def bpeTrain(docs: DataFrame, rounds: Int):
+      (DataFrame, DataFrame, Seq[DataFrame]) = {
     var seqs = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -368,6 +374,7 @@ object TextAnalysis {
         expr("filter(split(word, ''), c -> c != '')").as("syms"))
       .truncated()
     val rules = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val bests = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -384,6 +391,7 @@ object TextAnalysis {
         .select(col("b.pr").as("bp"), col("b.cnt").as("cnt"))
         .filter(col("bp").isNotNull)
         .truncated()
+      bests += best
       if (best.isEmpty) exhausted = true
       else {
         val prev = seqs
@@ -405,11 +413,44 @@ object TextAnalysis {
     val ruleDf = rules.reduceOption(_ unionAll _).getOrElse(
       docs.sparkSession.range(0)
         .select(lit(0).as("round"), lit("").as("pair"), lit(0L).as("cnt")))
-    (ruleDf, seqs)
+    (ruleDf, seqs, bests.toSeq)
+  }
+
+  /** Memoized BPE training per (session, dir) — round 17, the
+    * `wordTokensShared` precedent one family over: THREE declared rows
+    * consume the same deterministic 4-round training (`tokenizer_bpe`
+    * reads the rule table, `tokenizer_encode` and `tokenizer_fertility`
+    * read the final merged word table), and each re-ran the whole loop
+    * (~12 jobs) per bench sample. The memo trains once per (session,
+    * dir); `Bench` charges the cold build as its own `build_bpe_merges`
+    * line via `releaseBpeShared` (the round-11 cold-build accounting
+    * rule). The per-round one-row `best` checkpoints are released once
+    * the rule table is folded — the memo keeps exactly two frames
+    * (rules, merged word table). Values are identical to a fresh
+    * training (deterministic corpus, deterministic tie-break;
+    * TextAnalysisSpec pins memo ≡ fresh).
+    */
+  private val sharedBpe = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[graft] def bpeShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    sharedBpe.getOrElseUpdate((s, d), graft.core.Ckpt.untracked {
+      val (rules, seqs, bests) = bpeTrain(Tables.documents(s, d), 4)
+      val rulesT = graft.core.Ckpt.truncate(rules)
+      bests.foreach(graft.core.Ckpt.release)
+      (rulesT, seqs)
+    })
+
+  def releaseBpeShared(): Unit = {
+    sharedBpe.values.foreach { case (r, sq) =>
+      graft.core.Ckpt.release(r)
+      graft.core.Ckpt.release(sq)
+    }
+    sharedBpe.clear()
   }
 
   def bpe(s: SparkSession, d: String): DataFrame =
-    bpeMerges(Tables.documents(s, d))
+    bpeShared(s, d)._1
 
   /** tokenizer_encode — the INFERENCE side of `tokenizer_bpe`: encode
     * every document with the trained merge table and report the tokens
@@ -420,8 +461,9 @@ object TextAnalysis {
     * re-folded. Output per doc: word count, token count, character
     * count, tokens-per-char (the compression a tokenizer is judged by).
     */
-  def bpeEncodeDocs(docs: DataFrame, rounds: Int = 4): DataFrame = {
-    val wtoks = bpeTrain(docs, rounds)._2
+  def bpeEncodeDocs(docs: DataFrame, rounds: Int = 4,
+      seqs0: Option[DataFrame] = None): DataFrame = {
+    val wtoks = seqs0.getOrElse(bpeTrain(docs, rounds)._2)
       .select(col("word"), size(col("syms")).as("n_tok"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -435,7 +477,7 @@ object TextAnalysis {
   }
 
   def bpeEncode(s: SparkSession, d: String): DataFrame =
-    bpeEncodeDocs(Tables.documents(s, d))
+    bpeEncodeDocs(Tables.documents(s, d), seqs0 = Some(bpeShared(s, d)._2))
 
   // ---- tokenizer_wordpiece / tokenizer_viterbi: subword segmentation ----
 
@@ -722,8 +764,9 @@ object TextAnalysis {
     * stream), one source-keyed aggregate on top; counts exact to the
     * two closing divides.
     */
-  def bpeFertilityBySource(docs: DataFrame, rounds: Int = 4): DataFrame = {
-    val wtoks = bpeTrain(docs, rounds)._2
+  def bpeFertilityBySource(docs: DataFrame, rounds: Int = 4,
+      seqs0: Option[DataFrame] = None): DataFrame = {
+    val wtoks = seqs0.getOrElse(bpeTrain(docs, rounds)._2)
       .select(col("word"), size(col("syms")).as("n_tok"))
     docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -738,7 +781,7 @@ object TextAnalysis {
   }
 
   def bpeFertility(s: SparkSession, d: String): DataFrame =
-    bpeFertilityBySource(Tables.documents(s, d))
+    bpeFertilityBySource(Tables.documents(s, d), seqs0 = Some(bpeShared(s, d)._2))
 
   /** quality_classifier — hashed-feature linear quality scorer (the
     * fastText-style MODEL-based filter a curation pipeline runs after

@@ -47,14 +47,34 @@ object Graph {
   private val sharedEdges = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
+  /** Checkpoint a memo in the SESSION'S shuffle width (round 17, guide
+    * §6 — partition layout of a materialized intermediate): AQE
+    * coalesces the tiny build shuffles to 1-3 post-shuffle partitions
+    * (`tools.PartProbe`: coOrder memo froze at 3 partitions / 325 k
+    * rows, custSupp at 10 / 1.17 M at sf0.1-local[32]) and the
+    * checkpoint FREEZES that layout — every consumer's first map stage
+    * (wedge expansion, degree attach, adjacency joins) then runs
+    * 3-way no matter how many cores the session has. Hash-repartition
+    * on the edge key to the session's shuffle parallelism before the
+    * truncate: one extra |E|-row exchange at build time buys every
+    * consumer a full-width scan — the cluster-scale analogue is
+    * writing the materialized edge table with a sensible partition
+    * count instead of one file. Values unchanged (hash partitioning
+    * moves rows, never rewrites them).
+    */
+  private def truncateWide(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    Ckpt.truncate(df.repartition(n, keys: _*))
+  }
+
   private[graft] def custSuppEdgesShared(s: SparkSession, d: String): DataFrame =
     sharedEdges.getOrElseUpdate((s, d, "cs"), Ckpt.untracked {
-      Ckpt.truncate(custSuppEdges(s, d))
+      truncateWide(custSuppEdges(s, d), Seq(col("src"), col("dst")))
     })
 
   private[graft] def coOrderEdgesShared(s: SparkSession, d: String): DataFrame =
     sharedEdges.getOrElseUpdate((s, d, "co"), Ckpt.untracked {
-      Ckpt.truncate(coOrderEdges(s, d))
+      truncateWide(coOrderEdges(s, d), Seq(col("p1"), col("p2")))
     })
 
   /** Release the memoized edge lists (Bench's `build_graph_edges` line;
@@ -1042,8 +1062,18 @@ object Graph {
   def linkPredCandidates(edgesIn: DataFrame, topK: Int = 100,
       maxDeg: Int = 1000): DataFrame = {
     val (edges, _) = adoptTruncated(edgesIn)
+    // explicit width on the center-key exchange (round 17, guide §2.5):
+    // the guard window and the pair self-join both key on `u`, and AQE
+    // coalesced that few-MB exchange to ~10 partitions — the Σ deg(u)²
+    // wedge expansion (the row's dominant stage, HotJobProbe: 2.4 s)
+    // then ran at a third of the session's cores. A user-specified
+    // repartition pins the session's shuffle width; the window and the
+    // self-join reuse it (one exchange, as before). Pair values and
+    // counts are unchanged.
     val adjRaw = edges.select(col("p1").as("u"), col("p2").as("x"))
       .unionAll(edges.select(col("p2").as("u"), col("p1").as("x")))
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("u"))
     val adj = adjRaw
       .withColumn("du", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("u")))

@@ -2105,9 +2105,30 @@ object TimeSeries {
           .filter(pmod(u16, col("m")) === 0)
           .select(col("event_type"), col("hs"), col("vu"))
       }
-    val a = b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1"))
+    // SALTED pair join (round 17, guide §2.5 — hot keys in joins):
+    // `event_type` is an O(1)-cardinality key, so the pair self-join
+    // hashed every type's whole bucket series into one partition and
+    // the O(T²) pair generation + map-side slope counts ran on ≤ |types|
+    // tasks (HotJobProbe at sf0.1-local[32]: one 1.2 s single-task stage
+    // = a third of the row). Standard salt: the left side keys each
+    // bucket by pmod(hs, k), the right side is replicated k ways, the
+    // join keys on (event_type, salt) — each (h1, h2) pair still meets
+    // EXACTLY once (h1 determines the one replica it can match), so the
+    // pair multiset and every slope value are unchanged. k rides the
+    // session's shuffle parallelism (scale-adaptive, never a local
+    // constant); replication cost is T·k rows — calendar-bounded T
+    // keeps it trivial next to the T²/k pairs each task now generates.
+    // The explicit repartition pins the width: AQE would otherwise
+    // coalesce the few-MB exchange back to 1-2 partitions and re-create
+    // the skew this salt removes.
+    val nSalt = events.sparkSession.sessionState.conf.numShufflePartitions
+    val a = b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1"),
+        pmod(col("hs"), lit(nSalt.toLong)).as("ps"))
+      .repartition(nSalt, col("event_type"), col("ps"))
     val c = b.select(col("event_type"), col("hs").as("h2"), col("vu").as("v2"))
-    val pairs = a.join(c, Seq("event_type")).filter(col("h1") < col("h2"))
+      .withColumn("ps", explode(array((0 until nSalt).map(i => lit(i.toLong)): _*)))
+      .repartition(nSalt, col("event_type"), col("ps"))
+    val pairs = a.join(c, Seq("event_type", "ps")).filter(col("h1") < col("h2"))
       .select(col("event_type"),
         ((col("v2") - col("v1")) / ((col("h2") - col("h1")) / lit(3600L))).as("slope"))
     // per-value counts: the ONLY pass over the pair stream (truncated —

@@ -140,15 +140,28 @@ object RunEmbed {
         val u16 = conv(substring(md5(col("w1")), 1, 4), 16, 10).cast("long")
         seeds0.filter(pmod(u16, lit((nSeeds + seedBudget - 1) / seedBudget)) === 0)
       }
-    val q = vecs.join(seeds, vecs("word") === seeds("w1"))
-      .select(col("word").as("w1"), col("vector").as("v1"))
-    val t = vecs.select(col("word").as("w2"), col("vector").as("v2"))
+    // Per-SIDE norms + a wide streamed side (round 17, guide §1.2 step
+    // 2 / §2.5): the ranking join is a broadcast nested-loop over
+    // |seeds|·|vocab| pairs, and the old projection evaluated BOTH
+    // norm folds per PAIR — 2/3 of the HOF work recomputed |vocab|
+    // (resp. |seeds|) times — while the streamed vocab side inherited
+    // the temp-parquet scan's 1-2 partitions, so ~4 M interpreted HOF
+    // evals ran in ONE task (HotJobProbe: a single 2.6 s single-task
+    // job = the whole row's wall). Norms are now computed once per row
+    // on each side (same fold over the same values — bit-identical
+    // doubles), the seed side is broadcast explicitly (≤ seedBudget
+    // rows by construction), and the vocab side is spread to the
+    // session's shuffle width. Values and emitted rows are unchanged.
+    val q = broadcast(vecs.join(seeds, vecs("word") === seeds("w1"))
+      .select(col("word").as("w1"), col("vector").as("v1"),
+        expr("sqrt(aggregate(vector, 0d, (acc, x) -> acc + x * x))").as("nrm1")))
+    val t = vecs.select(col("word").as("w2"), col("vector").as("v2"),
+        expr("sqrt(aggregate(vector, 0d, (acc, x) -> acc + x * x))").as("nrm2"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val dot = expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
-    val n1 = expr("sqrt(aggregate(v1, 0d, (acc, x) -> acc + x * x))")
-    val n2 = expr("sqrt(aggregate(v2, 0d, (acc, x) -> acc + x * x))")
     val out = Ckpt.truncate(
       q.join(t, col("w1") =!= col("w2"))
-        .select(col("w1"), col("w2"), (dot / (n1 * n2)).as("cos"))
+        .select(col("w1"), col("w2"), (dot / (col("nrm1") * col("nrm2"))).as("cos"))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
             .orderBy(col("cos").desc, col("w2"))))

@@ -120,6 +120,25 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r2.toSeq === Seq((1, "a a", 6L), (2, "aa aa", 2L)))
   }
 
+  test("bpeShared memo: rules and encode ≡ fresh training; release-and-rebuild works") {
+    // the round-17 memo must be VALUE-identical to a fresh training on
+    // the same dir (deterministic corpus + tie-break), for both the
+    // rule table (tokenizer_bpe's output) and the merged word table
+    // (tokenizer_encode/fertility's input)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val freshRules = collectSet(TextAnalysis.bpeMerges(docs))
+    val memoRules = collectSet(TextAnalysis.bpeShared(spark, sfDir)._1)
+    assert(memoRules === freshRules)
+    val freshEnc = collectSet(TextAnalysis.bpeEncodeDocs(docs))
+    val memoEnc = collectSet(TextAnalysis.bpeEncodeDocs(docs,
+      seqs0 = Some(TextAnalysis.bpeShared(spark, sfDir)._2)))
+    assert(memoEnc === freshEnc)
+    // release-and-rebuild: the Bench build line's lifecycle
+    TextAnalysis.releaseBpeShared()
+    assert(collectSet(TextAnalysis.bpeShared(spark, sfDir)._1) === freshRules)
+    TextAnalysis.releaseBpeShared()
+  }
+
   test("qualityGopher: each rule drops exactly the doc that violates it") {
     import spark.implicits._
     val filler = (1 to 60).map(i => s"word$i").mkString(" ")
