@@ -47,34 +47,31 @@ object Graph {
   private val sharedEdges = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
-  /** Checkpoint a memo in the SESSION'S shuffle width (round 17, guide
-    * §6 — partition layout of a materialized intermediate): AQE
-    * coalesces the tiny build shuffles to 1-3 post-shuffle partitions
-    * (`tools.PartProbe`: coOrder memo froze at 3 partitions / 325 k
-    * rows, custSupp at 10 / 1.17 M at sf0.1-local[32]) and the
-    * checkpoint FREEZES that layout — every consumer's first map stage
-    * (wedge expansion, degree attach, adjacency joins) then runs
-    * 3-way no matter how many cores the session has. Hash-repartition
-    * on the edge key to the session's shuffle parallelism before the
-    * truncate: one extra |E|-row exchange at build time buys every
-    * consumer a full-width scan — the cluster-scale analogue is
-    * writing the materialized edge table with a sensible partition
-    * count instead of one file. Values unchanged (hash partitioning
-    * moves rows, never rewrites them).
+  /** Round-17 MEASURED AND REJECTED — memo checkpoints at the
+    * session's shuffle width: `tools.PartProbe` found AQE freezes the
+    * coOrder memo at 3 partitions (custSupp at 10) and the hypothesis
+    * was that consumers' map stages are parallelism-capped. A
+    * hash-repartition to 32 before the truncate REGRESSED the whole
+    * family in the full bench (+0.5-2.2 s on 20 of 21 rows — pagerank
+    * 1.63 → 3.08, bfs 1.54 → 3.71, while control rows moved ±0.3):
+    * the iterative rows run many sub-second stages against the memo,
+    * and 32 map partitions × 32 reduce partitions is 10× the shuffle
+    * block count (guide §2.2's quadratic-blocks effect in miniature)
+    * plus ~22 extra task dispatches per stage — pure overhead when
+    * each partition holds ~36 k rows. Partition count must follow
+    * BYTES (guide §2.2/§6), not core count: at 325 k-1.17 M edge rows
+    * the AQE-coalesced 3-10 partitions were right. The single-task
+    * hotspots that motivated the probe were elsewhere (scan-rooted
+    * explodes and the embed_nn nested-loop — fixed separately).
     */
-  private def truncateWide(df: DataFrame, keys: Seq[Column]): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    Ckpt.truncate(df.repartition(n, keys: _*))
-  }
-
   private[graft] def custSuppEdgesShared(s: SparkSession, d: String): DataFrame =
     sharedEdges.getOrElseUpdate((s, d, "cs"), Ckpt.untracked {
-      truncateWide(custSuppEdges(s, d), Seq(col("src"), col("dst")))
+      Ckpt.truncate(custSuppEdges(s, d))
     })
 
   private[graft] def coOrderEdgesShared(s: SparkSession, d: String): DataFrame =
     sharedEdges.getOrElseUpdate((s, d, "co"), Ckpt.untracked {
-      truncateWide(coOrderEdges(s, d), Seq(col("p1"), col("p2")))
+      Ckpt.truncate(coOrderEdges(s, d))
     })
 
   /** Release the memoized edge lists (Bench's `build_graph_edges` line;

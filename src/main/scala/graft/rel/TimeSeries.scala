@@ -2105,30 +2105,43 @@ object TimeSeries {
           .filter(pmod(u16, col("m")) === 0)
           .select(col("event_type"), col("hs"), col("vu"))
       }
-    // SALTED pair join (round 17, guide §2.5 — hot keys in joins):
-    // `event_type` is an O(1)-cardinality key, so the pair self-join
-    // hashed every type's whole bucket series into one partition and
-    // the O(T²) pair generation + map-side slope counts ran on ≤ |types|
-    // tasks (HotJobProbe at sf0.1-local[32]: one 1.2 s single-task stage
-    // = a third of the row). Standard salt: the left side keys each
-    // bucket by pmod(hs, k), the right side is replicated k ways, the
-    // join keys on (event_type, salt) — each (h1, h2) pair still meets
-    // EXACTLY once (h1 determines the one replica it can match), so the
-    // pair multiset and every slope value are unchanged. k rides the
+    // SALTED pair join on the UNBOUNDED path only (round 17, guide §2.5
+    // — hot keys in joins): `event_type` is an O(1)-cardinality key, so
+    // the exact row's pair self-join hashed every type's whole bucket
+    // series into one partition and the O(T²) pair generation +
+    // map-side slope counts ran on ≤ |types| tasks (HotJobProbe at
+    // sf0.1-local[32]: one 1.2 s single-task stage = a third of the
+    // row) — and at a 10-year calendar that one task generates 3.8 B
+    // pairs. Standard salt: the left side keys each bucket by
+    // pmod(hs, k), the right side is replicated k ways, the join keys
+    // on (event_type, salt) — each (h1, h2) pair still meets EXACTLY
+    // once (h1 determines the one replica it can match), so the pair
+    // multiset and every slope value are unchanged. k rides the
     // session's shuffle parallelism (scale-adaptive, never a local
     // constant); replication cost is T·k rows — calendar-bounded T
     // keeps it trivial next to the T²/k pairs each task now generates.
     // The explicit repartition pins the width: AQE would otherwise
     // coalesce the few-MB exchange back to 1-2 partitions and re-create
-    // the skew this salt removes.
-    val nSalt = events.sparkSession.sessionState.conf.numShufflePartitions
-    val a = b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1"),
-        pmod(col("hs"), lit(nSalt.toLong)).as("ps"))
-      .repartition(nSalt, col("event_type"), col("ps"))
-    val c = b.select(col("event_type"), col("hs").as("h2"), col("vu").as("v2"))
-      .withColumn("ps", explode(array((0 until nSalt).map(i => lit(i.toLong)): _*)))
-      .repartition(nSalt, col("event_type"), col("ps"))
-    val pairs = a.join(c, Seq("event_type", "ps")).filter(col("h1") < col("h2"))
+    // the skew. The SAMPLED path keeps the unsalted join: its budget
+    // bounds pairs at maxBucketsPerType²/2 per type FOREVER (that row
+    // exists to be the at-scale form), and the full bench measured the
+    // salt machinery as pure overhead there (+0.5 s on a 0.7 s row).
+    val nSalt =
+      if (maxBucketsPerType > 0) 1
+      else events.sparkSession.sessionState.conf.numShufflePartitions
+    val (a, c) =
+      if (nSalt <= 1)
+        (b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1")),
+          b.select(col("event_type"), col("hs").as("h2"), col("vu").as("v2")))
+      else
+        (b.select(col("event_type"), col("hs").as("h1"), col("vu").as("v1"),
+            pmod(col("hs"), lit(nSalt.toLong)).as("ps"))
+          .repartition(nSalt, col("event_type"), col("ps")),
+          b.select(col("event_type"), col("hs").as("h2"), col("vu").as("v2"))
+            .withColumn("ps", explode(array((0 until nSalt).map(i => lit(i.toLong)): _*)))
+            .repartition(nSalt, col("event_type"), col("ps")))
+    val joinKeys = if (nSalt <= 1) Seq("event_type") else Seq("event_type", "ps")
+    val pairs = a.join(c, joinKeys).filter(col("h1") < col("h2"))
       .select(col("event_type"),
         ((col("v2") - col("v1")) / ((col("h2") - col("h1")) / lit(3600L))).as("slope"))
     // per-value counts: the ONLY pass over the pair stream (truncated —
