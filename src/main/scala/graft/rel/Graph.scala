@@ -1271,17 +1271,29 @@ object Graph {
     var h = edges.select(col("src")).distinct().crossJoin(nh)
       .select(col("src"), (lit(1.0) / col("n")).as("h")).truncated()
     var a: DataFrame = null
+    // round 17 (the `markovStationary` shape applied here): truncate the
+    // RAW half-round sums and derive the normalized scores as a LAZY
+    // projection over the checkpoint. The old form truncated the
+    // normalized frame, whose plan held the join+agg subtree TWICE (the
+    // row side and the broadcast total's subquery), so every half-round
+    // job evaluated its |E|-shuffle join twice. Same per-round values:
+    // the total is the sum of the same materialized rows, and the
+    // rnd(s/t, 12) projection is the identical expression.
+    var aCk: DataFrame = null
+    var hCk: DataFrame = h
     for (r <- 1 to iters) {
-      val ar = edges.join(h, "src").groupBy(col("dst")).agg(sum(col("h")).as("s"))
-      val at = ar.crossJoin(broadcast(ar.agg(sum(col("s")).as("t"))))
-        .select(col("dst"), rnd(col("s") / col("t"), 12).as("a")).truncated()
-      if (a != null) Ckpt.release(a)
-      a = at
-      val hr = edges.join(a, "dst").groupBy(col("src")).agg(sum(col("a")).as("s"))
-      val ht = hr.crossJoin(broadcast(hr.agg(sum(col("s")).as("t"))))
-        .select(col("src"), rnd(col("s") / col("t"), 12).as("h")).truncated()
-      Ckpt.release(h)
-      h = ht
+      val ar = Ckpt.truncate(
+        edges.join(h, "src").groupBy(col("dst")).agg(sum(col("h")).as("s")))
+      if (aCk != null) Ckpt.release(aCk)
+      aCk = ar
+      a = ar.crossJoin(broadcast(ar.agg(sum(col("s")).as("t"))))
+        .select(col("dst"), rnd(col("s") / col("t"), 12).as("a"))
+      val hr = Ckpt.truncate(
+        edges.join(a, "dst").groupBy(col("src")).agg(sum(col("a")).as("s")))
+      Ckpt.release(hCk)
+      hCk = hr
+      h = hr.crossJoin(broadcast(hr.agg(sum(col("s")).as("t"))))
+        .select(col("src"), rnd(col("s") / col("t"), 12).as("h"))
     }
     h.select(col("src").as("node"), lit("hub").as("role"), rnd(col("h"), 6).as("score"))
       .unionAll(a.select(col("dst").as("node"), lit("authority").as("role"),

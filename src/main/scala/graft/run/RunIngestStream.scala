@@ -138,6 +138,24 @@ object RunIngestStream {
     */
   private val SliceShufflePartitions = 4
 
+  /** Run two INDEPENDENT bootstrap writes as concurrent jobs (round 17,
+    * guide §2.6 — overlap independent jobs): each gate row's bootstrap
+    * lands 2-4 sequential writes of the same standing slice into
+    * disjoint output paths, and Spark's scheduler happily back-fills
+    * the second job's tasks into the first's tail. Only used for
+    * pure-write thunks (no `Ckpt` state — checkpoint scopes are
+    * thread-local and a pool thread would escape the query's scope).
+    */
+  private def bothInParallel(a: => Unit, b: => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = a })
+      val fb = pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = b })
+      try { fa.get(); fb.get() }
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    } finally pool.shutdown()
+  }
+
   private def withSliceShuffle[T](spark: SparkSession)(body: => T): T = {
     if (sys.env.get("GRAFT_SLICE_SHUFFLE").contains("off")) return body // A/B probe knob
     val key = "spark.sql.shuffle.partitions"
@@ -173,8 +191,9 @@ object RunIngestStream {
     val docs = graft.Tables.documents(spark, d).filter(col("doc_id") < 500)
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
     val corp0 = docs.filter(col("doc_id") % 5 =!= 1 && col("doc_id") % 5 =!= 3)
-    graft.llm.Dedup.saveLshIndex(corp0, s"$out/index")
-    graft.sources.Sinks.writePartitioned(corp0, s"$out/corpus", Seq("source"))
+    bothInParallel(
+      graft.llm.Dedup.saveLshIndex(corp0, s"$out/index"),
+      graft.sources.Sinks.writePartitioned(corp0, s"$out/corpus", Seq("source")))
     docs.filter(col("doc_id") % 5 === 1)
       .coalesce(1).write.mode("append").parquet(dropDir)
     val runs1 = runWithStages(spark, dropDir, out)
@@ -223,8 +242,9 @@ object RunIngestStream {
     val docs = graft.Tables.documents(spark, d).filter(col("doc_id") < 500)
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
     val corp0 = docs.filter(col("doc_id") % 5 =!= 3)
-    graft.llm.Dedup.saveLshIndex(corp0, s"$out/index")
-    graft.sources.Sinks.writePartitioned(corp0, s"$out/corpus", Seq("source"))
+    bothInParallel(
+      graft.llm.Dedup.saveLshIndex(corp0, s"$out/index"),
+      graft.sources.Sinks.writePartitioned(corp0, s"$out/corpus", Seq("source")))
     def corpusN(): Long = spark.read.parquet(s"$out/corpus").count()
     val standingBefore = corpusN()
     corp0.filter(col("doc_id") % 4 === 0)
@@ -480,9 +500,10 @@ object RunIngestStream {
     val standing = ev.filter(col("t_id") % 5 =!= 1 && col("t_id") % 5 =!= 3)
     val cent = standing.filter(col("t_id") % 40 === 0)
       .select(col("t_id").as("c_id"), col("t_v").as("c_v"))
-    AnnSearch.saveIvfIndex(standing, cent, s"$out/ivf")
-    AnnSearch.saveKnnGraph(
-      standing.select(col("t_id").as("vec_id"), col("t_v").as("v")), s"$out/graph")
+    bothInParallel(
+      AnnSearch.saveIvfIndex(standing, cent, s"$out/ivf"),
+      AnnSearch.saveKnnGraph(
+        standing.select(col("t_id").as("vec_id"), col("t_v").as("v")), s"$out/graph"))
     val standingBefore = spark.read.parquet(s"$out/ivf/cells").count()
     standing.filter(col("t_id") % 4 === 0)
       .select(lit(null).cast("long").as("doc_id"), col("t_id").as("vec_id"))
